@@ -8,7 +8,7 @@ object SparkEntry {
 
   /** All operator entries: (name, query, optional DuckDB oracle SQL). */
   private def all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    Tpch.entries
+    Tpch.entries ++ Scrapers.entries ++ graft.sources.SourceRegistry.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

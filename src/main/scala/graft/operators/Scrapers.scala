@@ -1,0 +1,267 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Collector-surface operators: the reference's scrape-query families
+  * re-expressed over the driver's test tables.
+  *
+  * Each mirrors one enabled scraper of the reference
+  * (collector/exporters/mysql/mysql-exporter.go:12-48 for the mysqld
+  * set, exporters/oracle/custom-metrics.toml for the custom Oracle
+  * metric, cmd/events-collector/events-collector.go:32-48 for the RDS
+  * events counter). All are single-shuffle grouped aggregations with
+  * map-side partial aggregation — the shape that scales linearly on a
+  * cluster.
+  */
+object Scrapers {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** ScrapeGlobalStatus analog: status-variable gauge snapshot per
+    * stream — one agg pass, then a codegen'd stack to metric rows. */
+  def globalStatus: Q = (s, d) => {
+    val agg = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("events_total"),
+        round(sum(col("value")), 2).as("events_value_sum"))
+    MetricsModel.wideToLong(agg, Seq("event_type"), Seq("events_total", "events_value_sum"))
+      .orderBy(col("event_type"), col("metric_name"))
+  }
+
+  val globalStatusSql: String =
+    """WITH a AS (SELECT event_type, count(*) AS n, round(sum(value),2) AS v
+                  FROM events GROUP BY event_type)
+       SELECT event_type, 'events_total' AS metric_name, CAST(n AS DOUBLE) AS value FROM a
+       UNION ALL
+       SELECT event_type, 'events_value_sum' AS metric_name, v AS value FROM a
+       ORDER BY event_type, metric_name"""
+
+  /** ScrapeGlobalVariables analog: key/value snapshot of one source's
+    * configuration-ish facts, as strings (like SHOW GLOBAL VARIABLES). */
+  def globalVariables: Q = (s, d) => {
+    Tables.events(s, d)
+      .agg(
+        count(lit(1)).cast("string").as("events_rows"),
+        countDistinct(col("user_id")).cast("string").as("events_users"),
+        date_format(date_trunc("second", min(col("ts"))), "yyyy-MM-dd HH:mm:ss").as("events_min_ts"),
+        date_format(date_trunc("second", max(col("ts"))), "yyyy-MM-dd HH:mm:ss").as("events_max_ts"))
+      .selectExpr(
+        """stack(4,
+           'events_rows', events_rows,
+           'events_users', events_users,
+           'events_min_ts', events_min_ts,
+           'events_max_ts', events_max_ts) as (variable_name, variable_value)""")
+      .orderBy(col("variable_name"))
+  }
+
+  val globalVariablesSql: String =
+    """WITH a AS (SELECT CAST(count(*) AS VARCHAR) AS r,
+                         CAST(count(DISTINCT user_id) AS VARCHAR) AS u,
+                         strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS mn,
+                         strftime(date_trunc('second', max(ts)), '%Y-%m-%d %H:%M:%S') AS mx
+                  FROM events)
+       SELECT 'events_rows' AS variable_name, r AS variable_value FROM a
+       UNION ALL SELECT 'events_users', u FROM a
+       UNION ALL SELECT 'events_min_ts', mn FROM a
+       UNION ALL SELECT 'events_max_ts', mx FROM a
+       ORDER BY variable_name"""
+
+  /** ScrapeSlaveStatus analog: seconds each stream's high-watermark
+    * trails the global high-watermark (replication lag shape). The
+    * global max is a window over the 5-row aggregate, not the raw data. */
+  def slaveStatus: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val agg = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(unix_timestamp(date_trunc("second", max(col("ts")))).as("max_sec"))
+    agg.withColumn("seconds_behind",
+        max(col("max_sec")).over(Window.partitionBy()) - col("max_sec"))
+      .select(col("event_type").as("channel_name"), col("seconds_behind"))
+      .orderBy(col("channel_name"))
+  }
+
+  val slaveStatusSql: String =
+    """WITH a AS (SELECT event_type,
+                    CAST(epoch(date_trunc('second', max(ts))) AS BIGINT) AS max_sec
+                  FROM events GROUP BY event_type)
+       SELECT event_type AS channel_name,
+              (max(max_sec) OVER () - max_sec) AS seconds_behind
+       FROM a ORDER BY channel_name"""
+
+  /** ScrapeProcesslist analog: session counts by state and user. */
+  def processlist: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(col("event_type").as("state"),
+        concat(lit("user_"), pmod(col("user_id"), lit(8))).as("usr"))
+      .agg(count(lit(1)).as("processes"))
+      .orderBy(col("state"), col("usr"))
+  }
+
+  val processlistSql: String =
+    """SELECT event_type AS state, 'user_' || CAST(user_id % 8 AS VARCHAR) AS usr,
+              count(*) AS processes
+       FROM events GROUP BY 1, 2 ORDER BY state, usr"""
+
+  /** ScrapeInnodbCmp analog: per-page-size-bucket compression stats. */
+  def innodbCmp: Q = (s, d) => {
+    Tables.part(s, d)
+      .groupBy((floor(col("p_size") / 8) * 8).cast("int").as("page_size"))
+      .agg(count(lit(1)).as("compress_ops"),
+        round(sum(col("p_retailprice")), 2).as("compress_bytes"))
+      .orderBy(col("page_size"))
+  }
+
+  val innodbCmpSql: String =
+    """SELECT CAST(floor(p_size / 8) * 8 AS INT) AS page_size,
+              count(*) AS compress_ops, round(sum(p_retailprice),2) AS compress_bytes
+       FROM part GROUP BY 1 ORDER BY page_size"""
+
+  /** ScrapeQueryResponseTime analog: Prometheus-histogram cumulative
+    * `le` buckets over events.value — ONE aggregation pass (conditional
+    * counts), no join, no window: the 100 TB-safe histogram shape. */
+  def queryResponseTime: Q = (s, d) => {
+    val les = Seq(1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+    val aggCols = les.map(le => count(when(col("value") <= le, 1)).as(s"b$le")) :+
+      count(lit(1)).as("binf")
+    val agg = Tables.events(s, d).agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = (les.map(le => s"'$le', b$le") :+ "'+Inf', binf").mkString(", ")
+    agg.selectExpr(s"stack(${les.size + 1}, $stackArgs) as (le, cumulative_count)")
+      .orderBy(length(col("le")), col("le"))
+  }
+
+  val queryResponseTimeSql: String = {
+    val les = Seq(1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+    val buckets = les.map(le =>
+      s"SELECT '$le' AS le, count(*) FILTER (WHERE value <= $le) AS cumulative_count FROM events")
+    (buckets :+ "SELECT '+Inf' AS le, count(*) AS cumulative_count FROM events")
+      .mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY length(le), le")
+  }
+
+  /** The reference's custom Oracle metric
+    * (exporters/oracle/custom-metrics.toml:1-17): long-running sessions
+    * — duration in hours over a threshold, username LIKE-filtered,
+    * ordered desc. Session = one user's activity within one day. */
+  def longRunningSessions: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(col("user_id").as("sid"),
+        concat(lit("user_"), col("user_id")).as("username"),
+        to_date(col("ts")).as("day"))
+      .agg(
+        date_format(date_trunc("second", min(col("ts"))), "yyyy-MM-dd HH:mm:ss").as("logon_time"),
+        // floor-truncate to 2dp: bit-identical across engines, unlike
+        // round() (Spark HALF_UP on decimal repr vs DuckDB binary round)
+        (floor((unix_timestamp(date_trunc("second", max(col("ts")))) -
+          unix_timestamp(date_trunc("second", min(col("ts"))))) / 3600.0 * 100) / 100.0)
+          .as("session_duration_hours"))
+      .filter(col("session_duration_hours") > 8 && col("username").like("user_1%"))
+      .orderBy(col("session_duration_hours").desc, col("sid"), col("day"))
+  }
+
+  val longRunningSessionsSql: String =
+    """SELECT user_id AS sid, 'user_' || CAST(user_id AS VARCHAR) AS username,
+              CAST(ts AS DATE) AS day,
+              strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS logon_time,
+              floor((epoch(date_trunc('second', max(ts))) - epoch(date_trunc('second', min(ts)))) / 3600.0 * 100) / 100.0
+                AS session_duration_hours
+       FROM events
+       GROUP BY 1, 2, CAST(ts AS DATE)
+       HAVING floor((epoch(date_trunc('second', max(ts))) - epoch(date_trunc('second', min(ts)))) / 3600.0 * 100) / 100.0 > 8
+          AND ('user_' || CAST(user_id AS VARCHAR)) LIKE 'user_1%'
+       ORDER BY session_duration_hours DESC, sid, day"""
+
+  /** RDS events counter (cmd/events-collector/events-collector.go:44-48):
+    * count by (event_id, message, source) with the
+    * `length(event_id)==1 → 'none'` normalization. */
+  def eventsCounter: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(
+        when(length(col("event_id").cast("string")) === 1, "none")
+          .otherwise(col("event_id").cast("string")).as("event_key"),
+        col("props").as("event_message"),
+        col("event_type").as("event_source"))
+      .agg(count(lit(1)).as("rds_service_events"))
+  }
+
+  val eventsCounterSql: String =
+    """SELECT CASE WHEN length(CAST(event_id AS VARCHAR)) = 1 THEN 'none'
+                   ELSE CAST(event_id AS VARCHAR) END AS event_key,
+              props AS event_message, event_type AS event_source,
+              count(*) AS rds_service_events
+       FROM events GROUP BY 1, 2, 3"""
+
+  /** ConvertMetricFamilyToTimeSeries analog: per-nation order metrics
+    * (wide) → long + enriched labels (prometheus.go:38-76). */
+  def remoteWrite: Q = (s, d) => {
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+    val wide = Tables.orders(s, d).select("o_custkey", "o_totalprice")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("db_orders_total"),
+        round(sum(col("o_totalprice")), 2).as("db_orders_price_sum"),
+        round(avg(col("o_totalprice")), 4).as("db_orders_price_avg"))
+      .withColumn("host", concat(lower(col("n_name")), lit(".rds.example.com")))
+    val long = MetricsModel.wideToLong(wide, Seq("host"),
+      Seq("db_orders_total", "db_orders_price_sum", "db_orders_price_avg"))
+    MetricsModel.enrichLabels(long, col("host"), engine = "postgres")
+      .select("metric_name", "identifier", "job", "region", "account_id", "engine", "value")
+      .orderBy(col("identifier"), col("metric_name"))
+  }
+
+  val remoteWriteSql: String =
+    """WITH w AS (
+         SELECT lower(n_name) || '.rds.example.com' AS host,
+                CAST(count(*) AS DOUBLE) AS db_orders_total,
+                round(sum(o_totalprice),2) AS db_orders_price_sum,
+                round(avg(o_totalprice),4) AS db_orders_price_avg
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name),
+       l AS (
+         SELECT host, 'db_orders_total' AS metric_name, db_orders_total AS value FROM w
+         UNION ALL SELECT host, 'db_orders_price_sum', db_orders_price_sum FROM w
+         UNION ALL SELECT host, 'db_orders_price_avg', db_orders_price_avg FROM w)
+       SELECT metric_name, split_part(host, '.', 1) AS identifier,
+              'database-collector' AS job, 'us-east-1' AS region,
+              '123456789012' AS account_id, 'postgres' AS engine, value
+       FROM l ORDER BY identifier, metric_name"""
+
+  /** Prometheus text exposition of the remote-write rows. */
+  def expositionLines: Q = (s, d) =>
+    MetricsModel.exposition(remoteWrite(s, d)).orderBy(col("line"))
+
+  val expositionSql: String =
+    """WITH w AS (
+         SELECT lower(n_name) || '.rds.example.com' AS host,
+                CAST(count(*) AS DOUBLE) AS db_orders_total,
+                round(sum(o_totalprice),2) AS db_orders_price_sum,
+                round(avg(o_totalprice),4) AS db_orders_price_avg
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name),
+       l AS (
+         SELECT host, 'db_orders_total' AS metric_name, db_orders_total AS value FROM w
+         UNION ALL SELECT host, 'db_orders_price_sum', db_orders_price_sum FROM w
+         UNION ALL SELECT host, 'db_orders_price_avg', db_orders_price_avg FROM w)
+       SELECT printf('%s{engine="%s",identifier="%s",job="%s"} %.2f',
+                metric_name, 'postgres', split_part(host, '.', 1),
+                'database-collector', value) AS line
+       FROM l ORDER BY line"""
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("metrics_global_status", globalStatus, Some(globalStatusSql)),
+    ("metrics_global_variables", globalVariables, Some(globalVariablesSql)),
+    ("metrics_slave_status", slaveStatus, Some(slaveStatusSql)),
+    ("metrics_processlist", processlist, Some(processlistSql)),
+    ("metrics_innodb_cmp", innodbCmp, Some(innodbCmpSql)),
+    ("metrics_query_response_time", queryResponseTime, Some(queryResponseTimeSql)),
+    ("metrics_long_running_sessions", longRunningSessions, Some(longRunningSessionsSql)),
+    ("events_counter", eventsCounter, Some(eventsCounterSql)),
+    ("prom_remote_write", remoteWrite, Some(remoteWriteSql)),
+    ("prom_exposition", expositionLines, Some(expositionSql))
+  )
+}

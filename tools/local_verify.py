@@ -68,8 +68,9 @@ def main():
                                    equal_nan=True))
             else:
                 bad = ~((gv == ev) | (gv.isna() & ev.isna()))
+            bad = np.asarray(bad)
             if bad.any():
-                i = int(np.argmax(bad.values))
+                i = int(np.argmax(bad))
                 mism.append(f"{c}[row{i}]: spark={gv.iloc[i]!r} oracle={ev.iloc[i]!r} (n={int(bad.sum())})")
         sdt = {c: str(g[c].dtype) for c in g.columns}
         edt = {c: str(e[c].dtype) for c in e.columns}
