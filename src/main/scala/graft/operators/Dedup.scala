@@ -1,0 +1,233 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the documents table.
+  *
+  * Scale design (the point of each variant at 100 TB):
+  * - exact: one hash-groupBy shuffle on md5(text) — embarrassingly
+  *   parallel, no pairwise anything.
+  * - ngram-Jaccard: candidate pairs only via shared-shingle equi-join
+  *   (never a cross join); a document-frequency cap on shingles kills
+  *   the heavy-hitter skew bomb before the join.
+  * - minhash-LSH: fixed-width signature (16 mins in ONE groupBy pass
+  *   over exploded shingles), banded bucket join — candidate count
+  *   scales with bucket collisions, not n².
+  * - simhash: 64-bit signature, 4×16-bit band join is EXACT for
+  *   Hamming distance ≤ 3 (pigeonhole), so no recall loss.
+  * - embedding cosine: blocked pair join (label here; an IVF cell id
+  *   at real scale) — never all-pairs.
+  *
+  * Minhash values are md5 hex strings: fixed-length hex compares
+  * lexicographically exactly like the unsigned number it encodes, and
+  * md5 exists bit-identically in every engine → the DuckDB oracle can
+  * run the *same* pipeline, so correctness is checked end-to-end.
+  */
+object Dedup {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  import TextAnalysis.{toksExpr, toksSqlExpr, trunc4}
+
+  val shinglesSqlExpr: String =
+    s"""CASE WHEN len($toksSqlExpr) >= 3 THEN list_distinct(list_transform(
+          range(1, len($toksSqlExpr) - 1),
+          i -> $toksSqlExpr[i] || ' ' || $toksSqlExpr[i+1] || ' ' || $toksSqlExpr[i+2]))
+        ELSE [] END"""
+
+  /** (doc_id, shingles array, n_shingles) — the base for the Jaccard
+    * family. Tokens are materialized as a column first so the shingle
+    * lambda doesn't re-tokenize per element. */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(toks) >= 3 THEN array_distinct(transform(
+             sequence(0, size(toks) - 3),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+           ELSE array() END""").as("shingles"))
+      .withColumn("n_sh", size(col("shingles")))
+      .filter(col("n_sh") > 0)
+
+  /** Exact dedup: group by content hash; keeper = min doc_id. */
+  def exact: Q = (s, d) => {
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+      .orderBy(col("keep_doc_id"))
+  }
+
+  val exactSql: String =
+    """SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+       FROM documents GROUP BY md5(text) ORDER BY keep_doc_id"""
+
+  /** n-gram Jaccard near-dup pairs: shared-shingle candidate join
+    * (df-capped), exact Jaccard ≥ 0.5. */
+  def ngramJaccard: Q = (s, d) => {
+    val sets = shingleSets(s, d)
+    val e = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    // document-frequency cap: drop shingles present in >500 docs (skew guard;
+    // a no-op at this SF but load-bearing at corpus scale)
+    val dfCap = e.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 500).select("sh")
+    val eCapped = e.join(dfCap, "sh")
+    val inter = eCapped.select(col("doc_id").as("da"), col("sh"))
+      .join(eCapped.select(col("doc_id").as("db"), col("sh")), "sh")
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sets.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        trunc4(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH sets AS (
+          SELECT doc_id, shingles, len(shingles) AS n_sh FROM (
+            SELECT doc_id, $shinglesSqlExpr AS shingles FROM documents)
+          WHERE len(shingles) > 0),
+        e AS (SELECT doc_id, unnest(shingles) AS sh FROM sets),
+        cap AS (SELECT sh FROM e GROUP BY sh HAVING count(*) <= 500),
+        ec AS (SELECT e.doc_id, e.sh FROM e JOIN cap USING (sh)),
+        inter AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          FROM ec a JOIN ec b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT da AS doc_a, db AS doc_b,
+               floor((i * 1.0 / (sa.n_sh + sb.n_sh - i)) * 10000) / 10000.0 AS jaccard
+        FROM inter JOIN sets sa ON da = sa.doc_id JOIN sets sb ON db = sb.doc_id
+        WHERE floor((i * 1.0 / (sa.n_sh + sb.n_sh - i)) * 10000) / 10000.0 >= 0.5
+        ORDER BY doc_a, doc_b"""
+
+  val NumHashes = 16
+  val BandSize = 4
+  val NumBands: Int = NumHashes / BandSize
+
+  /** MinHash + banded LSH: signature in one groupBy pass, bucket join
+    * on band hashes, candidates verified with exact Jaccard ≥ 0.4. */
+  def minhashLsh: Q = (s, d) => {
+    val sets = shingleSets(s, d)
+    val e = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val sigCols = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"p$i|"), col("sh")))).as(s"s$i"))
+    val sig = e.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until NumBands).map(b =>
+      md5(concat((b * BandSize until (b + 1) * BandSize).map(i => col(s"s$i")): _*)).as(s"band$b"))
+    val banded = sig.select(col("doc_id") +: bandCols: _*)
+    val stackArgs = (0 until NumBands).map(b => s"'$b', band$b").mkString(", ")
+    val bl = banded.selectExpr("doc_id", s"stack($NumBands, $stackArgs) as (band_idx, bh)")
+    val cand = bl.select(col("doc_id").as("da"), col("band_idx"), col("bh"))
+      .join(bl.select(col("doc_id").as("db"), col("band_idx"), col("bh")),
+        Seq("band_idx", "bh"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    cand
+      .join(sets.select(col("doc_id").as("da"), col("shingles").as("sha"), col("n_sh").as("na")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("shingles").as("shb"), col("n_sh").as("nb")), "db")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        trunc4(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.4)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val minhashLshSql: String = {
+    val sigExprs = (0 until NumHashes)
+      .map(i => s"min(md5('p$i|' || sh)) AS s$i").mkString(", ")
+    val bandExprs = (0 until NumBands)
+      .map(b => s"md5(${(b * BandSize until (b + 1) * BandSize).map(i => s"s$i").mkString(" || ")}) AS band$b")
+      .mkString(", ")
+    val blSelects = (0 until NumBands)
+      .map(b => s"SELECT doc_id, '$b' AS band_idx, band$b AS bh FROM banded")
+      .mkString(" UNION ALL ")
+    s"""WITH sets AS (
+          SELECT doc_id, shingles, len(shingles) AS n_sh FROM (
+            SELECT doc_id, $shinglesSqlExpr AS shingles FROM documents)
+          WHERE len(shingles) > 0),
+        e AS (SELECT doc_id, unnest(shingles) AS sh FROM sets),
+        sig AS (SELECT doc_id, $sigExprs FROM e GROUP BY doc_id),
+        banded AS (SELECT doc_id, $bandExprs FROM sig),
+        bl AS ($blSelects),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM bl a JOIN bl b ON a.band_idx = b.band_idx AND a.bh = b.bh
+            AND a.doc_id < b.doc_id)
+        SELECT da AS doc_a, db AS doc_b,
+               floor((len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+                 (sa.n_sh + sb.n_sh - len(list_intersect(sa.shingles, sb.shingles)))) * 10000) / 10000.0
+                 AS jaccard
+        FROM cand JOIN sets sa ON da = sa.doc_id JOIN sets sb ON db = sb.doc_id
+        WHERE floor((len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+                (sa.n_sh + sb.n_sh - len(list_intersect(sa.shingles, sb.shingles)))) * 10000) / 10000.0 >= 0.4
+        ORDER BY doc_a, doc_b"""
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature from xxhash64(token)
+    * bit votes; 4×16-bit bands → candidate join is EXACT for
+    * Hamming ≤ 3 (pigeonhole: 3 flipped bits leave ≥1 band clean).
+    * Rows-only (no portable 64-bit hash in the oracle); brute-force
+    * parity asserted in DedupSpec. */
+  def simhash: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(s"array_distinct($toksExpr)")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map(k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$k"))
+    val sig = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val bits = sig.withColumn("bits",
+      concat((0 until 64).map(k => when(col(s"v$k") > 0, "1").otherwise("0")): _*))
+      .select("doc_id", "bits")
+    val bandCols = (0 until 4).map(b => substring(col("bits"), b * 16 + 1, 16).as(s"band$b"))
+    val banded = bits.select(col("doc_id") +: col("bits") +: bandCols: _*)
+    val stackArgs = (0 until 4).map(b => s"'$b', band$b").mkString(", ")
+    val bl = banded.selectExpr("doc_id", "bits", s"stack(4, $stackArgs) as (band_idx, bv)")
+    val cand = bl.select(col("doc_id").as("da"), col("bits").as("bits_a"), col("band_idx"), col("bv"))
+      .join(bl.select(col("doc_id").as("db"), col("bits").as("bits_b"), col("band_idx"), col("bv")),
+        Seq("band_idx", "bv"))
+      .filter(col("da") < col("db"))
+      .select("da", "db", "bits_a", "bits_b").distinct()
+    cand
+      .withColumn("hamming",
+        expr("size(filter(sequence(1, 64), i -> substring(bits_a, i, 1) != substring(bits_b, i, 1)))"))
+      .filter(col("hamming") <= 3)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding near-dup pairs: label-blocked join, cosine ≥ 0.4. */
+  def embeddingCosine: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("n2", expr("aggregate(v, cast(0 as double), (a, x) -> a + x * x)"))
+    val a = emb.select(col("vec_id").as("vec_a"), col("label"),
+      col("v").as("va"), col("n2").as("n2a"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("label"),
+      col("v").as("vb"), col("n2").as("n2b"))
+    a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("dot", expr("aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)"))
+      .select(col("vec_a"), col("vec_b"), col("label"),
+        trunc4(col("dot") / (sqrt(col("n2a")) * sqrt(col("n2b")))).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val embeddingCosineSql: String =
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+              floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 10000) / 10000.0 AS cosine
+       FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+       WHERE floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 10000) / 10000.0 >= 0.4
+       ORDER BY vec_a, vec_b"""
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("dedup_exact", exact, Some(exactSql)),
+    ("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    ("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
+    ("dedup_simhash", simhash, None),
+    ("dedup_embedding_cosine", embeddingCosine, Some(embeddingCosineSql)))
+}

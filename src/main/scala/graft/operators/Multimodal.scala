@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque binary
+  * columns with typed metadata.
+  *
+  * The Spark-side contract is real — binary payload column, typed
+  * metadata schema, deterministic frame-sample offsets, and a
+  * partition-batched decode path (`decodeStub`) shaped like a real
+  * codec call (one buffer in, frames out). The codec itself is STUBBED
+  * with a deterministic fake (no image/audio libs in this
+  * environment); swapping in a real decoder changes only the body of
+  * `fakeDecode`.
+  */
+object Multimodal {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Typed metadata over a binary payload: md5-derived fake dimensions
+    * (deterministic, oracle-checkable), frame offsets every 256 bytes
+    * (entry `mm_binary_meta`). */
+  def meta: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"), md5(col("text")).as("h"))
+      .withColumn("byte_len", octet_length(col("payload")))
+      .withColumn("n_frames", expr("cast(1 + byte_len div 256 as int)"))
+      .select(
+        col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (conv(substring(col("h"), 9, 4), 16, 10).cast("int") % 3) + 1).as("modality"),
+        col("byte_len"),
+        (conv(substring(col("h"), 1, 4), 16, 10).cast("int") % 1216 + 64).as("width"),
+        (conv(substring(col("h"), 5, 4), 16, 10).cast("int") % 696 + 32).as("height"),
+        col("n_frames"),
+        expr("array_join(transform(sequence(0, n_frames - 1), i -> i * 256), ',')")
+          .as("frame_offsets"))
+      .orderBy(col("doc_id"))
+  }
+
+  val metaSql: String =
+    """SELECT doc_id,
+         ['image','audio','video'][(('0x' || substr(md5(text), 9, 4))::INT % 3) + 1] AS modality,
+         CAST(octet_length(encode(text)) AS INT) AS byte_len,
+         (('0x' || substr(md5(text), 1, 4))::INT % 1216 + 64) AS width,
+         (('0x' || substr(md5(text), 5, 4))::INT % 696 + 32) AS height,
+         CAST(1 + octet_length(encode(text)) // 256 AS INT) AS n_frames,
+         array_to_string(list_transform(range(0, CAST(1 + octet_length(encode(text)) // 256 AS INT)), i -> i * 256), ',') AS frame_offsets
+       FROM documents ORDER BY doc_id"""
+
+  /** One decoded frame of a fake codec. */
+  case class Frame(doc_id: Long, frame_idx: Int, width: Int, height: Int,
+      mean_intensity: Double)
+
+  /** Partition-batched "decode": iterates each partition's payloads
+    * once (the shape a real codec binding needs — reuse a decoder
+    * instance per partition, emit frames). Deterministic fake:
+    * intensity = mean byte value of the frame's 256-byte window. */
+  def decodeStub(spark: SparkSession, dir: String): Dataset[Frame] = {
+    import spark.implicits._
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        (conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") % 1216 + 64).as("width"),
+        (conv(substring(md5(col("text")), 5, 4), 16, 10).cast("int") % 696 + 32).as("height"))
+      .as[(Long, Array[Byte], Int, Int)]
+    payloads.mapPartitions { it =>
+      // a real implementation would initialize the codec ONCE here
+      it.flatMap { case (docId, bytes, w, h) =>
+        val nFrames = 1 + bytes.length / 256
+        (0 until nFrames).iterator.map { f =>
+          val from = f * 256
+          val until = math.min(from + 256, bytes.length)
+          val window = if (until > from) bytes.slice(from, until) else Array[Byte](0)
+          val mean = window.map(b => (b & 0xff).toDouble).sum / window.length
+          Frame(docId, f, w, h, math.floor(mean * 10000) / 10000.0)
+        }
+      }
+    }
+  }
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("mm_binary_meta", meta, Some(metaSql)))
+}

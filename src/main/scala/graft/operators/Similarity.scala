@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the embeddings table.
+  *
+  * Brute-force top-k is the baseline: broadcast the (small) query
+  * side, one narrow pass over the corpus, per-query top-k via window —
+  * at 100 TB this is the "score every vector once" plan, which is
+  * optimal when the query set is small and the corpus is scanned
+  * anyway. The LSH variant is the scale path: random-hyperplane
+  * signatures bucket the corpus so each query only scores its bucket
+  * collisions (multiple tables to recover recall).
+  */
+object Similarity {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  import TextAnalysis.trunc4
+
+  /** (vec_id, label, v double[], n2) with squared norm precomputed. */
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("n2", expr("aggregate(v, cast(0 as double), (a, x) -> a + x * x)"))
+
+  private val dotExpr =
+    "aggregate(zip_with(qv, v, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)"
+
+  val NumQueries = 8
+  val TopK = 5
+
+  /** Exact cosine top-k for query vectors (vec_id < 8): broadcast
+    * queries × one corpus pass, row_number per query. */
+  def bruteForceTopK: Q = (s, d) => {
+    val all = emb(s, d)
+    val q = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
+    all.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr(dotExpr) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        trunc4(col("cos")).as("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val bruteForceTopKSql: String =
+    s"""SELECT query_id, neighbor_id, floor(cos * 10000) / 10000.0 AS cosine, rank FROM (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cos,
+                 CAST(row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                            e.vec_id) AS INT) AS rank
+          FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+          WHERE q.vec_id < $NumQueries) t
+        WHERE rank <= $TopK ORDER BY query_id, rank"""
+
+  val NumTables = 8
+  val BitsPerTable = 3
+
+  /** Deterministic random hyperplanes (seeded) — the projection basis
+    * is code, broadcast implicitly as literals. */
+  lazy val hyperplanes: Seq[Seq[Seq[Double]]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumTables)(Seq.fill(BitsPerTable)(Seq.fill(64)(rnd.nextGaussian())))
+  }
+
+  /** LSH-bucketed ANN: sign-of-projection signature per table, bucket
+    * equi-join, exact cosine re-rank inside buckets. Rows-only (recall
+    * vs brute force asserted in SimilaritySpec). */
+  def lshTopK: Q = (s, d) => {
+    val all = emb(s, d)
+    def sigCol(t: Int) = concat(
+      (0 until BitsPerTable).map { b =>
+        when(expr(s"aggregate(zip_with(v, ${planeSql(t, b)}, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)") > 0, "1").otherwise("0")
+      }: _*)
+    val withSigs = all.select(
+      col("vec_id") +: col("v") +: col("n2") +:
+        (0 until NumTables).map(t => sigCol(t).as(s"sig$t")): _*)
+    val stackArgs = (0 until NumTables).map(t => s"'$t', sig$t").mkString(", ")
+    val buckets = withSigs.selectExpr("vec_id", s"stack($NumTables, $stackArgs) as (tbl, sig)")
+    val q = buckets.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("tbl"), col("sig"))
+    // candidate ids only through the bucket join; vectors re-attached after
+    val candIds = buckets.join(broadcast(q), Seq("tbl", "sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    val qVecs = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
+    candIds
+      .join(broadcast(qVecs), "query_id")
+      .join(all.select(col("vec_id"), col("v"), col("n2")), "vec_id")
+      .withColumn("cos", expr(dotExpr) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        trunc4(col("cos")).as("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Hyperplane (t, b) as a SQL array literal. */
+  private def planeSql(t: Int, b: Int): String =
+    hyperplanes(t)(b).map(x => s"cast($x as double)").mkString("array(", ", ", ")")
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("ann_bruteforce_topk", bruteForceTopK, Some(bruteForceTopKSql)),
+    ("ann_lsh_topk", lshTopK, None))
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the documents table: language ID,
+  * quality scoring, token counting, fingerprinting.
+  *
+  * Everything is built from codegen'd `functions._` / higher-order
+  * array functions — no UDFs — so the whole block stays inside
+  * whole-stage codegen and scales as a single narrow map over the
+  * corpus (no shuffle at all except explicit aggregations).
+  *
+  * Cross-engine float parity: ratios are floor-truncated to 4dp
+  * (`trunc4`) instead of round(): floor of an identical IEEE double is
+  * engine-stable, round-half differs (Spark HALF_UP on decimal repr vs
+  * DuckDB binary rounding).
+  */
+object TextAnalysis {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def trunc4(c: Column): Column = floor(c * 10000) / 10000.0
+
+  /** Non-empty lowercase whitespace tokens as a SQL expr string. */
+  val toksExpr = "filter(split(lower(trim(text)), '\\\\s+'), t -> t != '')"
+  /** Same tokenization in DuckDB. */
+  val toksSqlExpr = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')"
+
+  private val stop = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una"))
+
+  private def inList(words: Seq[String]) = words.map("'" + _ + "'").mkString("(", ",", ")")
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single punctuation). */
+  def tokens: Q = (s, d) => {
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      expr(s"size($toksExpr)").as("n_ws_tokens"),
+      expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))")
+        .as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokensSql: String =
+    s"""SELECT doc_id, CAST(len($toksSqlExpr) AS INT) AS n_ws_tokens,
+        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_bpe_tokens
+        FROM documents ORDER BY doc_id"""
+
+  /** Language ID: stopword-hit counts per language, deterministic
+    * argmax (fixed comparison order), 'und' when nothing hits. */
+  def langid: Q = (s, d) => {
+    def hits(lang: String) =
+      expr(s"size(filter(toks, t -> t in ${inList(stop(lang))}))")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), expr(toksExpr).as("toks"))
+      .select(col("doc_id"), col("lang").as("lang_declared"),
+        hits("en").as("hits_en"), hits("de").as("hits_de"),
+        hits("fr").as("hits_fr"), hits("es").as("hits_es"))
+      .withColumn("lang_pred",
+        when(col("hits_en") + col("hits_de") + col("hits_fr") + col("hits_es") === 0, "und")
+          .when(col("hits_en") >= col("hits_de") && col("hits_en") >= col("hits_fr") &&
+            col("hits_en") >= col("hits_es"), "en")
+          .when(col("hits_de") >= col("hits_fr") && col("hits_de") >= col("hits_es"), "de")
+          .when(col("hits_fr") >= col("hits_es"), "fr")
+          .otherwise("es"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langidSql: String = {
+    def h(lang: String) =
+      s"CAST(len(list_filter($toksSqlExpr, t -> t in ${inList(stop(lang))})) AS INT)"
+    s"""SELECT doc_id, lang AS lang_declared,
+        ${h("en")} AS hits_en, ${h("de")} AS hits_de, ${h("fr")} AS hits_fr, ${h("es")} AS hits_es,
+        CASE WHEN ${h("en")} + ${h("de")} + ${h("fr")} + ${h("es")} = 0 THEN 'und'
+             WHEN ${h("en")} >= ${h("de")} AND ${h("en")} >= ${h("fr")} AND ${h("en")} >= ${h("es")} THEN 'en'
+             WHEN ${h("de")} >= ${h("fr")} AND ${h("de")} >= ${h("es")} THEN 'de'
+             WHEN ${h("fr")} >= ${h("es")} THEN 'fr'
+             ELSE 'es' END AS lang_pred
+        FROM documents ORDER BY doc_id"""
+  }
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean
+    * word length, and a combined score in [0,1]. */
+  def quality: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), expr(toksExpr).as("toks"))
+      .select(col("doc_id"),
+        length(col("text")).as("nc"),
+        expr("size(toks)").as("nt"),
+        expr("size(regexp_extract_all(text, '[.,;:!?]', 0))").as("np"),
+        expr("aggregate(transform(toks, t -> length(t)), 0, (a, x) -> a + x)").as("sl"),
+        expr(s"size(filter(toks, t -> t in ${inList(stop("en"))}))").as("sw"))
+      .select(col("doc_id"),
+        col("nc").as("n_chars_measured"),
+        col("nt").as("n_tokens"),
+        trunc4(col("np") * lit(1.0) / greatest(col("nc"), lit(1))).as("punct_ratio"),
+        trunc4(col("sw") * lit(1.0) / greatest(col("nt"), lit(1))).as("stopword_ratio"),
+        trunc4(col("sl") * lit(1.0) / greatest(col("nt"), lit(1))).as("mean_word_len"),
+        trunc4(
+          least(lit(1.0), col("nt") / lit(100.0)) *
+            (lit(1.0) - col("np") * lit(1.0) / greatest(col("nc"), lit(1))) *
+            (lit(0.5) + lit(0.5) * col("sw") * lit(1.0) / greatest(col("nt"), lit(1))))
+          .as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualitySql: String = {
+    val nc = "length(text)"
+    val nt = s"len($toksSqlExpr)"
+    val np = "len(regexp_extract_all(text, '[.,;:!?]'))"
+    val sl = s"list_sum(list_transform($toksSqlExpr, t -> length(t)))"
+    val sw = s"len(list_filter($toksSqlExpr, t -> t in ${inList(stop("en"))}))"
+    def t4(x: String) = s"floor(($x) * 10000) / 10000.0"
+    s"""SELECT doc_id,
+        CAST($nc AS INT) AS n_chars_measured,
+        CAST($nt AS INT) AS n_tokens,
+        ${t4(s"$np * 1.0 / greatest($nc, 1)")} AS punct_ratio,
+        ${t4(s"$sw * 1.0 / greatest($nt, 1)")} AS stopword_ratio,
+        ${t4(s"coalesce($sl, 0) * 1.0 / greatest($nt, 1)")} AS mean_word_len,
+        ${t4(s"least(1.0, $nt / 100.0) * (1.0 - $np * 1.0 / greatest($nc, 1)) * (0.5 + 0.5 * $sw * 1.0 / greatest($nt, 1))")} AS quality_score
+        FROM documents ORDER BY doc_id"""
+  }
+
+  /** Document fingerprint: md5 over the canonical form (sorted distinct
+    * tokens) — a deterministic rolling-hash-style content signature. */
+  def fingerprint: Q = (s, d) => {
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(expr(s"array_join(array_sort(array_distinct($toksExpr)), ' ')")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  val fingerprintSql: String =
+    s"""SELECT doc_id,
+        md5(array_to_string(list_sort(list_distinct($toksSqlExpr)), ' ')) AS fingerprint
+        FROM documents ORDER BY doc_id"""
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("text_tokens", tokens, Some(tokensSql)),
+    ("text_langid", langid, Some(langidSql)),
+    ("text_quality", quality, Some(qualitySql)),
+    ("text_fingerprint", fingerprint, Some(fingerprintSql)))
+}
