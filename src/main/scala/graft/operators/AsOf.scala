@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of join and gap sessionization — temporal operators Spark lacks
+  * as built-ins, composed Spark-first instead of implemented as a
+  * custom physical operator:
+  *
+  * As-of join = union both sides + ONE shuffle (window partitioned by
+  * key, ordered by time) + running max of the right side's timestamp.
+  * Compare with the naive range-join (shuffle both sides + per-row
+  * scan): the union-window plan is a single exchange and scales as
+  * sort-merge, the standard trick for point-in-time joins at scale.
+  *
+  * Sessionization reuses one user-partitioning for lag → cumulative
+  * session index → per-session aggregation: one shuffle, three window
+  * passes, no joins.
+  */
+object AsOf {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Each purchase matched to the same user's most recent click at or
+    * before it (DuckDB ASOF JOIN semantics: greatest right ts <= left ts). */
+  def asofJoin: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "click", 0).otherwise(1).as("side"))
+    // clicks sort before purchases at equal ts → frame up to -1 row still
+    // sees a same-timestamp click (inclusive >=, like ASOF JOIN)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("click_ts", max(when(col("side") === 0, col("ts"))).over(w))
+      .filter(col("side") === 1 && col("click_ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"), col("click_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofJoinSql: String =
+    """SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+         ON p.user_id = c.user_id AND p.ts >= c.ts
+       ORDER BY p.event_id"""
+
+  val GapSeconds = 1800
+
+  /** Gap-based sessionization (30 min): lag → flag → cumulative
+    * session index → per-session aggregates, all on one partitioning. */
+  def sessionize: Q = (s, d) => {
+    val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sec = unix_timestamp(date_trunc("second", col("ts")))
+    val lagSec = lag(sec, 1).over(order)
+    val flagged = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("new_session",
+        when(lagSec.isNull, 0).when(sec - lagSec > GapSeconds, 1).otherwise(0))
+    val indexed = flagged.withColumn("session_idx",
+      sum(col("new_session")).over(order.rowsBetween(Window.unboundedPreceding, 0)))
+    indexed.groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        date_format(date_trunc("second", min(col("ts"))), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(date_trunc("second", max(col("ts"))), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        (unix_timestamp(date_trunc("second", max(col("ts")))) -
+          unix_timestamp(date_trunc("second", min(col("ts"))))).as("duration_sec"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val sessionizeSql: String =
+    s"""WITH flagged AS (
+          SELECT user_id, event_id, ts, value,
+            CASE WHEN lag(epoch(date_trunc('second', ts))) OVER w IS NULL THEN 0
+                 WHEN epoch(date_trunc('second', ts))
+                      - lag(epoch(date_trunc('second', ts))) OVER w > $GapSeconds THEN 1
+                 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        indexed AS (
+          SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+          FROM flagged)
+        SELECT user_id, session_idx,
+          strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
+          strftime(date_trunc('second', max(ts)), '%Y-%m-%d %H:%M:%S') AS session_end,
+          CAST(epoch(date_trunc('second', max(ts))) - epoch(date_trunc('second', min(ts))) AS BIGINT) AS duration_sec,
+          count(*) AS n_events,
+          round(sum(value), 2) AS value_sum
+        FROM indexed GROUP BY user_id, session_idx
+        ORDER BY user_id, session_idx"""
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("asof_join", asofJoin, Some(asofJoinSql)),
+    ("sessionize", sessionize, Some(sessionizeSql)))
+}
