@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Semantics checks for the dedup family beyond the DuckDB oracle:
+  * LSH candidate generation vs brute-force ground truth. */
+class DedupSpec extends SparkTestBase {
+
+  test("simhash banded candidates equal brute-force hamming<=3 pairs") {
+    // brute force: compute all-pairs hamming over the same signatures
+    import spark.implicits._
+    val banded = Dedup.simhash(spark, sf)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
+
+    // reconstruct signatures exactly as the operator does, then all pairs
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(${graft.operators.TextAnalysis.toksExpr})")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map(k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$k"))
+    val sig = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .withColumn("bits", concat((0 until 64).map(k =>
+        when(col(s"v$k") > 0, "1").otherwise("0")): _*))
+      .select("doc_id", "bits").as[(Long, String)].collect()
+    val brute = (for {
+      (a, ba) <- sig; (b, bb) <- sig if a < b
+      ham = ba.zip(bb).count { case (x, y) => x != y } if ham <= 3
+    } yield (a, b, ham)).toSet
+    assert(banded == brute,
+      s"banded=${banded.size} brute=${brute.size} diff=${(banded diff brute).take(5)} ${(brute diff banded).take(5)}")
+  }
+
+  test("minhash-LSH finds the strong near-dup pairs ngram-jaccard finds") {
+    import spark.implicits._
+    val lsh = Dedup.minhashLsh(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val strong = Dedup.ngramJaccard(spark, sf)
+      .filter(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // j>=0.9 pairs collide in a band with prob ~1-(1-0.9^4)^4 ≈ 0.98+;
+    // the corpus' strong pairs are near-identical, so demand full recall
+    assert(strong.subsetOf(lsh), s"missed: ${strong diff lsh}")
+  }
+
+  test("exact dedup groups sum to corpus size") {
+    val g = Dedup.exact(spark, sf).agg(sum("n_docs")).head().getLong(0)
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    assert(g == n)
+  }
+}

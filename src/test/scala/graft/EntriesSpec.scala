@@ -1,0 +1,28 @@
+package graft
+
+/** Smoke + shape checks for every SparkEntry entry at sf0.001: runs,
+  * non-degenerate, and column names match the oracle SQL contract
+  * (driver hash-compares by sorted column name). */
+class EntriesSpec extends SparkTestBase {
+
+  // entries allowed to be empty at this tiny SF
+  private val mayBeEmpty = Set("dedup_simhash")
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("entry() flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+}
