@@ -39,17 +39,21 @@ object Dedup {
 
   /** (doc_id, shingles array, n_shingles) — the base for the Jaccard
     * family. Tokens are materialized as a column first so the shingle
-    * lambda doesn't re-tokenize per element. */
+    * lambda doesn't re-tokenize per element.
+    *
+    * PERF NOTE: the empty-set filter MUST be `size(toks) >= 3` (cheap,
+    * pre-derivation) and not `size(shingles) > 0`: a filter on the
+    * derived array gets pushed below the projections with the whole
+    * shingle lambda inlined into the predicate, and every `toks[i]`
+    * reference then re-runs the regex tokenizer per element — a 40×
+    * slowdown measured at sf0.1. Same predicate, same rows. */
   private def shingleSets(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), expr(toksExpr).as("toks"))
-      .select(col("doc_id"), expr(
-        """CASE WHEN size(toks) >= 3 THEN array_distinct(transform(
-             sequence(0, size(toks) - 3),
-             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
-           ELSE array() END""").as("shingles"))
+      .filter(size(col("toks")) >= 3) // ⇔ n_sh > 0, but cheap to push down
+      .select(col("doc_id"),
+        graft.functions.TextUdfs.shingle3(col("toks")).as("shingles"))
       .withColumn("n_sh", size(col("shingles")))
-      .filter(col("n_sh") > 0)
 
   /** Exact dedup: group by content hash; keeper = min doc_id. */
   def exact: Q = (s, d) => {
@@ -173,29 +177,29 @@ object Dedup {
     * Rows-only (no portable 64-bit hash in the oracle); brute-force
     * parity asserted in DedupSpec. */
   def simhash: Q = (s, d) => {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(expr(s"array_distinct($toksExpr)")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map(k =>
-      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$k"))
-    val sig = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val bits = sig.withColumn("bits",
-      concat((0 until 64).map(k => when(col(s"v$k") > 0, "1").otherwise("0")): _*))
-      .select("doc_id", "bits")
-    val bandCols = (0 until 4).map(b => substring(col("bits"), b * 16 + 1, 16).as(s"band$b"))
-    val banded = bits.select(col("doc_id") +: col("bits") +: bandCols: _*)
-    val stackArgs = (0 until 4).map(b => s"'$b', band$b").mkString(", ")
-    val bl = banded.selectExpr("doc_id", "bits", s"stack(4, $stackArgs) as (band_idx, bv)")
-    val cand = bl.select(col("doc_id").as("da"), col("bits").as("bits_a"), col("band_idx"), col("bv"))
-      .join(bl.select(col("doc_id").as("db"), col("bits").as("bits_b"), col("band_idx"), col("bv")),
+    // signature packed into ONE BIGINT, computed per-doc with no shuffle:
+    // bit k set iff more than half the distinct-token hashes have bit k set
+    // (identical to the sum(+1/-1) vote > 0 formulation).
+    val sig = Tables.documents(s, d)
+      .filter(trim(col("text")) =!= "") // ⇔ has tokens; cheap + scan-pushable
+      .select(col("doc_id"),
+        expr(s"transform(array_distinct($toksExpr), t -> xxhash64(t))").as("hs"))
+      .select(col("doc_id"), graft.functions.TextUdfs.packSimhash(col("hs")).as("sig"))
+    // 4×16-bit integer bands; hamming via bit_count(xor) — all codegen'd
+    // integer ops, no strings anywhere in the candidate path.
+    val bandCols = (0 until 4).map(b =>
+      shiftright(col("sig"), b * 16).bitwiseAND(lit(65535L)).as(s"band$b"))
+    val banded = sig.select(col("doc_id") +: col("sig") +: bandCols: _*)
+    val stackArgs = (0 until 4).map(b => s"$b, band$b").mkString(", ")
+    val bl = banded.selectExpr("doc_id", "sig", s"stack(4, $stackArgs) as (band_idx, bv)")
+    bl.select(col("doc_id").as("da"), col("sig").as("sig_a"), col("band_idx"), col("bv"))
+      .join(bl.select(col("doc_id").as("db"), col("sig").as("sig_b"), col("band_idx"), col("bv")),
         Seq("band_idx", "bv"))
       .filter(col("da") < col("db"))
-      .select("da", "db", "bits_a", "bits_b").distinct()
-    cand
-      .withColumn("hamming",
-        expr("size(filter(sequence(1, 64), i -> substring(bits_a, i, 1) != substring(bits_b, i, 1)))"))
-      .filter(col("hamming") <= 3)
+      .withColumn("hamming", expr("CAST(bit_count(sig_a ^ sig_b) AS INT)"))
+      .filter(col("hamming") <= 3) // filter BEFORE distinct: dedup only survivors
       .select(col("da").as("doc_a"), col("db").as("doc_b"), col("hamming"))
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

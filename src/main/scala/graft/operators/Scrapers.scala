@@ -70,15 +70,16 @@ object Scrapers {
 
   /** ScrapeSlaveStatus analog: seconds each stream's high-watermark
     * trails the global high-watermark (replication lag shape). The
-    * global max is a window over the 5-row aggregate, not the raw data. */
+    * global max is a broadcast scalar joined back onto the per-stream
+    * aggregate — no single-partition window stage at any scale. */
   def slaveStatus: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     val agg = Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(unix_timestamp(date_trunc("second", max(col("ts")))).as("max_sec"))
-    agg.withColumn("seconds_behind",
-        max(col("max_sec")).over(Window.partitionBy()) - col("max_sec"))
-      .select(col("event_type").as("channel_name"), col("seconds_behind"))
+    val globalMax = agg.agg(max(col("max_sec")).as("gmax"))
+    agg.crossJoin(broadcast(globalMax))
+      .select(col("event_type").as("channel_name"),
+        (col("gmax") - col("max_sec")).as("seconds_behind"))
       .orderBy(col("channel_name"))
   }
 
