@@ -15,6 +15,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Engine.session(master = s"local[$cpus]", shufflePartitions = cpus)
 
+    // untimed warmup: JIT/codegen spin-up + parquet footer reads, so the
+    // alphabetically-first query doesn't absorb session start-up cost
+    spark.range(1000).selectExpr("sum(id)").collect()
+    Seq("lineitem", "orders", "events", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => () }
+    }
+
     // optional args: bench only the named queries (dev iteration)
     val only = args.toSet
     val picked =

@@ -14,6 +14,7 @@ object Engine {
       .builder()
       .master(master)
       .appName("graft")
+      .withExtensions(graft.functions.Vectors.install)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -207,14 +207,14 @@ object Dedup {
   def embeddingCosine: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("n2", expr("aggregate(v, cast(0 as double), (a, x) -> a + x * x)"))
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", expr("graft_norm2(v)"))
     val a = emb.select(col("vec_id").as("vec_a"), col("label"),
       col("v").as("va"), col("n2").as("n2a"))
     val b = emb.select(col("vec_id").as("vec_b"), col("label"),
       col("v").as("vb"), col("n2").as("n2b"))
     a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
-      .withColumn("dot", expr("aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)"))
+      .withColumn("dot", expr("graft_dot(va, vb)"))
       .select(col("vec_a"), col("vec_b"), col("label"),
         trunc4(col("dot") / (sqrt(col("n2a")) * sqrt(col("n2b")))).as("cosine"))
       .filter(col("cosine") >= 0.4)

@@ -21,15 +21,16 @@ object Similarity {
 
   import TextAnalysis.trunc4
 
-  /** (vec_id, label, v double[], n2) with squared norm precomputed. */
+  /** (vec_id, label, v double[], n2) with squared norm precomputed.
+    * Cast + norm are codegen'd (native `graft_norm2` expression); no
+    * interpreted lambdas on the per-vector path. */
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("n2", expr("aggregate(v, cast(0 as double), (a, x) -> a + x * x)"))
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", expr("graft_norm2(v)"))
 
-  private val dotExpr =
-    "aggregate(zip_with(qv, v, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)"
+  private val dotExpr = "graft_dot(qv, v)"
 
   val NumQueries = 8
   val TopK = 5
@@ -78,7 +79,7 @@ object Similarity {
     val all = emb(s, d)
     def sigCol(t: Int) = concat(
       (0 until BitsPerTable).map { b =>
-        when(expr(s"aggregate(zip_with(v, ${planeSql(t, b)}, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)") > 0, "1").otherwise("0")
+        when(expr(s"graft_dot(v, ${planeSql(t, b)})") > 0, "1").otherwise("0")
       }: _*)
     val withSigs = all.select(
       col("vec_id") +: col("v") +: col("n2") +:

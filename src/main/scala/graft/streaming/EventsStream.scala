@@ -120,23 +120,76 @@ object EventsStream {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
-  /** Streaming stateful sessionization: buffer per-user events in
-    * state, emit closed sessions on watermark-driven timeout. */
+  /** Event-with-watermark row for the streaming path. */
+  case class EventT(user_id: Long, event_id: Long, tsSec: Long, value: Double,
+      eventTime: java.sql.Timestamp)
+
+  /** Per-user streaming state: next session index to assign + the
+    * events of sessions not yet finalized by the watermark. */
+  case class SessState(nextIdx: Long, open: List[Event])
+
+  /** Split time-sorted events at gaps > GapSeconds. */
+  private def splitAtGaps(sorted: List[Event]): List[List[Event]] = {
+    if (sorted.isEmpty) return Nil
+    val out = scala.collection.mutable.ListBuffer.empty[List[Event]]
+    var cur = scala.collection.mutable.ListBuffer(sorted.head)
+    sorted.tail.foreach { e =>
+      if (e.tsSec - cur.last.tsSec > GapSeconds) {
+        out += cur.toList
+        cur = scala.collection.mutable.ListBuffer(e)
+      } else cur += e
+    }
+    out += cur.toList
+    out.toList
+  }
+
+  private def toSessions(uid: Long, startIdx: Long, groups: List[List[Event]]): List[Session] =
+    groups.zipWithIndex.flatMap { case (g, i) =>
+      foldSessions(uid, g).map(s => s.copy(session_idx = startIdx + i))
+    }
+
+  /** Streaming stateful sessionization — the streaming twin of
+    * `sessionizeBatch`, driven by the EVENT-TIME watermark (not
+    * wall-clock): deterministic in tests and correct under replay.
+    *
+    * State is BOUNDED: a session is emitted (and dropped from state) as
+    * soon as the watermark proves no event can extend or merge it
+    * (session_end + gap <= watermark). A user's state holds only the
+    * still-open tail, never their full history — the property that
+    * keeps the state store flat at 100 TB / unbounded retention.
+    * Processing-time timeouts would instead busy-loop empty
+    * micro-batches and grow state with stream lifetime. */
   def sessionizeStream(events: Dataset[Event]): Dataset[Session] = {
-    import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[Event], Session](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
-        (uid: Long, batch: Iterator[Event], state: GroupState[List[Event]]) =>
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withColumn("eventTime", timestamp_seconds(col("tsSec")))
+      .withWatermark("eventTime", s"$GapSeconds seconds")
+      .as[EventT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[EventT], state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
-            val all = state.get
+            val st = state.get
             state.remove()
-            foldSessions(uid, all.sortBy(e => (e.tsSec, e.event_id))).iterator
+            val groups = splitAtGaps(st.open.sortBy(e => (e.tsSec, e.event_id)))
+            toSessions(uid, st.nextIdx, groups).iterator
           } else {
-            val buffered = state.getOption.getOrElse(Nil) ++ batch.toList
-            state.update(buffered)
-            state.setTimeoutDuration("2 seconds")
-            Iterator.empty
+            val st = state.getOption.getOrElse(SessState(0L, Nil))
+            val all = (st.open ++ batch.map(e =>
+                Event(e.user_id, e.event_id, e.tsSec, e.value)).toList)
+              .sortBy(e => (e.tsSec, e.event_id))
+            val wmSec = state.getCurrentWatermarkMs() / 1000
+            val groups = splitAtGaps(all)
+            // watermark-final prefix: nothing can arrive that extends it
+            val (closed, open) = groups.span(g => g.last.tsSec + GapSeconds <= wmSec)
+            val out = toSessions(uid, st.nextIdx, closed)
+            state.update(SessState(st.nextIdx + closed.size, open.flatten))
+            val lastEnd = all.last.tsSec
+            state.setTimeoutTimestamp(
+              math.max((lastEnd + GapSeconds) * 1000L, state.getCurrentWatermarkMs() + 1000L))
+            out.iterator
           }
       }
   }

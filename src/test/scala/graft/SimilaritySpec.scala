@@ -1,0 +1,32 @@
+package graft
+
+import graft.operators.Similarity
+
+/** ANN quality promises from SURVEY §2: LSH recall vs the exact
+  * brute-force baseline, and baseline sanity. */
+class SimilaritySpec extends SparkTestBase {
+
+  test("lsh ANN achieves recall@5 >= 0.8 vs brute force") {
+    import spark.implicits._
+    val brute = Similarity.bruteForceTopK(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall@${Similarity.TopK} = $recall " +
+      s"(brute=${brute.size}, lsh=${lsh.size})")
+  }
+
+  test("brute-force top-k is rank-ordered with valid cosines") {
+    val rows = Similarity.bruteForceTopK(spark, sf).collect()
+    assert(rows.length == Similarity.NumQueries * Similarity.TopK)
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to Similarity.TopK))
+      val cos = sorted.map(_.getDouble(2))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b - 1e-9 },
+        s"not descending: ${cos.mkString(",")}")
+      assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+  }
+}
