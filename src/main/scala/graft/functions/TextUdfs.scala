@@ -34,6 +34,20 @@ object TextUdfs {
     }
   }
 
+  /** All unordered (a < b) pairs of a sorted id list — compiled combo
+    * generation for the shared-shingle candidate step. */
+  val pairCombos: UserDefinedFunction = udf { (ds: Seq[Long]) =>
+    val n = ds.length
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](n * (n - 1) / 2)
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) { out += ((ds(i), ds(j))); j += 1 }
+      i += 1
+    }
+    out.toSeq
+  }
+
   /** 64-bit SimHash from per-token hashes: bit k set iff more than half
     * the hashes have bit k set (majority vote, ties → 0). */
   val packSimhash: UserDefinedFunction = udf { (hs: Seq[Long]) =>

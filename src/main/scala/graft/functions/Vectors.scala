@@ -106,5 +106,7 @@ object Vectors {
       args => DotProduct(args(0), args(1))))
     e.injectFunction(fn("graft_norm2", classOf[Norm2],
       args => Norm2(args.head)))
+    e.injectFunction(fn("graft_topk", classOf[TopKByScore],
+      args => TopKByScore(args(0), args(1), args(2)).toAggregateExpression()))
   }
 }

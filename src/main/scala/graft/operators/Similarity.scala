@@ -3,7 +3,6 @@ package graft.operators
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over the embeddings table.
   *
@@ -36,18 +35,20 @@ object Similarity {
   val TopK = 5
 
   /** Exact cosine top-k for query vectors (vec_id < 8): broadcast
-    * queries × one corpus pass, row_number per query. */
+    * queries × one corpus pass, bounded `graft_topk` aggregate — the
+    * map-side partial agg ships at most k rows per (partition, query)
+    * over the shuffle, vs a window's corpus-wide sort. */
   def bruteForceTopK: Q = (s, d) => {
     val all = emb(s, d)
     val q = all.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
     all.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos", expr(dotExpr) / (sqrt(col("qn2")) * sqrt(col("n2"))))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        trunc4(col("cos")).as("cosine"), col("rank"))
+      .groupBy(col("query_id"))
+      .agg(expr(s"graft_topk(cos, vec_id, $TopK)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        trunc4(col("col.score")).as("cosine"), (col("pos") + 1).cast("int").as("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -98,11 +99,11 @@ object Similarity {
       .join(broadcast(qVecs), "query_id")
       .join(all.select(col("vec_id"), col("v"), col("n2")), "vec_id")
       .withColumn("cos", expr(dotExpr) / (sqrt(col("qn2")) * sqrt(col("n2"))))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        trunc4(col("cos")).as("cosine"), col("rank"))
+      .groupBy(col("query_id"))
+      .agg(expr(s"graft_topk(cos, vec_id, $TopK)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        trunc4(col("col.score")).as("cosine"), (col("pos") + 1).cast("int").as("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 
