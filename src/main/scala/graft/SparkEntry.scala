@@ -8,7 +8,7 @@ object SparkEntry {
 
   /** All operator entries: (name, query, optional DuckDB oracle SQL). */
   private def all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    Tpch.entries ++ Scrapers.entries ++ graft.sources.SourceRegistry.entries ++
+    Tpch.entries ++ Tpch2.entries ++ Scrapers.entries ++ graft.sources.SourceRegistry.entries ++
       TextAnalysis.entries ++ Dedup.entries ++ Similarity.entries ++ Multimodal.entries ++
       AsOf.entries ++ graft.streaming.EventsStream.entries
 
