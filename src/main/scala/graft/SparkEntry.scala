@@ -9,7 +9,7 @@ object SparkEntry {
   /** All operator entries: (name, query, optional DuckDB oracle SQL). */
   private def all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Tpch.entries ++ Tpch2.entries ++ Scrapers.entries ++ graft.sources.SourceRegistry.entries ++
-      TextAnalysis.entries ++ Dedup.entries ++ Similarity.entries ++ Multimodal.entries ++
+      TextAnalysis.entries ++ Dedup.entries ++ Cluster.entries ++ Similarity.entries ++ Multimodal.entries ++
       AsOf.entries ++ graft.streaming.EventsStream.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate clustering: connected components over the minhash-LSH
+  * near-dup pair graph, assigning every involved document the minimum
+  * doc_id of its component (the canonical "keep one per cluster" step
+  * of a dedup pipeline).
+  *
+  * Algorithm: iterative min-label propagation — each round every node
+  * takes the min label among itself and its neighbors; converges in
+  * O(diameter) rounds. Each round is ONE join + ONE aggregation, all
+  * distributed; the driver only checks a scalar convergence count.
+  * `localCheckpoint` cuts lineage so plans don't grow with rounds
+  * (the classic iterative-DataFrame trap). Near-dup components are
+  * tiny and tree-like in practice, so diameter is small; a round cap
+  * guards pathological chains at corpus scale.
+  */
+object Cluster {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val MaxRounds = 20
+
+  /** Per-doc cluster assignment: (doc_id, cluster_id) for every doc in
+    * at least one near-dup pair; cluster_id = min doc_id reachable. */
+  def dedupCluster: Q = (s, d) => {
+    val pairs = Dedup.minhashLsh(s, d).select(col("doc_a"), col("doc_b"))
+    // undirected edge list, both directions
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("doc")).distinct()
+      .withColumn("label", col("doc"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < MaxRounds) {
+      val nbrMin = edges
+        .join(labels.select(col("doc").as("v"), col("label").as("vl")), "v")
+        .groupBy(col("u").as("doc"))
+        .agg(min(col("vl")).as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next.join(labels.select(col("doc"), col("label").as("old")), "doc")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle: transitive closure by recursive CTE over the same
+    * pair graph (exact same minhash pipeline), min reachable id. */
+  val dedupClusterSql: String = {
+    val pairSql = Dedup.minhashLshSql
+    s"""WITH RECURSIVE pairs AS ($pairSql),
+         bi AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+         walk(u, v) AS (
+           SELECT u, v FROM bi
+           UNION
+           SELECT w.u, b.v FROM walk w JOIN bi b ON w.v = b.u)
+       SELECT doc_id, min(reach) AS cluster_id FROM (
+         SELECT u AS doc_id, least(u, v) AS reach FROM walk) t
+       GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("dedup_cluster", dedupCluster, Some(dedupClusterSql)))
+}

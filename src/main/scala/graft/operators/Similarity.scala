@@ -111,7 +111,58 @@ object Similarity {
   private def planeSql(t: Int, b: Int): String =
     hyperplanes(t)(b).map(x => s"cast($x as double)").mkString("array(", ", ", ")")
 
+  val NumCells = 16
+  val NProbe = 4
+  private val SeedBase = 100L
+
+  /** IVF-style ANN: the corpus is partitioned into `NumCells` Voronoi
+    * cells around seed centroids; each query probes its `NProbe`
+    * nearest cells and re-ranks only those candidates — a query scans
+    * ~NProbe/NumCells of the corpus instead of all of it, the standard
+    * inverted-file trade at billion-vector scale (cells become
+    * partition keys; probing = partition pruning).
+    *
+    * Centroids here are seed vectors at fixed ids (deterministic, no
+    * training dependency); swapping in k-means centroids changes only
+    * this constant. Rows-only: recall vs brute force is asserted in
+    * SimilaritySpec, like the LSH variant. */
+  def ivfTopK: Q = (s, d) => {
+    val all = emb(s, d)
+    val seeds = all.filter(col("vec_id") >= SeedBase && col("vec_id") < SeedBase + NumCells)
+      .select(col("vec_id"), col("v"), col("n2"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getSeq[Double](1).toArray, r.getDouble(2)))
+    require(seeds.length == NumCells, s"need $NumCells seed vectors at ids $SeedBase+")
+    def arrSql(a: Array[Double]) = a.map(x => s"cast($x as double)").mkString("array(", ",", ")")
+    // argmin L2-to-centroid == argmax (dot - |c|^2/2); one array of cell scores
+    val cellScores = seeds
+      .map { case (sv, sn2) => s"(graft_dot(v, ${arrSql(sv)}) - cast(${sn2 / 2.0} as double))" }
+      .mkString("array(", ",", ")")
+    val withCell = all.withColumn("cs", expr(cellScores))
+    val corpus = withCell
+      .withColumn("cell", expr("array_position(cs, array_max(cs))").cast("int"))
+      .select("vec_id", "v", "n2", "cell")
+    // queries probe their NProbe best cells (0-based transform idx → 1-based cell)
+    val q = withCell.filter(col("vec_id") < NumQueries)
+      .withColumn("probe", expr(
+        s"slice(transform(array_sort(transform(cs, (x, i) -> struct(-x as nx, i as idx))), t -> t.idx + 1), 1, $NProbe)"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"),
+        explode(col("probe")).as("cell0"))
+      .select(col("query_id"), col("qv"), col("qn2"), col("cell0").cast("int").as("cell"))
+    corpus.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr(dotExpr) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .groupBy(col("query_id"))
+      .agg(expr(s"graft_topk(cos, vec_id, $TopK)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        trunc4(col("col.score")).as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("ann_bruteforce_topk", bruteForceTopK, Some(bruteForceTopKSql)),
-    ("ann_lsh_topk", lshTopK, None))
+    ("ann_lsh_topk", lshTopK, None),
+    ("ann_ivf_topk", ivfTopK, None))
 }

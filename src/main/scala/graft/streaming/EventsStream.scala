@@ -194,9 +194,85 @@ object EventsStream {
       }
   }
 
+  /** Batch twin of streaming exact dedup: hourly unique-event counts
+    * (duplicates collapsed on event_id before the windowed count). */
+  def eventsDedupBatch: Q = (s, d) => {
+    Tables.events(s, d)
+      .select(window(col("ts"), "1 hour").getField("start").as("window_start"),
+        col("event_type"), col("event_id"))
+      .distinct()
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val eventsDedupSql: String =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+              count(DISTINCT event_id) AS n_unique
+       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
+
+  /** Streaming exact dedup: `dropDuplicatesWithinWatermark` — state for
+    * an event_id is dropped once the watermark passes it, so dedup
+    * state is bounded by the watermark horizon instead of growing with
+    * the stream (the requirement for an exactly-once event feed at
+    * scale). Downstream windowed agg finalizes on the same watermark. */
+  def dedupWindowStream(events: DataFrame): DataFrame = {
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_unique"))
+  }
+
+  /** Batch twin of the stream-stream interval join: for each purchase,
+    * the count of the same user's clicks in the preceding 30 minutes.
+    * Timestamps truncated to seconds on both sides (oracle precision
+    * parity). The join is equi on user_id with the time range as a
+    * residual — one shuffle by user at any scale. */
+  def intervalJoinBatch: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .withColumn("ts", date_trunc("second", col("ts")))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    p.join(c, Seq("user_id"))
+      .filter(col("c_ts") > col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .groupBy(col("purchase_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val intervalJoinSql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id, count(*) AS n_clicks
+       FROM (SELECT event_id, user_id, date_trunc('second', ts) AS p_ts
+             FROM events WHERE event_type = 'purchase') p
+       JOIN (SELECT user_id, date_trunc('second', ts) AS c_ts
+             FROM events WHERE event_type = 'click') c
+         ON p.user_id = c.user_id
+        AND c.c_ts > p.p_ts - INTERVAL 30 MINUTE AND c.c_ts <= p.p_ts
+       GROUP BY p.event_id, p.user_id ORDER BY purchase_id"""
+
+  /** Stream-stream interval join: both sides watermarked; the range
+    * condition bounds how long either side's state is retained (Spark
+    * drops a buffered row once the watermark proves no future match).
+    * Emits raw (purchase, click) matches — aggregation is the batch
+    * twin's job; parity asserted in StreamingSpec. */
+  def intervalJoinStream(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("p_ts", "1 hour")
+    val c = clicks.withWatermark("c_ts", "1 hour")
+    p.join(c, expr(
+      """p_user = c_user AND
+         c_ts > p_ts - INTERVAL 30 MINUTES AND c_ts <= p_ts"""))
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("stream_events_window", eventsWindowBatch, Some(eventsWindowSql)),
-    ("stream_sessionize_state", sessionizeBatch, Some(AsOfSessionizeOracle.sql)))
+    ("stream_sessionize_state", sessionizeBatch, Some(AsOfSessionizeOracle.sql)),
+    ("stream_dedup_exact", eventsDedupBatch, Some(eventsDedupSql)),
+    ("stream_interval_join", intervalJoinBatch, Some(intervalJoinSql)))
 
   /** The stateful batch entry reuses the window-based sessionize oracle
     * — both must produce identical sessions. */

@@ -17,6 +17,17 @@ class SimilaritySpec extends SparkTestBase {
       s"(brute=${brute.size}, lsh=${lsh.size})")
   }
 
+  test("ivf ANN achieves recall@5 >= 0.6 vs brute force") {
+    import spark.implicits._
+    val brute = Similarity.bruteForceTopK(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"ivf recall@${Similarity.TopK} = $recall " +
+      s"(brute=${brute.size}, ivf=${ivf.size})")
+  }
+
   test("brute-force top-k is rank-ordered with valid cosines") {
     val rows = Similarity.bruteForceTopK(spark, sf).collect()
     assert(rows.length == Similarity.NumQueries * Similarity.TopK)

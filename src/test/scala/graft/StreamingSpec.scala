@@ -6,6 +6,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
 case class Ev(ts: java.sql.Timestamp, event_type: String, value: Double)
+case class DEv(event_id: Long, ts: java.sql.Timestamp, event_type: String)
+case class PEv(purchase_id: Long, p_user: Long, p_ts: java.sql.Timestamp)
+case class CEv(c_user: Long, c_ts: java.sql.Timestamp)
 
 /** Structured Streaming parity: the streaming operators must emit
   * exactly the rows their batch twins compute over the same events. */
@@ -43,6 +46,66 @@ class StreamingSpec extends SparkTestBase {
         val (gn, gs) = got(k)
         assert(gn == n && math.abs(gs - s) < 1e-6, s"mismatch at $k: ($gn,$gs) vs ($n,$s)")
       }
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedup matches batch distinct counts") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("event_type")).as[DEv].collect()
+
+    val input = MemoryStream[DEv]
+    val q = EventsStream.dedupWindowStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // every event fed TWICE in the same batch → dedup must collapse them
+      input.addData(rows.toSeq ++ rows.toSeq)
+      q.processAllAvailable()
+      val maxTs = rows.map(_.ts.getTime).max
+      input.addData(DEv(-1L, new java.sql.Timestamp(maxTs + 10L * 3600 * 1000), "__wm__"))
+      q.processAllAvailable()
+
+      val got = spark.table("dedup_sink")
+        .filter(col("event_type") =!= "__wm__")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      val want = EventsStream.eventsDedupBatch(spark, sf)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"streaming=${got.size} batch=${want.size} " +
+        s"diff=${(want.toSet diff got.toSet).take(3)}")
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join emits the batch join's pairs") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val e = graft.sources.Tables.events(spark, sf)
+      .withColumn("ts", date_trunc("second", col("ts")))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts")).as[PEv].collect()
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts")).as[CEv].collect()
+
+    val pIn = MemoryStream[PEv]
+    val cIn = MemoryStream[CEv]
+    val q = EventsStream.intervalJoinStream(pIn.toDF(), cIn.toDF())
+      .writeStream.format("memory").queryName("ij_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      pIn.addData(purchases.toSeq)
+      cIn.addData(clicks.toSeq)
+      q.processAllAvailable()
+
+      val got = spark.table("ij_sink")
+        .groupBy(col("purchase_id"), col("p_user").as("user_id"))
+        .agg(count(lit(1)).as("n_clicks"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = EventsStream.intervalJoinBatch(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"streaming=${got.size} batch=${want.size} " +
+        s"diff=${(want.toSet diff got.toSet).take(3)}")
     } finally q.stop()
   }
 
