@@ -323,6 +323,34 @@ object Tpch {
        round(quantile_cont(o_totalprice, 0.99),2) AS p99
        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** CUBE(year, status): all grouping-set combinations in one pass
+    * (rollup's superset — includes per-status-only slices). */
+  def qCube: Q = (s, d) => {
+    Tables.orders(s, d)
+      .select(year(col("o_orderdate")).as("order_year"), col("o_orderstatus"), col("o_totalprice"))
+      .cube(col("order_year"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total_price"))
+  }
+
+  val qCubeSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
+       count(*) AS n_orders, round(sum(o_totalprice),2) AS total_price
+       FROM orders GROUP BY CUBE(CAST(year(o_orderdate) AS INT), o_orderstatus)"""
+
+  /** t-digest/GK-style approximate percentiles via approx_percentile —
+    * the sketch path for unbounded-cardinality groups where exact
+    * percentile sorting is unaffordable. Approximate by design → no SQL
+    * oracle (rows-only); error vs exact asserted in EntriesSpec. */
+  def qApproxPercentile: Q = (s, d) => {
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap50"),
+        expr("approx_percentile(o_totalprice, 0.99, 1000)").as("ap99"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("exact_p50"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** HLL approximate distinct vs exact — approximate by design, so no
     * SQL oracle (rows-only check); spec asserts relative error. */
   def qApproxDistinct: Q = (s, d) => {
@@ -347,7 +375,9 @@ object Tpch {
     ("q_window_running", qWindowRunning, Some(qWindowRunningSql)),
     ("q_window_topn", qWindowTopn, Some(qWindowTopnSql)),
     ("q_rollup", qRollup, Some(qRollupSql)),
+    ("q_cube", qCube, Some(qCubeSql)),
     ("q_percentiles", qPercentiles, Some(qPercentilesSql)),
-    ("q_approx_distinct", qApproxDistinct, None)
+    ("q_approx_distinct", qApproxDistinct, None),
+    ("q_approx_percentile", qApproxPercentile, None)
   )
 }

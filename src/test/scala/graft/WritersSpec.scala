@@ -1,0 +1,43 @@
+package graft
+
+import graft.sources.Writers
+
+/** The write-side scale promises: bucketed joins shuffle nothing,
+  * partitioned reads prune directories. */
+class WritersSpec extends SparkTestBase {
+
+  test("bucketed co-located join has zero Exchange in the executed plan") {
+    val df = Writers.bucketedJoin(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the join itself must be exchange-free: no repartitioning on either
+    // join key anywhere (the tiny per-status agg above it may exchange)
+    assert(p.contains("SortMergeJoin"), s"expected SortMergeJoin in:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join must not shuffle its inputs:\n$p")
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      s"scan should be bucket-aware:\n$p")
+  }
+
+  test("partitioned read prunes to the filtered date directories") {
+    val df = Writers.partitionedScan(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: ["), s"expected partition filters in:\n$p")
+    val pf = p.substring(p.indexOf("PartitionFilters: ["))
+    assert(pf.substring(0, pf.indexOf("]")).contains("event_date"),
+      s"partition filter must be on event_date:\n$p")
+  }
+
+  test("approx percentiles stay within 10% of exact") {
+    val rows = graft.operators.Tpch.qApproxPercentile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ap50 = r.getDouble(1)
+      val exact = r.getDouble(3)
+      assert(math.abs(ap50 - exact) / math.max(math.abs(exact), 1e-9) < 0.10,
+        s"ap50=$ap50 exact=$exact for ${r.getString(0)}")
+    }
+  }
+}
