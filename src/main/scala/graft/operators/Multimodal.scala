@@ -81,6 +81,39 @@ object Multimodal {
     }
   }
 
+  /** Frame extraction as an entry: the partition-batched decode path
+    * over every payload (rows-only — the fake codec's byte math is the
+    * Spark-side contract; deterministic and spec-smoked). */
+  def decodeFrames: Q = (s, d) =>
+    decodeStub(s, d).toDF().orderBy(col("doc_id"), col("frame_idx"))
+
+  /** Resize plumbing: target dims fit into 224×224 preserving aspect
+    * ratio — the pure-arithmetic half of an image resize, oracle-exact;
+    * a real resampler would consume (payload, out_w, out_h). */
+  def resize: Q = (s, d) => {
+    meta(s, d)
+      .select(col("doc_id"), col("modality"), col("width"), col("height"))
+      .withColumn("scale",
+        lit(224.0) / greatest(col("width"), col("height")).cast("double"))
+      .select(col("doc_id"), col("modality"), col("width"), col("height"),
+        floor(col("width") * col("scale")).cast("int").as("out_w"),
+        floor(col("height") * col("scale")).cast("int").as("out_h"))
+      .orderBy(col("doc_id"))
+  }
+
+  val resizeSql: String =
+    """SELECT doc_id, modality, width, height,
+         CAST(floor(width * (224.0 / greatest(width, height))) AS INT) AS out_w,
+         CAST(floor(height * (224.0 / greatest(width, height))) AS INT) AS out_h
+       FROM (SELECT doc_id,
+               ['image','audio','video'][(('0x' || substr(md5(text), 9, 4))::INT % 3) + 1] AS modality,
+               (('0x' || substr(md5(text), 1, 4))::INT % 1216 + 64) AS width,
+               (('0x' || substr(md5(text), 5, 4))::INT % 696 + 32) AS height
+             FROM documents) t
+       ORDER BY doc_id"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
-    ("mm_binary_meta", meta, Some(metaSql)))
+    ("mm_binary_meta", meta, Some(metaSql)),
+    ("mm_decode_frames", decodeFrames, None),
+    ("mm_resize", resize, Some(resizeSql)))
 }

@@ -141,9 +141,42 @@ object TextAnalysis {
         md5(array_to_string(list_sort(list_distinct($toksSqlExpr)), ' ')) AS fingerprint
         FROM documents ORDER BY doc_id"""
 
+  /** Top-5 bigrams per declared language — the counting primitive of
+    * an n-gram language model: explode bigrams (narrow), ONE count
+    * shuffle, per-language top-k window over the (tiny) distinct-bigram
+    * set. */
+  def bigramTopk: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val bi = Tables.documents(s, d)
+      .select(col("lang"), expr(toksExpr).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .as("bigram"))
+    val counts = bi.groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))))
+      .filter(col("rn") <= 5)
+      .select(col("lang"), col("bigram"), col("n"), col("rn"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  val bigramTopkSql: String =
+    s"""WITH bi AS (
+          SELECT lang, unnest(list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+          FROM (SELECT lang, $toksSqlExpr AS toks FROM documents)
+          WHERE len(toks) >= 2),
+        counts AS (SELECT lang, bigram, count(*) AS n FROM bi GROUP BY lang, bigram)
+        SELECT lang, bigram, n,
+               CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS INT) AS rn
+        FROM counts QUALIFY rn <= 5 ORDER BY lang, rn"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("text_tokens", tokens, Some(tokensSql)),
     ("text_langid", langid, Some(langidSql)),
     ("text_quality", quality, Some(qualitySql)),
-    ("text_fingerprint", fingerprint, Some(fingerprintSql)))
+    ("text_fingerprint", fingerprint, Some(fingerprintSql)),
+    ("text_bigram_topk", bigramTopk, Some(bigramTopkSql)))
 }
