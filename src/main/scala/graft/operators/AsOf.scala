@@ -95,7 +95,42 @@ object AsOf {
         FROM indexed GROUP BY user_id, session_idx
         ORDER BY user_id, session_idx"""
 
+  /** Forward as-of: each purchase matched to the same user's NEXT click
+    * at or after it — same single-exchange union+window plan with the
+    * frame reversed (min of following click timestamps; purchases sort
+    * before clicks at equal ts, so an equal-ts click is matched, the
+    * inclusive forward complement of `asofJoin`). DuckDB's ASOF JOIN
+    * is backward-only, so the oracle uses the window form. */
+  def asofJoinForward: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "click", 1).otherwise(0).as("side"))
+    // purchases sort before clicks at equal ts → frame from +1 row still
+    // sees a same-timestamp click (inclusive <=)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    e.withColumn("next_click_ts", min(when(col("side") === 1, col("ts"))).over(w))
+      .filter(col("side") === 0 && col("next_click_ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"), col("next_click_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofJoinForwardSql: String =
+    """SELECT event_id, user_id, ts, next_click_ts FROM (
+         SELECT event_id, user_id, ts, side,
+                min(CASE WHEN side = 1 THEN ts END) OVER (
+                  PARTITION BY user_id ORDER BY ts, side, event_id
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click_ts
+         FROM (SELECT event_id, user_id, ts,
+                      CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS side
+               FROM events WHERE event_type IN ('click', 'purchase'))) t
+       WHERE side = 0 AND next_click_ts IS NOT NULL
+       ORDER BY event_id"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("asof_join", asofJoin, Some(asofJoinSql)),
+    ("asof_join_forward", asofJoinForward, Some(asofJoinForwardSql)),
     ("sessionize", sessionize, Some(sessionizeSql)))
 }

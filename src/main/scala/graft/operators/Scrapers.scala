@@ -119,6 +119,27 @@ object Scrapers {
               count(*) AS compress_ops, round(sum(p_retailprice),2) AS compress_bytes
        FROM part GROUP BY 1 ORDER BY page_size"""
 
+  /** ScrapeInnodbCmpMem analog (mysql-exporter.go:41 — the sixth
+    * enabled scraper): per-(page size, pool) buffer-pool memory stats —
+    * two-level grouping with used/free/relocation measures, mirroring
+    * innodb_cmp_mem's (page_size, buffer_pool) key. */
+  def innodbCmpMem: Q = (s, d) => {
+    Tables.part(s, d)
+      .groupBy((floor(col("p_size") / 8) * 8).cast("int").as("page_size"),
+        col("p_type").as("buffer_pool"))
+      .agg(count(lit(1)).as("pages_used"),
+        count(when(col("p_retailprice") < 500, 1)).as("pages_free"),
+        round(sum(col("p_retailprice")), 2).as("relocation_ops"))
+      .orderBy(col("page_size"), col("buffer_pool"))
+  }
+
+  val innodbCmpMemSql: String =
+    """SELECT CAST(floor(p_size / 8) * 8 AS INT) AS page_size, p_type AS buffer_pool,
+              count(*) AS pages_used,
+              count(*) FILTER (WHERE p_retailprice < 500) AS pages_free,
+              round(sum(p_retailprice), 2) AS relocation_ops
+       FROM part GROUP BY 1, 2 ORDER BY page_size, buffer_pool"""
+
   /** ScrapeQueryResponseTime analog: Prometheus-histogram cumulative
     * `le` buckets over events.value — ONE aggregation pass (conditional
     * counts), no join, no window: the 100 TB-safe histogram shape. */
@@ -259,6 +280,7 @@ object Scrapers {
     ("metrics_slave_status", slaveStatus, Some(slaveStatusSql)),
     ("metrics_processlist", processlist, Some(processlistSql)),
     ("metrics_innodb_cmp", innodbCmp, Some(innodbCmpSql)),
+    ("metrics_innodb_cmp_mem", innodbCmpMem, Some(innodbCmpMemSql)),
     ("metrics_query_response_time", queryResponseTime, Some(queryResponseTimeSql)),
     ("metrics_long_running_sessions", longRunningSessions, Some(longRunningSessionsSql)),
     ("events_counter", eventsCounter, Some(eventsCounterSql)),
