@@ -129,8 +129,50 @@ object AsOf {
        WHERE side = 0 AND next_click_ts IS NOT NULL
        ORDER BY event_id"""
 
+  /** Sessionization via Spark's NATIVE `session_window` grouping — the
+    * built-in gap-session operator (one aggregation, sessions merged by
+    * the engine; also usable in streaming). Spark merges two session
+    * windows when they overlap OR touch (next.start <= prev.end,
+    * inclusive), i.e. a gap-g window merges events with diff <= g and
+    * splits on diff > g — exactly the lag formulation's split rule, so
+    * this shares `sessionize`'s session boundaries verbatim. */
+  def sessionizeNative: Q = (s, d) => {
+    Tables.events(s, d)
+      .select(col("user_id"), date_trunc("second", col("ts")).as("tsec"), col("value"))
+      .groupBy(col("user_id"), session_window(col("tsec"), s"$GapSeconds seconds"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("value_sum"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** Oracle: the lag/cumsum formulation reduced to the same output
+    * columns — native session_window must produce identical sessions. */
+  val sessionizeNativeSql: String =
+    s"""WITH flagged AS (
+          SELECT user_id, ts, value,
+            CASE WHEN lag(epoch(date_trunc('second', ts))) OVER w IS NULL THEN 0
+                 WHEN epoch(date_trunc('second', ts))
+                      - lag(epoch(date_trunc('second', ts))) OVER w > $GapSeconds THEN 1
+                 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        indexed AS (
+          SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          FROM flagged)
+        SELECT user_id,
+          strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
+          count(*) AS n_events, round(sum(value), 2) AS value_sum
+        FROM indexed GROUP BY user_id, session_idx
+        ORDER BY user_id, session_start"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("asof_join", asofJoin, Some(asofJoinSql)),
     ("asof_join_forward", asofJoinForward, Some(asofJoinForwardSql)),
-    ("sessionize", sessionize, Some(sessionizeSql)))
+    ("sessionize", sessionize, Some(sessionizeSql)),
+    ("sessionize_native", sessionizeNative, Some(sessionizeNativeSql)))
 }

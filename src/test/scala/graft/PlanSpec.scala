@@ -51,4 +51,32 @@ class PlanSpec extends SparkTestBase {
     val p = plan("dedup_ngram_jaccard")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("stream_interval_join is an equi-join on user, not a product join") {
+    val p = plan("stream_interval_join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected a hash/merge equi-join:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "range condition must ride the user_id equi-join as a residual filter")
+  }
+
+  test("graft_topk aggregates partially before the shuffle") {
+    val p = plan("ann_bruteforce_topk")
+    // partial + final TopKByScore pair = map-side bounded top-k
+    assert("partial_graft_topk|graft_topk".r.findAllIn(p).size >= 2,
+      s"expected partial+final topk aggregate:\n${p.take(2000)}")
+  }
+
+  test("sessionize_native plans a single exchange for the session agg") {
+    val p = plan("sessionize_native")
+    assert(p.contains("SessionWindow") || p.contains("session_window"),
+      s"expected native session window node:\n${p.take(1500)}")
+  }
+
+  test("salted skew join broadcasts the salt replication, not the facts") {
+    val p = plan("q_skew_salted_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "salt range must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
