@@ -21,6 +21,16 @@ object Bench {
     Seq("lineitem", "orders", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => () }
     }
+    // warm the tokenize→shingle→hash pipeline (JIT + codegen): the
+    // dedup family's first query otherwise pays ~6s of compilation
+    try {
+      import org.apache.spark.sql.functions.{col, explode, expr, md5}
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(300)
+        .select(expr(graft.operators.TextAnalysis.toksExpr).as("toks"))
+        .select(graft.functions.TextUdfs.shingle3(col("toks")).as("sh"))
+        .select(explode(col("sh")).as("s")).select(md5(col("s")).as("h"))
+        .count()
+    } catch { case _: Throwable => () }
 
     // optional args: bench only the named queries (dev iteration)
     val only = args.toSet

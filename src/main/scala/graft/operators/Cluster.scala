@@ -26,13 +26,21 @@ object Cluster {
   /** Per-doc cluster assignment: (doc_id, cluster_id) for every doc in
     * at least one near-dup pair; cluster_id = min doc_id reachable. */
   def dedupCluster: Q = (s, d) => {
+    // materialize pairs ONCE before fanning out: the union below
+    // references them twice, and an unmaterialized reference would
+    // re-run the whole minhash pipeline per branch
     val pairs = Dedup.minhashLsh(s, d).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
     // undirected edge list, both directions
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .localCheckpoint()
+    // per-round state is a sliver of the corpus (only docs with a
+    // near-dup pair) — coalesce so each round's checkpoint+scan doesn't
+    // pay 32-partition task overhead for a few hundred rows; at real
+    // scale this constant tracks the pair-graph size, not the corpus
     var labels = edges.select(col("u").as("doc")).distinct()
       .withColumn("label", col("doc"))
+      .coalesce(8)
       .localCheckpoint()
     var round = 0
     var converged = false
@@ -41,13 +49,24 @@ object Cluster {
         .join(labels.select(col("doc").as("v"), col("label").as("vl")), "v")
         .groupBy(col("u").as("doc"))
         .agg(min(col("vl")).as("nbr_label"))
-      val next = labels.join(nbrMin, Seq("doc"), "left")
-        .select(col("doc"),
+      val hop = labels.join(nbrMin, Seq("doc"), "left")
+        .select(col("doc"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // pointer jumping: follow one label indirection (label := its
+      // label's label) — with the 1-hop step above this halves the
+      // remaining propagation depth each round, O(log diameter) total
+      // instead of O(diameter) for chain-shaped components. The change
+      // flag rides along so convergence needs no extra join afterwards.
+      val next = hop
+        .join(hop.select(col("doc").as("jd"), col("label").as("jl")),
+          hop("label") === col("jd"), "left")
+        .select(hop("doc").as("doc"),
+          coalesce(col("jl"), hop("label")).as("label"),
+          (coalesce(col("jl"), hop("label")) =!= col("old")).as("chg"))
+        .coalesce(8)
         .localCheckpoint()
-      val changed = next.join(labels.select(col("doc"), col("label").as("old")), "doc")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      val changed = next.filter(col("chg")).limit(1).count()
+      labels = next.select(col("doc"), col("label"))
       converged = changed == 0
       round += 1
     }
