@@ -71,11 +71,13 @@ object Dedup {
     * (df-capped), exact Jaccard ≥ 0.5. */
   def ngramJaccard: Q = (s, d) => {
     val sets = shingleSets(s, d)
-    // candidate join runs on a fixed-width 64-bit hash prefix, not the
-    // raw shingle text: smaller shuffle keys, cheaper equality; the
-    // oracle applies the identical mapping so parity is exact
+    // candidate join runs on a 60-bit integer hash of the shingle, not
+    // the raw text: 8-byte fixed-width shuffle keys and integer
+    // equality; the oracle applies the identical mapping so parity is
+    // exact (collisions would only add a verified-anyway candidate)
     val e = sets.select(col("doc_id"), explode(col("shingles")).as("raw"))
-      .select(col("doc_id"), substring(md5(col("raw")), 1, 16).as("sh"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("raw")), 1, 15), 16, 10).cast("long").as("sh"))
     // ONE aggregation gathers each shingle's (sorted) doc list; pairs are
     // generated from the list by a compiled combo kernel. Two shuffles
     // total (by shingle, by pair) vs four for the df-cap + self-join
@@ -102,7 +104,7 @@ object Dedup {
           SELECT doc_id, shingles, len(shingles) AS n_sh FROM (
             SELECT doc_id, $shinglesSqlExpr AS shingles FROM documents)
           WHERE len(shingles) > 0),
-        e AS (SELECT doc_id, substr(md5(unnest(shingles)), 1, 16) AS sh FROM sets),
+        e AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS sh FROM sets),
         cap AS (SELECT sh FROM e GROUP BY sh HAVING count(*) <= 500),
         ec AS (SELECT e.doc_id, e.sh FROM e JOIN cap USING (sh)),
         inter AS (

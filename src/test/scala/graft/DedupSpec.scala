@@ -1,5 +1,31 @@
 package graft
 
+/** dedup_cluster vs a driver-side union-find over the same pair graph:
+  * the iterative min-label propagation must produce exactly the
+  * canonical (min-id) component assignment. */
+class ClusterSpec extends SparkTestBase {
+  test("min-label propagation equals union-find components") {
+    import spark.implicits._
+    val pairs = graft.operators.Dedup.minhashLsh(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = (pairs.flatMap(p => Seq(p._1, p._2)).distinct)
+      .map(d => d -> find(d)).toMap
+    val got = graft.operators.Cluster.dedupCluster(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want,
+      s"got=${got.size} want=${want.size} diff=${(want.toSet diff got.toSet).take(3)}")
+  }
+}
+
 import graft.operators.Dedup
 import org.apache.spark.sql.functions._
 
