@@ -337,6 +337,47 @@ object Tpch {
        count(*) AS n_orders, round(sum(o_totalprice),2) AS total_price
        FROM orders GROUP BY CUBE(CAST(year(o_orderdate) AS INT), o_orderstatus)"""
 
+  /** Explicit GROUPING SETS — asymmetric slice list (finer than ROLLUP,
+    * sparser than CUBE): (year, status), (year), (status-only omitted),
+    * grand total. */
+  def qGroupingSets: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_gs")
+    s.sql(
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
+                count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+         FROM graft_orders_gs
+         GROUP BY GROUPING SETS ((CAST(year(o_orderdate) AS INT), o_orderstatus),
+                                 (CAST(year(o_orderdate) AS INT)), ())""")
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
+       count(*) AS n_orders, round(sum(o_totalprice),2) AS total_price
+       FROM orders
+       GROUP BY GROUPING SETS ((CAST(year(o_orderdate) AS INT), o_orderstatus),
+                               (CAST(year(o_orderdate) AS INT)), ())"""
+
+  /** Window-function breadth: lead, ntile and cume_dist over one
+    * supplier-partitioned ordering (single shuffle, three functions). */
+  def qWindowStats: Q = (s, d) => {
+    val w = Window.partitionBy(col("s_nationkey")).orderBy(col("s_acctbal"), col("s_suppkey"))
+    Tables.supplier(s, d)
+      .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"),
+        lead(col("s_acctbal"), 1).over(w).as("next_bal"),
+        ntile(4).over(w).as("quartile"),
+        TextAnalysis.trunc4(cume_dist().over(w)).as("cume"))
+      .orderBy(col("s_nationkey"), col("s_suppkey"))
+  }
+
+  val qWindowStatsSql: String =
+    """SELECT s_nationkey, s_suppkey, s_acctbal,
+              lead(s_acctbal, 1) OVER w AS next_bal,
+              CAST(ntile(4) OVER w AS INT) AS quartile,
+              floor(cume_dist() OVER w * 10000) / 10000.0 AS cume
+       FROM supplier
+       WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+       ORDER BY s_nationkey, s_suppkey"""
+
   /** t-digest/GK-style approximate percentiles via approx_percentile —
     * the sketch path for unbounded-cardinality groups where exact
     * percentile sorting is unaffordable. Approximate by design → no SQL
@@ -376,6 +417,8 @@ object Tpch {
     ("q_window_topn", qWindowTopn, Some(qWindowTopnSql)),
     ("q_rollup", qRollup, Some(qRollupSql)),
     ("q_cube", qCube, Some(qCubeSql)),
+    ("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),
+    ("q_window_stats", qWindowStats, Some(qWindowStatsSql)),
     ("q_percentiles", qPercentiles, Some(qPercentilesSql)),
     ("q_approx_distinct", qApproxDistinct, None),
     ("q_approx_percentile", qApproxPercentile, None)
