@@ -256,6 +256,49 @@ object Scrapers {
   def expositionLines: Q = (s, d) =>
     MetricsModel.exposition(remoteWrite(s, d)).orderBy(col("line"))
 
+  /** SUMMARY MetricFamily conversion (prometheus.go:89-98): a summary
+    * emits one sample per configured quantile plus `_sum` and `_count`
+    * series — here over events.value per event_type, in the same long
+    * format the remote-write transform produces. Exact per-group
+    * percentiles (bounded group count), linear interpolation on both
+    * engines. */
+  def promSummary: Q = (s, d) => {
+    val agg = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 2).as("q50"),
+        round(expr("percentile(value, 0.9)"), 2).as("q90"),
+        round(expr("percentile(value, 0.99)"), 2).as("q99"),
+        round(sum(col("value")), 2).as("vsum"),
+        count(lit(1)).cast("double").as("vcount"))
+    agg.selectExpr("event_type",
+      """stack(5,
+           'events_value', '0.5',  q50,
+           'events_value', '0.9',  q90,
+           'events_value', '0.99', q99,
+           'events_value_sum', '', vsum,
+           'events_value_count', '', vcount) AS (metric_name, quantile, value)""")
+      .select(col("metric_name"), col("event_type"), col("quantile"), col("value"))
+      .orderBy(col("metric_name"), col("event_type"), col("quantile"))
+  }
+
+  val promSummarySql: String =
+    """WITH a AS (
+         SELECT event_type,
+                round(quantile_cont(value, 0.5), 2) AS q50,
+                round(quantile_cont(value, 0.9), 2) AS q90,
+                round(quantile_cont(value, 0.99), 2) AS q99,
+                round(sum(value), 2) AS vsum,
+                CAST(count(*) AS DOUBLE) AS vcount
+         FROM events GROUP BY event_type)
+       SELECT metric_name, event_type, quantile, value FROM (
+         SELECT 'events_value' AS metric_name, event_type, '0.5' AS quantile, q50 AS value FROM a
+         UNION ALL SELECT 'events_value', event_type, '0.9', q90 FROM a
+         UNION ALL SELECT 'events_value', event_type, '0.99', q99 FROM a
+         UNION ALL SELECT 'events_value_sum', event_type, '', vsum FROM a
+         UNION ALL SELECT 'events_value_count', event_type, '', vcount FROM a) t
+       ORDER BY metric_name, event_type, quantile"""
+
   val expositionSql: String =
     """WITH w AS (
          SELECT lower(n_name) || '.rds.example.com' AS host,
@@ -285,6 +328,7 @@ object Scrapers {
     ("metrics_long_running_sessions", longRunningSessions, Some(longRunningSessionsSql)),
     ("events_counter", eventsCounter, Some(eventsCounterSql)),
     ("prom_remote_write", remoteWrite, Some(remoteWriteSql)),
-    ("prom_exposition", expositionLines, Some(expositionSql))
+    ("prom_exposition", expositionLines, Some(expositionSql)),
+    ("prom_summary", promSummary, Some(promSummarySql))
   )
 }

@@ -90,7 +90,42 @@ object Writers {
        WHERE CAST(ts AS DATE) >= DATE '2024-01-08' AND CAST(ts AS DATE) < DATE '2024-01-15'
        GROUP BY event_type ORDER BY event_type"""
 
+  /** CSV sink round-trip: customer written as headered CSV, read back
+    * with an explicit schema, aggregated — oracle runs the same query
+    * on the parquet original, so the sink must be lossless (doubles
+    * survive via round-trip-exact formatting). */
+  def csvRoundtrip: Q = (s, d) => {
+    val path = s"/tmp/graft_cust_csv_${sfx(d)}"
+    val src = Tables.customer(s, d)
+    src.write.mode("overwrite").option("header", "true").csv(path)
+    s.read.option("header", "true").schema(src.schema).csv(path)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("bal_sum"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val csvRoundtripSql: String =
+    """SELECT c_mktsegment, count(*) AS n_cust, round(sum(c_acctbal), 2) AS bal_sum
+       FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  /** JSON-lines sink round-trip: same contract for the json format. */
+  def jsonRoundtrip: Q = (s, d) => {
+    val path = s"/tmp/graft_supp_json_${sfx(d)}"
+    val src = Tables.supplier(s, d)
+    src.write.mode("overwrite").json(path)
+    s.read.schema(src.schema).json(path)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_supp"), round(sum(col("s_acctbal")), 2).as("bal_sum"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val jsonRoundtripSql: String =
+    """SELECT s_nationkey, count(*) AS n_supp, round(sum(s_acctbal), 2) AS bal_sum
+       FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("sink_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
-    ("sink_partitioned_scan", partitionedScan, Some(partitionedScanSql)))
+    ("sink_partitioned_scan", partitionedScan, Some(partitionedScanSql)),
+    ("sink_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
+    ("sink_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)))
 }
