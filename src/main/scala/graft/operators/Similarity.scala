@@ -112,44 +112,92 @@ object Similarity {
     hyperplanes(t)(b).map(x => s"cast($x as double)").mkString("array(", ", ", ")")
 
   val NumCells = 16
-  val NProbe = 4
+  val NProbe = 6
   private val SeedBase = 100L
 
   /** IVF-style ANN: the corpus is partitioned into `NumCells` Voronoi
-    * cells around seed centroids; each query probes its `NProbe`
+    * cells around k-means centroids; each query probes its `NProbe`
     * nearest cells and re-ranks only those candidates — a query scans
     * ~NProbe/NumCells of the corpus instead of all of it, the standard
     * inverted-file trade at billion-vector scale (cells become
     * partition keys; probing = partition pruning).
     *
-    * Centroids here are seed vectors at fixed ids (deterministic, no
-    * training dependency); swapping in k-means centroids changes only
-    * this constant. Rows-only: recall vs brute force is asserted in
+    * Centroids: deterministic seed vectors at fixed ids refined by
+    * `LloydIters` distributed k-means steps (assign → element-wise
+    * mean per cell; K×dim means collect to the driver like any model
+    * broadcast). Rows-only: recall vs brute force is asserted in
     * SimilaritySpec, like the LSH variant. */
+  val LloydIters = 1
+
+  /** Centroids as a broadcastable table (cell, vector, |c|²/2) — NOT
+    * literals baked into an expression: a K×dim literal array forces
+    * seconds of Janino compilation per distinct centroid set and stops
+    * scaling past tiny K. The join form is the same plan IVF uses at
+    * K=4096: broadcast the codebook, score per (vector, centroid),
+    * argmax/top-probe via the bounded `graft_topk` aggregate. */
+  private def centroidDf(s: SparkSession, cents: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    cents.zipWithIndex
+      .map { case (c, i) => (i + 1L, c.toSeq, c.map(x => x * x).sum / 2.0) }
+      .toSeq.toDF("cell", "cv", "chalf")
+  }
+
+  /** Score every (vector, centroid) pair: argmin L2 == argmax
+    * (dot - |c|²/2). */
+  private def scored(all: DataFrame, cdf: DataFrame): DataFrame =
+    all.crossJoin(broadcast(cdf))
+      .withColumn("score", expr("graft_dot(v, cv)") - col("chalf"))
+
+  /** Hard assignment: best cell per vector (topk k=1 → deterministic
+    * tie-break by lower cell id). */
+  private def assign(all: DataFrame, cdf: DataFrame): DataFrame =
+    scored(all, cdf)
+      .groupBy(col("vec_id"))
+      .agg(
+        element_at(expr("graft_topk(score, cell, 1)"), 1).getField("id").as("cell"),
+        first(col("v")).as("v"), first(col("n2")).as("n2"))
+
+  /** One Lloyd step: assign, element-wise mean per cell. (At larger
+    * dims the posexplode becomes a vector-sum aggregate — same shuffle
+    * shape.) */
+  private def lloydStep(all: DataFrame, cents: Array[Array[Double]]): Array[Array[Double]] = {
+    val dim = cents.head.length
+    val means = assign(all, centroidDf(all.sparkSession, cents))
+      .select(col("cell"), posexplode(col("v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .collect()
+      .groupBy(_.getLong(0))
+    (0 until NumCells).map { i =>
+      means.get(i + 1L) match {
+        case Some(rows) =>
+          val m = new Array[Double](dim)
+          rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+          m
+        case None => cents(i) // empty cell keeps its centroid
+      }
+    }.toArray
+  }
+
   def ivfTopK: Q = (s, d) => {
     val all = emb(s, d)
     val seeds = all.filter(col("vec_id") >= SeedBase && col("vec_id") < SeedBase + NumCells)
       .select(col("vec_id"), col("v"), col("n2"))
       .collect()
       .sortBy(_.getLong(0))
-      .map(r => (r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .map(r => r.getSeq[Double](1).toArray)
     require(seeds.length == NumCells, s"need $NumCells seed vectors at ids $SeedBase+")
-    def arrSql(a: Array[Double]) = a.map(x => s"cast($x as double)").mkString("array(", ",", ")")
-    // argmin L2-to-centroid == argmax (dot - |c|^2/2); one array of cell scores
-    val cellScores = seeds
-      .map { case (sv, sn2) => s"(graft_dot(v, ${arrSql(sv)}) - cast(${sn2 / 2.0} as double))" }
-      .mkString("array(", ",", ")")
-    val withCell = all.withColumn("cs", expr(cellScores))
-    val corpus = withCell
-      .withColumn("cell", expr("array_position(cs, array_max(cs))").cast("int"))
-      .select("vec_id", "v", "n2", "cell")
-    // queries probe their NProbe best cells (0-based transform idx → 1-based cell)
-    val q = withCell.filter(col("vec_id") < NumQueries)
-      .withColumn("probe", expr(
-        s"slice(transform(array_sort(transform(cs, (x, i) -> struct(-x as nx, i as idx))), t -> t.idx + 1), 1, $NProbe)"))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"),
-        explode(col("probe")).as("cell0"))
-      .select(col("query_id"), col("qv"), col("qn2"), col("cell0").cast("int").as("cell"))
+    val cents = (1 to LloydIters).foldLeft(seeds)((c, _) => lloydStep(all, c))
+    val cdf = centroidDf(s, cents)
+    val corpus = assign(all, cdf)
+    // queries probe their NProbe best cells
+    val q = scored(all.filter(col("vec_id") < NumQueries), cdf)
+      .groupBy(col("vec_id"))
+      .agg(expr(s"graft_topk(score, cell, $NProbe)").as("pc"),
+        first(col("v")).as("qv"), first(col("n2")).as("qn2"))
+      .select(col("vec_id").as("query_id"), col("qv"), col("qn2"),
+        explode(col("pc")).as("p"))
+      .select(col("query_id"), col("qv"), col("qn2"), col("p").getField("id").as("cell"))
     corpus.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", expr(dotExpr) / (sqrt(col("qn2")) * sqrt(col("n2"))))
