@@ -34,6 +34,12 @@ object Bench {
 
     // optional args: bench only the named queries (dev iteration)
     val only = args.toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+      spark.stop()
+      sys.exit(2)
+    }
     val picked =
       if (only.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.filter(q => only(q._1)).toSeq

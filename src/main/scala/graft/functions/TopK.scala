@@ -41,9 +41,13 @@ case class TopKByScore(
   override def createAggregationBuffer(): Buf =
     scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
 
-  // (score desc, id asc): a is better than b
-  @inline private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // (score desc, id asc): a is better than b. java.lang.Double.compare
+  // gives a total order (NaN/-0.0 included) so sortWith never sees the
+  // contract-violating "NaN > x and NaN == x both false" case.
+  @inline private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   private def trim(buf: Buf): Buf = {
     if (buf.length > k) {
@@ -57,7 +61,9 @@ case class TopKByScore(
   override def update(buf: Buf, input: InternalRow): Buf = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null) {
+    // NaN scores (e.g. cosine of a zero-norm embedding) carry no rank
+    // information — drop them rather than let them pollute the top-k.
+    if (s != null && i != null && !s.asInstanceOf[Double].isNaN) {
       buf += ((s.asInstanceOf[Double], i.asInstanceOf[Long]))
       // amortize: only sort+cut when the buffer doubles past k
       if (buf.length >= 2 * k) trim(buf)

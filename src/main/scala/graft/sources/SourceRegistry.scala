@@ -71,7 +71,8 @@ object SourceRegistry {
         val reader = spark.read.format("jdbc")
           .option("url", url)
           .option("dbtable", config.getOrElse("dbtable", sys.error("dbtable required")))
-        config.get("username").fold(reader)(u => reader.option("user", u))
+        val withUser = config.get("username").fold(reader)(u => reader.option("user", u))
+        config.get("password").fold(withUser)(p => withUser.option("password", p))
           .load()
     }
   }
@@ -84,11 +85,19 @@ object SourceRegistry {
     """{"engine":"oracle-ee","host":"db3.example.com","port":"1521","username":"system","password":"orapwd","dbname":"ORCL"}""",
     """{"engine":"sqlite","host":"db4.example.com","port":"0","username":"u","password":"p","dbname":"x"}""")
 
+  /** Mask the password segment of a DSN for anything user-facing. The
+    * full DSN exists only on the internal reader path; dumped artifacts
+    * (Verify parquet, logs) must never carry plaintext credentials. */
+  def redactDsn(dsn: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(dsn, ":[^:@/]*@", ":***@")
+
   /** Rows-only entry: secrets → parsed configs → DSNs (unsupported
     * engines get null DSN, mirroring the reference's "Unsupported
-    * database engine" warn-and-skip). */
+    * database engine" warn-and-skip). Passwords are redacted — this
+    * result lands in correctness artifacts. */
   def configDsn(spark: SparkSession, dir: String): DataFrame =
     withDsn(parseSecrets(spark, demoSecrets))
+      .withColumn("dsn", redactDsn(col("dsn")))
       .select("engine", "host", "port", "dbname", "dsn")
       .orderBy("engine")
 

@@ -34,8 +34,14 @@ object Writers {
     val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     val dir = new java.io.File(wh, name)
     if (dir.exists()) {
-      dir.listFiles().foreach(_.delete())
-      dir.delete()
+      // recursive: a leftover _temporary subdir from a crashed write
+      // would make a flat delete() silently fail → LOCATION_ALREADY_EXISTS
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(dir)
+      require(!dir.exists(), s"failed to clean table location $dir")
     }
   }
 
