@@ -1,0 +1,208 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data pipeline operators over the documents table: the
+  * dataset-assembly steps an LLM pretraining pipeline runs after
+  * dedup/quality scoring — deterministic splits, weighted corpus
+  * mixing (down- AND up-sampling), token-budget sequence packing, and
+  * quality-band curation.
+  *
+  * Determinism contract: every sampling decision is a pure function of
+  * the row's key via md5 (engine-portable, seedless) — re-running the
+  * pipeline on the same snapshot reproduces the exact same dataset, on
+  * any number of executors, with no RNG state to coordinate. That is
+  * the property that matters at 100 TB: `rand(seed)` changes with
+  * partitioning; a content hash never does.
+  *
+  * Scale shape: splits and mixing are pure narrow maps (zero shuffle);
+  * packing is one shuffle (window per language shard); curation is one
+  * window pass per language. No collect, no driver loops.
+  */
+object Pipeline {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  import TextAnalysis.trunc4
+
+  /** Engine-portable uniform bucket in [0, 100): first 8 hex chars of
+    * md5 over a key string. Spark side. */
+  private def hashBucket(key: Column): Column =
+    conv(substring(md5(key), 1, 8), 16, 10).cast("long") % 100
+
+  /** Same bucket in DuckDB. */
+  private def hashBucketSql(key: String): String =
+    s"('0x' || substring(md5($key), 1, 8))::BIGINT % 100"
+
+  // ---------------------------------------------------------------- split
+
+  /** Deterministic train/val/test split (80/10/10) keyed on doc_id.
+    * Assignment is a narrow map — at 100 TB this is a zero-shuffle
+    * pass, and any later run (or any other team) recomputes the same
+    * membership from the key alone. */
+  def splitTrainTest: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        hashBucket(concat(lit("split:"), col("doc_id").cast("string"))).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+
+  val splitTrainTestSql: String = {
+    val b = hashBucketSql("'split:' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, $b AS bucket,
+          CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END AS split
+        FROM documents ORDER BY doc_id"""
+  }
+
+  // ----------------------------------------------------------------- mix
+
+  /** Weighted corpus mixture: per-source sampling weights where even
+    * sources are downsampled (w=0.6) and odd sources upsampled (w=1.8).
+    * copies(doc) = floor(w) + (bucket < frac·100) — the standard
+    * epoch-mixing rule: a weight of 1.8 repeats every doc once and a
+    * deterministic 80% of docs twice. Expansion is `explode(sequence)`,
+    * a narrow generator (no shuffle); only the report aggregation
+    * shuffles. */
+  def mixCorpora: Q = (s, d) => {
+    val b = hashBucket(concat(lit("mix:"), col("source"), lit(":"), col("doc_id").cast("string")))
+    val isOdd = expr("cast(substring(source, 4) as int)") % 2 === 1
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"), b.as("bucket"))
+      .withColumn("copies",
+        when(isOdd, lit(1) + when(col("bucket") < 80, 1).otherwise(0))
+          .otherwise(when(col("bucket") < 60, 1).otherwise(0)))
+      .filter(col("copies") > 0)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        explode(expr("sequence(1, copies)")).as("copy_no"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_out"),
+        countDistinct(col("doc_id")).as("n_unique"),
+        sum(col("n_chars")).as("chars_out"))
+      .orderBy(col("source"))
+  }
+
+  val mixCorporaSql: String = {
+    val b = hashBucketSql("'mix:' || source || ':' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT source, CAST(sum(copies) AS BIGINT) AS n_out,
+          count(DISTINCT doc_id) AS n_unique,
+          CAST(sum(copies * n_chars) AS BIGINT) AS chars_out
+        FROM (SELECT doc_id, source, n_chars,
+                CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 1
+                     THEN 1 + (CASE WHEN $b < 80 THEN 1 ELSE 0 END)
+                     ELSE (CASE WHEN $b < 60 THEN 1 ELSE 0 END) END AS copies
+              FROM documents) t
+        WHERE copies > 0 GROUP BY source ORDER BY source"""
+  }
+
+  // ---------------------------------------------------------------- pack
+
+  val PackBudget = 2048
+
+  /** Token-budget sequence packing ("concat and chunk"): per language,
+    * docs in doc_id order are laid head-to-tail and cut into packs of
+    * ~2048 estimated tokens (chars/4). pack = floor(exclusive-cumsum /
+    * budget) — one window shuffle keyed by language; at 100 TB the key
+    * becomes (lang, shard) so no single partition holds a language. */
+  def packTokenBudget: Q = (s, d) => {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        ceil(col("n_chars") / 4.0).cast("long").as("tok_est"))
+      .withColumn("pack_id",
+        floor(coalesce(sum(col("tok_est")).over(w), lit(0L)) / PackBudget).cast("long"))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok_est")).as("pack_tokens"))
+      .orderBy(col("lang"), col("pack_id"))
+  }
+
+  val packTokenBudgetSql: String =
+    s"""SELECT lang, CAST(floor(coalesce(cum_excl, 0) / $PackBudget) AS BIGINT) AS pack_id,
+          count(*) AS n_docs, CAST(sum(tok_est) AS BIGINT) AS pack_tokens
+        FROM (SELECT doc_id, lang, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tok_est,
+                sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) OVER (
+                  PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_excl
+              FROM documents) t
+        GROUP BY lang, pack_id ORDER BY lang, pack_id"""
+
+  // -------------------------------------------------------------- curate
+
+  /** Quality-band curation: keep each language's middle half by
+    * quality score (percent_rank ∈ [0.25, 0.75]) — drop both junk and
+    * the suspiciously-perfect tail. percent_rank is rank arithmetic
+    * over a deterministic total order (score, doc_id): engine-stable
+    * where comparing against an interpolated quantile value is not.
+    * (At 100 TB with unbounded groups the same band comes from
+    * approx_percentile thresholds instead of a full per-group sort.) */
+  def curateQualityBand: Q = (s, d) => {
+    val w = Window.partitionBy(col("lang")).orderBy(col("score"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"),
+        expr(TextAnalysis.toksExpr).as("toks"))
+      .select(col("doc_id"), col("lang"), TextAnalysis.qualityScoreCol.as("score"))
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= 0.25 && col("pr") <= 0.75)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        min(col("score")).as("lo_score"), max(col("score")).as("hi_score"))
+      .orderBy(col("lang"))
+  }
+
+  val curateQualityBandSql: String =
+    s"""SELECT lang, count(*) AS n_kept, min(score) AS lo_score, max(score) AS hi_score
+        FROM (SELECT doc_id, lang, score,
+                percent_rank() OVER (PARTITION BY lang ORDER BY score, doc_id) AS pr
+              FROM (SELECT doc_id, lang, ${TextAnalysis.qualityScoreSqlExpr} AS score
+                    FROM documents) s) r
+        WHERE pr >= 0.25 AND pr <= 0.75
+        GROUP BY lang ORDER BY lang"""
+
+  // --------------------------------------------------------------- tfidf
+
+  val NumLangs = 5
+
+  /** TF-IDF top terms per language: tf = term occurrences within the
+    * language, df = number of languages containing the term, idf =
+    * ln(5/df). One count shuffle; df comes from a window over the
+    * (already tiny) distinct (lang, term) set — no second aggregation
+    * against the corpus. Top-5 per language, deterministic tiebreak. */
+  def tfidfTopk: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .select(col("lang"), explode(expr(TextAnalysis.toksExpr)).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
+    val withDf = counts.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
+    withDf
+      .withColumn("tfidf", trunc4(col("tf") * log(lit(NumLangs * 1.0) / col("df"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rn") <= 5)
+      .select(col("lang"), col("term"), col("tf"), col("df"), col("tfidf"), col("rn"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  val tfidfTopkSql: String =
+    s"""WITH counts AS (
+          SELECT lang, unnest(${TextAnalysis.toksSqlExpr}) AS term
+          FROM documents),
+        tfs AS (SELECT lang, term, count(*) AS tf FROM counts GROUP BY lang, term),
+        wd AS (SELECT lang, term, tf, count(*) OVER (PARTITION BY term) AS df FROM tfs)
+        SELECT lang, term, tf, df,
+               floor(tf * ln($NumLangs * 1.0 / df) * 10000) / 10000.0 AS tfidf,
+               CAST(row_number() OVER (PARTITION BY lang
+                 ORDER BY floor(tf * ln($NumLangs * 1.0 / df) * 10000) / 10000.0 DESC, term) AS INT) AS rn
+        FROM wd QUALIFY rn <= 5 ORDER BY lang, rn"""
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("split_train_test", splitTrainTest, Some(splitTrainTestSql)),
+    ("mix_corpora", mixCorpora, Some(mixCorporaSql)),
+    ("pack_token_budget", packTokenBudget, Some(packTokenBudgetSql)),
+    ("curate_quality_band", curateQualityBand, Some(curateQualityBandSql)),
+    ("text_tfidf_topk", tfidfTopk, Some(tfidfTopkSql)))
+}

@@ -28,13 +28,37 @@ object TextAnalysis {
   /** Same tokenization in DuckDB. */
   val toksSqlExpr = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')"
 
-  private val stop = Map(
+  private[operators] val stop = Map(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
     "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
     "fr" -> Seq("le", "la", "les", "et", "est", "un"),
     "es" -> Seq("el", "los", "las", "y", "es", "una"))
 
-  private def inList(words: Seq[String]) = words.map("'" + _ + "'").mkString("(", ",", ")")
+  private[operators] def inList(words: Seq[String]) = words.map("'" + _ + "'").mkString("(", ",", ")")
+
+  /** quality_score as a Spark Column over `text` plus a precomputed
+    * `toks` column (tokenize once, score once) — the same combined
+    * [0,1] score `quality` emits, exposed for reuse (e.g. the curation
+    * band operator). */
+  def qualityScoreCol: Column = {
+    val nt = expr("size(toks)")
+    val nc = greatest(length(col("text")), lit(1))
+    val np = expr("size(regexp_extract_all(text, '[.,;:!?]', 0))")
+    val sw = expr(s"size(filter(toks, t -> t in ${inList(stop("en"))}))")
+    trunc4(
+      least(lit(1.0), nt / lit(100.0)) *
+        (lit(1.0) - np * lit(1.0) / nc) *
+        (lit(0.5) + lit(0.5) * sw * lit(1.0) / greatest(nt, lit(1))))
+  }
+
+  /** The same quality score as a DuckDB SQL expression over documents. */
+  val qualityScoreSqlExpr: String = {
+    val nt = s"len($toksSqlExpr)"
+    val np = "len(regexp_extract_all(text, '[.,;:!?]'))"
+    val sw = s"len(list_filter($toksSqlExpr, t -> t in ${inList(stop("en"))}))"
+    s"floor((least(1.0, $nt / 100.0) * (1.0 - $np * 1.0 / greatest(length(text), 1))" +
+      s" * (0.5 + 0.5 * $sw * 1.0 / greatest($nt, 1))) * 10000) / 10000.0"
+  }
 
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (letter runs / digit runs / single punctuation). */

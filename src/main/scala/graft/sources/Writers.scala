@@ -129,9 +129,80 @@ object Writers {
     """SELECT s_nationkey, count(*) AS n_supp, round(sum(s_acctbal), 2) AS bal_sum
        FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""
 
+  /** Multi-column bucketed pipeline: lineitem bucketed by (l_partkey,
+    * l_suppkey); the part-supplier rollup (partsupp analog) is computed
+    * FROM the bucketed table — groupBy on exactly the bucket keys needs
+    * no Exchange — and written back with the same bucketing, so the
+    * final fact⋈rollup join is also Exchange-free (asserted in
+    * WritersSpec). The composite-key version of the co-located-join
+    * answer at 100 TB. */
+  def bucketedMultiJoin: Q = (s, d) => {
+    val lt = s"graft_li2_${sfx(d)}"
+    val pt = s"graft_ps_${sfx(d)}"
+    dropTable(s, lt)
+    dropTable(s, pt)
+    Tables.lineitem(s, d)
+      .select("l_partkey", "l_suppkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite")
+      .bucketBy(Buckets, "l_partkey", "l_suppkey").sortBy("l_partkey", "l_suppkey")
+      .saveAsTable(lt)
+    s.table(lt)
+      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(sum(col("l_quantity")).as("t_qty"))
+      .write.mode("overwrite")
+      .bucketBy(Buckets, "ps_partkey", "ps_suppkey").sortBy("ps_partkey", "ps_suppkey")
+      .saveAsTable(pt)
+    s.table(lt).hint("merge")
+      .join(s.table(pt).hint("merge"),
+        col("l_partkey") === col("ps_partkey") && col("l_suppkey") === col("ps_suppkey"))
+      .filter(col("t_qty") > 100)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val bucketedMultiJoinSql: String =
+    """WITH ps AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS t_qty
+                   FROM lineitem GROUP BY l_partkey, l_suppkey)
+       SELECT l.l_returnflag, count(*) AS n_lines, round(sum(l.l_extendedprice), 2) AS revenue
+       FROM lineitem l JOIN ps
+         ON l.l_partkey = ps.l_partkey AND l.l_suppkey = ps.l_suppkey
+       WHERE ps.t_qty > 100
+       GROUP BY l.l_returnflag ORDER BY l.l_returnflag"""
+
+  /** Small-file compaction: documents scattered into 64 tiny files
+    * (the small-file problem a long-running ingest accumulates), then
+    * compacted with a range repartition on doc_id — contiguous,
+    * size-balanced output files whose min/max doc_id stats stay
+    * prunable. Read back through the compacted layout; the aggregate
+    * must match the original table (file counts asserted in
+    * WritersSpec). */
+  val CompactTargetFiles = 4
+
+  def compactionScan: Q = (s, d) => {
+    val small = s"/tmp/graft_docs_small_${sfx(d)}"
+    val packed = s"/tmp/graft_docs_packed_${sfx(d)}"
+    Tables.documents(s, d)
+      .repartition(64)
+      .write.mode("overwrite").parquet(small)
+    s.read.parquet(small)
+      .repartitionByRange(CompactTargetFiles, col("doc_id"))
+      .write.mode("overwrite").parquet(packed)
+    s.read.parquet(packed)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val compactionScanSql: String =
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       FROM documents GROUP BY lang ORDER BY lang"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("sink_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
+    ("sink_bucketed_multi", bucketedMultiJoin, Some(bucketedMultiJoinSql)),
     ("sink_partitioned_scan", partitionedScan, Some(partitionedScanSql)),
+    ("sink_compaction_scan", compactionScan, Some(compactionScanSql)),
     ("sink_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     ("sink_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)))
 }

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.Pipeline
+
+/** Invariants of the training-data pipeline operators: deterministic
+  * membership, mixture copy counts, pack-size bounds, band fractions. */
+class PipelineSpec extends SparkTestBase {
+
+  test("split is deterministic and ~80/10/10") {
+    val a = Pipeline.splitTrainTest(spark, sf).collect()
+    val b = Pipeline.splitTrainTest(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq, "split must be reproducible")
+    val byS = a.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    val n = a.length.toDouble
+    assert(byS("train") / n > 0.7 && byS("train") / n < 0.9, s"train frac off: $byS")
+    assert(byS.getOrElse("val", 0) + byS.getOrElse("test", 0) > 0, s"missing splits: $byS")
+    // every doc appears exactly once — splits partition the corpus
+    assert(a.map(_.getLong(0)).distinct.length == a.length)
+  }
+
+  test("mix upsamples odd sources and downsamples even ones") {
+    val rows = Pipeline.mixCorpora(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    rows.foreach { case (src, nOut, nUniq) =>
+      val odd = src.stripPrefix("src").toInt % 2 == 1
+      if (odd) {
+        // w=1.8: every doc at least once, some twice
+        assert(nOut >= nUniq, s"$src upsample lost docs")
+      } else {
+        // w=0.6: pure subsample, no copies
+        assert(nOut == nUniq, s"$src downsample must not duplicate")
+      }
+    }
+    // global: odd sources expand, even shrink (checked in aggregate to
+    // dodge small-sample noise at sf0.001)
+    val odds = rows.filter(_._1.stripPrefix("src").toInt % 2 == 1)
+    assert(odds.map(_._2).sum > odds.map(_._3).sum, "odd sources should net-expand")
+  }
+
+  test("packs respect the token budget up to one document of overflow") {
+    val rows = Pipeline.packTokenBudget(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val maxDocTok = graft.sources.Tables.documents(spark, sf)
+      .selectExpr("max(cast(ceil(n_chars / 4.0) as bigint))").collect()(0).getLong(0)
+    rows.foreach { case (lang, pack, _, tokens) =>
+      assert(tokens < Pipeline.PackBudget + maxDocTok,
+        s"pack $lang/$pack holds $tokens tokens (budget ${Pipeline.PackBudget}, maxdoc $maxDocTok)")
+    }
+    // pack ids are contiguous from 0 within each language
+    rows.groupBy(_._1).foreach { case (lang, ps) =>
+      val ids = ps.map(_._2).sorted.toList
+      assert(ids == (0L until ids.length).toList, s"$lang packs not contiguous: $ids")
+    }
+  }
+
+  test("curation keeps roughly the middle half per language") {
+    val kept = Pipeline.curateQualityBand(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = graft.sources.Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (lang, n) =>
+      val k = kept.getOrElse(lang, 0L).toDouble
+      // percent_rank band [0.25, 0.75] keeps ~half (±1 boundary row each side)
+      assert(k >= n * 0.5 - 2 && k <= n * 0.5 + 2, s"$lang kept $k of $n")
+    }
+  }
+
+  test("tfidf ranks 5 terms per language, scores non-increasing") {
+    val rows = Pipeline.tfidfTopk(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getDouble(4), r.getInt(5)))
+    val byLang = rows.groupBy(_._1)
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.map(_._5).sorted.toSeq == (1 to rs.length), s"$lang ranks not 1..k")
+      val scores = rs.sortBy(_._5).map(_._4)
+      assert(scores.zip(scores.tail).forall { case (x, y) => x >= y }, s"$lang not sorted: ${scores.toSeq}")
+      // df < 5 for every ranked term: a term in all languages has idf 0
+      // and can only rank if nothing else is available
+      rs.foreach { case (_, tf, df, tfidf, _) =>
+        if (df < 5) assert(tfidf >= 0, s"negative tfidf at df=$df tf=$tf") }
+    }
+  }
+}

@@ -79,4 +79,68 @@ class PlanSpec extends SparkTestBase {
       "salt range must broadcast")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("split assignment is a pure narrow map — no hash shuffle, no join") {
+    val p = plan("split_train_test")
+    assert(!p.contains("Exchange hashpartitioning"), s"split must not shuffle:\n${p.take(1500)}")
+    assert(!p.contains("Join"), "split reads no second table")
+  }
+
+  test("mix expands with a generator, not a join") {
+    val p = plan("mix_corpora")
+    assert(p.contains("Generate"), "copies should come from explode(sequence)")
+    assert(!p.contains("Join"), "mixture weights are expressions, not a joined table")
+  }
+
+  test("pack reuses the language partitioning for window and aggregation") {
+    val p = plan("pack_token_budget")
+    val ex = countNodes(p, "Exchange")
+    // 1 hash exchange for the lang window (the groupBy on (lang, pack)
+    // is satisfied by it) + 1 range exchange for the output ordering
+    assert(ex <= 2, s"expected <=2 exchanges, got $ex:\n${p.take(2000)}")
+  }
+
+  test("pivot with explicit values is a single scan and a single aggregation pass") {
+    val p = plan("q_pivot_events_daily")
+    assert(countScans(p) == 1, s"pivot must not rescan for distinct values:\n${p.take(1500)}")
+  }
+
+  test("tfidf computes df from a window over counts, not a second corpus scan") {
+    val p = plan("text_tfidf_topk")
+    assert(countScans(p) == 1, s"df should reuse the counted set:\n${p.take(1500)}")
+  }
+}
+
+/** Inventory-wide plan sweep: no entry may plan a CartesianProduct,
+  * and broadcast-nested-loop joins are allowed only where the operator
+  * genuinely joins on a non-equi condition (ANN query×corpus scoring,
+  * salt-range replication). A regression that silently turns an
+  * equi-join into a product join fails here before it burns a cluster. */
+class PlanSweepSpec extends SparkTestBase {
+
+  // entries whose construction runs jobs (iterative training / writes)
+  // are exercised by their own suites; the sweep covers the rest
+  private val skip = Set(
+    "ann_ivf_topk", "dedup_cluster",
+    "sink_bucketed_join", "sink_bucketed_multi", "sink_partitioned_scan",
+    "sink_compaction_scan", "sink_csv_roundtrip", "sink_json_roundtrip")
+
+  private val bnljAllowed = Set(
+    "ann_bruteforce_topk", "ann_lsh_topk", // query != candidate non-equi pairing
+    "q_skew_salted_join",                  // salt-range replication broadcast
+    "q15_top_supplier", "q22_idle_customers", "q17_small_qty_revenue",
+    "metrics_slave_status",                // single-row global-max broadcast
+    "dedup_embedding_cosine", "dedup_simhash", "dedup_minhash_lsh", "dedup_ngram_jaccard")
+
+  test("no entry plans a CartesianProduct; BNLJ only where intended") {
+    val failures = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).flatMap { name =>
+      val p = plan(name)
+      val cart = p.contains("CartesianProduct")
+      val bnlj = p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
+      if (cart) Some(s"$name: CartesianProduct")
+      else if (bnlj) Some(s"$name: unexpected BroadcastNestedLoopJoin")
+      else None
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }

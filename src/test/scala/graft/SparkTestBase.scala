@@ -26,4 +26,9 @@ trait SparkTestBase extends AnyFunSuite {
     * only (each node is also repeated in the detail section below). */
   def countNodes(p: String, node: String): Int =
     (node + """ \(\d+\)""").r.findAllIn(p).size
+
+  /** count parquet scans via the formatted plan's detail section, where
+    * each scan appears exactly once as "(n) Scan parquet". */
+  def countScans(p: String): Int =
+    """\(\d+\) Scan parquet""".r.findAllIn(p).size
 }

@@ -30,6 +30,30 @@ class WritersSpec extends SparkTestBase {
       s"partition filter must be on event_date:\n$p")
   }
 
+  test("multi-column bucketed pipeline joins and aggregates without shuffling the facts") {
+    val df = Writers.bucketedMultiJoin(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected SortMergeJoin in:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(l_partkey") &&
+      !p.contains("Exchange hashpartitioning(ps_partkey"),
+      s"composite-key bucketed join must not shuffle its inputs:\n$p")
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      s"scan should be bucket-aware:\n$p")
+  }
+
+  test("compaction writes the target number of contiguous files") {
+    Writers.compactionScan(spark, sf).collect()
+    def parts(dir: String) =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .count(_.getName.endsWith(".parquet"))
+    val sfx = java.lang.Integer.toHexString(sf.hashCode).takeRight(6)
+    assert(parts(s"/tmp/graft_docs_small_$sfx") > Writers.CompactTargetFiles,
+      "small layout should have many files")
+    assert(parts(s"/tmp/graft_docs_packed_$sfx") == Writers.CompactTargetFiles,
+      "compacted layout should hit the target file count")
+  }
+
   test("approx percentiles stay within 10% of exact") {
     val rows = graft.operators.Tpch.qApproxPercentile(spark, sf).collect()
     assert(rows.nonEmpty)
