@@ -199,10 +199,75 @@ object Pipeline {
                  ORDER BY floor(tf * ln($NumLangs * 1.0 / df) * 10000) / 10000.0 DESC, term) AS INT) AS rn
         FROM wd QUALIFY rn <= 5 ORDER BY lang, rn"""
 
+  // -------------------------------------------------------------- sample
+
+  /** Per-language sampling fractions: downsample the high-resource
+    * language, keep the low-resource tail — the rebalancing step of a
+    * multilingual training mix. */
+  val StratFractions: Seq[(String, Int)] =
+    Seq("en" -> 25, "de" -> 50, "fr" -> 50, "es" -> 50, "zh" -> 100)
+
+  /** Stratified sampling with deterministic membership: keep a doc iff
+    * its content-hash bucket clears the stratum's fraction. Same
+    * zero-shuffle narrow map as the split — and unlike `sampleBy`, the
+    * sample is stable under repartitioning and re-runs. */
+  def sampleStratified: Q = (s, d) => {
+    val frac = StratFractions.foldLeft(lit(0)) { case (acc, (l, p)) =>
+      when(col("lang") === l, p).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .withColumn("bucket", hashBucket(concat(lit("strat:"), col("doc_id").cast("string"))))
+      .filter(col("bucket") < frac)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("chars_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  val sampleStratifiedSql: String = {
+    val b = hashBucketSql("'strat:' || CAST(doc_id AS VARCHAR)")
+    val frac = StratFractions.map { case (l, p) => s"WHEN lang = '$l' THEN $p" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    s"""SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS chars_sampled
+        FROM documents WHERE $b < $frac
+        GROUP BY lang ORDER BY lang"""
+  }
+
+  val ReservoirK = 10
+
+  /** Fixed-size uniform sample per stratum (distributed reservoir
+    * equivalent): the k docs with the smallest content hash — "bottom-k
+    * by hash" is the parallel, mergeable form of reservoir sampling
+    * (union two samples, keep the k smallest — exactly what the
+    * bounded `graft_topk` aggregate does map-side, shipping ≤k rows
+    * per partition instead of sorting the stratum). 13 hex chars = 52
+    * bits: exact in a double. */
+  def sampleReservoir: Q = (s, d) => {
+    val h = conv(substring(md5(concat(lit("resv:"), col("doc_id").cast("string"))), 1, 13), 16, 10)
+      .cast("double")
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), (-h).as("neg_h"))
+      .groupBy(col("lang"))
+      .agg(expr(s"graft_topk(neg_h, doc_id, $ReservoirK)").as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), col("col.id").as("doc_id"), (col("pos") + 1).cast("int").as("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val sampleReservoirSql: String =
+    s"""SELECT lang, doc_id, rk FROM (
+          SELECT lang, doc_id,
+                 CAST(row_number() OVER (PARTITION BY lang
+                   ORDER BY ('0x' || substring(md5('resv:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT,
+                            doc_id) AS INT) AS rk
+          FROM documents) t
+        WHERE rk <= $ReservoirK ORDER BY lang, rk"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("split_train_test", splitTrainTest, Some(splitTrainTestSql)),
     ("mix_corpora", mixCorpora, Some(mixCorporaSql)),
     ("pack_token_budget", packTokenBudget, Some(packTokenBudgetSql)),
     ("curate_quality_band", curateQualityBand, Some(curateQualityBandSql)),
-    ("text_tfidf_topk", tfidfTopk, Some(tfidfTopkSql)))
+    ("text_tfidf_topk", tfidfTopk, Some(tfidfTopkSql)),
+    ("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
+    ("sample_reservoir", sampleReservoir, Some(sampleReservoirSql)))
 }

@@ -317,8 +317,41 @@ object Scrapers {
                 'database-collector', value) AS line
        FROM l ORDER BY line"""
 
+  /** postgres_exporter default-collector analog (the reference wires
+    * postgres through the stock exporter, exporters/postgres): a
+    * pg_stat_database-shaped per-database activity snapshot —
+    * backends, transaction counts, timing — in the same long metric
+    * format as the mysqld scrapers. */
+  def pgStatDatabase: Q = (s, d) => {
+    val agg = Tables.events(s, d)
+      .groupBy(col("event_type").as("datname"))
+      .agg(
+        countDistinct(col("user_id")).cast("double").as("pg_numbackends"),
+        count(when(col("event_type") =!= "error", 1)).cast("double").as("pg_xact_commit"),
+        count(when(col("event_type") === "error", 1)).cast("double").as("pg_xact_rollback"),
+        round(sum(col("value")), 2).as("pg_blk_read_time"))
+    MetricsModel.wideToLong(agg, Seq("datname"),
+      Seq("pg_numbackends", "pg_xact_commit", "pg_xact_rollback", "pg_blk_read_time"))
+      .orderBy(col("datname"), col("metric_name"))
+  }
+
+  val pgStatDatabaseSql: String =
+    """WITH a AS (SELECT event_type AS datname,
+                    CAST(count(DISTINCT user_id) AS DOUBLE) AS nb,
+                    CAST(count(*) FILTER (WHERE event_type <> 'error') AS DOUBLE) AS xc,
+                    CAST(count(*) FILTER (WHERE event_type = 'error') AS DOUBLE) AS xr,
+                    round(sum(value), 2) AS brt
+                  FROM events GROUP BY event_type)
+       SELECT datname, metric_name, value FROM (
+         SELECT datname, 'pg_numbackends' AS metric_name, nb AS value FROM a
+         UNION ALL SELECT datname, 'pg_xact_commit', xc FROM a
+         UNION ALL SELECT datname, 'pg_xact_rollback', xr FROM a
+         UNION ALL SELECT datname, 'pg_blk_read_time', brt FROM a) t
+       ORDER BY datname, metric_name"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("metrics_global_status", globalStatus, Some(globalStatusSql)),
+    ("metrics_pg_stat_database", pgStatDatabase, Some(pgStatDatabaseSql)),
     ("metrics_global_variables", globalVariables, Some(globalVariablesSql)),
     ("metrics_slave_status", slaveStatus, Some(slaveStatusSql)),
     ("metrics_processlist", processlist, Some(processlistSql)),

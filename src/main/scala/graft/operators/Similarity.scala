@@ -209,8 +209,35 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  val RangeTau = 0.25
+
+  /** Radius (range) search: ALL neighbors with cosine ≥ τ per query —
+    * the fixed-threshold sibling of top-k (retrieval dedup / near-match
+    * audit). Same broadcast-queries single-corpus-pass shape as brute
+    * force; the filter replaces the bounded aggregate, so output size
+    * is data-dependent and no per-query state is held at all. */
+  def rangeSearch: Q = (s, d) => {
+    val all = emb(s, d)
+    val q = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
+    all.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr(dotExpr) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .filter(col("cos") >= RangeTau)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), trunc4(col("cos")).as("cosine"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  val rangeSearchSql: String =
+    s"""SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+          floor(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) * 10000) / 10000.0 AS cosine
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < $NumQueries
+          AND list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) >= $RangeTau
+        ORDER BY query_id, neighbor_id"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("ann_bruteforce_topk", bruteForceTopK, Some(bruteForceTopKSql)),
     ("ann_lsh_topk", lshTopK, None),
-    ("ann_ivf_topk", ivfTopK, None))
+    ("ann_ivf_topk", ivfTopK, None),
+    ("ann_range_search", rangeSearch, Some(rangeSearchSql)))
 }

@@ -268,11 +268,54 @@ object EventsStream {
          c_ts > p_ts - INTERVAL 30 MINUTES AND c_ts <= p_ts"""))
   }
 
+  /** Batch twin of the streaming scrape→remote-write loop: the
+    * reference scrapes every database on a timer and pushes long-format
+    * TimeSeries; streaming-native, each 6-hour window per stream
+    * finalizes into long metric rows when the watermark passes. This is
+    * the batch-parity query (entry `stream_metrics_scrape`); the
+    * streaming path below emits the same rows (StreamingSpec). */
+  def metricsScrapeBatch: Q = (s, d) => {
+    val agg = Tables.events(s, d)
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).cast("double").as("scrape_events_total"),
+        round(sum(col("value")), 2).as("scrape_value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("scrape_events_total"), col("scrape_value_sum"))
+    graft.operators.MetricsModel.wideToLong(agg, Seq("window_start", "event_type"),
+      Seq("scrape_events_total", "scrape_value_sum"))
+      .orderBy(col("window_start"), col("event_type"), col("metric_name"))
+  }
+
+  val metricsScrapeSql: String =
+    """WITH a AS (SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, event_type,
+                    CAST(count(*) AS DOUBLE) AS n, round(sum(value), 2) AS v
+                  FROM events GROUP BY 1, 2)
+       SELECT window_start, event_type, metric_name, value FROM (
+         SELECT window_start, event_type, 'scrape_events_total' AS metric_name, n AS value FROM a
+         UNION ALL SELECT window_start, event_type, 'scrape_value_sum', v FROM a) t
+       ORDER BY window_start, event_type, metric_name"""
+
+  /** Streaming twin: watermarked 6-hour windows, finalized to the same
+    * long metric rows — the continuous version of the reference's
+    * cron-driven scrape/push loop. */
+  def metricsScrapeStream(events: DataFrame): DataFrame = {
+    val agg = events
+      .withWatermark("ts", "6 hours")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).cast("double").as("scrape_events_total"),
+        round(sum(col("value")), 2).as("scrape_value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("scrape_events_total"), col("scrape_value_sum"))
+    graft.operators.MetricsModel.wideToLong(agg, Seq("window_start", "event_type"),
+      Seq("scrape_events_total", "scrape_value_sum"))
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("stream_events_window", eventsWindowBatch, Some(eventsWindowSql)),
     ("stream_sessionize_state", sessionizeBatch, Some(AsOfSessionizeOracle.sql)),
     ("stream_dedup_exact", eventsDedupBatch, Some(eventsDedupSql)),
-    ("stream_interval_join", intervalJoinBatch, Some(intervalJoinSql)))
+    ("stream_interval_join", intervalJoinBatch, Some(intervalJoinSql)),
+    ("stream_metrics_scrape", metricsScrapeBatch, Some(metricsScrapeSql)))
 
   /** The stateful batch entry reuses the window-based sessionize oracle
     * — both must produce identical sessions. */

@@ -126,7 +126,7 @@ class PlanSweepSpec extends SparkTestBase {
     "sink_compaction_scan", "sink_csv_roundtrip", "sink_json_roundtrip")
 
   private val bnljAllowed = Set(
-    "ann_bruteforce_topk", "ann_lsh_topk", // query != candidate non-equi pairing
+    "ann_bruteforce_topk", "ann_lsh_topk", "ann_range_search", // query != candidate non-equi pairing
     "q_skew_salted_join",                  // salt-range replication broadcast
     "q15_top_supplier", "q22_idle_customers", "q17_small_qty_revenue",
     "metrics_slave_status",                // single-row global-max broadcast

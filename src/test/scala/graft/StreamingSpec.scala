@@ -109,6 +109,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming scrape windows finalize into batch-identical long metric rows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batchRows = graft.sources.Tables.events(spark, sf)
+      .select(col("ts"), col("event_type"), col("value")).as[Ev].collect()
+
+    val input = MemoryStream[Ev]
+    val q = EventsStream.metricsScrapeStream(input.toDF())
+      .writeStream.format("memory").queryName("scrape_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(batchRows.toSeq)
+      q.processAllAvailable()
+      val maxTs = batchRows.map(_.ts.getTime).max
+      input.addData(Ev(new java.sql.Timestamp(maxTs + 24L * 3600 * 1000), "__wm__", 0.0))
+      q.processAllAvailable()
+
+      def key(r: org.apache.spark.sql.Row) = (r.getTimestamp(0), r.getString(1), r.getString(2))
+      val got = spark.table("scrape_sink")
+        .filter(col("event_type") =!= "__wm__")
+        .collect().map(r => key(r) -> r.getDouble(3)).toMap
+      val want = EventsStream.metricsScrapeBatch(spark, sf)
+        .collect().map(r => key(r) -> r.getDouble(3)).toMap
+      assert(got.keySet == want.keySet,
+        s"series differ: missing=${(want.keySet diff got.keySet).take(3)} extra=${(got.keySet diff want.keySet).take(3)}")
+      want.foreach { case (k, v) =>
+        assert(math.abs(got(k) - v) < 1e-6, s"mismatch at $k: ${got(k)} vs $v")
+      }
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch fold") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
