@@ -170,9 +170,48 @@ object AsOf {
         FROM indexed GROUP BY user_id, session_idx
         ORDER BY user_id, session_start"""
 
+  val ToleranceSeconds = 3600
+
+  /** As-of join with tolerance (max staleness): the most recent prior
+    * click counts only if it is at most 1 hour old — the point-in-time
+    * join variant every feature-store lookup needs (a stale feature is
+    * worse than no feature). Same single-exchange union+window plan;
+    * the tolerance is a post-filter on the matched timestamp, not a
+    * second join. */
+  def asofTolerance: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), date_trunc("second", col("ts")).as("ts"),
+        when(col("event_type") === "click", 0).otherwise(1).as("side"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("click_ts", max(when(col("side") === 0, col("ts"))).over(w))
+      .withColumn("staleness_sec",
+        unix_timestamp(col("ts")) - unix_timestamp(col("click_ts")))
+      .filter(col("side") === 1 && col("staleness_sec") <= ToleranceSeconds)
+      .select(col("event_id"), col("user_id"), col("ts"), col("click_ts"), col("staleness_sec"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofToleranceSql: String =
+    s"""SELECT event_id, user_id, ts, click_ts,
+          CAST(epoch(ts) - epoch(click_ts) AS BIGINT) AS staleness_sec
+        FROM (
+          SELECT event_id, user_id, ts, side,
+                 max(CASE WHEN side = 0 THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, side, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ts
+          FROM (SELECT event_id, user_id, date_trunc('second', ts) AS ts,
+                       CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+                FROM events WHERE event_type IN ('click', 'purchase'))) t
+        WHERE side = 1 AND epoch(ts) - epoch(click_ts) <= $ToleranceSeconds
+        ORDER BY event_id"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("asof_join", asofJoin, Some(asofJoinSql)),
     ("asof_join_forward", asofJoinForward, Some(asofJoinForwardSql)),
+    ("asof_tolerance", asofTolerance, Some(asofToleranceSql)),
     ("sessionize", sessionize, Some(sessionizeSql)),
     ("sessionize_native", sessionizeNative, Some(sessionizeNativeSql)))
 }

@@ -249,10 +249,36 @@ object Dedup {
        WHERE floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 10000) / 10000.0 >= 0.4
        ORDER BY vec_a, vec_b"""
 
+  /** The ACTION side of dedup: the drop-list. Docs sharing a canonical
+    * fingerprint (sorted distinct tokens — catches shuffled/reordered
+    * copies exact-hash misses) are collapsed to the smallest doc_id;
+    * every other member is emitted as (dup → canonical). One shuffle
+    * (window over fingerprint), no join back to the corpus. */
+  def keepCanonical: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("fp"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(expr(s"array_join(array_sort(array_distinct($toksExpr)), ' ')")).as("fp"))
+      .withColumn("canonical_doc_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") =!= col("canonical_doc_id"))
+      .select(col("doc_id").as("dup_doc_id"), col("canonical_doc_id"), col("fp").as("fingerprint"))
+      .orderBy(col("dup_doc_id"))
+  }
+
+  val keepCanonicalSql: String =
+    s"""SELECT doc_id AS dup_doc_id, canonical_doc_id, fp AS fingerprint FROM (
+          SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS canonical_doc_id
+          FROM (SELECT doc_id,
+                  md5(array_to_string(list_sort(list_distinct($toksSqlExpr)), ' ')) AS fp
+                FROM documents) t) m
+        WHERE doc_id <> canonical_doc_id ORDER BY dup_doc_id"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("dedup_exact", exact, Some(exactSql)),
     ("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     ("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     ("dedup_simhash", simhash, None),
-    ("dedup_embedding_cosine", embeddingCosine, Some(embeddingCosineSql)))
+    ("dedup_embedding_cosine", embeddingCosine, Some(embeddingCosineSql)),
+    ("dedup_keep_canonical", keepCanonical, Some(keepCanonicalSql)))
 }
