@@ -112,8 +112,32 @@ object Multimodal {
              FROM documents) t
        ORDER BY doc_id"""
 
+  /** Feature extraction: decoded frames mean/min/max/RMS-pooled into a
+    * per-document feature row — the decode→embed step of a multimodal
+    * training pipeline (a real extractor would pool a model's per-frame
+    * activations; the pooling aggregation and its shuffle shape are
+    * exactly this). Partition-batched decode feeds ONE aggregation
+    * keyed by doc — frames never leave their partition unpooled except
+    * through the map-side partial agg (rows-only; byte math asserted in
+    * MultimodalSpec). */
+  def featureExtract: Q = (s, d) => {
+    decodeStub(s, d).toDF()
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_frames"),
+        TextAnalysis.trunc4(avg(col("mean_intensity"))).as("feat_mean"),
+        // min/max are already 4dp-truncated per frame: re-flooring would
+        // shave an ulp (floor(x*1e4) can land on 999…9 for exact 4dp x)
+        min(col("mean_intensity")).as("feat_min"),
+        max(col("mean_intensity")).as("feat_max"),
+        TextAnalysis.trunc4(sqrt(avg(col("mean_intensity") * col("mean_intensity"))))
+          .as("feat_rms"))
+      .orderBy(col("doc_id"))
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("mm_binary_meta", meta, Some(metaSql)),
     ("mm_decode_frames", decodeFrames, None),
-    ("mm_resize", resize, Some(resizeSql)))
+    ("mm_resize", resize, Some(resizeSql)),
+    ("mm_feature_extract", featureExtract, None))
 }

@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.Multimodal
+
+/** The multimodal decode→pool path: the fake codec's byte math and the
+  * pooled features must match a driver-local recompute exactly. */
+class MultimodalSpec extends SparkTestBase {
+
+  private def trunc4(x: Double) = math.floor(x * 10000) / 10000.0
+
+  test("feature pooling matches a local recompute of the fake codec") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val feats = Multimodal.featureExtract(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(feats.keySet == docs.keySet)
+
+    // recompute 10 docs locally, straight from the bytes
+    docs.toSeq.sortBy(_._1).take(10).foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val nFrames = 1 + bytes.length / 256
+      val intensities = (0 until nFrames).map { f =>
+        val from = f * 256
+        val until = math.min(from + 256, bytes.length)
+        val w = if (until > from) bytes.slice(from, until) else Array[Byte](0)
+        math.floor(w.map(b => (b & 0xff).toDouble).sum / w.length * 10000) / 10000.0
+      }
+      val (n, mean, mn, mx, rms) = feats(id)
+      assert(n == nFrames, s"doc $id frames: $n vs $nFrames")
+      assert(mean == trunc4(intensities.sum / n), s"doc $id mean")
+      assert(mn == intensities.min && mx == intensities.max, s"doc $id min/max")
+      assert(rms == trunc4(math.sqrt(intensities.map(x => x * x).sum / n)), s"doc $id rms")
+    }
+  }
+}
