@@ -63,7 +63,64 @@ object Reshape {
         FROM events GROUP BY event_date ORDER BY event_date"""
   }
 
+  /** Semi-structured extraction: events.props is a JSON string column;
+    * pull a typed field out and aggregate on it — the schema-on-read
+    * path every event pipeline needs. `get_json_object` is a codegen'd
+    * expression (one pass, no UDF); at scale the win is pushing the
+    * parse AFTER the scan prunes rows/columns, which this plan does. */
+  def jsonExtract: Q = (s, d) => {
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("k_sum"),
+        TextAnalysis.trunc4(avg(col("k"))).as("k_avg"),
+        max(col("k")).as("k_max"))
+      .orderBy(col("event_type"))
+  }
+
+  val jsonExtractSql: String =
+    """SELECT event_type, count(*) AS n_events,
+          CAST(sum(k) AS BIGINT) AS k_sum,
+          floor(avg(k) * 10000) / 10000.0 AS k_avg,
+          CAST(max(k) AS INT) AS k_max
+       FROM (SELECT event_type, json_extract(props, '$.k')::INT AS k FROM events) t
+       GROUP BY event_type ORDER BY event_type"""
+
+  /** Interval-frame rolling aggregate: 7-day rolling value sum per
+    * event type, as a RANGE frame over day numbers (rows-frames can't
+    * express calendar windows with gaps). Two cheap aggregations: the
+    * daily rollup shrinks the corpus first, the window runs over the
+    * tiny per-day series — the rollup-then-window shape that keeps
+    * interval analytics linear at scale. */
+  def rolling7d: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")), 2).as("day_value"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
+      .rangeBetween(-6, 0)
+    daily
+      .select(col("event_type"), col("day"), col("day_value"),
+        round(sum(col("day_value")).over(w), 2).as("rolling_7d"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val rolling7dSql: String =
+    """SELECT event_type, day, day_value,
+          round(sum(day_value) OVER (PARTITION BY event_type ORDER BY day_num
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rolling_7d
+       FROM (SELECT event_type, CAST(ts AS DATE) AS day,
+               round(sum(value), 2) AS day_value,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+             FROM events GROUP BY 1, 2) t
+       ORDER BY event_type, day"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_histogram_totalprice", histogramTotalprice, Some(histogramTotalpriceSql)),
-    ("q_pivot_events_daily", pivotEventsDaily, Some(pivotEventsDailySql)))
+    ("q_pivot_events_daily", pivotEventsDaily, Some(pivotEventsDailySql)),
+    ("q_json_extract", jsonExtract, Some(jsonExtractSql)),
+    ("q_window_rolling_7d", rolling7d, Some(rolling7dSql)))
 }
