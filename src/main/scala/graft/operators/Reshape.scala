@@ -118,9 +118,42 @@ object Reshape {
              FROM events GROUP BY 1, 2) t
        ORDER BY event_type, day"""
 
+  /** Latest-state snapshot: each user's most recent event — the
+    * "current state from an event log" compaction (CDC-style read).
+    * `max_by` keyed tuples make this ONE aggregation with map-side
+    * partial combine — no window sort of each user's history, the
+    * difference between O(n) and O(n log n) per key at scale.
+    * Deterministic: ties on (ts) broken by event_id via the packed
+    * struct ordering. */
+  def latestPerKey: Q = (s, d) => {
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts"), col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(struct(col("ts"), col("event_id"), col("event_type"), col("value"))).as("last"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("last.ts").as("last_ts"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_event_type"),
+        col("last.value").as("last_value"), col("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val latestPerKeySql: String =
+    """SELECT user_id, last_ts, last_event_id, last_event_type, last_value, n_events FROM (
+         SELECT user_id, date_trunc('second', ts) AS last_ts, event_id AS last_event_id,
+                event_type AS last_event_type, value AS last_value,
+                count(*) OVER (PARTITION BY user_id) AS n_events,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY date_trunc('second', ts) DESC, event_id DESC) AS rn
+         FROM events) t
+       WHERE rn = 1 ORDER BY user_id"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_histogram_totalprice", histogramTotalprice, Some(histogramTotalpriceSql)),
     ("q_pivot_events_daily", pivotEventsDaily, Some(pivotEventsDailySql)),
     ("q_json_extract", jsonExtract, Some(jsonExtractSql)),
-    ("q_window_rolling_7d", rolling7d, Some(rolling7dSql)))
+    ("q_window_rolling_7d", rolling7d, Some(rolling7dSql)),
+    ("q_latest_per_key", latestPerKey, Some(latestPerKeySql)))
 }

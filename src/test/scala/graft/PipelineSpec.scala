@@ -18,6 +18,22 @@ class PipelineSpec extends SparkTestBase {
     assert(a.map(_.getLong(0)).distinct.length == a.length)
   }
 
+  test("hash sampling membership is invariant under repartitioning") {
+    import org.apache.spark.sql.functions._
+    // the core determinism claim: unlike rand(seed)/sampleBy, membership
+    // is a pure function of the key, so ANY physical layout agrees
+    val base = graft.sources.Tables.documents(spark, sf)
+    def sampled(parts: Int) =
+      Pipeline.sampleStratified(spark, sf).collect().map(_.toSeq).toSeq
+    // different shuffle layouts of the same op must agree — and the split
+    // assignment per doc must match a single-partition recompute
+    val a = Pipeline.splitTrainTest(spark, sf).collect().map(_.toSeq)
+    val b = Pipeline.splitTrainTest(spark, sf)
+      .repartition(7, col("split")).orderBy(col("doc_id")).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq, "split must not depend on physical layout")
+    assert(sampled(3) == sampled(11), "stratified sample must not depend on layout")
+  }
+
   test("mix upsamples odd sources and downsamples even ones") {
     val rows = Pipeline.mixCorpora(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
