@@ -192,11 +192,12 @@ object Dedup {
         ORDER BY doc_a, doc_b"""
   }
 
-  /** SimHash near-dup pairs: 64-bit signature from xxhash64(token)
-    * bit votes; 4×16-bit bands → candidate join is EXACT for
-    * Hamming ≤ 3 (pigeonhole: 3 flipped bits leave ≥1 band clean).
-    * Rows-only (no portable 64-bit hash in the oracle); brute-force
-    * parity asserted in DedupSpec. */
+  /** SimHash near-dup pairs: 60-bit signature from md5-prefix token
+    * hashes (60 bits = 15 hex chars: portable AND exact in a BIGINT on
+    * every engine — xxhash64 would be Spark-only); 4×16-bit bands →
+    * candidate join is EXACT for Hamming ≤ 3 (pigeonhole: 3 flipped
+    * bits leave ≥1 band clean). DuckDB oracle runs the identical
+    * pipeline bit-for-bit; brute-force parity also in DedupSpec. */
   def simhash: Q = (s, d) => {
     // signature packed into ONE BIGINT, computed per-doc with no shuffle:
     // bit k set iff more than half the distinct-token hashes have bit k set
@@ -204,7 +205,8 @@ object Dedup {
     val sig = Tables.documents(s, d)
       .filter(trim(col("text")) =!= "") // ⇔ has tokens; cheap + scan-pushable
       .select(col("doc_id"),
-        expr(s"transform(array_distinct($toksExpr), t -> xxhash64(t))").as("hs"))
+        expr(s"transform(array_distinct($toksExpr), t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))")
+          .as("hs"))
       .select(col("doc_id"), graft.functions.TextUdfs.packSimhash(col("hs")).as("sig"))
     // 4×16-bit integer bands; hamming via bit_count(xor) — all codegen'd
     // integer ops, no strings anywhere in the candidate path.
@@ -223,6 +225,34 @@ object Dedup {
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** The same simhash pipeline in DuckDB: 60-bit md5-prefix hashes,
+    * per-bit majority vote (2·ones > n), 4×16-bit band join, Hamming
+    * via bit_count(xor). */
+  val simhashSql: String =
+    s"""WITH toks AS (
+          SELECT doc_id, unnest(list_distinct($toksSqlExpr)) AS t
+          FROM documents WHERE trim(text) <> ''),
+        hs AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks),
+        votes AS (
+          SELECT doc_id, k,
+                 count(*) FILTER (WHERE ((h >> k) & 1) = 1) AS ones, count(*) AS n
+          FROM hs CROSS JOIN (SELECT unnest(range(0, 60)) AS k) ks
+          GROUP BY doc_id, k),
+        sig AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN 2 * ones > n THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS sig
+          FROM votes GROUP BY doc_id),
+        bl AS (
+          SELECT doc_id, sig, b AS band_idx, (sig >> (b * 16)) & 65535 AS bv
+          FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bs),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS da, a.sig AS sa, b.doc_id AS db, b.sig AS sb
+          FROM bl a JOIN bl b ON a.band_idx = b.band_idx AND a.bv = b.bv
+            AND a.doc_id < b.doc_id)
+        SELECT da AS doc_a, db AS doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        ORDER BY doc_a, doc_b"""
 
   /** Embedding near-dup pairs: label-blocked join, cosine ≥ 0.4. */
   def embeddingCosine: Q = (s, d) => {
@@ -278,7 +308,7 @@ object Dedup {
     ("dedup_exact", exact, Some(exactSql)),
     ("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     ("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
-    ("dedup_simhash", simhash, None),
+    ("dedup_simhash", simhash, Some(simhashSql)),
     ("dedup_embedding_cosine", embeddingCosine, Some(embeddingCosineSql)),
     ("dedup_keep_canonical", keepCanonical, Some(keepCanonicalSql)))
 }

@@ -43,7 +43,7 @@ class DedupSpec extends SparkTestBase {
     val toks = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), explode(expr(
         s"array_distinct(${graft.operators.TextAnalysis.toksExpr})")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
     val votes = (0 until 64).map(k =>
       sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$k"))
     val sig = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
