@@ -82,10 +82,42 @@ object Multimodal {
   }
 
   /** Frame extraction as an entry: the partition-batched decode path
-    * over every payload (rows-only — the fake codec's byte math is the
-    * Spark-side contract; deterministic and spec-smoked). */
+    * over every payload. The fake codec's byte math is replicated in
+    * the DuckDB oracle via hex(encode(text)) windows, so even the
+    * mapPartitions path is hash-verified end-to-end. */
   def decodeFrames: Q = (s, d) =>
     decodeStub(s, d).toDF().orderBy(col("doc_id"), col("frame_idx"))
+
+  /** The decode byte math in DuckDB: per-frame 256-byte windows of the
+    * UTF-8 payload, mean byte value via hex-pair extraction. */
+  val framesCte: String =
+    """p AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS blen,
+                   (('0x' || substr(md5(text), 1, 4))::INT % 1216 + 64) AS width,
+                   (('0x' || substr(md5(text), 5, 4))::INT % 696 + 32) AS height
+            FROM documents),
+       fidx AS (SELECT doc_id, hx, blen, width, height,
+                       unnest(range(0, 1 + blen // 256)) AS fi FROM p),
+       frames AS (
+         SELECT doc_id, CAST(fi AS INT) AS frame_idx, width, height,
+                CASE WHEN least(fi*256 + 256, blen) > fi*256
+                     THEN floor(list_avg(list_transform(range(fi*256, least(fi*256 + 256, blen)),
+                            i -> ('0x' || substr(hx, i*2 + 1, 2))::INT)) * 10000) / 10000.0
+                     ELSE 0.0 END AS mean_intensity
+         FROM fidx)"""
+
+  val decodeFramesSql: String =
+    s"""WITH $framesCte
+        SELECT doc_id, frame_idx, width, height, mean_intensity
+        FROM frames ORDER BY doc_id, frame_idx"""
+
+  val featureExtractSql: String =
+    s"""WITH $framesCte
+        SELECT doc_id, CAST(count(*) AS INT) AS n_frames,
+               floor(avg(mean_intensity) * 10000) / 10000.0 AS feat_mean,
+               min(mean_intensity) AS feat_min,
+               max(mean_intensity) AS feat_max,
+               floor(sqrt(avg(mean_intensity * mean_intensity)) * 10000) / 10000.0 AS feat_rms
+        FROM frames GROUP BY doc_id ORDER BY doc_id"""
 
   /** Resize plumbing: target dims fit into 224×224 preserving aspect
     * ratio — the pure-arithmetic half of an image resize, oracle-exact;
@@ -137,7 +169,7 @@ object Multimodal {
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("mm_binary_meta", meta, Some(metaSql)),
-    ("mm_decode_frames", decodeFrames, None),
+    ("mm_decode_frames", decodeFrames, Some(decodeFramesSql)),
     ("mm_resize", resize, Some(resizeSql)),
-    ("mm_feature_extract", featureExtract, None))
+    ("mm_feature_extract", featureExtract, Some(featureExtractSql)))
 }
