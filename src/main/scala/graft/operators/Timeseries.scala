@@ -1,0 +1,222 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over the metric stream — the storage/query
+  * side of the reference's collector loop. The reference ships samples
+  * to a Prometheus remote-write endpoint
+  * (collector/internal/utils/prometheus.go:23-120) and lets the TSDB
+  * do rate/downsample/gap-fill; a Spark-native engine owns that half
+  * too, so these re-express the PromQL-shaped reads as single-window /
+  * single-aggregation DataFrame plans.
+  *
+  * Scale notes (100 TB): every op here is keyed by series
+  * (event_type) — one shuffle on the series key, then per-series
+  * windows whose state is a single row (lag) or a bounded frame
+  * (24-row sliding quantile). The gap-fill spine is |series| × |hours|
+  * — generated, never materialized from the fact table. Nothing holds
+  * per-series history in memory beyond the frame.
+  */
+object Timeseries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** PromQL `increase()`/`rate()` analog with counter-reset detection:
+    * per-series adjacent delta (lag over (ts, event_id) total order);
+    * a negative delta means the counter reset, so the increase since
+    * the reset is the sample value itself — exactly Prometheus'
+    * extrapolation-free reset rule. One window + one aggregation. */
+  def counterRate: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+      .withColumn("inc",
+        when(col("delta").isNull, lit(0.0))     // first sample: no increase yet
+          .when(col("delta") < 0, col("value")) // counter reset: count from 0
+          .otherwise(col("delta")))
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("inc")), 2).as("increase"))
+      .withColumn("rate_per_sec", floor(col("increase") / 86400.0 * 1e6) / 1e6)
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val counterRateSql: String =
+    """WITH s AS (
+         SELECT event_type, ts, value,
+                value - lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS delta
+         FROM events),
+       i AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+                CASE WHEN delta IS NULL THEN 0.0
+                     WHEN delta < 0 THEN value ELSE delta END AS inc
+         FROM s)
+       SELECT event_type, day, round(sum(inc), 2) AS increase,
+              floor(round(sum(inc), 2) / 86400.0 * 1e6) / 1e6 AS rate_per_sec
+       FROM i GROUP BY 1, 2 ORDER BY event_type, day"""
+
+  /** Retention downsampling: 6-hour gauge rollup per series — the
+    * compaction step every metrics store runs. ONE aggregation with
+    * map-side combine; bucket key is integer epoch arithmetic (no
+    * timezone surface). */
+  def downsample: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        (floor(unix_timestamp(col("ts")) / 21600) * 21600).cast("long").as("bucket_start"))
+      .agg(count(lit(1)).as("samples"),
+        // avg from the ROUNDED sum: round(sum,2) is stable (2-decimal
+        // inputs keep true sums far from the .005 boundary), and the
+        // subsequent divide/trunc then runs on bit-identical doubles
+        // in every engine — unlike round(avg(…)), whose input differs
+        // by summation order.
+        (floor(round(sum(col("value")), 2) / count(lit(1)) * 1e4) / 1e4).as("avg_value"),
+        round(min(col("value")), 2).as("min_value"),
+        round(max(col("value")), 2).as("max_value"))
+      .orderBy(col("event_type"), col("bucket_start"))
+  }
+
+  val downsampleSql: String =
+    """SELECT event_type,
+              CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS bucket_start,
+              count(*) AS samples,
+              floor(round(sum(value), 2) / count(*) * 1e4) / 1e4 AS avg_value,
+              round(min(value), 2) AS min_value,
+              round(max(value), 2) AS max_value
+       FROM events GROUP BY 1, 2 ORDER BY event_type, bucket_start"""
+
+  /** Hourly series per event_type (shared by gapFill / quantileOverTime). */
+  private def hourly(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("hour_sec"))
+      .agg((floor(round(sum(col("value")), 2) / count(lit(1)) * 1e4) / 1e4).as("avg_value"))
+
+  /** Dense-spine gap fill with forward fill (PromQL lookback /
+    * `locf`): generate the full per-series hour spine, left-join the
+    * observed hourly points, forward-fill with the last non-null
+    * value. The spine is generated (sequence+explode, |series|×|hours|
+    * rows) — never derived by scanning the fact table twice; leading
+    * hours before a series' first sample stay null, like a TSDB
+    * returning no point before first ingest. */
+  def gapFill: Q = (s, d) => {
+    val h = hourly(s, d)
+    val bounds = h.agg(min(col("hour_sec")).as("h0"), max(col("hour_sec")).as("h1"))
+    val spine = h.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(h0, h1, 3600)")).as("hour_sec"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_sec"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(h, Seq("event_type", "hour_sec"), "left")
+      .withColumn("filled", col("avg_value").isNull)
+      .withColumn("value", last(col("avg_value"), ignoreNulls = true).over(w))
+      .select(col("event_type"), col("hour_sec"), col("value"), col("filled"))
+      .orderBy(col("event_type"), col("hour_sec"))
+  }
+
+  val gapFillSql: String =
+    """WITH ev AS (
+         SELECT event_type, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hour_sec, value
+         FROM events),
+       hourly AS (
+         SELECT event_type, hour_sec,
+                floor(round(sum(value), 2) / count(*) * 1e4) / 1e4 AS avg_value
+         FROM ev GROUP BY 1, 2),
+       b AS (SELECT min(hour_sec) AS h0, max(hour_sec) AS h1 FROM hourly),
+       spine AS (
+         SELECT et.event_type, gs.h AS hour_sec
+         FROM (SELECT DISTINCT event_type FROM hourly) et
+         CROSS JOIN (SELECT unnest(generate_series(h0, h1, 3600)) AS h FROM b) gs)
+       SELECT s.event_type, s.hour_sec,
+              last_value(h.avg_value IGNORE NULLS) OVER (
+                PARTITION BY s.event_type ORDER BY s.hour_sec
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+              h.avg_value IS NULL AS filled
+       FROM spine s LEFT JOIN hourly h USING (event_type, hour_sec)
+       ORDER BY event_type, hour_sec"""
+
+  /** PromQL `quantile_over_time(0.95, m[24h])` analog: sliding p95 of
+    * the hourly series over a trailing 24-row frame. Rollup first
+    * (hourly avg shrinks the series 100000× at 100 TB), THEN the
+    * sliding quantile over the bounded frame — the frame holds 24
+    * values regardless of raw cardinality. Nearest-rank (discrete)
+    * quantile with an explicit index rule, floor(p·(n−1)): selects a
+    * stored double, so the result is engine-portable where
+    * interpolated quantiles split on round boundaries. */
+  def quantileOverTime: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_sec"))
+      .rowsBetween(-23, Window.currentRow)
+    hourly(s, d)
+      .withColumn("frame", sort_array(collect_list(col("avg_value")).over(w)))
+      .withColumn("p95_24h", element_at(col("frame"),
+        (floor(lit(0.95) * (size(col("frame")) - 1)) + 1).cast("int")))
+      .select(col("event_type"), col("hour_sec"), col("avg_value"), col("p95_24h"))
+      .orderBy(col("event_type"), col("hour_sec"))
+  }
+
+  val quantileOverTimeSql: String =
+    """WITH hourly AS (
+         SELECT event_type, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hour_sec,
+                floor(round(sum(value), 2) / count(*) * 1e4) / 1e4 AS avg_value
+         FROM events GROUP BY 1, 2),
+       f AS (
+         SELECT event_type, hour_sec, avg_value,
+                list(avg_value) OVER (
+                  PARTITION BY event_type ORDER BY hour_sec
+                  ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS frame
+         FROM hourly)
+       SELECT event_type, hour_sec, avg_value,
+              list_sort(frame)[CAST(floor(0.95 * (len(frame) - 1)) AS INT) + 1] AS p95_24h
+       FROM f ORDER BY event_type, hour_sec"""
+
+  /** SCD2 dimension build (CDC history): per user, each change of
+    * event_type opens a new validity interval [valid_from, valid_to);
+    * the open interval is the current row. One shuffle on the entity
+    * key, two window passes over the same partitioning (change
+    * detection, then interval stitching on the change rows only). */
+  def scd2Dimension: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val changes = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_from",
+        date_format(date_trunc("second", col("ts")), "yyyy-MM-dd HH:mm:ss"))
+    changes
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("user_id"), col("event_type").as("attr_value"), col("version"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val scd2DimensionSql: String =
+    """WITH o AS (
+         SELECT user_id, ts, event_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+         FROM events),
+       c AS (
+         SELECT user_id, ts, event_id, event_type,
+                strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS valid_from
+         FROM o WHERE prev_type IS NULL OR prev_type <> event_type),
+       v AS (
+         SELECT user_id, event_type AS attr_value,
+                CAST(row_number() OVER w AS INT) AS version,
+                valid_from,
+                lead(valid_from) OVER w AS valid_to
+         FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT user_id, attr_value, version, valid_from, valid_to,
+              valid_to IS NULL AS is_current
+       FROM v ORDER BY user_id, version"""
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("metrics_counter_rate", counterRate, Some(counterRateSql)),
+    ("metrics_downsample", downsample, Some(downsampleSql)),
+    ("metrics_gap_fill", gapFill, Some(gapFillSql)),
+    ("metrics_quantile_over_time", quantileOverTime, Some(quantileOverTimeSql)),
+    ("scd2_dimension", scd2Dimension, Some(scd2DimensionSql))
+  )
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Timeseries
+
+/** Semantic invariants for the time-series family (oracle parity is
+  * the driver's gate; these check the properties the oracle can't). */
+class TimeseriesSpec extends SparkTestBase {
+
+  test("counter_rate: increases are non-negative and cover every (series, day)") {
+    val df = Timeseries.counterRate(spark, sf).cache()
+    assert(df.filter(col("increase") < 0 || col("rate_per_sec") < 0).count() == 0)
+    val perSeries = df.groupBy("event_type").count().collect()
+    assert(perSeries.nonEmpty && perSeries.forall(_.getLong(1) >= 28),
+      "each series should have ~30 daily buckets")
+    df.unpersist()
+  }
+
+  test("gap_fill: spine is dense per series and forward-fill leaves no holes after first sample") {
+    val df = Timeseries.gapFill(spark, sf).cache()
+    val spineSizes = df.groupBy("event_type").count().collect().map(_.getLong(1)).distinct
+    assert(spineSizes.length == 1, s"all series share one dense spine: ${spineSizes.toSeq}")
+    // once a series has a value, every later hour has one (forward fill)
+    val holes = df
+      .withColumn("seen", max(when(col("value").isNotNull, 1).otherwise(0))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("hour_sec")
+          .rowsBetween(Long.MinValue, 0)))
+      .filter(col("seen") === 1 && col("value").isNull)
+    assert(holes.count() == 0)
+    df.unpersist()
+  }
+
+  test("quantile_over_time: p95 is a stored frame element bounded by the frame max") {
+    val df = Timeseries.quantileOverTime(spark, sf)
+    val bad = df
+      .withColumn("mx", max(col("avg_value")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("hour_sec").rowsBetween(-23, 0)))
+      .filter(col("p95_24h") > col("mx") || col("p95_24h").isNull)
+    assert(bad.count() == 0)
+  }
+
+  test("scd2: exactly one open interval per user, intervals stitch contiguously") {
+    val df = Timeseries.scd2Dimension(spark, sf).cache()
+    val open = df.filter(col("is_current")).groupBy("user_id").count()
+      .filter(col("count") =!= 1)
+    assert(open.count() == 0, "each user has exactly one current row")
+    // valid_to of version v equals valid_from of version v+1
+    val stitched = df.alias("a").join(df.alias("b"),
+      col("a.user_id") === col("b.user_id") &&
+        col("a.version") + 1 === col("b.version"))
+      .filter(col("a.valid_to") =!= col("b.valid_from"))
+    assert(stitched.count() == 0, "intervals must be contiguous")
+    // consecutive versions never carry the same attribute value
+    val dupes = df.alias("a").join(df.alias("b"),
+      col("a.user_id") === col("b.user_id") &&
+        col("a.version") + 1 === col("b.version"))
+      .filter(col("a.attr_value") === col("b.attr_value"))
+    assert(dupes.count() == 0, "adjacent versions differ in attr_value")
+    df.unpersist()
+  }
+
+  test("downsample buckets partition the sample count") {
+    val total = graft.sources.Tables.events(spark, sf).count()
+    val sum = Timeseries.downsample(spark, sf).agg(org.apache.spark.sql.functions.sum("samples"))
+      .collect()(0).getLong(0)
+    assert(sum == total)
+  }
+}
