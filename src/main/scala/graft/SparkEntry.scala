@@ -11,7 +11,7 @@ object SparkEntry {
     Tpch.entries ++ Tpch2.entries ++ Scrapers.entries ++ graft.sources.SourceRegistry.entries ++
       graft.sources.Writers.entries ++
       TextAnalysis.entries ++ Dedup.entries ++ Cluster.entries ++ Similarity.entries ++ Multimodal.entries ++
-      AsOf.entries ++ Skew.entries ++ Pipeline.entries ++ Reshape.entries ++ Timeseries.entries ++
+      AsOf.entries ++ Skew.entries ++ Pipeline.entries ++ Reshape.entries ++ Timeseries.entries ++ Prune.entries ++
       graft.streaming.EventsStream.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -198,7 +198,67 @@ object Writers {
     """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
        FROM documents GROUP BY lang ORDER BY lang"""
 
+  /** Bit-interleave two columns already normalized to [0, 2^bits)
+    * into a Morton z-value: consecutive z-ranges map to bounded
+    * rectangles in (a, b) space. Normalization to EQUAL bit widths
+    * matters — interleaving raw values whose significant widths differ
+    * (8-bit custkey vs 12-bit day) degenerates to a sort on the wider
+    * dimension's high bits. */
+  def zvalue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int = 8): org.apache.spark.sql.Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Z-order (Morton) multi-column layout: orders range-partitioned
+    * and sorted by the interleaved (o_custkey, order-day) z-value, so
+    * every output file — and every parquet row group inside it — covers
+    * a bounded rectangle in BOTH dimensions. A 2-D box predicate
+    * (customer range × date range) then skips files/row groups on
+    * min/max stats in either dimension, where a single-column sort
+    * leaves the second dimension unprunable (per-file spans asserted
+    * against a linear layout in WritersSpec). Both dims are min/max
+    * normalized to 8-bit grid cells before interleaving (the min/max
+    * comes from one stats pass — at 100 TB, from table statistics).
+    * Read back through the layout; the aggregate must match the raw
+    * table (oracle). */
+  def zorderScan: Q = (s, d) => {
+    val path = s"/tmp/graft_orders_zorder_${sfx(d)}"
+    val src = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "o_orderstatus")
+      .withColumn("day_nr", datediff(col("o_orderdate"), lit("1992-01-01")))
+    val bounds = src.agg(
+      min(col("o_custkey")).as("ck0"), max(col("o_custkey")).as("ck1"),
+      min(col("day_nr")).as("d0"), max(col("day_nr")).as("d1"))
+    src.crossJoin(broadcast(bounds))
+      .withColumn("ckn", floor((col("o_custkey") - col("ck0")) * 256 /
+        (col("ck1") - col("ck0") + 1)).cast("long"))
+      .withColumn("dn", floor((col("day_nr") - col("d0")) * 256 /
+        (col("d1") - col("d0") + 1)).cast("long"))
+      .withColumn("z", zvalue(col("ckn"), col("dn")))
+      .repartitionByRange(16, col("z"))
+      .sortWithinPartitions(col("z"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "o_orderstatus")
+      .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+      .filter(col("o_custkey").between(40, 120) &&
+        col("o_orderdate").between(lit("1995-01-01"), lit("1996-12-31")))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val zorderScanSql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+              round(sum(o_totalprice), 2) AS total_price
+       FROM orders
+       WHERE o_custkey BETWEEN 40 AND 120
+         AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+       GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("sink_zorder_scan", zorderScan, Some(zorderScanSql)),
     ("sink_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     ("sink_bucketed_multi", bucketedMultiJoin, Some(bucketedMultiJoinSql)),
     ("sink_partitioned_scan", partitionedScan, Some(partitionedScanSql)),

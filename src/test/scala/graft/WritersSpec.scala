@@ -54,6 +54,43 @@ class WritersSpec extends SparkTestBase {
       "compacted layout should hit the target file count")
   }
 
+  test("z-order files are bounded in BOTH dimensions where a linear sort is not") {
+    import org.apache.spark.sql.functions._
+    Writers.zorderScan(spark, sf).collect()
+    val sfx = java.lang.Integer.toHexString(sf.hashCode).takeRight(6)
+    val zPath = s"/tmp/graft_orders_zorder_$sfx"
+    // comparison layout: same data, linearly sorted by custkey only
+    val linPath = s"/tmp/graft_orders_linear_$sfx"
+    spark.read.parquet(zPath)
+      .repartitionByRange(16, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(linPath)
+
+    // mean over files of max(per-dim span fraction): ~1.0 when any
+    // dimension is unpruned, small when every file is a bounded box
+    def spans(path: String): org.apache.spark.sql.Row =
+      spark.read.parquet(path)
+        .withColumn("day_nr", datediff(col("o_orderdate"), lit("1992-01-01")))
+        .agg(min("o_custkey"), max("o_custkey"), min("day_nr"), max("day_nr"))
+        .collect()(0)
+    def meanMaxSpan(path: String): Double = {
+      val g = spans(path)
+      val ckSpan = (g.getLong(1) - g.getLong(0)).toDouble
+      val daySpan = (g.getInt(3) - g.getInt(2)).toDouble
+      val fracs = spark.read.parquet(path).inputFiles.map { f =>
+        val r = spans(f)
+        math.max((r.getLong(1) - r.getLong(0)) / ckSpan,
+          (r.getInt(3) - r.getInt(2)) / daySpan)
+      }
+      fracs.sum / fracs.length
+    }
+    val zSpan = meanMaxSpan(zPath)
+    val linSpan = meanMaxSpan(linPath)
+    assert(zSpan < 0.8 * linSpan,
+      s"z-order files should be boxes (z=$zSpan vs linear=$linSpan)")
+    assert(zSpan < 0.75, s"z-order mean max-span too wide: $zSpan")
+  }
+
   test("approx percentiles stay within 10% of exact") {
     val rows = graft.operators.Tpch.qApproxPercentile(spark, sf).collect()
     assert(rows.nonEmpty)
