@@ -304,7 +304,52 @@ object Dedup {
                 FROM documents) t) m
         WHERE doc_id <> canonical_doc_id ORDER BY dup_doc_id"""
 
+  /** Fuzzy near-dup by edit distance: each document's nearest
+    * neighbor (smallest levenshtein over a fixed 80-char normalized
+    * prefix) within its (lang, length-band) block. Threshold-free —
+    * ranking instead of a tuned cutoff — so the operator is
+    * well-defined at every corpus scale. The blocked self-join bounds
+    * the candidate space to |block|² and the DP cost to the fixed
+    * prefix; at 100 TB the block key gains a coarse content band
+    * (e.g. a simhash byte) to keep blocks bounded. */
+  def fuzzyEdit: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        floor(col("n_chars") / 100).as("band"),
+        substring(col("text"), 1, 80).as("prefix"))
+    val a = docs.select(col("doc_id").as("a_id"), col("lang"), col("band"),
+      col("prefix").as("a_prefix"))
+    val b = docs.select(col("doc_id").as("b_id"), col("lang"), col("band"),
+      col("prefix").as("b_prefix"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_id")).orderBy(col("edit_distance"), col("b_id"))
+    a.join(b, Seq("lang", "band")).filter(col("a_id") =!= col("b_id"))
+      .withColumn("edit_distance", levenshtein(col("a_prefix"), col("b_prefix")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("a_id").as("doc_id"), col("b_id").as("nn_doc_id"),
+        col("lang"), col("edit_distance"))
+      .orderBy(col("doc_id"))
+  }
+
+  val fuzzyEditSql: String =
+    """WITH docs AS (
+         SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS band,
+                substr(text, 1, 80) AS prefix
+         FROM documents),
+       p AS (
+         SELECT a.doc_id AS doc_id, b.doc_id AS nn_doc_id, a.lang,
+                CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_distance
+         FROM docs a JOIN docs b
+           ON a.lang = b.lang AND a.band = b.band AND a.doc_id <> b.doc_id)
+       SELECT doc_id, nn_doc_id, lang, edit_distance FROM (
+         SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY edit_distance, nn_doc_id) AS rn
+         FROM p) t
+       WHERE rn = 1 ORDER BY doc_id"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("dedup_fuzzy_edit", fuzzyEdit, Some(fuzzyEditSql)),
     ("dedup_exact", exact, Some(exactSql)),
     ("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     ("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),

@@ -197,7 +197,59 @@ object TextAnalysis {
                CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS INT) AS rn
         FROM counts QUALIFY rn <= 5 ORDER BY lang, rn"""
 
+  /** PII pattern redaction — the scrub pass every training corpus
+    * runs. The test corpus carries no real PII, so the query derives a
+    * deterministic contact block per row (email/phone presence keyed
+    * off doc_id parity) and then redacts it with the same regexes a
+    * production scrub uses. Pure codegen'd regexp_replace /
+    * regexp_extract_all — a narrow map, no shuffle, linear at any
+    * scale. */
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phonePat = "\\+1-555-[0-9]{4}"
+
+  def piiRedact: Q = (s, d) => {
+    val raw = concat(
+      substring(col("text"), 1, 60),
+      when(pmod(col("doc_id"), lit(3)) =!= 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit(" tel +1-555-"),
+          lpad(pmod(col("n_chars"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      lit(" via "), col("source"), lit("@corp.example.org"))
+    Tables.documents(s, d)
+      .withColumn("raw", raw)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("raw"), lit(emailPat), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(phonePat), lit(0))).as("n_phones"),
+        substring(regexp_replace(regexp_replace(col("raw"), emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>"), 1, 100).as("redacted_prefix"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiRedactSql: String =
+    """WITH r AS (
+         SELECT doc_id,
+                substr(text, 1, 60)
+                || CASE WHEN doc_id % 3 <> 0
+                        THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+                        ELSE '' END
+                || CASE WHEN doc_id % 2 = 0
+                        THEN ' tel +1-555-' || lpad(CAST(n_chars % 10000 AS VARCHAR), 4, '0')
+                        ELSE '' END
+                || ' via ' || source || '@corp.example.org' AS raw
+         FROM documents)
+       SELECT doc_id,
+              CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+              CAST(len(regexp_extract_all(raw, '\+1-555-[0-9]{4}')) AS INT) AS n_phones,
+              substr(regexp_replace(regexp_replace(raw,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\+1-555-[0-9]{4}', '<PHONE>', 'g'), 1, 100) AS redacted_prefix
+       FROM r ORDER BY doc_id"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("text_pii_redact", piiRedact, Some(piiRedactSql)),
     ("text_tokens", tokens, Some(tokensSql)),
     ("text_langid", langid, Some(langidSql)),
     ("text_quality", quality, Some(qualitySql)),

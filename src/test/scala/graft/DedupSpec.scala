@@ -70,6 +70,44 @@ class DedupSpec extends SparkTestBase {
     assert(strong.subsetOf(lsh), s"missed: ${strong diff lsh}")
   }
 
+  test("fuzzy-edit nearest neighbor is the true block minimum") {
+    import spark.implicits._
+    val out = Dedup.fuzzyEdit(spark, sf)
+      .select("doc_id", "nn_doc_id", "edit_distance")
+      .as[(Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+    assert(out.map(_._1).distinct.length == out.length, "one row per probe doc")
+    // brute-force the same blocks on the driver and compare minima
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), floor(col("n_chars") / 100).as("band"),
+        substring(col("text"), 1, 80).as("prefix"))
+      .as[(Long, String, Long, String)].collect()
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    val byBlock = docs.groupBy(r => (r._2, r._3))
+    val want = byBlock.values.flatMap { block =>
+      if (block.length < 2) Nil
+      else block.map { a =>
+        val best = block.filter(_._1 != a._1)
+          .map(b => (lev(a._4, b._4), b._1)).min
+        (a._1, best._2, best._1)
+      }
+    }.toSet
+    assert(out.toSet == want,
+      s"got=${out.length} want=${want.size} diff=${(want diff out.toSet).take(3)}")
+  }
+
   test("exact dedup groups sum to corpus size") {
     val g = Dedup.exact(spark, sf).agg(sum("n_docs")).head().getLong(0)
     val n = graft.sources.Tables.documents(spark, sf).count()

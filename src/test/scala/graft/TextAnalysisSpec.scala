@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Redaction must be complete: nothing matching the PII patterns
+  * survives, and counts follow the deterministic injection rule. */
+class TextAnalysisSpec extends SparkTestBase {
+
+  test("pii redaction removes every email and phone") {
+    val df = TextAnalysis.piiRedact(spark, sf).cache()
+    assert(df.count() > 0)
+    val leaked = df.filter(
+      col("redacted_prefix").rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}") ||
+        col("redacted_prefix").rlike("\\+1-555-[0-9]{4}"))
+    assert(leaked.count() == 0, "no PII pattern survives redaction")
+    val wrongCounts = df.filter(
+      col("n_phones") =!= when(pmod(col("doc_id"), lit(2)) === 0, 1).otherwise(0) ||
+        col("n_emails") =!= when(pmod(col("doc_id"), lit(3)) =!= 0, 2).otherwise(1))
+    assert(wrongCounts.count() == 0, "counts follow the injection parity rule")
+    df.unpersist()
+  }
+}
