@@ -235,9 +235,115 @@ object Similarity {
           AND list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) >= $RangeTau
         ORDER BY query_id, neighbor_id"""
 
+  val PqM = 8          // subspaces
+  val PqSubDim = 8     // 64 / PqM dims per subspace
+  val PqK = 16         // centroids per subspace → 8×4-bit codes/vector
+  val PqSeedBase = 200L
+  val PqCandidates = 32
+
+  /** Explode a 64-d vector into (m, sub) subspace rows. */
+  private val subsExpr: String =
+    (0 until PqM).map(m => s"$m, slice(v, ${m * PqSubDim + 1}, $PqSubDim)")
+      .mkString(s"stack($PqM, ", ", ", ") as (m, sub)")
+
+  /** Per-subspace codebook as a broadcastable table (m, cell, cv,
+    * |cv|²/2) — same join form as the IVF codebook (literals would
+    * Janino-compile for seconds at real K). */
+  private def pqCodebookDf(s: SparkSession, cents: Array[Array[Array[Double]]]): DataFrame = {
+    import s.implicits._
+    (for {
+      (subs, m) <- cents.zipWithIndex
+      (c, cell) <- subs.zipWithIndex
+    } yield (m, cell.toLong, c.toSeq, c.map(x => x * x).sum / 2.0))
+      .toSeq.toDF("m", "cell", "cv", "chalf")
+  }
+
+  /** Nearest sub-centroid per (vector, subspace): the PQ encoder.
+    * Returns (vec_id, m, code, sub, n2). */
+  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), "m")
+      .withColumn("score", expr("graft_dot(sub, cv)") - col("chalf"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(element_at(expr("graft_topk(score, cell, 1)"), 1).getField("id").as("code"),
+        first(col("sub")).as("sub"), first(col("n2")).as("n2"))
+
+  /** Product-quantization ANN with asymmetric distance (ADC): per-
+    * subspace k-means codebooks (seed vectors + one distributed Lloyd
+    * step, like IVF), corpus encoded once as M codes per vector, and
+    * each query scored via a broadcast lookup table — approx dot =
+    * Σ_m LUT[query][m][code_m] — then a bounded exact re-rank of the
+    * top candidates. At 100 TB the scan phase reads CODES (M bytes a
+    * vector, a 32× compression over floats) instead of vectors, and
+    * the relational sum-over-m below becomes a per-partition LUT loop
+    * over packed codes — same shuffle shape, bounded per-query state
+    * via `graft_topk` either way. Rows-only: recall vs brute force is
+    * asserted in SimilaritySpec. */
+  def pqTopK: Q = (s, d) => {
+    val all = emb(s, d)
+    val subs = all.selectExpr("vec_id", "n2", subsExpr)
+    // seed codebook: slices of NumCells fixed corpus vectors
+    val seeds = all.filter(col("vec_id") >= PqSeedBase && col("vec_id") < PqSeedBase + PqK)
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    require(seeds.length == PqK, s"need $PqK seed vectors at ids $PqSeedBase+")
+    val init: Array[Array[Array[Double]]] = Array.tabulate(PqM, PqK) { (m, k) =>
+      seeds(k).slice(m * PqSubDim, (m + 1) * PqSubDim)
+    }
+    // one Lloyd step per subspace, all subspaces in one distributed job
+    val means = pqAssign(subs, pqCodebookDf(s, init))
+      .select(col("m"), col("code"), posexplode(col("sub")))
+      .groupBy(col("m"), col("code"), col("pos"))
+      .agg(avg(col("col")).as("mean"))
+      .collect()
+      .groupBy(r => (r.getInt(0), r.getLong(1)))
+    val cents: Array[Array[Array[Double]]] = Array.tabulate(PqM, PqK) { (m, k) =>
+      means.get((m, k.toLong)) match {
+        case Some(rows) =>
+          val c = new Array[Double](PqSubDim)
+          rows.foreach(r => c(r.getInt(2)) = r.getDouble(3))
+          c
+        case None => init(m)(k) // empty cell keeps its seed
+      }
+    }
+    val cb = pqCodebookDf(s, cents)
+    val codes = pqAssign(subs, cb).select("vec_id", "m", "code", "n2")
+    // ADC lookup table: contribution of (query, m, cell) = <q_sub, cv>
+    val qSubs = subs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("m"), col("sub"),
+        col("n2").as("qn2"))
+    val lut = qSubs.join(broadcast(cb), "m")
+      .select(col("query_id"), col("m"), col("cell").as("code"), col("qn2"),
+        expr("graft_dot(sub, cv)").as("contrib"))
+    // scan codes × broadcast LUT: approx dot per (query, vector)
+    val approx = codes.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("contrib")).as("adot"),
+        first(col("n2")).as("n2"), first(col("qn2")).as("qn2"))
+      .withColumn("approx_cos", col("adot") / (sqrt(col("qn2")) * sqrt(col("n2"))))
+    val cands = approx
+      .groupBy(col("query_id"))
+      .agg(expr(s"graft_topk(approx_cos, vec_id, $PqCandidates)").as("cand"))
+      .select(col("query_id"), explode(col("cand")).as("c"))
+      .select(col("query_id"), col("c").getField("id").as("vec_id"))
+    // bounded exact re-rank of the PqCandidates survivors
+    val qVecs = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
+    cands.join(broadcast(qVecs), "query_id")
+      .join(all.select(col("vec_id"), col("v"), col("n2")), "vec_id")
+      .withColumn("cos", expr(dotExpr) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .groupBy(col("query_id"))
+      .agg(expr(s"graft_topk(cos, vec_id, $TopK)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        trunc4(col("col.score")).as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("ann_bruteforce_topk", bruteForceTopK, Some(bruteForceTopKSql)),
     ("ann_lsh_topk", lshTopK, None),
     ("ann_ivf_topk", ivfTopK, None),
+    ("ann_pq_topk", pqTopK, None),
     ("ann_range_search", rangeSearch, Some(rangeSearchSql)))
 }

@@ -121,15 +121,16 @@ class PlanSweepSpec extends SparkTestBase {
   // entries whose construction runs jobs (iterative training / writes)
   // are exercised by their own suites; the sweep covers the rest
   private val skip = Set(
-    "ann_ivf_topk", "dedup_cluster",
+    "ann_ivf_topk", "ann_pq_topk", "dedup_cluster", "bloom_join_prune",
     "sink_bucketed_join", "sink_bucketed_multi", "sink_partitioned_scan",
-    "sink_compaction_scan", "sink_csv_roundtrip", "sink_json_roundtrip")
+    "sink_compaction_scan", "sink_csv_roundtrip", "sink_json_roundtrip",
+    "sink_zorder_scan")
 
   private val bnljAllowed = Set(
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_range_search", // query != candidate non-equi pairing
     "q_skew_salted_join",                  // salt-range replication broadcast
     "q15_top_supplier", "q22_idle_customers", "q17_small_qty_revenue",
-    "metrics_slave_status",                // single-row global-max broadcast
+    "metrics_slave_status", "metrics_gap_fill", // single-row global-bound broadcast
     "dedup_embedding_cosine", "dedup_simhash", "dedup_minhash_lsh", "dedup_ngram_jaccard")
 
   test("no entry plans a CartesianProduct; BNLJ only where intended") {

@@ -28,6 +28,17 @@ class SimilaritySpec extends SparkTestBase {
       s"(brute=${brute.size}, ivf=${ivf.size})")
   }
 
+  test("pq ANN achieves recall@5 >= 0.6 vs brute force") {
+    import spark.implicits._
+    val brute = Similarity.bruteForceTopK(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    assert(recall >= 0.6, s"pq recall@${Similarity.TopK} = $recall " +
+      s"(brute=${brute.size}, pq=${pq.size})")
+  }
+
   test("brute-force top-k is rank-ordered with valid cosines") {
     val rows = Similarity.bruteForceTopK(spark, sf).collect()
     assert(rows.length == Similarity.NumQueries * Similarity.TopK)
