@@ -349,7 +349,55 @@ object Scrapers {
          UNION ALL SELECT datname, 'pg_blk_read_time', brt FROM a) t
        ORDER BY datname, metric_name"""
 
+  /** PromQL `histogram_quantile()` over the cumulative `le` buckets —
+    * the read-side estimator every Prometheus alert uses on the
+    * histograms the collector ships. One conditional-count aggregation
+    * pass per series (identical shape to queryResponseTime), then pure
+    * bucket-interpolation arithmetic. The estimator expression is
+    * GENERATED ONCE and used verbatim by both engines — int bucket
+    * counts in, identical IEEE ops out, so the result is bit-portable
+    * with no rounding slack beyond the final trunc4. */
+  private val hqLes = Seq(1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+
+  /** PromQL bucket interpolation: first bucket with cum ≥ q·total,
+    * linear within it; +Inf falls back to the highest finite bound. */
+  private def hqEstimator(q: Double): String = {
+    val target = s"($q * total)"
+    val cases = hqLes.zipWithIndex.map { case (le, i) =>
+      val lo = if (i == 0) "0" else hqLes(i - 1).toString
+      val prev = if (i == 0) "cast(0 as double)" else s"cast(c${hqLes(i - 1)} as double)"
+      s"WHEN c$le >= $target THEN $lo + ($le - $lo) * ($target - $prev) / (c$le - $prev)"
+    }.mkString(" ")
+    s"floor((CASE $cases ELSE cast(512 as double) END) * 10000) / 10000.0"
+  }
+
+  def histogramQuantile: Q = (s, d) => {
+    val aggCols = hqLes.map(le => count(when(col("value") <= le, 1)).as(s"c$le")) :+
+      count(lit(1)).as("total")
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .selectExpr("event_type",
+        s"${hqEstimator(0.5)} as p50",
+        s"${hqEstimator(0.9)} as p90",
+        s"${hqEstimator(0.99)} as p99")
+      .orderBy(col("event_type"))
+  }
+
+  val histogramQuantileSql: String = {
+    val counts = hqLes.map(le =>
+      s"count(*) FILTER (WHERE value <= $le) AS c$le").mkString(", ")
+    s"""WITH a AS (SELECT event_type, $counts, count(*) AS total
+                   FROM events GROUP BY event_type)
+        SELECT event_type,
+               ${hqEstimator(0.5)} AS p50,
+               ${hqEstimator(0.9)} AS p90,
+               ${hqEstimator(0.99)} AS p99
+        FROM a ORDER BY event_type"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("prom_histogram_quantile", histogramQuantile, Some(histogramQuantileSql)),
     ("metrics_global_status", globalStatus, Some(globalStatusSql)),
     ("metrics_pg_stat_database", pgStatDatabase, Some(pgStatDatabaseSql)),
     ("metrics_global_variables", globalVariables, Some(globalVariablesSql)),

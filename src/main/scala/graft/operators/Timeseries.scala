@@ -212,7 +212,51 @@ object Timeseries {
               valid_to IS NULL AS is_current
        FROM v ORDER BY user_id, version"""
 
+  /** Trailing-window anomaly detection: z-score of each hourly point
+    * against the previous 24 hours' mean/stddev (current point
+    * excluded from its own baseline) — the alerting read a collector
+    * pipeline runs on every series. Needs ≥ 12 baseline points and a
+    * non-degenerate stddev, else z is null. Same single series-keyed
+    * shuffle as the other window ops; the frame holds 24 values at
+    * any corpus scale. */
+  def anomalyZscore: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_sec"))
+      .rowsBetween(-24, -1)
+    hourly(s, d)
+      .withColumn("mu", avg(col("avg_value")).over(w))
+      .withColumn("sd", stddev_samp(col("avg_value")).over(w))
+      .withColumn("nprev", count(col("avg_value")).over(w))
+      .withColumn("z", when(col("nprev") >= 12 && col("sd") > 0,
+        round((col("avg_value") - col("mu")) / col("sd"), 2)))
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > 3, lit(false)))
+      .select(col("event_type"), col("hour_sec"), col("avg_value"),
+        col("z"), col("is_anomaly"))
+      .orderBy(col("event_type"), col("hour_sec"))
+  }
+
+  val anomalyZscoreSql: String =
+    """WITH hourly AS (
+         SELECT event_type, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hour_sec,
+                floor(round(sum(value), 2) / count(*) * 1e4) / 1e4 AS avg_value
+         FROM events GROUP BY 1, 2),
+       b AS (
+         SELECT event_type, hour_sec, avg_value,
+                avg(avg_value) OVER w AS mu,
+                stddev_samp(avg_value) OVER w AS sd,
+                count(avg_value) OVER w AS nprev
+         FROM hourly
+         WINDOW w AS (PARTITION BY event_type ORDER BY hour_sec
+                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+       SELECT event_type, hour_sec, avg_value,
+              CASE WHEN nprev >= 12 AND sd > 0
+                   THEN round((avg_value - mu) / sd, 2) END AS z,
+              coalesce(abs(CASE WHEN nprev >= 12 AND sd > 0
+                                THEN round((avg_value - mu) / sd, 2) END) > 3,
+                       false) AS is_anomaly
+       FROM b ORDER BY event_type, hour_sec"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("metrics_anomaly_zscore", anomalyZscore, Some(anomalyZscoreSql)),
     ("metrics_counter_rate", counterRate, Some(counterRateSql)),
     ("metrics_downsample", downsample, Some(downsampleSql)),
     ("metrics_gap_fill", gapFill, Some(gapFillSql)),

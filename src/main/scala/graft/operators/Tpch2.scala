@@ -309,7 +309,36 @@ object Tpch2 {
                          AND o_orderdate >= TIMESTAMP '1999-01-01')
        GROUP BY cntrycode ORDER BY cntrycode"""
 
+  /** FULL OUTER join: per-nation counts of negative-balance customers vs
+    * suppliers — either side can be absent, so the join must preserve
+    * unmatched keys from BOTH inputs (coalesced key, zero-filled
+    * counts). Planned as a SortMergeJoin full-outer on the nation key;
+    * both inputs are pre-aggregated so the exchange carries one row
+    * per nation. */
+  def qFullOuter: Q = (s, d) => {
+    val c = Tables.customer(s, d).filter(col("c_acctbal") < -400)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+    val su = Tables.supplier(s, d).filter(col("s_acctbal") < -400)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+    c.join(su, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  val qFullOuterSql: String =
+    """WITH c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer
+                  WHERE c_acctbal < -400 GROUP BY c_nationkey),
+            s AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier
+                  WHERE s_acctbal < -400 GROUP BY s_nationkey)
+       SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+              coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+       FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+       ORDER BY nationkey"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_full_outer", qFullOuter, Some(qFullOuterSql)),
     ("q7_volume_shipping", q7VolumeShipping, Some(q7Sql)),
     ("q8_market_share", q8MarketShare, Some(q8Sql)),
     ("q9_product_profit", q9ProductProfit, Some(q9Sql)),

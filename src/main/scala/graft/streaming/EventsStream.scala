@@ -310,7 +310,120 @@ object EventsStream {
       Seq("scrape_events_total", "scrape_value_sum"))
   }
 
+  /** Batch twin of the streaming counter-rate: hourly PromQL-style
+    * `increase()` per series with counter-reset detection — the same
+    * chain rule as `Timeseries.counterRate`, bucketed hourly (entry
+    * `stream_counter_rate`; the stateful streaming path below emits
+    * the same rows, asserted in StreamingSpec). */
+  def counterRateHourlyBatch: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      // seconds precision on both twins: the stateful path keys its
+      // chain on epoch seconds, so the batch order must match
+      .select(col("event_type"), date_trunc("second", col("ts")).as("ts"),
+        col("event_id"), col("value"))
+      .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+      .withColumn("inc",
+        when(col("delta").isNull, lit(0.0))
+          .when(col("delta") < 0, col("value"))
+          .otherwise(col("delta")))
+      .groupBy(col("event_type"),
+        window(col("ts"), "1 hour").getField("start").as("window_start"))
+      .agg(round(sum(col("inc")), 2).as("increase"))
+      .orderBy(col("event_type"), col("window_start"))
+  }
+
+  val counterRateHourlySql: String =
+    """WITH s AS (
+         SELECT event_type, date_trunc('second', ts) AS ts, value,
+                value - lag(value) OVER (PARTITION BY event_type
+                  ORDER BY date_trunc('second', ts), event_id) AS delta
+         FROM events)
+       SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS window_start,
+              round(sum(CASE WHEN delta IS NULL THEN 0.0
+                             WHEN delta < 0 THEN value ELSE delta END), 2) AS increase
+       FROM s GROUP BY 1, 2 ORDER BY event_type, window_start"""
+
+  case class CSample(event_type: String, event_id: Long, tsSec: Long, value: Double)
+  case class CSampleT(event_type: String, event_id: Long, tsSec: Long, value: Double,
+      eventTime: java.sql.Timestamp)
+  /** carry = last sample value of the finalized prefix (the chain
+    * continues across hour boundaries); buf = samples in hours the
+    * watermark hasn't closed yet. */
+  case class RateState(carry: Option[Double], buf: List[CSample])
+  case class HourIncrease(event_type: String, hour_sec: Long, increase: Double)
+
+  private def chainIncreases(carry: Option[Double], sorted: List[CSample]): List[HourIncrease] = {
+    if (sorted.isEmpty) return Nil
+    val byHour = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
+    var prev = carry
+    sorted.foreach { c =>
+      val inc = prev match {
+        case None => 0.0
+        case Some(p) => if (c.value - p < 0) c.value else c.value - p
+      }
+      val h = c.tsSec / 3600 * 3600
+      byHour(h) = byHour.getOrElse(h, 0.0) + inc
+      prev = Some(c.value)
+    }
+    byHour.map { case (h, v) =>
+      HourIncrease(sorted.head.event_type, h,
+        java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
+    }.toList
+  }
+
+  /** Streaming stateful counter-rate — the continuous `increase()`:
+    * per-series state is the last finalized sample value (the chain
+    * carry) plus only the samples of hours the event-time watermark
+    * hasn't closed. An hour is emitted the moment the watermark passes
+    * its end; late samples within the watermark slack reorder safely
+    * because the chain is re-sorted before finalization. State is
+    * bounded by rate × (1 hour + watermark slack) — never the series
+    * history. */
+  def counterRateStream(samples: Dataset[CSample]): Dataset[HourIncrease] = {
+    val s = samples.sparkSession
+    import s.implicits._
+    samples
+      .withColumn("eventTime", timestamp_seconds(col("tsSec")))
+      .withWatermark("eventTime", "1 hour")
+      .as[CSampleT]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[RateState, HourIncrease](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, batch: Iterator[CSampleT], state: GroupState[RateState]) => {
+          // data batches and timeout wakeups run the SAME logic: close
+          // every hour the watermark has passed, keep the rest. A
+          // timeout must NOT flush open hours — it fires on empty
+          // micro-batches long before the hour is final.
+          val st = state.getOption.getOrElse(RateState(None, Nil))
+          val all = (st.buf ++ batch.map(e =>
+              CSample(e.event_type, e.event_id, e.tsSec, e.value)).toList)
+            .sortBy(c => (c.tsSec, c.event_id))
+          val wmSec = state.getCurrentWatermarkMs() / 1000
+          val boundary = wmSec / 3600 * 3600 // hours before this are final
+          val (closed, open) = all.partition(_.tsSec < boundary)
+          val out = chainIncreases(st.carry, closed)
+          val carry = closed.lastOption.map(_.value).orElse(st.carry)
+          // the carry must OUTLIVE the buffer: dropping state when the
+          // buffer drains would restart the chain (a phantom inc=0) on
+          // the series' next sample. A counter series keeps exactly one
+          // double of state for its lifetime — the same contract as a
+          // Prometheus TSDB head.
+          state.update(RateState(carry, open))
+          if (open.nonEmpty) {
+            // wake when the watermark passes the last open hour's end
+            state.setTimeoutTimestamp(
+              math.max((open.last.tsSec / 3600 * 3600 + 3600) * 1000L,
+                state.getCurrentWatermarkMs() + 1000L))
+          }
+          out.iterator
+        }
+      }
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("stream_counter_rate", counterRateHourlyBatch, Some(counterRateHourlySql)),
     ("stream_events_window", eventsWindowBatch, Some(eventsWindowSql)),
     ("stream_sessionize_state", sessionizeBatch, Some(AsOfSessionizeOracle.sql)),
     ("stream_dedup_exact", eventsDedupBatch, Some(eventsDedupSql)),

@@ -140,6 +140,47 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateful streaming counter-rate emits the batch hourly increases") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val samples = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("tsSec"), col("value"))
+      .as[EventsStream.CSample].collect()
+
+    val input = MemoryStream[EventsStream.CSample]
+    val q = EventsStream.counterRateStream(input.toDS())
+      .writeStream.format("memory").queryName("rate_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two chronological chunks so mid-stream watermark finalization
+      // (not just the end-of-stream timeout) is exercised
+      val (early, late) = samples.sortBy(_.tsSec).splitAt(samples.length / 2)
+      input.addData(early.toSeq)
+      q.processAllAvailable()
+      input.addData(late.toSeq)
+      q.processAllAvailable()
+      val maxSec = samples.map(_.tsSec).max
+      input.addData(EventsStream.CSample("__wm__", -1L, maxSec + 36000L, 0.0))
+      q.processAllAvailable()
+
+      val gotRows = spark.table("rate_sink").filter(col("event_type") =!= "__wm__")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      val dupes = gotRows.groupBy(_._1).filter(_._2.length > 1)
+      assert(dupes.isEmpty,
+        s"hours emitted more than once: ${dupes.take(3).map { case (k, v) => k -> v.map(_._2).toSeq }}")
+      val got = gotRows.toMap
+      val want = EventsStream.counterRateHourlyBatch(spark, sf)
+        .select(col("event_type"), unix_timestamp(col("window_start")), col("increase"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got.keySet == want.keySet,
+        s"hours differ: missing=${(want.keySet diff got.keySet).take(3)} extra=${(got.keySet diff want.keySet).take(3)}")
+      want.foreach { case (k, v) =>
+        assert(math.abs(got(k) - v) < 1e-6, s"mismatch at $k: ${got(k)} vs $v")
+      }
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch fold") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
