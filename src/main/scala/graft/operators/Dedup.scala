@@ -304,47 +304,68 @@ object Dedup {
                 FROM documents) t) m
         WHERE doc_id <> canonical_doc_id ORDER BY dup_doc_id"""
 
+  val FuzzyBand = 40
+  val FuzzyPrefix = 60
+
   /** Fuzzy near-dup by edit distance: each document's nearest
-    * neighbor (smallest levenshtein over a fixed 80-char normalized
-    * prefix) within its (lang, length-band) block. Threshold-free —
-    * ranking instead of a tuned cutoff — so the operator is
-    * well-defined at every corpus scale. The blocked self-join bounds
-    * the candidate space to |block|² and the DP cost to the fixed
-    * prefix; at 100 TB the block key gains a coarse content band
-    * (e.g. a simhash byte) to keep blocks bounded. */
+    * neighbor (smallest levenshtein over a fixed 60-char normalized
+    * prefix) within its (lang, 40-char length-band) block.
+    * Threshold-free — ranking instead of a tuned cutoff — so the
+    * operator is well-defined at every corpus scale. Cost control is
+    * explicit: the blocked self-join bounds candidates to |block|²,
+    * the DP to the fixed prefix, and each unordered pair runs the DP
+    * ONCE (a_id < b_id, localCheckpoint so the union doesn't
+    * recompute it) before symmetrizing — the row_number then picks
+    * the per-probe minimum. At 100 TB the block key gains a coarse
+    * content band (e.g. a simhash byte) to keep blocks bounded. */
   def fuzzyEdit: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
-        floor(col("n_chars") / 100).as("band"),
-        substring(col("text"), 1, 80).as("prefix"))
+        floor(col("n_chars") / FuzzyBand).as("band"),
+        substring(col("text"), 1, FuzzyPrefix).as("prefix"))
     val a = docs.select(col("doc_id").as("a_id"), col("lang"), col("band"),
       col("prefix").as("a_prefix"))
     val b = docs.select(col("doc_id").as("b_id"), col("lang"), col("band"),
       col("prefix").as("b_prefix"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("a_id")).orderBy(col("edit_distance"), col("b_id"))
-    a.join(b, Seq("lang", "band")).filter(col("a_id") =!= col("b_id"))
+    val half = a.join(b, Seq("lang", "band")).filter(col("a_id") < col("b_id"))
+      // the block join has few keys (|langs|×|bands|) — rebalance the
+      // candidate pairs across all cores BEFORE the DP runs, or the
+      // biggest language's blocks serialize on a handful of tasks
+      .repartition(col("a_id"))
       .withColumn("edit_distance", levenshtein(col("a_prefix"), col("b_prefix")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("a_id").as("doc_id"), col("b_id").as("nn_doc_id"),
-        col("lang"), col("edit_distance"))
+      .select(col("lang"), col("a_id"), col("b_id"), col("edit_distance"))
+      .localCheckpoint() // cut lineage: the union below must not re-run the DP
+    val sym = half.unionByName(half.select(col("lang"), col("b_id").as("a_id"),
+      col("a_id").as("b_id"), col("edit_distance")))
+    // arg-min as ONE aggregation with map-side combine — min of
+    // struct(dist, id) is the (dist, id) lexicographic minimum, the
+    // same tie-break a row_number window would pick without its
+    // per-partition full sort
+    sym
+      .groupBy(col("a_id").as("doc_id"))
+      .agg(min(struct(col("edit_distance"), col("b_id"))).as("m"),
+        first(col("lang")).as("lang"))
+      .select(col("doc_id"), col("m").getField("b_id").as("nn_doc_id"),
+        col("lang"), col("m").getField("edit_distance").as("edit_distance"))
       .orderBy(col("doc_id"))
   }
 
   val fuzzyEditSql: String =
-    """WITH docs AS (
-         SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS band,
-                substr(text, 1, 80) AS prefix
+    s"""WITH docs AS (
+         SELECT doc_id, lang, CAST(floor(n_chars / $FuzzyBand) AS BIGINT) AS band,
+                substr(text, 1, $FuzzyPrefix) AS prefix
          FROM documents),
-       p AS (
-         SELECT a.doc_id AS doc_id, b.doc_id AS nn_doc_id, a.lang,
+       h AS (
+         SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id,
                 CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_distance
          FROM docs a JOIN docs b
-           ON a.lang = b.lang AND a.band = b.band AND a.doc_id <> b.doc_id)
-       SELECT doc_id, nn_doc_id, lang, edit_distance FROM (
+           ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id),
+       p AS (
+         SELECT * FROM h
+         UNION ALL SELECT lang, b_id AS a_id, a_id AS b_id, edit_distance FROM h)
+       SELECT a_id AS doc_id, b_id AS nn_doc_id, lang, edit_distance FROM (
          SELECT *, row_number() OVER (
-           PARTITION BY doc_id ORDER BY edit_distance, nn_doc_id) AS rn
+           PARTITION BY a_id ORDER BY edit_distance, b_id) AS rn
          FROM p) t
        WHERE rn = 1 ORDER BY doc_id"""
 

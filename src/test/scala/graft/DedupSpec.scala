@@ -79,8 +79,9 @@ class DedupSpec extends SparkTestBase {
     assert(out.map(_._1).distinct.length == out.length, "one row per probe doc")
     // brute-force the same blocks on the driver and compare minima
     val docs = graft.sources.Tables.documents(spark, sf)
-      .select(col("doc_id"), col("lang"), floor(col("n_chars") / 100).as("band"),
-        substring(col("text"), 1, 80).as("prefix"))
+      .select(col("doc_id"), col("lang"),
+        floor(col("n_chars") / Dedup.FuzzyBand).as("band"),
+        substring(col("text"), 1, Dedup.FuzzyPrefix).as("prefix"))
       .as[(Long, String, Long, String)].collect()
     def lev(a: String, b: String): Int = {
       val dp = Array.tabulate(b.length + 1)(identity)
