@@ -18,9 +18,12 @@ object Bench {
     // untimed warmup: JIT/codegen spin-up + parquet footer reads, so the
     // alphabetically-first query doesn't absorb session start-up cost
     spark.range(1000).selectExpr("sum(id)").collect()
-    Seq("lineitem", "orders", "events", "documents", "embeddings").foreach { t =>
+    Seq("lineitem", "orders", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => () }
     }
+    // events needs the nanos-aware loader — a raw read aborts its job
+    // and litters the log with task errors
+    try graft.sources.Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
     // warm the tokenize→shingle→hash pipeline (JIT + codegen): the
     // dedup family's first query otherwise pays ~6s of compilation
     try {

@@ -150,7 +150,54 @@ object Reshape {
          FROM events) t
        WHERE rn = 1 ORDER BY user_id"""
 
+  /** Exact GLOBAL median without a global sort — the two-pass
+    * histogram-refine every engine reaches for when "exact percentile"
+    * meets "doesn't fit anywhere": pass 1 histograms the column into
+    * 1024 fixed-width buckets (one map-side-combined aggregation) and
+    * locates the bucket holding the target rank; pass 2 scans ONLY
+    * that bucket's value range and takes its (rank − cumulative-below)
+    * smallest element via a distributed bounded top-k
+    * (TakeOrderedAndProject), never sorting the corpus. Returns the
+    * lower-median ELEMENT (rank floor((n−1)/2)+1) — an exact stored
+    * value, engine-portable where interpolated medians are not.
+    * At 100 TB: pass 1 is one scan; pass 2 scans ~1/1024 of the data
+    * (parquet min/max stats prune most row groups). */
+  def exactGlobalMedian: Q = (s, d) => {
+    val vals = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
+    val Row2 = vals.agg(min(col("v")), max(col("v")), count(lit(1))).collect()(0)
+    val (lo, hi, n) = (Row2.getDouble(0), Row2.getDouble(1), Row2.getLong(2))
+    val buckets = 1024
+    val width = (hi - lo) / buckets + 1e-9
+    val hist = vals
+      .groupBy(floor((col("v") - lo) / width).cast("int").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rank = (n - 1) / 2 + 1 // lower median, 1-based
+    var cum = 0L
+    var target = 0
+    while (cum + hist.getOrElse(target, 0L) < rank) { cum += hist.getOrElse(target, 0L); target += 1 }
+    val bLo = lo + target * width
+    val bHi = lo + (target + 1) * width
+    val k = (rank - cum).toInt
+    val med = vals.filter(col("v") >= bLo && col("v") < bHi)
+      .orderBy(col("v")).limit(k)
+      .agg(max(col("v")).as("median"))
+      .collect()(0).getDouble(0)
+    val s2 = s
+    import s2.implicits._
+    Seq((n, med)).toDF("n_values", "median")
+  }
+
+  val exactGlobalMedianSql: String =
+    """WITH r AS (SELECT l_extendedprice AS v,
+                         row_number() OVER (ORDER BY l_extendedprice) AS rn
+                  FROM lineitem)
+       SELECT (SELECT count(*) FROM lineitem) AS n_values,
+              (SELECT v FROM r
+               WHERE rn = (((SELECT count(*) FROM lineitem) - 1) // 2 + 1)) AS median"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_exact_global_median", exactGlobalMedian, Some(exactGlobalMedianSql)),
     ("q_histogram_totalprice", histogramTotalprice, Some(histogramTotalpriceSql)),
     ("q_pivot_events_daily", pivotEventsDaily, Some(pivotEventsDailySql)),
     ("q_json_extract", jsonExtract, Some(jsonExtractSql)),

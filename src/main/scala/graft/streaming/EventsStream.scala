@@ -422,7 +422,63 @@ object EventsStream {
       }
   }
 
+  /** Batch twin of the foreachBatch incremental upsert: the
+    * materialized latest-state snapshot per (user, event_type) as ONE
+    * max-of-struct aggregation (map-side combine; no per-key history
+    * sort). The streaming path (`upsertBatchInto` + foreachBatch,
+    * parity in StreamingSpec) maintains the same snapshot
+    * incrementally — each micro-batch pre-aggregates to ≤|keys| rows,
+    * then merges keyed maxima into the target, which is exactly the
+    * MERGE INTO shape an incremental lakehouse sink runs at scale. */
+  def upsertSnapshotBatch: Q = (s, d) => {
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("tsSec"),
+        col("event_id"), col("value"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(struct(col("tsSec"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("event_type"),
+        col("m").getField("tsSec").as("last_ts_sec"),
+        col("m").getField("value").as("last_value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val upsertSnapshotSql: String =
+    """SELECT user_id, event_type, last_ts_sec, last_value FROM (
+         SELECT user_id, event_type,
+                CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS last_ts_sec,
+                value AS last_value,
+                row_number() OVER (PARTITION BY user_id, event_type
+                  ORDER BY date_trunc('second', ts) DESC, event_id DESC) AS rn
+         FROM events) t
+       WHERE rn = 1 ORDER BY user_id, event_type"""
+
+  /** One micro-batch of the incremental upsert: pre-aggregate the
+    * batch to its keyed maxima (the only rows that can change the
+    * snapshot), then merge. The in-memory store stands in for the
+    * MERGE INTO target table; the pre-aggregation is what bounds the
+    * merge input to ≤|distinct keys in batch| regardless of batch
+    * size. */
+  def upsertBatchInto(
+      store: scala.collection.concurrent.TrieMap[(Long, String), (Long, Long, Double)],
+      batch: DataFrame): Unit = {
+    batch
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(struct(col("tsSec"), col("event_id"), col("value"))).as("m"))
+      .collect().foreach { r =>
+        val k = (r.getLong(0), r.getString(1))
+        val m = r.getStruct(2)
+        val cand = (m.getLong(0), m.getLong(1), m.getDouble(2))
+        store.get(k) match {
+          case Some(cur) if implicitly[Ordering[(Long, Long)]]
+            .gteq((cur._1, cur._2), (cand._1, cand._2)) => // keep newer
+          case _ => store.put(k, cand)
+        }
+      }
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("stream_upsert_snapshot", upsertSnapshotBatch, Some(upsertSnapshotSql)),
     ("stream_counter_rate", counterRateHourlyBatch, Some(counterRateHourlySql)),
     ("stream_events_window", eventsWindowBatch, Some(eventsWindowSql)),
     ("stream_sessionize_state", sessionizeBatch, Some(AsOfSessionizeOracle.sql)),

@@ -122,6 +122,7 @@ class PlanSweepSpec extends SparkTestBase {
   // are exercised by their own suites; the sweep covers the rest
   private val skip = Set(
     "ann_ivf_topk", "ann_pq_topk", "dedup_cluster", "bloom_join_prune",
+    "q_exact_global_median",
     "sink_bucketed_join", "sink_bucketed_multi", "sink_partitioned_scan",
     "sink_compaction_scan", "sink_csv_roundtrip", "sink_json_roundtrip",
     "sink_zorder_scan")

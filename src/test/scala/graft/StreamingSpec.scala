@@ -181,6 +181,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("foreachBatch incremental upsert converges to the batch snapshot") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("tsSec"),
+        col("event_id"), col("value"))
+      .as[(Long, String, Long, Long, Double)].collect()
+
+    val store = new scala.collection.concurrent.TrieMap[(Long, String), (Long, Long, Double)]()
+    val input = MemoryStream[(Long, String, Long, Long, Double)]
+    val q = input.toDF()
+      .toDF("user_id", "event_type", "tsSec", "event_id", "value")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        EventsStream.upsertBatchInto(store, df)
+      }
+      .start()
+    try {
+      // out-of-order chunks: the merge must be order-insensitive
+      val (h1, h2) = rows.sortBy(_._4).splitAt(rows.length / 2)
+      input.addData(h2.toSeq); q.processAllAvailable()
+      input.addData(h1.toSeq); q.processAllAvailable()
+      val got = store.map { case ((u, t), (ts, _, v)) => (u, t) -> (ts, v) }.toMap
+      val want = EventsStream.upsertSnapshotBatch(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(got == want, s"streaming=${got.size} batch=${want.size} " +
+        s"diff=${(want.toSet diff got.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch fold") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
