@@ -67,37 +67,77 @@ object Dedup {
     """SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
        FROM documents GROUP BY md5(text) ORDER BY keep_doc_id"""
 
-  /** n-gram Jaccard near-dup pairs: shared-shingle candidate join
-    * (df-capped), exact Jaccard ≥ 0.5. */
-  def ngramJaccard: Q = (s, d) => {
+  /** Shared-shingle pair intersections: (da < db, |A∩B|, |A|, |B|) —
+    * the base both overlap measures (Jaccard, containment) rank from.
+    * The candidate join runs on a 60-bit integer hash of the shingle,
+    * not the raw text: 8-byte fixed-width shuffle keys and integer
+    * equality; the oracle applies the identical mapping so parity is
+    * exact (collisions would only add a verified-anyway candidate).
+    * ONE aggregation gathers each shingle's (sorted) doc list; pairs
+    * are generated from the list by a compiled combo kernel. Two
+    * shuffles total (by shingle, by pair) vs four for the df-cap +
+    * self-join formulation. The 500-doc frequency cap doubles as the
+    * skew guard: heavy-hitter shingles (the LSH skew bomb at corpus
+    * scale) are dropped before any pair explosion. */
+  private def pairIntersections(s: SparkSession, d: String): DataFrame = {
     val sets = shingleSets(s, d)
-    // candidate join runs on a 60-bit integer hash of the shingle, not
-    // the raw text: 8-byte fixed-width shuffle keys and integer
-    // equality; the oracle applies the identical mapping so parity is
-    // exact (collisions would only add a verified-anyway candidate)
     val e = sets.select(col("doc_id"), explode(col("shingles")).as("raw"))
       .select(col("doc_id"),
         conv(substring(md5(col("raw")), 1, 15), 16, 10).cast("long").as("sh"))
-    // ONE aggregation gathers each shingle's (sorted) doc list; pairs are
-    // generated from the list by a compiled combo kernel. Two shuffles
-    // total (by shingle, by pair) vs four for the df-cap + self-join
-    // formulation. The 500-doc frequency cap doubles as the skew guard:
-    // heavy-hitter shingles (the LSH skew bomb at corpus scale) are
-    // dropped before any pair explosion.
     val bySh = e.groupBy(col("sh")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, 500))
-    val inter = bySh
+    bySh
       .select(explode(graft.functions.TextUdfs.pairCombos(col("ds"))).as("p"))
       .groupBy(col("p._1").as("da"), col("p._2").as("db"))
       .agg(count(lit(1)).as("inter"))
-    inter
       .join(sets.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
       .join(sets.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
+  }
+
+  /** n-gram Jaccard near-dup pairs: shared-shingle candidate join
+    * (df-capped), exact Jaccard ≥ 0.5. */
+  def ngramJaccard: Q = (s, d) => {
+    pairIntersections(s, d)
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         trunc4(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Asymmetric containment: |A∩B|/|A| and |A∩B|/|B| — catches the
+    * quotation/inclusion case Jaccard misses (a short document fully
+    * contained in a long one scores high containment but low Jaccard,
+    * because the union is dominated by the long side). Same two-
+    * shuffle candidate pipeline as the Jaccard entry; only the final
+    * ranking expression differs. */
+  def containment: Q = (s, d) => {
+    pairIntersections(s, d)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        trunc4(col("inter") * lit(1.0) / col("na")).as("containment_a_in_b"),
+        trunc4(col("inter") * lit(1.0) / col("nb")).as("containment_b_in_a"))
+      .filter(greatest(col("containment_a_in_b"), col("containment_b_in_a")) >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val containmentSql: String =
+    s"""WITH sets AS (
+          SELECT doc_id, shingles, len(shingles) AS n_sh FROM (
+            SELECT doc_id, $shinglesSqlExpr AS shingles FROM documents)
+          WHERE len(shingles) > 0),
+        e AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS sh FROM sets),
+        cap AS (SELECT sh FROM e GROUP BY sh HAVING count(*) <= 500),
+        ec AS (SELECT e.doc_id, e.sh FROM e JOIN cap USING (sh)),
+        inter AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          FROM ec a JOIN ec b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT da AS doc_a, db AS doc_b,
+               floor((i * 1.0 / sa.n_sh) * 10000) / 10000.0 AS containment_a_in_b,
+               floor((i * 1.0 / sb.n_sh) * 10000) / 10000.0 AS containment_b_in_a
+        FROM inter JOIN sets sa ON da = sa.doc_id JOIN sets sb ON db = sb.doc_id
+        WHERE greatest(floor((i * 1.0 / sa.n_sh) * 10000) / 10000.0,
+                       floor((i * 1.0 / sb.n_sh) * 10000) / 10000.0) >= 0.5
+        ORDER BY doc_a, doc_b"""
 
   val ngramJaccardSql: String =
     s"""WITH sets AS (
@@ -373,6 +413,7 @@ object Dedup {
     ("dedup_fuzzy_edit", fuzzyEdit, Some(fuzzyEditSql)),
     ("dedup_exact", exact, Some(exactSql)),
     ("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    ("dedup_containment", containment, Some(containmentSql)),
     ("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     ("dedup_simhash", simhash, Some(simhashSql)),
     ("dedup_embedding_cosine", embeddingCosine, Some(embeddingCosineSql)),
