@@ -262,7 +262,72 @@ object Pipeline {
           FROM documents) t
         WHERE rk <= $ReservoirK ORDER BY lang, rk"""
 
+  // ---------------------------------------------------------- end-to-end
+
+  /** The flagship composition: the whole curation pipeline as ONE
+    * declarative plan — fingerprint dedup (keep min doc_id per
+    * canonical-token fingerprint) → per-language quality band
+    * (percent_rank ∈ [0.25, 0.75] on the survivors) → deterministic
+    * 80/10/10 hash split → per-(split, language) dataset report.
+    * Each stage is the already-verified operator's logic; composing
+    * them in one DataFrame lets Catalyst plan the whole thing — two
+    * window shuffles (fingerprint, language band) and one final
+    * aggregation, with the split as a zero-shuffle narrow map in
+    * between. This is the "documents in, training mix out" query a
+    * 100 TB curation run executes. */
+  def endToEnd: Q = (s, d) => {
+    val wFp = Window.partitionBy(col("fp"))
+    val deduped = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+        expr(TextAnalysis.toksExpr).as("toks"),
+        md5(expr(s"array_join(array_sort(array_distinct(${TextAnalysis.toksExpr})), ' ')")).as("fp"))
+      .withColumn("canonical", min(col("doc_id")).over(wFp))
+      .filter(col("doc_id") === col("canonical"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        TextAnalysis.qualityScoreCol.as("score"))
+    val wBand = Window.partitionBy(col("lang")).orderBy(col("score"), col("doc_id"))
+    deduped
+      .withColumn("pr", percent_rank().over(wBand))
+      .filter(col("pr") >= 0.25 && col("pr") <= 0.75)
+      .withColumn("bucket", hashBucket(concat(lit("split:"), col("doc_id").cast("string"))))
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(ceil(col("n_chars") / 4.0).cast("long")).as("tok_est"),
+        min(col("score")).as("lo_score"), max(col("score")).as("hi_score"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  val endToEndSql: String = {
+    val b = hashBucketSql("'split:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH fp AS (
+          SELECT doc_id, lang, n_chars, text,
+                 md5(array_to_string(list_sort(list_distinct(${TextAnalysis.toksSqlExpr})), ' ')) AS fp
+          FROM documents),
+        dedup AS (
+          SELECT doc_id, lang, n_chars,
+                 ${TextAnalysis.qualityScoreSqlExpr} AS score
+          FROM (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS canonical FROM fp) t
+          WHERE doc_id = canonical),
+        banded AS (
+          SELECT * FROM (
+            SELECT doc_id, lang, n_chars, score,
+                   percent_rank() OVER (PARTITION BY lang ORDER BY score, doc_id) AS pr
+            FROM dedup) r
+          WHERE pr >= 0.25 AND pr <= 0.75),
+        splits AS (
+          SELECT lang, n_chars, score,
+                 CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END AS split
+          FROM banded)
+        SELECT split, lang, count(*) AS n_docs,
+               CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS tok_est,
+               min(score) AS lo_score, max(score) AS hi_score
+        FROM splits GROUP BY split, lang ORDER BY split, lang"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("pipeline_end_to_end", endToEnd, Some(endToEndSql)),
     ("split_train_test", splitTrainTest, Some(splitTrainTestSql)),
     ("mix_corpora", mixCorpora, Some(mixCorporaSql)),
     ("pack_token_budget", packTokenBudget, Some(packTokenBudgetSql)),
