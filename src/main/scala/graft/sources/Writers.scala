@@ -257,7 +257,45 @@ object Writers {
          AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
        GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** Bucket-pruned point lookup — the index-style read a bucketed
+    * layout buys beyond exchange-free joins: an equality predicate on
+    * the bucket key scans ONLY the matching bucket
+    * (`SelectedBucketsCount 1/8`, asserted in WritersSpec), i.e. 1/N
+    * of the files, no shuffle, no full scan. At 100 TB this is the
+    * "fetch one order's lines" OLTP-ish read served straight off the
+    * analytic layout. Keys chosen deterministically (3 smallest order
+    * keys with >2 lines at any SF); oracle = the same lookup on the
+    * raw table. */
+  def bucketLookup: Q = (s, d) => {
+    val lt = s"graft_li_${sfx(d)}"
+    // reuse (or build) the orderkey-bucketed lineitem sink
+    if (!s.catalog.tableExists(lt)) {
+      dropTable(s, lt)
+      Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")
+        .write.mode("overwrite")
+        .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(lt)
+    }
+    val keys = Tables.lineitem(s, d).groupBy(col("l_orderkey")).count()
+      .filter(col("count") > 2).orderBy(col("l_orderkey")).limit(3)
+      .collect().map(_.getLong(0))
+    s.table(lt)
+      .filter(col("l_orderkey").isin(keys: _*))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"), round(sum(col("l_extendedprice")), 2).as("total_price"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  val bucketLookupSql: String =
+    """WITH keys AS (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+                     HAVING count(*) > 2 ORDER BY l_orderkey LIMIT 3)
+       SELECT l_orderkey, count(*) AS n_lines,
+              round(sum(l_extendedprice), 2) AS total_price
+       FROM lineitem WHERE l_orderkey IN (SELECT l_orderkey FROM keys)
+       GROUP BY l_orderkey ORDER BY l_orderkey"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("sink_bucket_lookup", bucketLookup, Some(bucketLookupSql)),
     ("sink_zorder_scan", zorderScan, Some(zorderScanSql)),
     ("sink_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     ("sink_bucketed_multi", bucketedMultiJoin, Some(bucketedMultiJoinSql)),

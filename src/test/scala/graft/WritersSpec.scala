@@ -54,6 +54,16 @@ class WritersSpec extends SparkTestBase {
       "compacted layout should hit the target file count")
   }
 
+  test("bucket-key point lookup scans only the matching buckets") {
+    val df = Writers.bucketLookup(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val m = """SelectedBucketsCount: (\d+) out of (\d+)""".r.findFirstMatchIn(p)
+    assert(m.isDefined, s"expected a bucket-pruned scan:\n${p.take(1500)}")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      s"lookup must not scan every bucket: ${m.get.matched}")
+  }
+
   test("z-order files are bounded in BOTH dimensions where a linear sort is not") {
     import org.apache.spark.sql.functions._
     Writers.zorderScan(spark, sf).collect()
