@@ -477,7 +477,40 @@ object EventsStream {
       }
   }
 
+  /** Static dimension for stream enrichment: user → market segment
+    * (events.user_id is 0-based; customer keys are 1-based). */
+  def userSegmentDim(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select((col("c_custkey") - 1).as("user_id"),
+        col("c_mktsegment").as("segment"))
+
+  /** Batch twin of the stream-static enrichment join: events decorated
+    * with the user's segment from a STATIC dimension, rolled up per
+    * (segment, event_type). The dim side broadcasts — in streaming
+    * exactly as in batch, the join is stateless per row (no watermark,
+    * no state store), which is what makes dimension enrichment free at
+    * any stream rate. Parity in StreamingSpec. */
+  def staticEnrichBatch: Q = (s, d) => {
+    Tables.events(s, d)
+      .join(broadcast(userSegmentDim(s, d)), "user_id")
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("value_sum"))
+      .orderBy(col("segment"), col("event_type"))
+  }
+
+  val staticEnrichSql: String =
+    """SELECT c_mktsegment AS segment, event_type,
+              count(*) AS n_events, round(sum(value), 2) AS value_sum
+       FROM events JOIN customer ON user_id = c_custkey - 1
+       GROUP BY 1, 2 ORDER BY segment, event_type"""
+
+  /** Streaming half: the enrichment join itself (stateless row-wise
+    * decoration; aggregation stays the batch twin's job). */
+  def staticEnrichStream(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), "user_id")
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("stream_static_enrich", staticEnrichBatch, Some(staticEnrichSql)),
     ("stream_upsert_snapshot", upsertSnapshotBatch, Some(upsertSnapshotSql)),
     ("stream_counter_rate", counterRateHourlyBatch, Some(counterRateHourlySql)),
     ("stream_events_window", eventsWindowBatch, Some(eventsWindowSql)),

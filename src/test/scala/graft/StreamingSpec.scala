@@ -181,6 +181,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins every event to its static dimension row") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .as[(Long, String, Double)].collect()
+
+    val input = MemoryStream[(Long, String, Double)]
+    val dim = EventsStream.userSegmentDim(spark, sf)
+    val q = EventsStream.staticEnrichStream(
+        input.toDF().toDF("user_id", "event_type", "value"), dim)
+      .writeStream.format("memory").queryName("enrich_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("enrich_sink")
+        .groupBy("segment", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      val want = EventsStream.staticEnrichBatch(spark, sf)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(got == want, s"streaming=${got.size} batch=${want.size} " +
+        s"diff=${(want.toSet diff got.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("foreachBatch incremental upsert converges to the batch snapshot") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
