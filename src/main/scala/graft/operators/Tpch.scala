@@ -403,7 +403,53 @@ object Tpch {
       .orderBy(col("event_type"))
   }
 
+  /** Statistical aggregates: per-flag Pearson correlation, sample
+    * covariance and stddevs between quantity and price — one
+    * map-side-combined aggregation pass (the moment sketches merge
+    * associatively, so this scales like any sum). Rounded to 4dp:
+    * both engines accumulate moments in different orders/algorithms,
+    * identical to ~1e-12. */
+  def qCorrCovar: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qCorrCovarSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+              round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+              round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+              round(stddev_samp(l_quantity), 4) AS sd_qty
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** Ordered string aggregation (LISTAGG/string_agg): per-region
+    * nation roster as one delimited string. Deterministic by sorting
+    * the collected array (engine-portable where WITHIN GROUP ordering
+    * differs); bounded group size is the scale contract — roster
+    * strings are dimension-sized, never fact-sized. */
+  def qStringAgg: Q = (s, d) => {
+    val nat = Tables.nation(s, d).select("n_regionkey", "n_name")
+    Tables.region(s, d)
+      .join(nat, col("r_regionkey") === col("n_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"),
+        array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
+      .orderBy(col("r_name"))
+  }
+
+  val qStringAggSql: String =
+    """SELECT r_name, count(*) AS n_nations,
+              string_agg(n_name, ',' ORDER BY n_name) AS nations
+       FROM region JOIN nation ON r_regionkey = n_regionkey
+       GROUP BY r_name ORDER BY r_name"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_corr_covar", qCorrCovar, Some(qCorrCovarSql)),
+    ("q_string_agg", qStringAgg, Some(qStringAggSql)),
     ("q1_pricing_summary", q1PricingSummary, Some(q1Sql)),
     ("q3_shipping_priority", q3ShippingPriority, Some(q3Sql)),
     ("q4_order_priority", q4OrderPriority, Some(q4Sql)),
