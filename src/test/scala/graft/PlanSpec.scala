@@ -105,6 +105,14 @@ class PlanSpec extends SparkTestBase {
     assert(countScans(p) == 1, s"pivot must not rescan for distinct values:\n${p.take(1500)}")
   }
 
+  test("AQE coalesces small shuffle partitions at runtime") {
+    val p = executedPlan("q1_pricing_summary")
+    assert(p.contains("AQEShuffleRead"),
+      s"adaptive execution should re-plan the shuffle read:\n${p.take(1500)}")
+    assert(p.contains("coalesced") || p.contains("Coalesced"),
+      s"tiny aggregate output should coalesce to fewer partitions:\n${p.take(1500)}")
+  }
+
   test("tfidf computes df from a window over counts, not a second corpus scan") {
     val p = plan("text_tfidf_topk")
     assert(countScans(p) == 1, s"df should reuse the counted set:\n${p.take(1500)}")
