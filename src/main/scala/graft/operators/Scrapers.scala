@@ -360,15 +360,21 @@ object Scrapers {
   private val hqLes = Seq(1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
 
   /** PromQL bucket interpolation: first bucket with cum ≥ q·total,
-    * linear within it; +Inf falls back to the highest finite bound. */
+    * linear within it; +Inf falls back to the highest finite bound.
+    * The quantile literal is emitted in scientific notation (`0.9e0`)
+    * because DuckDB parses a bare `0.9` as DECIMAL(1,1) and runs exact
+    * decimal×BIGINT arithmetic before widening — which diverges from
+    * Spark's IEEE doubles in the last ulps and splits the final
+    * truncation. `e0` forces DOUBLE in both engines, as does `1e4` for
+    * the truncation scale. */
   private def hqEstimator(q: Double): String = {
-    val target = s"($q * total)"
+    val target = s"(${q}e0 * total)"
     val cases = hqLes.zipWithIndex.map { case (le, i) =>
       val lo = if (i == 0) "0" else hqLes(i - 1).toString
       val prev = if (i == 0) "cast(0 as double)" else s"cast(c${hqLes(i - 1)} as double)"
       s"WHEN c$le >= $target THEN $lo + ($le - $lo) * ($target - $prev) / (c$le - $prev)"
     }.mkString(" ")
-    s"floor((CASE $cases ELSE cast(512 as double) END) * 10000) / 10000.0"
+    s"floor((CASE $cases ELSE cast(512 as double) END) * 1e4) / 1e4"
   }
 
   def histogramQuantile: Q = (s, d) => {

@@ -219,15 +219,28 @@ object Timeseries {
     * non-degenerate stddev, else z is null. Same single series-keyed
     * shuffle as the other window ops; the frame holds 24 values at
     * any corpus scale. */
+  /** The z expression is GENERATED ONCE and evaluated verbatim by
+    * both engines over the frame moments (sum, sum of squares, count).
+    * `stddev_samp` is NOT portable — Spark (Welford-style update) and
+    * DuckDB accumulate variance in different orders, `sd` differs in
+    * ulps, and any rounding of z then splits on the grid. Explicit
+    * moment arithmetic over the already-truncated hourly series keeps
+    * every intermediate an identical IEEE-double computation; the
+    * final floor-truncation at 4dp absorbs what little remains. */
+  private val zExpr: String =
+    """CASE WHEN nprev >= 12 AND (sxx - sx * sx / nprev) / (nprev - 1) > 0
+            THEN floor((avg_value - sx / nprev)
+                       / sqrt((sxx - sx * sx / nprev) / (nprev - 1)) * 1e4) / 1e4
+       END"""
+
   def anomalyZscore: Q = (s, d) => {
     val w = Window.partitionBy(col("event_type")).orderBy(col("hour_sec"))
       .rowsBetween(-24, -1)
     hourly(s, d)
-      .withColumn("mu", avg(col("avg_value")).over(w))
-      .withColumn("sd", stddev_samp(col("avg_value")).over(w))
+      .withColumn("sx", sum(col("avg_value")).over(w))
+      .withColumn("sxx", sum(col("avg_value") * col("avg_value")).over(w))
       .withColumn("nprev", count(col("avg_value")).over(w))
-      .withColumn("z", when(col("nprev") >= 12 && col("sd") > 0,
-        round((col("avg_value") - col("mu")) / col("sd"), 2)))
+      .withColumn("z", expr(zExpr))
       .withColumn("is_anomaly", coalesce(abs(col("z")) > 3, lit(false)))
       .select(col("event_type"), col("hour_sec"), col("avg_value"),
         col("z"), col("is_anomaly"))
@@ -235,24 +248,21 @@ object Timeseries {
   }
 
   val anomalyZscoreSql: String =
-    """WITH hourly AS (
+    s"""WITH hourly AS (
          SELECT event_type, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hour_sec,
                 floor(round(sum(value), 2) / count(*) * 1e4) / 1e4 AS avg_value
          FROM events GROUP BY 1, 2),
        b AS (
          SELECT event_type, hour_sec, avg_value,
-                avg(avg_value) OVER w AS mu,
-                stddev_samp(avg_value) OVER w AS sd,
+                sum(avg_value) OVER w AS sx,
+                sum(avg_value * avg_value) OVER w AS sxx,
                 count(avg_value) OVER w AS nprev
          FROM hourly
          WINDOW w AS (PARTITION BY event_type ORDER BY hour_sec
                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
        SELECT event_type, hour_sec, avg_value,
-              CASE WHEN nprev >= 12 AND sd > 0
-                   THEN round((avg_value - mu) / sd, 2) END AS z,
-              coalesce(abs(CASE WHEN nprev >= 12 AND sd > 0
-                                THEN round((avg_value - mu) / sd, 2) END) > 3,
-                       false) AS is_anomaly
+              ($zExpr) AS z,
+              coalesce(abs($zExpr) > 3, false) AS is_anomaly
        FROM b ORDER BY event_type, hour_sec"""
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
