@@ -27,7 +27,16 @@ object SourceRegistry {
     StructField("password", StringType),
     StructField("dbname", StringType),
     StructField("format", StringType),
-    StructField("path", StringType)))
+    StructField("path", StringType),
+    StructField("tags", MapType(StringType, StringType))))
+
+  /** The tag KEY whose presence opts a source into collection. The
+    * reference's enumeration starts at ListSecrets with a `tag-key`
+    * filter (collector/internal/aws/secrets-manager.go:30-46): a secret
+    * is collected iff it CARRIES the key — the tag's value is never
+    * inspected, so `"enabled":"false"` still enrolls (faithfully
+    * mirrored here; disenrolling means removing the tag). */
+  val EnabledTagKey = "database-collector:enabled"
 
   /** Parse raw secret JSON payloads into typed config rows. */
   def parseSecrets(spark: SparkSession, payloads: Seq[String]): DataFrame = {
@@ -78,12 +87,31 @@ object SourceRegistry {
   }
 
   /** Demo secret payloads shaped like the reference's Secrets Manager
-    * entries — deterministic, used by the `source_config_dsn` entry. */
+    * entries — deterministic, used by the source_* entries. Tag
+    * coverage: carries-key-with-true, carries-key-with-false (still
+    * enrolled — key presence is the filter), other-tags-only, and
+    * no-tags-at-all (both excluded). */
   val demoSecrets: Seq[String] = Seq(
-    """{"engine":"mysql","host":"db1.example.com","port":"3306","username":"scott","password":"tiger","dbname":"prod"}""",
-    """{"engine":"postgres","host":"db2.example.com","port":"5432","username":"pguser","password":"pgpass","dbname":"appdb"}""",
-    """{"engine":"oracle-ee","host":"db3.example.com","port":"1521","username":"system","password":"orapwd","dbname":"ORCL"}""",
+    """{"engine":"mysql","host":"db1.example.com","port":"3306","username":"scott","password":"tiger","dbname":"prod","tags":{"database-collector:enabled":"true","env":"prod"}}""",
+    """{"engine":"postgres","host":"db2.example.com","port":"5432","username":"pguser","password":"pgpass","dbname":"appdb","tags":{"database-collector:enabled":"false"}}""",
+    """{"engine":"oracle-ee","host":"db3.example.com","port":"1521","username":"system","password":"orapwd","dbname":"ORCL","tags":{"env":"staging"}}""",
     """{"engine":"sqlite","host":"db4.example.com","port":"0","username":"u","password":"p","dbname":"x"}""")
+
+  /** The oracle replays the SAME payload strings through DuckDB's JSON
+    * reader — parse + filter + DSN logic is checked end to end in both
+    * engines, not asserted against a hardcoded expectation. */
+  private def secretsCte: String =
+    demoSecrets.map(s => s"('$s')").mkString("s(j) AS (VALUES ", ", ", ")")
+
+  private val parsedCte: String =
+    """p AS (SELECT json_extract_string(j, '$.engine') AS engine,
+                    json_extract_string(j, '$.host') AS host,
+                    json_extract_string(j, '$.port') AS port,
+                    json_extract_string(j, '$.username') AS username,
+                    json_extract_string(j, '$.password') AS password,
+                    json_extract_string(j, '$.dbname') AS dbname,
+                    json_extract(j, '$.tags."database-collector:enabled"') IS NOT NULL AS enabled
+             FROM s)"""
 
   /** Mask the password segment of a DSN for anything user-facing. The
     * full DSN exists only on the internal reader path; dumped artifacts
@@ -91,23 +119,56 @@ object SourceRegistry {
   def redactDsn(dsn: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     regexp_replace(dsn, ":[^:@/]*@", ":***@")
 
-  /** Rows-only entry: secrets → parsed configs → DSNs (unsupported
-    * engines get null DSN, mirroring the reference's "Unsupported
-    * database engine" warn-and-skip). Passwords are redacted — this
-    * result lands in correctness artifacts. */
+  /** Secrets → parsed configs → DSNs (unsupported engines get null
+    * DSN, mirroring the reference's "Unsupported database engine"
+    * warn-and-skip). Passwords are redacted — this result lands in
+    * correctness artifacts. */
   def configDsn(spark: SparkSession, dir: String): DataFrame =
     withDsn(parseSecrets(spark, demoSecrets))
       .withColumn("dsn", redactDsn(col("dsn")))
       .select("engine", "host", "port", "dbname", "dsn")
       .orderBy("engine")
 
-  /** Rows-only entry: registry-driven file read (parquet branch). */
+  val configDsnSql: String =
+    s"""WITH $secretsCte, $parsedCte
+       SELECT engine, host, port, dbname,
+              regexp_replace(
+                CASE WHEN engine = 'mysql'
+                       THEN username || ':' || password || '@tcp(' || host || ':' || port || ')/'
+                     WHEN engine = 'postgres'
+                       THEN 'postgresql://' || username || ':' || password || '@' || host
+                            || ':' || port || '/' || dbname || '?sslmode=disable'
+                     WHEN engine IN ('oracle', 'oracle-ee', 'custom-oracle-ee')
+                       THEN host || ':' || port || '/' || dbname
+                END, ':[^:@/]*@', ':***@') AS dsn
+       FROM p ORDER BY engine"""
+
+  /** Registry-driven file read (parquet branch). */
   def registryRead(spark: SparkSession, dir: String): DataFrame =
     read(spark, Map("format" -> "parquet", "path" -> s"$dir/nation.parquet"))
       .groupBy(col("n_regionkey")).agg(count(lit(1)).as("n"))
       .orderBy(col("n_regionkey"))
 
+  val registryReadSql: String =
+    "SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"
+
+  /** Which of the N configured sources does a collection run touch?
+    * The onboarding question the reference answers with its ListSecrets
+    * tag-key filter — enumerate only secrets CARRYING the enabled tag
+    * key. At scale the registry is itself a table; the filter is a
+    * pushdown-able predicate, never a per-secret control-plane call. */
+  def tagFilter(spark: SparkSession, dir: String): DataFrame =
+    parseSecrets(spark, demoSecrets)
+      .filter(col("tags").getItem(EnabledTagKey).isNotNull)
+      .select("engine", "host", "port", "dbname")
+      .orderBy("engine")
+
+  val tagFilterSql: String =
+    s"""WITH $secretsCte, $parsedCte
+       SELECT engine, host, port, dbname FROM p WHERE enabled ORDER BY engine"""
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
-    ("source_config_dsn", configDsn _, None),
-    ("source_registry", registryRead _, None))
+    ("source_config_dsn", configDsn _, Some(configDsnSql)),
+    ("source_registry", registryRead _, Some(registryReadSql)),
+    ("source_tag_filter", tagFilter _, Some(tagFilterSql)))
 }

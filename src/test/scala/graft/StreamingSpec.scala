@@ -217,13 +217,13 @@ class StreamingSpec extends SparkTestBase {
         col("event_id"), col("value"))
       .as[(Long, String, Long, Long, Double)].collect()
 
-    val store = new scala.collection.concurrent.TrieMap[(Long, String), (Long, Long, Double)]()
+    val snapDir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
     val input = MemoryStream[(Long, String, Long, Long, Double)]
     val q = input.toDF()
       .toDF("user_id", "event_type", "tsSec", "event_id", "value")
       .writeStream
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-        EventsStream.upsertBatchInto(store, df)
+        EventsStream.upsertBatchInto(snapDir, df)
       }
       .start()
     try {
@@ -231,7 +231,8 @@ class StreamingSpec extends SparkTestBase {
       val (h1, h2) = rows.sortBy(_._4).splitAt(rows.length / 2)
       input.addData(h2.toSeq); q.processAllAvailable()
       input.addData(h1.toSeq); q.processAllAvailable()
-      val got = store.map { case ((u, t), (ts, _, v)) => (u, t) -> (ts, v) }.toMap
+      val got = EventsStream.upsertSnapshotRead(spark, snapDir)
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
       val want = EventsStream.upsertSnapshotBatch(spark, sf)
         .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
       assert(got == want, s"streaming=${got.size} batch=${want.size} " +
