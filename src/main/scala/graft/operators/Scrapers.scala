@@ -402,8 +402,90 @@ object Scrapers {
         FROM a ORDER BY event_type"""
   }
 
+  /** The full ConvertMetricFamilyToTimeSeries switch
+    * (collector/internal/utils/prometheus.go:23-120): ONE long sample
+    * stream carrying all four MetricFamily types — COUNTER and GAUGE
+    * as single samples, HISTOGRAM as per-`le` cumulative buckets plus
+    * `_sum`/`_count`, SUMMARY as per-quantile samples plus
+    * `_sum`/`_count` — exactly the row shape a remote-write push
+    * serializes. One grouped aggregation pass computes every measure
+    * (conditional bucket counts, exact percentiles, moments); the
+    * wide→long unpivot is projection-only, so the whole entry is a
+    * single shuffle regardless of how many families fan out of it.
+    * Gauge avg is derived from the pre-rounded sum (floor(vsum/n))
+    * so both engines divide bit-identical doubles. */
+  def remoteWriteAll: Q = (s, d) => {
+    val bucketCols = hqLes.map(le =>
+      count(when(col("value") <= le, 1)).cast("double").as(s"b$le"))
+    val aggCols = Seq(
+      count(lit(1)).cast("double").as("n"),
+      round(sum(col("value")), 2).as("vsum"),
+      round(expr("percentile(value, 0.5)"), 2).as("q50"),
+      round(expr("percentile(value, 0.9)"), 2).as("q90"),
+      round(expr("percentile(value, 0.99)"), 2).as("q99")) ++ bucketCols
+    val agg = Tables.events(s, d).groupBy(col("event_type"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("gavg", expr("floor(vsum / n * 1e4) / 1e4"))
+    val rows: Seq[(String, String, String, String)] =
+      Seq(
+        ("COUNTER", "events_total", "''", "n"),
+        ("GAUGE", "events_value_gauge", "''", "gavg")) ++
+      hqLes.map(le => ("HISTOGRAM", "events_value_bucket", s"'$le'", s"b$le")) ++
+      Seq(
+        ("HISTOGRAM", "events_value_bucket", "'+Inf'", "n"),
+        ("HISTOGRAM", "events_value_hist_sum", "''", "vsum"),
+        ("HISTOGRAM", "events_value_hist_count", "''", "n"),
+        ("SUMMARY", "events_value", "'0.5'", "q50"),
+        ("SUMMARY", "events_value", "'0.9'", "q90"),
+        ("SUMMARY", "events_value", "'0.99'", "q99"),
+        ("SUMMARY", "events_value_sum", "''", "vsum"),
+        ("SUMMARY", "events_value_count", "''", "n"))
+    val stackArgs = rows
+      .map { case (f, m, l, v) => s"'$f', '$m', $l, $v" }.mkString(", ")
+    agg.selectExpr("event_type",
+      s"stack(${rows.size}, $stackArgs) AS (family_type, metric_name, label, value)")
+      .select(col("family_type"), col("metric_name"), col("event_type"),
+        col("label"), col("value"))
+      .orderBy(col("family_type"), col("metric_name"), col("event_type"),
+        length(col("label")), col("label"))
+  }
+
+  val remoteWriteAllSql: String = {
+    val counts = hqLes.map(le =>
+      s"CAST(count(*) FILTER (WHERE value <= $le) AS DOUBLE) AS b$le").mkString(", ")
+    val rows: Seq[(String, String, String, String)] =
+      Seq(
+        ("COUNTER", "events_total", "''", "n"),
+        ("GAUGE", "events_value_gauge", "''", "gavg")) ++
+      hqLes.map(le => ("HISTOGRAM", "events_value_bucket", s"'$le'", s"b$le")) ++
+      Seq(
+        ("HISTOGRAM", "events_value_bucket", "'+Inf'", "n"),
+        ("HISTOGRAM", "events_value_hist_sum", "''", "vsum"),
+        ("HISTOGRAM", "events_value_hist_count", "''", "n"),
+        ("SUMMARY", "events_value", "'0.5'", "q50"),
+        ("SUMMARY", "events_value", "'0.9'", "q90"),
+        ("SUMMARY", "events_value", "'0.99'", "q99"),
+        ("SUMMARY", "events_value_sum", "''", "vsum"),
+        ("SUMMARY", "events_value_count", "''", "n"))
+    val selects = rows.map { case (f, m, l, v) =>
+      s"SELECT '$f' AS family_type, '$m' AS metric_name, event_type, $l AS label, $v AS value FROM a"
+    }.mkString(" UNION ALL ")
+    s"""WITH a0 AS (SELECT event_type,
+                      CAST(count(*) AS DOUBLE) AS n,
+                      round(sum(value), 2) AS vsum,
+                      round(quantile_cont(value, 0.5), 2) AS q50,
+                      round(quantile_cont(value, 0.9), 2) AS q90,
+                      round(quantile_cont(value, 0.99), 2) AS q99,
+                      $counts
+                    FROM events GROUP BY event_type),
+          a AS (SELECT *, floor(vsum / n * 1e4) / 1e4 AS gavg FROM a0)
+        SELECT * FROM ($selects) t
+        ORDER BY family_type, metric_name, event_type, length(label), label"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("prom_histogram_quantile", histogramQuantile, Some(histogramQuantileSql)),
+    ("prom_remote_write_all", remoteWriteAll, Some(remoteWriteAllSql)),
     ("metrics_global_status", globalStatus, Some(globalStatusSql)),
     ("metrics_pg_stat_database", pgStatDatabase, Some(pgStatDatabaseSql)),
     ("metrics_global_variables", globalVariables, Some(globalVariablesSql)),

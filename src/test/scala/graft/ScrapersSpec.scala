@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the unified remote-write sample stream
+  * (prom_remote_write_all): all four MetricFamily types present, the
+  * histogram's cumulative buckets are monotone, and the COUNTER /
+  * HISTOGRAM `_count` / SUMMARY `_count` samples agree — the
+  * cross-family consistency the reference's converter guarantees by
+  * construction (it reads one MetricFamily per scrape).
+  */
+class ScrapersSpec extends SparkTestBase {
+
+  private lazy val all = operators.Scrapers.remoteWriteAll(spark, sf).cache()
+
+  test("all four family types emit samples") {
+    val fams = all.select("family_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(fams == Set("COUNTER", "GAUGE", "HISTOGRAM", "SUMMARY"))
+  }
+
+  test("histogram buckets are cumulative per series") {
+    val buckets = all
+      .filter(col("metric_name") === "events_value_bucket" && col("label") =!= "+Inf")
+      .select(col("event_type"), col("label").cast("int").as("le"), col("value"))
+      .collect().groupBy(_.getString(0))
+    assert(buckets.nonEmpty)
+    buckets.foreach { case (et, rows) =>
+      val byLe = rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      assert(byLe.zip(byLe.tail).forall { case (a, b) => a <= b },
+        s"non-monotone buckets for $et: ${byLe.mkString(",")}")
+    }
+  }
+
+  test("counter, histogram _count, summary _count agree per series") {
+    val pivots = all
+      .filter(col("metric_name").isin("events_total", "events_value_hist_count", "events_value_count"))
+      .groupBy(col("event_type"))
+      .pivot("metric_name")
+      .agg(first(col("value")))
+      .collect()
+    assert(pivots.nonEmpty)
+    pivots.foreach { r =>
+      val vals = (1 to 3).map(r.getDouble)
+      assert(vals.distinct.size == 1, s"count mismatch for ${r.getString(0)}: $vals")
+    }
+  }
+
+  test("+Inf bucket equals total count per series") {
+    val rows = all
+      .filter((col("metric_name") === "events_value_bucket" && col("label") === "+Inf") ||
+        col("metric_name") === "events_total")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("value")).as("k"))
+      .collect()
+    assert(rows.forall(_.getLong(1) == 1L))
+  }
+}
