@@ -108,5 +108,7 @@ object Vectors {
       args => Norm2(args.head)))
     e.injectFunction(fn("graft_topk", classOf[TopKByScore],
       args => TopKByScore(args(0), args(1), args(2)).toAggregateExpression()))
+    e.injectFunction(fn("graft_theta", classOf[ThetaKmv],
+      args => ThetaKmv(args(0), args(1)).toAggregateExpression()))
   }
 }

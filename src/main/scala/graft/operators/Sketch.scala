@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mergeable distinct-count sketching (KMV / theta family) — the
+  * sketch the reference's metric rollups would need for distinct
+  * counts that keep composing after aggregation: per-group sketches
+  * roll up to any coarser grouping (group → global here; hour → day,
+  * region → world in general) WITHOUT revisiting the raw keys, which
+  * is the only viable distinct-count shape at 100 TB with billions of
+  * keys — count(distinct) over the union re-shuffles every key,
+  * merging k-long sketches moves k longs per group.
+  *
+  * The whole pipeline is deterministic: the 60-bit hash is md5-derived
+  * (both engines produce identical hashes from identical keys) and the
+  * KMV estimator is plain IEEE arithmetic on the k-th smallest hash,
+  * so the oracle replays it bit-for-bit — including the MERGE: Spark's
+  * global row is produced by unioning the five per-group sketches
+  * (`graft_theta` over their retained hashes), while DuckDB's global
+  * row is computed directly from the raw keys. They hash-match only
+  * because sketch-of-union == union-of-sketches, exactly — the
+  * mergeability identity, checked cross-engine.
+  */
+object Sketch {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val K = 64
+
+  /** Deterministic 60-bit hash of a namespaced key: md5 → first 15 hex
+    * chars → BIGINT. Uniform on [0, 2^60); replicated verbatim by the
+    * oracle via `('0x'||substr(md5(...),1,15))::BIGINT`. */
+  def hash60(prefix: String, key: String): String =
+    s"CAST(conv(substring(md5(concat('$prefix', CAST($key AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+
+  /** KMV estimate from a sketch array `sk`: exact size below K (the
+    * sketch holds the whole distinct set), else (K-1)·2^60 / h_K. The
+    * float-math text is IDENTICAL in the oracle (63e0 · 2^60e0 / kth)
+    * so integer hashes in → bit-identical doubles out; floor pins the
+    * last ulp. */
+  private def estFromSketch(sk: String): String =
+    s"""CASE WHEN size($sk) < $K THEN CAST(size($sk) AS DOUBLE)
+             ELSE floor(${K - 1}e0 * 1152921504606846976e0 /
+                        CAST(element_at($sk, $K) AS DOUBLE)) END"""
+
+  /** Per-event-type distinct-user estimates plus a global `__all__`
+    * row obtained by MERGING the per-type sketches (not by rescanning
+    * events — the per-group frame is 5 sketch rows, localCheckpointed
+    * so the union reuses it). */
+  def thetaDistinct: Q = (s, d) => {
+    val perGroup = Tables.events(s, d)
+      .select(col("event_type"), expr(hash60("u", "user_id")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(expr(s"graft_theta(h, $K)").as("sk"))
+      .localCheckpoint() // 5 rows; union below must not rescan events
+    val globalSk = perGroup
+      .select(explode(col("sk")).as("h"))
+      .agg(expr(s"graft_theta(h, $K)").as("sk"))
+      .select(lit("__all__").as("scope"), col("sk"))
+    perGroup.select(col("event_type").as("scope"), col("sk"))
+      .unionByName(globalSk)
+      .select(col("scope"), expr(estFromSketch("sk")).as("est_distinct"))
+      .orderBy(col("scope"))
+  }
+
+  val thetaDistinctSql: String =
+    s"""WITH d AS (SELECT DISTINCT event_type,
+                     ('0x' || substr(md5('u' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                   FROM events),
+         r AS (SELECT event_type, h,
+                      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS cnt
+               FROM d),
+         g AS (SELECT event_type AS scope,
+                      CASE WHEN max(cnt) < $K THEN CAST(max(cnt) AS DOUBLE)
+                           ELSE floor(${K - 1}e0 * 1152921504606846976e0 /
+                                      CAST(max(CASE WHEN rn = $K THEN h END) AS DOUBLE)) END
+                        AS est_distinct
+               FROM r GROUP BY event_type),
+         dg AS (SELECT DISTINCT ('0x' || substr(md5('u' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                FROM events),
+         rg AS (SELECT h, row_number() OVER (ORDER BY h) AS rn, count(*) OVER () AS cnt FROM dg),
+         gg AS (SELECT '__all__' AS scope,
+                       CASE WHEN max(cnt) < $K THEN CAST(max(cnt) AS DOUBLE)
+                            ELSE floor(${K - 1}e0 * 1152921504606846976e0 /
+                                       CAST(max(CASE WHEN rn = $K THEN h END) AS DOUBLE)) END
+                         AS est_distinct
+                FROM rg)
+       SELECT scope, est_distinct FROM (SELECT * FROM g UNION ALL SELECT * FROM gg) t
+       ORDER BY scope"""
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("sketch_theta_distinct", thetaDistinct, Some(thetaDistinctSql)))
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Theta/KMV sketch invariants:
+  * - below k retained values the estimate is the EXACT distinct count;
+  * - union-of-sketches == sketch-of-union, exactly (the mergeability
+  *   identity that makes per-group sketches roll up without touching
+  *   raw keys);
+  * - above k, the estimate lands within the KMV error envelope
+  *   (~1/sqrt(k-2) relative, asserted at 3x) at sf0.01 where true
+  *   per-group distinct (150) exceeds K (64).
+  */
+class SketchSpec extends SparkTestBase {
+
+  private val sf01 = "/root/testdata/sf0.01"
+
+  test("exact distinct count below k") {
+    // sf0.001: 15 distinct users per event_type, well below K=64
+    val rows = operators.Sketch.thetaDistinct(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val truth = sources.Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    truth.foreach { case (et, n) =>
+      assert(rows(et) == n, s"$et: est ${rows(et)} != exact $n")
+    }
+    val globalTruth = sources.Tables.events(spark, sf)
+      .agg(countDistinct(col("user_id"))).collect().head.getLong(0).toDouble
+    assert(rows("__all__") == globalTruth)
+  }
+
+  test("union of per-group sketches equals direct sketch of the union") {
+    val k = operators.Sketch.K
+    val hashed = sources.Tables.events(spark, sf01)
+      .select(col("event_type"),
+        expr(operators.Sketch.hash60("u", "user_id")).as("h"))
+      .localCheckpoint()
+    val direct = hashed.agg(expr(s"graft_theta(h, $k)")).collect()
+      .head.getSeq[Long](0)
+    val merged = hashed.groupBy(col("event_type"))
+      .agg(expr(s"graft_theta(h, $k)").as("sk"))
+      .select(explode(col("sk")).as("h"))
+      .agg(expr(s"graft_theta(h, $k)")).collect()
+      .head.getSeq[Long](0)
+    assert(direct == merged,
+      s"merge identity broken: direct=${direct.take(5)}... merged=${merged.take(5)}...")
+  }
+
+  test("estimator error within 3x KMV envelope above k") {
+    val k = operators.Sketch.K
+    val est = operators.Sketch.thetaDistinct(spark, sf01)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val truth = sources.Tables.events(spark, sf01)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val bound = 3.0 / math.sqrt(k - 2.0) // ~38% at k=64
+    truth.foreach { case (et, n) =>
+      assert(n > k, s"precondition: $et should exceed k at sf0.01")
+      val rel = math.abs(est(et) - n) / n
+      assert(rel <= bound, s"$et: est ${est(et)} vs true $n, rel err $rel > $bound")
+    }
+  }
+}
