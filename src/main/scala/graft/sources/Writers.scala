@@ -305,6 +305,7 @@ object Writers {
     * the operator). */
   def prewarm(s: SparkSession, d: String): Unit = {
     ensureLookupKeys(s, d)
+    ensureIdxProbeKeys(s, d)
     ()
   }
 
@@ -326,8 +327,88 @@ object Writers {
        FROM lineitem WHERE l_orderkey IN (SELECT l_orderkey FROM keys)
        GROUP BY l_orderkey ORDER BY l_orderkey"""
 
+  /** Partition count for the secondary-index fact layout: the fact is
+    * directory-partitioned by `okb = l_orderkey % IdxParts`, the
+    * coarse key-space bucketing the index resolves probes into. */
+  val IdxParts = 32
+
+  /** Build the secondary-index pair once per data dir:
+    * - fact: lineitem partitioned by `okb` (the primary-key bucket a
+    *   row lives in — at 100 TB, the file-group a row can be found in);
+    * - index: DISTINCT (l_partkey → l_orderkey, okb) rows, bucketed by
+    *   l_partkey so an index probe is itself a bucket-pruned read.
+    * The index answers "which primary-key buckets contain value V"
+    * without touching the fact — the value→key lookup table of a
+    * classic secondary index, expressed as tables + DPP instead of a
+    * storage-engine structure. */
+  private val idxBuilt = new scala.collection.concurrent.TrieMap[String, (String, String)]
+
+  def ensureSecondaryIndex(s: SparkSession, d: String): (String, String) =
+    idxBuilt.getOrElseUpdate(d, {
+      val factPath = s"/tmp/graft_li_byok_${sfx(d)}"
+      val idxTable = s"graft_idx_${sfx(d)}"
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+        .withColumn("okb", pmod(col("l_orderkey"), lit(IdxParts)).cast("int"))
+        .write.mode("overwrite").partitionBy("okb").parquet(factPath)
+      dropTable(s, idxTable)
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_orderkey"),
+          pmod(col("l_orderkey"), lit(IdxParts)).cast("int").as("okb"))
+        .distinct()
+        .write.mode("overwrite")
+        .bucketBy(Buckets, "l_partkey").sortBy("l_partkey")
+        .saveAsTable(idxTable)
+      (factPath, idxTable)
+    })
+
+  /** Deterministic probe values (3 smallest part keys with >5 lines;
+    * the oracle recomputes the same rule) — scaffolding, memoized. */
+  private val idxProbeKeys = new scala.collection.concurrent.TrieMap[String, Array[Long]]
+
+  private def ensureIdxProbeKeys(s: SparkSession, d: String): Array[Long] =
+    idxProbeKeys.getOrElseUpdate(d, {
+      val (_, idxTable) = ensureSecondaryIndex(s, d)
+      s.table(idxTable).groupBy(col("l_partkey")).count()
+        .filter(col("count") > 5).orderBy(col("l_partkey")).limit(3)
+        .collect().map(_.getLong(0))
+    })
+
+  /** Secondary-index join: answer a selective predicate on a NON-key
+    * column without scanning the fact. The probe hits the index table
+    * (bucket-pruned on l_partkey), and the broadcast join on the
+    * fact's PARTITION column `okb` triggers Dynamic Partition Pruning
+    * — the fact scan reads only the directories whose key-buckets the
+    * index says contain the probed values (plan-asserted in
+    * WritersSpec). At 100 TB: an index probe measured in KB decides
+    * which of thousands of fact file-groups are read; every other
+    * engine's secondary index does exactly this with pages instead of
+    * partitions. l_partkey joins alongside (okb, l_orderkey) so
+    * co-located orders of OTHER parts drop in the join, not in a
+    * post-filter. */
+  def secondaryIndexLookup: Q = (s, d) => {
+    val (factPath, idxTable) = ensureSecondaryIndex(s, d)
+    val keys = ensureIdxProbeKeys(s, d)
+    val probe = s.table(idxTable).filter(col("l_partkey").isin(keys: _*))
+    s.read.parquet(factPath)
+      .join(broadcast(probe), Seq("okb", "l_orderkey", "l_partkey"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice")), 2).as("total_price"))
+      .orderBy(col("l_partkey"))
+  }
+
+  val secondaryIndexLookupSql: String =
+    """WITH keys AS (SELECT l_partkey FROM lineitem GROUP BY l_partkey
+                     HAVING count(*) > 5 ORDER BY l_partkey LIMIT 3)
+       SELECT l_partkey, count(*) AS n_lines,
+              round(sum(l_extendedprice), 2) AS total_price
+       FROM lineitem WHERE l_partkey IN (SELECT l_partkey FROM keys)
+       GROUP BY l_partkey ORDER BY l_partkey"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("sink_bucket_lookup", bucketLookup, Some(bucketLookupSql)),
+    ("idx_secondary_lookup", secondaryIndexLookup, Some(secondaryIndexLookupSql)),
     ("sink_zorder_scan", zorderScan, Some(zorderScanSql)),
     ("sink_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     ("sink_bucketed_multi", bucketedMultiJoin, Some(bucketedMultiJoinSql)),

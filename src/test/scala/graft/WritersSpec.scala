@@ -64,6 +64,21 @@ class WritersSpec extends SparkTestBase {
       s"lookup must not scan every bucket: ${m.get.matched}")
   }
 
+  test("secondary-index lookup: fact scan is dynamic-partition-pruned; index probe bucket-pruned") {
+    val df = Writers.secondaryIndexLookup(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the fact read must be driven by the index side at runtime — only
+    // the okb partitions the probed keys live in get scanned
+    assert(p.contains("dynamicpruning"),
+      s"fact scan should carry a dynamic partition pruning filter:\n${p.take(2000)}")
+    // the index probe itself is a bucket-pruned read on l_partkey
+    val m = """SelectedBucketsCount: (\d+) out of (\d+)""".r.findFirstMatchIn(p)
+    assert(m.isDefined, s"expected a bucket-pruned index probe:\n${p.take(1500)}")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      s"index probe must not scan every bucket: ${m.get.matched}")
+  }
+
   test("z-order files are bounded in BOTH dimensions where a linear sort is not") {
     import org.apache.spark.sql.functions._
     Writers.zorderScan(spark, sf).collect()
