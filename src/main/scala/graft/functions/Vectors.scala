@@ -110,5 +110,7 @@ object Vectors {
       args => TopKByScore(args(0), args(1), args(2)).toAggregateExpression()))
     e.injectFunction(fn("graft_theta", classOf[ThetaKmv],
       args => ThetaKmv(args(0), args(1)).toAggregateExpression()))
+    e.injectFunction(fn("graft_sample", classOf[SampleKmv],
+      args => SampleKmv(args(0), args(1), args(2)).toAggregateExpression()))
   }
 }

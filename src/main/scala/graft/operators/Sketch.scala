@@ -91,6 +91,71 @@ object Sketch {
        SELECT scope, est_distinct FROM (SELECT * FROM g UNION ALL SELECT * FROM gg) t
        ORDER BY scope"""
 
+  /** Sample size for the quantile sketch. */
+  val SampleK = 512
+
+  /** Nearest-rank quantile from the sketch's sampled values: sort the
+    * sample, pick index floor(p·(n−1)) — selection, not interpolation,
+    * so the result is a stored double both engines reproduce exactly
+    * (the same rule `metrics_quantile_over_time` uses). */
+  private def qFromSample(sk: String, p: String): String =
+    s"""element_at(array_sort(transform($sk, x -> x.v)),
+                   CAST(floor($p * (size($sk) - 1)) AS INT) + 1)"""
+
+  /** Mergeable sample-based quantiles: per-group p50/p90 from a
+    * bottom-k-by-hash uniform sample, plus a global `__all__` row from
+    * MERGING the per-group samples. The oracle takes the global sample
+    * directly from the raw rows — hash-matching proves
+    * sample-of-union == union-of-samples, the property that lets
+    * quantile estimates roll up (group → global, day → month) without
+    * revisiting data. Exact when a group is smaller than the sample. */
+  def sampleQuantile: Q = (s, d) => {
+    val perGroup = Tables.events(s, d)
+      .select(col("event_type"), expr(hash60("e", "event_id")).as("h"), col("value"))
+      .groupBy(col("event_type"))
+      .agg(expr(s"graft_sample(h, value, $SampleK)").as("sk"))
+      .localCheckpoint() // 5 rows; the union below must not rescan events
+    val globalSk = perGroup
+      .select(explode(col("sk")).as("p"))
+      .select(col("p.h").as("h"), col("p.v").as("value"))
+      .agg(expr(s"graft_sample(h, value, $SampleK)").as("sk"))
+      .select(lit("__all__").as("scope"), col("sk"))
+    perGroup.select(col("event_type").as("scope"), col("sk"))
+      .unionByName(globalSk)
+      .select(col("scope"),
+        expr(qFromSample("sk", "0.5e0")).as("p50"),
+        expr(qFromSample("sk", "0.9e0")).as("p90"))
+      .orderBy(col("scope"))
+  }
+
+  val sampleQuantileSql: String =
+    s"""WITH h AS (SELECT event_type,
+                     ('0x' || substr(md5('e' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+                     value
+                   FROM events),
+         r AS (SELECT event_type, h, value,
+                      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+               FROM h),
+         smp AS (SELECT event_type, value FROM r WHERE rn <= $SampleK),
+         q AS (SELECT event_type, value,
+                      row_number() OVER (PARTITION BY event_type ORDER BY value) AS vr,
+                      count(*) OVER (PARTITION BY event_type) AS n
+               FROM smp),
+         g AS (SELECT event_type AS scope,
+                      max(CASE WHEN vr = CAST(floor(0.5e0 * (n - 1)) AS BIGINT) + 1 THEN value END) AS p50,
+                      max(CASE WHEN vr = CAST(floor(0.9e0 * (n - 1)) AS BIGINT) + 1 THEN value END) AS p90
+               FROM q GROUP BY event_type),
+         rg AS (SELECT h, value, row_number() OVER (ORDER BY h) AS rn FROM h),
+         sg AS (SELECT value FROM rg WHERE rn <= $SampleK),
+         qg AS (SELECT value, row_number() OVER (ORDER BY value) AS vr, count(*) OVER () AS n FROM sg),
+         gg AS (SELECT '__all__' AS scope,
+                       max(CASE WHEN vr = CAST(floor(0.5e0 * (n - 1)) AS BIGINT) + 1 THEN value END) AS p50,
+                       max(CASE WHEN vr = CAST(floor(0.9e0 * (n - 1)) AS BIGINT) + 1 THEN value END) AS p90
+                FROM qg)
+       SELECT scope, p50, p90 FROM (SELECT * FROM g UNION ALL SELECT * FROM gg) t
+       ORDER BY scope"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
-    ("sketch_theta_distinct", thetaDistinct, Some(thetaDistinctSql)))
+    ("sketch_theta_distinct", thetaDistinct, Some(thetaDistinctSql)),
+    ("sketch_sample_quantile", sampleQuantile, Some(sampleQuantileSql)))
 }

@@ -176,7 +176,7 @@ object Timeseries {
     * the open interval is the current row. One shuffle on the entity
     * key, two window passes over the same partitioning (change
     * detection, then interval stitching on the change rows only). */
-  def scd2Dimension: Q = (s, d) => {
+  private def scd2Core(s: SparkSession, d: String) = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val changes = Tables.events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -190,8 +190,72 @@ object Timeseries {
       .withColumn("is_current", col("valid_to").isNull)
       .select(col("user_id"), col("event_type").as("attr_value"), col("version"),
         col("valid_from"), col("valid_to"), col("is_current"))
-      .orderBy(col("user_id"), col("version"))
   }
+
+  def scd2Dimension: Q = (s, d) =>
+    scd2Core(s, d).orderBy(col("user_id"), col("version"))
+
+  /** SCD2 point-in-time (PIT) join — the READ side of the dimension:
+    * enrich each fact with the dimension version valid at the fact's
+    * timestamp. Expressed as an as-of merge, not an interval join: dim
+    * versions and facts union into one entity-keyed stream ordered by
+    * (ts, kind) with dim rows first at ties, and a running
+    * `last(ignoreNulls)` carries the in-effect version onto each fact.
+    * ONE shuffle on the entity key + one window — at 100 TB this
+    * shape beats the BETWEEN-join formulation (whose per-entity
+    * interval×fact pairing degrades to a range join) while returning
+    * the same rows; the oracle RUNS the BETWEEN formulation, so the
+    * hash match proves the equivalence. Facts: purchase events; dim:
+    * the user's event-type state chain. */
+  def scd2PitJoin: Q = (s, d) => {
+    val dim = scd2Core(s, d)
+      .select(col("user_id"), col("valid_from").as("ord_ts"), lit(0).as("kind"),
+        col("attr_value"), col("version"), lit(null).cast("long").as("event_id"))
+    val facts = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        date_format(date_trunc("second", col("ts")), "yyyy-MM-dd HH:mm:ss").as("ord_ts"),
+        lit(1).as("kind"),
+        lit(null).cast("string").as("attr_value"),
+        lit(null).cast("int").as("version"),
+        col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ord_ts"), col("kind"), col("version"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionByName(facts)
+      .withColumn("state", last(when(col("kind") === 0, col("attr_value")), ignoreNulls = true).over(w))
+      .withColumn("state_version", last(when(col("kind") === 0, col("version")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("state").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ord_ts").as("purchase_ts"),
+        col("state"), col("state_version"))
+      .orderBy(col("user_id"), col("purchase_ts"), col("event_id"))
+  }
+
+  val scd2PitJoinSql: String =
+    """WITH o AS (
+         SELECT user_id, ts, event_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+         FROM events),
+       c AS (
+         SELECT user_id, ts, event_id, event_type,
+                strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS valid_from
+         FROM o WHERE prev_type IS NULL OR prev_type <> event_type),
+       v AS (
+         SELECT user_id, event_type AS attr_value,
+                CAST(row_number() OVER w AS INT) AS version,
+                valid_from,
+                lead(valid_from) OVER w AS valid_to
+         FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       p AS (
+         SELECT event_id, user_id,
+                strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS purchase_ts
+         FROM events WHERE event_type = 'purchase')
+       SELECT p.event_id, p.user_id, p.purchase_ts,
+              v.attr_value AS state, v.version AS state_version
+       FROM p JOIN v ON p.user_id = v.user_id
+         AND p.purchase_ts >= v.valid_from
+         AND (v.valid_to IS NULL OR p.purchase_ts < v.valid_to)
+       ORDER BY p.user_id, p.purchase_ts, p.event_id"""
 
   val scd2DimensionSql: String =
     """WITH o AS (
@@ -271,6 +335,7 @@ object Timeseries {
     ("metrics_downsample", downsample, Some(downsampleSql)),
     ("metrics_gap_fill", gapFill, Some(gapFillSql)),
     ("metrics_quantile_over_time", quantileOverTime, Some(quantileOverTimeSql)),
-    ("scd2_dimension", scd2Dimension, Some(scd2DimensionSql))
+    ("scd2_dimension", scd2Dimension, Some(scd2DimensionSql)),
+    ("scd2_pit_join", scd2PitJoin, Some(scd2PitJoinSql))
   )
 }

@@ -12,7 +12,7 @@ class PlanSnapshotSpec extends SparkTestBase {
   // builds) are covered by their own suites
   private val skip = Set(
     "ann_ivf_topk", "ann_pq_topk", "dedup_cluster", "bloom_join_prune",
-    "q_exact_global_median", "sketch_theta_distinct",
+    "q_exact_global_median", "sketch_theta_distinct", "sketch_sample_quantile",
     "sink_bucketed_join", "sink_bucketed_multi", "sink_partitioned_scan",
     "sink_compaction_scan", "sink_csv_roundtrip", "sink_json_roundtrip",
     "sink_zorder_scan", "sink_bucket_lookup", "idx_secondary_lookup")

@@ -47,6 +47,42 @@ class SketchSpec extends SparkTestBase {
       s"merge identity broken: direct=${direct.take(5)}... merged=${merged.take(5)}...")
   }
 
+  test("sample sketch: union of per-group samples equals direct sample of the union") {
+    val k = operators.Sketch.SampleK
+    val hashed = sources.Tables.events(spark, sf01)
+      .select(col("event_type"),
+        expr(operators.Sketch.hash60("e", "event_id")).as("h"), col("value"))
+      .localCheckpoint()
+    val direct = hashed.agg(expr(s"graft_sample(h, value, $k)")).collect()
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    val merged = hashed.groupBy(col("event_type"))
+      .agg(expr(s"graft_sample(h, value, $k)").as("sk"))
+      .select(explode(col("sk")).as("p"))
+      .select(col("p.h").as("h"), col("p.v").as("value"))
+      .agg(expr(s"graft_sample(h, value, $k)")).collect()
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(direct == merged, "sample merge identity broken")
+    assert(direct.length == k, s"global sample should be full at sf0.01: ${direct.length}")
+  }
+
+  test("sample quantiles sit at the right quantile level of the true distribution") {
+    // est p50/p90 per group: the fraction of TRUE group values <= the
+    // estimate must lie near 0.5/0.9 (binomial 3-sigma at n=512 is
+    // ~0.066 for p50, ~0.04 for p90)
+    val est = operators.Sketch.sampleQuantile(spark, sf01)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val events = sources.Tables.events(spark, sf01)
+      .select(col("event_type"), col("value")).localCheckpoint()
+    est.filter(_._1 != "__all__").foreach { case (et, (p50, p90)) =>
+      val grp = events.filter(col("event_type") === et)
+      val n = grp.count().toDouble
+      val f50 = grp.filter(col("value") <= p50).count() / n
+      val f90 = grp.filter(col("value") <= p90).count() / n
+      assert(math.abs(f50 - 0.5) < 0.08, s"$et p50 level $f50")
+      assert(math.abs(f90 - 0.9) < 0.06, s"$et p90 level $f90")
+    }
+  }
+
   test("estimator error within 3x KMV envelope above k") {
     val k = operators.Sketch.K
     val est = operators.Sketch.thetaDistinct(spark, sf01)
