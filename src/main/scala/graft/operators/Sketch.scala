@@ -40,6 +40,8 @@ object Sketch {
     * float-math text is IDENTICAL in the oracle (63e0 · 2^60e0 / kth)
     * so integer hashes in → bit-identical doubles out; floor pins the
     * last ulp. */
+  def estExpr(sk: String): String = estFromSketch(sk)
+
   private def estFromSketch(sk: String): String =
     s"""CASE WHEN size($sk) < $K THEN CAST(size($sk) AS DOUBLE)
              ELSE floor(${K - 1}e0 * 1152921504606846976e0 /

@@ -465,20 +465,41 @@ object EventsStream {
     * transactional table format would express the same plan as
     * MERGE INTO with file-level pruning; plain parquet + rename-swap
     * is the dependency-free equivalent.) */
-  def upsertBatchInto(snapshotDir: String, batch: DataFrame): Unit = {
+  /** Current contents of a snapshot store, if one has been published. */
+  private def currentSnapshot(spark: SparkSession, snapshotDir: String): Option[DataFrame] = {
     import org.apache.hadoop.fs.Path
+    val cur = new Path(snapshotDir, "current")
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(cur)) Some(spark.read.parquet(cur.toString)) else None
+  }
+
+  /** Write the merged snapshot BESIDE the current one, then swap —
+    * readers never observe a half-written snapshot. The only driver
+    * work is two directory renames. */
+  private def publishSnapshot(snapshotDir: String, merged: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(snapshotDir).getFileSystem(
+      merged.sparkSession.sparkContext.hadoopConfiguration)
+    val cur = new Path(snapshotDir, "current")
+    val tmp = new Path(snapshotDir, "merging")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    val old = new Path(snapshotDir, "retired")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(cur) && !fs.rename(cur, old))
+      sys.error(s"snapshot swap: could not retire $cur")
+    if (!fs.rename(tmp, cur)) sys.error(s"snapshot swap: could not publish $tmp")
+    fs.delete(old, true)
+  }
+
+  def upsertBatchInto(snapshotDir: String, batch: DataFrame): Unit = {
     val spark = batch.sparkSession
     val keyed = batch
       .groupBy(col("user_id"), col("event_type"))
       .agg(max(struct(col("tsSec"), col("event_id"), col("value"))).as("m"))
-    val fs = new Path(snapshotDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cur = new Path(snapshotDir, "current")
-    val existing =
-      if (fs.exists(cur))
-        spark.read.parquet(cur.toString)
-          .select(col("user_id"), col("event_type"),
-            struct(col("tsSec"), col("event_id"), col("value")).as("m"))
-      else keyed.limit(0)
+    val existing = currentSnapshot(spark, snapshotDir)
+      .map(_.select(col("user_id"), col("event_type"),
+        struct(col("tsSec"), col("event_id"), col("value")).as("m")))
+      .getOrElse(keyed.limit(0))
     val merged = existing.unionByName(keyed)
       .groupBy(col("user_id"), col("event_type"))
       .agg(max(col("m")).as("m"))
@@ -486,16 +507,7 @@ object EventsStream {
         col("m").getField("tsSec").as("tsSec"),
         col("m").getField("event_id").as("event_id"),
         col("m").getField("value").as("value"))
-    // write the merged snapshot BESIDE the current one, then swap —
-    // readers never observe a half-written snapshot
-    val tmp = new Path(snapshotDir, "merging")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    val old = new Path(snapshotDir, "retired")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(cur) && !fs.rename(cur, old))
-      sys.error(s"upsert swap: could not retire $cur")
-    if (!fs.rename(tmp, cur)) sys.error(s"upsert swap: could not publish $tmp")
-    fs.delete(old, true)
+    publishSnapshot(snapshotDir, merged)
   }
 
   /** Read-back of the upsert target: the latest-state snapshot in the
@@ -504,6 +516,66 @@ object EventsStream {
     spark.read.parquet(s"$snapshotDir/current")
       .select(col("user_id"), col("event_type"),
         col("tsSec").as("last_ts_sec"), col("value").as("last_value"))
+
+  /** Batch twin for `stream_sketch_distinct`: daily distinct-user
+    * estimates through the mergeable theta sketch (`graft_theta`) —
+    * the rolled-up "daily unique visitors" read. The streaming path
+    * below maintains the same sketches incrementally across
+    * micro-batches; because sketch merge is EXACT (union-of-sketches
+    * == sketch-of-union), the streamed snapshot equals this batch
+    * result bit-for-bit no matter how ingestion was chunked
+    * (StreamingSpec asserts equality). */
+  def sketchDistinctBatch: Q = (s, d) => {
+    val k = graft.operators.Sketch.K
+    Tables.events(s, d)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        expr(graft.operators.Sketch.hash60("u", "user_id")).as("h"))
+      .groupBy(col("day"))
+      .agg(expr(s"graft_theta(h, $k)").as("sk"))
+      .select(col("day"), expr(graft.operators.Sketch.estExpr("sk")).as("est_distinct"))
+      .orderBy(col("day"))
+  }
+
+  val sketchDistinctSql: String = {
+    val k = graft.operators.Sketch.K
+    s"""WITH d AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+                     ('0x' || substr(md5('u' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                   FROM events),
+         r AS (SELECT day, h,
+                      row_number() OVER (PARTITION BY day ORDER BY h) AS rn,
+                      count(*) OVER (PARTITION BY day) AS cnt
+               FROM d)
+       SELECT day,
+              CASE WHEN max(cnt) < $k THEN CAST(max(cnt) AS DOUBLE)
+                   ELSE floor(${k - 1}e0 * 1152921504606846976e0 /
+                              CAST(max(CASE WHEN rn = $k THEN h END) AS DOUBLE)) END
+                AS est_distinct
+       FROM r GROUP BY day ORDER BY day"""
+  }
+
+  /** One micro-batch of the incremental sketch rollup: sketch the
+    * batch's (day, hash) rows, merge with the stored per-day sketches
+    * (explode retained hashes → re-sketch: the exact KMV union), and
+    * swap the snapshot. Stored state is k longs per day — a snapshot
+    * measured in KB regardless of how many events streamed through;
+    * the distinct-count state that NEVER grows with cardinality. */
+  def sketchBatchInto(snapshotDir: String, batch: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val k = graft.operators.Sketch.K
+    val batchSk = batch.groupBy(col("day")).agg(expr(s"graft_theta(h, $k)").as("sk"))
+    val merged = currentSnapshot(spark, snapshotDir)
+      .map(_.unionByName(batchSk)).getOrElse(batchSk)
+      .select(col("day"), explode(col("sk")).as("h"))
+      .groupBy(col("day"))
+      .agg(expr(s"graft_theta(h, $k)").as("sk"))
+    publishSnapshot(snapshotDir, merged)
+  }
+
+  /** Read-back of the sketch store in the batch twin's output shape. */
+  def sketchSnapshotRead(spark: SparkSession, snapshotDir: String): DataFrame =
+    spark.read.parquet(s"$snapshotDir/current")
+      .select(col("day"), expr(graft.operators.Sketch.estExpr("sk")).as("est_distinct"))
+      .orderBy(col("day"))
 
   /** Static dimension for stream enrichment: user → market segment
     * (events.user_id is 0-based; customer keys are 1-based). */
@@ -540,6 +612,7 @@ object EventsStream {
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("stream_static_enrich", staticEnrichBatch, Some(staticEnrichSql)),
     ("stream_upsert_snapshot", upsertSnapshotBatch, Some(upsertSnapshotSql)),
+    ("stream_sketch_distinct", sketchDistinctBatch, Some(sketchDistinctSql)),
     ("stream_counter_rate", counterRateHourlyBatch, Some(counterRateHourlySql)),
     ("stream_events_window", eventsWindowBatch, Some(eventsWindowSql)),
     ("stream_sessionize_state", sessionizeBatch, Some(AsOfSessionizeOracle.sql)),

@@ -240,6 +240,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("incremental sketch rollup equals the batch sketch exactly, any chunking") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        expr(operators.Sketch.hash60("u", "user_id")).as("h"),
+        col("event_id"))
+      .as[(String, Long, Long)].collect()
+
+    val snapDir = java.nio.file.Files.createTempDirectory("graft_sketch").toString
+    val input = MemoryStream[(String, Long, Long)]
+    val q = input.toDF()
+      .toDF("day", "h", "event_id")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        EventsStream.sketchBatchInto(snapDir, df)
+      }
+      .start()
+    try {
+      // three out-of-order chunks: exact mergeability must make the
+      // final snapshot independent of batch boundaries
+      val sorted = rows.sortBy(_._3)
+      val chunks = sorted.grouped(math.max(1, sorted.length / 3 + 1)).toSeq.reverse
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      val got = EventsStream.sketchSnapshotRead(spark, snapDir)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val want = EventsStream.sketchDistinctBatch(spark, sf)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got == want, s"streaming=${got.size} batch=${want.size} " +
+        s"diff=${(want.toSet diff got.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch fold") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
