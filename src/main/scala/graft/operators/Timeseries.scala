@@ -329,8 +329,103 @@ object Timeseries {
               coalesce(abs($zExpr) > 3, false) AS is_anomaly
        FROM b ORDER BY event_type, hour_sec"""
 
+  /** PromQL `topk()` over time: the top-3 series per hour by hourly
+    * value — the "which databases are hottest right now" panel query.
+    * The hourly rollup shrinks the corpus FIRST (one grouped agg);
+    * the rank window then partitions by hour over |series| rows per
+    * partition — bounded by series cardinality, not event volume, so
+    * the sort inside each window partition is small at any scale.
+    * Ties break on series name for cross-engine determinism. */
+  def topkOverTime: Q = (s, d) => {
+    val w = Window.partitionBy(col("hour_sec"))
+      .orderBy(col("avg_value").desc, col("event_type"))
+    hourly(s, d)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 3)
+      .select(col("hour_sec"), col("rank"), col("event_type"), col("avg_value"))
+      .orderBy(col("hour_sec"), col("rank"))
+  }
+
+  val topkOverTimeSql: String =
+    """WITH hourly AS (
+         SELECT event_type, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hour_sec,
+                floor(round(sum(value), 2) / count(*) * 1e4) / 1e4 AS avg_value
+         FROM events GROUP BY 1, 2),
+       r AS (
+         SELECT hour_sec, event_type, avg_value,
+                CAST(row_number() OVER (PARTITION BY hour_sec
+                       ORDER BY avg_value DESC, event_type) AS INT) AS rank
+         FROM hourly)
+       SELECT hour_sec, rank, event_type, avg_value
+       FROM r WHERE rank <= 3 ORDER BY hour_sec, rank"""
+
+  /** PromQL `deriv()`: per-series least-squares slope (value units per
+    * hour) over the trailing 24 h of hourly points — trend detection
+    * on counters/gauges. Portability goes one step past the z-score's
+    * shared-expression trick: window-frame SUMS of doubles are not
+    * bit-stable across engines (sliding vs segment-tree accumulation
+    * differ in the last ulp — observed splitting the 6dp floor), so
+    * every moment is computed in EXACT integer arithmetic — y scaled
+    * to milli-units (BIGINT), x the absolute hour index (BIGINT) —
+    * where summation order cannot matter, and doubles appear only in
+    * the one final division both engines evaluate verbatim. ≥ 12
+    * points and a non-degenerate x-spread required, else null. */
+  private val derivExpr: String =
+    """CASE WHEN n >= 12 AND (n * sxx - sx * sx) > 0
+            THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) / 1e4 * 1e6) / 1e6
+       END"""
+
+  def deriv: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_sec"))
+      .rowsBetween(-23, 0)
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("hour_sec"))
+      // the milli value comes straight from the floor — never by
+      // re-scaling the divided double, whose product can fall a ulp
+      // under the integer and truncate wrong
+      .agg(floor(round(sum(col("value")), 2) / count(lit(1)) * 1e4).cast("long").as("ym"))
+      .withColumn("avg_value", col("ym") / 1e4)
+      .withColumn("xi", expr("hour_sec DIV 3600"))
+      .withColumn("n", count(col("ym")).over(w))
+      .withColumn("sx", sum(col("xi")).over(w))
+      .withColumn("sy", sum(col("ym")).over(w))
+      .withColumn("sxy", sum(col("xi") * col("ym")).over(w))
+      .withColumn("sxx", sum(col("xi") * col("xi")).over(w))
+      .withColumn("slope_per_hour", expr(derivExpr))
+      .select(col("event_type"), col("hour_sec"), col("avg_value"),
+        col("slope_per_hour"))
+      .orderBy(col("event_type"), col("hour_sec"))
+  }
+
+  val derivSql: String =
+    s"""WITH hourly AS (
+         SELECT event_type, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hour_sec,
+                CAST(floor(round(sum(value), 2) / count(*) * 1e4) AS BIGINT) AS ym
+         FROM events GROUP BY 1, 2),
+       m AS (
+         SELECT event_type, hour_sec, ym / 1e4 AS avg_value, ym,
+                hour_sec // 3600 AS xi
+         FROM hourly),
+       b AS (
+         SELECT event_type, hour_sec, avg_value,
+                count(ym) OVER w AS n,
+                sum(xi) OVER w AS sx,
+                sum(ym) OVER w AS sy,
+                sum(xi * ym) OVER w AS sxy,
+                sum(xi * xi) OVER w AS sxx
+         FROM m
+         WINDOW w AS (PARTITION BY event_type ORDER BY hour_sec
+                      ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+       SELECT event_type, hour_sec, avg_value,
+              ($derivExpr) AS slope_per_hour
+       FROM b ORDER BY event_type, hour_sec"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("metrics_anomaly_zscore", anomalyZscore, Some(anomalyZscoreSql)),
+    ("metrics_topk_over_time", topkOverTime, Some(topkOverTimeSql)),
+    ("metrics_deriv", deriv, Some(derivSql)),
     ("metrics_counter_rate", counterRate, Some(counterRateSql)),
     ("metrics_downsample", downsample, Some(downsampleSql)),
     ("metrics_gap_fill", gapFill, Some(gapFillSql)),
