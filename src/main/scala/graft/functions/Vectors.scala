@@ -112,5 +112,7 @@ object Vectors {
       args => ThetaKmv(args(0), args(1)).toAggregateExpression()))
     e.injectFunction(fn("graft_sample", classOf[SampleKmv],
       args => SampleKmv(args(0), args(1), args(2)).toAggregateExpression()))
+    e.injectFunction(fn("graft_mg", classOf[MisraGries],
+      args => MisraGries(args(0), args(1)).toAggregateExpression()))
   }
 }

@@ -157,7 +157,45 @@ object Sketch {
        SELECT scope, p50, p90 FROM (SELECT * FROM g UNION ALL SELECT * FROM gg) t
        ORDER BY scope"""
 
+  /** Counter budget for the heavy-hitters sketch. */
+  val HhK = 32
+
+  /** Exact heavy hitters by two-pass Misra–Gries: pass 1 sketches the
+    * token stream into ≤ k-1 candidates (every item with true freq >
+    * n/k is guaranteed retained) while counting n in the same
+    * aggregation; pass 2 recounts ONLY the candidates (broadcast
+    * membership filter) and thresholds at freq·k > n — integer
+    * arithmetic, no floats anywhere. The output is exactly the items
+    * with true frequency > n/k, independent of how the sketch pass was
+    * partitioned, which is why a plain GROUP BY/HAVING oracle can
+    * hash-match it. Corpus is scanned twice; the shuffle carries k
+    * counters (pass 1) and |candidates| groups (pass 2) — never the
+    * full token vocabulary. */
+  def heavyHitters: Q = (s, d) => {
+    def toks = Tables.documents(s, d)
+      .select(explode(expr(TextAnalysis.toksExpr)).as("tok"))
+    val sketch = toks.agg(expr(s"graft_mg(tok, $HhK)").as("cand"),
+      count(lit(1)).as("n"))
+    toks.crossJoin(broadcast(sketch))
+      .filter(array_contains(col("cand"), col("tok")))
+      .groupBy(col("tok"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * HhK > col("n"))
+      .select(col("tok"), col("cnt"))
+      .orderBy(col("tok"))
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH t AS (SELECT unnest(${TextAnalysis.toksSqlExpr}) AS tok FROM documents),
+         n AS (SELECT count(*) AS n FROM t)
+       SELECT tok, count(*) AS cnt
+       FROM t, n
+       GROUP BY tok, n.n
+       HAVING count(*) * $HhK > n.n
+       ORDER BY tok"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("sketch_theta_distinct", thetaDistinct, Some(thetaDistinctSql)),
-    ("sketch_sample_quantile", sampleQuantile, Some(sampleQuantileSql)))
+    ("sketch_sample_quantile", sampleQuantile, Some(sampleQuantileSql)),
+    ("sketch_heavy_hitters", heavyHitters, Some(heavyHittersSql)))
 }

@@ -83,6 +83,23 @@ class SketchSpec extends SparkTestBase {
     }
   }
 
+  test("misra-gries candidates contain every true heavy hitter, within budget") {
+    val k = operators.Sketch.HhK
+    val toks = sources.Tables.documents(spark, sf01)
+      .select(explode(expr(operators.TextAnalysis.toksExpr)).as("tok"))
+      .localCheckpoint()
+    val cand = toks.agg(expr(s"graft_mg(tok, $k)")).collect()
+      .head.getSeq[String](0).toSet
+    assert(cand.size <= k - 1, s"budget exceeded: ${cand.size}")
+    val n = toks.count()
+    val trueHh = toks.groupBy(col("tok")).count()
+      .filter(col("count") * k > n)
+      .collect().map(_.getString(0)).toSet
+    assert(trueHh.nonEmpty, "precondition: corpus should have heavy hitters")
+    assert(trueHh.subsetOf(cand),
+      s"missed heavy hitters: ${trueHh -- cand}")
+  }
+
   test("estimator error within 3x KMV envelope above k") {
     val k = operators.Sketch.K
     val est = operators.Sketch.thetaDistinct(spark, sf01)
