@@ -317,6 +317,42 @@ object Scrapers {
                 'database-collector', value) AS line
        FROM l ORDER BY line"""
 
+  /** PromQL `label_replace()` + `label_join()` over the remote-write
+    * stream: derive a `dc` label by regex capture from `identifier`
+    * and an `instance` label by joining identifier and engine — the
+    * relabeling every Prometheus consumer applies before routing.
+    * Projection-only on top of the converter output (no extra
+    * shuffle); regex semantics chosen within the RE2/POSIX common
+    * subset both engines implement identically. */
+  def labelReplace: Q = (s, d) =>
+    remoteWrite(s, d)
+      .withColumn("dc", regexp_extract(col("identifier"), "^([a-z]+)_", 1))
+      .withColumn("instance", concat(col("identifier"), lit(":"), col("engine")))
+      .select("metric_name", "identifier", "dc", "instance", "value")
+      .orderBy(col("identifier"), col("metric_name"))
+
+  val labelReplaceSql: String =
+    """WITH w AS (
+         SELECT lower(n_name) || '.rds.example.com' AS host,
+                CAST(count(*) AS DOUBLE) AS db_orders_total,
+                round(sum(o_totalprice),2) AS db_orders_price_sum,
+                round(avg(o_totalprice),4) AS db_orders_price_avg
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name),
+       l AS (
+         SELECT host, 'db_orders_total' AS metric_name, db_orders_total AS value FROM w
+         UNION ALL SELECT host, 'db_orders_price_sum', db_orders_price_sum FROM w
+         UNION ALL SELECT host, 'db_orders_price_avg', db_orders_price_avg FROM w),
+       b AS (
+         SELECT metric_name, split_part(host, '.', 1) AS identifier,
+                'postgres' AS engine, value
+         FROM l)
+       SELECT metric_name, identifier,
+              coalesce(regexp_extract(identifier, '^([a-z]+)_', 1), '') AS dc,
+              identifier || ':' || engine AS instance, value
+       FROM b ORDER BY identifier, metric_name"""
+
   /** postgres_exporter default-collector analog (the reference wires
     * postgres through the stock exporter, exporters/postgres): a
     * pg_stat_database-shaped per-database activity snapshot —
@@ -486,6 +522,7 @@ object Scrapers {
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("prom_histogram_quantile", histogramQuantile, Some(histogramQuantileSql)),
     ("prom_remote_write_all", remoteWriteAll, Some(remoteWriteAllSql)),
+    ("prom_label_replace", labelReplace, Some(labelReplaceSql)),
     ("metrics_global_status", globalStatus, Some(globalStatusSql)),
     ("metrics_pg_stat_database", pgStatDatabase, Some(pgStatDatabaseSql)),
     ("metrics_global_variables", globalVariables, Some(globalVariablesSql)),

@@ -58,6 +58,30 @@ object Timeseries {
               floor(round(sum(inc), 2) / 86400.0 * 1e6) / 1e6 AS rate_per_sec
        FROM i GROUP BY 1, 2 ORDER BY event_type, day"""
 
+  /** PromQL `resets()`: how many times each series' counter reset per
+    * day — the restart/crash indicator read alongside rate(). Same
+    * single series-keyed shuffle + lag chain as `metrics_counter_rate`;
+    * the aggregation is a pure integer conditional count, so there is
+    * no float surface at all. */
+  def resets: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(when(col("delta") < 0, 1)).as("resets"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val resetsSql: String =
+    """WITH s AS (
+         SELECT event_type, ts, event_id,
+                value - lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS delta
+         FROM events)
+       SELECT event_type, CAST(ts AS DATE) AS day,
+              count(*) FILTER (WHERE delta < 0) AS resets
+       FROM s GROUP BY 1, 2 ORDER BY event_type, day"""
+
   /** Retention downsampling: 6-hour gauge rollup per series — the
     * compaction step every metrics store runs. ONE aggregation with
     * map-side combine; bucket key is integer epoch arithmetic (no
@@ -426,6 +450,7 @@ object Timeseries {
     ("metrics_anomaly_zscore", anomalyZscore, Some(anomalyZscoreSql)),
     ("metrics_topk_over_time", topkOverTime, Some(topkOverTimeSql)),
     ("metrics_deriv", deriv, Some(derivSql)),
+    ("metrics_resets", resets, Some(resetsSql)),
     ("metrics_counter_rate", counterRate, Some(counterRateSql)),
     ("metrics_downsample", downsample, Some(downsampleSql)),
     ("metrics_gap_fill", gapFill, Some(gapFillSql)),
