@@ -194,8 +194,61 @@ object Sketch {
        HAVING count(*) * $HhK > n.n
        ORDER BY tok"""
 
+  /** Sketches under CUBE: distinct-user estimates for every grouping
+    * of (event_type, day) — the two-dim rollup lattice — in ONE pass.
+    * This is the OLAP payoff of a mergeable distinct sketch: a plain
+    * count(DISTINCT) cannot be computed once and rolled up the
+    * lattice, so engines either rescan per grouping or expand rows;
+    * with graft_theta the cube's Expand feeds each grouping's sketch
+    * in the same aggregation, and any FURTHER rollup (day → month)
+    * would merge the stored sketches instead of touching data. The
+    * oracle recomputes all four groupings' KMV estimates directly
+    * from raw keys — one hash match covers the whole lattice. */
+  def cubeDistinct: Q = (s, d) => {
+    val all = lit("(all)")
+    Tables.events(s, d)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        expr(hash60("u", "user_id")).as("h"))
+      .cube(col("event_type"), col("day"))
+      .agg(expr(s"graft_theta(h, $K)").as("sk"))
+      .select(coalesce(col("event_type"), all).as("event_type"),
+        coalesce(col("day"), all).as("day"),
+        expr(estExpr("sk")).as("est_distinct"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val cubeDistinctSql: String = {
+    def grouping(keys: Seq[String]): String = {
+      val keyCols = if (keys.isEmpty) "" else keys.mkString(", ") + ","
+      val part =
+        if (keys.isEmpty) "" else s"PARTITION BY ${keys.mkString(", ")}"
+      val et = if (keys.contains("event_type")) "event_type" else "'(all)'"
+      val dy = if (keys.contains("day")) "day" else "'(all)'"
+      s"""SELECT $et AS event_type, $dy AS day,
+                 CASE WHEN max(cnt) < $K THEN CAST(max(cnt) AS DOUBLE)
+                      ELSE floor(${K - 1}e0 * 1152921504606846976e0 /
+                                 CAST(max(CASE WHEN rn = $K THEN h END) AS DOUBLE)) END
+                   AS est_distinct
+          FROM (SELECT $keyCols h,
+                       row_number() OVER ($part ORDER BY h) AS rn,
+                       count(*) OVER ($part) AS cnt
+                FROM (SELECT DISTINCT $keyCols h FROM base) dk) rk
+          ${if (keys.isEmpty) "" else s"GROUP BY ${keys.mkString(", ")}"}"""
+    }
+    s"""WITH base AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                        ('0x' || substr(md5('u' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                      FROM events)
+       SELECT event_type, day, est_distinct FROM (
+         ${grouping(Seq("event_type", "day"))}
+         UNION ALL ${grouping(Seq("event_type"))}
+         UNION ALL ${grouping(Seq("day"))}
+         UNION ALL ${grouping(Seq.empty)}
+       ) t ORDER BY event_type, day"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("sketch_theta_distinct", thetaDistinct, Some(thetaDistinctSql)),
     ("sketch_sample_quantile", sampleQuantile, Some(sampleQuantileSql)),
-    ("sketch_heavy_hitters", heavyHitters, Some(heavyHittersSql)))
+    ("sketch_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    ("sketch_cube_distinct", cubeDistinct, Some(cubeDistinctSql)))
 }
