@@ -446,7 +446,120 @@ object Timeseries {
               ($derivExpr) AS slope_per_hour
        FROM b ORDER BY event_type, hour_sec"""
 
+  /** PromQL `irate()`: instantaneous rate at each hour boundary from
+    * the LAST TWO samples of the series — the spiky-counter read
+    * dashboards use where `rate()` over-smooths. One series-keyed lag
+    * (adjacent sample only — no frame state), then keep the last
+    * sample per (series, hour) by a bounded per-hour rank. Reset rule
+    * as in `counterRate`: a drop means the counter restarted, so the
+    * instant increase is the new value itself. Float surface: the
+    * division runs on raw stored doubles and an integer second delta —
+    * an identical IEEE op sequence in both engines — and is
+    * floor-truncated at 6dp. */
+  def irate: Q = (s, d) => {
+    val ws = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val wh = Window.partitionBy(col("event_type"), col("hour_sec"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .withColumn("prev_v", lag(col("value"), 1).over(ws))
+      .withColumn("dt",
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(ws)))
+      .withColumn("hour_sec", (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long"))
+      .withColumn("rn", row_number().over(wh))
+      .filter(col("rn") === 1)
+      .withColumn("irate_per_sec",
+        when(col("prev_v").isNotNull && col("dt") > 0,
+          floor(when(col("value") < col("prev_v"), col("value"))
+            .otherwise(col("value") - col("prev_v")) / col("dt") * 1e6) / 1e6))
+      .select(col("event_type"), col("hour_sec"), col("irate_per_sec"))
+      .orderBy(col("event_type"), col("hour_sec"))
+  }
+
+  val irateSql: String =
+    """WITH s AS (
+         SELECT event_type, ts, event_id, value,
+                lag(value) OVER w AS prev_v,
+                epoch(date_trunc('second', ts))
+                  - epoch(date_trunc('second', lag(ts) OVER w)) AS dt,
+                CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hour_sec
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+       r AS (
+         SELECT *, row_number() OVER (PARTITION BY event_type, hour_sec
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+         FROM s)
+       SELECT event_type, hour_sec,
+              CASE WHEN prev_v IS NOT NULL AND dt > 0
+                   THEN floor((CASE WHEN value < prev_v THEN value
+                                    ELSE value - prev_v END) / dt * 1e6) / 1e6
+              END AS irate_per_sec
+       FROM r WHERE rn = 1 ORDER BY event_type, hour_sec"""
+
+  /** PromQL `predict_linear(m[24h], 24h)`: where will each series be
+    * 24 hours from now, by least-squares extrapolation over the
+    * trailing 24 hourly points. Shares `deriv`'s exact-integer moment
+    * frame and goes one step further: the PREDICTION is assembled as
+    * one exact integer ratio — ŷ·1e4 = (sy·D + Num·(n·xp − sx)) /
+    * (n·D) with slope = Num/D — so summation order cannot perturb it,
+    * and the single final double division + floor is evaluated
+    * verbatim by both engines. (Magnitudes stay far from BIGINT
+    * overflow: D and Num contract to ~n³ by cancellation of the
+    * absolute hour index.) ≥ 12 points and non-degenerate x-spread
+    * required, else null. */
+  private val predictExpr: String =
+    """CASE WHEN n >= 12 AND (n * sxx - sx * sx) > 0
+            THEN floor(CAST(sy * (n * sxx - sx * sx)
+                            + (n * sxy - sx * sy) * (n * (xi + 24) - sx) AS DOUBLE)
+                       / CAST(n * (n * sxx - sx * sx) AS DOUBLE)) / 1e4
+       END"""
+
+  def predictLinear: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_sec"))
+      .rowsBetween(-23, 0)
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("hour_sec"))
+      .agg(floor(round(sum(col("value")), 2) / count(lit(1)) * 1e4).cast("long").as("ym"))
+      .withColumn("avg_value", col("ym") / 1e4)
+      .withColumn("xi", expr("hour_sec DIV 3600"))
+      .withColumn("n", count(col("ym")).over(w))
+      .withColumn("sx", sum(col("xi")).over(w))
+      .withColumn("sy", sum(col("ym")).over(w))
+      .withColumn("sxy", sum(col("xi") * col("ym")).over(w))
+      .withColumn("sxx", sum(col("xi") * col("xi")).over(w))
+      .withColumn("predicted_24h", expr(predictExpr))
+      .select(col("event_type"), col("hour_sec"), col("avg_value"),
+        col("predicted_24h"))
+      .orderBy(col("event_type"), col("hour_sec"))
+  }
+
+  val predictLinearSql: String =
+    s"""WITH hourly AS (
+         SELECT event_type, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hour_sec,
+                CAST(floor(round(sum(value), 2) / count(*) * 1e4) AS BIGINT) AS ym
+         FROM events GROUP BY 1, 2),
+       m AS (
+         SELECT event_type, hour_sec, ym / 1e4 AS avg_value, ym,
+                hour_sec // 3600 AS xi
+         FROM hourly),
+       b AS (
+         SELECT event_type, hour_sec, avg_value, xi,
+                count(ym) OVER w AS n,
+                sum(xi) OVER w AS sx,
+                sum(ym) OVER w AS sy,
+                sum(xi * ym) OVER w AS sxy,
+                sum(xi * xi) OVER w AS sxx
+         FROM m
+         WINDOW w AS (PARTITION BY event_type ORDER BY hour_sec
+                      ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+       SELECT event_type, hour_sec, avg_value,
+              ($predictExpr) AS predicted_24h
+       FROM b ORDER BY event_type, hour_sec"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("metrics_irate", irate, Some(irateSql)),
+    ("metrics_predict_linear", predictLinear, Some(predictLinearSql)),
     ("metrics_anomaly_zscore", anomalyZscore, Some(anomalyZscoreSql)),
     ("metrics_topk_over_time", topkOverTime, Some(topkOverTimeSql)),
     ("metrics_deriv", deriv, Some(derivSql)),

@@ -61,6 +61,44 @@ class TimeseriesSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("irate: one row per observed (series, hour), non-negative, null only before the second sample") {
+    val raw = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("hour_sec"))
+      .count()
+    val df = Timeseries.irate(spark, sf).cache()
+    assert(df.count() == raw.count(), "exactly one irate row per observed series-hour")
+    assert(df.filter(col("irate_per_sec") < 0).count() == 0,
+      "reset rule keeps instantaneous rates non-negative")
+    // a null rate means the hour's last sample had no predecessor (or a
+    // zero-second gap): only possible in the series' first hour
+    val firstHours = df.groupBy("event_type").agg(min("hour_sec").as("h0"))
+    val badNulls = df.filter(col("irate_per_sec").isNull)
+      .join(firstHours, Seq("event_type"))
+      .filter(col("hour_sec") =!= col("h0"))
+    assert(badNulls.count() == 0)
+    df.unpersist()
+  }
+
+  test("predict_linear: defined exactly from the 12th point on; constant series predict themselves") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hour_sec")
+    val df = Timeseries.predictLinear(spark, sf)
+      .withColumn("rn", row_number().over(w)).cache()
+    // the frame counts rows, so the >=12-points guard is rank >= 12
+    assert(df.filter(col("rn") >= 12 && col("predicted_24h").isNull).count() == 0)
+    assert(df.filter(col("rn") < 12 && col("predicted_24h").isNotNull).count() == 0)
+    // a flat trailing frame must extrapolate flat: where the frame min
+    // equals the frame max, prediction == that value (exact integers)
+    val wf = w.rowsBetween(-23, 0)
+    val flat = df
+      .withColumn("lo", min(col("avg_value")).over(wf))
+      .withColumn("hi", max(col("avg_value")).over(wf))
+      .filter(col("rn") >= 12 && col("lo") === col("hi"))
+    assert(flat.filter(col("predicted_24h") =!= col("avg_value")).count() == 0)
+    df.unpersist()
+  }
+
   test("downsample buckets partition the sample count") {
     val total = graft.sources.Tables.events(spark, sf).count()
     val sum = Timeseries.downsample(spark, sf).agg(org.apache.spark.sql.functions.sum("samples"))
