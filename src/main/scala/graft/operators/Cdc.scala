@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture apply — the batch MERGE every warehouse load
+  * runs: fold an ordered insert/update/delete log onto a keyed
+  * snapshot and emit the post-image. The reference collects per-source
+  * metric snapshots on a schedule (collector/internal/collector.go run
+  * loop); a storage-owning engine also needs the other direction —
+  * applying accumulated changes back onto held state.
+  *
+  * Scale design (100 TB): last-writer-wins is expressed as ONE
+  * hash aggregation — `max(struct(order_key, payload))` — NOT a
+  * row_number window. The aggregation combines partially map-side, so
+  * the shuffle carries one row per (task, key), never the raw log; a
+  * window formulation would shuffle and sort the entire log. The
+  * snapshot merge is then a single equi-join on the entity key (AQE
+  * broadcasts the small side; at equal scale it's one co-partitioned
+  * shuffle join). The oracle RUNS the row_number formulation, so the
+  * hash match proves the aggregation ≡ window equivalence.
+  */
+object Cdc {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Event-type → CDC op mapping (documented contract of the entry):
+    * signup = insert, error = tombstone delete, anything else = update
+    * of the balance to the event's value. */
+  private val opExpr =
+    when(col("event_type") === "signup", lit("I"))
+      .when(col("event_type") === "error", lit("D"))
+      .otherwise(lit("U"))
+
+  def cdcApply: Q = (s, d) => {
+    val log = Tables.events(s, d)
+      .select(col("user_id").as("entity_key"),
+        // second-truncated order key + unique event_id tiebreak: the
+        // same total order both engines see (sub-second precision
+        // differs across readers; see Tables.events)
+        unix_timestamp(col("ts")).as("ord_sec"), col("event_id"),
+        opExpr.as("op"), round(col("value"), 2).as("new_bal"))
+    val latest = log.groupBy(col("entity_key"))
+      .agg(max(struct(col("ord_sec"), col("event_id"), col("op"), col("new_bal"))).as("last"),
+        count(lit(1)).as("log_ops"))
+      .select(col("entity_key"), col("last.op").as("last_op"),
+        col("last.new_bal").as("log_bal"), col("log_ops"))
+    val snap = Tables.customer(s, d)
+      .select(col("c_custkey").as("entity_key"), round(col("c_acctbal"), 2).as("snap_bal"))
+    snap.join(latest, Seq("entity_key"), "full_outer")
+      .filter(col("last_op").isNull || col("last_op") =!= "D")
+      .select(col("entity_key"),
+        coalesce(col("log_bal"), col("snap_bal")).as("balance"),
+        coalesce(col("last_op"), lit("-")).as("last_op"),
+        coalesce(col("log_ops"), lit(0L)).as("log_ops"))
+      .orderBy(col("entity_key"))
+  }
+
+  val cdcApplySql: String =
+    """WITH log AS (
+         SELECT user_id AS entity_key,
+                CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ord_sec, event_id,
+                CASE event_type WHEN 'signup' THEN 'I'
+                                WHEN 'error'  THEN 'D' ELSE 'U' END AS op,
+                round(value, 2) AS new_bal
+         FROM events),
+       latest AS (
+         SELECT entity_key, op AS last_op, new_bal AS log_bal, log_ops FROM (
+           SELECT *,
+                  row_number() OVER (PARTITION BY entity_key
+                                     ORDER BY ord_sec DESC, event_id DESC) AS rn,
+                  count(*) OVER (PARTITION BY entity_key) AS log_ops
+           FROM log) r WHERE rn = 1),
+       snap AS (
+         SELECT c_custkey AS entity_key, round(c_acctbal, 2) AS snap_bal FROM customer)
+       SELECT coalesce(s.entity_key, l.entity_key) AS entity_key,
+              coalesce(l.log_bal, s.snap_bal) AS balance,
+              coalesce(l.last_op, '-') AS last_op,
+              coalesce(l.log_ops, 0) AS log_ops
+       FROM snap s FULL OUTER JOIN latest l ON s.entity_key = l.entity_key
+       WHERE l.last_op IS NULL OR l.last_op <> 'D'
+       ORDER BY entity_key"""
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("cdc_apply", cdcApply, Some(cdcApplySql)))
+}
