@@ -577,6 +577,90 @@ object EventsStream {
       .select(col("day"), expr(graft.operators.Sketch.estExpr("sk")).as("est_distinct"))
       .orderBy(col("day"))
 
+  /** Counter budget for the streaming heavy-hitters state. */
+  val StreamHhK = 64
+
+  /** Batch twin for `stream_heavy_hitters`: per day, the users holding
+    * more than n_day/k of that day's events — exact GROUP BY + window
+    * total + integer HAVING (no float surface). The streaming half
+    * below maintains the same answer incrementally. */
+  def heavyHittersBatch: Q = (s, d) => {
+    val wDay = org.apache.spark.sql.expressions.Window.partitionBy(col("day"))
+    Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n", sum(col("cnt")).over(wDay))
+      .filter(col("cnt") * StreamHhK > col("n"))
+      .select(col("day"), col("user_id"), col("cnt"))
+      .orderBy(col("day"), col("user_id"))
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS day, user_id, count(*) AS cnt
+                   FROM events GROUP BY 1, 2),
+         t AS (SELECT day, user_id, cnt, sum(cnt) OVER (PARTITION BY day) AS n FROM c)
+       SELECT day, user_id, cnt FROM t
+       WHERE cnt * $StreamHhK > n ORDER BY day, user_id"""
+
+  /** One micro-batch of incremental heavy-hitter maintenance. TWO
+    * snapshot stores, each mergeable and each swapped atomically:
+    *
+    *  - `countsDir`: exact per-(day, user) counts — merge is a SUM, so
+    *    the snapshot is chunking- and order-independent. This is the
+    *    recount source the read-back thresholds against; its state is
+    *    the day's true key cardinality (Heap's-law sublinear for token
+    *    streams, |users| here).
+    *  - `mgDir`: a distributed Misra–Gries STATE (≤ k−1 weighted
+    *    counters per day), merged per the Agarwal et al. PODS'12
+    *    mergeable-summaries rule expressed as plain DataFrame ops:
+    *    union counter multisets → sum per (day, key) → subtract each
+    *    day's k-th largest combined counter → keep the positive rows.
+    *    Any key with true freq > n_day/k is GUARANTEED to survive
+    *    every merge (containment, asserted in StreamingSpec), so at
+    *    unbounded vocabulary the exact store can be dropped and the
+    *    bounded MG state + a periodic recount over retained raw data
+    *    gives the same final answer — that is the 100 TB shape.
+    */
+  def heavyHittersBatchInto(countsDir: String, mgDir: String, batch: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val batchCounts = batch.groupBy(col("day"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds both stores; don't recompute the source
+    val mergedCounts = currentSnapshot(spark, countsDir)
+      .map(_.unionByName(batchCounts)).getOrElse(batchCounts)
+      .groupBy(col("day"), col("user_id"))
+      .agg(sum(col("cnt")).as("cnt"))
+    publishSnapshot(countsDir, mergedCounts)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day")).orderBy(col("cnt").desc, col("user_id"))
+    val wDay = org.apache.spark.sql.expressions.Window.partitionBy(col("day"))
+    val mergedMg = currentSnapshot(spark, mgDir)
+      .map(_.unionByName(batchCounts)).getOrElse(batchCounts)
+      .groupBy(col("day"), col("user_id"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("ck", coalesce(
+        max(when(col("rn") === StreamHhK, col("cnt"))).over(wDay), lit(0L)))
+      .filter(col("cnt") - col("ck") > 0)
+      .select(col("day"), col("user_id"), (col("cnt") - col("ck")).as("cnt"))
+    publishSnapshot(mgDir, mergedMg)
+  }
+
+  /** Read-back of the heavy-hitter store in the batch twin's shape:
+    * threshold the exact counts at cnt·k > n_day. */
+  def heavyHittersSnapshotRead(spark: SparkSession, countsDir: String): DataFrame = {
+    val wDay = org.apache.spark.sql.expressions.Window.partitionBy(col("day"))
+    spark.read.parquet(s"$countsDir/current")
+      .withColumn("n", sum(col("cnt")).over(wDay))
+      .filter(col("cnt") * StreamHhK > col("n"))
+      .select(col("day"), col("user_id"), col("cnt"))
+      .orderBy(col("day"), col("user_id"))
+  }
+
+  /** The MG store's candidate set (for the containment assertion). */
+  def heavyHittersMgRead(spark: SparkSession, mgDir: String): DataFrame =
+    spark.read.parquet(s"$mgDir/current")
+
   /** Static dimension for stream enrichment: user → market segment
     * (events.user_id is 0-based; customer keys are 1-based). */
   def userSegmentDim(s: SparkSession, d: String): DataFrame =
@@ -613,6 +697,7 @@ object EventsStream {
     ("stream_static_enrich", staticEnrichBatch, Some(staticEnrichSql)),
     ("stream_upsert_snapshot", upsertSnapshotBatch, Some(upsertSnapshotSql)),
     ("stream_sketch_distinct", sketchDistinctBatch, Some(sketchDistinctSql)),
+    ("stream_heavy_hitters", heavyHittersBatch, Some(heavyHittersSql)),
     ("stream_counter_rate", counterRateHourlyBatch, Some(counterRateHourlySql)),
     ("stream_events_window", eventsWindowBatch, Some(eventsWindowSql)),
     ("stream_sessionize_state", sessionizeBatch, Some(AsOfSessionizeOracle.sql)),

@@ -273,6 +273,47 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("incremental heavy hitters equal the batch twin; MG state stays bounded and contains them") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("user_id"), col("event_id"))
+      .as[(String, Long, Long)].collect()
+
+    val countsDir = java.nio.file.Files.createTempDirectory("graft_hh_counts").toString
+    val mgDir = java.nio.file.Files.createTempDirectory("graft_hh_mg").toString
+    val input = MemoryStream[(String, Long, Long)]
+    val q = input.toDF()
+      .toDF("day", "user_id", "event_id")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        EventsStream.heavyHittersBatchInto(countsDir, mgDir, df)
+      }
+      .start()
+    try {
+      val sorted = rows.sortBy(_._3)
+      val chunks = sorted.grouped(math.max(1, sorted.length / 3 + 1)).toSeq.reverse
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      val got = EventsStream.heavyHittersSnapshotRead(spark, countsDir)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = EventsStream.heavyHittersBatch(spark, sf)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"streaming=${got.size} batch=${want.size} " +
+        s"diff=${(want.toSet diff got.toSet).take(3)}")
+      // PODS'12 merge guarantees: ≤ k−1 counters per day, and every
+      // true heavy hitter survives every merge (containment)
+      val mg = EventsStream.heavyHittersMgRead(spark, mgDir)
+      val perDay = mg.groupBy("day").count().collect().map(_.getLong(1))
+      assert(perDay.forall(_ <= EventsStream.StreamHhK - 1),
+        s"MG state must stay bounded: ${perDay.max}")
+      val candidates = mg.select(col("day"), col("user_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val missing = want.keySet diff candidates
+      assert(missing.isEmpty, s"containment violated for $missing")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch fold") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
