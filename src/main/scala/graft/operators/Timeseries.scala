@@ -557,7 +557,59 @@ object Timeseries {
               ($predictExpr) AS predicted_24h
        FROM b ORDER BY event_type, hour_sec"""
 
+  /** Exponential smoothing (PromQL `double_exponential_smoothing`'s
+    * single-smoothing core, α = 0.3): the classic trend-following read
+    * a recursion that window functions cannot express. Spark-first
+    * shape: per series, `sort_array(collect_list(struct(hour, y)))`
+    * then ONE `aggregate()` fold over the sorted array — the recursion
+    * runs as a single codegen'd expression per group, state never
+    * leaves the executor, and the per-series array is bounded by the
+    * retention window (720 points/month), not event volume. Float
+    * parity by construction: a fold fixes the evaluation ORDER, so
+    * `0.3·y + 0.7·s` is the identical IEEE sequence in any engine —
+    * the oracle replays it with a recursive CTE and hash-matches
+    * bit-for-bit (floor at 4dp only pins display). */
+  def smoothEwma: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("hour_sec"))
+      .agg(floor(round(sum(col("value")), 2) / count(lit(1)) * 1e4).cast("long").as("ym"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("hour_sec"), col("ym")))).as("seq"))
+      .withColumn("sm", expr(
+        """aggregate(seq, CAST(array() AS ARRAY<DOUBLE>),
+             (acc, p) -> concat(acc, array(
+               CASE WHEN size(acc) = 0 THEN p.ym / 1e4
+                    ELSE 0.3e0 * (p.ym / 1e4) + 0.7e0 * element_at(acc, -1) END)))"""))
+      .select(col("event_type"), explode(arrays_zip(col("seq"), col("sm"))).as("z"))
+      .select(col("event_type"),
+        col("z.seq.hour_sec").as("hour_sec"),
+        (col("z.seq.ym") / 1e4).as("avg_value"),
+        (floor(col("z.sm") * 1e4) / 1e4).as("smoothed"))
+      .orderBy(col("event_type"), col("hour_sec"))
+  }
+
+  val smoothEwmaSql: String =
+    """WITH RECURSIVE hourly AS (
+         SELECT event_type, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hour_sec,
+                CAST(floor(round(sum(value), 2) / count(*) * 1e4) AS BIGINT) AS ym
+         FROM events GROUP BY 1, 2),
+       idx AS (
+         SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY hour_sec) AS rn
+         FROM hourly),
+       rec AS (
+         SELECT event_type, hour_sec, rn, ym, ym / 1e4 AS s
+         FROM idx WHERE rn = 1
+         UNION ALL
+         SELECT i.event_type, i.hour_sec, i.rn, i.ym,
+                0.3e0 * (i.ym / 1e4) + 0.7e0 * rec.s
+         FROM idx i JOIN rec ON i.event_type = rec.event_type AND i.rn = rec.rn + 1)
+       SELECT event_type, hour_sec, ym / 1e4 AS avg_value,
+              floor(s * 1e4) / 1e4 AS smoothed
+       FROM rec ORDER BY event_type, hour_sec"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("metrics_smooth_ewma", smoothEwma, Some(smoothEwmaSql)),
     ("metrics_irate", irate, Some(irateSql)),
     ("metrics_predict_linear", predictLinear, Some(predictLinearSql)),
     ("metrics_anomaly_zscore", anomalyZscore, Some(anomalyZscoreSql)),

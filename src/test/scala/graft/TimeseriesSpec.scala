@@ -99,6 +99,24 @@ class TimeseriesSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("smooth_ewma: seeded with the first point, always inside the running envelope") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hour_sec")
+      .rowsBetween(Long.MinValue, 0)
+    val df = Timeseries.smoothEwma(spark, sf)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type").orderBy("hour_sec")))
+      .withColumn("lo", min("avg_value").over(w))
+      .withColumn("hi", max("avg_value").over(w))
+      .cache()
+    assert(df.filter(col("rn") === 1 && col("smoothed") =!= col("avg_value")).count() == 0,
+      "the fold seeds with the first observation")
+    // a convex combination of observed values can never leave their envelope
+    // (smoothed is floor-truncated, so allow the 1e-4 grid step at the low end)
+    assert(df.filter(col("smoothed") > col("hi") || col("smoothed") < col("lo") - 1e-4).count() == 0)
+    df.unpersist()
+  }
+
   test("downsample buckets partition the sample count") {
     val total = graft.sources.Tables.events(spark, sf).count()
     val sum = Timeseries.downsample(spark, sf).agg(org.apache.spark.sql.functions.sum("samples"))
