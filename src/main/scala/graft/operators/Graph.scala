@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics on DataFrames — PageRank over the
+  * bipartite customer↔supplier trade graph (who transacts with whom,
+  * from orders⋈lineitem). Complements `dedup_cluster`'s connected
+  * components: that one converges a labeling, this one iterates a
+  * fixed-point score.
+  *
+  * Scale design (100 TB): the Pregel-on-DataFrame shape — each of the
+  * 10 iterations is ONE shuffle join (ranks ⋈ edges on src) + ONE
+  * aggregation (sum of contributions per dst), with `localCheckpoint`
+  * cutting lineage per round so the plan doesn't grow with iteration
+  * count. No driver-side graph state: the only driver values are the
+  * node count and the loop counter. Edge and rank partitioning reuse
+  * the same key, so AQE coalesces and skew-splits per round.
+  *
+  * Cross-engine determinism is the interesting part: float PageRank is
+  * NOT portable (per-dst summation order differs), so ranks live in
+  * INTEGER micro-units (BASE = 1e12 spread over N nodes) and every
+  * step is integer arithmetic — contribution = r DIV outdeg, damping =
+  * (85·Σ) DIV 100, teleport = (15·(BASE DIV N)) DIV 100. Integer sums
+  * are order-independent, so the oracle (the same 10 iterations
+  * unrolled as plain SQL CTEs) matches bit-for-bit. The truncation is
+  * part of the operator's declared contract.
+  */
+object Graph {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Base = 1000000000000L // 1e12 rank micro-units
+  private val Iters = 10
+
+  /** Distinct directed trade edges, both directions (c→s and s→c),
+    * with string node ids namespaced by side. */
+  private def edges(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("c"),
+        concat(lit("s"), col("l_suppkey")).as("sup"))
+      .distinct()
+    pairs.select(col("c").as("src"), col("sup").as("dst"))
+      .unionByName(pairs.select(col("sup").as("src"), col("c").as("dst")))
+  }
+
+  def pagerank: Q = (sp, d) => {
+    val e = edges(sp, d).localCheckpoint()
+    // distinct column names end-to-end: deg derives from e, so reusing
+    // `src` would make the deg join self-referential (ambiguous refs)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .withColumnRenamed("src", "dnode").localCheckpoint()
+    val n = deg.count() // every node in this graph has an out-edge
+    val r0 = Base / n
+    val teleport = (15L * r0) / 100L
+    var ranks = deg.select(col("dnode").as("node")).withColumn("r", lit(r0))
+    for (_ <- 1 to Iters) {
+      val contrib = ranks
+        .join(e, col("node") === col("src"))
+        .join(deg, col("src") === col("dnode"))
+        .select(col("dst"), expr("r DIV outdeg").as("cb")) // integer div: Spark DIV == DuckDB //
+        .groupBy(col("dst"))
+        .agg(sum(col("cb")).as("s"))
+      // every node keeps receiving (bipartite trade graph: in-edges
+      // mirror out-edges, so the left join is belt-and-braces for
+      // generality, not needed by this graph's shape)
+      ranks = ranks.select(col("node"))
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          expr(s"$teleport + ((85 * coalesce(s, 0)) DIV 100)").as("r"))
+        .localCheckpoint()
+    }
+    ranks.orderBy(col("node"))
+  }
+
+  /** The same computation as plain SQL: 10 unrolled CTE iterations. */
+  val pagerankSql: String = {
+    val prologue =
+      s"""WITH pairs AS (
+           SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                  's' || CAST(l_suppkey AS VARCHAR) AS sup
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e AS (SELECT c AS src, sup AS dst FROM pairs
+               UNION ALL SELECT sup AS src, c AS dst FROM pairs),
+         deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         consts AS (SELECT $Base // count(*) AS r0 FROM deg),
+         r0 AS (SELECT d.src AS node, c.r0 AS r FROM deg d, consts c)"""
+    val iters = (1 to Iters).map { i =>
+      s"""r$i AS (
+           SELECT p.node,
+                  (15 * c.r0) // 100
+                    + (85 * coalesce(s.s, 0)) // 100 AS r
+           FROM (SELECT node FROM r0) p
+           LEFT JOIN (
+             SELECT e.dst AS node, CAST(sum(pr.r // dg.outdeg) AS BIGINT) AS s
+             FROM r${i - 1} pr
+             JOIN e ON pr.node = e.src
+             JOIN deg dg ON pr.node = dg.src
+             GROUP BY e.dst) s ON p.node = s.node
+           CROSS JOIN consts c)"""
+    }
+    (Seq(prologue) ++ iters).mkString(",\n") +
+      s"\nSELECT node, r FROM r$Iters ORDER BY node"
+  }
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("graph_pagerank", pagerank, Some(pagerankSql)))
+}
