@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered-sequence (funnel) analysis — the MATCH_RECOGNIZE-shaped
+  * read product analytics runs on every event stream: how far did each
+  * user get through view → click → purchase, where each stage must
+  * happen strictly AFTER the previous stage's first qualifying event.
+  *
+  * Spark-first shape: NOT per-stage join-backs (three shuffles) — one
+  * entity-keyed shuffle, one sort, two chained window passes over the
+  * same ordering:
+  *   pass 1: running min of view-times over the strict-past frame
+  *           marks each click that has a view before it;
+  *   pass 2: running min of qualified-click-times marks each purchase
+  *           that completes the chain.
+  * "Strictly after" is row order (ts, event_id), so ties are resolved
+  * identically in both engines; all times are second-truncated
+  * integers — no float surface. The frame state is a single running
+  * min: memory O(1) per partition at any event volume.
+  */
+object Funnel {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def funnelStages: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val strictPast = w.rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"), col("event_type"))
+      .withColumn("v_before",
+        min(when(col("event_type") === "view", col("sec"))).over(strictPast))
+      .withColumn("qual_click",
+        when(col("event_type") === "click" && col("v_before").isNotNull, col("sec")))
+      .withColumn("c_before", min(col("qual_click")).over(strictPast))
+      .withColumn("qual_purchase",
+        when(col("event_type") === "purchase" && col("c_before").isNotNull, col("sec")))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("sec"))).as("first_view"),
+        min(col("qual_click")).as("first_qual_click"),
+        min(col("qual_purchase")).as("first_qual_purchase"))
+      .withColumn("stage",
+        when(col("first_qual_purchase").isNotNull, lit(3))
+          .when(col("first_qual_click").isNotNull, lit(2))
+          .when(col("first_view").isNotNull, lit(1))
+          .otherwise(lit(0)))
+      .select(col("user_id"), col("stage"), col("first_view"),
+        col("first_qual_click"), col("first_qual_purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  val funnelStagesSql: String =
+    """WITH e AS (
+         SELECT user_id, event_id,
+                CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec, event_type
+         FROM events),
+       p1 AS (
+         SELECT *,
+                min(CASE WHEN event_type = 'view' THEN sec END)
+                  OVER (PARTITION BY user_id ORDER BY sec, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS v_before
+         FROM e),
+       p2 AS (
+         SELECT *,
+                CASE WHEN event_type = 'click' AND v_before IS NOT NULL
+                     THEN sec END AS qual_click
+         FROM p1),
+       p3 AS (
+         SELECT *,
+                min(qual_click)
+                  OVER (PARTITION BY user_id ORDER BY sec, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c_before
+         FROM p2),
+       agg AS (
+         SELECT user_id,
+                min(CASE WHEN event_type = 'view' THEN sec END) AS first_view,
+                min(qual_click) AS first_qual_click,
+                min(CASE WHEN event_type = 'purchase' AND c_before IS NOT NULL
+                         THEN sec END) AS first_qual_purchase
+         FROM p3 GROUP BY user_id)
+       SELECT user_id,
+              CAST(CASE WHEN first_qual_purchase IS NOT NULL THEN 3
+                        WHEN first_qual_click IS NOT NULL THEN 2
+                        WHEN first_view IS NOT NULL THEN 1
+                        ELSE 0 END AS INT) AS stage,
+              first_view, first_qual_click, first_qual_purchase
+       FROM agg ORDER BY user_id"""
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("funnel_stages", funnelStages, Some(funnelStagesSql)))
+}

@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Funnel
+
+class FunnelSpec extends SparkTestBase {
+
+  test("funnel: stage times are ordered and stage k implies stage k-1") {
+    val df = Funnel.funnelStages(spark, sf).cache()
+    assert(df.filter(col("stage") >= 2 && col("first_qual_click") < col("first_view")).count() == 0)
+    assert(df.filter(col("stage") === 3 &&
+      col("first_qual_purchase") < col("first_qual_click")).count() == 0)
+    assert(df.filter(col("stage") >= 2 && col("first_view").isNull).count() == 0)
+    assert(df.filter(col("stage") === 3 && col("first_qual_click").isNull).count() == 0)
+    // the funnel narrows (weakly) stage over stage
+    val counts = (1 to 3).map(k => df.filter(col("stage") >= k).count())
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2))
+    df.unpersist()
+  }
+
+  test("funnel: one entity-keyed shuffle feeds both window passes and the aggregation") {
+    val plan = Funnel.funnelStages(spark, sf).queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected a single user_id shuffle, got $shuffles")
+  }
+}
