@@ -326,7 +326,48 @@ object Pipeline {
         FROM splits GROUP BY split, lang ORDER BY split, lang"""
   }
 
+  /** Sample size for weighted sampling. */
+  val WeightedK = 50
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis):
+    * inclusion probability ∝ document length, the "sample long docs
+    * more" curation knob. Each doc draws a deterministic uniform
+    * u = h/2^52 from its md5-derived hash (52 bits: exact in a double) and gets key ln(u)/w — the
+    * log-space ES exponential race; the k largest keys are the sample.
+    * Distributed as ONE bounded `graft_topk` aggregate (each map task
+    * ships ≤ k pairs — no corpus sort, no per-row state), and fully
+    * deterministic: the same doc set yields the same sample on any
+    * partitioning, which is what makes the sample reproducible AND
+    * oracle-checkable (DuckDB replays the same race; the key is
+    * excluded from the output so the compare is on integer columns).
+    * Weights must be ≥ 1 (n_chars is); u = 0 has probability 2^-52. */
+  def sampleWeighted: Q = (s, d) => {
+    val u = conv(substring(md5(concat(lit("wsmp:"), col("doc_id").cast("string"))), 1, 13), 16, 10)
+      .cast("double") / lit(4503599627370496e0)
+    Tables.documents(s, d)
+      .select(col("doc_id"), (log(u) / col("n_chars")).as("key"))
+      .agg(expr(s"graft_topk(key, doc_id, $WeightedK)").as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("int").as("rk"), col("col.id").as("doc_id"))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .select(col("rk"), col("doc_id"), col("n_chars"))
+      .orderBy(col("rk"))
+  }
+
+  val sampleWeightedSql: String =
+    s"""WITH k AS (
+         SELECT doc_id, n_chars,
+                ln(('0x' || substr(md5('wsmp:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                   / 4503599627370496e0) / n_chars AS key
+         FROM documents),
+       r AS (
+         SELECT doc_id, n_chars,
+                CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT) AS rk
+         FROM k)
+       SELECT rk, doc_id, n_chars FROM r WHERE rk <= $WeightedK ORDER BY rk"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
     ("pipeline_end_to_end", endToEnd, Some(endToEndSql)),
     ("split_train_test", splitTrainTest, Some(splitTrainTestSql)),
     ("mix_corpora", mixCorpora, Some(mixCorporaSql)),

@@ -34,6 +34,21 @@ class PipelineSpec extends SparkTestBase {
     assert(sampled(3) == sampled(11), "stratified sample must not depend on layout")
   }
 
+  test("weighted sample is k distinct docs, reproducible, and length-biased") {
+    import org.apache.spark.sql.functions._
+    val a = Pipeline.sampleWeighted(spark, sf).collect()
+    val b = Pipeline.sampleWeighted(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq, "sample must be reproducible")
+    assert(a.length == Pipeline.WeightedK)
+    assert(a.map(_.getLong(1)).distinct.length == a.length, "without replacement")
+    // inclusion ∝ n_chars must pull the sample's mean length above the
+    // corpus mean (deterministic given the fixed hash race — not flaky)
+    val sampAvg = a.map(_.getLong(2)).sum.toDouble / a.length
+    val corpusAvg = graft.sources.Tables.documents(spark, sf)
+      .agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    assert(sampAvg > corpusAvg, s"sample $sampAvg should exceed corpus $corpusAvg")
+  }
+
   test("mix upsamples odd sources and downsamples even ones") {
     val rows = Pipeline.mixCorpora(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
