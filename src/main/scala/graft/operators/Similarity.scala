@@ -179,8 +179,9 @@ object Similarity {
     }.toArray
   }
 
-  def ivfTopK: Q = (s, d) => {
-    val all = emb(s, d)
+  /** Seed + Lloyd-train the IVF coarse quantizer, return the codebook
+    * as a broadcastable table. */
+  private def ivfCentroidDf(s: SparkSession, all: DataFrame): DataFrame = {
     val seeds = all.filter(col("vec_id") >= SeedBase && col("vec_id") < SeedBase + NumCells)
       .select(col("vec_id"), col("v"), col("n2"))
       .collect()
@@ -188,7 +189,12 @@ object Similarity {
       .map(r => r.getSeq[Double](1).toArray)
     require(seeds.length == NumCells, s"need $NumCells seed vectors at ids $SeedBase+")
     val cents = (1 to LloydIters).foldLeft(seeds)((c, _) => lloydStep(all, c))
-    val cdf = centroidDf(s, cents)
+    centroidDf(s, cents)
+  }
+
+  def ivfTopK: Q = (s, d) => {
+    val all = emb(s, d)
+    val cdf = ivfCentroidDf(s, all)
     val corpus = assign(all, cdf)
     // queries probe their NProbe best cells
     val q = scored(all.filter(col("vec_id") < NumQueries), cdf)
@@ -278,10 +284,10 @@ object Similarity {
     * over packed codes — same shuffle shape, bounded per-query state
     * via `graft_topk` either way. Rows-only: recall vs brute force is
     * asserted in SimilaritySpec. */
-  def pqTopK: Q = (s, d) => {
-    val all = emb(s, d)
-    val subs = all.selectExpr("vec_id", "n2", subsExpr)
-    // seed codebook: slices of NumCells fixed corpus vectors
+  /** Seed + Lloyd-train the per-subspace PQ codebooks, return them as
+    * one broadcastable table. */
+  private def pqTrainedCodebookDf(s: SparkSession, all: DataFrame, subs: DataFrame): DataFrame = {
+    // seed codebook: slices of PqK fixed corpus vectors
     val seeds = all.filter(col("vec_id") >= PqSeedBase && col("vec_id") < PqSeedBase + PqK)
       .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
@@ -305,7 +311,13 @@ object Similarity {
         case None => init(m)(k) // empty cell keeps its seed
       }
     }
-    val cb = pqCodebookDf(s, cents)
+    pqCodebookDf(s, cents)
+  }
+
+  def pqTopK: Q = (s, d) => {
+    val all = emb(s, d)
+    val subs = all.selectExpr("vec_id", "n2", subsExpr)
+    val cb = pqTrainedCodebookDf(s, all, subs)
     val codes = pqAssign(subs, cb).select("vec_id", "m", "code", "n2")
     // ADC lookup table: contribution of (query, m, cell) = <q_sub, cv>
     val qSubs = subs.filter(col("vec_id") < NumQueries)
@@ -340,10 +352,70 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-PQ with ADC re-rank — the production ANN index shape (what
+    * FAISS calls IVFPQ): the coarse quantizer prunes the corpus to the
+    * query's NProbe cells, PQ codes score the SURVIVORS via the
+    * broadcast lookup table, and a bounded exact re-rank fixes the
+    * final order. Composition is where the 100 TB story completes:
+    * IVF alone still reads full vectors in probed cells; PQ alone
+    * still scans every code. Together the scan touches only probed
+    * cells' CODES (M bytes/vector over |corpus|/K·NProbe rows), and
+    * every per-query structure (probe list, LUT, candidate heap) is
+    * bounded — broadcast joins + `graft_topk` aggregates, no windows,
+    * no corpus sort. Rows-only: recall vs brute force asserted in
+    * SimilaritySpec (candidate generation changes, so IVF-PQ recall is
+    * its own contract, bounded below by the intersection of the two). */
+  def ivfPqTopK: Q = (s, d) => {
+    val all = emb(s, d)
+    val cdf = ivfCentroidDf(s, all)
+    val coarse = assign(all, cdf).select(col("vec_id"), col("cell"))
+    val subs = all.selectExpr("vec_id", "n2", subsExpr)
+    val cb = pqTrainedCodebookDf(s, all, subs)
+    val codes = pqAssign(subs, cb).select("vec_id", "m", "code", "n2")
+    // queries probe their NProbe best coarse cells
+    val probes = scored(all.filter(col("vec_id") < NumQueries), cdf)
+      .groupBy(col("vec_id"))
+      .agg(expr(s"graft_topk(score, cell, $NProbe)").as("pc"))
+      .select(col("vec_id").as("query_id"), explode(col("pc")).as("p"))
+      .select(col("query_id"), col("p").getField("id").as("cell"))
+    // ADC lookup table, keyed (query, subspace, code)
+    val qSubs = subs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("m"), col("sub"), col("n2").as("qn2"))
+    val lut = qSubs.join(broadcast(cb), "m")
+      .select(col("query_id"), col("m"), col("cell").as("code"), col("qn2"),
+        expr("graft_dot(sub, cv)").as("contrib"))
+    // candidates = corpus codes inside probed cells, scored by ADC
+    val cands = codes.join(coarse, "vec_id")
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("contrib")).as("adot"),
+        first(col("n2")).as("n2"), first(col("qn2")).as("qn2"))
+      .withColumn("approx_cos", col("adot") / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .groupBy(col("query_id"))
+      .agg(expr(s"graft_topk(approx_cos, vec_id, $PqCandidates)").as("cand"))
+      .select(col("query_id"), explode(col("cand")).as("c"))
+      .select(col("query_id"), col("c").getField("id").as("vec_id"))
+    // bounded exact re-rank of the surviving candidates
+    val qVecs = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
+    cands.join(broadcast(qVecs), "query_id")
+      .join(all.select(col("vec_id"), col("v"), col("n2")), "vec_id")
+      .withColumn("cos", expr(dotExpr) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .groupBy(col("query_id"))
+      .agg(expr(s"graft_topk(cos, vec_id, $TopK)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        trunc4(col("col.score")).as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("ann_bruteforce_topk", bruteForceTopK, Some(bruteForceTopKSql)),
     ("ann_lsh_topk", lshTopK, None),
     ("ann_ivf_topk", ivfTopK, None),
     ("ann_pq_topk", pqTopK, None),
+    ("ann_ivf_pq_topk", ivfPqTopK, None),
     ("ann_range_search", rangeSearch, Some(rangeSearchSql)))
 }

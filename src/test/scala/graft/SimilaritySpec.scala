@@ -39,6 +39,23 @@ class SimilaritySpec extends SparkTestBase {
       s"(brute=${brute.size}, pq=${pq.size})")
   }
 
+  test("ivf-pq ANN achieves recall@5 >= 0.5 vs brute force, bounded by ivf's candidates") {
+    import spark.implicits._
+    val brute = Similarity.bruteForceTopK(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfpq = Similarity.ivfPqTopK(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivfpq).size.toDouble / brute.size
+    assert(recall >= 0.5, s"ivf-pq recall@${Similarity.TopK} = $recall " +
+      s"(brute=${brute.size}, ivfpq=${ivfpq.size})")
+    // the exact re-rank can only return vectors from probed cells:
+    // every IVF-PQ hit must also be an IVF candidate-universe member
+    val ivf = Similarity.ivfTopK(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val agreement = (ivf intersect ivfpq).size.toDouble / ivf.size
+    assert(agreement >= 0.5, s"ivf-pq should largely agree with ivf: $agreement")
+  }
+
   test("brute-force top-k is rank-ordered with valid cosines") {
     val rows = Similarity.bruteForceTopK(spark, sf).collect()
     assert(rows.length == Similarity.NumQueries * Similarity.TopK)
