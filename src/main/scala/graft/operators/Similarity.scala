@@ -179,9 +179,18 @@ object Similarity {
     }.toArray
   }
 
+  /** Trained-codebook memo, keyed by data dir: codebooks are
+    * deterministic functions of the corpus (fixed seeds + Lloyd), so
+    * entries sharing a dir share the training job instead of each
+    * re-running it (ann_ivf / ann_pq / ann_ivf_pq in one session).
+    * Values are codebook-sized local tables (K×dim), not corpus data. */
+  private val codebookMemo =
+    new scala.collection.concurrent.TrieMap[(String, String), DataFrame]
+
   /** Seed + Lloyd-train the IVF coarse quantizer, return the codebook
     * as a broadcastable table. */
-  private def ivfCentroidDf(s: SparkSession, all: DataFrame): DataFrame = {
+  private def ivfCentroidDf(s: SparkSession, d: String, all: DataFrame): DataFrame =
+      codebookMemo.getOrElseUpdate((d, "ivf"), {
     val seeds = all.filter(col("vec_id") >= SeedBase && col("vec_id") < SeedBase + NumCells)
       .select(col("vec_id"), col("v"), col("n2"))
       .collect()
@@ -190,11 +199,11 @@ object Similarity {
     require(seeds.length == NumCells, s"need $NumCells seed vectors at ids $SeedBase+")
     val cents = (1 to LloydIters).foldLeft(seeds)((c, _) => lloydStep(all, c))
     centroidDf(s, cents)
-  }
+  })
 
   def ivfTopK: Q = (s, d) => {
     val all = emb(s, d)
-    val cdf = ivfCentroidDf(s, all)
+    val cdf = ivfCentroidDf(s, d, all)
     val corpus = assign(all, cdf)
     // queries probe their NProbe best cells
     val q = scored(all.filter(col("vec_id") < NumQueries), cdf)
@@ -286,7 +295,8 @@ object Similarity {
     * asserted in SimilaritySpec. */
   /** Seed + Lloyd-train the per-subspace PQ codebooks, return them as
     * one broadcastable table. */
-  private def pqTrainedCodebookDf(s: SparkSession, all: DataFrame, subs: DataFrame): DataFrame = {
+  private def pqTrainedCodebookDf(s: SparkSession, d: String, all: DataFrame, subs: DataFrame): DataFrame =
+      codebookMemo.getOrElseUpdate((d, "pq"), {
     // seed codebook: slices of PqK fixed corpus vectors
     val seeds = all.filter(col("vec_id") >= PqSeedBase && col("vec_id") < PqSeedBase + PqK)
       .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
@@ -312,12 +322,12 @@ object Similarity {
       }
     }
     pqCodebookDf(s, cents)
-  }
+  })
 
   def pqTopK: Q = (s, d) => {
     val all = emb(s, d)
     val subs = all.selectExpr("vec_id", "n2", subsExpr)
-    val cb = pqTrainedCodebookDf(s, all, subs)
+    val cb = pqTrainedCodebookDf(s, d, all, subs)
     val codes = pqAssign(subs, cb).select("vec_id", "m", "code", "n2")
     // ADC lookup table: contribution of (query, m, cell) = <q_sub, cv>
     val qSubs = subs.filter(col("vec_id") < NumQueries)
@@ -367,10 +377,10 @@ object Similarity {
     * its own contract, bounded below by the intersection of the two). */
   def ivfPqTopK: Q = (s, d) => {
     val all = emb(s, d)
-    val cdf = ivfCentroidDf(s, all)
+    val cdf = ivfCentroidDf(s, d, all)
     val coarse = assign(all, cdf).select(col("vec_id"), col("cell"))
     val subs = all.selectExpr("vec_id", "n2", subsExpr)
-    val cb = pqTrainedCodebookDf(s, all, subs)
+    val cb = pqTrainedCodebookDf(s, d, all, subs)
     val codes = pqAssign(subs, cb).select("vec_id", "m", "code", "n2")
     // queries probe their NProbe best coarse cells
     val probes = scored(all.filter(col("vec_id") < NumQueries), cdf)
