@@ -246,7 +246,98 @@ object Sketch {
        ) t ORDER BY event_type, day"""
   }
 
+  /** Theta-sketch SET ALGEBRA — the reason the "theta" family exists
+    * at all: union AND intersection estimates between sets that were
+    * sketched independently. Demo read: shared vocabulary between
+    * document sources ("how much does src_i overlap src_j") — the
+    * corpus-contamination / source-similarity check an LLM data
+    * pipeline runs source-pairwise, where exact answers would mean
+    * re-shuffling every token per pair.
+    *
+    * Estimators (deterministic, the declared contract): union = the
+    * KMV estimate over the merged retained-hash set (k-th smallest of
+    * the union); intersection = c·U/θ where θ = min(θ_A, θ_B) is the
+    * pair's common sampling threshold and c counts retained hashes
+    * both sketches hold below θ — every term an integer, the one float
+    * division shared verbatim with the oracle, so DuckDB replays both
+    * estimates bit-for-bit. Sets smaller than k degrade to EXACT
+    * union/intersection (θ = U). Pairing is a non-equi join of 5
+    * sketch ROWS (k longs each) — the corpus is scanned once,
+    * per-source, never per-pair. */
+  private val U = "1152921504606846976"
+
+  private def thetaOf(sk: String): String =
+    s"CASE WHEN size($sk) < $K THEN CAST($U AS BIGINT) ELSE element_at($sk, $K) END"
+
+  def setOps: Q = (s, d) => {
+    val srcs = Tables.documents(s, d)
+      .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      .select(col("source"), explode(expr(TextAnalysis.toksExpr)).as("tok"))
+      .select(col("source"), expr(hash60("t", "tok")).as("h"))
+      .groupBy(col("source"))
+      .agg(expr(s"graft_theta(h, $K)").as("sk"))
+      .localCheckpoint() // 5 sketch rows; the pair join must not rescan docs
+    val a = srcs.select(col("source").as("src_a"), col("sk").as("ska"))
+    val b = srcs.select(col("source").as("src_b"), col("sk").as("skb"))
+    a.join(b, col("src_a") < col("src_b"))
+      .withColumn("theta", expr(s"least(${thetaOf("ska")}, ${thetaOf("skb")})"))
+      .withColumn("usk", expr("array_sort(array_union(ska, skb))"))
+      .withColumn("est_union", expr(estExpr("usk")))
+      .withColumn("c", expr("size(filter(array_intersect(ska, skb), x -> x < theta))"))
+      .withColumn("est_intersection",
+        expr(s"CAST(floor(CAST(c AS DOUBLE) * (${U}e0 / CAST(theta AS DOUBLE))) AS DOUBLE)"))
+      .select(col("src_a"), col("src_b"), col("est_union"), col("est_intersection"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val setOpsSql: String =
+    s"""WITH toks AS (
+         SELECT DISTINCT source,
+                ('0x' || substr(md5('t' || tok), 1, 15))::BIGINT AS h
+         FROM (SELECT source, unnest(${TextAnalysis.toksSqlExpr}) AS tok
+               FROM documents
+               WHERE source IN ('src0','src1','src2','src3','src4')) t),
+       r AS (SELECT source, h,
+                    row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+                    count(*) OVER (PARTITION BY source) AS cnt
+             FROM toks),
+       sk AS (SELECT * FROM r WHERE rn <= $K),
+       th AS (SELECT source,
+                     CASE WHEN max(cnt) < $K THEN CAST($U AS BIGINT)
+                          ELSE max(CASE WHEN rn = $K THEN h END) END AS theta
+              FROM sk GROUP BY source),
+       prs AS (SELECT ta.source AS src_a, tb.source AS src_b,
+                      least(ta.theta, tb.theta) AS theta
+               FROM th ta JOIN th tb ON ta.source < tb.source),
+       uv AS (SELECT p.src_a, p.src_b, s.h FROM prs p JOIN sk s ON s.source = p.src_a
+              UNION
+              SELECT p.src_a, p.src_b, s.h FROM prs p JOIN sk s ON s.source = p.src_b),
+       ur AS (SELECT src_a, src_b, h,
+                     row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn,
+                     count(*) OVER (PARTITION BY src_a, src_b) AS cnt
+              FROM uv),
+       un AS (SELECT src_a, src_b,
+                     CASE WHEN max(cnt) < $K THEN CAST(max(cnt) AS DOUBLE)
+                          ELSE floor(${K - 1}e0 * ${U}e0 /
+                                     CAST(max(CASE WHEN rn = $K THEN h END) AS DOUBLE)) END
+                       AS est_union
+              FROM ur GROUP BY 1, 2),
+       cm AS (SELECT p.src_a, p.src_b, count(*) AS c
+              FROM prs p
+              JOIN sk sa ON sa.source = p.src_a
+              JOIN sk sb ON sb.source = p.src_b AND sb.h = sa.h
+              WHERE sa.h < p.theta
+              GROUP BY 1, 2)
+       SELECT p.src_a, p.src_b, un.est_union,
+              CAST(floor(CAST(coalesce(cm.c, 0) AS DOUBLE)
+                    * (${U}e0 / CAST(p.theta AS DOUBLE))) AS DOUBLE) AS est_intersection
+       FROM prs p
+       JOIN un ON un.src_a = p.src_a AND un.src_b = p.src_b
+       LEFT JOIN cm ON cm.src_a = p.src_a AND cm.src_b = p.src_b
+       ORDER BY p.src_a, p.src_b"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("sketch_set_ops", setOps, Some(setOpsSql)),
     ("sketch_theta_distinct", thetaDistinct, Some(thetaDistinctSql)),
     ("sketch_sample_quantile", sampleQuantile, Some(sampleQuantileSql)),
     ("sketch_heavy_hitters", heavyHitters, Some(heavyHittersSql)),

@@ -100,6 +100,33 @@ class SketchSpec extends SparkTestBase {
       s"missed heavy hitters: ${trueHh -- cand}")
   }
 
+  test("set ops: in the complete-sketch regime estimates ARE the exact set sizes") {
+    import graft.operators.{Sketch, TextAnalysis}
+    val out = Sketch.setOps(spark, sf).cache()
+    assert(out.count() == 10) // C(5,2) source pairs
+    assert(out.filter(col("est_intersection") > col("est_union")).count() == 0)
+    // test corpus vocabularies are < K, so sketches hold the whole
+    // sets: union/intersection estimates must equal the exact answers
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      .select(col("source"), explode(expr(TextAnalysis.toksExpr)).as("tok"))
+      .distinct().cache()
+    val a = toks.select(col("source").as("src_a"), col("tok"))
+    val b = toks.select(col("source").as("src_b"), col("tok"))
+    val exact = a.join(b, Seq("tok")).filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(countDistinct(col("tok")).cast("double").as("x_int"))
+    val sizes = toks.groupBy(col("source")).agg(countDistinct(col("tok")).as("sz"))
+    val checked = out.join(exact, Seq("src_a", "src_b"))
+      .join(sizes.select(col("source").as("src_a"), col("sz").as("sza")), Seq("src_a"))
+      .join(sizes.select(col("source").as("src_b"), col("sz").as("szb")), Seq("src_b"))
+    assert(checked.filter(col("est_intersection") =!= col("x_int")).count() == 0,
+      "complete sketches must give exact intersections")
+    assert(checked.filter(col("est_union") =!= (col("sza") + col("szb") - col("x_int"))).count() == 0,
+      "complete sketches must give exact unions")
+    toks.unpersist(); out.unpersist()
+  }
+
   test("estimator error within 3x KMV envelope above k") {
     val k = operators.Sketch.K
     val est = operators.Sketch.thetaDistinct(spark, sf01)
