@@ -661,6 +661,61 @@ object EventsStream {
   def heavyHittersMgRead(spark: SparkSession, mgDir: String): DataFrame =
     spark.read.parquet(s"$mgDir/current")
 
+  /** Batch twin for `ivm_agg_delta` — incremental view maintenance
+    * with RETRACTIONS, the capability LWW-upsert doesn't cover: the
+    * event stream is read as a SIGNED delta stream (`error` events
+    * retract one unit of the user's activity; everything else inserts
+    * one), and the maintained view is each user's net activity. Rows
+    * whose support reaches zero LEAVE the view — the defining IVM
+    * behavior (a deleted group must disappear, not linger at 0). */
+  def ivmAggBatch: Q = (s, d) => {
+    Tables.events(s, d)
+      .select(col("user_id"),
+        when(col("event_type") === "error", lit(-1L)).otherwise(lit(1L)).as("op"),
+        col("value"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("op")).as("net_events"),
+        round(sum(col("op") * col("value")), 2).as("net_value"))
+      .filter(col("net_events") =!= 0)
+      .orderBy(col("user_id"))
+  }
+
+  val ivmAggSql: String =
+    """SELECT user_id, CAST(sum(op) AS BIGINT) AS net_events,
+              round(sum(op * value), 2) AS net_value
+       FROM (SELECT user_id,
+                    CASE WHEN event_type = 'error' THEN -1 ELSE 1 END AS op,
+                    value
+             FROM events) t
+       GROUP BY user_id HAVING CAST(sum(op) AS BIGINT) <> 0 ORDER BY user_id"""
+
+  /** One micro-batch of the delta-view maintenance: per-key partial
+    * sums of the batch merge into the stored view by ADDITION — the
+    * abelian-group property (sum of signed contributions) is what
+    * makes the view chunking- and order-independent, unlike LWW which
+    * needs the order key. Zero-support rows are REMOVED at merge time
+    * so the stored view never carries tombstone residue. The raw
+    * double sums are kept in store (rounding happens only at read) so
+    * merges stay associative. */
+  def ivmBatchInto(snapshotDir: String, batch: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val delta = batch.groupBy(col("user_id"))
+      .agg(sum(col("op")).as("net_events"), sum(col("op") * col("value")).as("raw_value"))
+    val merged = currentSnapshot(spark, snapshotDir)
+      .map(_.unionByName(delta)).getOrElse(delta)
+      .groupBy(col("user_id"))
+      .agg(sum(col("net_events")).as("net_events"), sum(col("raw_value")).as("raw_value"))
+      .filter(col("net_events") =!= 0)
+    publishSnapshot(snapshotDir, merged)
+  }
+
+  /** Read-back of the maintained view in the batch twin's shape. */
+  def ivmSnapshotRead(spark: SparkSession, snapshotDir: String): DataFrame =
+    spark.read.parquet(s"$snapshotDir/current")
+      .select(col("user_id"), col("net_events"),
+        round(col("raw_value"), 2).as("net_value"))
+      .orderBy(col("user_id"))
+
   /** Static dimension for stream enrichment: user → market segment
     * (events.user_id is 0-based; customer keys are 1-based). */
   def userSegmentDim(s: SparkSession, d: String): DataFrame =
@@ -698,6 +753,7 @@ object EventsStream {
     ("stream_upsert_snapshot", upsertSnapshotBatch, Some(upsertSnapshotSql)),
     ("stream_sketch_distinct", sketchDistinctBatch, Some(sketchDistinctSql)),
     ("stream_heavy_hitters", heavyHittersBatch, Some(heavyHittersSql)),
+    ("ivm_agg_delta", ivmAggBatch, Some(ivmAggSql)),
     ("stream_counter_rate", counterRateHourlyBatch, Some(counterRateHourlySql)),
     ("stream_events_window", eventsWindowBatch, Some(eventsWindowSql)),
     ("stream_sessionize_state", sessionizeBatch, Some(AsOfSessionizeOracle.sql)),

@@ -314,6 +314,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("delta-view maintenance with retractions equals the batch view, any chunking") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"),
+        when(col("event_type") === "error", -1L).otherwise(1L).as("op"),
+        col("value"), col("event_id"))
+      .as[(Long, Long, Double, Long)].collect()
+
+    val snapDir = java.nio.file.Files.createTempDirectory("graft_ivm").toString
+    val input = MemoryStream[(Long, Long, Double, Long)]
+    val q = input.toDF()
+      .toDF("user_id", "op", "value", "event_id")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        EventsStream.ivmBatchInto(snapDir, df)
+      }
+      .start()
+    try {
+      val sorted = rows.sortBy(_._4)
+      val chunks = sorted.grouped(math.max(1, sorted.length / 3 + 1)).toSeq.reverse
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      val got = EventsStream.ivmSnapshotRead(spark, snapDir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val want = EventsStream.ivmAggBatch(spark, sf)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got == want, s"streaming=${got.size} batch=${want.size} " +
+        s"diff=${(want.toSet diff got.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch fold") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
