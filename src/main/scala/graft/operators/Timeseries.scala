@@ -608,7 +608,76 @@ object Timeseries {
               floor(s * 1e4) / 1e4 AS smoothed
        FROM rec ORDER BY event_type, hour_sec"""
 
+  /** The TSDB read pipeline as ONE Catalyst plan — the per-series
+    * alerting summary a monitoring backend serves: raw events →
+    * truncated hourly rollup → trailing-24h z-score anomalies (moment
+    * arithmetic) → EWMA level (order-fixed fold) → per-series digest
+    * (hours observed, anomaly count, worst |z|, current smoothed
+    * level). Composability is the point: the same hourly frame feeds
+    * the moment windows, the fold, and the final aggregate inside one
+    * optimized plan — the series-keyed exchange is planned ONCE and
+    * reused by the window, the group fold, and the digest (no
+    * per-stage materialization, no repeated scans). Float parity
+    * combines all three established techniques (truncated rollup,
+    * shared-expression moments, order-fixed fold) in a single
+    * oracle-checked result. */
+  def tsdbEndToEnd: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_sec"))
+      .rowsBetween(-24, -1)
+    val withZ = hourly(s, d)
+      .withColumn("sx", sum(col("avg_value")).over(w))
+      .withColumn("sxx", sum(col("avg_value") * col("avg_value")).over(w))
+      .withColumn("nprev", count(col("avg_value")).over(w))
+      .withColumn("z", expr(zExpr))
+    withZ.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        count(when(abs(col("z")) > 3, 1)).as("n_anomalies"),
+        max(abs(col("z"))).as("max_abs_z"),
+        sort_array(collect_list(struct(col("hour_sec"), col("avg_value")))).as("seq"))
+      .withColumn("level", expr(
+        """aggregate(seq, CAST(NULL AS DOUBLE),
+             (acc, p) -> CASE WHEN acc IS NULL THEN p.avg_value
+                         ELSE 0.3e0 * p.avg_value + 0.7e0 * acc END)"""))
+      .select(col("event_type"), col("n_hours"), col("n_anomalies"),
+        col("max_abs_z"), (floor(col("level") * 1e4) / 1e4).as("level"))
+      .orderBy(col("event_type"))
+  }
+
+  val tsdbEndToEndSql: String =
+    s"""WITH RECURSIVE hourly AS (
+         SELECT event_type, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hour_sec,
+                floor(round(sum(value), 2) / count(*) * 1e4) / 1e4 AS avg_value
+         FROM events GROUP BY 1, 2),
+       b AS (
+         SELECT event_type, hour_sec, avg_value,
+                sum(avg_value) OVER w AS sx,
+                sum(avg_value * avg_value) OVER w AS sxx,
+                count(avg_value) OVER w AS nprev
+         FROM hourly
+         WINDOW w AS (PARTITION BY event_type ORDER BY hour_sec
+                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+       zz AS (SELECT event_type, hour_sec, ($zExpr) AS z FROM b),
+       idx AS (
+         SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY hour_sec) AS rn
+         FROM hourly),
+       rec AS (
+         SELECT event_type, rn, avg_value AS s FROM idx WHERE rn = 1
+         UNION ALL
+         SELECT i.event_type, i.rn, 0.3e0 * i.avg_value + 0.7e0 * rec.s
+         FROM idx i JOIN rec ON i.event_type = rec.event_type AND i.rn = rec.rn + 1),
+       lvl AS (
+         SELECT r.event_type, r.s FROM rec r
+         JOIN (SELECT event_type, max(rn) AS mx FROM rec GROUP BY 1) m
+           ON r.event_type = m.event_type AND r.rn = m.mx)
+       SELECT z.event_type, count(*) AS n_hours,
+              count(*) FILTER (WHERE abs(z.z) > 3) AS n_anomalies,
+              max(abs(z.z)) AS max_abs_z,
+              floor(max(l.s) * 1e4) / 1e4 AS level
+       FROM zz z JOIN lvl l ON z.event_type = l.event_type
+       GROUP BY z.event_type ORDER BY z.event_type"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("tsdb_end_to_end", tsdbEndToEnd, Some(tsdbEndToEndSql)),
     ("metrics_smooth_ewma", smoothEwma, Some(smoothEwmaSql)),
     ("metrics_irate", irate, Some(irateSql)),
     ("metrics_predict_linear", predictLinear, Some(predictLinearSql)),

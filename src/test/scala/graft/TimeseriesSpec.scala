@@ -117,6 +117,17 @@ class TimeseriesSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("tsdb_end_to_end: the series exchange is planned once and reused by window, fold, and digest") {
+    val df = Timeseries.tsdbEndToEnd(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 2, s"rollup + series key only, got $shuffles:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 5 && rows.forall(r => r.getLong(1) > 0))
+    // anomaly count is bounded by observed hours; level is a real number
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1) && !r.getDouble(4).isNaN))
+  }
+
   test("downsample buckets partition the sample count") {
     val total = graft.sources.Tables.events(spark, sf).count()
     val sum = Timeseries.downsample(spark, sf).agg(org.apache.spark.sql.functions.sum("samples"))
