@@ -96,6 +96,38 @@ object Quality {
        SELECT * FROM (${rows.mkString(" UNION ALL ")}) t ORDER BY col_name"""
   }
 
+  /** Exact DECIMAL money arithmetic — the financial-reporting
+    * contract: revenue aggregated in fixed-point, where no summation
+    * order can perturb a cent. Doubles are rounded to their 2-decimal
+    * face value ONCE (the same IEEE double rounds the same way in any
+    * engine), then every multiply/sum runs in decimal — Spark's sum of
+    * DECIMAL is exact (overflow-checked), so this is the query shape
+    * to hand an auditor, vs the floor-truncation contracts the float
+    * entries declare. Output serialized at scale 4 so both engines
+    * print the identical fixed-point literal. */
+  def decimalMoney: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (round(col("l_extendedprice"), 2).cast("decimal(14,2)") *
+          round(lit(1) - col("l_discount"), 2).cast("decimal(5,2)")).as("net"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("net")).as("rev"), count(lit(1)).as("n_lines"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("rev").cast("decimal(28,4)").cast("string").as("revenue"),
+        col("n_lines"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val decimalMoneySql: String =
+    """SELECT l_returnflag, l_linestatus,
+              CAST(CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(14,2))
+                            * CAST(round(1 - l_discount, 2) AS DECIMAL(5,2)))
+                   AS DECIMAL(28,4)) AS VARCHAR) AS revenue,
+              count(*) AS n_lines
+       FROM lineitem
+       GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
-    ("dq_profile", dqProfile, Some(dqProfileSql)))
+    ("dq_profile", dqProfile, Some(dqProfileSql)),
+    ("q_decimal_money", decimalMoney, Some(decimalMoneySql)))
 }
