@@ -45,6 +45,59 @@ object Cohort {
        FROM o JOIN f USING (o_custkey)
        GROUP BY 1, 2 ORDER BY cohort_m, month_offset"""
 
+  /** Fulfillment-lag quantiles BY COUNTING — the quantile shape that
+    * scales when the value domain is small integers (days, buckets,
+    * response-time classes): instead of sorting raw rows per group,
+    * count per (group, lag-day), run one cumulative window over the
+    * ≤|domain| counted rows, and select the nearest-rank element where
+    * the cumulative count crosses floor(q·(n−1))+1. The shuffle
+    * carries |groups|·|domain| counted rows, never the fact table; all
+    * arithmetic is integer, so the result is engine-exact with no
+    * float contract at all. */
+  def fulfillmentLag: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("lag_days"))
+      .groupBy(col("priority"), col("lag_days"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("priority")).orderBy(col("lag_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("priority"))
+    counts
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy(col("priority"), col("n"))
+      .agg(
+        min(when(col("cum") >= floor(lit(0.5) * (col("n") - 1)) + 1, col("lag_days"))).as("p50_days"),
+        min(when(col("cum") >= floor(lit(0.9) * (col("n") - 1)) + 1, col("lag_days"))).as("p90_days"),
+        max(col("lag_days")).as("max_days"))
+      .select(col("priority"), col("n").as("n_lines"),
+        col("p50_days"), col("p90_days"), col("max_days"))
+      .orderBy(col("priority"))
+  }
+
+  val fulfillmentLagSql: String =
+    """WITH lags AS (
+         SELECT o_orderpriority AS priority,
+                CAST(date_diff('day', o_orderdate, l_shipdate) AS INT) AS lag_days
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       c AS (SELECT priority, lag_days, count(*) AS c
+             FROM lags GROUP BY 1, 2),
+       cum AS (
+         SELECT priority, lag_days, c,
+                sum(c) OVER (PARTITION BY priority ORDER BY lag_days
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                sum(c) OVER (PARTITION BY priority) AS n
+         FROM c)
+       SELECT priority, CAST(max(n) AS BIGINT) AS n_lines,
+              min(CASE WHEN cum >= floor(0.5 * (n - 1)) + 1 THEN lag_days END) AS p50_days,
+              min(CASE WHEN cum >= floor(0.9 * (n - 1)) + 1 THEN lag_days END) AS p90_days,
+              max(lag_days) AS max_days
+       FROM cum GROUP BY priority ORDER BY priority"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
-    ("cohort_retention", cohortRetention, Some(cohortRetentionSql)))
+    ("cohort_retention", cohortRetention, Some(cohortRetentionSql)),
+    ("q_fulfillment_lag", fulfillmentLag, Some(fulfillmentLagSql)))
 }

@@ -18,6 +18,29 @@ class CohortSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("counting quantiles equal the sort-based nearest-rank result") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Cohort.fulfillmentLag(spark, sf).cache()
+    assert(df.filter(col("p50_days") > col("p90_days") || col("p90_days") > col("max_days")).count() == 0)
+    // the counting formulation must pick the exact same element as a
+    // per-group sort + index selection
+    val lags = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("lag_days"))
+    val w = Window.partitionBy("priority").orderBy("lag_days")
+    val sorted = lags
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("priority")))
+      .groupBy("priority")
+      .agg(min(when(col("rn") === floor(lit(0.5) * (col("n") - 1)) + 1, col("lag_days"))).as("s50"),
+        min(when(col("rn") === floor(lit(0.9) * (col("n") - 1)) + 1, col("lag_days"))).as("s90"))
+    val diff = df.join(sorted, Seq("priority"))
+      .filter(col("p50_days") =!= col("s50") || col("p90_days") =!= col("s90"))
+    assert(diff.count() == 0, "counting and sorting must select the same stored element")
+    df.unpersist()
+  }
+
   test("decimal money: exact fixed-point totals agree with the double estimate to the cent") {
     val rows = Quality.decimalMoney(spark, sf).collect()
     assert(rows.length == 6)
