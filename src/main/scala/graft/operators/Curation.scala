@@ -1,0 +1,234 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene operators — the cross-document cleaning passes a
+  * pretraining pipeline runs between dedup and mixing: boilerplate
+  * segment removal (C4-style "repeated line" dedup), benchmark
+  * decontamination (n-gram overlap against an eval split), within-doc
+  * repetition scoring (the Gopher/MassiveText repetition filter), and
+  * temperature-based multilingual rebalancing (the mC4/XLM-R α-sampling
+  * rule).
+  *
+  * The reference collector has no text surface; these extend the
+  * LLM-data-pipeline block the engine mandates (SURVEY §2 third block).
+  *
+  * Scale shape: segment/n-gram generation is a narrow
+  * explode; document frequencies take ONE count shuffle keyed by the
+  * segment string (heavy-hitter segments are exactly the boilerplate
+  * being hunted, and they collapse to one row per segment in the
+  * map-side combine). Decontamination broadcasts the eval side's
+  * distinct n-grams (eval suites are MBs, corpora are TBs — the
+  * asymmetry IS the design). Repetition scoring is per-row narrow math.
+  * Temperature rebalancing broadcasts a |languages|-row rate table.
+  * Everything is integer arithmetic except one sqrt, so every entry is
+  * oracle-exact.
+  */
+object Curation {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  import TextAnalysis.{toksExpr, toksSqlExpr, trunc4}
+
+  // ---------------------------------------------------------- boilerplate
+
+  /** Segment width for boilerplate detection: non-overlapping 5-token
+    * chunks stand in for "lines" (the corpus carries no newlines). */
+  val SegTokens = 5
+
+  /** C4-style boilerplate dedup: a segment that appears in ≥ 2 distinct
+    * documents is boilerplate (nav bars, license headers, repeated
+    * footers at web scale); every document reports how much of it
+    * survives. Two shuffles total — one count by segment (map-side
+    * combine collapses repeats), one count by document — joined on the
+    * (distinct-segment-sized, not corpus-sized) frequency table. All
+    * counts are integers: engine-exact. */
+  def dedupBoilerplate: Q = (s, d) => {
+    val segs = Tables.documents(s, d)
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        explode(expr(
+          s"""CASE WHEN size(toks) >= $SegTokens
+                THEN transform(sequence(0, size(toks) DIV $SegTokens - 1),
+                               i -> array_join(slice(toks, i * $SegTokens + 1, $SegTokens), ' '))
+                ELSE array() END""")).as("seg"))
+    val freq = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    segs.join(freq, Seq("seg"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_segments"),
+        count(when(col("df") >= 2, 1)).as("n_boiler_segments"))
+      .withColumn("kept_tokens",
+        col("n_tokens") - col("n_boiler_segments") * SegTokens)
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupBoilerplateSql: String =
+    s"""WITH segs AS (
+          SELECT doc_id, len(toks) AS n_tokens,
+                 unnest(list_transform(range(0, len(toks) // $SegTokens),
+                        i -> array_to_string(toks[i * $SegTokens + 1 : i * $SegTokens + $SegTokens], ' '))) AS seg
+          FROM (SELECT doc_id, $toksSqlExpr AS toks FROM documents)),
+        freq AS (SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg)
+        SELECT s.doc_id, CAST(max(s.n_tokens) AS INT) AS n_tokens,
+               count(*) AS n_segments,
+               count(*) FILTER (WHERE f.df >= 2) AS n_boiler_segments,
+               CAST(max(s.n_tokens) - count(*) FILTER (WHERE f.df >= 2) * $SegTokens AS BIGINT) AS kept_tokens
+        FROM segs s JOIN freq f USING (seg)
+        GROUP BY s.doc_id ORDER BY s.doc_id"""
+
+  // -------------------------------------------------------- contamination
+
+  /** Overlap n-gram width (GPT-3 used 13, The Pile 8 — 8 fits the test
+    * corpus' 10-token minimum). */
+  val ContamN = 8
+
+  /** Benchmark decontamination: which training documents share any
+    * 8-token span with the held-out eval source (`src0` plays the eval
+    * suite)? The eval side's distinct n-grams are BROADCAST — an eval
+    * suite is MBs while the corpus is TBs, so the corpus-side pass is
+    * one narrow explode + broadcast semi-match + one count by doc_id,
+    * never a corpus×corpus join. Output = the contaminated doc list a
+    * decontamination pass would drop. Pure string/int: engine-exact. */
+  def textContamination: Q = (s, d) => {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), col("source"), expr(toksExpr).as("toks"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        s"""CASE WHEN size(toks) >= $ContamN
+              THEN transform(sequence(0, size(toks) - $ContamN),
+                             i -> array_join(slice(toks, i + 1, $ContamN), ' '))
+              ELSE array() END""")).as("gram"))
+    val docs = Tables.documents(s, d)
+    val evalGrams = grams(docs.filter(col("source") === "src0"))
+      .select(col("gram")).distinct()
+    grams(docs.filter(col("source") =!= "src0"))
+      .select(col("doc_id"), col("source"), col("gram")).distinct()
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textContaminationSql: String =
+    s"""WITH g AS (
+          SELECT doc_id, source,
+                 unnest(list_transform(range(0, len(toks) - ${ContamN - 1}),
+                        i -> array_to_string(toks[i + 1 : i + $ContamN], ' '))) AS gram
+          FROM (SELECT doc_id, source, $toksSqlExpr AS toks FROM documents)),
+        ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+        tr AS (SELECT DISTINCT doc_id, source, gram FROM g WHERE source <> 'src0')
+        SELECT tr.doc_id, tr.source, count(*) AS n_shared_ngrams
+        FROM tr JOIN ev USING (gram)
+        GROUP BY tr.doc_id, tr.source ORDER BY tr.doc_id"""
+
+  // ----------------------------------------------------------- repetition
+
+  /** Within-document repetition score (the Gopher quality filter):
+    * fraction of duplicate tokens and duplicate 3-grams inside each
+    * document. Pure narrow per-row math over the token array — zero
+    * shuffle at any corpus size. Ratios floor-truncated at 4dp (the
+    * engine-stable rounding); the pass flag applies Gopher's
+    * "fraction of duplicate 3-grams ≤ 0.75"-style threshold, adapted
+    * to the synthetic corpus' small vocabulary. */
+  def textRepetition: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+        expr("""CASE WHEN size(toks) >= 3
+                  THEN transform(sequence(0, size(toks) - 3),
+                                 i -> array_join(slice(toks, i + 1, 3), ' '))
+                  ELSE array() END""").as("g3"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        size(col("g3")).as("n_3grams"),
+        size(array_distinct(col("g3"))).as("n_distinct_3grams"))
+      .withColumn("dup_token_frac",
+        trunc4((col("n_tokens") - col("n_distinct_tokens")) * lit(1.0) /
+          greatest(col("n_tokens"), lit(1))))
+      .withColumn("dup_3gram_frac",
+        trunc4((col("n_3grams") - col("n_distinct_3grams")) * lit(1.0) /
+          greatest(col("n_3grams"), lit(1))))
+      .withColumn("pass_filter", col("dup_3gram_frac") <= 0.2)
+      .orderBy(col("doc_id"))
+  }
+
+  val textRepetitionSql: String =
+    s"""WITH g AS (
+          SELECT doc_id, len(toks) AS n_tokens,
+                 len(list_distinct(toks)) AS n_distinct_tokens,
+                 list_transform(range(0, len(toks) - 2),
+                                i -> array_to_string(toks[i + 1 : i + 3], ' ')) AS g3
+          FROM (SELECT doc_id, $toksSqlExpr AS toks FROM documents))
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+               CAST(n_distinct_tokens AS INT) AS n_distinct_tokens,
+               CAST(len(g3) AS INT) AS n_3grams,
+               CAST(len(list_distinct(g3)) AS INT) AS n_distinct_3grams,
+               floor((n_tokens - n_distinct_tokens) * 1.0 / greatest(n_tokens, 1) * 10000) / 10000.0 AS dup_token_frac,
+               floor((len(g3) - len(list_distinct(g3))) * 1.0 / greatest(len(g3), 1) * 10000) / 10000.0 AS dup_3gram_frac,
+               floor((len(g3) - len(list_distinct(g3))) * 1.0 / greatest(len(g3), 1) * 10000) / 10000.0 <= 0.2 AS pass_filter
+        FROM g ORDER BY doc_id"""
+
+  // ---------------------------------------------------------- temperature
+
+  /** Sampling temperature α: keep rate per language ∝ p_lang^(α-1),
+    * normalized so the smallest language keeps 100%. */
+  val TempAlpha = 0.5
+
+  /** Temperature-based multilingual rebalancing (mC4/XLM-R): flatten
+    * the language distribution by keeping each document of language l
+    * with probability (n_min/n_l)^(1-α) = sqrt(n_min/n_l) at α = 0.5 —
+    * the high-resource language is downsampled hardest, the rarest
+    * keeps everything. The rate table is |languages| rows, computed in
+    * one aggregation and BROADCAST back onto the corpus; membership is
+    * the same content-hash bucket rule as the split/stratified ops
+    * (deterministic, partitioning-independent, re-runnable). Float
+    * surface is one sqrt of one division (both correctly-rounded IEEE
+    * ops) floored into an integer threshold — engine-exact. */
+  def mixTemperature: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    // n_min via an unpartitioned window — it runs over the |languages|-row
+    // AGGREGATE (≤ a few hundred rows at any corpus size), not the corpus,
+    // so the single-partition window is free and the corpus is scanned once.
+    val rates = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_orig"))
+      .withColumn("n_min", min(col("n_orig")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("keep_per_10k",
+        floor(sqrt(col("n_min").cast("double") / col("n_orig").cast("double")) * 10000)
+          .cast("long"))
+      .select(col("lang"), col("n_orig"), col("keep_per_10k"))
+    val bucket = conv(substring(md5(concat(lit("temp:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 10000
+    docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(broadcast(rates), Seq("lang"))
+      .filter(bucket < col("keep_per_10k"))
+      .groupBy(col("lang"))
+      .agg(max(col("n_orig")).as("n_orig"),
+        max(col("keep_per_10k")).as("keep_per_10k"),
+        count(lit(1)).as("n_kept"),
+        sum(ceil(col("n_chars") / 4.0).cast("long")).as("tok_est"))
+      .orderBy(col("lang"))
+  }
+
+  val mixTemperatureSql: String =
+    """WITH rates AS (
+         SELECT lang, count(*) AS n_orig,
+                CAST(floor(sqrt(CAST(min(count(*)) OVER () AS DOUBLE)
+                                / CAST(count(*) AS DOUBLE)) * 10000) AS BIGINT) AS keep_per_10k
+         FROM documents GROUP BY lang)
+       SELECT d.lang, max(r.n_orig) AS n_orig, max(r.keep_per_10k) AS keep_per_10k,
+              count(*) AS n_kept,
+              CAST(sum(CAST(ceil(d.n_chars / 4.0) AS BIGINT)) AS BIGINT) AS tok_est
+       FROM documents d JOIN rates r ON d.lang = r.lang
+       WHERE ('0x' || substring(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+             < r.keep_per_10k
+       GROUP BY d.lang ORDER BY d.lang"""
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("dedup_boilerplate", dedupBoilerplate, Some(dedupBoilerplateSql)),
+    ("text_contamination", textContamination, Some(textContaminationSql)),
+    ("text_repetition", textRepetition, Some(textRepetitionSql)),
+    ("mix_temperature", mixTemperature, Some(mixTemperatureSql)))
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+class CurationSpec extends SparkTestBase {
+
+  test("boilerplate: kept_tokens consistent and exact-dup docs are fully boilerplate") {
+    val df = Curation.dedupBoilerplate(spark, sf).cache()
+    assert(df.filter(col("n_boiler_segments") > col("n_segments")).count() == 0)
+    assert(df.filter(col("kept_tokens") > col("n_tokens")).count() == 0)
+    // every doc in an exact-duplicate group shares ALL its segments with
+    // its twin, so all segments must be flagged as boilerplate
+    val dupDocs = graft.sources.Tables.documents(spark, sf)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), collect_list(col("doc_id")).as("ids"))
+      .filter(col("n") >= 2)
+      .select(explode(col("ids")).as("doc_id"))
+    val notAllBoiler = df.join(dupDocs, Seq("doc_id"))
+      .filter(col("n_boiler_segments") =!= col("n_segments"))
+    assert(notAllBoiler.count() == 0,
+      "exact duplicates must have every segment flagged")
+    df.unpersist()
+  }
+
+  test("contamination: flagged docs really share an 8-gram with the eval source") {
+    val flagged = Curation.textContamination(spark, sf).cache()
+    assert(flagged.filter(col("source") === "src0").count() == 0,
+      "eval docs must not flag themselves")
+    assert(flagged.filter(col("n_shared_ngrams") <= 0).count() == 0)
+    flagged.unpersist()
+  }
+
+  test("repetition: fractions bounded and distinct counts never exceed totals") {
+    val df = Curation.textRepetition(spark, sf).cache()
+    assert(df.count() == graft.sources.Tables.documents(spark, sf).count())
+    assert(df.filter(col("dup_token_frac") < 0 || col("dup_token_frac") > 1).count() == 0)
+    assert(df.filter(col("n_distinct_3grams") > col("n_3grams")).count() == 0)
+    df.unpersist()
+  }
+
+  test("temperature: rarest language keeps ~everything, largest is downsampled hardest") {
+    val df = Curation.mixTemperature(spark, sf).cache()
+    val rows = df.select(col("lang"), col("n_orig"), col("keep_per_10k"), col("n_kept"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val minLang = rows.minBy(_._2)
+    val maxLang = rows.maxBy(_._2)
+    assert(minLang._3 == 10000, "smallest language keeps 100%")
+    assert(maxLang._3 < 10000, "largest language must be downsampled")
+    // keep rate is monotone-decreasing in corpus share
+    rows.sortBy(_._2).sliding(2).foreach {
+      case Array(a, b) => assert(a._3 >= b._3, s"rate must fall with size: $a vs $b")
+      case _ =>
+    }
+    rows.foreach { case (_, _, _, kept) => assert(kept > 0) }
+    df.unpersist()
+  }
+}
