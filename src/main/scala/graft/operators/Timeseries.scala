@@ -676,7 +676,129 @@ object Timeseries {
        FROM zz z JOIN lvl l ON z.event_type = l.event_type
        GROUP BY z.event_type ORDER BY z.event_type"""
 
+  /** PromQL `changes()`: how many times each series' value CHANGED per
+    * day — the flappiness read for gauges (where `resets()` only sees
+    * drops). Same single series-keyed lag chain as `counterRate`;
+    * comparison of stored doubles and an integer count — no float
+    * arithmetic surface at all. */
+  def changes: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(when(col("prev").isNotNull && col("prev") =!= col("value"), 1)).as("changes"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val changesSql: String =
+    """WITH s AS (
+         SELECT event_type, ts, value,
+                lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+         FROM events)
+       SELECT event_type, CAST(ts AS DATE) AS day,
+              count(*) FILTER (WHERE prev IS NOT NULL AND prev <> value) AS changes
+       FROM s GROUP BY 1, 2 ORDER BY event_type, day"""
+
+  /** PromQL `absent()`: the hours (within the corpus' global span) where
+    * a series reported NOTHING — the alert that fires when a target
+    * stops scraping. The spine is generated (|series| × |hours|, never
+    * scanned from the fact table, same as `gapFill`) and the observed
+    * hourly set anti-joins it. Pure integer/row logic: engine-exact. */
+  def absent: Q = (s, d) => {
+    val h = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("hour_sec"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = h.agg(min(col("hour_sec")).as("h0"), max(col("hour_sec")).as("h1"))
+    val spine = h.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(h0, h1, 3600)")).as("hour_sec"))
+    spine.join(h, Seq("event_type", "hour_sec"), "left_anti")
+      .orderBy(col("event_type"), col("hour_sec"))
+  }
+
+  val absentSql: String =
+    """WITH hourly AS (
+         SELECT event_type, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hour_sec
+         FROM events GROUP BY 1, 2),
+       b AS (SELECT min(hour_sec) AS h0, max(hour_sec) AS h1 FROM hourly),
+       spine AS (
+         SELECT et.event_type, gs.h AS hour_sec
+         FROM (SELECT DISTINCT event_type FROM hourly) et
+         CROSS JOIN (SELECT unnest(generate_series(h0, h1, 3600)) AS h FROM b) gs)
+       SELECT s.event_type, s.hour_sec
+       FROM spine s ANTI JOIN hourly h
+         ON s.event_type = h.event_type AND s.hour_sec = h.hour_sec
+       ORDER BY s.event_type, s.hour_sec"""
+
+  /** Holt's linear (double-exponential) smoothing — PromQL
+    * `double_exponential_smoothing(v, 0.3, 0.1)`: level AND trend state,
+    * the recursion window functions can't express. Same order-fixed
+    * `aggregate()` fold as `smoothEwma`, with a two-field struct
+    * accumulator: level₁ = y₁, trend₁ = 0, then
+    * levelₜ = α·yₜ + (1−α)(l+b), trendₜ = β(levelₜ−l) + (1−β)b.
+    * The levelₜ subexpression is spelled out VERBATIM inside the trend
+    * step in both engines, so the whole recursion is one identical IEEE
+    * sequence — the oracle replays it with a recursive CTE and
+    * hash-matches bit-for-bit; floors at 4dp only pin display. The
+    * one-hour-ahead forecast l+b is the read alerting rules use. */
+  def holtWinters: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("hour_sec"))
+      .agg(floor(round(sum(col("value")), 2) / count(lit(1)) * 1e4).cast("long").as("ym"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("hour_sec"), col("ym")))).as("seq"))
+      .withColumn("hw", expr(
+        """aggregate(seq, CAST(array() AS ARRAY<STRUCT<l: DOUBLE, b: DOUBLE>>),
+             (acc, p) -> concat(acc, array(
+               CASE WHEN size(acc) = 0 THEN named_struct('l', p.ym / 1e4, 'b', 0.0e0)
+                    ELSE named_struct(
+                      'l', 0.3e0 * (p.ym / 1e4)
+                           + 0.7e0 * (element_at(acc, -1).l + element_at(acc, -1).b),
+                      'b', 0.1e0 * ((0.3e0 * (p.ym / 1e4)
+                                     + 0.7e0 * (element_at(acc, -1).l + element_at(acc, -1).b))
+                                    - element_at(acc, -1).l)
+                           + 0.9e0 * element_at(acc, -1).b)
+               END)))"""))
+      .select(col("event_type"), explode(arrays_zip(col("seq"), col("hw"))).as("z"))
+      .select(col("event_type"),
+        col("z.seq.hour_sec").as("hour_sec"),
+        (col("z.seq.ym") / 1e4).as("avg_value"),
+        (floor(col("z.hw.l") * 1e4) / 1e4).as("level"),
+        (floor(col("z.hw.b") * 1e4) / 1e4).as("trend"),
+        (floor((col("z.hw.l") + col("z.hw.b")) * 1e4) / 1e4).as("forecast_1h"))
+      .orderBy(col("event_type"), col("hour_sec"))
+  }
+
+  val holtWintersSql: String =
+    """WITH RECURSIVE hourly AS (
+         SELECT event_type, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hour_sec,
+                CAST(floor(round(sum(value), 2) / count(*) * 1e4) AS BIGINT) AS ym
+         FROM events GROUP BY 1, 2),
+       idx AS (
+         SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY hour_sec) AS rn
+         FROM hourly),
+       rec AS (
+         SELECT event_type, hour_sec, rn, ym, ym / 1e4 AS l, 0.0e0 AS b
+         FROM idx WHERE rn = 1
+         UNION ALL
+         SELECT i.event_type, i.hour_sec, i.rn, i.ym,
+                0.3e0 * (i.ym / 1e4) + 0.7e0 * (rec.l + rec.b),
+                0.1e0 * ((0.3e0 * (i.ym / 1e4) + 0.7e0 * (rec.l + rec.b)) - rec.l)
+                  + 0.9e0 * rec.b
+         FROM idx i JOIN rec ON i.event_type = rec.event_type AND i.rn = rec.rn + 1)
+       SELECT event_type, hour_sec, ym / 1e4 AS avg_value,
+              floor(l * 1e4) / 1e4 AS level,
+              floor(b * 1e4) / 1e4 AS trend,
+              floor((l + b) * 1e4) / 1e4 AS forecast_1h
+       FROM rec ORDER BY event_type, hour_sec"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("metrics_changes", changes, Some(changesSql)),
+    ("metrics_absent", absent, Some(absentSql)),
+    ("metrics_holt_winters", holtWinters, Some(holtWintersSql)),
     ("tsdb_end_to_end", tsdbEndToEnd, Some(tsdbEndToEndSql)),
     ("metrics_smooth_ewma", smoothEwma, Some(smoothEwmaSql)),
     ("metrics_irate", irate, Some(irateSql)),

@@ -134,4 +134,30 @@ class TimeseriesSpec extends SparkTestBase {
       .collect()(0).getLong(0)
     assert(sum == total)
   }
+
+  test("absent + observed hours tile the spine exactly") {
+    val absent = Timeseries.absent(spark, sf).count()
+    val observed = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"),
+        (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("h"))
+      .distinct()
+    val series = observed.select("event_type").distinct().count()
+    val bounds = observed.agg(min("h"), max("h")).collect()(0)
+    val spineSize = series * ((bounds.getLong(1) - bounds.getLong(0)) / 3600 + 1)
+    assert(absent + observed.count() == spineSize,
+      "absent and observed hours must partition |series| x |hours|")
+  }
+
+  test("holt-winters: constant series converges to zero trend and the constant level") {
+    val hw = Timeseries.holtWinters(spark, sf).cache()
+    // trend of the FIRST point of each series is exactly 0 by the init rule
+    val firsts = hw.groupBy("event_type").agg(min("hour_sec").as("hour_sec"))
+    assert(hw.join(firsts, Seq("event_type", "hour_sec"))
+      .filter(col("trend") =!= 0.0).count() == 0)
+    // forecast = level + trend at every point (up to the 4dp display floor)
+    val broken = hw.filter(
+      org.apache.spark.sql.functions.abs(col("forecast_1h") - (col("level") + col("trend"))) > 0.001)
+    assert(broken.count() == 0)
+    hw.unpersist()
+  }
 }
