@@ -748,7 +748,96 @@ object EventsStream {
   def staticEnrichStream(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), "user_id")
 
+  // ------------------------------------------------------ streaming funnel
+
+  case class FEvent(user_id: Long, event_id: Long, tsSec: Long, event_type: String)
+  case class FEventT(user_id: Long, event_id: Long, tsSec: Long, event_type: String,
+      eventTime: java.sql.Timestamp)
+  case class FunnelTriple(fv: Option[Long], fqc: Option[Long], fqp: Option[Long])
+  case class FunnelState(t: FunnelTriple, buf: List[FEvent])
+  case class Conversion(user_id: Long, converted_sec: Long)
+
+  /** The shared funnel core: fold time-sorted events into the
+    * (first_view, first_qual_click, first_qual_purchase) triple with
+    * the SAME strict-row-order-past semantics as the `funnel_stages`
+    * window formulation — each event qualifies against state from rows
+    * strictly before it (check BEFORE folding the row in), ties broken
+    * by (tsSec, event_id). Used by the batch entry and the streaming
+    * state operator; the batch entry's oracle is the two-window SQL,
+    * so the hash match proves fold ≡ window chain. */
+  def foldFunnel(t0: FunnelTriple, sorted: Seq[FEvent]): FunnelTriple = {
+    var (fv, fqc, fqp) = (t0.fv, t0.fqc, t0.fqp)
+    sorted.foreach { e =>
+      // each event is exactly one type, so its qualification check reads
+      // only state written by STRICTLY EARLIER rows — the window chain's
+      // strict-past frame, reproduced by fold order
+      if (e.event_type == "purchase" && fqp.isEmpty && fqc.isDefined) fqp = Some(e.tsSec)
+      if (e.event_type == "click" && fqc.isEmpty && fv.isDefined) fqc = Some(e.tsSec)
+      if (e.event_type == "view" && fv.isEmpty) fv = Some(e.tsSec)
+    }
+    FunnelTriple(fv, fqc, fqp)
+  }
+
+  /** Batch entry `stream_funnel`: the per-user funnel fold run as
+    * flatMapGroups — identical output to the `funnel_stages` window
+    * formulation (its SQL is this entry's oracle). */
+  def funnelBatch: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("tsSec"), col("event_type"))
+      .as[FEvent]
+      .groupByKey(_.user_id)
+      .mapGroups { (uid, it) =>
+        val t = foldFunnel(FunnelTriple(None, None, None),
+          it.toSeq.sortBy(e => (e.tsSec, e.event_id)))
+        (uid,
+          if (t.fqp.isDefined) 3 else if (t.fqc.isDefined) 2 else if (t.fv.isDefined) 1 else 0,
+          t.fv, t.fqc, t.fqp)
+      }
+      .toDF("user_id", "stage", "first_view", "first_qual_click", "first_qual_purchase")
+      .orderBy(col("user_id"))
+  }
+
+  /** Streaming half: real-time conversion detection. State per user is
+    * the funnel triple (three optional longs — O(1) forever) plus only
+    * the NOT-yet-watermark-final event buffer; each micro-batch folds
+    * the final prefix into the triple and emits a Conversion row the
+    * moment first_qual_purchase lands. Watermark-driven like the other
+    * stateful ops: no processing-time state growth, horizontal scale by
+    * user key. */
+  def funnelStream(events: Dataset[FEvent]): Dataset[Conversion] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withColumn("eventTime", timestamp_seconds(col("tsSec")))
+      .withWatermark("eventTime", "1 hour")
+      .as[FEventT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, Conversion](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[FEventT], state: GroupState[FunnelState]) =>
+          val st = state.getOption.getOrElse(FunnelState(FunnelTriple(None, None, None), Nil))
+          val all = (st.buf ++ batch.map(e =>
+              FEvent(e.user_id, e.event_id, e.tsSec, e.event_type)).toList)
+            .sortBy(e => (e.tsSec, e.event_id))
+          val wmSec = state.getCurrentWatermarkMs() / 1000
+          // events with tsSec < wm are final (nothing can still sort before them)
+          val (closed, open) = all.partition(_.tsSec < wmSec)
+          val before = st.t
+          val after = foldFunnel(before, closed)
+          state.update(FunnelState(after, open))
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max((open.last.tsSec + 1) * 1000L, state.getCurrentWatermarkMs() + 1000L))
+          if (before.fqp.isEmpty && after.fqp.isDefined)
+            Iterator.single(Conversion(uid, after.fqp.get))
+          else Iterator.empty
+      }
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("stream_funnel", funnelBatch, Some(graft.operators.Funnel.funnelStagesSql)),
     ("stream_static_enrich", staticEnrichBatch, Some(staticEnrichSql)),
     ("stream_upsert_snapshot", upsertSnapshotBatch, Some(upsertSnapshotSql)),
     ("stream_sketch_distinct", sketchDistinctBatch, Some(sketchDistinctSql)),

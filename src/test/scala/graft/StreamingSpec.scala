@@ -374,4 +374,41 @@ class StreamingSpec extends SparkTestBase {
         s"streaming=${got.size} batch=${want.size} diff=${(want diff got).take(2)}")
     } finally q.stop()
   }
+
+  test("streaming funnel emits each batch conversion exactly once, out-of-order chunks") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("tsSec"), col("event_type"))
+      .as[EventsStream.FEvent].collect()
+
+    val input = MemoryStream[EventsStream.FEvent]
+    val q = EventsStream.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // three chronological chunks, each internally shuffled, so both
+      // mid-stream watermark folds and out-of-order arrival are exercised
+      val rnd = new scala.util.Random(7)
+      val chunks = events.sortBy(_.tsSec).grouped(events.length / 3 + 1)
+      chunks.foreach { c => input.addData(rnd.shuffle(c.toSeq)); q.processAllAvailable() }
+      val maxSec = events.map(_.tsSec).max
+      input.addData(EventsStream.FEvent(-1L, 0L, maxSec + 36000L, "view"))
+      q.processAllAvailable()
+
+      val rows = spark.table("funnel_sink").filter(col("user_id") =!= -1L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      assert(rows.map(_._1).distinct.length == rows.length,
+        "a user must convert at most once")
+      val got = rows.toMap
+      val want = EventsStream.funnelBatch(spark, sf)
+        .filter(col("stage") === 3)
+        .select(col("user_id"), col("first_qual_purchase"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want,
+        s"conversions differ: missing=${(want.keySet diff got.keySet).take(3)} " +
+          s"extra=${(got.keySet diff want.keySet).take(3)}")
+    } finally q.stop()
+  }
 }
