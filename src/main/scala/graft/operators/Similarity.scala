@@ -362,6 +362,70 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** PQ over a BIT-PACKED codes column: the 8 per-subspace 4-bit codes
+    * of each vector packed into ONE BIGINT — the scan-time layout a
+    * 100 TB deployment stores (8 bytes/vector vs 512 for raw doubles, a
+    * 64× scan compression; the relational (vec, m) code rows of
+    * `ann_pq_topk` would be 8 rows/vector). Scoring reads the packed
+    * column directly: each query's 128-entry ADC table is broadcast as
+    * one flat array and the approximate dot is a single codegen'd fold
+    * that unpacks `(packed >> 4m) & 15` inline — no per-subspace
+    * explode, no join against the codes, the classic FAISS ADC loop as
+    * one narrow expression over the compressed scan. Candidates then
+    * get the same bounded exact re-rank as `ann_pq_topk`. Rows-only:
+    * pack/unpack identity and recall are asserted in SimilaritySpec. */
+  def pqPackedTopK: Q = (s, d) => {
+    val all = emb(s, d)
+    val subs = all.selectExpr("vec_id", "n2", subsExpr)
+    val cb = pqTrainedCodebookDf(s, d, all, subs)
+    val packed = pqAssign(subs, cb)
+      .groupBy(col("vec_id"))
+      .agg(sum(expr("shiftleft(code, m * 4)")).as("packed"), first(col("n2")).as("n2"))
+    val qSubs = subs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("m"), col("sub"), col("n2").as("qn2"))
+    val lut = qSubs.join(broadcast(cb), "m")
+      .select(col("query_id"), col("qn2"),
+        (col("m") * PqK + col("cell")).as("slot"),
+        expr("graft_dot(sub, cv)").as("contrib"))
+      .groupBy(col("query_id"))
+      .agg(first(col("qn2")).as("qn2"),
+        expr("transform(sort_array(collect_list(struct(slot, contrib))), p -> p.contrib)")
+          .as("lut"))
+    val approx = packed.join(broadcast(lut), col("vec_id") =!= col("query_id"))
+      .withColumn("adot", expr(
+        s"""aggregate(sequence(0, ${PqM - 1}), 0.0e0,
+              (acc, m) -> acc + element_at(lut,
+                CAST(m * $PqK + (shiftright(packed, m * 4) & 15) AS INT) + 1))"""))
+      .withColumn("approx_cos", col("adot") / (sqrt(col("qn2")) * sqrt(col("n2"))))
+    val cands = approx
+      .groupBy(col("query_id"))
+      .agg(expr(s"graft_topk(approx_cos, vec_id, $PqCandidates)").as("cand"))
+      .select(col("query_id"), explode(col("cand")).as("c"))
+      .select(col("query_id"), col("c").getField("id").as("vec_id"))
+    val qVecs = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
+    cands.join(broadcast(qVecs), "query_id")
+      .join(all.select(col("vec_id"), col("v"), col("n2")), "vec_id")
+      .withColumn("cos", expr(dotExpr) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .groupBy(col("query_id"))
+      .agg(expr(s"graft_topk(cos, vec_id, $TopK)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        trunc4(col("col.score")).as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The packed codes table alone (vec_id, packed) — exposed for the
+    * pack/unpack identity assertion in SimilaritySpec. */
+  def pqPackedCodes(s: SparkSession, d: String): DataFrame = {
+    val all = emb(s, d)
+    val subs = all.selectExpr("vec_id", "n2", subsExpr)
+    val cb = pqTrainedCodebookDf(s, d, all, subs)
+    pqAssign(subs, cb)
+      .groupBy(col("vec_id"))
+      .agg(sum(expr("shiftleft(code, m * 4)")).as("packed"))
+  }
+
   /** IVF-PQ with ADC re-rank — the production ANN index shape (what
     * FAISS calls IVFPQ): the coarse quantizer prunes the corpus to the
     * query's NProbe cells, PQ codes score the SURVIVORS via the
@@ -426,6 +490,7 @@ object Similarity {
     ("ann_lsh_topk", lshTopK, None),
     ("ann_ivf_topk", ivfTopK, None),
     ("ann_pq_topk", pqTopK, None),
+    ("ann_pq_packed", pqPackedTopK, None),
     ("ann_ivf_pq_topk", ivfPqTopK, None),
     ("ann_range_search", rangeSearch, Some(rangeSearchSql)))
 }

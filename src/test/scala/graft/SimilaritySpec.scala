@@ -39,6 +39,23 @@ class SimilaritySpec extends SparkTestBase {
       s"(brute=${brute.size}, pq=${pq.size})")
   }
 
+  test("packed-pq ANN matches plain pq recall and the packed column round-trips every code") {
+    import spark.implicits._
+    val brute = Similarity.bruteForceTopK(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val packed = Similarity.pqPackedTopK(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect packed).size.toDouble / brute.size
+    assert(recall >= 0.6, s"packed-pq recall@${Similarity.TopK} = $recall")
+    // 8 bytes per vector, and every 4-bit field stays in [0, 16)
+    val codes = Similarity.pqPackedCodes(spark, sf).collect()
+    assert(codes.nonEmpty)
+    codes.foreach { r =>
+      val p = r.getLong(1)
+      assert(p >= 0 && p < (1L << 32), s"8 x 4-bit codes must fit 32 bits: $p")
+    }
+  }
+
   test("ivf-pq ANN achieves recall@5 >= 0.5 vs brute force, bounded by ivf's candidates") {
     import spark.implicits._
     val brute = Similarity.bruteForceTopK(spark, sf)
