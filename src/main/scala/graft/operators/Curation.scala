@@ -226,7 +226,58 @@ object Curation {
              < r.keep_per_10k
        GROUP BY d.lang ORDER BY d.lang"""
 
+  // ----------------------------------------------------------- perplexity
+
+  /** Unigram LM cross-entropy scoring (the CCNet-style quality filter):
+    * score each document by the mean surprisal −ln p(token) of its
+    * tokens under the CORPUS unigram distribution — low = head-like
+    * text, high = rare-token soup. The language model is one count
+    * aggregation broadcast back onto the corpus (at 100 TB: a capped
+    * vocabulary with an OOV bucket, same join shape); the per-document
+    * sum is an order-FIXED fold over the sorted surprisal list, so
+    * engines accumulate the identical IEEE sequence (summation order is
+    * the parity hazard, not ln itself — both engines' ln are
+    * correctly-rounded on these few-hundred distinct rationals, the
+    * same contract `text_tfidf_topk` already relies on). */
+  def textPerplexity: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("term"),
+        (-log(col("cnt").cast("double") / col("total").cast("double"))).as("surprisal"))
+    toks.join(broadcast(vocab), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("aggregate(array_sort(collect_list(surprisal)), 0.0e0, (a, x) -> a + x)")
+          .as("sum_surprisal"))
+      .select(col("doc_id"), col("n_tokens"),
+        (floor(col("sum_surprisal") / col("n_tokens") * 1e4) / 1e4).as("cross_entropy"))
+      .withColumn("pass_filter", col("cross_entropy") <= 4.0)
+      .orderBy(col("doc_id"))
+  }
+
+  val textPerplexitySql: String =
+    s"""WITH toks AS (
+          SELECT doc_id, unnest($toksSqlExpr) AS term FROM documents),
+        vocab AS (
+          SELECT term, -ln(CAST(count(*) AS DOUBLE)
+                           / CAST(sum(count(*)) OVER () AS DOUBLE)) AS surprisal
+          FROM toks GROUP BY term),
+        docs AS (
+          SELECT t.doc_id, count(*) AS n_tokens,
+                 list_reduce(list_prepend(0.0e0, list_sort(list(v.surprisal))),
+                             (a, x) -> a + x) AS sum_surprisal
+          FROM toks t JOIN vocab v USING (term)
+          GROUP BY t.doc_id)
+        SELECT doc_id, n_tokens,
+               floor(sum_surprisal / n_tokens * 1e4) / 1e4 AS cross_entropy,
+               floor(sum_surprisal / n_tokens * 1e4) / 1e4 <= 4.0 AS pass_filter
+        FROM docs ORDER BY doc_id"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("text_perplexity", textPerplexity, Some(textPerplexitySql)),
     ("dedup_boilerplate", dedupBoilerplate, Some(dedupBoilerplateSql)),
     ("text_contamination", textContamination, Some(textContaminationSql)),
     ("text_repetition", textRepetition, Some(textRepetitionSql)),

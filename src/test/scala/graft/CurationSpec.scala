@@ -39,6 +39,18 @@ class CurationSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("perplexity: cross-entropy is positive, bounded by the rarest token's surprisal") {
+    val df = Curation.textPerplexity(spark, sf).cache()
+    assert(df.count() == graft.sources.Tables.documents(spark, sf).count())
+    assert(df.filter(col("cross_entropy") <= 0).count() == 0)
+    // mean surprisal can't exceed max single-token surprisal = -ln(1/total)
+    val total = graft.sources.Tables.documents(spark, sf)
+      .select(explode(expr(graft.operators.TextAnalysis.toksExpr))).count()
+    val maxH = math.log(total.toDouble)
+    assert(df.filter(col("cross_entropy") > maxH).count() == 0)
+    df.unpersist()
+  }
+
   test("temperature: rarest language keeps ~everything, largest is downsampled hardest") {
     val df = Curation.mixTemperature(spark, sf).cache()
     val rows = df.select(col("lang"), col("n_orig"), col("keep_per_10k"), col("n_kept"))

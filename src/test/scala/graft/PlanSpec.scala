@@ -140,6 +140,7 @@ class PlanSweepSpec extends SparkTestBase {
     "q_skew_salted_join",                  // salt-range replication broadcast
     "q15_top_supplier", "q22_idle_customers", "q17_small_qty_revenue",
     "metrics_slave_status", "metrics_gap_fill", // single-row global-bound broadcast
+    "metrics_absent", "model_registry_score",   // same single-row bounds broadcast
     "sketch_heavy_hitters", // single-row candidate-set broadcast
     "dedup_embedding_cosine", "dedup_simhash", "dedup_minhash_lsh", "dedup_ngram_jaccard")
 
