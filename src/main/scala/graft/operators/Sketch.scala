@@ -336,7 +336,37 @@ object Sketch {
        LEFT JOIN cm ON cm.src_a = p.src_a AND cm.src_b = p.src_b
        ORDER BY p.src_a, p.src_b"""
 
+  /** EXACT mergeable distinct counts via bitmaps — the dense-domain
+    * sibling of the theta sketch (ClickHouse `groupBitmap`, Druid's
+    * bitmap indexes): each (group, word) holds a 32-bit chunk of the
+    * membership bitmap, built by one integer `bit_or` aggregation
+    * (map-side combine collapses a partition's events into ≤ |domain|/32
+    * words BEFORE the shuffle — event volume never crosses the wire),
+    * then popcount-summed per group. The bitmap is mergeable by OR, so
+    * per-day/per-shard bitmaps roll up without rescanning — exact where
+    * theta is approximate, at the cost of domain-bounded (not
+    * constant) state. Pure integer arithmetic: oracle-exact. */
+  def bitmapDistinct: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(col("event_type"), expr("user_id DIV 32").as("word_idx"))
+      .agg(bit_or(expr("shiftleft(1L, cast(user_id % 32 as int))")).as("word"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(bit_count(col("word")).cast("long")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  val bitmapDistinctSql: String =
+    """WITH words AS (
+         SELECT event_type, user_id // 32 AS word_idx,
+                bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS word
+         FROM events GROUP BY 1, 2)
+       SELECT event_type, count(*) AS n_words,
+              CAST(sum(bit_count(word)) AS BIGINT) AS n_users
+       FROM words GROUP BY event_type ORDER BY event_type"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_bitmap_distinct", bitmapDistinct, Some(bitmapDistinctSql)),
     ("sketch_set_ops", setOps, Some(setOpsSql)),
     ("sketch_theta_distinct", thetaDistinct, Some(thetaDistinctSql)),
     ("sketch_sample_quantile", sampleQuantile, Some(sampleQuantileSql)),

@@ -795,7 +795,59 @@ object Timeseries {
               floor((l + b) * 1e4) / 1e4 AS forecast_1h
        FROM rec ORDER BY event_type, hour_sec"""
 
+  /** Error-budget target: errors may be ≤ this fraction of events. */
+  val SloBudget = 0.25
+
+  /** Multi-window error-budget burn rate — the SRE alerting rule
+    * (fast window catches spikes, slow window confirms they matter;
+    * page when BOTH burn above threshold). Events with
+    * event_type = 'error' are the bad count, everything is the total.
+    * One hourly aggregation (conditional counts — integers), one
+    * 6-hour trailing window over the already-rolled-up hourly frame
+    * (integer sums), then the burn ratios as single floored divisions
+    * on exact integer inputs — identical IEEE ops both engines. */
+  def burnRate: Q = (s, d) => {
+    val w6 = Window.orderBy(col("hour_sec")).rowsBetween(-5, 0)
+    Tables.events(s, d)
+      .groupBy((floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("hour_sec"))
+      .agg(count(lit(1)).as("total"),
+        count(when(col("event_type") === "error", 1)).as("errors"))
+      .withColumn("total6", sum(col("total")).over(w6))
+      .withColumn("errors6", sum(col("errors")).over(w6))
+      .withColumn("burn_1h",
+        floor(col("errors").cast("double") / col("total").cast("double") / SloBudget * 1e4) / 1e4)
+      .withColumn("burn_6h",
+        floor(col("errors6").cast("double") / col("total6").cast("double") / SloBudget * 1e4) / 1e4)
+      .withColumn("page", col("burn_1h") > 1.0 && col("burn_6h") > 1.0)
+      .select(col("hour_sec"), col("total"), col("errors"),
+        col("burn_1h"), col("burn_6h"), col("page"))
+      .orderBy(col("hour_sec"))
+  }
+
+  val burnRateSql: String =
+    s"""WITH hourly AS (
+         SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hour_sec,
+                count(*) AS total,
+                count(*) FILTER (WHERE event_type = 'error') AS errors
+         FROM events GROUP BY 1),
+       w AS (
+         SELECT hour_sec, total, errors,
+                sum(total) OVER win AS total6,
+                sum(errors) OVER win AS errors6
+         FROM hourly
+         WINDOW win AS (ORDER BY hour_sec ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+       SELECT hour_sec, total, errors,
+              floor(CAST(errors AS DOUBLE) / CAST(total AS DOUBLE) / $SloBudget * 1e4) / 1e4
+                AS burn_1h,
+              floor(CAST(errors6 AS DOUBLE) / CAST(total6 AS DOUBLE) / $SloBudget * 1e4) / 1e4
+                AS burn_6h,
+              floor(CAST(errors AS DOUBLE) / CAST(total AS DOUBLE) / $SloBudget * 1e4) / 1e4 > 1.0
+                AND floor(CAST(errors6 AS DOUBLE) / CAST(total6 AS DOUBLE) / $SloBudget * 1e4) / 1e4 > 1.0
+                AS page
+       FROM w ORDER BY hour_sec"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("metrics_burn_rate", burnRate, Some(burnRateSql)),
     ("metrics_changes", changes, Some(changesSql)),
     ("metrics_absent", absent, Some(absentSql)),
     ("metrics_holt_winters", holtWinters, Some(holtWintersSql)),

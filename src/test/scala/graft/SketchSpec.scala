@@ -141,4 +141,15 @@ class SketchSpec extends SparkTestBase {
       assert(rel <= bound, s"$et: est ${est(et)} vs true $n, rel err $rel > $bound")
     }
   }
+
+  test("bitmap distinct equals exact count(distinct) per group") {
+    import org.apache.spark.sql.functions._
+    val bm = graft.operators.Sketch.bitmapDistinct(spark, sf)
+      .select("event_type", "n_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bm == exact, s"bitmap $bm vs exact $exact")
+  }
 }

@@ -148,6 +148,16 @@ class TimeseriesSpec extends SparkTestBase {
       "absent and observed hours must partition |series| x |hours|")
   }
 
+  test("burn rate: page fires iff both windows burn above threshold; ratios bounded") {
+    val df = Timeseries.burnRate(spark, sf).cache()
+    assert(df.filter(col("burn_1h") < 0 || col("burn_6h") < 0).count() == 0)
+    assert(df.filter(col("page") =!= (col("burn_1h") > 1.0 && col("burn_6h") > 1.0))
+      .count() == 0)
+    // errors never exceed totals → burn <= 1/budget
+    assert(df.filter(col("burn_1h") > 1.0 / Timeseries.SloBudget).count() == 0)
+    df.unpersist()
+  }
+
   test("holt-winters: constant series converges to zero trend and the constant level") {
     val hw = Timeseries.holtWinters(spark, sf).cache()
     // trend of the FIRST point of each series is exactly 0 by the init rule
