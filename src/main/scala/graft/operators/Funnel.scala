@@ -90,6 +90,54 @@ object Funnel {
               first_view, first_qual_click, first_qual_purchase
        FROM agg ORDER BY user_id"""
 
+  /** Attribution lookback window (seconds). */
+  val LookbackSec = 86400L
+
+  /** Linear multi-touch attribution — the marketing-analytics read
+    * beside the funnel: each purchase splits its credit equally across
+    * the user's clicks in the prior 24 h (credit 1/n per touch; zero
+    * touches = unattributed). ONE user-keyed shuffle and ONE RANGE
+    * window over integer seconds (frame state = a running conditional
+    * count, no pair explosion — the naive formulation is a purchase ×
+    * click interval join). RANGE semantics include same-second peers
+    * identically in both engines; credit is a single division of two
+    * exact integers, floored at 4dp. */
+  def attributionLinear: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-LookbackSec, 0)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"), col("event_type"))
+      .withColumn("n_touches",
+        count(when(col("event_type") === "click", 1)).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("credit_per_touch",
+        when(col("n_touches") > 0,
+          floor(lit(1.0) / col("n_touches").cast("double") * 1e4) / 1e4))
+      .select(col("user_id"), col("event_id"), col("sec"),
+        col("n_touches"), col("credit_per_touch"))
+      .orderBy(col("user_id"), col("sec"), col("event_id"))
+  }
+
+  val attributionLinearSql: String =
+    s"""WITH e AS (
+         SELECT user_id, event_id,
+                CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec, event_type
+         FROM events),
+       t AS (
+         SELECT *,
+                count(*) FILTER (WHERE event_type = 'click')
+                  OVER (PARTITION BY user_id ORDER BY sec
+                        RANGE BETWEEN $LookbackSec PRECEDING AND CURRENT ROW) AS n_touches
+         FROM e)
+       SELECT user_id, event_id, sec, n_touches,
+              CASE WHEN n_touches > 0
+                   THEN floor(1.0e0 / CAST(n_touches AS DOUBLE) * 1e4) / 1e4 END
+                AS credit_per_touch
+       FROM t WHERE event_type = 'purchase'
+       ORDER BY user_id, sec, event_id"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
-    ("funnel_stages", funnelStages, Some(funnelStagesSql)))
+    ("funnel_stages", funnelStages, Some(funnelStagesSql)),
+    ("attribution_linear", attributionLinear, Some(attributionLinearSql)))
 }

@@ -88,6 +88,56 @@ object Multimodal {
   def decodeFrames: Q = (s, d) =>
     decodeStub(s, d).toDF().orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Frame-level exact dedup ACROSS documents — the multimodal twin of
+    * `dedup_exact` (duplicate key-frames across videos, repeated intro
+    * cards, shared stock images): each frame's 256-byte window is
+    * content-hashed in the same partition-batched decode pass, then one
+    * hash-groupBy finds frames appearing in ≥ 2 distinct documents.
+    * The hash is md5 over the window's hex encoding, which the DuckDB
+    * oracle reproduces from `hex(encode(text))` substrings — so even
+    * this mapPartitions path is hash-verified. Map-side combine ships
+    * one row per distinct frame hash per task. */
+  def frameDedup: Q = (s, d) => {
+    import s.implicits._
+    val frames = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (docId, bytes) =>
+          val nFrames = 1 + bytes.length / 256
+          (0 until nFrames).iterator.map { f =>
+            val from = f * 256
+            val until = math.min(from + 256, bytes.length)
+            val hex = bytes.slice(from, until).map("%02X".format(_)).mkString
+            md.reset()
+            val h = md.digest(hex.getBytes("UTF-8")).map("%02x".format(_)).mkString
+            (docId, f, h)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_hash")
+    frames.groupBy(col("frame_hash"))
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("canonical_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("frame_hash"))
+  }
+
+  val frameDedupSql: String =
+    """WITH p AS (SELECT doc_id, hex(encode(text)) AS hx,
+                         octet_length(encode(text)) AS blen
+                  FROM documents),
+       f AS (SELECT doc_id,
+                    md5(substr(hx, fi*512 + 1, 512)) AS frame_hash
+             FROM (SELECT doc_id, hx, unnest(range(0, 1 + blen // 256)) AS fi FROM p) t)
+       SELECT frame_hash, count(*) AS n_frames,
+              count(DISTINCT doc_id) AS n_docs,
+              CAST(min(doc_id) AS BIGINT) AS canonical_doc
+       FROM f GROUP BY frame_hash HAVING count(DISTINCT doc_id) >= 2
+       ORDER BY frame_hash"""
+
   /** The decode byte math in DuckDB: per-frame 256-byte windows of the
     * UTF-8 payload, mean byte value via hex-pair extraction. */
   val framesCte: String =
@@ -169,6 +219,7 @@ object Multimodal {
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("mm_binary_meta", meta, Some(metaSql)),
+    ("mm_frame_dedup", frameDedup, Some(frameDedupSql)),
     ("mm_decode_frames", decodeFrames, Some(decodeFramesSql)),
     ("mm_resize", resize, Some(resizeSql)),
     ("mm_feature_extract", featureExtract, Some(featureExtractSql)))

@@ -23,4 +23,16 @@ class FunnelSpec extends SparkTestBase {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(shuffles == 1, s"expected a single user_id shuffle, got $shuffles")
   }
+
+  test("attribution: every purchase appears once; credit is 1/n_touches") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Funnel.attributionLinear(spark, sf).cache()
+    val purchases = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(df.count() == purchases)
+    assert(df.filter(col("n_touches") === 0 && col("credit_per_touch").isNotNull).count() == 0)
+    assert(df.filter(col("n_touches") > 0 &&
+      abs(col("credit_per_touch") * col("n_touches") - 1.0) > 0.01).count() == 0)
+    df.unpersist()
+  }
 }

@@ -34,4 +34,16 @@ class MultimodalSpec extends SparkTestBase {
       assert(rms == trunc4(math.sqrt(intensities.map(x => x * x).sum / n)), s"doc $id rms")
     }
   }
+
+  test("frame dedup: exact-duplicate documents share every frame hash") {
+    import org.apache.spark.sql.functions._
+    val dup = graft.operators.Multimodal.frameDedup(spark, sf).cache()
+    assert(dup.filter(col("n_docs") > col("n_frames")).count() == 0)
+    // any exact-duplicate doc pair must surface at least one shared frame
+    val dupDocs = graft.sources.Tables.documents(spark, sf)
+      .groupBy(md5(col("text"))).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).count()
+    if (dupDocs > 0) assert(dup.count() > 0, "dup docs must produce shared frames")
+    dup.unpersist()
+  }
 }
