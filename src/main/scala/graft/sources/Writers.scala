@@ -406,7 +406,43 @@ object Writers {
        FROM lineitem WHERE l_partkey IN (SELECT l_partkey FROM keys)
        GROUP BY l_partkey ORDER BY l_partkey"""
 
+  /** Schema evolution across snapshots — the source capability every
+    * long-lived dataset needs: an early snapshot written with the
+    * original schema, a later one with an added metric column, read
+    * back as ONE table via mergeSchema (old rows surface NULL for the
+    * new column — no backfill, no rewrite). The aggregate proves the
+    * union semantics: per-type counts/sums over both vintages plus
+    * non-null counts isolating the new column to the new snapshot.
+    * Oracle replicates the vintage split with a day predicate over the
+    * original events. At 100 TB this is the additive-column evolution
+    * contract: new files carry the new column, old files stay put,
+    * readers see one schema. */
+  def schemaEvolution: Q = (s, d) => {
+    val path = s"/tmp/graft_evo_${sfx(d)}"
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    ev.filter(dayofmonth(col("ts")) <= 15)
+      .write.mode("overwrite").parquet(s"$path/v1")
+    ev.filter(dayofmonth(col("ts")) > 15)
+      .withColumn("value2", round(col("value") * 2, 2))
+      .write.mode("overwrite").parquet(s"$path/v2")
+    s.read.option("mergeSchema", "true").parquet(s"$path/v1", s"$path/v2")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("value_sum"),
+        count(col("value2")).as("n_v2"),
+        round(sum(col("value2")), 2).as("value2_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS value_sum,
+              count(*) FILTER (WHERE day(ts) > 15) AS n_v2,
+              round(sum(CASE WHEN day(ts) > 15 THEN round(value * 2, 2) END), 2) AS value2_sum
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("source_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
     ("sink_bucket_lookup", bucketLookup, Some(bucketLookupSql)),
     ("idx_secondary_lookup", secondaryIndexLookup, Some(secondaryIndexLookupSql)),
     ("sink_zorder_scan", zorderScan, Some(zorderScanSql)),

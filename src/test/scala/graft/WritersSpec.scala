@@ -126,4 +126,17 @@ class WritersSpec extends SparkTestBase {
         s"ap50=$ap50 exact=$exact for ${r.getString(0)}")
     }
   }
+
+  test("schema evolution: merged read surfaces the new column as null on old rows") {
+    import org.apache.spark.sql.functions._
+    val df = graft.sources.Writers.schemaEvolution(spark, sf)
+    assert(df.columns.contains("n_v2") && df.columns.contains("value2_sum"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the new column exists only in the v2 vintage: n_v2 < n everywhere
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_v2")) < r.getLong(r.fieldIndex("n")),
+        s"v1 rows must contribute nulls for the evolved column: $r")
+    }
+  }
 }
