@@ -127,7 +127,75 @@ object Quality {
        FROM lineitem
        GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus"""
 
+  /** Config-driven data-quality RULES — the expectation-suite read
+    * (dbt tests / Great Expectations at warehouse scale): domain
+    * checks, range checks, null checks, and referential integrity,
+    * each reported as (rule, n_checked, violations, pass). The scale
+    * contract is rule FUSION: all rules over one table run as ONE
+    * aggregation pass (conditional counts share the scan), and the FK
+    * check is one left-join aggregation — 6 rules cost 3 scans + 1
+    * join, not 6 scans. Pure integer counts: oracle-exact. */
+  def dqRules: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n"),
+      count(when(!(col("l_quantity") >= 1 && col("l_quantity") <= 50), 1)).as("v_qty"),
+      count(when(!(col("l_discount") >= 0 && col("l_discount") <= 0.1), 1)).as("v_disc"))
+      .selectExpr("""stack(2,
+        'lineitem_quantity_in_1_50', n, v_qty,
+        'lineitem_discount_in_0_01', n, v_disc) as (rule, n_checked, violations)""")
+    val o = Tables.orders(s, d).agg(
+      count(lit(1)).as("n"),
+      count(when(!col("o_orderstatus").isin("O", "F", "P"), 1)).as("v_status"),
+      count(when(col("o_totalprice") <= 0, 1)).as("v_price"))
+      .selectExpr("""stack(2,
+        'orders_status_in_OFP', n, v_status,
+        'orders_totalprice_positive', n, v_price) as (rule, n_checked, violations)""")
+    val c = Tables.customer(s, d).agg(
+      count(lit(1)).as("n"),
+      count(when(col("c_acctbal").isNull, 1)).as("v_null"))
+      .selectExpr("""stack(1,
+        'customer_acctbal_not_null', n, v_null) as (rule, n_checked, violations)""")
+    val fk = Tables.orders(s, d).select(col("o_custkey"))
+      .join(Tables.customer(s, d).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("c_custkey").isNull, 1)).as("v"))
+      .selectExpr("""stack(1,
+        'orders_custkey_references_customer', n, v) as (rule, n_checked, violations)""")
+    li.unionByName(o).unionByName(c).unionByName(fk)
+      .withColumn("pass", col("violations") === 0)
+      .orderBy(col("rule"))
+  }
+
+  val dqRulesSql: String =
+    """SELECT rule, n_checked, violations, violations = 0 AS pass FROM (
+         SELECT 'lineitem_quantity_in_1_50' AS rule, count(*) AS n_checked,
+                count(*) FILTER (WHERE NOT (l_quantity >= 1 AND l_quantity <= 50)) AS violations
+         FROM lineitem
+         UNION ALL
+         SELECT 'lineitem_discount_in_0_01', count(*),
+                count(*) FILTER (WHERE NOT (l_discount >= 0 AND l_discount <= 0.1))
+         FROM lineitem
+         UNION ALL
+         SELECT 'orders_status_in_OFP', count(*),
+                count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+         FROM orders
+         UNION ALL
+         SELECT 'orders_totalprice_positive', count(*),
+                count(*) FILTER (WHERE o_totalprice <= 0)
+         FROM orders
+         UNION ALL
+         SELECT 'customer_acctbal_not_null', count(*),
+                count(*) FILTER (WHERE c_acctbal IS NULL)
+         FROM customer
+         UNION ALL
+         SELECT 'orders_custkey_references_customer', count(*),
+                count(*) FILTER (WHERE c.c_custkey IS NULL)
+         FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey) t
+       ORDER BY rule"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("dq_rules", dqRules, Some(dqRulesSql)),
     ("dq_profile", dqProfile, Some(dqProfileSql)),
     ("q_decimal_money", decimalMoney, Some(decimalMoneySql)))
 }

@@ -22,4 +22,18 @@ class QualitySpec extends SparkTestBase {
     assert(df.filter(col("num_min").isNull && col("len_min").isNull).count() == 0)
     df.unpersist()
   }
+
+  test("dq rules: referential integrity holds and rules fuse into per-table passes") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Quality.dqRules(spark, sf).cache()
+    assert(df.count() == 6)
+    assert(df.filter(col("violations") > col("n_checked")).count() == 0)
+    // the generated TPC-H-ish data is referentially intact
+    val fk = df.filter(col("rule") === "orders_custkey_references_customer").collect()(0)
+    assert(fk.getBoolean(fk.fieldIndex("pass")), s"FK rule should pass: $fk")
+    // rule fusion: the whole suite plans only one scan per base table + the FK join
+    val scans = countScans(plan("dq_rules"))
+    assert(scans <= 5, s"rules over one table must share its scan, got $scans scans")
+    df.unpersist()
+  }
 }
