@@ -366,7 +366,48 @@ object Pipeline {
          FROM k)
        SELECT rk, doc_id, n_chars FROM r WHERE rk <= $WeightedK ORDER BY rk"""
 
+  /** Shared FFD core: first-fit-decreasing bin packing of (doc_id,
+    * tok_est) pairs into bins of `budget` capacity — docs sorted by
+    * (tokens desc, doc_id), each placed in the FIRST bin with room,
+    * oversized docs get their own bin. Deterministic; exposed for the
+    * spec's driver-side replay. */
+  def ffdPack(budget: Long, docs: Seq[(Long, Long)]): Seq[(Long, Long, Long)] = {
+    val bins = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (n_docs, tokens)
+    docs.sortBy { case (id, t) => (-t, id) }.foreach { case (_, t) =>
+      val i = bins.indexWhere { case (_, used) => used + t <= budget }
+      if (i >= 0) bins(i) = (bins(i)._1 + 1, bins(i)._2 + t)
+      else bins += ((1L, t))
+    }
+    bins.zipWithIndex.map { case ((n, tok), i) => (i.toLong, n, tok) }.toSeq
+  }
+
+  /** First-fit-decreasing sequence packing — the STRICT-capacity
+    * alternative to `pack_token_budget`'s concat-and-chunk (which lets
+    * a pack overflow when a doc straddles the boundary): no bin ever
+    * exceeds the budget unless a single doc alone does. Packing is a
+    * sequential fold, so it runs per language via `flatMapGroups` (the
+    * session-fold shape); at 100 TB the key becomes (lang, shard) so no
+    * task holds a language. Rows-only by contract (FFD isn't
+    * SQL-expressible): validity, determinism, and the driver-side
+    * replay are asserted in PipelineSpec. */
+  def packBestFit: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        ceil(col("n_chars") / 4.0).cast("long").as("tok_est"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (lang, it) =>
+        ffdPack(PackBudget, it.map(t => (t._2, t._3)).toSeq)
+          .iterator.map { case (bin, n, tok) => (lang, bin, n, tok) }
+      }
+      .toDF("lang", "bin_id", "n_docs", "bin_tokens")
+      .withColumn("utilization", trunc4(col("bin_tokens") * lit(1.0) / PackBudget))
+      .orderBy(col("lang"), col("bin_id"))
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("pack_best_fit", packBestFit, None),
     ("sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
     ("pipeline_end_to_end", endToEnd, Some(endToEndSql)),
     ("split_train_test", splitTrainTest, Some(splitTrainTestSql)),

@@ -113,4 +113,28 @@ class PipelineSpec extends SparkTestBase {
         if (df < 5) assert(tfidf >= 0, s"negative tfidf at df=$df tf=$tf") }
     }
   }
+
+  test("best-fit packing: strict capacity, all docs packed, matches the driver replay") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Pipeline.packBestFit(spark, sf).cache()
+    val budget = graft.operators.Pipeline.PackBudget
+    // strict capacity unless a single oversized doc owns the bin
+    assert(df.filter(col("bin_tokens") > budget && col("n_docs") > 1).count() == 0)
+    // every doc lands in exactly one bin
+    val packed = df.agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(packed == graft.sources.Tables.documents(spark, sf).count())
+    // the distributed fold equals a driver-side FFD replay per language
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"),
+        ceil(col("n_chars") / 4.0).cast("long").as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = docs.groupBy(_._1).flatMap { case (lang, ds) =>
+      graft.operators.Pipeline.ffdPack(budget.toLong, ds.map(x => (x._2, x._3)).toSeq)
+        .map { case (bin, n, tok) => (lang, bin, n, tok) }
+    }.toSet
+    val got = df.select("lang", "bin_id", "n_docs", "bin_tokens")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"distributed FFD must equal the replay: diff=${(want diff got).take(3)}")
+    df.unpersist()
+  }
 }
