@@ -97,7 +97,52 @@ object Cohort {
               max(lag_days) AS max_days
        FROM cum GROUP BY priority ORDER BY priority"""
 
+  /** Cohort LTV — cumulative revenue per cohort over month offsets
+    * (the money view of the retention matrix): same two customer-keyed
+    * aggregations as `cohortRetention`, plus one cumulative window
+    * over the (cohort, offset) CELLS — ≤ |cohorts|·|offsets| rows, not
+    * orders. Money is rounded once per cell (2-decimal inputs keep
+    * true sums off the .005 boundary — the `metrics_downsample` rule),
+    * and the running LTV is a sum of those ROUNDED cells, so both
+    * engines accumulate identical doubles in identical window order. */
+  def cohortLtv: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val mi = year(col("o_orderdate")) * 12 + month(col("o_orderdate"))
+    val orders = Tables.orders(s, d)
+      .select(col("o_custkey"), mi.as("m"), col("o_totalprice"))
+    val firsts = orders.groupBy(col("o_custkey"))
+      .agg(min(col("m")).as("cohort_m"))
+    val cells = orders.join(firsts, Seq("o_custkey"))
+      .groupBy(col("cohort_m"), (col("m") - col("cohort_m")).as("month_offset"))
+      .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+    val w = Window.partitionBy(col("cohort_m")).orderBy(col("month_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_ltv", round(sum(col("rev")).over(w), 2))
+      .select(col("cohort_m"), col("month_offset"), col("rev"), col("cum_ltv"))
+      .orderBy(col("cohort_m"), col("month_offset"))
+  }
+
+  val cohortLtvSql: String =
+    """WITH o AS (
+         SELECT o_custkey,
+                CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS m,
+                o_totalprice
+         FROM orders),
+       f AS (SELECT o_custkey, min(m) AS cohort_m FROM o GROUP BY 1),
+       cells AS (
+         SELECT f.cohort_m, o.m - f.cohort_m AS month_offset,
+                round(sum(o.o_totalprice), 2) AS rev
+         FROM o JOIN f USING (o_custkey)
+         GROUP BY 1, 2)
+       SELECT cohort_m, month_offset, rev,
+              round(sum(rev) OVER (PARTITION BY cohort_m ORDER BY month_offset
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                AS cum_ltv
+       FROM cells ORDER BY cohort_m, month_offset"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("cohort_retention", cohortRetention, Some(cohortRetentionSql)),
+    ("cohort_ltv", cohortLtv, Some(cohortLtvSql)),
     ("q_fulfillment_lag", fulfillmentLag, Some(fulfillmentLagSql)))
 }

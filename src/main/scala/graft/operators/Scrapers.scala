@@ -519,7 +519,43 @@ object Scrapers {
         ORDER BY family_type, metric_name, event_type, length(label), label"""
   }
 
+  /** Prometheus `relabel_config` pipeline — the config-driven series
+    * routing every scrape job runs before ingestion (prometheus.io
+    * relabelling semantics): in rule order, (1) `keep` series whose
+    * type matches a regex, (2) `replace` derives a `service` label,
+    * (3) `hashmod` shards each series by a stable hash of user_id into
+    * 4 shards (Prometheus uses MD5 % modulus — exactly reproducible
+    * here via md5-hex → BIGINT), (4) `keep` only shard 1 — the
+    * horizontal-sharding rule a fleet of collectors uses to split a
+    * target set. All four rules are narrow projections/filters fused
+    * into the scan; only the final per-(service, shard) rollup
+    * shuffles. Deterministic md5 arithmetic: oracle-exact. */
+  def relabel: Q = (s, d) => {
+    graft.sources.Tables.events(s, d)
+      .filter(col("event_type").rlike("^(view|click|purchase|error)$"))
+      .withColumn("service", concat(lit("svc_"), col("event_type")))
+      .withColumn("shard",
+        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 4)
+      .filter(col("shard") === 1)
+      .groupBy(col("service"), col("shard"))
+      .agg(count(lit(1)).as("n_samples"),
+        countDistinct(col("user_id")).as("n_series"))
+      .orderBy(col("service"))
+  }
+
+  val relabelSql: String =
+    """SELECT 'svc_' || event_type AS service,
+              ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS shard,
+              count(*) AS n_samples,
+              count(DISTINCT user_id) AS n_series
+       FROM events
+       WHERE regexp_matches(event_type, '^(view|click|purchase|error)$')
+         AND ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 4 = 1
+       GROUP BY 1, 2 ORDER BY service"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("prom_relabel", relabel, Some(relabelSql)),
     ("prom_histogram_quantile", histogramQuantile, Some(histogramQuantileSql)),
     ("prom_remote_write_all", remoteWriteAll, Some(remoteWriteAllSql)),
     ("prom_label_replace", labelReplace, Some(labelReplaceSql)),

@@ -54,4 +54,17 @@ class CohortSpec extends SparkTestBase {
       assert((exact - est).abs < 0.01, s"decimal $exact vs double $est")
     }
   }
+
+  test("cohort LTV is cumulative: nondecreasing per cohort and offset-0 equals its cell") {
+    import org.apache.spark.sql.expressions.Window
+    val df = graft.operators.Cohort.cohortLtv(spark, sf).cache()
+    val w = Window.partitionBy(col("cohort_m")).orderBy(col("month_offset"))
+    val broken = df.withColumn("prev", lag(col("cum_ltv"), 1).over(w))
+      .filter(col("prev").isNotNull && col("cum_ltv") < col("prev") - 0.01)
+    assert(broken.count() == 0, "revenue is positive, LTV must not decrease")
+    assert(df.filter(col("month_offset") === 0)
+      .filter(org.apache.spark.sql.functions.abs(col("cum_ltv") - col("rev")) > 0.01)
+      .count() == 0)
+    df.unpersist()
+  }
 }

@@ -55,4 +55,14 @@ class ScrapersSpec extends SparkTestBase {
       .collect()
     assert(rows.forall(_.getLong(1) == 1L))
   }
+
+  test("relabel pipeline: only shard 1 survives and the dropped type never appears") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Scrapers.relabel(spark, sf).cache()
+    assert(df.filter(col("shard") =!= 1).count() == 0)
+    assert(df.filter(col("service") === "svc_signup").count() == 0,
+      "keep-regex must drop the signup series")
+    assert(df.count() > 0)
+    df.unpersist()
+  }
 }
