@@ -836,7 +836,100 @@ object EventsStream {
       }
   }
 
+  // -------------------------------------------------- streaming attribution
+
+  case class Attribution(user_id: Long, event_id: Long, sec: Long,
+      n_touches: Long, credit_per_touch: Option[Double])
+
+  /** Per-user attribution state: events not yet outside every possible
+    * lookback window (clicks) or not yet watermark-final (purchases). */
+  case class AttrState(buf: List[FEvent])
+
+  /** Streaming multi-touch attribution — the streaming twin of
+    * `attribution_linear`: a purchase is attributable the moment the
+    * watermark passes it (every click that could precede it has
+    * arrived); clicks leave state once the watermark proves no future
+    * purchase's 24 h lookback can reach them. State per user is ONE
+    * lookback window of clicks plus the open purchases — bounded by
+    * event rate × lookback, independent of stream lifetime. Credit
+    * arithmetic is the same floored division as the batch RANGE
+    * window, so emitted rows equal the batch read exactly (parity in
+    * StreamingSpec). */
+  def attributionStream(events: Dataset[FEvent]): Dataset[Attribution] = {
+    val lookback = graft.operators.Funnel.LookbackSec
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withColumn("eventTime", timestamp_seconds(col("tsSec")))
+      .withWatermark("eventTime", "1 hour")
+      .as[FEventT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, Attribution](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[FEventT], state: GroupState[AttrState]) =>
+          val st = state.getOption.getOrElse(AttrState(Nil))
+          val all = (st.buf ++ batch.map(e =>
+              FEvent(e.user_id, e.event_id, e.tsSec, e.event_type)).toList)
+            .sortBy(e => (e.tsSec, e.event_id))
+          val wmSec = state.getCurrentWatermarkMs() / 1000
+          // purchases strictly before the watermark are final
+          val (done, open) = all.partition(e =>
+            e.event_type == "purchase" && e.tsSec < wmSec)
+          val out = done.map { p =>
+            val n = all.count(c => c.event_type == "click" &&
+              c.tsSec >= p.tsSec - lookback && c.tsSec <= p.tsSec)
+            Attribution(uid, p.event_id, p.tsSec, n,
+              if (n > 0) Some(math.floor(1.0 / n * 1e4) / 1e4) else None)
+          }
+          // clicks stay while any future purchase (sec >= wm) could look back to them
+          val keep = open.filter {
+            case c if c.event_type == "click" => c.tsSec >= wmSec - lookback
+            case e => e.event_type == "purchase" // open purchases
+          }
+          if (keep.isEmpty) state.remove()
+          else {
+            state.update(AttrState(keep))
+            // wake when the watermark can finalize a purchase or evict a click
+            val wake = keep.map {
+              case p if p.event_type == "purchase" => p.tsSec + 1
+              case c => c.tsSec + lookback + 1
+            }.min
+            state.setTimeoutTimestamp(
+              math.max(wake * 1000L, state.getCurrentWatermarkMs() + 1000L))
+          }
+          out.iterator
+      }
+  }
+
+  /** Batch entry `stream_attribution`: the same per-user imperative
+    * core the streaming operator runs (count clicks in each purchase's
+    * lookback), as flatMapGroups — its oracle is the RANGE-window SQL,
+    * so the hash match proves fold ≡ RANGE window cross-engine. */
+  def attributionBatch: Q = (s, d) => {
+    val lookback = graft.operators.Funnel.LookbackSec
+    import s.implicits._
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("tsSec"), col("event_type"))
+      .as[FEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (uid, it) =>
+        val all = it.toSeq
+        val clicks = all.filter(_.event_type == "click")
+        all.filter(_.event_type == "purchase")
+          .sortBy(e => (e.tsSec, e.event_id)).iterator.map { p =>
+            val n = clicks.count(c =>
+              c.tsSec >= p.tsSec - lookback && c.tsSec <= p.tsSec).toLong
+            (uid, p.event_id, p.tsSec, n,
+              if (n > 0) Some(math.floor(1.0 / n * 1e4) / 1e4) else None)
+          }
+      }
+      .toDF("user_id", "event_id", "sec", "n_touches", "credit_per_touch")
+      .orderBy(col("user_id"), col("sec"), col("event_id"))
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("stream_attribution", attributionBatch, Some(graft.operators.Funnel.attributionLinearSql)),
     ("stream_funnel", funnelBatch, Some(graft.operators.Funnel.funnelStagesSql)),
     ("stream_static_enrich", staticEnrichBatch, Some(staticEnrichSql)),
     ("stream_upsert_snapshot", upsertSnapshotBatch, Some(upsertSnapshotSql)),

@@ -411,4 +411,34 @@ class StreamingSpec extends SparkTestBase {
           s"extra=${(got.keySet diff want.keySet).take(3)}")
     } finally q.stop()
   }
+
+  test("streaming attribution equals the batch RANGE-window read, out-of-order chunks") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("tsSec"), col("event_type"))
+      .as[EventsStream.FEvent].collect()
+
+    val input = MemoryStream[EventsStream.FEvent]
+    val q = EventsStream.attributionStream(input.toDS())
+      .writeStream.format("memory").queryName("attr_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val rnd = new scala.util.Random(11)
+      events.sortBy(_.tsSec).grouped(events.length / 3 + 1)
+        .foreach { c => input.addData(rnd.shuffle(c.toSeq)); q.processAllAvailable() }
+      val maxSec = events.map(_.tsSec).max
+      input.addData(EventsStream.FEvent(-1L, 0L, maxSec + 200000L, "view"))
+      q.processAllAvailable()
+
+      val got = spark.table("attr_sink").filter(col("user_id") =!= -1L)
+        .select("user_id", "event_id", "sec", "n_touches", "credit_per_touch")
+        .collect().map(_.toSeq).toSet
+      val want = graft.operators.Funnel.attributionLinear(spark, sf)
+        .collect().map(_.toSeq).toSet
+      assert(got.size == want.size && got == want,
+        s"streaming=${got.size} batch=${want.size} diff=${(want diff got).take(2)}")
+    } finally q.stop()
+  }
 }
