@@ -485,7 +485,47 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** FILTERED vector search — the hybrid predicate + ANN read every
+    * vector store serves ("top-k among vectors WHERE label = X"):
+    * the metadata predicate lands in the scan (label pushdown — the
+    * candidate set shrinks BEFORE any distance math), then the same
+    * broadcast-query / bounded-top-k plan as brute force scores only
+    * the survivors. Each query's filter is its own label, so the
+    * equi-condition rides the join (query.label = corpus.label) — a
+    * hash join, not a nested loop. At IVF scale the same predicate
+    * composes with cell pruning (filter ∧ probe). Deterministic —
+    * fully oracle-checked, unlike the approximate ANN entries. */
+  def filteredTopK: Q = (s, d) => {
+    val all = emb(s, d)
+    val q = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("label"),
+        col("v").as("qv"), col("n2").as("qn2"))
+    all.join(broadcast(q), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr(dotExpr) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .groupBy(col("query_id"))
+      .agg(first(col("label")).as("label"),
+        expr(s"graft_topk(cos, vec_id, $TopK)").as("top"))
+      .select(col("query_id"), col("label"), posexplode(col("top")))
+      .select(col("query_id"), col("label"), col("col.id").as("neighbor_id"),
+        trunc4(col("col.score")).as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val filteredTopKSql: String =
+    s"""SELECT query_id, label, neighbor_id, floor(cos * 10000) / 10000.0 AS cosine, rank FROM (
+          SELECT q.vec_id AS query_id, q.label AS label, e.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cos,
+                 CAST(row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                            e.vec_id) AS INT) AS rank
+          FROM embeddings q JOIN embeddings e
+            ON e.label = q.label AND e.vec_id <> q.vec_id
+          WHERE q.vec_id < $NumQueries) t
+        WHERE rank <= $TopK ORDER BY query_id, rank"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("ann_filtered_topk", filteredTopK, Some(filteredTopKSql)),
     ("ann_bruteforce_topk", bruteForceTopK, Some(bruteForceTopKSql)),
     ("ann_lsh_topk", lshTopK, None),
     ("ann_ivf_topk", ivfTopK, None),

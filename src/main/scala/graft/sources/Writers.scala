@@ -441,7 +441,39 @@ object Writers {
               round(sum(CASE WHEN day(ts) > 15 THEN round(value * 2, 2) END), 2) AS value2_sum
        FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** Merge-on-read with deletion vectors — the lakehouse delete path
+    * (Delta/Iceberg MoR): deletes land as a small keyed tombstone file,
+    * the base stays immutable, and the READ reconstructs current state
+    * as base ANTI JOIN tombstones — no rewrite of base files at delete
+    * time; compaction folds them in later. Tombstones here are every
+    * third order (deterministic o_orderkey rule); the read-back
+    * aggregate hash-matches an oracle that applies the same predicate
+    * to the original table, proving base ∖ deletes ≡ filtered source.
+    * At 100 TB the tombstone side broadcasts (deletes are ≪ base) and
+    * the anti join costs one broadcast probe per row. */
+  def mergeOnRead: Q = (s, d) => {
+    val path = s"/tmp/graft_mor_${sfx(d)}"
+    val src = Tables.orders(s, d)
+    src.write.mode("overwrite").parquet(s"$path/base")
+    src.filter(col("o_orderkey") % 3 === 0).select(col("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$path/deletes")
+    val base = s.read.parquet(s"$path/base")
+    val dels = s.read.parquet(s"$path/deletes")
+    base.join(broadcast(dels), Seq("o_orderkey"), "left_anti")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_live"),
+        round(sum(col("o_totalprice")), 2).as("live_total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val mergeOnReadSql: String =
+    """SELECT o_orderstatus, count(*) AS n_live,
+              round(sum(o_totalprice), 2) AS live_total
+       FROM orders WHERE o_orderkey % 3 <> 0
+       GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("sink_merge_on_read", mergeOnRead, Some(mergeOnReadSql)),
     ("source_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
     ("sink_bucket_lookup", bucketLookup, Some(bucketLookupSql)),
     ("idx_secondary_lookup", secondaryIndexLookup, Some(secondaryIndexLookupSql)),

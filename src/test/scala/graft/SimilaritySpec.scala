@@ -85,4 +85,15 @@ class SimilaritySpec extends SparkTestBase {
       assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
     }
   }
+
+  test("filtered top-k: every neighbor shares the query's label") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Similarity.filteredTopK(spark, sf)
+    val labels = graft.sources.Tables.embeddings(spark, sf).select("vec_id", "label")
+    val wrong = df.join(labels.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("label", "n_label"), Seq("neighbor_id"))
+      .filter(col("label") =!= col("n_label"))
+    assert(wrong.count() == 0, "predicate must constrain the candidate set")
+    assert(df.count() > 0)
+  }
 }

@@ -139,4 +139,13 @@ class WritersSpec extends SparkTestBase {
         s"v1 rows must contribute nulls for the evolved column: $r")
     }
   }
+
+  test("merge-on-read: tombstoned keys vanish from the read without touching base files") {
+    import org.apache.spark.sql.functions._
+    val live = graft.sources.Writers.mergeOnRead(spark, sf)
+      .agg(sum("n_live")).collect()(0).getLong(0)
+    val want = graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 3 =!= 0).count()
+    assert(live == want, s"live rows $live must equal source minus tombstones $want")
+  }
 }
