@@ -141,7 +141,76 @@ object Cohort {
                 AS cum_ltv
        FROM cells ORDER BY cohort_m, month_offset"""
 
+  /** Gaps-and-islands: longest consecutive-day activity streak per
+    * user (login streaks, uptime runs, SLA windows). The classic
+    * island key `day − row_number()` is constant exactly while days
+    * are consecutive; one user-keyed shuffle, a distinct, one window,
+    * two aggregations — all integer date arithmetic, engine-exact. */
+  def userStreaks: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).as("day_nr"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day_nr"))
+    days
+      .withColumn("island", col("day_nr") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"), min(col("day_nr")).as("start_day"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        min(col("start_day")).as("first_day"))
+      .orderBy(col("user_id"))
+  }
+
+  val userStreaksSql: String =
+    """WITH days AS (
+         SELECT DISTINCT user_id,
+                date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_nr
+         FROM events),
+       isl AS (
+         SELECT user_id, day_nr,
+                day_nr - row_number() OVER (PARTITION BY user_id ORDER BY day_nr) AS island
+         FROM days),
+       runs AS (
+         SELECT user_id, island, count(*) AS len, min(day_nr) AS start_day
+         FROM isl GROUP BY 1, 2)
+       SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+              count(*) AS n_streaks,
+              CAST(min(start_day) AS INT) AS first_day
+       FROM runs GROUP BY user_id ORDER BY user_id"""
+
+  /** Cumulative distinct users per day — the growth curve: each user
+    * contributes on their FIRST day only (one min-aggregation), then a
+    * running count over the ≤ |days| per-day new-user rows. The
+    * shuffle carries users once, the window runs over days — never the
+    * event volume. Pure integers. */
+  def cumulativeUsers: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val firsts = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_day"))
+    val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    firsts.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("cumulative_users", sum(col("new_users")).over(w))
+      .orderBy(col("day"))
+  }
+
+  val cumulativeUsersSql: String =
+    """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+                  FROM events GROUP BY 1),
+       d AS (SELECT first_day AS day, count(*) AS new_users FROM f GROUP BY 1)
+       SELECT day, new_users,
+              CAST(sum(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS cumulative_users
+       FROM d ORDER BY day"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_streaks", userStreaks, Some(userStreaksSql)),
+    ("q_cumulative_users", cumulativeUsers, Some(cumulativeUsersSql)),
     ("cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     ("cohort_ltv", cohortLtv, Some(cohortLtvSql)),
     ("q_fulfillment_lag", fulfillmentLag, Some(fulfillmentLagSql)))

@@ -67,4 +67,28 @@ class CohortSpec extends SparkTestBase {
       .count() == 0)
     df.unpersist()
   }
+
+  test("streaks: longest streak bounded by active days; islands partition them") {
+    import org.apache.spark.sql.expressions.Window
+    val df = graft.operators.Cohort.userStreaks(spark, sf).cache()
+    val active = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .groupBy("user_id").agg(count(lit(1)).as("n_days"))
+    val broken = df.join(active, Seq("user_id"))
+      .filter(col("longest_streak") > col("n_days"))
+    assert(broken.count() == 0)
+    assert(df.count() == active.count(), "every active user has a streak row")
+    df.unpersist()
+  }
+
+  test("cumulative users: monotone and ends at total distinct users") {
+    val df = graft.operators.Cohort.cumulativeUsers(spark, sf).collect()
+    assert(df.map(_.getLong(2)).sliding(2).forall {
+      case Array(a, b) => a <= b
+      case _ => true
+    })
+    val total = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(df.last.getLong(2) == total)
+  }
 }
