@@ -846,7 +846,81 @@ object Timeseries {
                 AS page
        FROM w ORDER BY hour_sec"""
 
+  /** Alert state machine with HYSTERESIS (alertmanager-style flap
+    * suppression): a series starts firing when its hourly level
+    * crosses 100 and resolves only after 2 consecutive hours below 50
+    * — the two-threshold + hold-down rule that stops alert flapping.
+    * A stateful recursion, so it runs as the same order-fixed
+    * `aggregate()` fold as EWMA/Holt (state = (firing, low-run) —
+    * pure integers; the only float surface is comparisons of stored
+    * doubles against literals, which cannot split engines). The
+    * oracle replays the machine with a recursive CTE and must land on
+    * identical fire/resolve transitions at identical hours. */
+  private val alertStep =
+    """CASE WHEN size(acc) = 0 OR element_at(acc, -1).f = 0
+            THEN CASE WHEN p.av > 100.0e0
+                      THEN named_struct('f', 1, 'lr', 0, 'tr', 'fire')
+                      ELSE named_struct('f', 0, 'lr', 0, 'tr', CAST(NULL AS STRING)) END
+            ELSE CASE WHEN (CASE WHEN p.av < 50.0e0 THEN element_at(acc, -1).lr + 1 ELSE 0 END) >= 2
+                      THEN named_struct('f', 0, 'lr', 0, 'tr', 'resolve')
+                      ELSE named_struct('f', 1,
+                             'lr', CASE WHEN p.av < 50.0e0 THEN element_at(acc, -1).lr + 1 ELSE 0 END,
+                             'tr', CAST(NULL AS STRING)) END
+       END"""
+
+  def alertHysteresis: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("hour_sec"))
+      .agg((floor(round(sum(col("value")), 2) / count(lit(1)) * 1e4) / 1e4).as("av"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("hour_sec"), col("av")))).as("seq"))
+      .withColumn("st", expr(
+        s"""aggregate(seq, CAST(array() AS ARRAY<STRUCT<f: INT, lr: INT, tr: STRING>>),
+              (acc, p) -> concat(acc, array($alertStep)))"""))
+      .select(col("event_type"), explode(arrays_zip(col("seq"), col("st"))).as("z"))
+      .select(col("event_type"),
+        col("z.seq.hour_sec").as("hour_sec"),
+        col("z.seq.av").as("avg_value"),
+        col("z.st.f").as("firing"),
+        col("z.st.tr").as("transition"))
+      .orderBy(col("event_type"), col("hour_sec"))
+  }
+
+  val alertHysteresisSql: String =
+    """WITH RECURSIVE hourly AS (
+         SELECT event_type, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hour_sec,
+                floor(round(sum(value), 2) / count(*) * 1e4) / 1e4 AS av
+         FROM events GROUP BY 1, 2),
+       idx AS (
+         SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY hour_sec) AS rn
+         FROM hourly),
+       rec AS (
+         SELECT event_type, hour_sec, rn, av,
+                CASE WHEN av > 100.0e0 THEN 1 ELSE 0 END AS f,
+                0 AS lr,
+                CASE WHEN av > 100.0e0 THEN 'fire' END AS tr
+         FROM idx WHERE rn = 1
+         UNION ALL
+         SELECT i.event_type, i.hour_sec, i.rn, i.av,
+                CASE WHEN rec.f = 0
+                     THEN CASE WHEN i.av > 100.0e0 THEN 1 ELSE 0 END
+                     ELSE CASE WHEN (CASE WHEN i.av < 50.0e0 THEN rec.lr + 1 ELSE 0 END) >= 2
+                               THEN 0 ELSE 1 END END,
+                CASE WHEN rec.f = 0 THEN 0
+                     ELSE CASE WHEN (CASE WHEN i.av < 50.0e0 THEN rec.lr + 1 ELSE 0 END) >= 2
+                               THEN 0
+                               ELSE CASE WHEN i.av < 50.0e0 THEN rec.lr + 1 ELSE 0 END END END,
+                CASE WHEN rec.f = 0 AND i.av > 100.0e0 THEN 'fire'
+                     WHEN rec.f = 1 AND (CASE WHEN i.av < 50.0e0 THEN rec.lr + 1 ELSE 0 END) >= 2
+                          THEN 'resolve' END
+         FROM idx i JOIN rec ON i.event_type = rec.event_type AND i.rn = rec.rn + 1)
+       SELECT event_type, hour_sec, av AS avg_value,
+              CAST(f AS INT) AS firing, tr AS transition
+       FROM rec ORDER BY event_type, hour_sec"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("metrics_alert_hysteresis", alertHysteresis, Some(alertHysteresisSql)),
     ("metrics_burn_rate", burnRate, Some(burnRateSql)),
     ("metrics_changes", changes, Some(changesSql)),
     ("metrics_absent", absent, Some(absentSql)),

@@ -447,7 +447,35 @@ object Tpch {
        FROM region JOIN nation ON r_regionkey = n_regionkey
        GROUP BY r_name ORDER BY r_name"""
 
+  /** The engine's SQL-TEXT surface: the same declarative plans are
+    * reachable through `spark.sql` over registered views — a user can
+    * speak SQL instead of the DataFrame API and Catalyst plans
+    * identically (the optimizer sees one logical plan either way).
+    * The query is a revenue-by-nation rollup whose SQL is portable
+    * enough to run almost verbatim as its own oracle. */
+  def sqlInterface: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("g_customer")
+    Tables.orders(s, d).createOrReplaceTempView("g_orders")
+    Tables.nation(s, d).createOrReplaceTempView("g_nation")
+    s.sql("""
+      SELECT n.n_name AS nation, count(*) AS n_orders,
+             round(sum(o.o_totalprice), 2) AS revenue
+      FROM g_orders o
+      JOIN g_customer c ON o.o_custkey = c.c_custkey
+      JOIN g_nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name ORDER BY nation""")
+  }
+
+  val sqlInterfaceSql: String =
+    """SELECT n.n_name AS nation, count(*) AS n_orders,
+              round(sum(o.o_totalprice), 2) AS revenue
+       FROM orders o
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       GROUP BY n.n_name ORDER BY nation"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_sql_interface", sqlInterface, Some(sqlInterfaceSql)),
     ("q_corr_covar", qCorrCovar, Some(qCorrCovarSql)),
     ("q_string_agg", qStringAgg, Some(qStringAggSql)),
     ("q1_pricing_summary", q1PricingSummary, Some(q1Sql)),

@@ -170,4 +170,26 @@ class TimeseriesSpec extends SparkTestBase {
     assert(broken.count() == 0)
     hw.unpersist()
   }
+
+  test("hysteresis: fire/resolve alternate per series and firing implies a prior fire") {
+    import org.apache.spark.sql.expressions.Window
+    val df = graft.operators.Timeseries.alertHysteresis(spark, sf).cache()
+    // transitions strictly alternate fire, resolve, fire, ... per series
+    val trans = df.filter(col("transition").isNotNull)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("hour_sec")))
+      .collect().groupBy(_.getString(0))
+    trans.values.foreach { rows =>
+      rows.sortBy(_.getLong(1)).map(_.getString(4)).sliding(2).foreach {
+        case Array(a, b) => assert(a != b, s"transitions must alternate: $a,$b")
+        case _ =>
+      }
+    }
+    assert(trans.values.flatten.nonEmpty, "thresholds must produce transitions")
+    // a firing hour is always above low-resolve logic: never firing while
+    // the machine just resolved
+    assert(df.filter(col("transition") === "resolve" && col("firing") === 1).count() == 0)
+    assert(df.filter(col("transition") === "fire" && col("firing") === 0).count() == 0)
+    df.unpersist()
+  }
 }
