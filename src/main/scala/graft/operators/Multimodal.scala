@@ -88,6 +88,44 @@ object Multimodal {
   def decodeFrames: Q = (s, d) =>
     decodeStub(s, d).toDF().orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Scene-change threshold on the mean-intensity delta. */
+  val SceneDelta = 30.0
+
+  /** Scene-change detection — the video-curation primitive (sample one
+    * frame per scene instead of per second): a scene boundary is an
+    * adjacent-frame intensity jump above the threshold. Runs on the
+    * SAME partition-batched decode output as the other frame ops; the
+    * per-document lag chain is one doc-keyed window whose state is a
+    * single previous frame. Output per doc: scene count and the mean
+    * |delta| (floored — comparisons and floor on identical doubles,
+    * engine-exact via the hex byte-math oracle). */
+  def videoScenes: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    decodeStub(s, d).toDF()
+      .withColumn("prev", lag(col("mean_intensity"), 1).over(w))
+      .withColumn("delta", abs(col("mean_intensity") - col("prev")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        (count(when(col("delta") > SceneDelta, 1)) + 1).as("n_scenes"),
+        (floor(round(sum(col("delta")), 4) /
+          greatest(count(col("delta")), lit(1)) * 1e4) / 1e4).as("mean_delta"))
+      .orderBy(col("doc_id"))
+  }
+
+  // lazy: framesCte is declared later in the file (initialization order)
+  lazy val videoScenesSql: String =
+    s"""WITH $framesCte,
+        lagd AS (
+          SELECT doc_id, mean_intensity,
+                 abs(mean_intensity - lag(mean_intensity)
+                   OVER (PARTITION BY doc_id ORDER BY frame_idx)) AS delta
+          FROM frames)
+        SELECT doc_id, count(*) AS n_frames,
+               count(*) FILTER (WHERE delta > ${SceneDelta}e0) + 1 AS n_scenes,
+               floor(round(sum(delta), 4) / greatest(count(delta), 1) * 1e4) / 1e4 AS mean_delta
+        FROM lagd GROUP BY doc_id ORDER BY doc_id"""
+
   /** Frame-level exact dedup ACROSS documents — the multimodal twin of
     * `dedup_exact` (duplicate key-frames across videos, repeated intro
     * cards, shared stock images): each frame's 256-byte window is
@@ -219,6 +257,7 @@ object Multimodal {
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("mm_binary_meta", meta, Some(metaSql)),
+    ("mm_video_scenes", videoScenes, Some(videoScenesSql)),
     ("mm_frame_dedup", frameDedup, Some(frameDedupSql)),
     ("mm_decode_frames", decodeFrames, Some(decodeFramesSql)),
     ("mm_resize", resize, Some(resizeSql)),

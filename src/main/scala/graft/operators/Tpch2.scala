@@ -337,7 +337,42 @@ object Tpch2 {
        FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
        ORDER BY nationkey"""
 
+  /** NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM) — the join
+    * semantics ETL needs when the key itself can be legitimately
+    * missing on both sides (unknown bucket matches unknown bucket,
+    * instead of silently dropping). Keys are a JSON-extracted metric
+    * bucket nulled on a deterministic rule; Spark plans `<=>` as a
+    * normal hash/merge equi-join (null-safe keys still hash), NOT a
+    * nested loop — same shuffle shape as `=`. The companion inner
+    * count shows exactly how many pairs a plain `=` would lose. */
+  def qNullSafeJoin: Q = (s, d) => {
+    def side(t: String, alias: String) = Tables.events(s, d)
+      .filter(col("event_type") === t)
+      .select(when(get_json_object(col("props"), "$.k").cast("int") % 7 =!= 0,
+        get_json_object(col("props"), "$.k").cast("int")).as(alias))
+    val views = side("view", "kn")
+    val clicks = side("click", "kc")
+    views.join(clicks, col("kn") <=> col("kc"))
+      .groupBy(col("kn"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("kn"))
+  }
+
+  val qNullSafeJoinSql: String =
+    """WITH v AS (
+         SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) % 7 <> 0
+                     THEN CAST(json_extract_string(props, '$.k') AS INT) END AS kn
+         FROM events WHERE event_type = 'view'),
+       c AS (
+         SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) % 7 <> 0
+                     THEN CAST(json_extract_string(props, '$.k') AS INT) END AS kc
+         FROM events WHERE event_type = 'click')
+       SELECT v.kn, count(*) AS n_pairs
+       FROM v JOIN c ON v.kn IS NOT DISTINCT FROM c.kc
+       GROUP BY v.kn ORDER BY v.kn"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_null_safe_join", qNullSafeJoin, Some(qNullSafeJoinSql)),
     ("q_full_outer", qFullOuter, Some(qFullOuterSql)),
     ("q7_volume_shipping", q7VolumeShipping, Some(q7Sql)),
     ("q8_market_share", q8MarketShare, Some(q8Sql)),

@@ -46,4 +46,13 @@ class MultimodalSpec extends SparkTestBase {
     if (dupDocs > 0) assert(dup.count() > 0, "dup docs must produce shared frames")
     dup.unpersist()
   }
+
+  test("scene detection: scene count bounded by frames; single-frame docs have one scene") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Multimodal.videoScenes(spark, sf).cache()
+    assert(df.filter(col("n_scenes") > col("n_frames")).count() == 0)
+    assert(df.filter(col("n_frames") === 1 && col("n_scenes") =!= 1).count() == 0)
+    assert(df.count() == graft.sources.Tables.documents(spark, sf).count())
+    df.unpersist()
+  }
 }

@@ -117,7 +117,14 @@ class PlanSpec extends SparkTestBase {
     val p = plan("text_tfidf_topk")
     assert(countScans(p) == 1, s"df should reuse the counted set:\n${p.take(1500)}")
   }
+  test("null-safe join plans a hash/merge equi-join, not a nested loop") {
+    val p = plan("q_null_safe_join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"<=> must stay an equi-join:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
 }
+
 
 /** Inventory-wide plan sweep: no entry may plan a CartesianProduct,
   * and broadcast-nested-loop joins are allowed only where the operator
