@@ -276,7 +276,50 @@ object Curation {
                floor(sum_surprisal / n_tokens * 1e4) / 1e4 <= 4.0 AS pass_filter
         FROM docs ORDER BY doc_id"""
 
+  // -------------------------------------------------------------- novelty
+
+  /** Content novelty — what does each document ADD to the corpus
+    * already ingested before it (doc_id order = ingestion order)?
+    * novelty = fraction of the doc's distinct 8-grams whose FIRST
+    * corpus occurrence is this doc. The dedup-adjacent curation signal
+    * ("is this doc new information or a remix"): low novelty + not an
+    * exact dup = heavy overlap with earlier docs. One min-aggregation
+    * over (gram → first doc) + one count join-back — the boilerplate
+    * pipeline's shape; integers + one floored division. */
+  def textNovelty: Q = (s, d) => {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(toks) >= $ContamN
+              THEN array_distinct(transform(sequence(0, size(toks) - $ContamN),
+                             i -> array_join(slice(toks, i + 1, $ContamN), ' ')))
+              ELSE array() END""")).as("gram"))
+    val firsts = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(firsts, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+      .withColumn("novelty",
+        floor(col("n_novel") * 1e4 / col("n_grams")) / 1e4)
+      .orderBy(col("doc_id"))
+  }
+
+  val textNoveltySql: String =
+    s"""WITH g AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(0, len(toks) - ${ContamN - 1}),
+                        i -> array_to_string(toks[i + 1 : i + $ContamN], ' '))) AS gram
+          FROM (SELECT doc_id, $toksSqlExpr AS toks FROM documents)),
+        f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+        SELECT g.doc_id, count(*) AS n_grams,
+               count(*) FILTER (WHERE f.first_doc = g.doc_id) AS n_novel,
+               floor(count(*) FILTER (WHERE f.first_doc = g.doc_id) * 1e4 / count(*)) / 1e4
+                 AS novelty
+        FROM g JOIN f USING (gram)
+        GROUP BY g.doc_id ORDER BY g.doc_id"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("text_novelty", textNovelty, Some(textNoveltySql)),
     ("text_perplexity", textPerplexity, Some(textPerplexitySql)),
     ("dedup_boilerplate", dedupBoilerplate, Some(dedupBoilerplateSql)),
     ("text_contamination", textContamination, Some(textContaminationSql)),

@@ -113,6 +113,30 @@ object Graph {
       s"\nSELECT node, r FROM r$Iters ORDER BY node"
   }
 
+  /** Degree distribution of the trade graph — the first profiling read
+    * on any graph (skew detection before choosing a partitioning): two
+    * integer aggregations (node degree, then degree histogram). The
+    * second groupBy runs over ≤ |distinct degrees| rows. Engine-exact. */
+  def degreeHistogram: Q = (s, d) => {
+    edges(s, d)
+      .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("degree"))
+  }
+
+  val degreeHistogramSql: String =
+    """WITH pairs AS (
+         SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS sup
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       e AS (
+         SELECT c AS src, sup AS dst FROM pairs
+         UNION ALL
+         SELECT sup AS src, c AS dst FROM pairs),
+       deg AS (SELECT src, count(*) AS degree FROM e GROUP BY src)
+       SELECT degree, count(*) AS n_nodes
+       FROM deg GROUP BY degree ORDER BY degree"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
-    ("graph_pagerank", pagerank, Some(pagerankSql)))
+    ("graph_pagerank", pagerank, Some(pagerankSql)),
+    ("graph_degree_histogram", degreeHistogram, Some(degreeHistogramSql)))
 }

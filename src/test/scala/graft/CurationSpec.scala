@@ -67,4 +67,13 @@ class CurationSpec extends SparkTestBase {
     rows.foreach { case (_, _, _, kept) => assert(kept > 0) }
     df.unpersist()
   }
+
+  test("novelty: fractions in [0,1]; the first document is fully novel") {
+    val df = graft.operators.Curation.textNovelty(spark, sf).cache()
+    assert(df.filter(col("novelty") < 0 || col("novelty") > 1).count() == 0)
+    val first = df.orderBy(col("doc_id")).limit(1).collect()(0)
+    assert(first.getDouble(first.fieldIndex("novelty")) == 1.0,
+      "doc 0 has no predecessors, every gram is first seen there")
+    df.unpersist()
+  }
 }

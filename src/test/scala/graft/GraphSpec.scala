@@ -23,4 +23,14 @@ class GraphSpec extends SparkTestBase {
     assert(bySide("s") > bySide("c"), s"supplier hubs should outrank customers: $bySide")
     df.unpersist()
   }
+
+  test("degree histogram: node total matches the graph, degrees positive") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Graph.degreeHistogram(spark, sf).cache()
+    assert(df.filter(col("degree") <= 0).count() == 0)
+    val totalNodes = df.agg(sum("n_nodes")).collect()(0).getLong(0)
+    val ranked = graft.operators.Graph.pagerank(spark, sf).count()
+    assert(totalNodes == ranked, "every ranked node has a degree bucket")
+    df.unpersist()
+  }
 }
