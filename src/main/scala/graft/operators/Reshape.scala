@@ -196,7 +196,39 @@ object Reshape {
               (SELECT v FROM r
                WHERE rn = (((SELECT count(*) FROM lineitem) - 1) // 2 + 1)) AS median"""
 
+  /** Rollup REUSE (the aggregate-navigator pattern): the monthly
+    * report is computed FROM the daily rollup — counts merge as sums
+    * of sums, money as sums of the daily ROUNDED totals — never by
+    * rescanning raw events. At 100 TB the daily layer is a
+    * materialized table and month/quarter/year all derive from it;
+    * correctness of the pattern is exactly what the oracle checks,
+    * because it must replay the same two-stage aggregation to match.
+    * Additive aggregates make the reuse lossless; the one float
+    * surface (sum of 2-dp daily totals, rounded once more) is the
+    * established rounded-sum contract. */
+  def rollupReuse: Q = (s, d) => {
+    val daily = graft.sources.Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("day_sum"))
+    daily
+      .groupBy(col("event_type"), trunc(col("day"), "month").as("month"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_events"),
+        round(sum(col("day_sum")), 2).as("month_sum"))
+      .orderBy(col("event_type"), col("month"))
+  }
+
+  val rollupReuseSql: String =
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+                count(*) AS n, round(sum(value), 2) AS day_sum
+         FROM events GROUP BY 1, 2)
+       SELECT event_type, date_trunc('month', day) AS month,
+              count(*) AS n_days, CAST(sum(n) AS BIGINT) AS n_events,
+              round(sum(day_sum), 2) AS month_sum
+       FROM daily GROUP BY 1, 2 ORDER BY event_type, month"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_rollup_reuse", rollupReuse, Some(rollupReuseSql)),
     ("q_exact_global_median", exactGlobalMedian, Some(exactGlobalMedianSql)),
     ("q_histogram_totalprice", histogramTotalprice, Some(histogramTotalpriceSql)),
     ("q_pivot_events_daily", pivotEventsDaily, Some(pivotEventsDailySql)),

@@ -928,7 +928,99 @@ object EventsStream {
       .orderBy(col("user_id"), col("sec"), col("event_id"))
   }
 
+  // ------------------------------------------------ streaming hysteresis
+
+  case class HourPoint(event_type: String, hour_sec: Long, av: Double)
+  case class HourAlert(event_type: String, hour_sec: Long, avg_value: Double,
+      firing: Int, transition: Option[String])
+  /** Alert-machine carry (firing flag, consecutive-low run) + the
+    * samples of watermark-open hours. */
+  case class AlertState(f: Int, lr: Int, buf: List[CSample])
+
+  /** The shared hysteresis core: fold hour-ordered levels through the
+    * two-threshold + hold-down machine (fire > 100, resolve after 2
+    * consecutive hours < 50) — the Scala twin of the SQL fold in
+    * `Timeseries.alertHysteresis`, shared by the batch entry and the
+    * streaming operator. */
+  def foldAlert(f0: Int, lr0: Int, hours: Seq[HourPoint]): (Seq[HourAlert], Int, Int) = {
+    var (f, lr) = (f0, lr0)
+    val out = hours.map { h =>
+      val tr: Option[String] =
+        if (f == 0) { if (h.av > 100.0) { f = 1; lr = 0; Some("fire") } else None }
+        else {
+          lr = if (h.av < 50.0) lr + 1 else 0
+          if (lr >= 2) { f = 0; lr = 0; Some("resolve") } else None
+        }
+      HourAlert(h.event_type, h.hour_sec, h.av, f, tr)
+    }
+    (out, f, lr)
+  }
+
+  private def hourAvg(samples: Seq[CSample]): Double = {
+    val sum = java.math.BigDecimal.valueOf(samples.map(_.value).sum)
+      .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue
+    math.floor(sum / samples.length * 1e4) / 1e4
+  }
+
+  /** Batch entry `stream_alert_hysteresis`: hourly rollup + the Scala
+    * fold per series — its oracle is the recursive-CTE SQL of
+    * `metrics_alert_hysteresis`, so the hash match proves Scala fold ≡
+    * SQL aggregate fold ≡ recursive CTE, three implementations of one
+    * machine. */
+  def alertHysteresisBatch: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("hour_sec"))
+      .agg((floor(round(sum(col("value")), 2) / count(lit(1)) * 1e4) / 1e4).as("av"))
+      .as[HourPoint]
+      .groupByKey(_.event_type)
+      .flatMapGroups { (_, it) =>
+        foldAlert(0, 0, it.toSeq.sortBy(_.hour_sec))._1.iterator
+      }
+      .toDF()
+      .orderBy(col("event_type"), col("hour_sec"))
+  }
+
+  /** Streaming half: the alert machine runs incrementally — closed
+    * hours (watermark-final) fold through the carried (firing,
+    * low-run) state and emit their status rows; state per series is
+    * two ints plus only the open hours' samples (the counter-rate
+    * contract: the carry outlives the buffer for the series'
+    * lifetime). */
+  def alertHysteresisStream(samples: Dataset[CSample]): Dataset[HourAlert] = {
+    val s = samples.sparkSession
+    import s.implicits._
+    samples
+      .withColumn("eventTime", timestamp_seconds(col("tsSec")))
+      .withWatermark("eventTime", "1 hour")
+      .as[CSampleT]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AlertState, HourAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (series: String, batch: Iterator[CSampleT], state: GroupState[AlertState]) =>
+          val st = state.getOption.getOrElse(AlertState(0, 0, Nil))
+          val all = (st.buf ++ batch.map(e =>
+              CSample(e.event_type, e.event_id, e.tsSec, e.value)).toList)
+            .sortBy(c => (c.tsSec, c.event_id))
+          val wmSec = state.getCurrentWatermarkMs() / 1000
+          val boundary = wmSec / 3600 * 3600
+          val (closed, open) = all.partition(_.tsSec < boundary)
+          val hours = closed.groupBy(_.tsSec / 3600 * 3600).toSeq.sortBy(_._1)
+            .map { case (h, ss) => HourPoint(series, h, hourAvg(ss)) }
+          val (out, f, lr) = foldAlert(st.f, st.lr, hours)
+          state.update(AlertState(f, lr, open))
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max((open.last.tsSec / 3600 * 3600 + 3600) * 1000L,
+                state.getCurrentWatermarkMs() + 1000L))
+          out.iterator
+      }
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("stream_alert_hysteresis", alertHysteresisBatch,
+      Some(graft.operators.Timeseries.alertHysteresisSql)),
     ("stream_attribution", attributionBatch, Some(graft.operators.Funnel.attributionLinearSql)),
     ("stream_funnel", funnelBatch, Some(graft.operators.Funnel.funnelStagesSql)),
     ("stream_static_enrich", staticEnrichBatch, Some(staticEnrichSql)),

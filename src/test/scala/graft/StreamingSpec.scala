@@ -441,4 +441,34 @@ class StreamingSpec extends SparkTestBase {
         s"streaming=${got.size} batch=${want.size} diff=${(want diff got).take(2)}")
     } finally q.stop()
   }
+
+  test("streaming hysteresis carries the alert machine across watermark folds") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val samples = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("tsSec"), col("value"))
+      .as[EventsStream.CSample].collect()
+
+    val input = MemoryStream[EventsStream.CSample]
+    val q = EventsStream.alertHysteresisStream(input.toDS())
+      .writeStream.format("memory").queryName("alert_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val chunks = samples.sortBy(_.tsSec).grouped(samples.length / 3 + 1)
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      val maxSec = samples.map(_.tsSec).max
+      input.addData(EventsStream.CSample("__wm__", -1L, maxSec + 36000L, 0.0))
+      q.processAllAvailable()
+
+      val got = spark.table("alert_sink").filter(col("event_type") =!= "__wm__")
+        .select("event_type", "hour_sec", "firing", "transition")
+        .collect().map(_.toSeq).toSet
+      val want = EventsStream.alertHysteresisBatch(spark, sf)
+        .select("event_type", "hour_sec", "firing", "transition")
+        .collect().map(_.toSeq).toSet
+      assert(got == want,
+        s"streaming=${got.size} batch=${want.size} diff=${(want diff got).take(3)}")
+    } finally q.stop()
+  }
 }
