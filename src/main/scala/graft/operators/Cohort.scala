@@ -208,7 +208,79 @@ object Cohort {
                 AS cumulative_users
        FROM d ORDER BY day"""
 
+  /** The z-statistic text, shared verbatim by both engines: pooled
+    * two-proportion z-test on exact integer counts — divisions and the
+    * sqrt are single correctly-rounded IEEE ops in a fixed order, so
+    * identical inputs give identical doubles; floor pins 4dp. */
+  private val zExpr: String =
+    """CASE WHEN (ca + cb) > 0 AND (ca + cb) < (na + nb) THEN
+       floor((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+              - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+             / sqrt((CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                    * (1e0 - CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                    * (1e0 / CAST(na AS DOUBLE) + 1e0 / CAST(nb AS DOUBLE)))
+             * 1e4) / 1e4 END"""
+
+  /** A/B experiment readout — deterministic hash assignment (the same
+    * content-hash rule as the split ops: re-runs reproduce the arms),
+    * per-user conversion (any purchase), pooled two-proportion z-test.
+    * Two integer aggregations (user conversion flag, per-arm counts) +
+    * a 1-row statistic; the experiment report every product team runs
+    * on event data. */
+  def abTest: Q = (s, d) => {
+    val arm = when(
+      conv(substring(md5(concat(lit("ab:"), col("user_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 2 === 0, "A").otherwise("B")
+    // conversion = the user's FIRST event (ts, event_id order) is a
+    // purchase — a ~1/|event types| rate with real variance ("ever
+    // purchased" saturates to 100% on a dense corpus and the z-test
+    // degenerates)
+    val users = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type"))).as("first"))
+      .select(col("user_id"),
+        when(col("first.event_type") === "purchase", 1).otherwise(0).as("converted"))
+      .withColumn("arm", arm)
+    users.groupBy()
+      .agg(count(when(col("arm") === "A", 1)).as("na"),
+        sum(when(col("arm") === "A", col("converted")).otherwise(0)).as("ca"),
+        count(when(col("arm") === "B", 1)).as("nb"),
+        sum(when(col("arm") === "B", col("converted")).otherwise(0)).as("cb"))
+      .withColumn("rate_a", floor(col("ca") * 1e4 / col("na")) / 1e4)
+      .withColumn("rate_b", floor(col("cb") * 1e4 / col("nb")) / 1e4)
+      .withColumn("z", expr(zExpr))
+      .withColumn("significant", coalesce(abs(col("z")) > 1.96, lit(false)))
+      .select(col("na"), col("ca"), col("nb"), col("cb"),
+        col("rate_a"), col("rate_b"), col("z"), col("significant"))
+  }
+
+  val abTestSql: String =
+    s"""WITH f AS (
+         SELECT user_id,
+                min(struct_pack(ts := ts, event_id := event_id, event_type := event_type)) AS first
+         FROM events GROUP BY user_id),
+       u AS (
+         SELECT user_id,
+                CASE WHEN first.event_type = 'purchase' THEN 1 ELSE 0 END AS converted,
+                CASE WHEN ('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                     THEN 'A' ELSE 'B' END AS arm
+         FROM f),
+       c AS (
+         SELECT count(*) FILTER (WHERE arm = 'A') AS na,
+                CAST(sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END) AS BIGINT) AS ca,
+                count(*) FILTER (WHERE arm = 'B') AS nb,
+                CAST(sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END) AS BIGINT) AS cb
+         FROM u)
+       SELECT na, ca, nb, cb,
+              floor(ca * 1e4 / na) / 1e4 AS rate_a,
+              floor(cb * 1e4 / nb) / 1e4 AS rate_b,
+              ($zExpr) AS z,
+              coalesce(abs($zExpr) > 1.96, false) AS significant
+       FROM c"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_abtest", abTest, Some(abTestSql)),
     ("q_streaks", userStreaks, Some(userStreaksSql)),
     ("q_cumulative_users", cumulativeUsers, Some(cumulativeUsersSql)),
     ("cohort_retention", cohortRetention, Some(cohortRetentionSql)),

@@ -227,7 +227,59 @@ object Reshape {
               round(sum(day_sum), 2) AS month_sum
        FROM daily GROUP BY 1, 2 ORDER BY event_type, month"""
 
+  /** Snapshot DIFF — the data-diff read (regression checks between
+    * pipeline runs, CDC validation): compare each user's latest state
+    * at cutoff day 15 against the latest state at end-of-corpus, and
+    * classify ADDED / CHANGED / UNCHANGED. Latest-state per side is
+    * the `q_latest_per_key` max-of-struct aggregation (map-side
+    * combine, no history sort); the diff is one full outer join on the
+    * key. Deterministic: the struct max tie-breaks on event_id, and
+    * the comparison is exact (stored doubles, integer ids). */
+  def snapshotDiff: Q = (s, d) => {
+    def latest(df: DataFrame) = df
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.event_id").as("last_event"),
+        col("m.value").as("last_value"))
+    val ev = graft.sources.Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        dayofmonth(col("ts")).as("dom"))
+    val s1 = latest(ev.filter(col("dom") <= 15))
+      .withColumnRenamed("last_event", "event_1").withColumnRenamed("last_value", "value_1")
+    val s2 = latest(ev)
+      .withColumnRenamed("last_event", "event_2").withColumnRenamed("last_value", "value_2")
+    s1.join(s2, Seq("user_id"), "full_outer")
+      .withColumn("status",
+        when(col("event_1").isNull, "added")
+          .when(col("event_1") === col("event_2"), "unchanged")
+          .otherwise("changed"))
+      .select(col("user_id"), col("status"),
+        col("event_1"), col("event_2"), col("value_2"))
+      .orderBy(col("user_id"))
+  }
+
+  val snapshotDiffSql: String =
+    """WITH ev AS (
+         SELECT user_id, ts, event_id, value, day(ts) AS dom FROM events),
+       s1 AS (
+         SELECT user_id,
+                max(struct_pack(ts := ts, event_id := event_id, value := value)) AS m
+         FROM ev WHERE dom <= 15 GROUP BY user_id),
+       s2 AS (
+         SELECT user_id,
+                max(struct_pack(ts := ts, event_id := event_id, value := value)) AS m
+         FROM ev GROUP BY user_id)
+       SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+              CASE WHEN s1.user_id IS NULL THEN 'added'
+                   WHEN s1.m.event_id = s2.m.event_id THEN 'unchanged'
+                   ELSE 'changed' END AS status,
+              s1.m.event_id AS event_1, s2.m.event_id AS event_2,
+              s2.m.value AS value_2
+       FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+       ORDER BY user_id"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     ("q_rollup_reuse", rollupReuse, Some(rollupReuseSql)),
     ("q_exact_global_median", exactGlobalMedian, Some(exactGlobalMedianSql)),
     ("q_histogram_totalprice", histogramTotalprice, Some(histogramTotalpriceSql)),

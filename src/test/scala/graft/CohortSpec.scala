@@ -91,4 +91,24 @@ class CohortSpec extends SparkTestBase {
       .select("user_id").distinct().count()
     assert(df.last.getLong(2) == total)
   }
+
+  test("abtest: arms partition the users; rates consistent with counts") {
+    val r = graft.operators.Cohort.abTest(spark, sf).collect()(0)
+    val users = graft.sources.Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(r.getLong(0) + r.getLong(2) == users, "arms must partition users")
+    assert(r.getLong(1) <= r.getLong(0) && r.getLong(3) <= r.getLong(2))
+    assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1)
+    assert(r.getDouble(5) >= 0 && r.getDouble(5) <= 1)
+  }
+
+  test("snapshot diff: statuses are consistent with the cutoff") {
+    val df = graft.operators.Reshape.snapshotDiff(spark, sf).cache()
+    // no user can be 'added': anyone active late is... only if absent before day 15
+    assert(df.filter(col("status") === "added" && col("event_1").isNotNull).count() == 0)
+    assert(df.filter(col("status") === "unchanged" &&
+      col("event_1") =!= col("event_2")).count() == 0)
+    val total = graft.sources.Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(df.count() == total)
+    df.unpersist()
+  }
 }
