@@ -137,7 +137,57 @@ object Funnel {
        FROM t WHERE event_type = 'purchase'
        ORDER BY user_id, sec, event_id"""
 
+  /** Top event PATHS — the user-journey n-gram read (which 3-step
+    * sequences dominate): per user, events in (sec, event_id) order
+    * yield consecutive type-trigrams; one count shuffle over the tiny
+    * distinct-path set and a bounded top-k window. The collect_list is
+    * per-user and ordered by the SAME total order both engines use, so
+    * the path multiset is engine-exact. At 100 TB the per-user
+    * sequence is bounded by retention (like the fold entries), and
+    * paths could be windowed per session to cap it further. */
+  def topPaths: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val paths = Tables.events(s, d)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+        col("event_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(sec, event_id, event_type))), p -> p.event_type)")
+        .as("seq"))
+      .select(col("user_id"), explode(expr(
+        """CASE WHEN size(seq) >= 3
+             THEN transform(sequence(0, size(seq) - 3),
+                            i -> concat(seq[i], '>', seq[i + 1], '>', seq[i + 2]))
+             ELSE array() END""")).as("path"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n").desc, col("path"))))
+      .filter(col("rk") <= 10)
+      .select(col("rk").cast("int").as("rk"), col("path"), col("n"), col("n_users"))
+      .orderBy(col("rk"))
+  }
+
+  val topPathsSql: String =
+    """WITH seqs AS (
+         SELECT user_id,
+                list_transform(
+                  list_sort(list(struct_pack(sec := CAST(epoch(date_trunc('second', ts)) AS BIGINT),
+                                             event_id := event_id, event_type := event_type))),
+                  p -> p.event_type) AS seq
+         FROM events GROUP BY user_id),
+       p AS (
+         SELECT user_id,
+                unnest(list_transform(range(0, len(seq) - 2),
+                       i -> seq[i + 1] || '>' || seq[i + 2] || '>' || seq[i + 3])) AS path
+         FROM seqs WHERE len(seq) >= 3),
+       c AS (SELECT path, count(*) AS n, count(DISTINCT user_id) AS n_users
+             FROM p GROUP BY path)
+       SELECT CAST(row_number() OVER (ORDER BY n DESC, path) AS INT) AS rk,
+              path, n, n_users
+       FROM c QUALIFY rk <= 10 ORDER BY rk"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("funnel_stages", funnelStages, Some(funnelStagesSql)),
-    ("attribution_linear", attributionLinear, Some(attributionLinearSql)))
+    ("attribution_linear", attributionLinear, Some(attributionLinearSql)),
+    ("events_top_paths", topPaths, Some(topPathsSql)))
 }

@@ -35,4 +35,14 @@ class FunnelSpec extends SparkTestBase {
       abs(col("credit_per_touch") * col("n_touches") - 1.0) > 0.01).count() == 0)
     df.unpersist()
   }
+
+  test("top paths: exactly 10 ranked paths; user counts bounded by occurrences") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Funnel.topPaths(spark, sf).cache()
+    assert(df.count() == 10)
+    assert(df.filter(col("n_users") > col("n")).count() == 0)
+    val rks = df.select("rk").collect().map(_.getInt(0)).sorted.toSeq
+    assert(rks == (1 to 10), s"ranks must be dense: $rks")
+    df.unpersist()
+  }
 }
