@@ -919,7 +919,44 @@ object Timeseries {
               CAST(f AS INT) AS firing, tr AS transition
        FROM rec ORDER BY event_type, hour_sec"""
 
+  /** Series churn — the cardinality-explosion monitor every TSDB
+    * operator runs: per day, how many (metric, label-set) series were
+    * active, and how many were BORN that day (first ever appearance).
+    * A spike in births is the "someone added a user-id label" alarm.
+    * Series key here = (event_type, user_id). Two aggregations: the
+    * distinct active set per day, and births via min-day per series —
+    * both map-side combinable, shuffles carry series not samples. Pure
+    * integers. */
+  def seriesChurn: Q = (s, d) => {
+    val active = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val births = active.groupBy(col("event_type"), col("user_id"))
+      .agg(min(col("day")).as("born"))
+      .groupBy(col("born").as("day"))
+      .agg(count(lit(1)).as("new_series"))
+    active.groupBy(col("day"))
+      .agg(count(lit(1)).as("active_series"))
+      .join(births, Seq("day"), "left")
+      .withColumn("new_series", coalesce(col("new_series"), lit(0L)))
+      .orderBy(col("day"))
+  }
+
+  val seriesChurnSql: String =
+    """WITH active AS (
+         SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS day FROM events),
+       births AS (
+         SELECT born AS day, count(*) AS new_series FROM (
+           SELECT event_type, user_id, min(day) AS born
+           FROM active GROUP BY 1, 2) t
+         GROUP BY born)
+       SELECT a.day, count(*) AS active_series,
+              CAST(coalesce(max(b.new_series), 0) AS BIGINT) AS new_series
+       FROM active a LEFT JOIN births b ON a.day = b.day
+       GROUP BY a.day ORDER BY a.day"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("metrics_series_churn", seriesChurn, Some(seriesChurnSql)),
     ("metrics_alert_hysteresis", alertHysteresis, Some(alertHysteresisSql)),
     ("metrics_burn_rate", burnRate, Some(burnRateSql)),
     ("metrics_changes", changes, Some(changesSql)),

@@ -192,4 +192,15 @@ class TimeseriesSpec extends SparkTestBase {
     assert(df.filter(col("transition") === "fire" && col("firing") === 0).count() == 0)
     df.unpersist()
   }
+
+  test("series churn: births sum to total distinct series; never exceed active") {
+    val df = graft.operators.Timeseries.seriesChurn(spark, sf).cache()
+    assert(df.filter(col("new_series") > col("active_series")).count() == 0)
+    val born = df.agg(org.apache.spark.sql.functions.sum("new_series"))
+      .collect()(0).getLong(0)
+    val total = graft.sources.Tables.events(spark, sf)
+      .select("event_type", "user_id").distinct().count()
+    assert(born == total, "every series is born exactly once")
+    df.unpersist()
+  }
 }
