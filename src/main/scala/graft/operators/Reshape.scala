@@ -278,7 +278,44 @@ object Reshape {
        FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
        ORDER BY user_id"""
 
+  /** 2-D SKYLINE (Pareto front) — "parts where nothing is both cheaper
+    * AND smaller": the multi-criteria shortlist query. The naive plan
+    * is a quadratic NOT EXISTS self-join; the 2-D structure collapses
+    * it to ONE sorted window pass — per price, keep the min size; a
+    * price level is on the front iff its min size strictly undercuts
+    * every cheaper level's (running strict-past min). The oracle RUNS
+    * the quadratic formulation, so the hash match proves
+    * window-pass ≡ nested-loop dominance. The window runs over the
+    * per-price minima (|distinct prices| rows, not parts); at larger
+    * domains the standard split is range-partition → local skyline →
+    * merge, same algebra. */
+  def skyline2d: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val pts = graft.sources.Tables.part(s, d)
+      .select(col("p_retailprice").as("x"), col("p_size").as("y"))
+    val perX = pts.groupBy(col("x")).agg(min(col("y")).as("y"))
+    val w = Window.orderBy(col("x")).rowsBetween(Window.unboundedPreceding, -1)
+    val sky = perX
+      .withColumn("pm", min(col("y")).over(w))
+      .filter(col("pm").isNull || col("y") < col("pm"))
+      .select(col("x"), col("y"))
+    pts.join(broadcast(sky), Seq("x", "y"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("x"))
+  }
+
+  val skyline2dSql: String =
+    """WITH p AS (SELECT p_retailprice AS x, p_size AS y FROM part)
+       SELECT x, y, count(*) AS n_parts
+       FROM p a
+       WHERE NOT EXISTS (
+         SELECT 1 FROM p b
+         WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y))
+       GROUP BY x, y ORDER BY x"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_skyline_2d", skyline2d, Some(skyline2dSql)),
     ("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     ("q_rollup_reuse", rollupReuse, Some(rollupReuseSql)),
     ("q_exact_global_median", exactGlobalMedian, Some(exactGlobalMedianSql)),

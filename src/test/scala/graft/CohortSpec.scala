@@ -111,4 +111,14 @@ class CohortSpec extends SparkTestBase {
     assert(df.count() == total)
     df.unpersist()
   }
+
+  test("skyline: no returned point dominates another; all are mutually incomparable") {
+    val pts = graft.operators.Reshape.skyline2d(spark, sf)
+      .collect().map(r => (r.getDouble(0), r.getInt(1)))
+    assert(pts.nonEmpty)
+    pts.foreach { a => pts.foreach { b =>
+      if (a != b) assert(!(b._1 <= a._1 && b._2 <= a._2 && (b._1 < a._1 || b._2 < a._2)),
+        s"$b dominates $a — not a Pareto front")
+    }}
+  }
 }
