@@ -1,0 +1,402 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Co-occurrence / segmentation analytics: market-basket pair mining,
+  * event-transition (Markov) matrices, RFM customer segmentation,
+  * session-concurrency curves, equi-depth histograms, and item-item
+  * Jaccard similarity. The behavioural-analytics layer every event
+  * warehouse runs on top of the collector's fact streams.
+  *
+  * Scale notes (100 TB): pair generation is always WITHIN a bounded
+  * group (an order's basket, a user's page set) — fanout is
+  * |group|², never corpus², and a group-size cap guards the
+  * heavy-hitter tail exactly like Dedup's shingle document-frequency
+  * cap. Segmentation thresholds (quartiles, deciles) are computed as
+  * ONE tiny exact-percentile aggregate and broadcast back — never an
+  * unpartitioned corpus-wide window. Concurrency uses the two-level
+  * prefix-sum decomposition: per-hour running sums shuffle-partition
+  * by hour; cross-hour carry is a cumulative window over the
+  * |hours|-row aggregate, which is KBs at any data size.
+  */
+object Affinity {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  import TextAnalysis.trunc4
+
+  // --------------------------------------------------------- basket pairs
+
+  /** Basket-size cap: orders with more distinct parts than this are
+    * dropped before pairing (data-entry artifacts / resellers would
+    * otherwise contribute |basket|² candidate pairs each — the exact
+    * skew guard Dedup applies to shingle document frequency). Inactive
+    * at test scale (max basket = 13) but load-bearing at 100 TB. */
+  val MaxBasket = 50
+
+  /** Minimum pair support to report. */
+  val MinSupport = 2
+
+  /** Market-basket pair mining: distinct part pairs co-purchased in one
+    * order, with support count and lift. The pair join is an equi-join
+    * on l_orderkey (pair fanout bounded by MaxBasket²), the item and
+    * order totals are one aggregate each, and lift is exact integer
+    * arithmetic until a single floored division — engine-exact. */
+  def basketPairs: Q = (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val small = items.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("basket_size"))
+      .filter(col("basket_size") <= MaxBasket)
+      .select(col("l_orderkey"))
+    val kept = items.join(small, Seq("l_orderkey"))
+    val nOrders = kept.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val itemCnt = kept.groupBy(col("l_partkey")).agg(count(lit(1)).as("item_cnt"))
+    val pairs = kept.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(kept.select(col("l_orderkey"), col("l_partkey").as("part_b")), Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("support_cnt"))
+      .filter(col("support_cnt") >= MinSupport)
+    pairs
+      .join(broadcast(itemCnt.withColumnRenamed("l_partkey", "part_a")
+        .withColumnRenamed("item_cnt", "cnt_a")), Seq("part_a"))
+      .join(broadcast(itemCnt.withColumnRenamed("l_partkey", "part_b")
+        .withColumnRenamed("item_cnt", "cnt_b")), Seq("part_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("support_cnt"),
+        (floor(col("support_cnt") * col("n_orders") * lit(10000) /
+          (col("cnt_a") * col("cnt_b"))) / 10000.0).as("lift"))
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
+  val basketPairsSql: String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        kept AS (
+          SELECT i.* FROM items i JOIN (
+            SELECT l_orderkey FROM items GROUP BY 1 HAVING count(*) <= $MaxBasket) s
+          USING (l_orderkey)),
+        n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM kept),
+        ic AS (SELECT l_partkey, count(*) AS item_cnt FROM kept GROUP BY 1),
+        p AS (
+          SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support_cnt
+          FROM kept a JOIN kept b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= $MinSupport)
+        SELECT part_a, part_b, support_cnt,
+               floor(support_cnt * n.n_orders * 10000 / (ca.item_cnt * cb.item_cnt)) / 10000.0 AS lift
+        FROM p JOIN ic ca ON ca.l_partkey = p.part_a
+               JOIN ic cb ON cb.l_partkey = p.part_b
+               CROSS JOIN n
+        ORDER BY part_a, part_b"""
+
+  // --------------------------------------------------- transition matrix
+
+  /** First-order Markov transition matrix over each user's event
+    * sequence: lag over the per-user (ts, event_id) total order, one
+    * count by (from, to), probabilities normalized per source state.
+    * The row-total join is |states|²-row — broadcast. At 100 TB this
+    * is one series-keyed window + one tiny aggregation, the same shape
+    * as `metrics_counter_rate`. */
+  def transitionMatrix: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = steps.groupBy(col("from_type")).agg(sum(col("n")).as("row_total"))
+    steps.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (floor(col("n") * lit(10000) / col("row_total")) / 10000.0).as("prob"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val transitionMatrixSql: String =
+    """WITH steps AS (
+         SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+                event_type AS to_type
+         FROM events),
+       c AS (SELECT from_type, to_type, count(*) AS n FROM steps
+             WHERE from_type IS NOT NULL GROUP BY 1, 2)
+       SELECT from_type, to_type, n,
+              floor(n * 10000 / sum(n) OVER (PARTITION BY from_type)) / 10000.0 AS prob
+       FROM c ORDER BY from_type, to_type"""
+
+  // ------------------------------------------------------- RFM segments
+
+  /** RFM segmentation: recency (days since last order), frequency
+    * (order count), monetary (lifetime cents — `floor(price*100)` is
+    * one exact IEEE multiply+floor per order, then BIGINT sums) per
+    * customer; quartile BOUNDARIES via one exact-percentile aggregate
+    * broadcast back (never an ntile over the full customer set — that
+    * is an unpartitioned corpus-wide sort at scale); bucket = 1 +
+    * count of boundaries strictly below. Quartiles of integers
+    * interpolate on exact .25/.5/.75 fractions, so both engines agree
+    * bit-for-bit. */
+  def rfmSegments: Q = (s, d) => {
+    val cust = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_order"),
+        count(lit(1)).as("f"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("m_cents"))
+    val gmax = Tables.orders(s, d).agg(max(to_date(col("o_orderdate"))).as("gmax"))
+    val rfm = cust.crossJoin(broadcast(gmax))
+      .select(col("o_custkey"), datediff(col("gmax"), col("last_order")).cast("long").as("r"),
+        col("f"), col("m_cents"))
+    val bounds = rfm.agg(
+      expr("percentile(r, array(0.25e0, 0.5e0, 0.75e0))").as("rq"),
+      expr("percentile(f, array(0.25e0, 0.5e0, 0.75e0))").as("fq"),
+      expr("percentile(m_cents, array(0.25e0, 0.5e0, 0.75e0))").as("mq"))
+    def bucket(c: String, b: String) =
+      (lit(1) + when(col(c) > col(b)(0), 1).otherwise(0)
+        + when(col(c) > col(b)(1), 1).otherwise(0)
+        + when(col(c) > col(b)(2), 1).otherwise(0)).cast("int")
+    rfm.crossJoin(broadcast(bounds))
+      .select(bucket("r", "rq").as("r_q"), bucket("f", "fq").as("f_q"),
+        bucket("m_cents", "mq").as("m_q"), col("m_cents"))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"),
+        expr("sum(m_cents) DIV count(*)").as("avg_monetary_cents"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH cust AS (
+         SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_order,
+                count(*) AS f,
+                sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS m_cents
+         FROM orders GROUP BY 1),
+       g AS (SELECT max(CAST(o_orderdate AS DATE)) AS gmax FROM orders),
+       rfm AS (
+         SELECT o_custkey, CAST(datediff('day', last_order, gmax) AS BIGINT) AS r,
+                f, m_cents
+         FROM cust CROSS JOIN g),
+       b AS (
+         SELECT quantile_cont(r, [0.25, 0.5, 0.75]) AS rq,
+                quantile_cont(f, [0.25, 0.5, 0.75]) AS fq,
+                quantile_cont(m_cents, [0.25, 0.5, 0.75]) AS mq
+         FROM rfm)
+       SELECT CAST(1 + (r > rq[1])::INT + (r > rq[2])::INT + (r > rq[3])::INT AS INT) AS r_q,
+              CAST(1 + (f > fq[1])::INT + (f > fq[2])::INT + (f > fq[3])::INT AS INT) AS f_q,
+              CAST(1 + (m_cents > mq[1])::INT + (m_cents > mq[2])::INT + (m_cents > mq[3])::INT AS INT) AS m_q,
+              count(*) AS n_customers,
+              CAST(sum(m_cents) // count(*) AS BIGINT) AS avg_monetary_cents
+       FROM rfm CROSS JOIN b
+       GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+  // -------------------------------------------------------- concurrency
+
+  /** Peak concurrent sessions per hour — the capacity-planning curve.
+    * Sessions (30-min gap rule, same as `sessionize`) become ±1 deltas
+    * at their bounds; the classic single-sorted-pass prefix sum is
+    * decomposed for scale: (1) per-hour running sums, shuffled by hour
+    * (balanced — hours don't skew); (2) cross-hour carry-in as a
+    * cumulative window over the |hours|-row per-hour totals (KBs at
+    * any size); (3) an hour spine generated from one min/max aggregate
+    * so hours fully inside a long session still report its concurrency.
+    * Ties at one timestamp order starts (+1) before ends (−1): sessions
+    * touching at an instant count as overlapping (inclusive ends).
+    * Pure integer arithmetic — engine-exact. */
+  def concurrency: Q = (s, d) => {
+    val gap = AsOf.GapSeconds
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("new_session",
+        when(unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)) > gap
+          || lag(col("ts"), 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("new_session")).over(w))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+    val deltas = sess.select(col("start_ts").as("ts"), lit(1).as("delta"))
+      .unionByName(sess.select(col("end_ts").as("ts"), lit(-1).as("delta")))
+      .withColumn("hour", date_trunc("hour", col("ts")))
+    val wRun = Window.partitionBy(col("hour"))
+      .orderBy(col("ts"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hourly = deltas
+      .withColumn("run", sum(col("delta")).over(wRun))
+      .groupBy(col("hour"))
+      .agg(max(col("run")).as("peak_in_hour"), sum(col("delta")).as("hour_delta"))
+    val wCum = Window.orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val carried = hourly
+      .withColumn("carry", coalesce(sum(col("hour_delta")).over(wCum), lit(0L)))
+    val spine = Tables.events(s, d)
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+    spine.join(carried, Seq("hour"), "left")
+      .select(col("hour"),
+        greatest(
+          coalesce(col("carry"), last(col("carry") + col("hour_delta"), ignoreNulls = true)
+            .over(Window.orderBy(col("hour"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))),
+          coalesce(col("carry") + col("peak_in_hour"), lit(0L))).as("peak_concurrency"))
+      .orderBy(col("hour"))
+  }
+
+  val concurrencySql: String =
+    s"""WITH e AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) > ${AsOf.GapSeconds}
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, session_idx, min(ts) AS start_ts, max(ts) AS end_ts
+          FROM (SELECT user_id, ts,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM e)
+          GROUP BY 1, 2),
+        deltas AS (
+          SELECT start_ts AS ts, 1 AS delta, date_trunc('hour', start_ts) AS hour FROM sess
+          UNION ALL
+          SELECT end_ts, -1, date_trunc('hour', end_ts) FROM sess),
+        hourly AS (
+          SELECT hour, max(run) AS peak_in_hour, sum(delta) AS hour_delta
+          FROM (SELECT hour, sum(delta) OVER (PARTITION BY hour ORDER BY ts, delta DESC
+                  ROWS UNBOUNDED PRECEDING) AS run, delta
+                FROM deltas)
+          GROUP BY 1),
+        carried AS (
+          SELECT hour, peak_in_hour, hour_delta,
+                 coalesce(sum(hour_delta) OVER (ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry
+          FROM hourly),
+        spine AS (
+          SELECT unnest(generate_series(date_trunc('hour', min(ts)),
+                                        date_trunc('hour', max(ts)),
+                                        INTERVAL 1 HOUR)) AS hour
+          FROM events)
+        SELECT s.hour,
+               CAST(greatest(
+                 coalesce(c.carry, last_value(c.carry + c.hour_delta IGNORE NULLS)
+                   OVER (ORDER BY s.hour ROWS UNBOUNDED PRECEDING)),
+                 coalesce(c.carry + c.peak_in_hour, 0)) AS BIGINT) AS peak_concurrency
+        FROM spine s LEFT JOIN carried c ON c.hour = s.hour
+        ORDER BY s.hour"""
+
+  // ------------------------------------------------ equi-depth histogram
+
+  val EqDepthBuckets = 10
+
+  /** Equi-depth (decile) histogram of order value — the sibling of
+    * `q_histogram_totalprice`'s equi-width bins: bin EDGES come from
+    * one exact-percentile aggregate over integer cents (broadcast, not
+    * an ntile sort), each bucket then reports count and exact bounds.
+    * Boundary interpolation lands on .1/.2/… fractions of integers —
+    * representable is NOT guaranteed (0.1 is inexact) but both engines
+    * compute (n-1)p with one multiply and interpolate with the same
+    * two IEEE ops on the same integers, so the results are identical
+    * doubles either way. */
+  def equidepthHistogram: Q = (s, d) => {
+    val cents = Tables.orders(s, d)
+      .select(floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val qs = (1 until EqDepthBuckets).map(i => i.toDouble / EqDepthBuckets)
+    val bounds = cents.agg(
+      expr(s"percentile(cents, array(${qs.map(q => s"${q}e0").mkString(", ")}))").as("b"))
+    val bucket = (lit(1) +: (0 until EqDepthBuckets - 1)
+      .map(i => when(col("cents") > col("b")(i), 1).otherwise(0)))
+      .reduce(_ + _).cast("int")
+    cents.crossJoin(broadcast(bounds))
+      .select(bucket.as("bucket"), col("cents"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("cents")).as("lo_cents"),
+        max(col("cents")).as("hi_cents"))
+      .orderBy(col("bucket"))
+  }
+
+  val equidepthHistogramSql: String = {
+    val qs = (1 until EqDepthBuckets).map(i => i.toDouble / EqDepthBuckets)
+    val terms = (1 until EqDepthBuckets).map(i => s"(cents > b[$i])::INT").mkString(" + ")
+    s"""WITH c AS (
+          SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        b AS (SELECT quantile_cont(cents, [${qs.mkString(", ")}]) AS b FROM c)
+        SELECT CAST(1 + $terms AS INT) AS bucket,
+               count(*) AS n, min(cents) AS lo_cents, max(cents) AS hi_cents
+        FROM c CROSS JOIN b
+        GROUP BY 1 ORDER BY 1"""
+  }
+
+  // -------------------------------------------------- item-item Jaccard
+
+  /** Per-user distinct-page cap — the heavy-hitter guard: a crawler
+    * user visiting every page contributes |pages|² co-occurrence pairs
+    * and pure noise. Active at bench scale (sf0.1 has users covering
+    * 60+ of the 100 pages). */
+  val MaxUserPages = 50
+  val SimTopK = 100
+
+  /** Item-item Jaccard similarity from co-visitation: distinct
+    * (user, page) pairs, per-user page-pair generation (≤ cap² each),
+    * Jaccard = co / (|a| + |b| − co) in exact integers until one
+    * floored division, global top-100 by similarity. The final top-k
+    * is a bounded sort over the |page-pair| aggregate (≤ |pages|²/2
+    * rows — pages are a catalog, not a corpus). */
+  def nodeSimilarity: Q = (s, d) => {
+    val visits = Tables.events(s, d)
+      .select(col("user_id"), get_json_object(col("props"), "$.k").cast("int").as("page"))
+      .distinct()
+    val degs = visits.groupBy(col("user_id")).agg(count(lit(1)).as("n_pages"))
+      .filter(col("n_pages") <= MaxUserPages).select(col("user_id"))
+    val kept = visits.join(degs, Seq("user_id"))
+    val pageCnt = kept.groupBy(col("page")).agg(count(lit(1)).as("n_users"))
+    val co = kept.select(col("user_id"), col("page").as("page_a"))
+      .join(kept.select(col("user_id"), col("page").as("page_b")), Seq("user_id"))
+      .filter(col("page_a") < col("page_b"))
+      .groupBy(col("page_a"), col("page_b"))
+      .agg(count(lit(1)).as("co"))
+    val sim = co
+      .join(broadcast(pageCnt.withColumnRenamed("page", "page_a")
+        .withColumnRenamed("n_users", "na")), Seq("page_a"))
+      .join(broadcast(pageCnt.withColumnRenamed("page", "page_b")
+        .withColumnRenamed("n_users", "nb")), Seq("page_b"))
+      .select(col("page_a"), col("page_b"), col("co"),
+        (floor(col("co") * lit(10000) / (col("na") + col("nb") - col("co"))) / 10000.0)
+          .as("jaccard"))
+    sim.withColumn("rk", row_number().over(
+        Window.orderBy(col("jaccard").desc, col("page_a"), col("page_b"))))
+      .filter(col("rk") <= SimTopK)
+      .select(col("page_a"), col("page_b"), col("co"), col("jaccard"), col("rk").cast("int").as("rk"))
+      .orderBy(col("rk"))
+  }
+
+  val nodeSimilaritySql: String =
+    s"""WITH v AS (
+          SELECT DISTINCT user_id, json_extract(props, '$$.k')::INT AS page FROM events),
+        kept AS (
+          SELECT v.* FROM v JOIN (
+            SELECT user_id FROM v GROUP BY 1 HAVING count(*) <= $MaxUserPages) u
+          USING (user_id)),
+        pc AS (SELECT page, count(*) AS n_users FROM kept GROUP BY 1),
+        co AS (
+          SELECT a.page AS page_a, b.page AS page_b, count(*) AS co
+          FROM kept a JOIN kept b ON a.user_id = b.user_id AND a.page < b.page
+          GROUP BY 1, 2),
+        sim AS (
+          SELECT page_a, page_b, co,
+                 floor(co * 10000 / (ca.n_users + cb.n_users - co)) / 10000.0 AS jaccard
+          FROM co JOIN pc ca ON ca.page = co.page_a
+                  JOIN pc cb ON cb.page = co.page_b)
+        SELECT page_a, page_b, co, jaccard,
+               CAST(rk AS INT) AS rk
+        FROM (SELECT *, row_number() OVER (ORDER BY jaccard DESC, page_a, page_b) AS rk
+              FROM sim) t
+        WHERE rk <= $SimTopK ORDER BY rk"""
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_basket_pairs", basketPairs, Some(basketPairsSql)),
+    ("events_transition_matrix", transitionMatrix, Some(transitionMatrixSql)),
+    ("q_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
+    ("q_concurrency", concurrency, Some(concurrencySql)),
+    ("q_equidepth_histogram", equidepthHistogram, Some(equidepthHistogramSql)),
+    ("graph_node_similarity", nodeSimilarity, Some(nodeSimilaritySql)))
+}

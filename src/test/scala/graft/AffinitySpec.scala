@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Affinity
+import graft.sources.Tables
+
+class AffinitySpec extends SparkTestBase {
+
+  test("basket pairs: support bounded by item counts, lift consistent") {
+    val df = Affinity.basketPairs(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("part_a") >= col("part_b")).count() == 0, "pairs must be ordered")
+    assert(df.filter(col("support_cnt") < Affinity.MinSupport).count() == 0)
+    assert(df.filter(col("lift") < 0).count() == 0)
+    // support of a pair can't exceed either item's own order count
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val bad = df.join(items.withColumnRenamed("l_partkey", "part_a"), Seq("part_a"))
+      .filter(col("support_cnt") > col("cnt"))
+    assert(bad.count() == 0)
+    df.unpersist()
+  }
+
+  test("transition matrix: probabilities near-normalize per source state") {
+    val df = Affinity.transitionMatrix(spark, sf).cache()
+    assert(df.filter(col("prob") < 0 || col("prob") > 1).count() == 0)
+    // floor-truncated probs sum to within 25*1e-4 of 1 per from_type
+    val sums = df.groupBy(col("from_type")).agg(sum(col("prob")).as("p"))
+    assert(sums.filter(col("p") > 1.0 || col("p") < 0.99).count() == 0)
+    // transitions counted = events - first event per user
+    val n = df.agg(sum(col("n"))).head.getLong(0)
+    val events = Tables.events(spark, sf).count()
+    val users = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(n == events - users)
+    df.unpersist()
+  }
+
+  test("rfm: every customer lands in exactly one segment, quartiles balanced") {
+    val df = Affinity.rfmSegments(spark, sf).cache()
+    val nCust = Tables.orders(spark, sf).select(col("o_custkey")).distinct().count()
+    assert(df.agg(sum(col("n_customers"))).head.getLong(0) == nCust)
+    assert(df.filter(col("r_q") < 1 || col("r_q") > 4).count() == 0)
+    // each monetary quartile holds between 15% and 35% of customers
+    val byM = df.groupBy(col("m_q")).agg(sum(col("n_customers")).as("n"))
+    assert(byM.count() == 4)
+    assert(byM.filter(col("n") < nCust * 0.15 || col("n") > nCust * 0.35).count() == 0)
+    df.unpersist()
+  }
+
+  test("concurrency: non-negative, bounded by open sessions, spine complete") {
+    val df = Affinity.concurrency(spark, sf).cache()
+    assert(df.filter(col("peak_concurrency") < 0).count() == 0)
+    val users = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(df.filter(col("peak_concurrency") > users).count() == 0,
+      "peak can't exceed distinct users (one session at a time per user)")
+    // spine is dense: one row per hour between min and max
+    val hours = df.count()
+    val span = Tables.events(spark, sf)
+      .agg((floor(unix_timestamp(max(col("ts"))) / 3600) -
+        floor(unix_timestamp(min(col("ts"))) / 3600) + 1).as("h")).head.getLong(0)
+    assert(hours == span)
+    df.unpersist()
+  }
+
+  test("equi-depth histogram: buckets cover all orders, depths balanced") {
+    val df = Affinity.equidepthHistogram(spark, sf).cache()
+    val n = Tables.orders(spark, sf).count()
+    assert(df.agg(sum(col("n"))).head.getLong(0) == n)
+    assert(df.count() == Affinity.EqDepthBuckets)
+    // equi-depth: every decile within 2x of the ideal n/10
+    assert(df.filter(col("n") > 2 * n / 10 || col("n") < n / 20).count() == 0)
+    assert(df.filter(col("lo_cents") > col("hi_cents")).count() == 0)
+    df.unpersist()
+  }
+
+  test("node similarity: jaccard bounded, ranked, co bounded by page counts") {
+    val df = Affinity.nodeSimilarity(spark, sf).cache()
+    assert(df.count() <= Affinity.SimTopK)
+    assert(df.filter(col("jaccard") < 0 || col("jaccard") > 1).count() == 0)
+    // ranks are 1..n with descending jaccard
+    val ranked = df.orderBy(col("rk")).select(col("jaccard")).collect().map(_.getDouble(0))
+    assert(ranked.zip(ranked.drop(1)).forall { case (a, b) => a >= b })
+    df.unpersist()
+  }
+}
