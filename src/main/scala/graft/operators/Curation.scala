@@ -318,7 +318,218 @@ object Curation {
         FROM g JOIN f USING (gram)
         GROUP BY g.doc_id ORDER BY g.doc_id"""
 
+  // --------------------------------------------------- substring dedup
+
+  /** Duplicate-span window width (tokens). */
+  val SpanW = 8
+
+  /** Span-level (substring) deduplication — the scalable re-expression
+    * of suffix-array dedup (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better"): a suffix array does not
+    * distribute, but its product — "which ≥W-token spans occur more
+    * than once in the corpus" — is exactly the set of W-token sliding
+    * windows with corpus frequency ≥ 2 (every duplicated span of
+    * length ≥ W contains only duplicated windows, and maximal runs of
+    * duplicated windows reconstruct the spans). So: one narrow
+    * positional window explode, ONE count shuffle keyed by window
+    * text, then per-document interval-union of the flagged windows via
+    * a gaps-and-islands pass (never a ×W position explode). Output per
+    * document: how many tokens sit inside some corpus-duplicated span.
+    * All integers — engine-exact. */
+  def dedupSubstring: Q = (s, d) => {
+    val wins = Tables.documents(s, d)
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        explode(expr(
+          s"""CASE WHEN size(toks) >= $SpanW
+                THEN transform(sequence(0, size(toks) - $SpanW),
+                               i -> struct(i AS pos, array_join(slice(toks, i + 1, $SpanW), ' ') AS win))
+                ELSE array() END""")).as("w"))
+      .select(col("doc_id"), col("n_tokens"), col("w.pos").as("pos"), col("w.win").as("win"))
+    val freq = wins.groupBy(col("win")).agg(count(lit(1)).as("occ"))
+    val dup = wins.join(freq.filter(col("occ") >= 2), Seq("win"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val islands = dup
+      .withColumn("prev_end", max(col("pos") + SpanW).over(
+        wDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1).otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(
+        wDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_wins"),
+        (max(col("pos") + SpanW) - min(col("pos"))).as("covered"))
+    val perDoc = islands.groupBy(col("doc_id"))
+      .agg(sum(col("n_wins")).as("n_dup_windows"),
+        sum(col("covered")).as("dup_covered_tokens"))
+    val totals = wins.groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_windows"))
+    totals.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_covered_tokens"), lit(0L)).as("dup_covered_tokens"))
+      .withColumn("dup_frac",
+        floor(col("dup_covered_tokens") * 1e4 / col("n_tokens")) / 1e4)
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupSubstringSql: String =
+    s"""WITH wins AS (
+          SELECT doc_id, len(toks) AS n_tokens, w.i AS pos, w.win
+          FROM (SELECT doc_id, toks,
+                       unnest(list_transform(range(0, len(toks) - ${SpanW - 1}),
+                              i -> {'i': i, 'win': array_to_string(toks[i + 1 : i + $SpanW], ' ')})) AS w
+                FROM (SELECT doc_id, $toksSqlExpr AS toks FROM documents))),
+        freq AS (SELECT win, count(*) AS occ FROM wins GROUP BY win),
+        dup AS (SELECT wins.* FROM wins JOIN freq USING (win) WHERE freq.occ >= 2),
+        isl AS (
+          SELECT doc_id, island, count(*) AS n_wins,
+                 max(pos + $SpanW) - min(pos) AS covered
+          FROM (
+            SELECT doc_id, pos,
+                   sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+            FROM (SELECT doc_id, pos,
+                         max(pos + $SpanW) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+                  FROM dup))
+          GROUP BY doc_id, island),
+        per_doc AS (
+          SELECT doc_id, CAST(sum(n_wins) AS BIGINT) AS n_dup_windows,
+                 CAST(sum(covered) AS BIGINT) AS dup_covered_tokens
+          FROM isl GROUP BY doc_id),
+        totals AS (SELECT doc_id, max(n_tokens) AS nt, count(*) AS n_windows FROM wins GROUP BY doc_id)
+        SELECT t.doc_id, CAST(t.nt AS BIGINT) AS n_tokens, t.n_windows,
+               coalesce(p.n_dup_windows, 0) AS n_dup_windows,
+               coalesce(p.dup_covered_tokens, 0) AS dup_covered_tokens,
+               floor(coalesce(p.dup_covered_tokens, 0) * 1e4 / t.nt) / 1e4 AS dup_frac
+        FROM totals t LEFT JOIN per_doc p USING (doc_id)
+        ORDER BY t.doc_id"""
+
+  // ------------------------------------------------------ bigram LM
+
+  /** Bigram language model with add-one smoothing, scoring each
+    * document's cross-entropy under the corpus-trained model — the
+    * next step up from `text_perplexity`'s unigram scorer (CCNet-style
+    * quality signal that penalizes improbable token SEQUENCES, not
+    * just rare tokens). Training is two count aggregations (bigram and
+    * history); scoring joins each document's bigrams to the count
+    * table — a shuffle join, because at 100 TB the bigram table is
+    * corpus-sized and must NOT be broadcast (the history table is
+    * vocabulary-sized and is). Surprisal ln((c1+V)/(c12+1)) is one IEEE
+    * log of one exact integer ratio; the per-doc sum uses the
+    * order-fixed sorted fold, so it is bit-identical cross-engine. */
+  def textBigramLm: Q = (s, d) => {
+    val bigrams = Tables.documents(s, d)
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) >= 2
+             THEN transform(sequence(0, size(toks) - 2),
+                            i -> struct(toks[i] AS w1, toks[i + 1] AS w2))
+             ELSE array() END""")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = Tables.documents(s, d)
+      .select(explode(expr(toksExpr)).as("t")).agg(countDistinct(col("t")).as("v"))
+    val scored = c2.join(broadcast(c1), Seq("w1")).crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"),
+        log((col("c1") + col("v")).cast("double") / (col("c12") + 1).cast("double"))
+          .as("surprisal"))
+    bigrams.join(scored, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("aggregate(array_sort(collect_list(surprisal)), 0.0e0, (a, x) -> a + x)")
+          .as("sum_surprisal"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (floor(col("sum_surprisal") / col("n_bigrams") * 1e4) / 1e4).as("cross_entropy"))
+      .withColumn("pass_filter", col("cross_entropy") <= 5.0)
+      .orderBy(col("doc_id"))
+  }
+
+  val textBigramLmSql: String =
+    s"""WITH b AS (
+          SELECT doc_id, p.w1, p.w2
+          FROM (SELECT doc_id,
+                       unnest(list_transform(range(0, len(toks) - 1),
+                              i -> {'w1': toks[i + 1], 'w2': toks[i + 2]})) AS p
+                FROM (SELECT doc_id, $toksSqlExpr AS toks FROM documents))),
+        c2 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+        v AS (SELECT count(DISTINCT t) AS v
+              FROM (SELECT unnest($toksSqlExpr) AS t FROM documents)),
+        scored AS (
+          SELECT w1, w2, ln(CAST(c1 + v AS DOUBLE) / CAST(c12 + 1 AS DOUBLE)) AS surprisal
+          FROM c2 JOIN c1 USING (w1) CROSS JOIN v),
+        docs AS (
+          SELECT b.doc_id, count(*) AS n_bigrams,
+                 list_reduce(list_prepend(0.0e0, list_sort(list(s.surprisal))),
+                             (a, x) -> a + x) AS sum_surprisal
+          FROM b JOIN scored s USING (w1, w2)
+          GROUP BY b.doc_id)
+        SELECT doc_id, n_bigrams,
+               floor(sum_surprisal / n_bigrams * 1e4) / 1e4 AS cross_entropy,
+               floor(sum_surprisal / n_bigrams * 1e4) / 1e4 <= 5.0 AS pass_filter
+        FROM docs ORDER BY doc_id"""
+
+  // ------------------------------------------------- epoch upsampling
+
+  /** Epoch cap for the smallest sources. */
+  val MaxEpochs = 4
+
+  /** Epoch-based upsampling — the mixing rule LLM data recipes publish
+    * as "source × epochs" tables: each source is repeated
+    * ceil(max_source_tokens / source_tokens) times (capped) so small
+    * high-value sources approach token parity with the largest. The
+    * rate table is one |sources|-row aggregate (the n_min window trick
+    * from `mix_temperature`); replication is a broadcast join + one
+    * `explode(sequence(1, epochs))` — a narrow, shuffle-free fanout
+    * that at 100 TB writes each copy with a distinct epoch tag instead
+    * of physically re-reading the source. Integer arithmetic
+    * throughout (integer ceil-division) — engine-exact. */
+  def mixEpochUpsample: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        ceil(col("n_chars") / 4.0).cast("long").as("tok"))
+    val rates = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tok_src"))
+      .withColumn("tok_max", max(col("tok_src")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("epochs",
+        least(lit(MaxEpochs),
+          expr("(tok_max + tok_src - 1) DIV tok_src")).cast("int"))
+      .select(col("source"), col("n_docs"), col("tok_src"), col("epochs"))
+    docs.join(broadcast(rates), Seq("source"))
+      .select(col("source"), col("tok"), col("epochs"),
+        explode(expr("sequence(1, epochs)")).as("epoch"))
+      .groupBy(col("source"), col("epoch"))
+      .agg(max(col("epochs")).as("epochs"),
+        count(lit(1)).as("n_rows"), sum(col("tok")).as("tok_out"))
+      .orderBy(col("source"), col("epoch"))
+  }
+
+  val mixEpochUpsampleSql: String =
+    s"""WITH docs AS (
+          SELECT doc_id, source, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tok FROM documents),
+        rates AS (
+          SELECT source, count(*) AS n_docs, sum(tok) AS tok_src,
+                 CAST(least($MaxEpochs,
+                   (max(sum(tok)) OVER () + sum(tok) - 1) // sum(tok)) AS INT) AS epochs
+          FROM docs GROUP BY source)
+        SELECT d.source, CAST(e.epoch AS INT) AS epoch, max(r.epochs) AS epochs,
+               count(*) AS n_rows, CAST(sum(d.tok) AS BIGINT) AS tok_out
+        FROM docs d JOIN rates r USING (source),
+             LATERAL (SELECT unnest(generate_series(1, r.epochs)) AS epoch) e
+        GROUP BY d.source, e.epoch
+        ORDER BY d.source, e.epoch"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
+    ("text_bigram_lm", textBigramLm, Some(textBigramLmSql)),
+    ("mix_epoch_upsample", mixEpochUpsample, Some(mixEpochUpsampleSql)),
     ("text_novelty", textNovelty, Some(textNoveltySql)),
     ("text_perplexity", textPerplexity, Some(textPerplexitySql)),
     ("dedup_boilerplate", dedupBoilerplate, Some(dedupBoilerplateSql)),

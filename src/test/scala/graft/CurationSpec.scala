@@ -39,6 +39,48 @@ class CurationSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("substring dedup: coverage bounded, exact-dup docs fully covered") {
+    val df = Curation.dedupSubstring(spark, sf).cache()
+    assert(df.filter(col("dup_covered_tokens") > col("n_tokens")).count() == 0,
+      "interval union can't cover more tokens than the doc has")
+    assert(df.filter(col("n_dup_windows") > col("n_windows")).count() == 0)
+    assert(df.filter(col("dup_frac") < 0 || col("dup_frac") > 1).count() == 0)
+    // a doc that is an exact duplicate of another has EVERY window duplicated
+    val dupDocs = graft.sources.Tables.documents(spark, sf)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), collect_list(col("doc_id")).as("ids"))
+      .filter(col("n") >= 2)
+      .select(explode(col("ids")).as("doc_id"))
+    val notFull = df.join(dupDocs, Seq("doc_id"))
+      .filter(col("n_dup_windows") =!= col("n_windows"))
+    assert(notFull.count() == 0, "exact duplicates must be fully span-covered")
+    df.unpersist()
+  }
+
+  test("bigram LM: cross-entropy positive and finite; rare sequences score higher than common") {
+    val df = Curation.textBigramLm(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("cross_entropy") <= 0).count() == 0)
+    // surprisal of any bigram is bounded by ln(maxC1 + V): spot upper bound
+    val v = graft.sources.Tables.documents(spark, sf)
+      .select(explode(expr(graft.operators.TextAnalysis.toksExpr)).as("t"))
+    val bound = math.log(v.count().toDouble + v.distinct().count().toDouble)
+    assert(df.filter(col("cross_entropy") > bound).count() == 0)
+    df.unpersist()
+  }
+
+  test("epoch upsample: every source reaches its epoch count, rows multiply exactly") {
+    val df = Curation.mixEpochUpsample(spark, sf).cache()
+    assert(df.filter(col("epoch") < 1 || col("epoch") > Curation.MaxEpochs).count() == 0)
+    // each (source, epoch) slice is an exact copy: same n_rows and tok_out per source
+    val uneven = df.groupBy(col("source"))
+      .agg(countDistinct(col("n_rows")).as("a"), countDistinct(col("tok_out")).as("b"),
+        count(lit(1)).as("n_epochs"), max(col("epochs")).as("epochs"))
+      .filter(col("a") =!= 1 || col("b") =!= 1 || col("n_epochs") =!= col("epochs"))
+    assert(uneven.count() == 0)
+    df.unpersist()
+  }
+
   test("perplexity: cross-entropy is positive, bounded by the rarest token's surprisal") {
     val df = Curation.textPerplexity(spark, sf).cache()
     assert(df.count() == graft.sources.Tables.documents(spark, sf).count())
