@@ -11,7 +11,7 @@ object SparkEntry {
     Tpch.entries ++ Tpch2.entries ++ Scrapers.entries ++ graft.sources.SourceRegistry.entries ++
       graft.sources.Writers.entries ++
       TextAnalysis.entries ++ Dedup.entries ++ Cluster.entries ++ Similarity.entries ++ Multimodal.entries ++
-      AsOf.entries ++ Skew.entries ++ Pipeline.entries ++ Reshape.entries ++ Timeseries.entries ++ Prune.entries ++
+      AsOf.entries ++ Skew.entries ++ Pipeline.entries ++ Reshape.entries ++ Timeseries.entries ++ TimeseriesExt.entries ++ Prune.entries ++
       Sketch.entries ++ Cdc.entries ++ RangeJoin.entries ++ Quality.entries ++ Graph.entries ++ Funnel.entries ++ Cohort.entries ++
       Curation.entries ++ Models.entries ++ Affinity.entries ++
       graft.streaming.EventsStream.entries

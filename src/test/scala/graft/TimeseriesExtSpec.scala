@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TimeseriesExt
+import graft.sources.Tables
+
+class TimeseriesExtSpec extends SparkTestBase {
+
+  test("time-weighted avg: bounded by per-day min/max of the series") {
+    val df = TimeseriesExt.timeWeightedAvg(spark, sf).cache()
+    assert(df.count() > 0)
+    val bounds = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    // TWA is a convex combination of sample values (cents truncation
+    // can undershoot the min by < 0.01)
+    val bad = df.join(bounds, Seq("event_type", "day"))
+      .filter(col("twa") < col("lo") - 0.01 || col("twa") > col("hi"))
+    assert(bad.count() == 0)
+    df.unpersist()
+  }
+
+  test("MAD outliers: scores exceed k, bounded fraction of the series flagged") {
+    val df = TimeseriesExt.madAnomaly(spark, sf).cache()
+    assert(df.filter(col("robust_score") < TimeseriesExt.MadK).count() == 0)
+    assert(df.filter(col("mad") <= 0).count() == 0)
+    // MAD flags a minority: < 25% of any series (50% breakdown point)
+    val perSeries = df.groupBy(col("event_type")).agg(count(lit(1)).as("n_out"))
+    val sizes = Tables.events(spark, sf).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val tooMany = perSeries.join(sizes, Seq("event_type"))
+      .filter(col("n_out") * 4 > col("n"))
+    assert(tooMany.count() == 0)
+    df.unpersist()
+  }
+
+  test("subquery max-rate: trailing max dominates the bucket's own rate") {
+    val df = TimeseriesExt.subqueryMaxRate(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("max_rate") < 0).count() == 0)
+    // max over a trailing window is monotone vs the single-bucket rate:
+    // recompute single-bucket increases and check max_rate >= own rate
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val own = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("v_c"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+      .withColumn("delta", col("v_c") - lag(col("v_c"), 1).over(w))
+      .withColumn("inc", when(col("delta").isNull, lit(0L))
+        .when(col("delta") < 0, col("v_c")).otherwise(col("delta")))
+      .groupBy(col("event_type"),
+        expr(s"sec DIV ${TimeseriesExt.SubRateWindowSec}").as("bucket"))
+      .agg(sum(col("inc")).as("inc_c"))
+      .select(col("event_type"),
+        (col("bucket") * TimeseriesExt.SubRateWindowSec).as("bucket_sec"),
+        (floor(col("inc_c") * lit(10000) / lit(TimeseriesExt.SubRateWindowSec)) / 1e6)
+          .as("own_rate"))
+    val bad = df.join(own, Seq("event_type", "bucket_sec"))
+      .filter(col("max_rate") < col("own_rate"))
+    assert(bad.count() == 0)
+    df.unpersist()
+  }
+}
