@@ -14,7 +14,7 @@ object SparkEntry {
       AsOf.entries ++ Skew.entries ++ Pipeline.entries ++ Reshape.entries ++ Timeseries.entries ++ TimeseriesExt.entries ++ Prune.entries ++
       Sketch.entries ++ Cdc.entries ++ RangeJoin.entries ++ Quality.entries ++ Graph.entries ++ Funnel.entries ++ Cohort.entries ++
       Curation.entries ++ Models.entries ++ Affinity.entries ++
-      graft.streaming.EventsStream.entries
+      graft.streaming.EventsStream.entries ++ graft.streaming.LateData.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -524,7 +524,59 @@ object Similarity {
           WHERE q.vec_id < $NumQueries) t
         WHERE rank <= $TopK ORDER BY query_id, rank"""
 
+  val KnnGraphK = 3
+
+  /** Blocked kNN-graph construction — the similarity graph ANN-based
+    * dedup/clustering pipelines consume (every vector's k nearest
+    * in-block neighbors + edge mutuality). Candidate generation is an
+    * EQUI-join on the block key (here the `label` partition; at 100 TB
+    * the trained IVF cell from `ann_ivf_topk` plays this role), so the
+    * pair fanout is Σ|block|², never corpus² — a global exact kNN graph
+    * is quadratic and does not exist at scale. In-block scoring is the
+    * same bounded `graft_topk` aggregate as brute force (≤ k rows per
+    * partition over the shuffle); mutuality is one self-join of the
+    * k·|V|-row edge list on the reversed key. */
+  def knnGraph: Q = (s, d) => {
+    val all = emb(s, d)
+    val right = emb(s, d).select(col("label").as("nb_label"),
+      col("vec_id").as("nb_id"), col("v").as("qv"), col("n2").as("qn2"))
+    val edges = all.join(right,
+        col("label") === col("nb_label") && col("vec_id") =!= col("nb_id"))
+      .withColumn("cos", expr(dotExpr) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(expr(s"graft_topk(cos, nb_id, $KnnGraphK)").as("top"))
+      .select(col("vec_id"), col("label"), posexplode(col("top")))
+      .select(col("vec_id"), col("label"), col("col.id").as("neighbor_id"),
+        trunc4(col("col.score")).as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+    val rev = edges.select(col("vec_id").as("r_nb"), col("neighbor_id").as("r_src"))
+    edges.join(rev,
+        col("vec_id") === col("r_src") && col("neighbor_id") === col("r_nb"), "left")
+      .select(col("vec_id"), col("label"), col("neighbor_id"), col("cosine"), col("rank"),
+        col("r_src").isNotNull.as("mutual"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  val knnGraphSql: String =
+    s"""WITH edges AS (
+          SELECT vec_id, label, neighbor_id,
+                 floor(cos * 10000) / 10000.0 AS cosine, rank
+          FROM (
+            SELECT a.vec_id, a.label, b.vec_id AS neighbor_id,
+                   list_cosine_similarity(b.embedding::DOUBLE[], a.embedding::DOUBLE[]) AS cos,
+                   CAST(row_number() OVER (PARTITION BY a.vec_id
+                     ORDER BY list_cosine_similarity(b.embedding::DOUBLE[], a.embedding::DOUBLE[]) DESC,
+                              b.vec_id) AS INT) AS rank
+            FROM embeddings a JOIN embeddings b
+              ON b.label = a.label AND b.vec_id <> a.vec_id) t
+          WHERE rank <= $KnnGraphK)
+        SELECT e.vec_id, e.label, e.neighbor_id, e.cosine, e.rank,
+               r.vec_id IS NOT NULL AS mutual
+        FROM edges e LEFT JOIN edges r
+          ON r.vec_id = e.neighbor_id AND r.neighbor_id = e.vec_id
+        ORDER BY e.vec_id, e.rank"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("ann_knn_graph", knnGraph, Some(knnGraphSql)),
     ("ann_filtered_topk", filteredTopK, Some(filteredTopKSql)),
     ("ann_bruteforce_topk", bruteForceTopK, Some(bruteForceTopKSql)),
     ("ann_lsh_topk", lshTopK, None),

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Watermark late-data accounting — what a streaming deployment loses
+  * to out-of-order arrival at a given watermark delay. The events table
+  * carries no arrival order, so a deterministic md5 permutation of
+  * event_id plays "network reordering" (the same content-hash trick the
+  * split/sample ops use: reproducible on any engine, independent of
+  * partitioning). The batch twin below replays Structured Streaming's
+  * exact drop rule — the watermark in force during micro-batch N is
+  * max(event time over batches < N) − delay, and a row is dropped iff
+  * its window END is ≤ that watermark (the window is already finalized)
+  * — so `LateDataSpec` can assert bit parity against a real
+  * `MemoryStream` run fed chunk by chunk.
+  *
+  * Scale shape: one narrow hash projection, one |chunks|-row running
+  * max (chunks are micro-batches — thousands, not billions), one
+  * broadcast join back, one windowed count. Nothing stateful beyond
+  * the chunk table.
+  */
+object LateData {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val ChunkSize = 250
+  val DelaySec = 600L       // watermark delay: 10 min
+  val WindowSec = 600L      // tumbling aggregation window: 10 min
+
+  /** Events with deterministic pseudo-arrival order and chunk id. */
+  def arrivals(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("arr:"), col("event_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"), h.as("h"))
+      .withColumn("arrival", row_number().over(Window.orderBy(col("h"), col("event_id"))))
+      .withColumn("chunk", expr(s"(arrival - 1) DIV $ChunkSize"))
+  }
+
+  /** Batch twin: per 10-min window, rows a streaming aggregation with a
+    * 10-min watermark ACCEPTS vs DROPS under the md5 arrival order.
+    * (The arrival ranking is one global sort here for determinism; a
+    * real deployment reads arrival order off the log for free — the
+    * accounting itself is one tiny running max + one windowed count.) */
+  def lateDataBatch: Q = (s, d) => {
+    val arr = arrivals(s, d)
+    val chunkMax = arr.groupBy(col("chunk")).agg(max(col("sec")).as("chunk_max"))
+      .withColumn("wm",
+        max(col("chunk_max")).over(Window.orderBy(col("chunk"))
+          .rowsBetween(Window.unboundedPreceding, -1)) - DelaySec)
+      .select(col("chunk"), col("wm"))
+    arr.join(broadcast(chunkMax), Seq("chunk"))
+      .withColumn("wend", (expr(s"sec DIV $WindowSec") + 1) * WindowSec)
+      .withColumn("late", col("wm").isNotNull && col("wend") <= col("wm"))
+      .groupBy((col("wend") - WindowSec).as("wstart_sec"))
+      .agg(count(when(!col("late"), 1)).as("n_accepted"),
+        count(when(col("late"), 1)).as("n_late"))
+      .orderBy(col("wstart_sec"))
+  }
+
+  val lateDataSql: String =
+    s"""WITH arr AS (
+          SELECT event_id,
+                 CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+                 (row_number() OVER (ORDER BY ('0x' || substr(md5('arr:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT, event_id) - 1)
+                   // $ChunkSize AS chunk
+          FROM events),
+        cm AS (
+          SELECT chunk,
+                 max(max(sec)) OVER (ORDER BY chunk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - $DelaySec AS wm
+          FROM arr GROUP BY chunk),
+        f AS (
+          SELECT a.sec, (a.sec // $WindowSec + 1) * $WindowSec AS wend,
+                 (cm.wm IS NOT NULL AND (a.sec // $WindowSec + 1) * $WindowSec <= cm.wm) AS late
+          FROM arr a JOIN cm USING (chunk))
+        SELECT CAST(wend - $WindowSec AS BIGINT) AS wstart_sec,
+               count(*) FILTER (WHERE NOT late) AS n_accepted,
+               count(*) FILTER (WHERE late) AS n_late
+        FROM f GROUP BY 1 ORDER BY 1"""
+
+  /** The streaming half: watermarked tumbling-window count the spec
+    * drives chunk-by-chunk against the batch twin. */
+  def lateDataStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n_accepted"))
+      .select(col("window.start").as("wstart"), col("n_accepted"))
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("stream_late_data", lateDataBatch, Some(lateDataSql)))
+}

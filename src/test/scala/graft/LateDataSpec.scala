@@ -1,0 +1,59 @@
+package graft
+
+import graft.streaming.LateData
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** The batch twin replays Structured Streaming's watermark drop rule —
+  * prove it: a real MemoryStream fed chunk-by-chunk in the same md5
+  * arrival order must accept exactly the rows the twin predicts. */
+class LateDataSpec extends SparkTestBase {
+
+  test("late-data accounting: counts consistent and some rows really drop") {
+    val df = LateData.lateDataBatch(spark, sf).cache()
+    val total = df.agg(sum(col("n_accepted") + col("n_late"))).head.getLong(0)
+    assert(total == graft.sources.Tables.events(spark, sf).count())
+    assert(df.agg(sum(col("n_late"))).head.getLong(0) > 0,
+      "md5 arrival order must produce genuine late rows")
+    df.unpersist()
+  }
+
+  test("streaming run accepts exactly the rows the batch twin predicts") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val chunks = LateData.arrivals(spark, sf)
+      .select(col("chunk"), col("arrival"), col("sec"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(r =>
+          DEv(r.getInt(1).toLong, new java.sql.Timestamp(r.getLong(2) * 1000), "e")).toSeq
+      }
+
+    val input = MemoryStream[DEv]
+    val q = LateData.lateDataStream(input.toDF())
+      .writeStream.format("memory").queryName("late_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      // far-future flush finalizes every real window
+      val maxSec = chunks.flatten.map(_.ts.getTime).max
+      input.addData(DEv(-1L, new java.sql.Timestamp(maxSec + 10L * 3600 * 1000), "__wm__"))
+      q.processAllAvailable()
+
+      val flushStart = (maxSec + 10L * 3600 * 1000) / 1000 / LateData.WindowSec * LateData.WindowSec
+      val got = spark.table("late_sink")
+        .filter(unix_timestamp(col("wstart")) =!= flushStart)
+        .collect().map(r => r.getTimestamp(0).getTime / 1000 -> r.getLong(1)).toMap
+      val want = LateData.lateDataBatch(spark, sf)
+        .filter(col("n_accepted") > 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.keySet == want.keySet,
+        s"windows differ: missing=${(want.keySet diff got.keySet).take(3)} extra=${(got.keySet diff want.keySet).take(3)}")
+      want.foreach { case (k, n) => assert(got(k) == n, s"window $k: got ${got(k)} want $n") }
+    } finally q.stop()
+  }
+}

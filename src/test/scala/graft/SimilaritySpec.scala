@@ -6,6 +6,31 @@ import graft.operators.Similarity
   * brute-force baseline, and baseline sanity. */
 class SimilaritySpec extends SparkTestBase {
 
+  test("knn graph: k edges per node, in-block only, ranked, mutuality symmetric") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    val df = Similarity.knnGraph(spark, sf).cache()
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(df.count() == n * Similarity.KnnGraphK)
+    // neighbors share the node's block (label)
+    val labels = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("neighbor_id"), col("label").as("nb_label"))
+    assert(df.join(labels, Seq("neighbor_id"))
+      .filter(col("label") =!= col("nb_label")).count() == 0)
+    // rank 1 cosine >= rank k cosine per node
+    val r1 = df.filter(col("rank") === 1).select(col("vec_id"), col("cosine").as("c1"))
+    val rk = df.filter(col("rank") === Similarity.KnnGraphK)
+      .select(col("vec_id"), col("cosine").as("ck"))
+    assert(r1.join(rk, Seq("vec_id")).filter(col("c1") < col("ck")).count() == 0)
+    // mutual edges really have a reverse edge
+    val fwd = df.select(col("vec_id"), col("neighbor_id"), col("mutual"))
+    val bad = fwd.filter(col("mutual"))
+      .join(fwd.select(col("vec_id").as("neighbor_id"), col("neighbor_id").as("vec_id")),
+        Seq("vec_id", "neighbor_id"), "left_anti")
+    assert(bad.count() == 0)
+    df.unpersist()
+  }
+
   test("lsh ANN achieves recall@5 >= 0.8 vs brute force") {
     import spark.implicits._
     val brute = Similarity.bruteForceTopK(spark, sf)
