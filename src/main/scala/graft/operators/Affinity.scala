@@ -392,7 +392,92 @@ object Affinity {
               FROM sim) t
         WHERE rk <= $SimTopK ORDER BY rk"""
 
+  // ---------------------------------------------- interval coverage
+
+  /** Daily covered-time: the union length of all session intervals per
+    * day — "how many seconds of the day had ANY activity" (uptime /
+    * utilization from overlapping windows, where summing durations
+    * would double-count overlaps). Sessions crossing midnight split
+    * into per-day segments first (a bounded `sequence` explode — a
+    * session spans few days), then one gaps-and-islands pass per day:
+    * running max of segment ends, a new island when a segment starts
+    * past it, island lengths summed. Partitioned by day — balanced at
+    * any scale. Integer epoch-seconds throughout. */
+  def intervalCoverage: Q = (s, d) => {
+    val gap = AsOf.GapSeconds
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("new_session",
+        when(unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)) > gap
+          || lag(col("ts"), 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("new_session")).over(w))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(unix_timestamp(date_trunc("second", min(col("ts")))).as("lo"),
+        unix_timestamp(date_trunc("second", max(col("ts")))).as("hi"))
+    val segs = sess
+      .select(explode(expr("sequence(lo DIV 86400, hi DIV 86400)")).as("day_nr"),
+        col("lo"), col("hi"))
+      .select(col("day_nr"),
+        greatest(col("lo"), col("day_nr") * 86400).as("seg_lo"),
+        least(col("hi"), (col("day_nr") + 1) * 86400 - 1).as("seg_hi"))
+    val wDay = Window.partitionBy(col("day_nr")).orderBy(col("seg_lo"), col("seg_hi"))
+    segs
+      .withColumn("prev_hi", max(col("seg_hi")).over(
+        wDay.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_hi").isNull || col("seg_lo") > col("prev_hi"), 1).otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(
+        wDay.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("day_nr"), col("island"))
+      .agg((max(col("seg_hi")) - min(col("seg_lo")) + 1).as("len"),
+        count(lit(1)).as("n_segs"))
+      .groupBy(col("day_nr"))
+      .agg(sum(col("n_segs")).as("n_intervals"), sum(col("len")).as("covered_sec"))
+      .withColumn("coverage_frac", floor(col("covered_sec") * 1e4 / 86400) / 1e4)
+      .orderBy(col("day_nr"))
+  }
+
+  val intervalCoverageSql: String =
+    s"""WITH e AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) > ${AsOf.GapSeconds}
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS lo,
+                 CAST(epoch(date_trunc('second', max(ts))) AS BIGINT) AS hi
+          FROM (SELECT user_id, ts,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM e)
+          GROUP BY user_id, session_idx),
+        segs AS (
+          SELECT d.day_nr,
+                 greatest(lo, d.day_nr * 86400) AS seg_lo,
+                 least(hi, (d.day_nr + 1) * 86400 - 1) AS seg_hi
+          FROM sess, LATERAL (SELECT unnest(generate_series(lo // 86400, hi // 86400)) AS day_nr) d),
+        isl AS (
+          SELECT day_nr, island, max(seg_hi) - min(seg_lo) + 1 AS len, count(*) AS n_segs
+          FROM (
+            SELECT day_nr, seg_lo, seg_hi,
+                   sum(CASE WHEN prev_hi IS NULL OR seg_lo > prev_hi THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY day_nr ORDER BY seg_lo, seg_hi
+                       ROWS UNBOUNDED PRECEDING) AS island
+            FROM (SELECT day_nr, seg_lo, seg_hi,
+                         max(seg_hi) OVER (PARTITION BY day_nr ORDER BY seg_lo, seg_hi
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_hi
+                  FROM segs))
+          GROUP BY day_nr, island)
+        SELECT CAST(day_nr AS BIGINT) AS day_nr,
+               CAST(sum(n_segs) AS BIGINT) AS n_intervals,
+               CAST(sum(len) AS BIGINT) AS covered_sec,
+               floor(CAST(sum(len) AS BIGINT) * 1e4 / 86400) / 1e4 AS coverage_frac
+        FROM isl GROUP BY 1 ORDER BY 1"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_interval_coverage", intervalCoverage, Some(intervalCoverageSql)),
     ("q_basket_pairs", basketPairs, Some(basketPairsSql)),
     ("events_transition_matrix", transitionMatrix, Some(transitionMatrixSql)),
     ("q_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),

@@ -179,8 +179,118 @@ object TimeseriesExt {
                floor(max_inc * 10000 / $SubRateWindowSec) / 1e6 AS max_rate
         FROM mx ORDER BY event_type, bucket_sec"""
 
+  // ----------------------------------------------- histogram share
+
+  /** Cumulative bucket boundaries (upper bounds, cents) and the
+    * thresholds the share is evaluated at — thresholds sit INSIDE
+    * buckets so the interpolation path is actually exercised. */
+  val ShareLes: Seq[Long] = Seq(1000L, 5000L, 10000L, 20000L)
+  val ShareThresholds: Seq[Long] = Seq(2500L, 7500L, 15000L)
+
+  /** PromQL `histogram_fraction(0, T, m)`: the fraction of
+    * observations ≤ T reconstructed FROM cumulative `le` bucket counts
+    * with linear interpolation inside T's bucket — the SLO read ("what
+    * share of requests were under 75 ms") evaluated against a
+    * histogram, not raw samples. Buckets are ONE conditional-count
+    * aggregation pass (the `metrics_query_response_time` shape); the
+    * interpolation ((c_lo·(hi−lo) + (T−lo)·(c_hi−c_lo)) / ((hi−lo)·n))
+    * is kept in integers with a single floored division, so the
+    * engines agree exactly. */
+  def histogramShare: Q = (s, d) => {
+    val sm = samples(s, d)
+    val aggCols = ShareLes.map(le =>
+      count(when(col("v_c") <= le, 1)).as(s"b$le")) :+ count(lit(1)).as("n")
+    val buckets = sm.groupBy(col("event_type")).agg(aggCols.head, aggCols.tail: _*)
+    val shares = ShareThresholds.map { t =>
+      val hi = ShareLes.find(_ >= t).get
+      val lo = ShareLes.takeWhile(_ < t).lastOption.getOrElse(0L)
+      val cLo = if (lo == 0L) lit(0L) else col(s"b$lo")
+      struct(lit(t).as("threshold_c"),
+        (floor((cLo * (hi - lo) + lit(t - lo) * (col(s"b$hi") - cLo)) * lit(10000) /
+          (lit(hi - lo) * col("n"))) / 1e4).as("share"))
+    }
+    buckets.select(col("event_type"), col("n"), explode(array(shares: _*)).as("s"))
+      .select(col("event_type"), col("n"),
+        col("s.threshold_c").as("threshold_c"), col("s.share").as("share"))
+      .orderBy(col("event_type"), col("threshold_c"))
+  }
+
+  val histogramShareSql: String = {
+    val bucketCols = ShareLes.map(le =>
+      s"count(*) FILTER (WHERE v_c <= $le) AS b$le").mkString(", ")
+    val shareRows = ShareThresholds.map { t =>
+      val hi = ShareLes.find(_ >= t).get
+      val lo = ShareLes.takeWhile(_ < t).lastOption.getOrElse(0L)
+      val cLo = if (lo == 0L) "0" else s"b$lo"
+      s"SELECT event_type, n, CAST($t AS BIGINT) AS threshold_c, " +
+        s"floor(($cLo * ${hi - lo} + ${t - lo} * (b$hi - $cLo)) * 10000 " +
+        s"/ (${hi - lo} * n)) / 1e4 AS share FROM b"
+    }.mkString(" UNION ALL ")
+    s"""WITH s AS (
+          SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v_c FROM events),
+        b AS (SELECT event_type, $bucketCols, count(*) AS n FROM s GROUP BY 1)
+        $shareRows ORDER BY event_type, threshold_c"""
+  }
+
+  // -------------------------------------------- day-of-week baseline
+
+  val BaselineTrainDays = 21
+
+  /** Seasonality-aware anomaly detection: a (series, day-of-week,
+    * hour-of-day) median baseline trained on the first three weeks,
+    * scored against the remaining days — the "Tuesday 9am is always
+    * busy" rule that global MAD/z-score misses. Hourly means are exact
+    * integer-cent floor-divisions; the baseline median over ≤3 integer
+    * samples is exact (k or k+0.5); the flag compares 2·|dev| >
+    * baseline in integers scaled by 2 — zero float ops anywhere.
+    * Train/score split derives from min(ts) (broadcast 1-row), not a
+    * literal date. */
+  def dowBaseline: Q = (s, d) => {
+    val sm = samples(s, d)
+    val t0 = Tables.events(s, d).agg(to_date(min(col("ts"))).as("d0"))
+    val hourly = sm.crossJoin(broadcast(t0))
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), col("d0")).as("day_nr"),
+        dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
+      .agg(expr("sum(v_c) DIV count(*)").as("mean_c"))
+    val base = hourly.filter(col("day_nr") < BaselineTrainDays)
+      .groupBy(col("event_type"), col("dow"), col("hod"))
+      .agg((expr("percentile(mean_c, 0.5e0)") * 2).cast("long").as("base2"))
+    hourly.filter(col("day_nr") >= BaselineTrainDays)
+      .join(base, Seq("event_type", "dow", "hod"))
+      .withColumn("dev2", col("mean_c") * 2 - col("base2"))
+      .filter(abs(col("dev2")) * 2 > col("base2"))
+      .select(col("event_type"), col("day_nr"), col("dow"), col("hod"),
+        col("mean_c"), col("base2"), col("dev2"))
+      .orderBy(col("event_type"), col("day_nr"), col("hod"))
+  }
+
+  val dowBaselineSql: String =
+    s"""WITH s AS (
+          SELECT event_type, ts, CAST(floor(value * 100) AS BIGINT) AS v_c FROM events),
+        t0 AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM s),
+        hourly AS (
+          SELECT event_type,
+                 datediff('day', d0, CAST(ts AS DATE)) AS day_nr,
+                 dayofweek(ts) + 1 AS dow, hour(ts) AS hod,
+                 sum(v_c) // count(*) AS mean_c
+          FROM s CROSS JOIN t0 GROUP BY 1, 2, 3, 4),
+        base AS (
+          SELECT event_type, dow, hod,
+                 CAST(quantile_cont(mean_c, 0.5) * 2 AS BIGINT) AS base2
+          FROM hourly WHERE day_nr < $BaselineTrainDays GROUP BY 1, 2, 3)
+        SELECT h.event_type, CAST(h.day_nr AS INT) AS day_nr, CAST(h.dow AS INT) AS dow,
+               CAST(h.hod AS INT) AS hod, CAST(h.mean_c AS BIGINT) AS mean_c,
+               b.base2, CAST(h.mean_c * 2 - b.base2 AS BIGINT) AS dev2
+        FROM hourly h JOIN base b USING (event_type, dow, hod)
+        WHERE h.day_nr >= $BaselineTrainDays
+          AND abs(h.mean_c * 2 - b.base2) * 2 > b.base2
+        ORDER BY h.event_type, h.day_nr, h.hod"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("metrics_time_weighted_avg", timeWeightedAvg, Some(timeWeightedAvgSql)),
     ("metrics_mad_anomaly", madAnomaly, Some(madAnomalySql)),
-    ("metrics_subquery_maxrate", subqueryMaxRate, Some(subqueryMaxRateSql)))
+    ("metrics_subquery_maxrate", subqueryMaxRate, Some(subqueryMaxRateSql)),
+    ("metrics_histogram_share", histogramShare, Some(histogramShareSql)),
+    ("metrics_dow_baseline", dowBaseline, Some(dowBaselineSql)))
 }

@@ -74,6 +74,20 @@ class AffinitySpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("interval coverage: union never exceeds a day nor the summed durations") {
+    val df = Affinity.intervalCoverage(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("covered_sec") > 86400 || col("covered_sec") < 0).count() == 0)
+    assert(df.filter(col("coverage_frac") > 1).count() == 0)
+    // coverage must be positive on any day that has events
+    val activeDays = Tables.events(spark, sf)
+      .select((unix_timestamp(date_trunc("second", col("ts"))) / 86400)
+        .cast("long").as("day_nr")).distinct()
+    val missing = activeDays.join(df, Seq("day_nr"), "left_anti")
+    assert(missing.count() == 0)
+    df.unpersist()
+  }
+
   test("node similarity: jaccard bounded, ranked, co bounded by page counts") {
     val df = Affinity.nodeSimilarity(spark, sf).cache()
     assert(df.count() <= Affinity.SimTopK)

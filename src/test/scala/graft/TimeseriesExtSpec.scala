@@ -34,6 +34,36 @@ class TimeseriesExtSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("histogram share: monotone in threshold, bounded by exact fractions") {
+    val df = TimeseriesExt.histogramShare(spark, sf).cache()
+    assert(df.filter(col("share") < 0 || col("share") > 1).count() == 0)
+    // share is non-decreasing in the threshold per series
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("threshold_c"))
+    assert(df.withColumn("prev", lag(col("share"), 1).over(w))
+      .filter(col("prev").isNotNull && col("share") < col("prev")).count() == 0)
+    // interpolated share brackets the exact CDF of the bucket bounds
+    val exact = Tables.events(spark, sf)
+      .select(col("event_type"), floor(col("value") * 100).cast("long").as("v_c"))
+      .groupBy(col("event_type"))
+      .agg(count(when(col("v_c") <= 1000L, 1)).as("lo1000"),
+        count(when(col("v_c") <= 5000L, 1)).as("hi5000"), count(lit(1)).as("cnt"))
+    val bad = df.filter(col("threshold_c") === 2500L)
+      .join(exact, Seq("event_type"))
+      .filter(col("share") < col("lo1000") / col("cnt") - 1e-4 ||
+        col("share") > col("hi5000") / col("cnt"))
+    assert(bad.count() == 0)
+    df.unpersist()
+  }
+
+  test("dow baseline: only scoring days flagged, deviation really exceeds half the baseline") {
+    val df = TimeseriesExt.dowBaseline(spark, sf).cache()
+    assert(df.filter(col("day_nr") < TimeseriesExt.BaselineTrainDays).count() == 0)
+    assert(df.filter(abs(col("dev2")) * 2 <= col("base2")).count() == 0)
+    assert(df.filter(col("dev2") =!= col("mean_c") * 2 - col("base2")).count() == 0)
+    df.unpersist()
+  }
+
   test("subquery max-rate: trailing max dominates the bucket's own rate") {
     val df = TimeseriesExt.subqueryMaxRate(spark, sf).cache()
     assert(df.count() > 0)
