@@ -476,7 +476,105 @@ object Affinity {
                floor(CAST(sum(len) AS BIGINT) * 1e4 / 86400) / 1e4 AS coverage_frac
         FROM isl GROUP BY 1 ORDER BY 1"""
 
+  // ------------------------------------------------ weighted percentile
+
+  /** Quantity-weighted price percentiles per return flag — the
+    * "weighted median" Spark has no built-in for: the smallest value v
+    * whose cumulative weight reaches p·W. One per-group cumulative-sum
+    * window + one conditional-min aggregation; the crossing test
+    * (cum·100 ≥ p·W) stays in integers, and the answer is
+    * tie-order-invariant (if any row of an equal-value run crosses,
+    * the run's value is the min — and whether the run crosses depends
+    * only on its last row's cumulative, which order can't change). */
+  def weightedPercentile: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+      floor(col("l_extendedprice") * 100).cast("long").as("cents"),
+      col("l_quantity").cast("long").as("w"),
+      col("l_orderkey"), col("l_linenumber"))
+    val wCum = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("l_returnflag"))
+    li.withColumn("cum", sum(col("w")).over(wCum))
+      .withColumn("tot", sum(col("w")).over(wTot))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("tot")).as("total_weight"),
+        min(when(col("cum") * 100 >= lit(50) * col("tot"), col("cents"))).as("w50_cents"),
+        min(when(col("cum") * 100 >= lit(90) * col("tot"), col("cents"))).as("w90_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val weightedPercentileSql: String =
+    """WITH li AS (
+         SELECT l_returnflag, CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+                CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+         FROM lineitem),
+       c AS (
+         SELECT l_returnflag, cents,
+                sum(w) OVER (PARTITION BY l_returnflag
+                  ORDER BY cents, l_orderkey, l_linenumber
+                  ROWS UNBOUNDED PRECEDING) AS cum,
+                sum(w) OVER (PARTITION BY l_returnflag) AS tot
+         FROM li)
+       SELECT l_returnflag, CAST(max(tot) AS BIGINT) AS total_weight,
+              min(CASE WHEN cum * 100 >= 50 * tot THEN cents END) AS w50_cents,
+              min(CASE WHEN cum * 100 >= 90 * tot THEN cents END) AS w90_cents
+       FROM c GROUP BY 1 ORDER BY 1"""
+
+  // -------------------------------------------------- time to convert
+
+  /** Signup→purchase conversion-lag distribution per weekly signup
+    * cohort: each user's FIRST signup, their first purchase at or
+    * after it, exact p50/p90 of the lag. Two aggregations + one
+    * equi-join by user — no windows, no corpus-wide sort; the
+    * percentile runs per cohort (bounded group count, the declared
+    * exact-percentile contract). Lags are integer seconds; the
+    * interpolated percentiles do the same two IEEE ops on the same
+    * integers in both engines. */
+  def timeToConvert: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("sec")).as("s0"))
+    val d0 = signup.agg(min(col("s0")).as("d0"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(signup, Seq("user_id"))
+      .filter(col("sec") >= col("s0"))
+      .groupBy(col("user_id")).agg(max(col("s0")).as("s0"), min(col("sec")).as("p0"))
+    conv.crossJoin(broadcast(d0))
+      .select(expr("(s0 - d0) DIV 604800").as("cohort_week"),
+        (col("p0") - col("s0")).as("lag_sec"))
+      .groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_converted"),
+        expr("percentile(lag_sec, 0.5e0)").as("p50_sec"),
+        expr("percentile(lag_sec, 0.9e0)").as("p90_sec"))
+      .orderBy(col("cohort_week"))
+  }
+
+  val timeToConvertSql: String =
+    """WITH ev AS (
+         SELECT user_id, event_type,
+                CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+         FROM events),
+       signup AS (SELECT user_id, min(sec) AS s0 FROM ev
+                  WHERE event_type = 'signup' GROUP BY 1),
+       d0 AS (SELECT min(s0) AS d0 FROM signup),
+       conv AS (
+         SELECT e.user_id, max(s.s0) AS s0, min(e.sec) AS p0
+         FROM ev e JOIN signup s USING (user_id)
+         WHERE e.event_type = 'purchase' AND e.sec >= s.s0
+         GROUP BY 1)
+       SELECT (s0 - d0) // 604800 AS cohort_week,
+              count(*) AS n_converted,
+              quantile_cont(p0 - s0, 0.5) AS p50_sec,
+              quantile_cont(p0 - s0, 0.9) AS p90_sec
+       FROM conv CROSS JOIN d0
+       GROUP BY 1 ORDER BY 1"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_weighted_percentile", weightedPercentile, Some(weightedPercentileSql)),
+    ("q_time_to_convert", timeToConvert, Some(timeToConvertSql)),
     ("q_interval_coverage", intervalCoverage, Some(intervalCoverageSql)),
     ("q_basket_pairs", basketPairs, Some(basketPairsSql)),
     ("events_transition_matrix", transitionMatrix, Some(transitionMatrixSql)),

@@ -314,7 +314,29 @@ object Reshape {
          WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y))
        GROUP BY x, y ORDER BY x"""
 
+  /** Unpivot (melt) — the inverse reshape of `q_pivot_events_daily`:
+    * the wide per-day matrix back to long (day, series, value) rows
+    * via `Dataset.unpivot` (Catalyst `Expand` — one pass, no join, no
+    * shuffle beyond the pivot's own). The oracle is the ROUND-TRIP
+    * identity: melting the pivot must reproduce the plain long-form
+    * aggregate exactly, which is also what makes this entry's
+    * correctness meaningful rather than cosmetic. Null cells (a day
+    * without that series) are dropped on both sides. */
+  def unpivotEventsDaily: Q = (s, d) => {
+    val wide = pivotEventsDaily(s, d)
+    wide.unpivot(Array(col("event_date")),
+        EventTypes.map(t => col(t)).toArray, "event_type", "value_sum")
+      .filter(col("value_sum").isNotNull)
+      .orderBy(col("event_date"), col("event_type"))
+  }
+
+  val unpivotEventsDailySql: String =
+    """SELECT CAST(ts AS DATE) AS event_date, event_type,
+              round(sum(value), 2) AS value_sum
+       FROM events GROUP BY 1, 2 ORDER BY event_date, event_type"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_unpivot_melt", unpivotEventsDaily, Some(unpivotEventsDailySql)),
     ("q_skyline_2d", skyline2d, Some(skyline2dSql)),
     ("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     ("q_rollup_reuse", rollupReuse, Some(rollupReuseSql)),

@@ -287,7 +287,88 @@ object TimeseriesExt {
           AND abs(h.mean_c * 2 - b.base2) * 2 > b.base2
         ORDER BY h.event_type, h.day_nr, h.hod"""
 
+  // ------------------------------------------------ CUSUM changepoint
+
+  /** CUSUM alarm threshold: h = 8·k (k itself is the per-series MAD of
+    * the deviations — the classic "k = 0.5σ, h = 4–5σ" tuning with the
+    * robust scale standing in for σ). */
+  val CusumHMult = 8L
+
+  /** One-sided upper CUSUM changepoint detection (Page 1954) — the SPC
+    * monitor that flags a sustained mean SHIFT where per-point
+    * detectors only see spikes: S_i = max(0, S_{i-1} + (x_i − target −
+    * k)), alarm while S_i > h. Target = per-series median of hourly
+    * means; allowance k = median absolute deviation around it (both
+    * robust, both computed in one tiny aggregate each and broadcast).
+    * The recurrence is inherently sequential per series, so it runs as
+    * the same order-fixed `aggregate()` fold as `metrics_smooth_ewma`/
+    * `metrics_holt_winters` — per-series state, one shuffle, |hours|
+    * array per series. Everything is INTEGER on a 4× scale (hourly
+    * means are floor-divided cents; the median doubles to 2×-integers;
+    * the MAD doubles again), so unlike the EWMA fold there is no float
+    * surface at all. */
+  def cusumChangepoint: Q = (s, d) => {
+    val hourly = samples(s, d)
+      .groupBy(col("event_type"), expr("(sec DIV 3600) * 3600").as("hour_sec"))
+      .agg(expr("sum(v_c) DIV count(*)").as("mean_c"))
+    val base = hourly.groupBy(col("event_type"))
+      .agg((expr("percentile(mean_c, 0.5e0)") * 2).cast("long").as("base2"))
+    val dev = hourly.join(broadcast(base), Seq("event_type"))
+      .withColumn("dev2", col("mean_c") * 2 - col("base2"))
+    val k = dev.groupBy(col("event_type"))
+      .agg((expr("percentile(abs(dev2), 0.5e0)") * 2).cast("long").as("k4"))
+    dev.join(broadcast(k), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("base2")).as("base2"), max(col("k4")).as("k4"),
+        sort_array(collect_list(struct(col("hour_sec"), col("mean_c"), col("dev2")))).as("seq"))
+      .withColumn("s4", expr(
+        """aggregate(seq, CAST(array() AS ARRAY<BIGINT>),
+             (acc, p) -> concat(acc, array(greatest(0L,
+               CASE WHEN size(acc) = 0 THEN 0L ELSE element_at(acc, -1) END
+                 + (2 * p.dev2 - k4)))))"""))
+      .select(col("event_type"), col("base2"), col("k4"),
+        explode(arrays_zip(col("seq"), col("s4"))).as("z"))
+      .select(col("event_type"), col("z.seq.hour_sec").as("hour_sec"),
+        col("z.seq.mean_c").as("mean_c"), col("base2"), col("k4"),
+        col("z.s4").as("s4"),
+        (col("z.s4") > col("k4") * CusumHMult).as("alarm"))
+      .orderBy(col("event_type"), col("hour_sec"))
+  }
+
+  val cusumChangepointSql: String =
+    s"""WITH RECURSIVE hourly AS (
+          SELECT event_type,
+                 (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600) * 3600 AS hour_sec,
+                 CAST(sum(CAST(floor(value * 100) AS BIGINT)) // count(*) AS BIGINT) AS mean_c
+          FROM events GROUP BY 1, 2),
+        base AS (
+          SELECT event_type, CAST(quantile_cont(mean_c, 0.5) * 2 AS BIGINT) AS base2
+          FROM hourly GROUP BY 1),
+        dev AS (
+          SELECT h.*, b.base2, 2 * h.mean_c - b.base2 AS dev2
+          FROM hourly h JOIN base b USING (event_type)),
+        kt AS (
+          SELECT event_type, CAST(quantile_cont(abs(dev2), 0.5) * 2 AS BIGINT) AS k4
+          FROM dev GROUP BY 1),
+        idx AS (
+          SELECT d.*, k.k4,
+                 row_number() OVER (PARTITION BY d.event_type ORDER BY d.hour_sec) AS rn
+          FROM dev d JOIN kt k USING (event_type)),
+        rec AS (
+          SELECT event_type, hour_sec, rn, mean_c, base2, k4,
+                 greatest(0, 2 * dev2 - k4) AS s4
+          FROM idx WHERE rn = 1
+          UNION ALL
+          SELECT i.event_type, i.hour_sec, i.rn, i.mean_c, i.base2, i.k4,
+                 greatest(0, rec.s4 + (2 * i.dev2 - i.k4))
+          FROM idx i JOIN rec ON i.event_type = rec.event_type AND i.rn = rec.rn + 1)
+        SELECT event_type, CAST(hour_sec AS BIGINT) AS hour_sec,
+               mean_c, base2, k4, CAST(s4 AS BIGINT) AS s4,
+               s4 > k4 * $CusumHMult AS alarm
+        FROM rec ORDER BY event_type, hour_sec"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("metrics_cusum_changepoint", cusumChangepoint, Some(cusumChangepointSql)),
     ("metrics_time_weighted_avg", timeWeightedAvg, Some(timeWeightedAvgSql)),
     ("metrics_mad_anomaly", madAnomaly, Some(madAnomalySql)),
     ("metrics_subquery_maxrate", subqueryMaxRate, Some(subqueryMaxRateSql)),

@@ -74,6 +74,39 @@ class AffinitySpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("weighted percentile: crossing rule holds and brackets the unweighted range") {
+    val df = Affinity.weightedPercentile(spark, sf).cache()
+    assert(df.count() == 3)
+    assert(df.filter(col("w50_cents") > col("w90_cents")).count() == 0)
+    // weighted p50 lies within the group's min/max
+    val bounds = Tables.lineitem(spark, sf).groupBy(col("l_returnflag"))
+      .agg(min(floor(col("l_extendedprice") * 100)).as("lo"),
+        max(floor(col("l_extendedprice") * 100)).as("hi"))
+    assert(df.join(bounds, Seq("l_returnflag"))
+      .filter(col("w50_cents") < col("lo") || col("w90_cents") > col("hi")).count() == 0)
+    // at least half the weight sits at or below w50
+    val li = Tables.lineitem(spark, sf).select(col("l_returnflag"),
+      floor(col("l_extendedprice") * 100).cast("long").as("cents"),
+      col("l_quantity").cast("long").as("w"))
+    val below = li.join(df, Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(col("cents") <= col("w50_cents"), col("w"))).as("wb"),
+        sum(col("w")).as("tot"))
+      .filter(col("wb") * 2 < col("tot"))
+    assert(below.count() == 0)
+    df.unpersist()
+  }
+
+  test("time to convert: lags non-negative, p50 <= p90, converters bounded by signups") {
+    val df = Affinity.timeToConvert(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("p50_sec") < 0 || col("p50_sec") > col("p90_sec")).count() == 0)
+    val signups = Tables.events(spark, sf).filter(col("event_type") === "signup")
+      .select(col("user_id")).distinct().count()
+    assert(df.agg(sum(col("n_converted"))).head.getLong(0) <= signups)
+    df.unpersist()
+  }
+
   test("interval coverage: union never exceeds a day nor the summed durations") {
     val df = Affinity.intervalCoverage(spark, sf).cache()
     assert(df.count() > 0)

@@ -56,6 +56,23 @@ class TimeseriesExtSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("cusum: S non-negative, resets hold, alarms a minority, recurrence verified") {
+    val df = TimeseriesExt.cusumChangepoint(spark, sf).cache()
+    assert(df.filter(col("s4") < 0).count() == 0)
+    val n = df.count()
+    val alarms = df.filter(col("alarm")).count()
+    assert(alarms > 0 && alarms * 4 < n, s"alarm rate ${alarms}/$n should be a minority")
+    // recurrence: s4 = max(0, prev_s4 + 2*(2*mean_c - base2) - k4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hour_sec"))
+    val bad = df.withColumn("prev", coalesce(lag(col("s4"), 1).over(w), lit(0L)))
+      .withColumn("want",
+        greatest(lit(0L), col("prev") + (col("mean_c") * 2 - col("base2")) * 2 - col("k4")))
+      .filter(col("s4") =!= col("want"))
+    assert(bad.count() == 0)
+    df.unpersist()
+  }
+
   test("dow baseline: only scoring days flagged, deviation really exceeds half the baseline") {
     val df = TimeseriesExt.dowBaseline(spark, sf).cache()
     assert(df.filter(col("day_nr") < TimeseriesExt.BaselineTrainDays).count() == 0)
