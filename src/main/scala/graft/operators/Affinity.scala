@@ -572,7 +572,84 @@ object Affinity {
        FROM conv CROSS JOIN d0
        GROUP BY 1 ORDER BY 1"""
 
+  // ------------------------------------------------------ bot scoring
+
+  /** Rate rule: flag above this many events/hour of active span. */
+  val BotMaxPerHour = 40L
+
+  /** Traffic-hygiene bot scoring — the abuse filter a training-data
+    * pipeline runs before any behavioural signal is trusted: per user,
+    * (a) event rate over the active span, (b) page-sweep breadth
+    * (distinct pages ≈ events — crawler signature), (c) inter-arrival
+    * REGULARITY via exact integer moments (n·Σg² − (Σg)² compared
+    * against (Σg/10)² — variance below (mean/10)² means machine-timed
+    * traffic; the same BIGINT-moment trick as `metrics_deriv`). Every
+    * rule is an integer cross-multiplication — no division, no floats.
+    * One window (gaps) + one aggregation, keyed by user. Emits the
+    * full per-user report (verdict = ≥2 rules), not just hits, so the
+    * output is stable for auditing. */
+  def botScore: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"),
+        get_json_object(col("props"), "$.k").cast("int").as("page"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("sec")) - min(col("sec"))).as("active_sec"),
+        countDistinct(col("page")).as("n_pages"),
+        count(col("gap")).as("n_gaps"),
+        sum(col("gap")).as("g_sum"),
+        sum(col("gap") * col("gap")).as("g_sum2"))
+    perUser
+      .withColumn("rate_flag",
+        col("n_events") * 3600 > col("active_sec") * BotMaxPerHour)
+      .withColumn("sweep_flag", col("n_pages") * 100 > col("n_events") * 90)
+      .withColumn("regular_flag",
+        col("n_gaps") >= 3 &&
+          (col("n_gaps") * col("g_sum2") - col("g_sum") * col("g_sum")) <
+            expr("(g_sum DIV 10) * (g_sum DIV 10)"))
+      .withColumn("is_bot",
+        (col("rate_flag").cast("int") + col("sweep_flag").cast("int")
+          + col("regular_flag").cast("int")) >= 2)
+      .select(col("user_id"), col("n_events"), col("active_sec"), col("n_pages"),
+        col("rate_flag"), col("sweep_flag"), col("regular_flag"), col("is_bot"))
+      .orderBy(col("user_id"))
+  }
+
+  val botScoreSql: String =
+    s"""WITH ev AS (
+          SELECT user_id,
+                 CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+                 json_extract(props, '$$.k')::INT AS page,
+                 CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                   - lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          FROM events),
+        u AS (
+          SELECT user_id, count(*) AS n_events,
+                 max(sec) - min(sec) AS active_sec,
+                 count(DISTINCT page) AS n_pages,
+                 count(gap) AS n_gaps,
+                 CAST(sum(gap) AS BIGINT) AS g_sum,
+                 CAST(sum(gap * gap) AS BIGINT) AS g_sum2
+          FROM ev GROUP BY 1),
+        f AS (
+          SELECT user_id, n_events, active_sec, n_pages,
+                 n_events * 3600 > active_sec * $BotMaxPerHour AS rate_flag,
+                 n_pages * 100 > n_events * 90 AS sweep_flag,
+                 n_gaps >= 3 AND
+                   n_gaps * g_sum2 - g_sum * g_sum < (g_sum // 10) * (g_sum // 10)
+                   AS regular_flag
+          FROM u)
+        SELECT user_id, n_events, active_sec, n_pages,
+               rate_flag, sweep_flag, regular_flag,
+               rate_flag::INT + sweep_flag::INT + regular_flag::INT >= 2 AS is_bot
+        FROM f ORDER BY user_id"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("events_bot_score", botScore, Some(botScoreSql)),
     ("q_weighted_percentile", weightedPercentile, Some(weightedPercentileSql)),
     ("q_time_to_convert", timeToConvert, Some(timeToConvertSql)),
     ("q_interval_coverage", intervalCoverage, Some(intervalCoverageSql)),

@@ -194,7 +194,82 @@ object Quality {
          FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey) t
        ORDER BY rule"""
 
+  /** PSI Laplace smoothing: (c+1)/(n+buckets) keeps every bucket share
+    * strictly positive so ln(p/q) is always defined. */
+  val PsiBuckets = 10
+
+  /** Population Stability Index — the model-monitoring drift metric:
+    * decile edges trained on the REFERENCE half of the date range
+    * (edges from one exact-percentile aggregate, broadcast — the
+    * `q_rfm_segments` pattern), both halves bucketed, per-bucket
+    * psi = (p−q)·ln(p/q) on Laplace-smoothed shares. Float surface is
+    * ONE division per share difference (exact integer cross-products
+    * first: p−q = (c_r·n_s' − c_s·n_r')/(n_r'·n_s')), one division
+    * inside the ln, one multiply — identical IEEE ops both engines,
+    * floor-truncated at 6dp. The split point derives from min/max
+    * (broadcast 1-row), not a calendar literal. */
+  def driftPsi: Q = (s, d) => {
+    val o = graft.sources.Tables.orders(s, d)
+      .select(unix_timestamp(col("o_orderdate")).as("odate"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val mid = o.agg(((min(col("odate")) + max(col("odate"))) / 2).cast("long").as("mid"))
+    val tagged = o.crossJoin(broadcast(mid))
+      .withColumn("is_ref", col("odate") < col("mid"))
+    val qs = (1 until PsiBuckets).map(i => s"${i.toDouble / PsiBuckets}e0")
+    val edges = tagged.filter(col("is_ref"))
+      .agg(expr(s"percentile(cents, array(${qs.mkString(", ")}))").as("b"))
+    val bucket = (lit(1) +: (0 until PsiBuckets - 1)
+      .map(i => when(col("cents") > col("b")(i), 1).otherwise(0)))
+      .reduce(_ + _).cast("int")
+    val counts = tagged.crossJoin(broadcast(edges))
+      .groupBy(bucket.as("bucket"))
+      .agg(count(when(col("is_ref"), 1)).as("c_ref"),
+        count(when(!col("is_ref"), 1)).as("c_scr"))
+      .withColumn("n_ref", sum(col("c_ref")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("n_scr", sum(col("c_scr")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    counts
+      .withColumn("pn", col("c_ref") + 1).withColumn("pd", col("n_ref") + PsiBuckets)
+      .withColumn("qn", col("c_scr") + 1).withColumn("qd", col("n_scr") + PsiBuckets)
+      .select(col("bucket"), col("c_ref"), col("c_scr"),
+        (floor(((col("pn") * col("qd") - col("qn") * col("pd")).cast("double") /
+          (col("pd") * col("qd")).cast("double")) *
+          log((col("pn") * col("qd")).cast("double") / (col("qn") * col("pd")).cast("double")) *
+          1e6) / 1e6).as("psi_term"))
+      .orderBy(col("bucket"))
+  }
+
+  val driftPsiSql: String = {
+    val qs = (1 until PsiBuckets).map(i => i.toDouble / PsiBuckets)
+    val terms = (1 until PsiBuckets).map(i => s"(cents > b[$i])::INT").mkString(" + ")
+    s"""WITH o AS (
+          SELECT CAST(epoch(o_orderdate) AS BIGINT) AS odate,
+                 CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders),
+        m AS (SELECT (min(odate) + max(odate)) // 2 AS mid FROM o),
+        tagged AS (SELECT cents, odate < mid AS is_ref FROM o CROSS JOIN m),
+        e AS (SELECT quantile_cont(cents, [${qs.mkString(", ")}]) AS b
+              FROM tagged WHERE is_ref),
+        counts AS (
+          SELECT CAST(1 + $terms AS INT) AS bucket,
+                 count(*) FILTER (WHERE is_ref) AS c_ref,
+                 count(*) FILTER (WHERE NOT is_ref) AS c_scr
+          FROM tagged CROSS JOIN e GROUP BY 1),
+        t AS (
+          SELECT bucket, c_ref, c_scr,
+                 c_ref + 1 AS pn, sum(c_ref) OVER () + $PsiBuckets AS pd,
+                 c_scr + 1 AS qn, sum(c_scr) OVER () + $PsiBuckets AS qd
+          FROM counts)
+        SELECT bucket, c_ref, c_scr,
+               floor((CAST(pn * qd - qn * pd AS DOUBLE) / CAST(pd * qd AS DOUBLE)) *
+                     ln(CAST(pn * qd AS DOUBLE) / CAST(qn * pd AS DOUBLE)) * 1e6) / 1e6
+                 AS psi_term
+        FROM t ORDER BY bucket"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("dq_drift_psi", driftPsi, Some(driftPsiSql)),
     ("dq_rules", dqRules, Some(dqRulesSql)),
     ("dq_profile", dqProfile, Some(dqProfileSql)),
     ("q_decimal_money", decimalMoney, Some(decimalMoneySql)))

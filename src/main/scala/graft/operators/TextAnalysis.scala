@@ -109,6 +109,34 @@ object TextAnalysis {
         FROM documents ORDER BY doc_id"""
   }
 
+  /** Classifier evaluation as a query: the confusion matrix of
+    * `text_langid`'s stopword-voting predictor against the corpus'
+    * declared labels, with per-label recall — the eval harness a
+    * pipeline runs after every heuristic change, expressed over the
+    * SAME plan as the scorer itself (compose the entry, aggregate on
+    * top; the optimizer fuses it into one pass). Counts are integers;
+    * recall is one floored division. */
+  def langConfusion: Q = (s, d) => {
+    val scored = langid(s, d)
+    val totals = scored.groupBy(col("lang_declared"))
+      .agg(count(lit(1)).as("n_declared"))
+    scored.groupBy(col("lang_declared"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(totals), Seq("lang_declared"))
+      .select(col("lang_declared"), col("lang_pred"), col("n"),
+        (floor(col("n") * lit(10000) / col("n_declared")) / 1e4).as("share"))
+      .orderBy(col("lang_declared"), col("lang_pred"))
+  }
+
+  val langConfusionSql: String =
+    s"""WITH scored AS (${langidSql.replace("ORDER BY doc_id", "")}),
+        t AS (SELECT lang_declared, count(*) AS n_declared FROM scored GROUP BY 1)
+        SELECT s.lang_declared, s.lang_pred, count(*) AS n,
+               floor(count(*) * 10000 / max(t.n_declared)) / 1e4 AS share
+        FROM scored s JOIN t USING (lang_declared)
+        GROUP BY s.lang_declared, s.lang_pred
+        ORDER BY s.lang_declared, s.lang_pred"""
+
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean
     * word length, and a combined score in [0,1]. */
   def quality: Q = (s, d) => {
@@ -251,6 +279,7 @@ object TextAnalysis {
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("text_pii_redact", piiRedact, Some(piiRedactSql)),
     ("text_tokens", tokens, Some(tokensSql)),
+    ("text_lang_confusion", langConfusion, Some(langConfusionSql)),
     ("text_langid", langid, Some(langidSql)),
     ("text_quality", quality, Some(qualitySql)),
     ("text_fingerprint", fingerprint, Some(fingerprintSql)),

@@ -130,4 +130,17 @@ class AffinitySpec extends SparkTestBase {
     assert(ranked.zip(ranked.drop(1)).forall { case (a, b) => a >= b })
     df.unpersist()
   }
+
+  test("bot score: one row per user, flags consistent with raw stats") {
+    val df = Affinity.botScore(spark, sf).cache()
+    val users = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(df.count() == users)
+    // verdict implies at least two flags
+    val bad = df.filter(col("is_bot") &&
+      (col("rate_flag").cast("int") + col("sweep_flag").cast("int")
+        + col("regular_flag").cast("int")) < 2)
+    assert(bad.count() == 0)
+    assert(df.filter(col("n_pages") > col("n_events")).count() == 0)
+    df.unpersist()
+  }
 }

@@ -36,4 +36,15 @@ class QualitySpec extends SparkTestBase {
     assert(scans <= 5, s"rules over one table must share its scan, got $scans scans")
     df.unpersist()
   }
+
+  test("PSI: buckets complete, terms non-negative-ish and total small for a stable split") {
+    val df = Quality.driftPsi(spark, sf).cache()
+    assert(df.count() == Quality.PsiBuckets)
+    // (p-q)ln(p/q) >= 0 always (same sign factors)
+    assert(df.filter(col("psi_term") < -1e-6).count() == 0)
+    // all orders land in exactly one bucket
+    val n = graft.sources.Tables.orders(spark, sf).count()
+    assert(df.agg(sum(col("c_ref") + col("c_scr"))).head.getLong(0) == n)
+    df.unpersist()
+  }
 }

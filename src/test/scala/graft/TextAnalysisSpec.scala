@@ -20,4 +20,17 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(wrongCounts.count() == 0, "counts follow the injection parity rule")
     df.unpersist()
   }
+
+  test("lang confusion: rows sum to corpus, shares normalize per declared label") {
+    val df = TextAnalysis.langConfusion(spark, sf).cache()
+    val total = df.agg(sum(col("n"))).head.getLong(0)
+    assert(total == graft.sources.Tables.documents(spark, sf).count())
+    val sums = df.groupBy(col("lang_declared")).agg(sum(col("share")).as("p"))
+    assert(sums.filter(col("p") > 1.0 || col("p") < 0.98).count() == 0)
+    // the stopword voter must at least get English mostly right
+    val en = df.filter(col("lang_declared") === "en" && col("lang_pred") === "en")
+      .agg(sum(col("share"))).head.getDouble(0)
+    assert(en > 0.9, s"en recall $en")
+    df.unpersist()
+  }
 }
