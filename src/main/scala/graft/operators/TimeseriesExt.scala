@@ -367,7 +367,124 @@ object TimeseriesExt {
                s4 > k4 * $CusumHMult AS alarm
         FROM rec ORDER BY event_type, hour_sec"""
 
+  // --------------------------------------------------- LTTB downsample
+
+  /** Points per LTTB bucket. */
+  val LttbK = 20
+
+  /** Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) —
+    * the shape-preserving decimation dashboards run before plotting
+    * (Grafana/Influx `lttb`): keep both endpoints; from each interior
+    * bucket keep the point forming the largest triangle with the
+    * PREVIOUSLY kept point and the NEXT bucket's centroid. The
+    * prev-selected dependency makes it a sequential per-series pass —
+    * exactly the order-fixed `aggregate()` fold the EWMA/CUSUM entries
+    * use, here with a nested argmax per step. Everything stays in
+    * BIGINT: the triangle area is scaled by the next bucket's size
+    * (argmax-invariant within a bucket since the centroid is shared),
+    * so area = |(n·x_a−Σx)(y_b−y_a) − (x_a−x_b)(Σy−n·y_a)| is exact
+    * integer cross-math; ties break to the earliest point via an
+    * ascending (area, −sec) struct sort. One shuffle on the series
+    * key; |points| array per series is the declared per-series memory
+    * (the same contract as the EWMA fold). */
+  def downsampleLttb: Q = (s, d) => {
+    val k = LttbK
+    samples(s, d)
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("sec"), col("event_id"), col("v_c")))).as("pts"))
+      .withColumn("n", size(col("pts")))
+      .filter(col("n") >= 3)
+      .withColumn("nb", expr(s"(n - 2 + ${k - 1}) DIV $k"))
+      .withColumn("buckets", expr(
+        s"""transform(sequence(0, nb - 1), i -> named_struct(
+              'ps', slice(pts, 2 + i * $k, least($k, n - 2 - i * $k)),
+              'cen', CASE WHEN i < nb - 1 THEN named_struct(
+                  'sx', aggregate(slice(pts, 2 + (i + 1) * $k, least($k, n - 2 - (i + 1) * $k)),
+                                  0L, (a, p) -> a + p.sec),
+                  'sy', aggregate(slice(pts, 2 + (i + 1) * $k, least($k, n - 2 - (i + 1) * $k)),
+                                  0L, (a, p) -> a + p.v_c),
+                  'n1', CAST(least($k, n - 2 - (i + 1) * $k) AS BIGINT))
+                ELSE named_struct(
+                  'sx', element_at(pts, -1).sec,
+                  'sy', element_at(pts, -1).v_c,
+                  'n1', 1L) END))"""))
+      .withColumn("sel", expr(
+        """aggregate(buckets,
+             array(named_struct('a', 0L, 'negs', -element_at(pts, 1).sec,
+               'sec', element_at(pts, 1).sec, 'v_c', element_at(pts, 1).v_c)),
+             (acc, b) -> concat(acc, array(
+               element_at(array_sort(transform(b.ps, p -> named_struct(
+                 'a', abs((b.cen.n1 * element_at(acc, -1).sec - b.cen.sx) * (p.v_c - element_at(acc, -1).v_c)
+                        - (element_at(acc, -1).sec - p.sec) * (b.cen.sy - b.cen.n1 * element_at(acc, -1).v_c)),
+                 'negs', -p.sec,
+                 'sec', p.sec, 'v_c', p.v_c))), -1))))"""))
+      .withColumn("out", expr(
+        """concat(transform(sel, q -> named_struct('sec', q.sec, 'v_c', q.v_c)),
+                  array(named_struct('sec', element_at(pts, -1).sec,
+                                     'v_c', element_at(pts, -1).v_c)))"""))
+      .select(col("event_type"), posexplode(col("out")))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("sel_idx"),
+        col("col.sec").as("sec"), col("col.v_c").as("v_c"))
+      .orderBy(col("event_type"), col("sel_idx"))
+  }
+
+  val downsampleLttbSql: String = {
+    val k = LttbK
+    // DuckDB 1.0's list_reduce can't fold with a differently-typed
+    // accumulator, so the sequential pass is a recursive CTE over the
+    // bucket index; the per-step argmax is the same ascending
+    // (area, −sec) struct sort, as a pure scalar list expression (no
+    // aggregate/window in the recursive term).
+    s"""WITH RECURSIVE pts AS (
+          SELECT event_type,
+                 list_sort(list({'sec': CAST(epoch(date_trunc('second', ts)) AS BIGINT),
+                                 'event_id': event_id,
+                                 'v_c': CAST(floor(value * 100) AS BIGINT)})) AS pts
+          FROM events GROUP BY 1),
+        pre AS (
+          SELECT event_type, pts, len(pts) AS n,
+                 (len(pts) - 2 + ${k - 1}) // $k AS nb
+          FROM pts WHERE len(pts) >= 3),
+        bk AS (
+          SELECT event_type, n, nb, i,
+                 pts[2 + i * $k : 1 + i * $k + least($k, n - 2 - i * $k)] AS ps,
+                 CASE WHEN i < nb - 1 THEN {
+                     'sx': list_sum(list_transform(
+                             pts[2 + (i + 1) * $k : 1 + (i + 1) * $k + least($k, n - 2 - (i + 1) * $k)],
+                             p -> p.sec)),
+                     'sy': list_sum(list_transform(
+                             pts[2 + (i + 1) * $k : 1 + (i + 1) * $k + least($k, n - 2 - (i + 1) * $k)],
+                             p -> p.v_c)),
+                     'n1': CAST(least($k, n - 2 - (i + 1) * $k) AS BIGINT)}
+                   ELSE {'sx': pts[-1].sec, 'sy': pts[-1].v_c, 'n1': CAST(1 AS BIGINT)} END AS cen
+          FROM pre, LATERAL (SELECT unnest(range(0, nb)) AS i) t),
+        rec AS (
+          SELECT event_type, CAST(-1 AS BIGINT) AS i,
+                 pts[1].sec AS sec, pts[1].v_c AS v_c
+          FROM pre
+          UNION ALL
+          SELECT b.event_type, b.i,
+                 list_sort(list_transform(b.ps, p -> {
+                   'a': abs((b.cen.n1 * rec.sec - b.cen.sx) * (p.v_c - rec.v_c)
+                          - (rec.sec - p.sec) * (b.cen.sy - b.cen.n1 * rec.v_c)),
+                   'negs': -p.sec,
+                   'sec': p.sec, 'v_c': p.v_c}))[-1].sec,
+                 list_sort(list_transform(b.ps, p -> {
+                   'a': abs((b.cen.n1 * rec.sec - b.cen.sx) * (p.v_c - rec.v_c)
+                          - (rec.sec - p.sec) * (b.cen.sy - b.cen.n1 * rec.v_c)),
+                   'negs': -p.sec,
+                   'sec': p.sec, 'v_c': p.v_c}))[-1].v_c
+          FROM bk b JOIN rec ON b.event_type = rec.event_type AND b.i = rec.i + 1),
+        allsel AS (
+          SELECT event_type, i, sec, v_c FROM rec
+          UNION ALL
+          SELECT event_type, nb, pts[-1].sec, pts[-1].v_c FROM pre)
+        SELECT event_type, CAST(i + 2 AS INT) AS sel_idx, sec, v_c
+        FROM allsel ORDER BY event_type, sel_idx"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("metrics_downsample_lttb", downsampleLttb, Some(downsampleLttbSql)),
     ("metrics_cusum_changepoint", cusumChangepoint, Some(cusumChangepointSql)),
     ("metrics_time_weighted_avg", timeWeightedAvg, Some(timeWeightedAvgSql)),
     ("metrics_mad_anomaly", madAnomaly, Some(madAnomalySql)),

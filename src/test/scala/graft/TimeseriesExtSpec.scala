@@ -56,6 +56,32 @@ class TimeseriesExtSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("lttb: endpoints kept, one point per bucket, selections are real samples") {
+    val df = TimeseriesExt.downsampleLttb(spark, sf).cache()
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"),
+        floor(col("value") * 100).cast("long").as("v_c"))
+    // every selected point exists in the raw series
+    assert(df.join(raw, Seq("event_type", "sec", "v_c"), "left_anti").count() == 0)
+    // per series: n_selected = nb + 2, endpoints match raw min/max sec
+    val sizes = raw.groupBy(col("event_type")).agg(count(lit(1)).as("n"),
+      min(col("sec")).as("lo"), max(col("sec")).as("hi"))
+    val agg = df.groupBy(col("event_type")).agg(count(lit(1)).as("k"),
+      min(col("sec")).as("slo"), max(col("sec")).as("shi"))
+    assert(agg.join(sizes, Seq("event_type"))
+      .filter(col("k") =!= expr(s"(n - 2 + ${TimeseriesExt.LttbK - 1}) DIV ${TimeseriesExt.LttbK} + 2"))
+      .count() == 0, "one selection per bucket plus both endpoints")
+    assert(agg.join(sizes, Seq("event_type"))
+      .filter(col("slo") =!= col("lo") || col("shi") =!= col("hi")).count() == 0)
+    // selection is strictly ordered in time per series
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("sel_idx"))
+    assert(df.withColumn("prev", lag(col("sec"), 1).over(w))
+      .filter(col("prev").isNotNull && col("sec") < col("prev")).count() == 0)
+    df.unpersist()
+  }
+
   test("cusum: S non-negative, resets hold, alarms a minority, recurrence verified") {
     val df = TimeseriesExt.cusumChangepoint(spark, sf).cache()
     assert(df.filter(col("s4") < 0).count() == 0)
