@@ -193,6 +193,71 @@ object Multimodal {
                      ELSE 0.0 END AS mean_intensity
          FROM fidx)"""
 
+  /** One ViT-style patch of a decoded frame. */
+  case class Patch(doc_id: Long, frame_idx: Int, patch_row: Int, patch_col: Int,
+      patch_mean: Double)
+
+  val PatchBytes = 16  // 16 patches per 256-byte frame → a 4×4 grid
+
+  /** Patch-grid extraction — the tokenization step of a ViT-style
+    * vision pipeline (frame → fixed grid of patches → per-patch
+    * features): each frame's 256-byte window splits into a 4×4 grid of
+    * 16-byte patches in the SAME partition-batched decode pass as
+    * `mm_decode_frames` (one payload read, patches out — the batch
+    * shape a real codec+tokenizer binding needs). Deterministic fake
+    * byte math, so even this mapPartitions path is hash-verified
+    * against DuckDB's hex-window replica. Empty tail frames/patches
+    * are skipped on both sides. */
+  def patchStub(spark: SparkSession, dir: String): Dataset[Patch] = {
+    import spark.implicits._
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    payloads.mapPartitions { it =>
+      // a real implementation would initialize codec + tokenizer ONCE here
+      it.flatMap { case (docId, bytes) =>
+        val nFrames = 1 + bytes.length / 256
+        (0 until nFrames).iterator.flatMap { f =>
+          (0 until 256 / PatchBytes).iterator.flatMap { p =>
+            val from = f * 256 + p * PatchBytes
+            val until = math.min(from + PatchBytes, bytes.length)
+            if (until <= from) Iterator.empty
+            else {
+              val window = bytes.slice(from, until)
+              val mean = window.map(b => (b & 0xff).toDouble).sum / window.length
+              Iterator.single(Patch(docId, f, p / 4, p % 4,
+                math.floor(mean * 10000) / 10000.0))
+            }
+          }
+        }
+      }
+    }
+  }
+
+  def patchGrid: Q = (s, d) =>
+    patchStub(s, d).toDF()
+      .orderBy(col("doc_id"), col("frame_idx"), col("patch_row"), col("patch_col"))
+
+  val patchGridSql: String =
+    s"""WITH p AS (
+          SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS blen
+          FROM documents),
+        fidx AS (SELECT doc_id, hx, blen, unnest(range(0, 1 + blen // 256)) AS fi FROM p),
+        pidx AS (SELECT doc_id, hx, blen, fi, unnest(range(0, ${256 / PatchBytes})) AS pi
+                 FROM fidx),
+        patches AS (
+          SELECT doc_id, hx, CAST(fi AS INT) AS frame_idx,
+                 CAST(pi // 4 AS INT) AS patch_row, CAST(pi % 4 AS INT) AS patch_col,
+                 fi * 256 + pi * $PatchBytes AS pfrom,
+                 least(fi * 256 + pi * $PatchBytes + $PatchBytes, blen) AS puntil
+          FROM pidx)
+        SELECT doc_id, frame_idx, patch_row, patch_col,
+               floor(list_avg(list_transform(range(pfrom, puntil),
+                 i -> ('0x' || substr(hx, i * 2 + 1, 2))::INT)) * 10000) / 10000.0
+                 AS patch_mean
+        FROM patches WHERE puntil > pfrom
+        ORDER BY doc_id, frame_idx, patch_row, patch_col"""
+
   val decodeFramesSql: String =
     s"""WITH $framesCte
         SELECT doc_id, frame_idx, width, height, mean_intensity
@@ -259,6 +324,7 @@ object Multimodal {
     ("mm_binary_meta", meta, Some(metaSql)),
     ("mm_video_scenes", videoScenes, Some(videoScenesSql)),
     ("mm_frame_dedup", frameDedup, Some(frameDedupSql)),
+    ("mm_patch_grid", patchGrid, Some(patchGridSql)),
     ("mm_decode_frames", decodeFrames, Some(decodeFramesSql)),
     ("mm_resize", resize, Some(resizeSql)),
     ("mm_feature_extract", featureExtract, Some(featureExtractSql)))

@@ -335,7 +335,57 @@ object Reshape {
               round(sum(value), 2) AS value_sum
        FROM events GROUP BY 1, 2 ORDER BY event_date, event_type"""
 
+  /** Generated calendar dimension + fact join — the star-schema date
+    * spine every warehouse keeps: one min/max aggregate seeds a
+    * `sequence` explode (the dimension is GENERATED, never scanned
+    * from facts twice), calendar attributes are per-row functions, and
+    * the daily fact rollup LEFT-joins onto it so gap days surface with
+    * zero orders. Revenue stays in BIGINT cents. */
+  def calendarDim: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val spine = o.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      .select(col("day"), dayofweek(col("day")).as("dow"),
+        month(col("day")).as("month"), quarter(col("day")).as("quarter"),
+        dayofweek(col("day")).isin(1, 7).as("is_weekend"),
+        (dayofmonth(col("day")) === 1).as("is_month_start"))
+    val daily = o.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("revenue_cents"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"), col("dow"), col("month"), col("quarter"),
+        col("is_weekend"), col("is_month_start"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue_cents"), lit(0L)).as("revenue_cents"))
+      .orderBy(col("day"))
+  }
+
+  val calendarDimSql: String =
+    """WITH o AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+                CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+         FROM orders),
+       spine AS (
+         SELECT CAST(unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS DATE) AS day
+         FROM o),
+       attrs AS (
+         SELECT day, CAST(dayofweek(day) + 1 AS INT) AS dow,
+                CAST(month(day) AS INT) AS month, CAST(quarter(day) AS INT) AS quarter,
+                dayofweek(day) IN (0, 6) AS is_weekend,
+                dayofmonth(day) = 1 AS is_month_start
+         FROM spine),
+       daily AS (
+         SELECT day, count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS revenue_cents
+         FROM o GROUP BY 1)
+       SELECT a.day, a.dow, a.month, a.quarter, a.is_weekend, a.is_month_start,
+              coalesce(d.n_orders, 0) AS n_orders,
+              coalesce(d.revenue_cents, 0) AS revenue_cents
+       FROM attrs a LEFT JOIN daily d USING (day)
+       ORDER BY a.day"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_calendar_dim", calendarDim, Some(calendarDimSql)),
     ("q_unpivot_melt", unpivotEventsDaily, Some(unpivotEventsDailySql)),
     ("q_skyline_2d", skyline2d, Some(skyline2dSql)),
     ("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),

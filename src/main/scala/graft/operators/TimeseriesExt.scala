@@ -483,7 +483,49 @@ object TimeseriesExt {
         FROM allsel ORDER BY event_type, sel_idx"""
   }
 
+  // ------------------------------------------------------- alert feed
+
+  /** Unified alert feed — the "alert inbox" a monitoring UI reads: the
+    * CUSUM shift detector and the day-of-week seasonal detector
+    * normalized into one (series, hour, detector, score) stream. A
+    * composition entry in the `tsdb_end_to_end` spirit: both detectors
+    * re-derive from the same hourly rollup inside ONE plan, so the
+    * series-keyed exchange is planned once; scores stay in the
+    * detectors' native exact integers. */
+  def alertFeed: Q = (s, d) => {
+    val cus = cusumChangepoint(s, d)
+      .filter(col("alarm"))
+      .select(col("event_type"), col("hour_sec"),
+        lit("cusum_shift").as("detector"), col("s4").as("score"))
+    val t0 = Tables.events(s, d)
+      .agg(unix_timestamp(to_date(min(col("ts")))).as("d0_sec"))
+    val dow = dowBaseline(s, d).crossJoin(broadcast(t0))
+      .select(col("event_type"),
+        (col("d0_sec") + col("day_nr").cast("long") * 86400
+          + col("hod").cast("long") * 3600).as("hour_sec"),
+        lit("dow_seasonal").as("detector"), abs(col("dev2")).as("score"))
+    cus.unionByName(dow)
+      .orderBy(col("event_type"), col("hour_sec"), col("detector"))
+  }
+
+  val alertFeedSql: String = {
+    // the detectors' proven CTE stacks, unioned into one feed
+    val cusumFeed =
+      s"""SELECT event_type, hour_sec, 'cusum_shift' AS detector, s4 AS score
+          FROM (${cusumChangepointSql.replace("ORDER BY event_type, hour_sec", "")}) c
+          WHERE alarm"""
+    val dowFeed =
+      s"""SELECT f.event_type,
+                 t0.d0_sec + f.day_nr * 86400 + f.hod * 3600 AS hour_sec,
+                 'dow_seasonal' AS detector, CAST(abs(f.dev2) AS BIGINT) AS score
+          FROM (${dowBaselineSql.replace("ORDER BY h.event_type, h.day_nr, h.hod", "")}) f,
+               (SELECT CAST(epoch(CAST(min(ts) AS DATE)) AS BIGINT) AS d0_sec FROM events) t0"""
+    s"""SELECT * FROM ($cusumFeed UNION ALL $dowFeed) u
+        ORDER BY event_type, hour_sec, detector"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("metrics_alert_feed", alertFeed, Some(alertFeedSql)),
     ("metrics_downsample_lttb", downsampleLttb, Some(downsampleLttbSql)),
     ("metrics_cusum_changepoint", cusumChangepoint, Some(cusumChangepointSql)),
     ("metrics_time_weighted_avg", timeWeightedAvg, Some(timeWeightedAvgSql)),

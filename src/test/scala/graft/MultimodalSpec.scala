@@ -55,4 +55,33 @@ class MultimodalSpec extends SparkTestBase {
     assert(df.count() == graft.sources.Tables.documents(spark, sf).count())
     df.unpersist()
   }
+
+  test("patch grid: 4x4 grid per full frame, means bounded by byte range") {
+    import org.apache.spark.sql.functions._
+    val df = Multimodal.patchGrid(spark, sf).cache()
+    assert(df.filter(col("patch_mean") < 0 || col("patch_mean") > 255).count() == 0)
+    assert(df.filter(col("patch_row") < 0 || col("patch_row") > 3
+      || col("patch_col") < 0 || col("patch_col") > 3).count() == 0)
+    // full frames carry exactly 16 patches; the tail frame may be partial
+    val perFrame = df.groupBy(col("doc_id"), col("frame_idx")).agg(count(lit(1)).as("k"))
+    assert(perFrame.filter(col("k") > 16).count() == 0)
+    // frame mean equals the patch-weighted mean for full frames (16 x 16 bytes):
+    // every full frame's patches must average within truncation error of its frame
+    val frames = Multimodal.decodeStub(spark, sf).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("mean_intensity"))
+    // complete frames only: all 256 bytes present, so every patch is
+    // exactly 16 bytes and the simple patch average equals the frame mean
+    val fullFrames = Multimodal.meta(spark, sf)
+      .select(col("doc_id"), col("byte_len"),
+        explode(expr("sequence(0, n_frames - 1)")).as("frame_idx"))
+      .filter((col("frame_idx") + 1) * 256 <= col("byte_len"))
+      .select(col("doc_id"), col("frame_idx"))
+    val joined = df.join(fullFrames, Seq("doc_id", "frame_idx"))
+      .groupBy(col("doc_id"), col("frame_idx"))
+      .agg(avg(col("patch_mean")).as("pmean"))
+      .join(frames, Seq("doc_id", "frame_idx"))
+      .filter(abs(col("pmean") - col("mean_intensity")) > 0.01)
+    assert(joined.count() == 0)
+    df.unpersist()
+  }
 }

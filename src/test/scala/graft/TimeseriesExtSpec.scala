@@ -134,4 +134,17 @@ class TimeseriesExtSpec extends SparkTestBase {
     assert(bad.count() == 0)
     df.unpersist()
   }
+
+  test("alert feed: normalized union of the two detectors, scores positive") {
+    val df = TimeseriesExt.alertFeed(spark, sf).cache()
+    assert(df.filter(col("score") < 0).count() == 0)
+    val byDet = df.groupBy(col("detector")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cusum = TimeseriesExt.cusumChangepoint(spark, sf)
+      .filter(col("alarm")).count()
+    val dow = TimeseriesExt.dowBaseline(spark, sf).count()
+    assert(byDet.getOrElse("cusum_shift", 0L) == cusum)
+    assert(byDet.getOrElse("dow_seasonal", 0L) == dow)
+    df.unpersist()
+  }
 }
