@@ -648,7 +648,125 @@ object Affinity {
                rate_flag::INT + sweep_flag::INT + regular_flag::INT >= 2 AS is_bot
         FROM f ORDER BY user_id"""
 
+  // ------------------------------------------- sliding distinct users
+
+  val SlideDays = 7
+
+  /** Trailing-7-day distinct users per day — `COUNT(DISTINCT) OVER
+    * (RANGE 6 PRECEDING)`, which Spark (and most engines) cannot
+    * evaluate natively — via interval decomposition: a user active on
+    * day t is counted on days [t, t+6], so per user the active-day set
+    * becomes MERGED contribution intervals (gaps ≤ 6 fuse — one
+    * user-keyed gaps-and-islands pass), each interval one ±1 delta
+    * pair, and the answer is a prefix sum over the day spine. Work is
+    * O(|user-days|), never |days|×|users|, and the only non-keyed
+    * state is the |days|-row delta table. Pure integers. */
+  def slidingDistinctUsers: Q = (s, d) => {
+    val w = SlideDays - 1
+    val ud = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_timestamp(date_trunc('second', ts)) DIV 86400").as("day_nr"))
+      .distinct()
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("day_nr"))
+    val intervals = ud
+      .withColumn("prev_max", max(col("day_nr")).over(
+        wU.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max").isNull || col("day_nr") > col("prev_max") + w, 1).otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(
+        wU.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("day_nr")).as("lo"), (max(col("day_nr")) + w).as("hi"))
+    val deltas = intervals.select(col("lo").as("day_nr"), lit(1L).as("delta"))
+      .unionByName(intervals.select((col("hi") + 1).as("day_nr"), lit(-1L).as("delta")))
+      .groupBy(col("day_nr")).agg(sum(col("delta")).as("delta"))
+    val spine = ud.agg(min(col("day_nr")).as("d0"), max(col("day_nr")).as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day_nr"))
+    spine.join(deltas, Seq("day_nr"), "left")
+      .withColumn("distinct_users_7d",
+        sum(coalesce(col("delta"), lit(0L))).over(
+          Window.orderBy(col("day_nr"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("day_nr"), col("distinct_users_7d"))
+      .orderBy(col("day_nr"))
+  }
+
+  val slidingDistinctUsersSql: String = {
+    val w = SlideDays - 1
+    s"""WITH ud AS (
+          SELECT DISTINCT user_id,
+                 CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day_nr
+          FROM events),
+        isl AS (
+          SELECT user_id, island, min(day_nr) AS lo, max(day_nr) + $w AS hi
+          FROM (
+            SELECT user_id, day_nr,
+                   sum(CASE WHEN prev_max IS NULL OR day_nr > prev_max + $w
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY day_nr
+                       ROWS UNBOUNDED PRECEDING) AS island
+            FROM (SELECT user_id, day_nr,
+                         max(day_nr) OVER (PARTITION BY user_id ORDER BY day_nr
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+                  FROM ud))
+          GROUP BY user_id, island),
+        deltas AS (
+          SELECT day_nr, CAST(sum(delta) AS BIGINT) AS delta FROM (
+            SELECT lo AS day_nr, 1 AS delta FROM isl
+            UNION ALL SELECT hi + 1, -1 FROM isl)
+          GROUP BY 1),
+        spine AS (
+          SELECT unnest(generate_series(min(day_nr), max(day_nr))) AS day_nr FROM ud)
+        SELECT s.day_nr,
+               CAST(sum(coalesce(d.delta, 0)) OVER (ORDER BY s.day_nr
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_users_7d
+        FROM spine s LEFT JOIN deltas d USING (day_nr)
+        ORDER BY s.day_nr"""
+  }
+
+  // ------------------------------------------------------ Pareto curve
+
+  val ParetoBuckets = 10
+
+  /** Activity concentration (Lorenz/Pareto): users ranked by event
+    * count into deciles, cumulative event share per decile — the
+    * "top 10% of users drive X% of traffic" read. The ranking runs
+    * over the per-user AGGREGATE (an accounts-sized table, not the
+    * event corpus); shares are integers until one floored division,
+    * and the cumulative sum is a window over 10 rows. */
+  def paretoShare: Q = (s, d) => {
+    val perUser = Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val ranked = perUser.withColumn("bucket",
+      ntile(ParetoBuckets).over(Window.orderBy(col("n").desc, col("user_id"))))
+    val tot = ranked.agg(sum(col("n")).as("total"))
+    ranked.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_events", sum(col("n_events")).over(
+        Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("bucket"), col("n_users"), col("n_events"),
+        (floor(col("cum_events") * lit(10000) / col("total")) / 1e4).as("cum_share"))
+      .orderBy(col("bucket"))
+  }
+
+  val paretoShareSql: String =
+    s"""WITH u AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        r AS (SELECT user_id, n,
+                     ntile($ParetoBuckets) OVER (ORDER BY n DESC, user_id) AS bucket
+              FROM u),
+        b AS (SELECT bucket, count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_events
+              FROM r GROUP BY 1),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM u)
+        SELECT CAST(bucket AS INT) AS bucket, n_users, n_events,
+               floor(CAST(sum(n_events) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) * 10000 / total) / 1e4 AS cum_share
+        FROM b CROSS JOIN t
+        ORDER BY bucket"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_sliding_distinct_users", slidingDistinctUsers, Some(slidingDistinctUsersSql)),
+    ("events_pareto_share", paretoShare, Some(paretoShareSql)),
     ("events_bot_score", botScore, Some(botScoreSql)),
     ("q_weighted_percentile", weightedPercentile, Some(weightedPercentileSql)),
     ("q_time_to_convert", timeToConvert, Some(timeToConvertSql)),

@@ -131,6 +131,36 @@ class AffinitySpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("sliding distinct users: matches the brute-force window count exactly") {
+    val df = Affinity.slidingDistinctUsers(spark, sf).cache()
+    // brute force: explode each active (user, day) into its 7 covered days
+    val w = Affinity.SlideDays - 1
+    val brute = Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("unix_timestamp(date_trunc('second', ts)) DIV 86400").as("d"))
+      .distinct()
+      .select(col("user_id"), explode(expr(s"sequence(d, d + $w)")).as("day_nr"))
+      .groupBy(col("day_nr"))
+      .agg(countDistinct(col("user_id")).as("want"))
+    val bad = df.join(brute, Seq("day_nr"))
+      .filter(col("distinct_users_7d") =!= col("want"))
+    assert(bad.count() == 0, "interval decomposition must equal brute force")
+    df.unpersist()
+  }
+
+  test("pareto: deciles cover all users, cumulative share monotone to 1.0") {
+    val df = Affinity.paretoShare(spark, sf).cache()
+    assert(df.count() == Affinity.ParetoBuckets)
+    val users = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(df.agg(sum(col("n_users"))).head.getLong(0) == users)
+    val shares = df.orderBy(col("bucket")).select(col("cum_share")).collect().map(_.getDouble(0))
+    assert(shares.zip(shares.drop(1)).forall { case (a, b) => a <= b })
+    assert(math.abs(shares.last - 1.0) < 1e-3)
+    // first decile (heaviest users) holds at least its proportional share
+    assert(shares.head >= 0.1 - 1e-9)
+    df.unpersist()
+  }
+
   test("bot score: one row per user, flags consistent with raw stats") {
     val df = Affinity.botScore(spark, sf).cache()
     val users = Tables.events(spark, sf).select(col("user_id")).distinct().count()
