@@ -136,7 +136,108 @@ object Graph {
        SELECT degree, count(*) AS n_nodes
        FROM deg GROUP BY degree ORDER BY degree"""
 
+  /** Undirected page-similarity edges: the top-100 co-visitation pairs
+    * from `graph_node_similarity`, both directions — a small derived
+    * graph whose construction is itself oracle-proven. */
+  private def pageEdges(s: SparkSession, d: String): DataFrame = {
+    val pairs = Affinity.nodeSimilarity(s, d)
+      .select(col("page_a").cast("long").as("a"), col("page_b").cast("long").as("b"))
+    pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  /** The same edge set in SQL, for the unrolled oracles. */
+  private val pageEdgesCte: String =
+    s"""sim AS (${graft.operators.Affinity.nodeSimilaritySql.replace("ORDER BY rk", "")}),
+        e AS (SELECT CAST(page_a AS BIGINT) AS src, CAST(page_b AS BIGINT) AS dst FROM sim
+              UNION ALL
+              SELECT CAST(page_b AS BIGINT), CAST(page_a AS BIGINT) FROM sim)"""
+
+  val LpaRounds = 5
+
+  /** Synchronous label propagation communities (Raghavan 2007) over
+    * the page-similarity graph: labels start as node ids; each round
+    * every node adopts the most frequent label among its neighbors
+    * (tie → smallest label — `max(struct(cnt, −label))` makes the
+    * argmax total and engine-exact). Pregel-on-DataFrame like
+    * `graph_pagerank`: each round is ONE join + TWO aggregations on
+    * the node key, `localCheckpoint` cuts lineage; all integers. The
+    * oracle unrolls the same 5 rounds as plain CTEs. */
+  def communitiesLpa: Q = (sp, d) => {
+    val e = pageEdges(sp, d).localCheckpoint()
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    for (_ <- 1 to LpaRounds) {
+      labels = labels
+        .join(e, col("node") === col("src"))
+        .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst")).agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("lab"))
+        .localCheckpoint()
+    }
+    val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("community_size"))
+    labels.join(broadcast(sizes), Seq("lab"))
+      .select(col("node").as("page"), col("lab").as("community"), col("community_size"))
+      .orderBy(col("page"))
+  }
+
+  val communitiesLpaSql: String = {
+    val clean = (1 to LpaRounds).map { i =>
+      s"""l$i AS (
+            SELECT dst AS node, -(max({'c': cnt, 'nl': -lab})).nl AS lab
+            FROM (SELECT e.dst, l.lab, count(*) AS cnt
+                  FROM l${i - 1} l JOIN e ON l.node = e.src
+                  GROUP BY e.dst, l.lab)
+            GROUP BY dst)"""
+    }.mkString(",\n")
+    s"""WITH $pageEdgesCte,
+        l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+        $clean,
+        sizes AS (SELECT lab, count(*) AS community_size FROM l$LpaRounds GROUP BY lab)
+        SELECT l.node AS page, l.lab AS community, s.community_size
+        FROM l$LpaRounds l JOIN sizes s USING (lab)
+        ORDER BY page"""
+  }
+
+  val BfsMaxHops = 6
+
+  /** Single-source BFS shortest paths (≤ 6 hops) from the graph's
+    * smallest node id — frontier expansion as iterative DataFrame
+    * joins with a min-dist fold per round (dedup keeps the frontier
+    * ≤ |nodes|, so rounds cost one join + one agg each regardless of
+    * path multiplicity). The oracle enumerates bounded walks with a
+    * recursive CTE and takes min(hops) — path-explosion is fine at
+    * oracle scale and proves the iterative fold equals the textbook
+    * definition. */
+  def bfsDistance: Q = (sp, d) => {
+    val e = pageEdges(sp, d).localCheckpoint()
+    val src0 = e.agg(min(col("src")).as("s")).head.getLong(0)
+    var dist = e.sparkSession.range(1).select(lit(src0).as("node"), lit(0L).as("dist"))
+    for (_ <- 1 to BfsMaxHops) {
+      val next = dist.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      dist = dist.unionByName(next)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist.orderBy(col("node"))
+  }
+
+  val bfsDistanceSql: String =
+    s"""WITH RECURSIVE $pageEdgesCte,
+        s0 AS (SELECT min(src) AS s FROM e),
+        walk AS (
+          SELECT s AS node, CAST(0 AS BIGINT) AS d FROM s0
+          UNION ALL
+          SELECT e.dst, walk.d + 1
+          FROM walk JOIN e ON e.src = walk.node
+          WHERE walk.d < $BfsMaxHops)
+        SELECT node, CAST(min(d) AS BIGINT) AS dist
+        FROM walk GROUP BY node ORDER BY node"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("graph_pagerank", pagerank, Some(pagerankSql)),
+    ("graph_communities_lpa", communitiesLpa, Some(communitiesLpaSql)),
+    ("graph_bfs_distance", bfsDistance, Some(bfsDistanceSql)),
     ("graph_degree_histogram", degreeHistogram, Some(degreeHistogramSql)))
 }

@@ -33,4 +33,33 @@ class GraphSpec extends SparkTestBase {
     assert(totalNodes == ranked, "every ranked node has a degree bucket")
     df.unpersist()
   }
+
+  test("LPA communities: every node labeled with an existing node id, sizes consistent") {
+    val df = Graph.communitiesLpa(spark, sf).cache()
+    val nodes = df.select(col("page")).distinct().count()
+    assert(df.count() == nodes, "one row per node")
+    // labels are node ids from the same graph
+    assert(df.join(df.select(col("page").as("community")).distinct(),
+      Seq("community"), "left_anti").count() == 0)
+    // reported sizes match actual community populations
+    val sizes = df.groupBy(col("community")).agg(count(lit(1)).as("n"))
+    assert(df.join(sizes, Seq("community"))
+      .filter(col("community_size") =!= col("n")).count() == 0)
+    df.unpersist()
+  }
+
+  test("BFS distances: triangle inequality over edges, source at zero") {
+    val df = Graph.bfsDistance(spark, sf).cache()
+    assert(df.filter(col("dist") === 0).count() == 1, "exactly one source")
+    assert(df.filter(col("dist") < 0 || col("dist") > Graph.BfsMaxHops).count() == 0)
+    // for every edge (u,v) with both endpoints reachable: |d(u)-d(v)| <= 1
+    val sim = graft.operators.Affinity.nodeSimilarity(spark, sf)
+      .select(col("page_a").cast("long").as("u"), col("page_b").cast("long").as("v"))
+    val du = df.select(col("node").as("u"), col("dist").as("d_u"))
+    val dv = df.select(col("node").as("v"), col("dist").as("d_v"))
+    val bad = sim.join(du, Seq("u")).join(dv, Seq("v"))
+      .filter(abs(col("d_u") - col("d_v")) > 1)
+    assert(bad.count() == 0, "adjacent nodes differ by at most one hop")
+    df.unpersist()
+  }
 }
