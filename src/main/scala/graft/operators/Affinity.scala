@@ -764,7 +764,96 @@ object Affinity {
         FROM b CROSS JOIN t
         ORDER BY bucket"""
 
+  // ------------------------------------------------- null-skew join
+
+  /** Outer join with a null-heavy key, rewritten for scale: a LEFT
+    * JOIN hashes every row by key, so at 100 TB the null rows — here
+    * half the fact table, in real telemetry often most of it — all
+    * land on ONE reducer. The rewrite routes null-key rows around the
+    * join entirely (they can never match) and unions them back; each
+    * side's filter pushes into its scan. The oracle runs the plain
+    * LEFT JOIN, so the hash match proves rewrite ≡ naive join. */
+  def nullSkewJoin: Q = (s, d) => {
+    val fact = Tables.events(s, d)
+      .select(col("event_id"),
+        when(get_json_object(col("props"), "$.k").cast("int") < 50,
+          get_json_object(col("props"), "$.k").cast("int")).as("k_null"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val dim = Tables.events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("page")).distinct()
+      .filter(col("page") < 50)
+      .select(col("page"), (col("page") % 7).as("page_group"))
+    val matched = fact.filter(col("k_null").isNotNull)
+      .join(broadcast(dim), col("k_null") === col("page"), "left")
+      .select(col("event_id"), col("k_null"), col("page_group"), col("cents"))
+    val nulls = fact.filter(col("k_null").isNull)
+      .select(col("event_id"), col("k_null"), lit(null).cast("int").as("page_group"),
+        col("cents"))
+    matched.unionByName(nulls).orderBy(col("event_id"))
+  }
+
+  val nullSkewJoinSql: String =
+    """WITH fact AS (
+         SELECT event_id,
+                CASE WHEN json_extract(props, '$.k')::INT < 50
+                     THEN json_extract(props, '$.k')::INT END AS k_null,
+                CAST(floor(value * 100) AS BIGINT) AS cents
+         FROM events),
+       dim AS (
+         SELECT page, CAST(page % 7 AS INT) AS page_group FROM (
+           SELECT DISTINCT json_extract(props, '$.k')::INT AS page FROM events)
+         WHERE page < 50)
+       SELECT f.event_id, f.k_null, d.page_group, f.cents
+       FROM fact f LEFT JOIN dim d ON f.k_null = d.page
+       ORDER BY f.event_id"""
+
+  // ------------------------------------------------ chi-square test
+
+  /** Chi-square independence test (event type × day of week) — "is
+    * traffic mix stable across weekdays": per-cell terms
+    * (o·t − r·c)²/(r·c·t) with the numerator difference computed in
+    * exact BIGINT and squared only after an exact cast to double
+    * (|o·t − r·c| < 2⁵³ always; squaring in BIGINT could overflow at
+    * large t, doubles can't). Marginals come from windows over the
+    * |types|×|dows| aggregate — KBs at any scale. Per-cell output, no
+    * cross-cell float sum to order. */
+  def chi2Independence: Q = (s, d) => {
+    val cells = Tables.events(s, d)
+      .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+      .agg(count(lit(1)).as("o"))
+    val wAll = Window.partitionBy()
+    val wRow = Window.partitionBy(col("event_type"))
+    val wCol = Window.partitionBy(col("dow"))
+    cells
+      .withColumn("t", sum(col("o")).over(wAll))
+      .withColumn("r", sum(col("o")).over(wRow))
+      .withColumn("c", sum(col("o")).over(wCol))
+      .select(col("event_type"), col("dow"), col("o"),
+        (floor((col("o") * col("t") - col("r") * col("c")).cast("double")
+          * (col("o") * col("t") - col("r") * col("c")).cast("double")
+          / (col("r") * col("c") * col("t")).cast("double") * 1e6) / 1e6)
+          .as("chi2_term"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  val chi2IndependenceSql: String =
+    """WITH cells AS (
+         SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow, count(*) AS o
+         FROM events GROUP BY 1, 2),
+       m AS (
+         SELECT event_type, dow, o,
+                CAST(sum(o) OVER () AS BIGINT) AS t,
+                CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+                CAST(sum(o) OVER (PARTITION BY dow) AS BIGINT) AS c
+         FROM cells)
+       SELECT event_type, dow, o,
+              floor(CAST(o * t - r * c AS DOUBLE) * CAST(o * t - r * c AS DOUBLE)
+                    / CAST(r * c * t AS DOUBLE) * 1e6) / 1e6 AS chi2_term
+       FROM m ORDER BY event_type, dow"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_null_skew_join", nullSkewJoin, Some(nullSkewJoinSql)),
+    ("q_chi2_independence", chi2Independence, Some(chi2IndependenceSql)),
     ("q_sliding_distinct_users", slidingDistinctUsers, Some(slidingDistinctUsersSql)),
     ("events_pareto_share", paretoShare, Some(paretoShareSql)),
     ("events_bot_score", botScore, Some(botScoreSql)),

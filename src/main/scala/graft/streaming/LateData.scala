@@ -92,6 +92,47 @@ object LateData {
       .agg(count(lit(1)).as("n_accepted"))
       .select(col("window.start").as("wstart"), col("n_accepted"))
 
+  // ---------------------------------------------------- hopping window
+
+  val HopSlideSec = 900L   // 15-min slide
+  val HopSizeSec = 3600L   // 1-h window → every event lands in 4 windows
+
+  /** Hopping (sliding) window aggregation — the overlap semantics
+    * tumbling windows can't give ("the last hour, refreshed every 15
+    * minutes"): Spark's native `window(ts, '1 hour', '15 minutes')`
+    * assigns each event to size/slide = 4 windows. The oracle
+    * reproduces the assignment rule explicitly (starts at
+    * (sec÷slide − k)·slide for k < size/slide), proving the native
+    * operator's window arithmetic. Counts and cent sums are integers.
+    * The streaming form is the same expression under a watermark —
+    * `stream_events_window`'s parity already covers that machinery. */
+  def hoppingWindowBatch: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100).cast("long")).as("cents_sum"))
+      .select(unix_timestamp(col("window.start")).as("wstart_sec"),
+        col("event_type"), col("n_events"), col("cents_sum"))
+      .orderBy(col("wstart_sec"), col("event_type"))
+  }
+
+  val hoppingWindowSql: String = {
+    val hops = HopSizeSec / HopSlideSec
+    s"""WITH e AS (
+          SELECT event_type,
+                 CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+                 CAST(floor(value * 100) AS BIGINT) AS v_c
+          FROM events),
+        hopped AS (
+          SELECT event_type, v_c,
+                 (sec // $HopSlideSec - k.k) * $HopSlideSec AS wstart_sec
+          FROM e, LATERAL (SELECT unnest(range(0, $hops)) AS k) k)
+        SELECT CAST(wstart_sec AS BIGINT) AS wstart_sec, event_type,
+               count(*) AS n_events, CAST(sum(v_c) AS BIGINT) AS cents_sum
+        FROM hopped GROUP BY 1, 2 ORDER BY wstart_sec, event_type"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
-    ("stream_late_data", lateDataBatch, Some(lateDataSql)))
+    ("stream_late_data", lateDataBatch, Some(lateDataSql)),
+    ("stream_hopping_window", hoppingWindowBatch, Some(hoppingWindowSql)))
 }

@@ -161,6 +161,26 @@ class AffinitySpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("null-skew join: all rows preserved, nulls routed around the join") {
+    val df = Affinity.nullSkewJoin(spark, sf).cache()
+    assert(df.count() == Tables.events(spark, sf).count())
+    // null keys never acquire a dimension attribute
+    assert(df.filter(col("k_null").isNull && col("page_group").isNotNull).count() == 0)
+    // non-null keys under 50 always match (dim is built from the same domain)
+    assert(df.filter(col("k_null").isNotNull && col("page_group").isNull).count() == 0)
+    // the rewrite really is a union of a join branch and a pass-through branch
+    val p = plan("q_null_skew_join")
+    assert(p.contains("Union"), "null rows must bypass the join via a union branch")
+    df.unpersist()
+  }
+
+  test("chi2: non-negative terms, marginals consistent") {
+    val df = Affinity.chi2Independence(spark, sf).cache()
+    assert(df.filter(col("chi2_term") < 0).count() == 0)
+    assert(df.agg(sum(col("o"))).head.getLong(0) == Tables.events(spark, sf).count())
+    df.unpersist()
+  }
+
   test("bot score: one row per user, flags consistent with raw stats") {
     val df = Affinity.botScore(spark, sf).cache()
     val users = Tables.events(spark, sf).select(col("user_id")).distinct().count()

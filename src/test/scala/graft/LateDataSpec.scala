@@ -19,6 +19,17 @@ class LateDataSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("hopping window: every event lands in exactly size/slide windows") {
+    import org.apache.spark.sql.functions._
+    val df = LateData.hoppingWindowBatch(spark, sf).cache()
+    val events = graft.sources.Tables.events(spark, sf).count()
+    val hops = LateData.HopSizeSec / LateData.HopSlideSec
+    assert(df.agg(sum(col("n_events"))).head.getLong(0) == events * hops)
+    // window starts align to the slide
+    assert(df.filter(pmod(col("wstart_sec"), lit(LateData.HopSlideSec)) =!= 0).count() == 0)
+    df.unpersist()
+  }
+
   test("streaming run accepts exactly the rows the batch twin predicts") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
