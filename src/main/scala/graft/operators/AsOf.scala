@@ -208,7 +208,68 @@ object AsOf {
         WHERE side = 1 AND epoch(ts) - epoch(click_ts) <= $ToleranceSeconds
         ORDER BY event_id"""
 
+  /** Nearest-neighbor as-of — the direction-free variant that
+    * completes the family (backward / forward / tolerance / nearest):
+    * each purchase matches its closest click in EITHER direction, ties
+    * to the earlier (backward) side. Both directional candidates come
+    * from TWO window frames over ONE ordering — same-ts clicks sort
+    * before the purchase, so they land in the backward frame (standard
+    * inclusive-past rule) and the forward frame is strictly-after.
+    * Still a single user-keyed exchange; distances are exact integer
+    * microseconds. */
+  def asofNearest: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "click", 0).otherwise(1).as("side"))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+    val back = max(when(col("side") === 0, col("ts")))
+      .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    val fwd = min(when(col("side") === 0, col("ts")))
+      .over(ord.rowsBetween(1, Window.unboundedFollowing))
+    e.withColumn("back_ts", back).withColumn("fwd_ts", fwd)
+      .filter(col("side") === 1 && (col("back_ts").isNotNull || col("fwd_ts").isNotNull))
+      .withColumn("db", unix_micros(col("ts")) - unix_micros(col("back_ts")))
+      .withColumn("df", unix_micros(col("fwd_ts")) - unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("df").isNull || (col("db").isNotNull && col("db") <= col("df")),
+          col("back_ts")).otherwise(col("fwd_ts")).as("nearest_click_ts"),
+        when(col("df").isNull || (col("db").isNotNull && col("db") <= col("df")),
+          lit("backward")).otherwise(lit("forward")).as("direction"),
+        least(coalesce(col("db"), col("df")), coalesce(col("df"), col("db"))).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofNearestSql: String =
+    """WITH e AS (
+         SELECT event_id, user_id, ts,
+                CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+         FROM events WHERE event_type IN ('click', 'purchase')),
+       w AS (
+         SELECT event_id, user_id, ts, side,
+                max(CASE WHEN side = 0 THEN ts END) OVER
+                  (PARTITION BY user_id ORDER BY ts, side, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS back_ts,
+                min(CASE WHEN side = 0 THEN ts END) OVER
+                  (PARTITION BY user_id ORDER BY ts, side, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fwd_ts
+         FROM e),
+       g AS (
+         SELECT event_id, user_id, ts, back_ts, fwd_ts,
+                epoch_us(ts) - epoch_us(back_ts) AS db,
+                epoch_us(fwd_ts) - epoch_us(ts) AS df
+         FROM w WHERE side = 1 AND (back_ts IS NOT NULL OR fwd_ts IS NOT NULL))
+       SELECT event_id, user_id, ts,
+              CASE WHEN df IS NULL OR (db IS NOT NULL AND db <= df)
+                   THEN back_ts ELSE fwd_ts END AS nearest_click_ts,
+              CASE WHEN df IS NULL OR (db IS NOT NULL AND db <= df)
+                   THEN 'backward' ELSE 'forward' END AS direction,
+              CAST(least(coalesce(db, df), coalesce(df, db)) AS BIGINT) AS gap_us
+       FROM g ORDER BY event_id"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("asof_nearest", asofNearest, Some(asofNearestSql)),
     ("asof_join", asofJoin, Some(asofJoinSql)),
     ("asof_join_forward", asofJoinForward, Some(asofJoinForwardSql)),
     ("asof_tolerance", asofTolerance, Some(asofToleranceSql)),

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Bin-bucketed range join — point-in-interval matching with NO equi
@@ -70,6 +71,74 @@ object RangeJoin {
        GROUP BY p.event_id, p.p_sec
        ORDER BY p.event_id"""
 
+  /** Interval×interval OVERLAP join — the general form of
+    * `range_join_binned`'s point-in-range: user sessions against
+    * "incident" windows (hours whose error count exceeds the p90 of
+    * hourly error counts — a data-derived threshold, so every scale
+    * produces incidents). Sessions explode into the hour bins they
+    * span (bounded fanout: span/3600 + 1), the join is EQUI on the
+    * bin with the overlap test as a residual, and duplicates from
+    * multi-bin spans collapse on the pair key. The oracle runs the
+    * naive theta join, proving binned ≡ quadratic. Overlap lengths in
+    * integer seconds (inclusive bounds). */
+  def intervalOverlapJoin: Q = (s, d) => {
+    val gap = AsOf.GapSeconds
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("new_session",
+        when(unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(ord)) > gap
+          || lag(col("ts"), 1).over(ord).isNull, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("new_session")).over(ord))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(unix_timestamp(date_trunc("second", min(col("ts")))).as("lo"),
+        unix_timestamp(date_trunc("second", max(col("ts")))).as("hi"))
+    val hourly = Tables.events(s, d).filter(col("event_type") === "error")
+      .groupBy(expr("(unix_timestamp(date_trunc('second', ts)) DIV 3600) * 3600").as("h"))
+      .agg(count(lit(1)).as("n_err"))
+    val thresh = hourly.agg(expr("percentile(n_err, 0.9e0)").as("p90"))
+    val incidents = hourly.crossJoin(broadcast(thresh))
+      .filter(col("n_err") > col("p90"))
+      .select(col("h"), (col("h") + 3599).as("h_end"))
+    val binned = sess
+      .select(col("user_id"), col("session_idx"), col("lo"), col("hi"),
+        explode(expr("sequence(lo DIV 3600, hi DIV 3600)")).as("hbin"))
+    binned.join(incidents, col("hbin") * 3600 === col("h")
+        && col("lo") <= col("h_end") && col("h") <= col("hi"))
+      .select(col("user_id"), col("lo").as("session_lo"), col("h").as("incident_h"),
+        (least(col("hi"), col("h_end")) - greatest(col("lo"), col("h")) + 1).as("overlap_sec"))
+      .distinct()
+      .orderBy(col("user_id"), col("session_lo"), col("incident_h"))
+  }
+
+  val intervalOverlapJoinSql: String =
+    s"""WITH e AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) > ${AsOf.GapSeconds}
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id,
+                 CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS lo,
+                 CAST(epoch(date_trunc('second', max(ts))) AS BIGINT) AS hi
+          FROM (SELECT user_id, ts,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM e)
+          GROUP BY user_id, session_idx),
+        hourly AS (
+          SELECT (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600) * 3600 AS h,
+                 count(*) AS n_err
+          FROM events WHERE event_type = 'error' GROUP BY 1),
+        t AS (SELECT quantile_cont(n_err, 0.9) AS p90 FROM hourly),
+        inc AS (SELECT h, h + 3599 AS h_end FROM hourly CROSS JOIN t WHERE n_err > p90)
+        SELECT DISTINCT s.user_id, s.lo AS session_lo, i.h AS incident_h,
+               least(s.hi, i.h_end) - greatest(s.lo, i.h) + 1 AS overlap_sec
+        FROM sess s JOIN inc i ON s.lo <= i.h_end AND i.h <= s.hi
+        ORDER BY s.user_id, session_lo, incident_h"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_interval_overlap_join", intervalOverlapJoin, Some(intervalOverlapJoinSql)),
     ("range_join_binned", rangeJoinBinned, Some(rangeJoinBinnedSql)))
 }
