@@ -258,6 +258,96 @@ object Multimodal {
         FROM patches WHERE puntil > pfrom
         ORDER BY doc_id, frame_idx, patch_row, patch_col"""
 
+  /** A frame's 16-bit perceptual hash, from integer byte sums. */
+  case class PHash(doc_id: Long, frame_idx: Int, phash: Long)
+
+  val PhashMaxHamming = 2
+
+  /** Perceptual-hash near-dup detection across documents — the
+    * multimodal twin of `dedup_simhash`: each FULL 256-byte frame gets
+    * a 16-bit aHash (bit p set iff patch p's byte sum beats the frame
+    * mean — compared as psum·16 > fsum, pure integers, so the hash is
+    * engine-exact), then banded LSH (two 8-bit bands; Hamming ≤ 2
+    * pairs must agree on ≥ 1 band) turns all-pairs into two equi-joins,
+    * and `bit_count(xor)` re-ranks candidates exactly. Same
+    * partition-batched decode pass as the other frame ops. */
+  def phashStub(spark: SparkSession, dir: String): Dataset[PHash] = {
+    import spark.implicits._
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    payloads.mapPartitions { it =>
+      it.flatMap { case (docId, bytes) =>
+        val nFull = bytes.length / 256
+        (0 until nFull).iterator.map { f =>
+          val psums = Array.tabulate(16) { p =>
+            bytes.slice(f * 256 + p * 16, f * 256 + p * 16 + 16)
+              .map(b => (b & 0xff).toLong).sum
+          }
+          val fsum = psums.sum
+          val h = psums.zipWithIndex.foldLeft(0L) { case (acc, (ps, p)) =>
+            if (ps * 16 > fsum) acc | (1L << p) else acc
+          }
+          PHash(docId, f, h)
+        }
+      }
+    }
+  }
+
+  def phashDedup: Q = (s, d) => {
+    val hashes = phashStub(s, d).toDF()
+      .withColumn("band_hi", expr("phash DIV 256"))
+      .withColumn("band_lo", expr("phash % 256"))
+    def cand(band: String) = {
+      val a = hashes.select(col("doc_id").as("doc_a"), col("frame_idx").as("frame_a"),
+        col("phash").as("phash_a"), col(band).as("b"))
+      val bdf = hashes.select(col("doc_id").as("doc_b"), col("frame_idx").as("frame_b"),
+        col("phash").as("phash_b"), col(band).as("b"))
+      a.join(bdf, Seq("b")).filter(col("doc_a") < col("doc_b"))
+        .drop("b")
+    }
+    cand("band_hi").unionByName(cand("band_lo")).distinct()
+      .withColumn("hamming", expr("bit_count(phash_a ^ phash_b)"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .select(col("doc_a"), col("frame_a"), col("doc_b"), col("frame_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("frame_a"), col("doc_b"), col("frame_b"))
+  }
+
+  val phashDedupSql: String =
+    s"""WITH p AS (
+          SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS blen
+          FROM documents),
+        fr AS (SELECT doc_id, hx, unnest(range(0, blen // 256)) AS fi FROM p),
+        ps AS (
+          SELECT doc_id, fi, pi,
+                 list_sum(list_transform(range(fi * 256 + pi * 16, fi * 256 + pi * 16 + 16),
+                   i -> ('0x' || substr(hx, i * 2 + 1, 2))::BIGINT)) AS psum
+          FROM (SELECT doc_id, hx, fi, unnest(range(0, 16)) AS pi FROM fr)),
+        ps2 AS (
+          SELECT doc_id, fi, pi, psum,
+                 sum(psum) OVER (PARTITION BY doc_id, fi) AS fsum
+          FROM ps),
+        h AS (
+          SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+                 CAST(sum(CASE WHEN psum * 16 > fsum THEN 1 << pi ELSE 0 END) AS BIGINT)
+                   AS phash
+          FROM ps2 GROUP BY doc_id, fi),
+        hh AS (SELECT doc_id, frame_idx, phash,
+                      phash // 256 AS band_hi, phash % 256 AS band_lo
+               FROM h),
+        cand AS (
+          SELECT a.doc_id AS doc_a, a.frame_idx AS frame_a, a.phash AS phash_a,
+                 b.doc_id AS doc_b, b.frame_idx AS frame_b, b.phash AS phash_b
+          FROM hh a JOIN hh b ON a.band_hi = b.band_hi AND a.doc_id < b.doc_id
+          UNION
+          SELECT a.doc_id, a.frame_idx, a.phash, b.doc_id, b.frame_idx, b.phash
+          FROM hh a JOIN hh b ON a.band_lo = b.band_lo AND a.doc_id < b.doc_id)
+        SELECT doc_a, frame_a, doc_b, frame_b,
+               CAST(bit_count(xor(phash_a, phash_b)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(phash_a, phash_b)) <= $PhashMaxHamming
+        ORDER BY doc_a, frame_a, doc_b, frame_b"""
+
   val decodeFramesSql: String =
     s"""WITH $framesCte
         SELECT doc_id, frame_idx, width, height, mean_intensity
@@ -325,6 +415,7 @@ object Multimodal {
     ("mm_video_scenes", videoScenes, Some(videoScenesSql)),
     ("mm_frame_dedup", frameDedup, Some(frameDedupSql)),
     ("mm_patch_grid", patchGrid, Some(patchGridSql)),
+    ("mm_phash_dedup", phashDedup, Some(phashDedupSql)),
     ("mm_decode_frames", decodeFrames, Some(decodeFramesSql)),
     ("mm_resize", resize, Some(resizeSql)),
     ("mm_feature_extract", featureExtract, Some(featureExtractSql)))

@@ -406,6 +406,45 @@ object Pipeline {
       .orderBy(col("lang"), col("bin_id"))
   }
 
+  /** Class-balanced downsampling — equalize label counts to the
+    * rarest class (the class-imbalance fix before training a
+    * classifier): per class, keep the bottom-n_min documents by
+    * content hash (deterministic, partitioning-independent — the same
+    * rank-by-hash rule as `sample_reservoir`, applied per class). The
+    * rank window partitions by class (bounded cardinality); n_min is
+    * one tiny aggregate broadcast back. Output is the per-class
+    * audit: counts plus an order-free BIGINT checksum of kept ids
+    * proving both engines selected the SAME documents. */
+  def sampleClassBalanced: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      conv(substring(md5(concat(lit("bal:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    val nMin = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_orig"))
+      .agg(min(col("n_orig")).as("n_min"))
+    val ranked = docs.crossJoin(broadcast(nMin))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+    ranked
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_orig"), max(col("n_min")).as("n_kept"),
+        sum(when(col("rk") <= col("n_min"), col("doc_id"))).as("kept_id_sum"))
+      .orderBy(col("lang"))
+  }
+
+  val sampleClassBalancedSql: String =
+    """WITH docs AS (
+         SELECT doc_id, lang,
+                ('0x' || substr(md5('bal:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         FROM documents),
+       m AS (SELECT min(n) AS n_min FROM (SELECT count(*) AS n FROM docs GROUP BY lang)),
+       r AS (SELECT doc_id, lang, n_min,
+                    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+             FROM docs CROSS JOIN m)
+       SELECT lang, count(*) AS n_orig, CAST(max(n_min) AS BIGINT) AS n_kept,
+              CAST(sum(CASE WHEN rk <= n_min THEN doc_id END) AS BIGINT) AS kept_id_sum
+       FROM r GROUP BY lang ORDER BY lang"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("pack_best_fit", packBestFit, None),
     ("sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
@@ -416,5 +455,8 @@ object Pipeline {
     ("curate_quality_band", curateQualityBand, Some(curateQualityBandSql)),
     ("text_tfidf_topk", tfidfTopk, Some(tfidfTopkSql)),
     ("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
+    ("sample_class_balanced", sampleClassBalanced, Some(sampleClassBalancedSql)),
     ("sample_reservoir", sampleReservoir, Some(sampleReservoirSql)))
+
+
 }

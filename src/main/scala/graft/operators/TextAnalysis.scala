@@ -109,6 +109,46 @@ object TextAnalysis {
         FROM documents ORDER BY doc_id"""
   }
 
+  /** Code-ish keyword list for the code/prose heuristic. */
+  val CodeKeywords: Seq[String] = Seq(
+    "def", "class", "return", "import", "var", "function", "const", "void")
+
+  /** Code-vs-prose detection — the corpus-curation filter that keeps
+    * source code out of (or routes it into) a text corpus: symbol
+    * density (braces/operators per char), digit density, and
+    * code-keyword hits, each an integer count with one floored
+    * division; the verdict is a pure boolean rule over the ratios.
+    * One narrow pass, no shuffle at any corpus size. */
+  def codeDetect: Q = (s, d) => {
+    val kwList = CodeKeywords.map(k => s"'$k'").mkString(", ")
+    Tables.documents(s, d)
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        expr("size(regexp_extract_all(text, '[{}();=<>\\\\[\\\\]]', 0))").as("n_sym"),
+        expr("size(regexp_extract_all(text, '[0-9]', 0))").as("n_digit"),
+        expr(s"size(filter($toksExpr, t -> t in ($kwList)))").as("n_kw"))
+      .select(col("doc_id"), col("n_chars"), col("n_sym"), col("n_digit"), col("n_kw"),
+        (floor(col("n_sym") * 1e4 / greatest(col("n_chars"), lit(1))) / 1e4).as("sym_density"),
+        (floor(col("n_digit") * 1e4 / greatest(col("n_chars"), lit(1))) / 1e4).as("digit_density"))
+      .withColumn("is_code", col("sym_density") > 0.02 || col("n_kw") >= 2)
+      .orderBy(col("doc_id"))
+  }
+
+  val codeDetectSql: String = {
+    val kwList = CodeKeywords.map(k => s"'$k'").mkString(", ")
+    s"""SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+          CAST(len(regexp_extract_all(text, '[{}();=<>\\[\\]]')) AS INT) AS n_sym,
+          CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS n_digit,
+          CAST(len(list_filter($toksSqlExpr, t -> t IN ($kwList))) AS INT) AS n_kw,
+          floor(len(regexp_extract_all(text, '[{}();=<>\\[\\]]')) * 1e4
+                / greatest(length(text), 1)) / 1e4 AS sym_density,
+          floor(len(regexp_extract_all(text, '[0-9]')) * 1e4
+                / greatest(length(text), 1)) / 1e4 AS digit_density,
+          (floor(len(regexp_extract_all(text, '[{}();=<>\\[\\]]')) * 1e4
+                / greatest(length(text), 1)) / 1e4 > 0.02
+           OR len(list_filter($toksSqlExpr, t -> t IN ($kwList))) >= 2) AS is_code
+        FROM documents ORDER BY doc_id"""
+  }
+
   /** Classifier evaluation as a query: the confusion matrix of
     * `text_langid`'s stopword-voting predictor against the corpus'
     * declared labels, with per-label recall — the eval harness a
@@ -279,6 +319,7 @@ object TextAnalysis {
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("text_pii_redact", piiRedact, Some(piiRedactSql)),
     ("text_tokens", tokens, Some(tokensSql)),
+    ("text_code_detect", codeDetect, Some(codeDetectSql)),
     ("text_lang_confusion", langConfusion, Some(langConfusionSql)),
     ("text_langid", langid, Some(langidSql)),
     ("text_quality", quality, Some(qualitySql)),

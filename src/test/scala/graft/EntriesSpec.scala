@@ -21,6 +21,12 @@ class EntriesSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("no oracle SQL is null (val declaration-order guard)") {
+    val nulls = SparkEntry.oracleSql.collect { case (n, sql) if sql == null => n }
+    assert(nulls.isEmpty,
+      s"null oracle SQL (entries declared before their *Sql val?): $nulls")
+  }
+
   test("every oracle key has a query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")

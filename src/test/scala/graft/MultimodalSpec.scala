@@ -56,6 +56,22 @@ class MultimodalSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("phash dedup: pairs cross documents, hamming bounded, exact dups found") {
+    import org.apache.spark.sql.functions._
+    val df = Multimodal.phashDedup(spark, sf).cache()
+    assert(df.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    assert(df.filter(col("hamming") < 0 || col("hamming") > Multimodal.PhashMaxHamming)
+      .count() == 0)
+    // exact-duplicate documents share every full frame → hamming 0 pairs exist
+    val dupDocs = graft.sources.Tables.documents(spark, sf)
+      .groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).count()
+    if (dupDocs > 0)
+      assert(df.filter(col("hamming") === 0).count() > 0,
+        "exact text duplicates must collide at hamming 0")
+    df.unpersist()
+  }
+
   test("patch grid: 4x4 grid per full frame, means bounded by byte range") {
     import org.apache.spark.sql.functions._
     val df = Multimodal.patchGrid(spark, sf).cache()

@@ -137,4 +137,15 @@ class PipelineSpec extends SparkTestBase {
     assert(got == want, s"distributed FFD must equal the replay: diff=${(want diff got).take(3)}")
     df.unpersist()
   }
+
+  test("class-balanced sample: every class keeps exactly the rarest class count") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Pipeline.sampleClassBalanced(spark, sf).cache()
+    val kept = df.select(col("n_kept")).distinct().collect()
+    assert(kept.length == 1, "all classes keep the same count")
+    val nMin = df.agg(min(col("n_orig"))).head.getLong(0)
+    assert(kept.head.getLong(0) == nMin)
+    assert(df.filter(col("kept_id_sum") <= 0).count() == 0)
+    df.unpersist()
+  }
 }

@@ -33,4 +33,14 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(en > 0.9, s"en recall $en")
     df.unpersist()
   }
+
+  test("code detect: densities bounded, verdict follows the rule") {
+    val df = TextAnalysis.codeDetect(spark, sf).cache()
+    assert(df.count() == graft.sources.Tables.documents(spark, sf).count())
+    assert(df.filter(col("sym_density") < 0 || col("sym_density") > 1).count() == 0)
+    val bad = df.filter(col("is_code") =!=
+      (col("sym_density") > 0.02 || col("n_kw") >= 2))
+    assert(bad.count() == 0)
+    df.unpersist()
+  }
 }
