@@ -524,7 +524,93 @@ object TimeseriesExt {
         ORDER BY event_type, hour_sec, detector"""
   }
 
+  // ---------------------------------------------- offset comparison
+
+  val OffsetSec = 7L * 86400  // PromQL `offset 7d`
+
+  /** PromQL `offset` comparison — `m / (m offset 7d)`, the
+    * week-over-week read every dashboard keeps: hourly means (exact
+    * floor-divided cents) self-joined on (series, hour − 7d). The
+    * offset join is an EQUI-join on the shifted key — no window, no
+    * spine; hours without a prior week simply don't appear (PromQL
+    * semantics). Ratio is one floored division of integers. */
+  def offsetCompare: Q = (s, d) => {
+    val hourly = samples(s, d)
+      .groupBy(col("event_type"), expr("(sec DIV 3600) * 3600").as("hour_sec"))
+      .agg(expr("sum(v_c) DIV count(*)").as("mean_c"))
+    val prev = hourly.select(col("event_type"),
+      (col("hour_sec") + OffsetSec).as("hour_sec"), col("mean_c").as("prev_c"))
+    hourly.join(prev, Seq("event_type", "hour_sec"))
+      .filter(col("prev_c") > 0)
+      .select(col("event_type"), col("hour_sec"), col("mean_c"), col("prev_c"),
+        (col("mean_c") - col("prev_c")).as("wow_diff"),
+        (floor(col("mean_c") * lit(10000) / col("prev_c")) / 1e4).as("wow_ratio"))
+      .orderBy(col("event_type"), col("hour_sec"))
+  }
+
+  val offsetCompareSql: String =
+    s"""WITH hourly AS (
+          SELECT event_type,
+                 (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600) * 3600 AS hour_sec,
+                 CAST(sum(CAST(floor(value * 100) AS BIGINT)) // count(*) AS BIGINT) AS mean_c
+          FROM events GROUP BY 1, 2)
+        SELECT c.event_type, CAST(c.hour_sec AS BIGINT) AS hour_sec,
+               c.mean_c, p.mean_c AS prev_c,
+               c.mean_c - p.mean_c AS wow_diff,
+               floor(c.mean_c * 10000 / p.mean_c) / 1e4 AS wow_ratio
+        FROM hourly c JOIN hourly p
+          ON p.event_type = c.event_type AND p.hour_sec = c.hour_sec - $OffsetSec
+        WHERE p.mean_c > 0
+        ORDER BY c.event_type, c.hour_sec"""
+
+  // -------------------------------------------------------- top movers
+
+  val TopMovers = 3
+
+  /** Day-over-day top movers — the ops-dashboard "what changed most"
+    * read: per day, the series ranked by absolute volume delta against
+    * the previous day, top 3. One series-keyed lag + one day-keyed
+    * bounded rank window (partitions sized by series cardinality);
+    * counts are integers so the ranking is total with the series name
+    * as tiebreak. */
+  def topMovers: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wSeries = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wDay = Window.partitionBy(col("day"))
+      .orderBy(abs(col("n") - col("prev_n")).desc, col("event_type"))
+    daily
+      .withColumn("prev_n", lag(col("n"), 1).over(wSeries))
+      .filter(col("prev_n").isNotNull)
+      .withColumn("rk", row_number().over(wDay))
+      .filter(col("rk") <= TopMovers)
+      .select(col("day"), col("rk").cast("int").as("rk"), col("event_type"),
+        col("n"), col("prev_n"), (col("n") - col("prev_n")).as("delta"))
+      .orderBy(col("day"), col("rk"))
+  }
+
+  val topMoversSql: String =
+    s"""WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+          FROM events GROUP BY 1, 2),
+        lagged AS (
+          SELECT event_type, day, n,
+                 lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+          FROM daily),
+        ranked AS (
+          SELECT day, event_type, n, prev_n,
+                 row_number() OVER (PARTITION BY day
+                   ORDER BY abs(n - prev_n) DESC, event_type) AS rk
+          FROM lagged WHERE prev_n IS NOT NULL)
+        SELECT day, CAST(rk AS INT) AS rk, event_type, n, prev_n,
+               CAST(n - prev_n AS BIGINT) AS delta
+        FROM ranked WHERE rk <= $TopMovers
+        ORDER BY day, rk"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("metrics_offset_compare", offsetCompare, Some(offsetCompareSql)),
+    ("metrics_top_movers", topMovers, Some(topMoversSql)),
     ("metrics_alert_feed", alertFeed, Some(alertFeedSql)),
     ("metrics_downsample_lttb", downsampleLttb, Some(downsampleLttbSql)),
     ("metrics_cusum_changepoint", cusumChangepoint, Some(cusumChangepointSql)),

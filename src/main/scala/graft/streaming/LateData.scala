@@ -132,7 +132,61 @@ object LateData {
         FROM hopped GROUP BY 1, 2 ORDER BY wstart_sec, event_type"""
   }
 
+  // ------------------------------------------- native session windows
+
+  /** Batch twin of NATIVE streaming session windows: per-user 30-min
+    * gap sessions via `session_window` with event count and duration.
+    * The capability this entry adds over `sessionize_native` is the
+    * STREAMING half — the same expression under a watermark, where
+    * Spark merges session state incrementally and finalizes a session
+    * once the watermark passes its end (+gap); `LateDataSpec` proves a
+    * chunk-fed MemoryStream run emits exactly these rows. */
+  def sessionNativeBatch: Q = (s, d) => {
+    Tables.events(s, d)
+      .select(col("user_id"), date_trunc("second", col("ts")).as("tsec"))
+      .groupBy(col("user_id"),
+        org.apache.spark.sql.functions.session_window(col("tsec"), "1800 seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start_sec"),
+        (unix_timestamp(col("session_window.end"))
+          - unix_timestamp(col("session_window.start"))).as("window_len_sec"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start_sec"))
+  }
+
+  val sessionNativeSql: String =
+    """WITH flagged AS (
+         SELECT user_id, epoch(date_trunc('second', ts)) AS sec,
+                CASE WHEN lag(epoch(date_trunc('second', ts))) OVER w IS NULL THEN 0
+                     WHEN epoch(date_trunc('second', ts))
+                          - lag(epoch(date_trunc('second', ts))) OVER w > 1800 THEN 1
+                     ELSE 0 END AS new_session
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (
+         SELECT user_id,
+                sum(new_session) OVER (PARTITION BY user_id ORDER BY sec
+                  ROWS UNBOUNDED PRECEDING) AS session_idx, sec
+         FROM flagged)
+       SELECT user_id, CAST(min(sec) AS BIGINT) AS session_start_sec,
+              CAST(max(sec) - min(sec) + 1800 AS BIGINT) AS window_len_sec,
+              count(*) AS n_events
+       FROM s GROUP BY user_id, session_idx
+       ORDER BY user_id, session_start_sec"""
+
+  /** The streaming half driven by the parity spec. */
+  def sessionNativeStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"),
+        org.apache.spark.sql.functions.session_window(col("ts"), "1800 seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start_sec"),
+        col("n_events"))
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("stream_late_data", lateDataBatch, Some(lateDataSql)),
-    ("stream_hopping_window", hoppingWindowBatch, Some(hoppingWindowSql)))
+    ("stream_hopping_window", hoppingWindowBatch, Some(hoppingWindowSql)),
+    ("stream_session_native", sessionNativeBatch, Some(sessionNativeSql)))
 }

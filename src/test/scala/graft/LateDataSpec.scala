@@ -30,6 +30,38 @@ class LateDataSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("native streaming session windows emit exactly the batch twin's sessions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // feed in event-time order (no late data) in two chunks, then flush
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), date_trunc("second", col("ts")).as("ts"),
+        col("user_id").cast("string").as("event_type"))
+      .as[DEv].collect().sortBy(_.ts.getTime)
+    val input = MemoryStream[DEv]
+    val stream = LateData.sessionNativeStream(
+      input.toDF().select(col("ts"), col("event_type").cast("long").as("user_id")))
+    val q = stream.writeStream.format("memory").queryName("sess_sink")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable()
+      val maxTs = rows.map(_.ts.getTime).max
+      input.addData(DEv(-1L, new java.sql.Timestamp(maxTs + 24L * 3600 * 1000), "-1"))
+      q.processAllAvailable()
+      val got = spark.table("sess_sink")
+        .filter(col("user_id") >= 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = LateData.sessionNativeBatch(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+      assert(got.keySet == want.keySet,
+        s"sessions differ: missing=${(want.keySet diff got.keySet).take(3)} extra=${(got.keySet diff want.keySet).take(3)}")
+      want.foreach { case (k, n) => assert(got(k) == n, s"session $k: got ${got(k)} want $n") }
+    } finally q.stop()
+  }
+
   test("streaming run accepts exactly the rows the batch twin predicts") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

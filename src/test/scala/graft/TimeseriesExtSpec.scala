@@ -135,6 +135,28 @@ class TimeseriesExtSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("offset compare: ratio consistent with diff, only hours with a prior week appear") {
+    val df = TimeseriesExt.offsetCompare(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("wow_diff") =!= col("mean_c") - col("prev_c")).count() == 0)
+    assert(df.filter(col("wow_ratio") < 0).count() == 0)
+    // diff > 0 iff ratio > 1 (floor at 4dp can't cross 1.0 for integers)
+    assert(df.filter(col("wow_diff") > 0 && col("wow_ratio") < 1.0).count() == 0)
+    df.unpersist()
+  }
+
+  test("top movers: at most k per day, ranked by absolute delta") {
+    val df = TimeseriesExt.topMovers(spark, sf).cache()
+    val perDay = df.groupBy(col("day")).agg(count(lit(1)).as("k"))
+    assert(perDay.filter(col("k") > TimeseriesExt.TopMovers).count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day")).orderBy(col("rk"))
+    assert(df.withColumn("prev_abs", lag(abs(col("delta")), 1).over(w))
+      .filter(col("prev_abs").isNotNull && abs(col("delta")) > col("prev_abs"))
+      .count() == 0, "absolute delta non-increasing in rank")
+    df.unpersist()
+  }
+
   test("alert feed: normalized union of the two detectors, scores positive") {
     val df = TimeseriesExt.alertFeed(spark, sf).cache()
     assert(df.filter(col("score") < 0).count() == 0)
