@@ -608,7 +608,41 @@ object TimeseriesExt {
         FROM ranked WHERE rk <= $TopMovers
         ORDER BY day, rk"""
 
+  // ------------------------------------------- log2 gap histogram
+
+  /** Inter-arrival-time histogram on LOG2 buckets — the standard shape
+    * for latency/duration distributions (linear bins waste resolution
+    * at both ends). floor(log2(gap)) computed EXACTLY as
+    * `length(bin(gap)) − 1` (both engines render minimal-width binary)
+    * — no floating log whose last ulp could split a bucket boundary.
+    * One user-keyed lag + one tiny aggregation. */
+  def gapLog2Histogram: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .withColumn("bucket",
+        when(col("gap") <= 0, lit(0)).otherwise(length(bin(col("gap")))).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("gap")).as("lo_sec"), max(col("gap")).as("hi_sec"))
+      .orderBy(col("bucket"))
+  }
+
+  val gapLog2HistogramSql: String =
+    """WITH g AS (
+         SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                  - lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+         FROM events)
+       SELECT CAST(CASE WHEN gap <= 0 THEN 0 ELSE length(bin(gap)) END AS INT) AS bucket,
+              count(*) AS n, min(gap) AS lo_sec, max(gap) AS hi_sec
+       FROM g WHERE gap IS NOT NULL
+       GROUP BY 1 ORDER BY 1"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("metrics_gap_log2_histogram", gapLog2Histogram, Some(gapLog2HistogramSql)),
     ("metrics_offset_compare", offsetCompare, Some(offsetCompareSql)),
     ("metrics_top_movers", topMovers, Some(topMoversSql)),
     ("metrics_alert_feed", alertFeed, Some(alertFeedSql)),

@@ -169,4 +169,19 @@ class TimeseriesExtSpec extends SparkTestBase {
     assert(byDet.getOrElse("dow_seasonal", 0L) == dow)
     df.unpersist()
   }
+
+  test("gap log2 histogram: buckets really bracket powers of two") {
+    val df = TimeseriesExt.gapLog2Histogram(spark, sf).cache()
+    assert(df.count() > 0)
+    // bucket b >= 1 holds gaps in [2^(b-1), 2^b)
+    val bad = df.filter(col("bucket") >= 1 &&
+      (col("lo_sec") < expr("CAST(pow(2, bucket - 1) AS BIGINT)") ||
+       col("hi_sec") >= expr("CAST(pow(2, bucket) AS BIGINT)")))
+    assert(bad.count() == 0)
+    // every inter-arrival gap is counted exactly once
+    val users = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    val events = Tables.events(spark, sf).count()
+    assert(df.agg(sum(col("n"))).head.getLong(0) == events - users)
+    df.unpersist()
+  }
 }
