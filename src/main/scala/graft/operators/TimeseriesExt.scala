@@ -641,7 +641,69 @@ object TimeseriesExt {
        FROM g WHERE gap IS NOT NULL
        GROUP BY 1 ORDER BY 1"""
 
+  // -------------------------------------------- seasonal decomposition
+
+  /** Classical additive decomposition (STL-lite): hourly series =
+    * trend (centered 24 h moving average) + daily seasonal (per
+    * hour-of-day mean of the detrended series) + residual. Every
+    * component is a floor-division of exact BIGINT sums — the moving
+    * average over a ROWS frame, the seasonal over a (series, hod)
+    * aggregate broadcast back — so the decomposition is engine-exact
+    * with zero rounding tricks. Interior hours only (the centered
+    * frame must be full), mirrored by an explicit row-count test in
+    * both engines. */
+  def seasonalDecompose: Q = (s, d) => {
+    val hourly = samples(s, d)
+      .groupBy(col("event_type"), expr("(sec DIV 3600) * 3600").as("hour_sec"))
+      .agg(expr("sum(v_c) DIV count(*)").as("mean_c"))
+    val wT = Window.partitionBy(col("event_type")).orderBy(col("hour_sec"))
+      .rowsBetween(-12, 11)
+    val trended = hourly
+      .withColumn("t_sum", sum(col("mean_c")).over(wT))
+      .withColumn("t_n", count(lit(1)).over(wT))
+      .filter(col("t_n") === 24)
+      .withColumn("trend_c", expr("t_sum DIV 24"))
+      .withColumn("detr", col("mean_c") - col("trend_c"))
+      .withColumn("hod", expr("(hour_sec DIV 3600) % 24"))
+    val seasonal = trended.groupBy(col("event_type"), col("hod"))
+      .agg(expr("sum(detr) DIV count(*)").as("seasonal_c"))
+    trended.join(broadcast(seasonal), Seq("event_type", "hod"))
+      .select(col("event_type"), col("hour_sec"), col("mean_c"),
+        col("trend_c"), col("seasonal_c"),
+        (col("mean_c") - col("trend_c") - col("seasonal_c")).as("residual_c"))
+      .orderBy(col("event_type"), col("hour_sec"))
+  }
+
+  val seasonalDecomposeSql: String =
+    """WITH hourly AS (
+         SELECT event_type,
+                (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600) * 3600 AS hour_sec,
+                CAST(sum(CAST(floor(value * 100) AS BIGINT)) // count(*) AS BIGINT) AS mean_c
+         FROM events GROUP BY 1, 2),
+       tr AS (
+         SELECT event_type, hour_sec, mean_c,
+                CAST(sum(mean_c) OVER w // 24 AS BIGINT) AS trend_c,
+                count(*) OVER w AS t_n
+         FROM hourly
+         WINDOW w AS (PARTITION BY event_type ORDER BY hour_sec
+                      ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)),
+       dt AS (
+         SELECT event_type, hour_sec, mean_c, trend_c,
+                mean_c - trend_c AS detr,
+                (hour_sec // 3600) % 24 AS hod
+         FROM tr WHERE t_n = 24),
+       se AS (
+         SELECT event_type, hod,
+                CAST(sum(detr) // count(*) AS BIGINT) AS seasonal_c
+         FROM dt GROUP BY 1, 2)
+       SELECT d.event_type, CAST(d.hour_sec AS BIGINT) AS hour_sec, d.mean_c,
+              d.trend_c, s.seasonal_c,
+              CAST(d.mean_c - d.trend_c - s.seasonal_c AS BIGINT) AS residual_c
+       FROM dt d JOIN se s USING (event_type, hod)
+       ORDER BY d.event_type, d.hour_sec"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("metrics_seasonal_decompose", seasonalDecompose, Some(seasonalDecomposeSql)),
     ("metrics_gap_log2_histogram", gapLog2Histogram, Some(gapLog2HistogramSql)),
     ("metrics_offset_compare", offsetCompare, Some(offsetCompareSql)),
     ("metrics_top_movers", topMovers, Some(topMoversSql)),

@@ -184,4 +184,19 @@ class TimeseriesExtSpec extends SparkTestBase {
     assert(df.agg(sum(col("n"))).head.getLong(0) == events - users)
     df.unpersist()
   }
+
+  test("seasonal decompose: components sum back exactly, seasonal centered-ish") {
+    val df = TimeseriesExt.seasonalDecompose(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("mean_c") =!= col("trend_c") + col("seasonal_c") + col("residual_c"))
+      .count() == 0, "additive identity must hold exactly")
+    // seasonal repeats per (series, hour-of-day): 24 distinct values per series
+    val perSeries = df
+      .withColumn("hod", expr("(hour_sec DIV 3600) % 24"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(countDistinct(col("seasonal_c")).as("k"))
+      .filter(col("k") =!= 1)
+    assert(perSeries.count() == 0, "one seasonal value per (series, hod)")
+    df.unpersist()
+  }
 }
