@@ -409,7 +409,84 @@ object Dedup {
          FROM p) t
        WHERE rn = 1 ORDER BY doc_id"""
 
+  /** LSH quality evaluation as a query — the recall curve every LSH
+    * deployment must publish: among EXACT-Jaccard ground-truth pairs
+    * (the `dedup_ngram_jaccard` pipeline), what fraction does the
+    * banded MinHash candidate stage catch, per similarity band? The
+    * (16 hashes, 4 bands × 4 rows) S-curve predicts low recall near
+    * the 0.5 threshold and near-certain recall at 0.9+ — this entry
+    * measures it on the corpus, composing the two oracle-proven
+    * pipelines into one plan (shared shingle scan, fused by Catalyst).
+    * Integer counts, one floored division. */
+  def lshRecall: Q = (s, d) => {
+    val truth = ngramJaccard(s, d)
+      .withColumn("band_lo",
+        when(col("jaccard") >= 0.9, 0.9).when(col("jaccard") >= 0.7, 0.7).otherwise(0.5))
+    // the LSH candidate stage, pre-verification (copy of minhashLsh's front half)
+    val sets = shingleSets(s, d)
+    val e = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), md5(col("sh")).as("h"))
+    val sigCols = (0 until NumHashes).map { i =>
+      val slot = Integer.toHexString(i)
+      coalesce(min(when(substring(col("h"), 1, 1) === slot, col("h"))), lit("e" + slot)).as(s"s$i")
+    }
+    val sig = e.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until NumBands).map(b =>
+      md5(concat((b * BandSize until (b + 1) * BandSize).map(i => col(s"s$i")): _*)).as(s"band$b"))
+    val banded = sig.select(col("doc_id") +: bandCols: _*)
+    val stackArgs = (0 until NumBands).map(b => s"'$b', band$b").mkString(", ")
+    val bl = banded.selectExpr("doc_id", s"stack($NumBands, $stackArgs) as (band_idx, bh)")
+    val cand = bl.select(col("doc_id").as("doc_a"), col("band_idx"), col("bh"))
+      .join(bl.select(col("doc_id").as("doc_b"), col("band_idx"), col("bh")),
+        Seq("band_idx", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .withColumn("caught", lit(1L))
+    truth.join(cand, Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("band_lo"))
+      .agg(count(lit(1)).as("n_truth"), count(col("caught")).as("n_caught"))
+      .withColumn("recall", floor(col("n_caught") * lit(10000) / col("n_truth")) / 1e4)
+      .orderBy(col("band_lo"))
+  }
+
+  val lshRecallSql: String = {
+    val sigExprs = (0 until NumHashes)
+      .map { i =>
+        val slot = Integer.toHexString(i)
+        s"coalesce(min(CASE WHEN substr(h2, 1, 1) = '$slot' THEN h2 END), 'e$slot') AS s$i"
+      }.mkString(", ")
+    val bandExprs = (0 until NumBands)
+      .map(b => s"md5(${(b * BandSize until (b + 1) * BandSize).map(i => s"s$i").mkString(" || ")}) AS band$b")
+      .mkString(", ")
+    val blSelects = (0 until NumBands)
+      .map(b => s"SELECT doc_id, '$b' AS band_idx, band$b AS bh FROM banded2")
+      .mkString(" UNION ALL ")
+    s"""WITH truth AS (
+          SELECT doc_a, doc_b, jaccard,
+                 CASE WHEN jaccard >= 0.9 THEN 0.9
+                      WHEN jaccard >= 0.7 THEN 0.7 ELSE 0.5 END AS band_lo
+          FROM (${ngramJaccardSql.replace("ORDER BY doc_a, doc_b", "")}) t),
+        sets2 AS (
+          SELECT doc_id, shingles FROM (
+            SELECT doc_id, $shinglesSqlExpr AS shingles FROM documents)
+          WHERE len(shingles) > 0),
+        e2 AS (SELECT doc_id, md5(unnest(shingles)) AS h2 FROM sets2),
+        sig2 AS (SELECT doc_id, $sigExprs FROM e2 GROUP BY doc_id),
+        banded2 AS (SELECT doc_id, $bandExprs FROM sig2),
+        bl2 AS ($blSelects),
+        cand2 AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bl2 a JOIN bl2 b ON a.band_idx = b.band_idx AND a.bh = b.bh
+            AND a.doc_id < b.doc_id)
+        SELECT t.band_lo, count(*) AS n_truth,
+               count(c.doc_a) AS n_caught,
+               floor(count(c.doc_a) * 10000 / count(*)) / 1e4 AS recall
+        FROM truth t LEFT JOIN cand2 c USING (doc_a, doc_b)
+        GROUP BY t.band_lo ORDER BY t.band_lo"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("dedup_lsh_recall", lshRecall, Some(lshRecallSql)),
     ("dedup_fuzzy_edit", fuzzyEdit, Some(fuzzyEditSql)),
     ("dedup_exact", exact, Some(exactSql)),
     ("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),

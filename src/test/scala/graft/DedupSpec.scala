@@ -114,4 +114,18 @@ class DedupSpec extends SparkTestBase {
     val n = graft.sources.Tables.documents(spark, sf).count()
     assert(g == n)
   }
+
+  test("lsh recall eval: caught bounded by truth, high band near-certain") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Dedup.lshRecall(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("n_caught") > col("n_truth")).count() == 0)
+    assert(df.filter(col("recall") < 0 || col("recall") > 1).count() == 0)
+    // the 0.9+ band must be caught essentially always (S-curve top end)
+    val hi = df.filter(col("band_lo") === 0.9)
+    if (hi.count() > 0)
+      assert(hi.filter(col("recall") < 0.95).count() == 0,
+        "LSH must catch nearly all 0.9+ jaccard pairs")
+    df.unpersist()
+  }
 }
