@@ -724,6 +724,84 @@ object Affinity {
         ORDER BY s.day_nr"""
   }
 
+  val MauDays = 30
+
+  /** DAU/MAU stickiness — the canonical engagement ratio: daily active
+    * users over trailing-30-day active users, per day. DAU is one
+    * distinct count; MAU reuses the `q_sliding_distinct_users`
+    * interval decomposition at a 30-day horizon (COUNT(DISTINCT) OVER
+    * RANGE without the quadratic explode). Ratio is one floored
+    * division of integers. */
+  def stickiness: Q = (s, d) => {
+    val w = MauDays - 1
+    val ud = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_timestamp(date_trunc('second', ts)) DIV 86400").as("day_nr"))
+      .distinct()
+    val dau = ud.groupBy(col("day_nr")).agg(count(lit(1)).as("dau"))
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("day_nr"))
+    val intervals = ud
+      .withColumn("prev_max", max(col("day_nr")).over(
+        wU.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max").isNull || col("day_nr") > col("prev_max") + w, 1).otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(
+        wU.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("day_nr")).as("lo"), (max(col("day_nr")) + w).as("hi"))
+    val deltas = intervals.select(col("lo").as("day_nr"), lit(1L).as("delta"))
+      .unionByName(intervals.select((col("hi") + 1).as("day_nr"), lit(-1L).as("delta")))
+      .groupBy(col("day_nr")).agg(sum(col("delta")).as("delta"))
+    val spine = ud.agg(min(col("day_nr")).as("d0"), max(col("day_nr")).as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day_nr"))
+    spine.join(deltas, Seq("day_nr"), "left")
+      .withColumn("mau", sum(coalesce(col("delta"), lit(0L))).over(
+        Window.orderBy(col("day_nr")).rowsBetween(Window.unboundedPreceding, 0)))
+      .join(dau, Seq("day_nr"), "left")
+      .select(col("day_nr"), coalesce(col("dau"), lit(0L)).as("dau"), col("mau"),
+        (floor(coalesce(col("dau"), lit(0L)) * lit(10000) / col("mau")) / 1e4)
+          .as("stickiness"))
+      .orderBy(col("day_nr"))
+  }
+
+  val stickinessSql: String = {
+    val w = MauDays - 1
+    s"""WITH ud AS (
+          SELECT DISTINCT user_id,
+                 CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day_nr
+          FROM events),
+        dau AS (SELECT day_nr, count(*) AS dau FROM ud GROUP BY 1),
+        isl AS (
+          SELECT user_id, island, min(day_nr) AS lo, max(day_nr) + $w AS hi
+          FROM (
+            SELECT user_id, day_nr,
+                   sum(CASE WHEN prev_max IS NULL OR day_nr > prev_max + $w
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY day_nr
+                       ROWS UNBOUNDED PRECEDING) AS island
+            FROM (SELECT user_id, day_nr,
+                         max(day_nr) OVER (PARTITION BY user_id ORDER BY day_nr
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+                  FROM ud))
+          GROUP BY user_id, island),
+        deltas AS (
+          SELECT day_nr, CAST(sum(delta) AS BIGINT) AS delta FROM (
+            SELECT lo AS day_nr, 1 AS delta FROM isl
+            UNION ALL SELECT hi + 1, -1 FROM isl)
+          GROUP BY 1),
+        spine AS (
+          SELECT unnest(generate_series(min(day_nr), max(day_nr))) AS day_nr FROM ud),
+        m AS (
+          SELECT s.day_nr,
+                 CAST(sum(coalesce(d.delta, 0)) OVER (ORDER BY s.day_nr
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS mau
+          FROM spine s LEFT JOIN deltas d USING (day_nr))
+        SELECT m.day_nr, CAST(coalesce(a.dau, 0) AS BIGINT) AS dau, m.mau,
+               floor(coalesce(a.dau, 0) * 10000 / m.mau) / 1e4 AS stickiness
+        FROM m LEFT JOIN dau a USING (day_nr)
+        ORDER BY m.day_nr"""
+  }
+
   // ------------------------------------------------------ Pareto curve
 
   val ParetoBuckets = 10
@@ -856,6 +934,7 @@ object Affinity {
     ("q_chi2_independence", chi2Independence, Some(chi2IndependenceSql)),
     ("q_sliding_distinct_users", slidingDistinctUsers, Some(slidingDistinctUsersSql)),
     ("events_pareto_share", paretoShare, Some(paretoShareSql)),
+    ("events_stickiness", stickiness, Some(stickinessSql)),
     ("events_bot_score", botScore, Some(botScoreSql)),
     ("q_weighted_percentile", weightedPercentile, Some(weightedPercentileSql)),
     ("q_time_to_convert", timeToConvert, Some(timeToConvertSql)),

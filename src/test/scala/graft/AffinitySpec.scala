@@ -193,4 +193,19 @@ class AffinitySpec extends SparkTestBase {
     assert(df.filter(col("n_pages") > col("n_events")).count() == 0)
     df.unpersist()
   }
+
+  test("stickiness: DAU bounded by MAU, MAU matches brute-force trailing window") {
+    val df = Affinity.stickiness(spark, sf).cache()
+    assert(df.filter(col("dau") > col("mau")).count() == 0)
+    assert(df.filter(col("stickiness") < 0 || col("stickiness") > 1).count() == 0)
+    val w = Affinity.MauDays - 1
+    val brute = Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("unix_timestamp(date_trunc('second', ts)) DIV 86400").as("d"))
+      .distinct()
+      .select(col("user_id"), explode(expr(s"sequence(d, d + $w)")).as("day_nr"))
+      .groupBy(col("day_nr")).agg(countDistinct(col("user_id")).as("want"))
+    assert(df.join(brute, Seq("day_nr")).filter(col("mau") =!= col("want")).count() == 0)
+    df.unpersist()
+  }
 }
