@@ -149,7 +149,13 @@ class PlanSweepSpec extends SparkTestBase {
     "metrics_slave_status", "metrics_gap_fill", // single-row global-bound broadcast
     "metrics_absent", "model_registry_score",   // same single-row bounds broadcast
     "sketch_heavy_hitters", // single-row candidate-set broadcast
-    "dedup_embedding_cosine", "dedup_simhash", "dedup_minhash_lsh", "dedup_ngram_jaccard")
+    "dedup_embedding_cosine", "dedup_simhash", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    // single-row broadcast crossJoins: percentile bounds / totals /
+    // split midpoints / n_min rate tables — 1 row × fact, never fact²
+    "q_rfm_segments", "q_equidepth_histogram", "q_basket_pairs", "q_time_to_convert",
+    "dq_drift_psi", "events_pareto_share", "events_stickiness", "sample_class_balanced",
+    "text_bigram_lm", "metrics_dow_baseline", "metrics_alert_feed",
+    "q_interval_overlap_join")
 
   test("no entry plans a CartesianProduct; BNLJ only where intended") {
     val failures = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).flatMap { name =>
