@@ -724,6 +724,40 @@ object Affinity {
         ORDER BY s.day_nr"""
   }
 
+  /** Daily new-vs-returning user split — acquisition vs retention in
+    * one curve: a user's first active day comes from one min-agg
+    * (users cross the shuffle once, as in `q_cumulative_users`), then
+    * each active (user, day) is "new" iff day == first day. Pure
+    * integer counts. */
+  def newVsReturning: Q = (s, d) => {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_timestamp(date_trunc('second', ts)) DIV 86400").as("day_nr"))
+      .distinct()
+    val first = ud.groupBy(col("user_id")).agg(min(col("day_nr")).as("first_day"))
+    ud.join(first, Seq("user_id"))
+      .groupBy(col("day_nr"))
+      .agg(count(when(col("day_nr") === col("first_day"), 1)).as("n_new"),
+        count(when(col("day_nr") =!= col("first_day"), 1)).as("n_returning"))
+      .withColumn("returning_frac",
+        floor(col("n_returning") * lit(10000) / (col("n_new") + col("n_returning"))) / 1e4)
+      .orderBy(col("day_nr"))
+  }
+
+  val newVsReturningSql: String =
+    """WITH ud AS (
+         SELECT DISTINCT user_id,
+                CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day_nr
+         FROM events),
+       f AS (SELECT user_id, min(day_nr) AS first_day FROM ud GROUP BY 1)
+       SELECT ud.day_nr,
+              count(*) FILTER (WHERE ud.day_nr = f.first_day) AS n_new,
+              count(*) FILTER (WHERE ud.day_nr <> f.first_day) AS n_returning,
+              floor(count(*) FILTER (WHERE ud.day_nr <> f.first_day) * 10000
+                    / count(*)) / 1e4 AS returning_frac
+       FROM ud JOIN f USING (user_id)
+       GROUP BY 1 ORDER BY 1"""
+
   val MauDays = 30
 
   /** DAU/MAU stickiness — the canonical engagement ratio: daily active
@@ -935,6 +969,7 @@ object Affinity {
     ("q_sliding_distinct_users", slidingDistinctUsers, Some(slidingDistinctUsersSql)),
     ("events_pareto_share", paretoShare, Some(paretoShareSql)),
     ("events_stickiness", stickiness, Some(stickinessSql)),
+    ("events_new_vs_returning", newVsReturning, Some(newVsReturningSql)),
     ("events_bot_score", botScore, Some(botScoreSql)),
     ("q_weighted_percentile", weightedPercentile, Some(weightedPercentileSql)),
     ("q_time_to_convert", timeToConvert, Some(timeToConvertSql)),

@@ -702,7 +702,42 @@ object TimeseriesExt {
        FROM dt d JOIN se s USING (event_type, hod)
        ORDER BY d.event_type, d.hour_sec"""
 
+  // -------------------------------------------------------------- apdex
+
+  val ApdexT = 5000L  // satisfied threshold (cents); tolerating ≤ 4T
+
+  /** Apdex score per series×day — the SRE satisfaction index
+    * ((satisfied + tolerating/2) / total): pure conditional integer
+    * counts on the exact cent values, held on a 2× scale so the half
+    * weight never touches floats until one final floored division.
+    * One aggregation pass, map-side combinable. */
+  def apdex: Q = (s, d) => {
+    samples(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(when(col("v_c") <= ApdexT, 1)).as("n_satisfied"),
+        count(when(col("v_c") > ApdexT && col("v_c") <= 4 * ApdexT, 1)).as("n_tolerating"),
+        count(when(col("v_c") > 4 * ApdexT, 1)).as("n_frustrated"),
+        count(lit(1)).as("n"))
+      .withColumn("apdex",
+        floor((col("n_satisfied") * 2 + col("n_tolerating")) * lit(10000) /
+          (col("n") * 2)) / 1e4)
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val apdexSql: String =
+    s"""SELECT event_type, CAST(ts AS DATE) AS day,
+          count(*) FILTER (WHERE v_c <= $ApdexT) AS n_satisfied,
+          count(*) FILTER (WHERE v_c > $ApdexT AND v_c <= ${4 * ApdexT}) AS n_tolerating,
+          count(*) FILTER (WHERE v_c > ${4 * ApdexT}) AS n_frustrated,
+          count(*) AS n,
+          floor((count(*) FILTER (WHERE v_c <= $ApdexT) * 2
+                 + count(*) FILTER (WHERE v_c > $ApdexT AND v_c <= ${4 * ApdexT}))
+                * 10000 / (count(*) * 2)) / 1e4 AS apdex
+        FROM (SELECT event_type, ts, CAST(floor(value * 100) AS BIGINT) AS v_c FROM events) s
+        GROUP BY 1, 2 ORDER BY event_type, day"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("metrics_apdex", apdex, Some(apdexSql)),
     ("metrics_seasonal_decompose", seasonalDecompose, Some(seasonalDecomposeSql)),
     ("metrics_gap_log2_histogram", gapLog2Histogram, Some(gapLog2HistogramSql)),
     ("metrics_offset_compare", offsetCompare, Some(offsetCompareSql)),

@@ -208,4 +208,20 @@ class AffinitySpec extends SparkTestBase {
     assert(df.join(brute, Seq("day_nr")).filter(col("mau") =!= col("want")).count() == 0)
     df.unpersist()
   }
+
+  test("new vs returning: firsts counted once, totals match DAU") {
+    val df = Affinity.newVsReturning(spark, sf).cache()
+    val users = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(df.agg(sum(col("n_new"))).head.getLong(0) == users,
+      "every user is new exactly once")
+    assert(df.filter(col("returning_frac") < 0 || col("returning_frac") > 1).count() == 0)
+    // n_new + n_returning equals that day's distinct actives
+    val dau = Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("unix_timestamp(date_trunc('second', ts)) DIV 86400").as("day_nr"))
+      .distinct().groupBy(col("day_nr")).agg(count(lit(1)).as("dau"))
+    assert(df.join(dau, Seq("day_nr"))
+      .filter(col("n_new") + col("n_returning") =!= col("dau")).count() == 0)
+    df.unpersist()
+  }
 }

@@ -199,4 +199,14 @@ class TimeseriesExtSpec extends SparkTestBase {
     assert(perSeries.count() == 0, "one seasonal value per (series, hod)")
     df.unpersist()
   }
+
+  test("apdex: bounded in [0,1], partition counts exhaustive") {
+    val df = TimeseriesExt.apdex(spark, sf).cache()
+    assert(df.filter(col("apdex") < 0 || col("apdex") > 1).count() == 0)
+    assert(df.filter(col("n_satisfied") + col("n_tolerating") + col("n_frustrated")
+      =!= col("n")).count() == 0)
+    // all-satisfied day scores 1.0 after truncation
+    assert(df.filter(col("n_satisfied") === col("n") && col("apdex") < 1.0).count() == 0)
+    df.unpersist()
+  }
 }
