@@ -724,6 +724,53 @@ object Affinity {
         ORDER BY s.day_nr"""
   }
 
+  /** Inter-purchase interval distribution — the replenishment-cycle
+    * read behind reorder reminders and churn prediction: per customer,
+    * gaps between consecutive orders (one customer-keyed lag window);
+    * the distribution reports exact p25/p50/p75/p90 over integer day
+    * gaps plus the share of customers who ordered more than once.
+    * Quantiles of integers interpolate on exact quarter fractions —
+    * engine-identical. */
+  def purchaseIntervals: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"), col("o_orderkey"))
+    val gaps = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_timestamp(o_orderdate) DIV 86400").as("day"))
+      .withColumn("gap_days", col("day") - lag(col("day"), 1).over(w))
+      .filter(col("gap_days").isNotNull)
+    val custTotal = Tables.orders(s, d)
+      .select(col("o_custkey")).distinct().agg(count(lit(1)).as("n_cust"))
+    gaps.agg(count(lit(1)).as("n_gaps"),
+        countDistinct(col("o_custkey")).as("n_repeat_customers"),
+        expr("percentile(gap_days, array(0.25e0, 0.5e0, 0.75e0, 0.9e0))").as("p"))
+      .crossJoin(broadcast(custTotal))
+      .select(col("n_gaps"), col("n_repeat_customers"),
+        (floor(col("n_repeat_customers") * lit(10000) / col("n_cust")) / 1e4)
+          .as("repeat_rate"),
+        col("p")(0).as("p25_days"), col("p")(1).as("p50_days"),
+        col("p")(2).as("p75_days"), col("p")(3).as("p90_days"))
+  }
+
+  val purchaseIntervalsSql: String =
+    """WITH o AS (
+         SELECT o_custkey, o_orderkey,
+                CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day
+         FROM orders),
+       g AS (
+         SELECT o_custkey,
+                day - lag(day) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey)
+                  AS gap_days
+         FROM o),
+       c AS (SELECT count(DISTINCT o_custkey) AS n_cust FROM o)
+       SELECT count(*) AS n_gaps,
+              count(DISTINCT o_custkey) AS n_repeat_customers,
+              floor(count(DISTINCT o_custkey) * 10000 / max(c.n_cust)) / 1e4 AS repeat_rate,
+              quantile_cont(gap_days, 0.25) AS p25_days,
+              quantile_cont(gap_days, 0.5) AS p50_days,
+              quantile_cont(gap_days, 0.75) AS p75_days,
+              quantile_cont(gap_days, 0.9) AS p90_days
+       FROM g CROSS JOIN c WHERE gap_days IS NOT NULL"""
+
   /** Daily new-vs-returning user split — acquisition vs retention in
     * one curve: a user's first active day comes from one min-agg
     * (users cross the shuffle once, as in `q_cumulative_users`), then
@@ -970,6 +1017,7 @@ object Affinity {
     ("events_pareto_share", paretoShare, Some(paretoShareSql)),
     ("events_stickiness", stickiness, Some(stickinessSql)),
     ("events_new_vs_returning", newVsReturning, Some(newVsReturningSql)),
+    ("q_purchase_intervals", purchaseIntervals, Some(purchaseIntervalsSql)),
     ("events_bot_score", botScore, Some(botScoreSql)),
     ("q_weighted_percentile", weightedPercentile, Some(weightedPercentileSql)),
     ("q_time_to_convert", timeToConvert, Some(timeToConvertSql)),

@@ -224,4 +224,20 @@ class AffinitySpec extends SparkTestBase {
       .filter(col("n_new") + col("n_returning") =!= col("dau")).count() == 0)
     df.unpersist()
   }
+
+  test("purchase intervals: quantiles ordered, repeat rate bounded") {
+    val df = Affinity.purchaseIntervals(spark, sf).cache()
+    assert(df.count() == 1)
+    val r = df.head
+    assert(r.getDouble(df.columns.indexOf("p25_days")) <= r.getDouble(df.columns.indexOf("p50_days")))
+    assert(r.getDouble(df.columns.indexOf("p50_days")) <= r.getDouble(df.columns.indexOf("p75_days")))
+    assert(r.getDouble(df.columns.indexOf("p75_days")) <= r.getDouble(df.columns.indexOf("p90_days")))
+    val rate = r.getDouble(df.columns.indexOf("repeat_rate"))
+    assert(rate >= 0 && rate <= 1)
+    // gaps = orders - customers-with-orders (each customer's first order has no gap)
+    val orders = Tables.orders(spark, sf).count()
+    val cust = Tables.orders(spark, sf).select(col("o_custkey")).distinct().count()
+    assert(r.getLong(df.columns.indexOf("n_gaps")) == orders - cust)
+    df.unpersist()
+  }
 }

@@ -155,7 +155,7 @@ class PlanSweepSpec extends SparkTestBase {
     "q_rfm_segments", "q_equidepth_histogram", "q_basket_pairs", "q_time_to_convert",
     "dq_drift_psi", "events_pareto_share", "events_stickiness", "sample_class_balanced",
     "text_bigram_lm", "metrics_dow_baseline", "metrics_alert_feed",
-    "q_interval_overlap_join")
+    "q_interval_overlap_join", "q_purchase_intervals")
 
   test("no entry plans a CartesianProduct; BNLJ only where intended") {
     val failures = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).flatMap { name =>
