@@ -339,8 +339,10 @@ object Affinity {
     * (user, page) pairs, per-user page-pair generation (≤ cap² each),
     * Jaccard = co / (|a| + |b| − co) in exact integers until one
     * floored division, global top-100 by similarity. The final top-k
-    * is a bounded sort over the |page-pair| aggregate (≤ |pages|²/2
-    * rows — pages are a catalog, not a corpus). */
+    * is `orderBy().limit(k)` — Spark plans `TakeOrderedAndProject`,
+    * a per-partition bounded heap merged on the driver, never a
+    * single-partition sort of the pair aggregate; the rank column is
+    * a window over the ≤ k surviving rows only. */
   def nodeSimilarity: Q = (s, d) => {
     val visits = Tables.events(s, d)
       .select(col("user_id"), get_json_object(col("props"), "$.k").cast("int").as("page"))
@@ -362,10 +364,11 @@ object Affinity {
       .select(col("page_a"), col("page_b"), col("co"),
         (floor(col("co") * lit(10000) / (col("na") + col("nb") - col("co"))) / 10000.0)
           .as("jaccard"))
-    sim.withColumn("rk", row_number().over(
-        Window.orderBy(col("jaccard").desc, col("page_a"), col("page_b"))))
-      .filter(col("rk") <= SimTopK)
-      .select(col("page_a"), col("page_b"), col("co"), col("jaccard"), col("rk").cast("int").as("rk"))
+    sim.orderBy(col("jaccard").desc, col("page_a"), col("page_b"))
+      .limit(SimTopK)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("jaccard").desc, col("page_a"), col("page_b"))).cast("int"))
+      .select(col("page_a"), col("page_b"), col("co"), col("jaccard"), col("rk"))
       .orderBy(col("rk"))
   }
 
@@ -581,13 +584,16 @@ object Affinity {
     * pipeline runs before any behavioural signal is trusted: per user,
     * (a) event rate over the active span, (b) page-sweep breadth
     * (distinct pages ≈ events — crawler signature), (c) inter-arrival
-    * REGULARITY via exact integer moments (n·Σg² − (Σg)² compared
-    * against (Σg/10)² — variance below (mean/10)² means machine-timed
-    * traffic; the same BIGINT-moment trick as `metrics_deriv`). Every
-    * rule is an integer cross-multiplication — no division, no floats.
-    * One window (gaps) + one aggregation, keyed by user. Emits the
-    * full per-user report (verdict = ≥2 rules), not just hits, so the
-    * output is stable for auditing. */
+    * REGULARITY via the moment n·Σg² − (Σg)² compared against (Σg/10)²
+    * — variance below (mean/10)² means machine-timed traffic. The
+    * moment products run in doubles (BIGINT wraps once gap sums reach
+    * ~1e10; exact below 2⁵³ anyway), the rate/sweep rules in integer
+    * cross-multiplication, and all three rules need ≥ 3 events of
+    * history before they may fire — a one-event user has a 0-second
+    * span and 1 page / 1 event, which would trip rate AND sweep
+    * vacuously. One window (gaps) + one aggregation, keyed by user.
+    * Emits the full per-user report (verdict = ≥2 rules), not just
+    * hits, so the output is stable for auditing. */
   def botScore: Q = (s, d) => {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val ev = Tables.events(s, d)
@@ -603,13 +609,23 @@ object Affinity {
         sum(col("gap")).as("g_sum"),
         sum(col("gap") * col("gap")).as("g_sum2"))
     perUser
+      // rate and sweep need history to mean anything: a single-event
+      // user has active_sec = 0 (rate trivially true) and 1 page / 1
+      // event (sweep trivially true) — gate both on >= 3 events, the
+      // same minimum-history guard regular_flag puts on n_gaps
       .withColumn("rate_flag",
-        col("n_events") * 3600 > col("active_sec") * BotMaxPerHour)
-      .withColumn("sweep_flag", col("n_pages") * 100 > col("n_events") * 90)
+        col("n_events") >= 3 &&
+          col("n_events") * 3600 > col("active_sec") * BotMaxPerHour)
+      .withColumn("sweep_flag",
+        col("n_events") >= 3 && col("n_pages") * 100 > col("n_events") * 90)
+      // variance moment in doubles: n·Σg² and (Σg)² overflow BIGINT once
+      // gap sums reach ~1e10 (Spark wraps silently, DuckDB raises); the
+      // integer DIV 10 tolerance runs first, products never stay integer
       .withColumn("regular_flag",
         col("n_gaps") >= 3 &&
-          (col("n_gaps") * col("g_sum2") - col("g_sum") * col("g_sum")) <
-            expr("(g_sum DIV 10) * (g_sum DIV 10)"))
+          (col("n_gaps").cast("double") * col("g_sum2").cast("double")
+            - col("g_sum").cast("double") * col("g_sum").cast("double")) <
+            expr("CAST(g_sum DIV 10 AS DOUBLE) * CAST(g_sum DIV 10 AS DOUBLE)"))
       .withColumn("is_bot",
         (col("rate_flag").cast("int") + col("sweep_flag").cast("int")
           + col("regular_flag").cast("int")) >= 2)
@@ -637,10 +653,11 @@ object Affinity {
           FROM ev GROUP BY 1),
         f AS (
           SELECT user_id, n_events, active_sec, n_pages,
-                 n_events * 3600 > active_sec * $BotMaxPerHour AS rate_flag,
-                 n_pages * 100 > n_events * 90 AS sweep_flag,
+                 n_events >= 3 AND n_events * 3600 > active_sec * $BotMaxPerHour AS rate_flag,
+                 n_events >= 3 AND n_pages * 100 > n_events * 90 AS sweep_flag,
                  n_gaps >= 3 AND
-                   n_gaps * g_sum2 - g_sum * g_sum < (g_sum // 10) * (g_sum // 10)
+                   n_gaps::DOUBLE * g_sum2::DOUBLE - g_sum::DOUBLE * g_sum::DOUBLE
+                     < (g_sum // 10)::DOUBLE * (g_sum // 10)::DOUBLE
                    AS regular_flag
           FROM u)
         SELECT user_id, n_events, active_sec, n_pages,
@@ -887,21 +904,32 @@ object Affinity {
 
   val ParetoBuckets = 10
 
-  /** Activity concentration (Lorenz/Pareto): users ranked by event
-    * count into deciles, cumulative event share per decile — the
-    * "top 10% of users drive X% of traffic" read. The ranking runs
-    * over the per-user AGGREGATE (an accounts-sized table, not the
-    * event corpus); shares are integers until one floored division,
-    * and the cumulative sum is a window over 10 rows. */
+  /** Activity concentration (Lorenz/Pareto): users bucketed into
+    * deciles of per-user event count, cumulative event share per
+    * decile — the "top 10% of users drive X% of traffic" read. Decile
+    * BOUNDARIES come from one exact-percentile aggregate broadcast
+    * back (same shape as `q_rfm_segments`) — never an `ntile` over the
+    * full user set, which is one unpartitioned sort of every account
+    * at scale. Bucket 1 is the heaviest decile; ties on n share a
+    * bucket, so populations are near- rather than exactly equal — the
+    * scale-correct trade. Shares are integers until one floored
+    * division, and the cumulative sum is a window over ≤ 10 rows. */
   def paretoShare: Q = (s, d) => {
     val perUser = Tables.events(s, d)
       .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-    val ranked = perUser.withColumn("bucket",
-      ntile(ParetoBuckets).over(Window.orderBy(col("n").desc, col("user_id"))))
-    val tot = ranked.agg(sum(col("n")).as("total"))
-    ranked.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
-      .crossJoin(broadcast(tot))
+    val qs = (1 until ParetoBuckets).map(i => s"${i.toDouble / ParetoBuckets}e0")
+    // one combined aggregate: decile boundaries + grand total (a single
+    // extra pass over the per-user aggregate, broadcast as one row)
+    val stats = perUser.agg(
+      expr(s"percentile(n, array(${qs.mkString(", ")}))").as("bq"),
+      sum(col("n")).as("total"))
+    val bucket = (lit(ParetoBuckets) - (0 until ParetoBuckets - 1)
+      .map(i => when(col("n") > col("bq")(i), 1).otherwise(0)).reduce(_ + _)).cast("int")
+    perUser.crossJoin(broadcast(stats))
+      .select(bucket.as("bucket"), col("n"), col("total"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"),
+        max(col("total")).as("total"))
       .withColumn("cum_events", sum(col("n_events")).over(
         Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, 0)))
       .select(col("bucket"), col("n_users"), col("n_events"),
@@ -909,19 +937,22 @@ object Affinity {
       .orderBy(col("bucket"))
   }
 
-  val paretoShareSql: String =
+  val paretoShareSql: String = {
+    val qs = (1 until ParetoBuckets).map(i => i.toDouble / ParetoBuckets)
+    val terms = (1 until ParetoBuckets).map(i => s"(n > bq[$i])::INT").mkString(" + ")
     s"""WITH u AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
-        r AS (SELECT user_id, n,
-                     ntile($ParetoBuckets) OVER (ORDER BY n DESC, user_id) AS bucket
-              FROM u),
+        bnd AS (SELECT quantile_cont(n, [${qs.mkString(", ")}]) AS bq FROM u),
+        r AS (SELECT n, CAST($ParetoBuckets - ($terms) AS INT) AS bucket
+              FROM u CROSS JOIN bnd),
         b AS (SELECT bucket, count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_events
               FROM r GROUP BY 1),
         t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM u)
-        SELECT CAST(bucket AS INT) AS bucket, n_users, n_events,
+        SELECT bucket, n_users, n_events,
                floor(CAST(sum(n_events) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
                      AS BIGINT) * 10000 / total) / 1e4 AS cum_share
         FROM b CROSS JOIN t
         ORDER BY bucket"""
+  }
 
   // ------------------------------------------------- null-skew join
 
@@ -970,12 +1001,14 @@ object Affinity {
 
   /** Chi-square independence test (event type × day of week) — "is
     * traffic mix stable across weekdays": per-cell terms
-    * (o·t − r·c)²/(r·c·t) with the numerator difference computed in
-    * exact BIGINT and squared only after an exact cast to double
-    * (|o·t − r·c| < 2⁵³ always; squaring in BIGINT could overflow at
-    * large t, doubles can't). Marginals come from windows over the
-    * |types|×|dows| aggregate — KBs at any scale. Per-cell output, no
-    * cross-cell float sum to order. */
+    * (o·t − r·c)²/(r·c·t) with every factor cast to double BEFORE any
+    * product — o·t alone exceeds BIGINT range once t ≳ 1e10 (Spark
+    * would wrap silently where DuckDB raises), so no intermediate may
+    * stay integer. Below 2⁵³ the double products are exact, so both
+    * engines agree bit-for-bit at any test scale; above it the terms
+    * degrade gracefully instead of wrapping. Marginals come from
+    * windows over the |types|×|dows| aggregate — KBs at any scale.
+    * Per-cell output, no cross-cell float sum to order. */
   def chi2Independence: Q = (s, d) => {
     val cells = Tables.events(s, d)
       .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
@@ -987,11 +1020,12 @@ object Affinity {
       .withColumn("t", sum(col("o")).over(wAll))
       .withColumn("r", sum(col("o")).over(wRow))
       .withColumn("c", sum(col("o")).over(wCol))
-      .select(col("event_type"), col("dow"), col("o"),
-        (floor((col("o") * col("t") - col("r") * col("c")).cast("double")
-          * (col("o") * col("t") - col("r") * col("c")).cast("double")
-          / (col("r") * col("c") * col("t")).cast("double") * 1e6) / 1e6)
-          .as("chi2_term"))
+      .select(col("event_type"), col("dow"), col("o"), {
+        val num = col("o").cast("double") * col("t").cast("double") -
+          col("r").cast("double") * col("c").cast("double")
+        val den = col("r").cast("double") * col("c").cast("double") * col("t").cast("double")
+        (floor(num * num / den * 1e6) / 1e6).as("chi2_term")
+      })
       .orderBy(col("event_type"), col("dow"))
   }
 
@@ -1006,8 +1040,9 @@ object Affinity {
                 CAST(sum(o) OVER (PARTITION BY dow) AS BIGINT) AS c
          FROM cells)
        SELECT event_type, dow, o,
-              floor(CAST(o * t - r * c AS DOUBLE) * CAST(o * t - r * c AS DOUBLE)
-                    / CAST(r * c * t AS DOUBLE) * 1e6) / 1e6 AS chi2_term
+              floor((o::DOUBLE * t::DOUBLE - r::DOUBLE * c::DOUBLE)
+                    * (o::DOUBLE * t::DOUBLE - r::DOUBLE * c::DOUBLE)
+                    / (r::DOUBLE * c::DOUBLE * t::DOUBLE) * 1e6) / 1e6 AS chi2_term
        FROM m ORDER BY event_type, dow"""
 
   val entries: Seq[(String, Q, Option[String])] = Seq(

@@ -45,19 +45,24 @@ object Reshape {
 
   /** Long→wide pivot: daily value sums per event type as columns. The
     * explicit value list makes this ONE aggregation pass (no distinct
-    * pre-scan) with a static schema. */
+    * pre-scan) with a static schema. Values sum as exact integer cents
+    * (one IEEE multiply+floor per row) with a single double division
+    * at the end — a float sum's order-dependent rounding could land
+    * near a .005 boundary and split engines. */
   def pivotEventsDaily: Q = (s, d) => {
     Tables.events(s, d)
-      .select(to_date(col("ts")).as("event_date"), col("event_type"), col("value"))
+      .select(to_date(col("ts")).as("event_date"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
       .groupBy(col("event_date"))
       .pivot("event_type", EventTypes)
-      .agg(round(sum(col("value")), 2))
+      .agg(sum(col("cents")) / 100.0)
       .orderBy(col("event_date"))
   }
 
   val pivotEventsDailySql: String = {
     val cols = EventTypes.map(t =>
-      s"round(sum(value) FILTER (WHERE event_type = '$t'), 2) AS $t").mkString(",\n          ")
+      s"CAST(sum(CAST(floor(value * 100) AS BIGINT)) FILTER (WHERE event_type = '$t') AS BIGINT) / 100.0 AS $t")
+      .mkString(",\n          ")
     s"""SELECT CAST(ts AS DATE) AS event_date,
           $cols
         FROM events GROUP BY event_date ORDER BY event_date"""
@@ -332,7 +337,7 @@ object Reshape {
 
   val unpivotEventsDailySql: String =
     """SELECT CAST(ts AS DATE) AS event_date, event_type,
-              round(sum(value), 2) AS value_sum
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS value_sum
        FROM events GROUP BY 1, 2 ORDER BY event_date, event_type"""
 
   /** Generated calendar dimension + fact join — the star-schema date

@@ -612,10 +612,11 @@ object TimeseriesExt {
 
   /** Inter-arrival-time histogram on LOG2 buckets — the standard shape
     * for latency/duration distributions (linear bins waste resolution
-    * at both ends). floor(log2(gap)) computed EXACTLY as
-    * `length(bin(gap)) − 1` (both engines render minimal-width binary)
-    * — no floating log whose last ulp could split a bucket boundary.
-    * One user-keyed lag + one tiny aggregation. */
+    * at both ends). bucket = bit-length(gap), computed EXACTLY as
+    * `length(bin(gap))` (both engines render minimal-width binary), so
+    * bucket k holds gaps in [2^(k−1), 2^k) — no floating log whose
+    * last ulp could split a bucket boundary. One user-keyed lag + one
+    * tiny aggregation. */
   def gapLog2Histogram: Q = (s, d) => {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables.events(s, d)

@@ -30,22 +30,46 @@ object LateData {
   val DelaySec = 600L       // watermark delay: 10 min
   val WindowSec = 600L      // tumbling aggregation window: 10 min
 
-  /** Events with deterministic pseudo-arrival order and chunk id. */
+  /** Hash-space range buckets for the arrival rank: 15 hex chars of
+    * md5 span [0, 16^15) = [0, 2^60); dividing by 2^52 yields 256
+    * order-preserving buckets (every h in bucket i precedes every h in
+    * bucket i+1), so a global rank decomposes into balanced per-bucket
+    * ranks plus a 256-row cumulative offset. */
+  val ArrivalBuckets = 256
+  private val BucketWidth = (1L << 60) / ArrivalBuckets
+
+  /** Events with deterministic pseudo-arrival order and chunk id.
+    * The rank over (h, event_id) is NOT one global-sort window — it is
+    * a per-hash-range-bucket `row_number` (balanced: md5 is uniform)
+    * plus each bucket's carry-in offset, a cumulative sum over the
+    * |buckets|-row count table broadcast back. Same integer ranks,
+    * no single-partition sort of the fact table. */
   def arrivals(s: SparkSession, d: String): DataFrame = {
     val h = conv(substring(md5(concat(lit("arr:"), col("event_id").cast("string"))), 1, 15), 16, 10)
       .cast("long")
-    Tables.events(s, d)
+    val base = Tables.events(s, d)
       .select(col("event_id"), col("event_type"),
         unix_timestamp(date_trunc("second", col("ts"))).as("sec"), h.as("h"))
-      .withColumn("arrival", row_number().over(Window.orderBy(col("h"), col("event_id"))))
+      .withColumn("bkt", expr(s"h DIV ${BucketWidth}L"))
+    val offsets = base.groupBy(col("bkt")).agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(
+        Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    base
+      .withColumn("r_in", row_number().over(
+        Window.partitionBy(col("bkt")).orderBy(col("h"), col("event_id"))))
+      .join(broadcast(offsets), Seq("bkt"))
+      .withColumn("arrival", col("off") + col("r_in"))
       .withColumn("chunk", expr(s"(arrival - 1) DIV $ChunkSize"))
+      .drop("bkt", "r_in", "off")
   }
 
   /** Batch twin: per 10-min window, rows a streaming aggregation with a
     * 10-min watermark ACCEPTS vs DROPS under the md5 arrival order.
-    * (The arrival ranking is one global sort here for determinism; a
-    * real deployment reads arrival order off the log for free — the
-    * accounting itself is one tiny running max + one windowed count.) */
+    * (A real deployment reads arrival order off the log for free; here
+    * the deterministic rank is derived per hash-range bucket + carry —
+    * see `arrivals` — so the accounting is one balanced window, one
+    * tiny running max, one windowed count.) */
   def lateDataBatch: Q = (s, d) => {
     val arr = arrivals(s, d)
     val chunkMax = arr.groupBy(col("chunk")).agg(max(col("sec")).as("chunk_max"))

@@ -72,8 +72,8 @@ class LateDataSpec extends SparkTestBase {
       .groupBy(_.getLong(0))
       .toSeq.sortBy(_._1)
       .map { case (_, rows) =>
-        rows.sortBy(_.getInt(1)).map(r =>
-          DEv(r.getInt(1).toLong, new java.sql.Timestamp(r.getLong(2) * 1000), "e")).toSeq
+        rows.sortBy(_.getLong(1)).map(r =>
+          DEv(r.getLong(1), new java.sql.Timestamp(r.getLong(2) * 1000), "e")).toSeq
       }
 
     val input = MemoryStream[DEv]

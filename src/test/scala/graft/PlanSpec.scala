@@ -117,6 +117,27 @@ class PlanSpec extends SparkTestBase {
     val p = plan("text_tfidf_topk")
     assert(countScans(p) == 1, s"df should reuse the counted set:\n${p.take(1500)}")
   }
+  test("node similarity top-k plans TakeOrderedAndProject, not a global-sort window") {
+    val p = executedPlan("graph_node_similarity")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be a bounded per-partition heap:\n${p.take(1500)}")
+  }
+
+  test("pareto buckets come from broadcast percentile bounds, not ntile") {
+    val p = plan("events_pareto_share")
+    // note: "percentile" contains "ntile" — match the ranking call shape
+    assert("(?<!perce)ntile\\(".r.findFirstIn(p).isEmpty, "bucket must not rank the full user set")
+    assert(p.contains("percentile"), "decile boundaries should be one exact-percentile aggregate")
+  }
+
+  test("late-data arrival rank is partitioned by hash-range bucket") {
+    val p = plan("stream_late_data")
+    // the fact-table row_number must carry the bkt partition key; the
+    // only unpartitioned windows left run over bounded bucket/chunk tables
+    assert("row_number\\(\\) windowspecdefinition\\(bkt".r.findFirstIn(p).isDefined,
+      s"arrival rank must be per-bucket:\n${p.take(2000)}")
+  }
+
   test("null-safe join plans a hash/merge equi-join, not a nested loop") {
     val p = plan("q_null_safe_join")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
