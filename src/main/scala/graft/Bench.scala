@@ -71,5 +71,9 @@ object Bench {
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"bench json write failed: $e") }
     spark.stop()
+    // reprint AFTER shutdown so the JSON is the log's final line — a
+    // tail-truncated capture window then still contains a parseable copy
+    println(json)
+    Console.flush()
   }
 }

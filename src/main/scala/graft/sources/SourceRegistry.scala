@@ -167,8 +167,95 @@ object SourceRegistry {
     s"""WITH $secretsCte, $parsedCte
        SELECT engine, host, port, dbname FROM p WHERE enabled ORDER BY engine"""
 
+  /** The NEXT enumeration round's payloads — what the reference's
+    * 15-minute `RefreshSecrets` loop sees the second time around
+    * (collector/cmd/collector/database-collector.go:82-150): db1
+    * rotated its password (same identity, new DSN), db2's secret is
+    * gone, db3 gained the enabled tag, db5 is newly registered; the
+    * never-enrolled db4 stays invisible to both rounds. */
+  val demoSecretsV2: Seq[String] = Seq(
+    """{"engine":"mysql","host":"db1.example.com","port":"3306","username":"scott","password":"lion","dbname":"prod","tags":{"database-collector:enabled":"true","env":"prod"}}""",
+    """{"engine":"oracle-ee","host":"db3.example.com","port":"1521","username":"system","password":"orapwd","dbname":"ORCL","tags":{"database-collector:enabled":"true","env":"staging"}}""",
+    """{"engine":"sqlite","host":"db4.example.com","port":"0","username":"u","password":"p","dbname":"x"}""",
+    """{"engine":"postgres","host":"db5.example.com","port":"5432","username":"app","password":"s3cret","dbname":"metrics","tags":{"database-collector:enabled":"true"}}""")
+
+  /** Registry reconciliation between two enumeration vintages — the
+    * reference's refresh round re-lists secrets, STARTS a collector for
+    * every newly-enrolled source, STOPS collectors whose secret
+    * vanished, and leaves running ones alone (database-collector.go:
+    * 82-150, the add/remove diff around `RefreshSecrets`). Re-expressed
+    * declaratively: enrolled(old) FULL OUTER JOIN enrolled(new) on the
+    * (host, port) source identity → added / removed / kept, plus a
+    * dsn_changed flag for kept sources whose credentials rotated (the
+    * reference tears down + re-creates those). The registry is a
+    * control-plane table — thousands of rows at any fleet size — so
+    * the join is trivially broadcast-able; what matters is that the
+    * diff is a DATA operation, not N control-plane API calls. */
+  def refreshDiff(spark: SparkSession, dir: String): DataFrame = {
+    def enrolled(payloads: Seq[String]) =
+      withDsn(parseSecrets(spark, payloads)
+        .filter(col("tags").getItem(EnabledTagKey).isNotNull))
+    val a = enrolled(demoSecrets)
+      .select(col("host"), col("port"), col("engine").as("engine_old"), col("dsn").as("dsn_old"))
+    val b = enrolled(demoSecretsV2)
+      .select(col("host"), col("port"), col("engine").as("engine_new"), col("dsn").as("dsn_new"))
+    a.join(b, Seq("host", "port"), "full_outer")
+      .select(col("host"), col("port"),
+        coalesce(col("engine_new"), col("engine_old")).as("engine"),
+        when(col("dsn_old").isNull, "added")
+          .when(col("dsn_new").isNull, "removed")
+          .otherwise("kept").as("status"),
+        (col("dsn_old").isNotNull && col("dsn_new").isNotNull &&
+          col("dsn_old") =!= col("dsn_new")).as("dsn_changed"))
+      .orderBy(col("host"))
+  }
+
+  private def secretsCteNamed(cte: String, payloads: Seq[String]): String =
+    payloads.map(s => s"('$s')").mkString(s"$cte(j) AS (VALUES ", ", ", ")")
+
+  private def parsedCteNamed(cte: String, from: String): String =
+    s"""$cte AS (SELECT json_extract_string(j, '$$.engine') AS engine,
+                    json_extract_string(j, '$$.host') AS host,
+                    json_extract_string(j, '$$.port') AS port,
+                    json_extract_string(j, '$$.username') AS username,
+                    json_extract_string(j, '$$.password') AS password,
+                    json_extract_string(j, '$$.dbname') AS dbname,
+                    json_extract(j, '$$.tags."database-collector:enabled"') IS NOT NULL AS enabled
+             FROM $from)"""
+
+  private val dsnCase: String =
+    """CASE WHEN engine = 'mysql'
+             THEN username || ':' || password || '@tcp(' || host || ':' || port || ')/'
+           WHEN engine = 'postgres'
+             THEN 'postgresql://' || username || ':' || password || '@' || host
+                  || ':' || port || '/' || dbname || '?sslmode=disable'
+           WHEN engine IN ('oracle', 'oracle-ee', 'custom-oracle-ee')
+             THEN host || ':' || port || '/' || dbname
+      END"""
+
+  val refreshDiffSql: String =
+    s"""WITH ${secretsCteNamed("sa", demoSecrets)},
+        ${secretsCteNamed("sb", demoSecretsV2)},
+        ${parsedCteNamed("pa", "sa")},
+        ${parsedCteNamed("pb", "sb")},
+        ea AS (SELECT host, port, engine AS engine_old, $dsnCase AS dsn_old
+               FROM pa WHERE enabled),
+        eb AS (SELECT host, port, engine AS engine_new, $dsnCase AS dsn_new
+               FROM pb WHERE enabled)
+        SELECT coalesce(ea.host, eb.host) AS host,
+               coalesce(ea.port, eb.port) AS port,
+               coalesce(engine_new, engine_old) AS engine,
+               CASE WHEN dsn_old IS NULL THEN 'added'
+                    WHEN dsn_new IS NULL THEN 'removed'
+                    ELSE 'kept' END AS status,
+               dsn_old IS NOT NULL AND dsn_new IS NOT NULL AND dsn_old <> dsn_new
+                 AS dsn_changed
+        FROM ea FULL OUTER JOIN eb ON ea.host = eb.host AND ea.port = eb.port
+        ORDER BY host"""
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("source_config_dsn", configDsn _, Some(configDsnSql)),
     ("source_registry", registryRead _, Some(registryReadSql)),
-    ("source_tag_filter", tagFilter _, Some(tagFilterSql)))
+    ("source_tag_filter", tagFilter _, Some(tagFilterSql)),
+    ("source_refresh_diff", refreshDiff _, Some(refreshDiffSql)))
 }

@@ -51,6 +51,21 @@ class SourceRegistrySpec extends SparkTestBase {
     assert(dsns("sqlite") == null) // unsupported engine → warn-and-skip analog
   }
 
+  test("refresh diff classifies every enrollment transition") {
+    val rows = SourceRegistry.refreshDiff(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getString(3), r.getBoolean(4))).toMap
+    // db1 stayed enrolled but rotated its password → kept + dsn change
+    assert(rows("db1.example.com") == ("kept", true))
+    // db2's secret vanished between rounds → removed
+    assert(rows("db2.example.com") == ("removed", false))
+    // db3 gained the enabled tag → added (tag PRESENCE enrolls)
+    assert(rows("db3.example.com") == ("added", false))
+    // db5 is newly registered → added
+    assert(rows("db5.example.com") == ("added", false))
+    // db4 never carried the tag: invisible to both rounds
+    assert(!rows.contains("db4.example.com"))
+  }
+
   test("the dumped entry redacts credentials from the dsn column") {
     val dsns = SourceRegistry.configDsn(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(4))).toMap
