@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.Tables
+
+/** Prometheus remote-write WIRE framing — the byte-exact protobuf
+  * encoding of `prompb.WriteRequest` the reference builds right before
+  * its sigv4 POST (`collector/internal/utils/prometheus.go:112-127`,
+  * `encodeWriteRequestIntoProtoAndSnappy` → `proto.Marshal`).
+  *
+  * Faithful semantics notes (reference prometheus.go:23-120):
+  *  - Each metric becomes ONE TimeSeries with ONE sample. The per-bucket
+  *    (histogram) / per-quantile (summary) sample loops are dead code:
+  *    `timestamp` is never 0 (falls back to now()), so the trailing
+  *    `ts.Samples = []prompb.Sample{sample}` unconditionally overwrites
+  *    them with the single family value (counter/gauge value,
+  *    histogram/summary sample_sum).
+  *  - Label order is fixed by construction: `__name__`, the metric's own
+  *    labels, then identifier, job, region, accountId, engine
+  *    (prometheus.go:36-66). gogo proto.Marshal emits fields in that
+  *    slice order; proto3 zero-value rule omits empty-string label
+  *    values and a 0.0 sample value.
+  *
+  * The public prompb wire format (protobuf encoding spec):
+  *   Label      = 1:name(len-delim) 2:value(len-delim)
+  *   Sample     = 1:value(fixed64 LE double bits) 2:timestamp(varint)
+  *   TimeSeries = 1:Label* 2:Sample*
+  *   WriteRequest = 1:TimeSeries*
+  * so a WriteRequest body is exactly the concatenation of per-series
+  * `0x0A <varint len> <TimeSeries bytes>` frames — which is what this
+  * entry emits, one frame per row. At 100 TB the frame is a pure per-row
+  * projection (no shuffle beyond the upstream aggregate): each executor
+  * serializes its own partition of the sample stream and a sink
+  * concatenates frames into request bodies of any target size, never
+  * materializing a single giant request on one node. Snappy is a
+  * codec-library call on the framed bytes and is intentionally out of
+  * the deterministic surface.
+  *
+  * Cross-engine determinism: the ENTIRE byte assembly — IEEE-754 double
+  * bit extraction (exponent ladder + exact power-of-two scaling; scaling
+  * by 2^k and the already-integer CAST are exact in both engines),
+  * varint framing, little-endian fixed64 — is generated ONCE as SQL
+  * text and evaluated by both Spark and DuckDB over identical integer
+  * math, so the hex output is bit-portable with no rounding slack.
+  */
+object PromWire {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Engine dialect: only bit-shift and integer-divide spellings differ. */
+  private case class Dia(shr: (String, Int) => String, idiv: String => String)
+  private val sparkDia = Dia((x, n) => s"shiftright($x, $n)", x => s"($x div 2)")
+  private val duckDia  = Dia((x, n) => s"($x >> $n)", x => s"($x // 2)")
+
+  private def hexByte(e: String): String = s"lpad(lower(hex($e)), 2, '0')"
+
+  /** Exact decimal literal for 2^e (e may be negative) as a double. */
+  private def pow2lit(e: Int): String = {
+    val bd =
+      if (e >= 0) java.math.BigDecimal.valueOf(2).pow(e)
+      else java.math.BigDecimal.ONE.divide(java.math.BigDecimal.valueOf(2).pow(-e))
+    bd.toPlainString + "e0"
+  }
+
+  /** Base-128 varint hex of a non-negative BIGINT expression `x`.
+    * Unrolled to 9 bytes (covers all non-negative signed-64 values;
+    * byte 8 can never carry a continuation bit for x < 2^63). */
+  private def varintHex(x: String, dia: Dia): String = {
+    val terms = (0 to 8).map { i =>
+      val lo7 = if (i == 0) s"($x & 127)" else s"(${dia.shr(x, 7 * i)} & 127)"
+      val cont =
+        if (i >= 8) lo7
+        else s"($lo7 | (CASE WHEN $x >= ${1L << (7 * (i + 1))} THEN 128 ELSE 0 END))"
+      val byte = hexByte(cont)
+      if (i == 0) byte else s"CASE WHEN $x >= ${1L << (7 * i)} THEN $byte ELSE '' END"
+    }
+    terms.mkString("concat(", ", ", ")")
+  }
+
+  /** IEEE-754 bits of a non-negative double expression `av` as BIGINT
+    * (sign handled separately by the caller). Descending exponent
+    * ladder: for 2^e <= av < 2^(e+1), bits = (e+1023-1)*2^52 +
+    * round(av * 2^(52-e)); the scale is an exact power of two so the
+    * product is the integer significand with no rounding. ELSE covers
+    * av = 0 (and sub-2^-24 values, which this entry's value domain —
+    * counts, cent-rounded sums, floor-1e4 gauges — cannot produce). */
+  private def doubleBitsExpr(av: String): String = {
+    val branches = (62 to -24 by -1).map { e =>
+      val base = (e.toLong + 1022L) * (1L << 52) // (e+1023)<<52 − 2^52 implicit-bit excess
+      s"WHEN $av >= ${pow2lit(e)} THEN ${base}+CAST($av * ${pow2lit(52 - e)} AS BIGINT)"
+    }
+    s"(CASE ${branches.mkString(" ")} ELSE 0 END)"
+  }
+
+  /** Little-endian fixed64 hex of the bits column, folding the sign bit
+    * of the ORIGINAL value `v` into the top byte. */
+  private def fixed64le(bits: String, v: String, dia: Dia): String = {
+    val bytes = (0 to 7).map { i =>
+      val b =
+        if (i < 7) s"(${dia.shr(bits, 8 * i)} & 255)"
+        else s"((${dia.shr(bits, 56)} & 255) + (CASE WHEN $v < 0e0 THEN 128 ELSE 0 END))"
+      hexByte(b)
+    }
+    bytes.mkString("concat(", ", ", ")")
+  }
+
+  private def strHex(col: String): String = s"lower(hex($col))"
+
+  /** Constant label frame (TimeSeries field-1 entry), precomputed to a
+    * hex literal. Empty values are omitted (proto3 zero-value rule). */
+  private def constLabelFrame(name: String, value: String): String = {
+    def hx(s: String) = s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+    def b(i: Int) = { require(i < 128); f"$i%02x" }
+    val inner = "0a" + b(name.length) + hx(name) +
+      (if (value.nonEmpty) "12" + b(value.length) + hx(value) else "")
+    "0a" + b(inner.length / 2) + inner
+  }
+
+  /** Static label block after the metric's own labels — identifier, job,
+    * region, accountId, engine (prometheus.go:46-66). region/accountId
+    * come from env vars the collector may run without; unset env ⇒ empty
+    * string ⇒ proto3 omits the value field but still emits the label. */
+  private val constChunk: String = Seq(
+    constLabelFrame("identifier", "graft"),
+    constLabelFrame("job", "database-collector"),
+    constLabelFrame("region", ""),
+    constLabelFrame("accountId", ""),
+    constLabelFrame("engine", "events")).mkString
+
+  // __name__ is 8 bytes; event_type (the metric's own label name) is 10.
+  private val nameLabelHex = strHexConst("__name__")   // 5f5f6e616d655f5f
+  private val etLabelHex   = strHexConst("event_type")
+  private def strHexConst(s: String): String =
+    s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+
+  /** The four per-event_type metric families the collector surface
+    * exposes, with the single sample value the reference's conversion
+    * actually ships for each family type. */
+  private val families: Seq[(String, String, String)] = Seq(
+    ("COUNTER", "events_total", "n"),
+    ("GAUGE", "events_value_gauge", "gavg"),
+    ("HISTOGRAM", "events_value_hist", "vsum"),
+    ("SUMMARY", "events_value_summary", "vsum"))
+
+  /** Per-stage SELECT expressions shared by both engines. Returns the
+    * stage pipeline as (columns added at each stage). */
+  private def stages(dia: Dia): Seq[Seq[String]] = {
+    val s1 = Seq(s"${doubleBitsExpr("abs(value)")} AS vbits")
+    val sampleHex =
+      s"""concat(CASE WHEN value = 0e0 THEN '' ELSE concat('09', ${fixed64le("vbits", "value", dia)}) END,
+                 '10', ${varintHex("ts_ms", dia)})"""
+    val nameFrame =
+      s"""concat('0a', ${hexByte("12 + length(metric_name)")},
+                 '0a', '08', '$nameLabelHex',
+                 '12', ${hexByte("length(metric_name)")}, ${strHex("metric_name")})"""
+    val etFrame =
+      s"""concat('0a', ${hexByte("14 + length(event_type)")},
+                 '0a', '0a', '$etLabelHex',
+                 '12', ${hexByte("length(event_type)")}, ${strHex("event_type")})"""
+    val s2 = Seq(s"$sampleHex AS sample_hex", s"$nameFrame AS name_frame",
+      s"$etFrame AS et_frame")
+    val tsMsg =
+      s"""concat(name_frame, et_frame, '$constChunk',
+                 '12', ${varintHex(dia.idiv("length(sample_hex)"), dia)}, sample_hex)"""
+    val s3 = Seq(s"$tsMsg AS ts_msg")
+    val s4 = Seq(
+      s"concat('0a', ${varintHex(dia.idiv("length(ts_msg)"), dia)}, ts_msg) AS wire_hex")
+    Seq(s1, s2, s3, s4)
+  }
+
+  /** One WriteRequest frame (`0A <len> <TimeSeries>`) per metric: the
+    * concatenation of this entry's wire_hex column, in any row order,
+    * unhexed, IS a valid `prompb.WriteRequest` body (field order within
+    * each frame is fixed; frames commute because field 1 is repeated). */
+  def wireFrame: Q = (s, d) => {
+    import org.apache.spark.sql.functions._
+    val agg = Tables.events(s, d).groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        round(sum(col("value")), 2).as("vsum"),
+        expr("CAST(unix_seconds(date_trunc('second', max(ts))) AS BIGINT) * 1000").as("ts_ms"))
+      .withColumn("gavg", expr("floor(vsum / n * 1e4) / 1e4"))
+    val stackArgs = families
+      .map { case (f, m, v) => s"'$f', '$m', $v" }.mkString(", ")
+    var df = agg.selectExpr("event_type", "ts_ms",
+      s"stack(${families.size}, $stackArgs) AS (family_type, metric_name, value)")
+    stages(sparkDia).foreach { cols => df = df.selectExpr("*" +: cols: _*) }
+    df.selectExpr("family_type", "metric_name", "event_type", "ts_ms", "value",
+        s"${sparkDia.idiv("length(wire_hex)")} AS wire_len", "wire_hex")
+      .orderBy(col("metric_name"), col("event_type"))
+  }
+
+  val wireFrameSql: String = {
+    val selects = families.map { case (f, m, v) =>
+      s"SELECT event_type, ts_ms, '$f' AS family_type, '$m' AS metric_name, $v AS value FROM a"
+    }.mkString(" UNION ALL ")
+    val cteNames = Seq("s1", "s2", "s3", "s4")
+    val ctes = stages(duckDia).zipWithIndex.map { case (cols, i) =>
+      val from = if (i == 0) "r" else cteNames(i - 1)
+      s"${cteNames(i)} AS (SELECT *, ${cols.mkString(", ")} FROM $from)"
+    }
+    s"""WITH a0 AS (SELECT event_type,
+                      CAST(count(*) AS DOUBLE) AS n,
+                      round(sum(value), 2) AS vsum,
+                      CAST(epoch(date_trunc('second', max(ts))) AS BIGINT) * 1000 AS ts_ms
+                    FROM events GROUP BY event_type),
+          a AS (SELECT *, floor(vsum / n * 1e4) / 1e4 AS gavg FROM a0),
+          r AS ($selects),
+          ${ctes.mkString(",\n          ")}
+        SELECT family_type, metric_name, event_type, ts_ms, value,
+               ${duckDia.idiv("length(wire_hex)")} AS wire_len, wire_hex
+        FROM s4 ORDER BY metric_name, event_type"""
+  }
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("prom_wire_frame", wireFrame, Some(wireFrameSql)))
+}
