@@ -228,26 +228,74 @@ object Curation {
 
   // ----------------------------------------------------------- perplexity
 
+  /** Vocabulary cap for the LM scorers. The model tables broadcast to
+    * every executor, so their size must be bounded BY CONSTRUCTION,
+    * not by luck of the corpus: the top-K terms by count keep their
+    * own probability mass and everything else folds into one OOV
+    * bucket carrying the whole tail's mass. 64Ki terms is a few MB of
+    * broadcast at any corpus size; the top-K itself is a bounded
+    * TakeOrderedAndProject over the term-count aggregate (terms ≪
+    * tokens), never a sort of the corpus. */
+  val LmVocabK = 65536
+
+  /** OOV sentinel — `toksExpr` lowercases, so an uppercase sentinel
+    * cannot collide with a real term. */
+  val OovTerm = "<OOV>"
+
   /** Unigram LM cross-entropy scoring (the CCNet-style quality filter):
     * score each document by the mean surprisal −ln p(token) of its
     * tokens under the CORPUS unigram distribution — low = head-like
     * text, high = rare-token soup. The language model is one count
-    * aggregation broadcast back onto the corpus (at 100 TB: a capped
-    * vocabulary with an OOV bucket, same join shape); the per-document
-    * sum is an order-FIXED fold over the sorted surprisal list, so
-    * engines accumulate the identical IEEE sequence (summation order is
-    * the parity hazard, not ln itself — both engines' ln are
+    * aggregation capped to [[LmVocabK]] terms + an OOV bucket and
+    * broadcast back onto the corpus; the per-document sum is an
+    * order-FIXED fold over the sorted surprisal list, so engines
+    * accumulate the identical IEEE sequence (summation order is the
+    * parity hazard, not ln itself — both engines' ln are
     * correctly-rounded on these few-hundred distinct rationals, the
     * same contract `text_tfidf_topk` already relies on). */
-  def textPerplexity: Q = (s, d) => {
+  def textPerplexity: Q = textPerplexityAt(LmVocabK)
+
+  /** Cap-parameterized body — `CurationSpec` exercises a tiny K so the
+    * OOV path is tested even though the default cap is larger than the
+    * test corpus' vocabulary (at which point the output is bit-equal
+    * to the uncapped model). */
+  /** Train the capped unigram model in ONE corpus pass: `rollup(term)`
+    * emits per-term counts PLUS the grand-total row (term IS NULL), so
+    * ordering the total row first lets a single bounded
+    * TakeOrderedAndProject (limit K+2) carry the whole model — top-K
+    * terms, corpus size, and (via the K+1-th sentinel row) whether a
+    * tail exists. The K+2-row collect is the broadcastable LM itself
+    * (same bounded-collect class as the IVF codebook): returns
+    * (total, top-K (term, cnt) pairs, tail-exists flag). */
+  private[graft] def lmVocabModel(s: SparkSession, d: String, k: Int)
+      : (Long, Array[(String, Long)], Boolean) = {
+    val rows = Tables.documents(s, d)
+      .select(explode(expr(toksExpr)).as("term"))
+      .rollup(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("term").isNull.desc, col("cnt").desc, col("term"))
+      .limit(k + 2)
+      .collect()
+    val total = rows.head.getLong(1)
+    val terms = rows.tail.map(r => (r.getString(0), r.getLong(1)))
+    (total, terms.take(k), terms.length > k)
+  }
+
+  private[graft] def textPerplexityAt(k: Int): Q = (s, d) => {
+    import s.implicits._
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(expr(toksExpr)).as("term"))
-    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      .withColumn("total", sum(col("cnt")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
-      .select(col("term"),
-        (-log(col("cnt").cast("double") / col("total").cast("double"))).as("surprisal"))
-    toks.join(broadcast(vocab), Seq("term"))
+    val (total, topk, _) = lmVocabModel(s, d, k)
+    val kept = topk.map(_._2).sum
+    // driver-side Math.log is the same correctly-rounded ln the Spark
+    // `log` codegen calls — cross-engine parity unchanged
+    val vocab = topk.toSeq
+      .map { case (t, c) => (t, -math.log(c.toDouble / total.toDouble)) }
+      .toDF("term", "surprisal")
+    val oovSurprisal =
+      if (total > kept) -math.log((total - kept).toDouble / total.toDouble) else 0.0
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .select(col("doc_id"),
+        coalesce(col("surprisal"), lit(oovSurprisal)).as("surprisal"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         expr("aggregate(array_sort(collect_list(surprisal)), 0.0e0, (a, x) -> a + x)")
@@ -261,15 +309,24 @@ object Curation {
   val textPerplexitySql: String =
     s"""WITH toks AS (
           SELECT doc_id, unnest($toksSqlExpr) AS term FROM documents),
+        counts AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+        topk AS (SELECT term, cnt FROM counts ORDER BY cnt DESC, term LIMIT $LmVocabK),
+        tot AS (SELECT sum(cnt) AS total FROM counts),
+        kept AS (SELECT sum(cnt) AS kept FROM topk),
         vocab AS (
-          SELECT term, -ln(CAST(count(*) AS DOUBLE)
-                           / CAST(sum(count(*)) OVER () AS DOUBLE)) AS surprisal
-          FROM toks GROUP BY term),
+          SELECT term, -ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) AS surprisal
+          FROM topk CROSS JOIN tot),
+        oov AS (
+          SELECT CASE WHEN total > kept
+                      THEN -ln(CAST(total - kept AS DOUBLE) / CAST(total AS DOUBLE))
+                      ELSE 0.0e0 END AS oov_surprisal
+          FROM tot CROSS JOIN kept),
         docs AS (
           SELECT t.doc_id, count(*) AS n_tokens,
-                 list_reduce(list_prepend(0.0e0, list_sort(list(v.surprisal))),
+                 list_reduce(list_prepend(0.0e0,
+                   list_sort(list(coalesce(v.surprisal, o.oov_surprisal)))),
                              (a, x) -> a + x) AS sum_surprisal
-          FROM toks t JOIN vocab v USING (term)
+          FROM toks t LEFT JOIN vocab v USING (term) CROSS JOIN oov o
           GROUP BY t.doc_id)
         SELECT doc_id, n_tokens,
                floor(sum_surprisal / n_tokens * 1e4) / 1e4 AS cross_entropy,
@@ -415,29 +472,49 @@ object Curation {
     * document's cross-entropy under the corpus-trained model — the
     * next step up from `text_perplexity`'s unigram scorer (CCNet-style
     * quality signal that penalizes improbable token SEQUENCES, not
-    * just rare tokens). Training is two count aggregations (bigram and
-    * history); scoring joins each document's bigrams to the count
-    * table — a shuffle join, because at 100 TB the bigram table is
-    * corpus-sized and must NOT be broadcast (the history table is
-    * vocabulary-sized and is). Surprisal ln((c1+V)/(c12+1)) is one IEEE
-    * log of one exact integer ratio; the per-doc sum uses the
-    * order-fixed sorted fold, so it is bit-identical cross-engine. */
-  def textBigramLm: Q = (s, d) => {
-    val bigrams = Tables.documents(s, d)
+    * just rare tokens). Tokens outside the top-[[LmVocabK]] unigram
+    * vocabulary fold into [[OovTerm]] BEFORE pairing, so the history
+    * table is ≤ K+1 rows by construction (broadcastable at any corpus
+    * size) and the bigram table ≤ (K+1)². Training is two count
+    * aggregations (bigram and history); scoring joins each document's
+    * bigrams to the count table — a shuffle join, because at 100 TB
+    * the bigram table is corpus-sized and must NOT be broadcast (the
+    * history table is vocabulary-sized and is). Surprisal
+    * ln((c1+V)/(c12+1)) is one IEEE log of one exact integer ratio;
+    * the per-doc sum uses the order-fixed sorted fold, so it is
+    * bit-identical cross-engine. */
+  def textBigramLm: Q = textBigramLmAt(LmVocabK)
+
+  /** Cap-parameterized body; V under the cap is min(|vocab|, K+1) —
+    * the K kept terms plus the OOV bucket when a tail exists. The
+    * history table c1 re-aggregates the (K+1)²-bounded bigram table
+    * instead of re-scanning the corpus. */
+  private[graft] def textBigramLmAt(k: Int): Q = (s, d) => {
+    import s.implicits._
+    val (_, topk, hasTail) = lmVocabModel(s, d, k)
+    val vocabDf = topk.toSeq.map(_._1).toDF("t")
+    val v = topk.length.toLong + (if (hasTail) 1L else 0L)
+    val rawBigrams = Tables.documents(s, d)
       .select(col("doc_id"), expr(toksExpr).as("toks"))
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(toks) >= 2
              THEN transform(sequence(0, size(toks) - 2),
                             i -> struct(toks[i] AS w1, toks[i + 1] AS w2))
              ELSE array() END""")).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .select(col("doc_id"), col("b.w1").as("rw1"), col("b.w2").as("rw2"))
+    val bigrams = rawBigrams
+      .join(broadcast(vocabDf.select(col("t").as("rw1"), lit(1).as("in1"))),
+        Seq("rw1"), "left")
+      .join(broadcast(vocabDf.select(col("t").as("rw2"), lit(1).as("in2"))),
+        Seq("rw2"), "left")
+      .select(col("doc_id"),
+        when(col("in1").isNotNull, col("rw1")).otherwise(lit(OovTerm)).as("w1"),
+        when(col("in2").isNotNull, col("rw2")).otherwise(lit(OovTerm)).as("w2"))
     val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val v = Tables.documents(s, d)
-      .select(explode(expr(toksExpr)).as("t")).agg(countDistinct(col("t")).as("v"))
-    val scored = c2.join(broadcast(c1), Seq("w1")).crossJoin(broadcast(v))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val scored = c2.join(broadcast(c1), Seq("w1"))
       .select(col("w1"), col("w2"),
-        log((col("c1") + col("v")).cast("double") / (col("c12") + 1).cast("double"))
+        log((col("c1") + lit(v)).cast("double") / (col("c12") + 1).cast("double"))
           .as("surprisal"))
     bigrams.join(scored, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
@@ -451,16 +528,23 @@ object Curation {
   }
 
   val textBigramLmSql: String =
-    s"""WITH b AS (
-          SELECT doc_id, p.w1, p.w2
+    s"""WITH b0 AS (
+          SELECT doc_id, p.w1 AS rw1, p.w2 AS rw2
           FROM (SELECT doc_id,
                        unnest(list_transform(range(0, len(toks) - 1),
                               i -> {'w1': toks[i + 1], 'w2': toks[i + 2]})) AS p
                 FROM (SELECT doc_id, $toksSqlExpr AS toks FROM documents))),
+        terms AS (SELECT unnest($toksSqlExpr) AS t FROM documents),
+        topk AS (SELECT t FROM (SELECT t, count(*) AS cnt FROM terms GROUP BY t)
+                 ORDER BY cnt DESC, t LIMIT $LmVocabK),
+        b AS (SELECT doc_id,
+                     CASE WHEN k1.t IS NOT NULL THEN rw1 ELSE '$OovTerm' END AS w1,
+                     CASE WHEN k2.t IS NOT NULL THEN rw2 ELSE '$OovTerm' END AS w2
+              FROM b0 LEFT JOIN topk k1 ON b0.rw1 = k1.t
+                      LEFT JOIN topk k2 ON b0.rw2 = k2.t),
         c2 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
         c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
-        v AS (SELECT count(DISTINCT t) AS v
-              FROM (SELECT unnest($toksSqlExpr) AS t FROM documents)),
+        v AS (SELECT least(count(DISTINCT t), $LmVocabK + 1) AS v FROM terms),
         scored AS (
           SELECT w1, w2, ln(CAST(c1 + v AS DOUBLE) / CAST(c12 + 1 AS DOUBLE)) AS surprisal
           FROM c2 JOIN c1 USING (w1) CROSS JOIN v),

@@ -93,6 +93,60 @@ class CurationSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  /** Tokenization replica of `TextAnalysis.toksExpr` for the vocab-cap
+    * ground-truth computations below. */
+  private def tokensOf(text: String): Array[String] =
+    text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+
+  test("perplexity vocab cap: tiny-K OOV bucket matches a direct replica bit-for-bit") {
+    val k = 3
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), tokensOf(r.getString(1))))
+    val counts = docs.flatMap(_._2).groupBy(identity).map { case (t, a) => (t, a.length.toLong) }
+    val topk = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(k)
+    val total = counts.values.sum
+    val kept = topk.map(_._2).sum
+    assert(counts.size > k, "test corpus must overflow the tiny cap")
+    val inVocab = topk.map { case (t, c) => (t, -math.log(c.toDouble / total.toDouble)) }.toMap
+    val oov = -math.log((total - kept).toDouble / total.toDouble)
+    val expected = docs.filter(_._2.nonEmpty).map { case (id, toks) =>
+      val s = toks.map(t => inVocab.getOrElse(t, oov)).sorted.foldLeft(0.0)(_ + _)
+      val ce = math.floor(s / toks.length * 1e4) / 1e4
+      (id, toks.length.toLong, ce, ce <= 4.0)
+    }.sortBy(_._1)
+    val got = Curation.textPerplexityAt(k)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("bigram LM vocab cap: tiny-K history table matches a direct replica bit-for-bit") {
+    val k = 3
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), tokensOf(r.getString(1))))
+    val counts = docs.flatMap(_._2).groupBy(identity).map { case (t, a) => (t, a.length.toLong) }
+    val topk = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(k).map(_._1).toSet
+    assert(counts.size > k, "test corpus must overflow the tiny cap")
+    val mapped = docs.map { case (id, toks) =>
+      (id, toks.map(t => if (topk(t)) t else Curation.OovTerm)) }
+    val bigrams = mapped.flatMap { case (id, toks) =>
+      if (toks.length >= 2) toks.sliding(2).map(p => (id, p(0), p(1))).toSeq else Nil }
+    val c12 = bigrams.groupBy(b => (b._2, b._3)).map { case (bg, a) => (bg, a.length.toLong) }
+    val c1 = bigrams.groupBy(_._2).map { case (w, a) => (w, a.length.toLong) }
+    val v = math.min(counts.size.toLong, k + 1L)
+    val expected = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val s = bs.map { case (_, w1, w2) =>
+        math.log((c1(w1) + v).toDouble / (c12((w1, w2)) + 1).toDouble)
+      }.sorted.foldLeft(0.0)(_ + _)
+      val ce = math.floor(s / bs.length * 1e4) / 1e4
+      (id, bs.length.toLong, ce, ce <= 5.0)
+    }.toSeq.sortBy(_._1)
+    val got = Curation.textBigramLmAt(k)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got.toSeq == expected)
+  }
+
   test("temperature: rarest language keeps ~everything, largest is downsampled hardest") {
     val df = Curation.mixTemperature(spark, sf).cache()
     val rows = df.select(col("lang"), col("n_orig"), col("keep_per_10k"), col("n_kept"))
