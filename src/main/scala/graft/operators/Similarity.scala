@@ -111,6 +111,51 @@ object Similarity {
   private def planeSql(t: Int, b: Int): String =
     hyperplanes(t)(b).map(x => s"cast($x as double)").mkString("array(", ", ", ")")
 
+  /** Hyperplane (t, b) as a DuckDB array literal — the SAME
+    * shortest-repr double literals the Spark expression bakes in, so
+    * both engines project against bit-identical planes. */
+  private def planeSqlDuck(t: Int, b: Int): String =
+    hyperplanes(t)(b).map(x => s"CAST($x AS DOUBLE)").mkString("[", ", ", "]")
+
+  /** Full DuckDB replay of the LSH path (signature → bucket join →
+    * exact re-rank), promoting the entry from rows-only to
+    * hash-checked. Parity rests on three already-proven contracts:
+    * sequential left-to-right dot products (`graft_dot` loop ==
+    * `list_inner_product`), float→double widening being exact on both
+    * engines, and rank ties broken (score DESC, id ASC) like
+    * `graft_topk`. */
+  lazy val lshTopKSql: String = {
+    val sigCols = (0 until NumTables).map { t =>
+      val bits = (0 until BitsPerTable).map { b =>
+        s"CASE WHEN list_inner_product(v, ${planeSqlDuck(t, b)}) > 0 THEN '1' ELSE '0' END"
+      }.mkString(" || ")
+      s"($bits) AS sig$t"
+    }.mkString(", ")
+    val arms = (0 until NumTables)
+      .map(t => s"SELECT vec_id, '$t' AS tbl, sig$t AS sig FROM sigs")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sigs AS (SELECT vec_id, $sigCols FROM e),
+        buckets AS ($arms),
+        cand AS (SELECT DISTINCT q.vec_id AS query_id, b.vec_id
+                 FROM buckets b JOIN buckets q ON b.tbl = q.tbl AND b.sig = q.sig
+                 WHERE q.vec_id < $NumQueries AND b.vec_id <> q.vec_id),
+        scored AS (
+          SELECT c.query_id, c.vec_id AS neighbor_id,
+                 list_inner_product(qe.v, ne.v)
+                   / (sqrt(list_inner_product(qe.v, qe.v))
+                      * sqrt(list_inner_product(ne.v, ne.v))) AS cos
+          FROM cand c JOIN e qe ON qe.vec_id = c.query_id
+                      JOIN e ne ON ne.vec_id = c.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, floor(cos * 10000) / 10000.0 AS cosine, rank
+        FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
+  }
+
   val NumCells = 16
   val NProbe = 6
   private val SeedBase = 100L
@@ -579,7 +624,7 @@ object Similarity {
     ("ann_knn_graph", knnGraph, Some(knnGraphSql)),
     ("ann_filtered_topk", filteredTopK, Some(filteredTopKSql)),
     ("ann_bruteforce_topk", bruteForceTopK, Some(bruteForceTopKSql)),
-    ("ann_lsh_topk", lshTopK, None),
+    ("ann_lsh_topk", lshTopK, Some(lshTopKSql)),
     ("ann_ivf_topk", ivfTopK, None),
     ("ann_pq_topk", pqTopK, None),
     ("ann_pq_packed", pqPackedTopK, None),
