@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints.cut
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,8 +13,10 @@ import org.apache.spark.sql.functions._
   * takes the min label among itself and its neighbors; converges in
   * O(diameter) rounds. Each round is ONE join + ONE aggregation, all
   * distributed; the driver only checks a scalar convergence count.
-  * `localCheckpoint` cuts lineage so plans don't grow with rounds
-  * (the classic iterative-DataFrame trap). Near-dup components are
+  * `Checkpoints.cut` cuts lineage so plans don't grow with rounds
+  * (the classic iterative-DataFrame trap); the convergence loop
+  * materializes every round anyway (the changed-count read), so
+  * there is nothing to fuse here. Near-dup components are
   * tiny and tree-like in practice, so diameter is small; a round cap
   * guards pathological chains at corpus scale.
   */
@@ -29,8 +32,7 @@ object Cluster {
     // materialize pairs ONCE before fanning out: the union below
     // references them twice, and an unmaterialized reference would
     // re-run the whole minhash pipeline per branch
-    val pairs = Dedup.minhashLsh(s, d).select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
+    val pairs = cut(Dedup.minhashLsh(s, d).select(col("doc_a"), col("doc_b")))
     // undirected edge list, both directions
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
@@ -38,10 +40,9 @@ object Cluster {
     // near-dup pair) — coalesce so each round's checkpoint+scan doesn't
     // pay 32-partition task overhead for a few hundred rows; at real
     // scale this constant tracks the pair-graph size, not the corpus
-    var labels = edges.select(col("u").as("doc")).distinct()
+    var labels = cut(edges.select(col("u").as("doc")).distinct()
       .withColumn("label", col("doc"))
-      .coalesce(8)
-      .localCheckpoint()
+      .coalesce(8))
     var round = 0
     var converged = false
     while (!converged && round < MaxRounds) {
@@ -57,14 +58,13 @@ object Cluster {
       // remaining propagation depth each round, O(log diameter) total
       // instead of O(diameter) for chain-shaped components. The change
       // flag rides along so convergence needs no extra join afterwards.
-      val next = hop
+      val next = cut(hop
         .join(hop.select(col("doc").as("jd"), col("label").as("jl")),
           hop("label") === col("jd"), "left")
         .select(hop("doc").as("doc"),
           coalesce(col("jl"), hop("label")).as("label"),
           (coalesce(col("jl"), hop("label")) =!= col("old")).as("chg"))
-        .coalesce(8)
-        .localCheckpoint()
+        .coalesce(8))
       val changed = next.filter(col("chg")).limit(1).count()
       labels = next.select(col("doc"), col("label"))
       converged = changed == 0

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints.cut
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -12,11 +13,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale design (100 TB): the Pregel-on-DataFrame shape — each of the
   * 10 iterations is ONE shuffle join (ranks ⋈ edges on src) + ONE
-  * aggregation (sum of contributions per dst), with `localCheckpoint`
-  * cutting lineage per round so the plan doesn't grow with iteration
-  * count. No driver-side graph state: the only driver values are the
-  * node count and the loop counter. Edge and rank partitioning reuse
-  * the same key, so AQE coalesces and skew-splits per round.
+  * aggregation (sum of contributions per dst), with `Checkpoints.cut`
+  * (localCheckpoint, or reliable `checkpoint` under the opt-in
+  * `spark.graft.reliableCheckpoints` flag for clusters that must
+  * survive executor loss mid-loop) cutting lineage every SECOND round —
+  * two joined rounds per materialization halves the eager-job count
+  * without letting the plan grow with total iteration count. No
+  * driver-side graph state: the only driver values are the node count
+  * and the loop counter. Edge and rank partitioning reuse the same
+  * key, so AQE coalesces and skew-splits per round.
   *
   * Cross-engine determinism is the interesting part: float PageRank is
   * NOT portable (per-dst summation order differs), so ranks live in
@@ -47,25 +52,26 @@ object Graph {
   }
 
   def pagerank: Q = (sp, d) => {
-    val e = edges(sp, d).localCheckpoint()
+    val e = cut(edges(sp, d))
     // distinct column names end-to-end: deg derives from e, so reusing
     // `src` would make the deg join self-referential (ambiguous refs)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .withColumnRenamed("src", "dnode").localCheckpoint()
+    val deg = cut(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .withColumnRenamed("src", "dnode"))
     val n = deg.count() // every node in this graph has an out-edge
     val r0 = Base / n
     val teleport = (15L * r0) / 100L
     // the degree is static: attach it to the edge list ONCE, outside
     // the loop — each round then runs a single join + single agg
-    val eDeg = e.join(deg, col("src") === col("dnode"))
-      .select(col("src"), col("dst"), col("outdeg")).localCheckpoint()
-    // Per-round wall time here is scheduler latency (checkpoint job +
-    // two small shuffles), not data volume — measured equal within
-    // noise against broadcast-hinted and 5-round-fused variants at
-    // sf0.1, so the simplest shape wins. At cluster scale each round
-    // is one shuffle join + one aggregation on the (node) key.
+    val eDeg = cut(e.join(deg, col("src") === col("dnode"))
+      .select(col("src"), col("dst"), col("outdeg")))
+    // Per-round wall time is scheduler latency (eager checkpoint job +
+    // two small shuffles), not data volume, and under a loaded
+    // scheduler (the driver's full-suite run) each eager job queues —
+    // so materialize every SECOND round: 5 blocking jobs instead of
+    // 10, two-round plans stay shallow. At cluster scale each round
+    // is still one shuffle join + one aggregation on the (node) key.
     var ranks = deg.select(col("dnode").as("node")).withColumn("r", lit(r0))
-    for (_ <- 1 to Iters) {
+    for (i <- 1 to Iters) {
       val contrib = ranks
         .join(eDeg, col("node") === col("src"))
         .select(col("dst"), expr("r DIV outdeg").as("cb")) // integer div: Spark DIV == DuckDB //
@@ -78,7 +84,7 @@ object Graph {
         .join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
           expr(s"$teleport + ((85 * coalesce(s, 0)) DIV 100)").as("r"))
-        .localCheckpoint()
+      if (i % 2 == 0 || i == Iters) ranks = cut(ranks)
     }
     ranks.orderBy(col("node"))
   }
@@ -161,19 +167,20 @@ object Graph {
     * (tie → smallest label — `max(struct(cnt, −label))` makes the
     * argmax total and engine-exact). Pregel-on-DataFrame like
     * `graph_pagerank`: each round is ONE join + TWO aggregations on
-    * the node key, `localCheckpoint` cuts lineage; all integers. The
-    * oracle unrolls the same 5 rounds as plain CTEs. */
+    * the node key, `Checkpoints.cut` cuts lineage every second round;
+    * all integers. The oracle unrolls the same 5 rounds as plain
+    * CTEs. */
   def communitiesLpa: Q = (sp, d) => {
-    val e = pageEdges(sp, d).localCheckpoint()
+    val e = cut(pageEdges(sp, d))
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node"))
-    for (_ <- 1 to LpaRounds) {
+    for (i <- 1 to LpaRounds) {
       labels = labels
         .join(e, col("node") === col("src"))
         .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst")).agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
         .select(col("dst").as("node"), (-col("m.nl")).as("lab"))
-        .localCheckpoint()
+      if (i % 2 == 0 || i == LpaRounds) labels = cut(labels)
     }
     val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("community_size"))
     labels.join(broadcast(sizes), Seq("lab"))
@@ -210,15 +217,15 @@ object Graph {
     * oracle scale and proves the iterative fold equals the textbook
     * definition. */
   def bfsDistance: Q = (sp, d) => {
-    val e = pageEdges(sp, d).localCheckpoint()
+    val e = cut(pageEdges(sp, d))
     val src0 = e.agg(min(col("src")).as("s")).head.getLong(0)
     var dist = e.sparkSession.range(1).select(lit(src0).as("node"), lit(0L).as("dist"))
-    for (_ <- 1 to BfsMaxHops) {
+    for (i <- 1 to BfsMaxHops) {
       val next = dist.join(e, col("node") === col("src"))
         .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
       dist = dist.unionByName(next)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+      if (i % 2 == 0 || i == BfsMaxHops) dist = cut(dist)
     }
     dist.orderBy(col("node"))
   }

@@ -24,6 +24,20 @@ class GraphSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("reliable-checkpoint mode: pagerank bit-identical under spark.graft.reliableCheckpoints") {
+    val base = Graph.pagerank(spark, sf).collect().map(r => (r.getString(0), r.getLong(1)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set(Checkpoints.Flag, "true")
+    try {
+      val reliable = Graph.pagerank(spark, sf).collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(reliable.sameElements(base), "checkpoint mode must not change results")
+    } finally {
+      spark.conf.set(Checkpoints.Flag, "false")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("degree histogram: node total matches the graph, degrees positive") {
     import org.apache.spark.sql.functions._
     val df = graft.operators.Graph.degreeHistogram(spark, sf).cache()
