@@ -202,22 +202,36 @@ object Similarity {
         element_at(expr("graft_topk(score, cell, 1)"), 1).getField("id").as("cell"),
         first(col("v")).as("v"), first(col("n2")).as("n2"))
 
-  /** One Lloyd step: assign, element-wise mean per cell. (At larger
-    * dims the posexplode becomes a vector-sum aggregate — same shuffle
-    * shape.) */
+  /** Fixed-point scale for Lloyd means: 2^40. Component means are
+    * computed as exact integer sums of floor(x·2^40) — order-
+    * independent (a float `avg` would make the trained centroids
+    * depend on partition/merge order, i.e. nondeterministic across
+    * cluster layouts) and exactly replayable by the DuckDB oracle.
+    * decimal(38,0) keeps the sum exact at any corpus size (a BIGINT
+    * wraps past ~8e18 ≈ 2^23 vectors per cell at |x|≤1); the
+    * sub-2^-40 truncation is part of the training contract. */
+  private val FixedScale = 1099511627776.0
+  private val fixedSumExpr =
+    s"sum(cast(floor(col * ${FixedScale}d) as decimal(38,0)))"
+  private def fixedMean(s: java.math.BigDecimal, cnt: Long): Double =
+    s.doubleValue() / cnt.toDouble / FixedScale
+
+  /** One Lloyd step: assign, element-wise fixed-point mean per cell.
+    * (At larger dims the posexplode becomes a vector-sum aggregate —
+    * same shuffle shape.) */
   private def lloydStep(all: DataFrame, cents: Array[Array[Double]]): Array[Array[Double]] = {
     val dim = cents.head.length
     val means = assign(all, centroidDf(all.sparkSession, cents))
       .select(col("cell"), posexplode(col("v")))
       .groupBy(col("cell"), col("pos"))
-      .agg(avg(col("col")).as("m"))
+      .agg(expr(fixedSumExpr).as("s"), count(lit(1)).as("cnt"))
       .collect()
       .groupBy(_.getLong(0))
     (0 until NumCells).map { i =>
       means.get(i + 1L) match {
         case Some(rows) =>
           val m = new Array[Double](dim)
-          rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+          rows.foreach(r => m(r.getInt(1)) = fixedMean(r.getDecimal(2), r.getLong(3)))
           m
         case None => cents(i) // empty cell keeps its centroid
       }
@@ -301,6 +315,13 @@ object Similarity {
   val PqSeedBase = 200L
   val PqCandidates = 32
 
+  /** ADC sum as a left fold in ascending-m order: 0.0 + c_0 + … + c_7.
+    * Identical to the packed variant's sequence fold and to the
+    * oracle's `list_reduce(list(contrib ORDER BY m), +)`. */
+  private val orderedAdcFold: String =
+    "aggregate(array_sort(collect_list(struct(m, contrib))), " +
+      "cast(0.0 as double), (a, x) -> a + x.contrib)"
+
   /** Explode a 64-d vector into (m, sub) subspace rows. */
   private val subsExpr: String =
     (0 until PqM).map(m => s"$m, slice(v, ${m * PqSubDim + 1}, $PqSubDim)")
@@ -350,18 +371,20 @@ object Similarity {
     val init: Array[Array[Array[Double]]] = Array.tabulate(PqM, PqK) { (m, k) =>
       seeds(k).slice(m * PqSubDim, (m + 1) * PqSubDim)
     }
-    // one Lloyd step per subspace, all subspaces in one distributed job
+    // one Lloyd step per subspace, all subspaces in one distributed
+    // job; fixed-point means like the IVF trainer (order-independent,
+    // oracle-replayable)
     val means = pqAssign(subs, pqCodebookDf(s, init))
       .select(col("m"), col("code"), posexplode(col("sub")))
       .groupBy(col("m"), col("code"), col("pos"))
-      .agg(avg(col("col")).as("mean"))
+      .agg(expr(fixedSumExpr).as("s"), count(lit(1)).as("cnt"))
       .collect()
       .groupBy(r => (r.getInt(0), r.getLong(1)))
     val cents: Array[Array[Array[Double]]] = Array.tabulate(PqM, PqK) { (m, k) =>
       means.get((m, k.toLong)) match {
         case Some(rows) =>
           val c = new Array[Double](PqSubDim)
-          rows.foreach(r => c(r.getInt(2)) = r.getDouble(3))
+          rows.foreach(r => c(r.getInt(2)) = fixedMean(r.getDecimal(3), r.getLong(4)))
           c
         case None => init(m)(k) // empty cell keeps its seed
       }
@@ -381,11 +404,16 @@ object Similarity {
     val lut = qSubs.join(broadcast(cb), "m")
       .select(col("query_id"), col("m"), col("cell").as("code"), col("qn2"),
         expr("graft_dot(sub, cv)").as("contrib"))
-    // scan codes × broadcast LUT: approx dot per (query, vector)
+    // scan codes × broadcast LUT: approx dot per (query, vector).
+    // The 8 per-subspace contributions fold in FIXED m order (bounded
+    // 8-element list, not a float `sum` whose partial-merge order
+    // varies with partitioning) — approx scores are bit-identical
+    // across layouts AND engines, so the candidate-set boundary is
+    // deterministic and the DuckDB oracle can replay it.
     val approx = codes.join(broadcast(lut), Seq("m", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("contrib")).as("adot"),
+      .agg(expr(orderedAdcFold).as("adot"),
         first(col("n2")).as("n2"), first(col("qn2")).as("qn2"))
       .withColumn("approx_cos", col("adot") / (sqrt(col("qn2")) * sqrt(col("n2"))))
     val cands = approx
@@ -504,12 +532,13 @@ object Similarity {
       .select(col("query_id"), col("m"), col("cell").as("code"), col("qn2"),
         expr("graft_dot(sub, cv)").as("contrib"))
     // candidates = corpus codes inside probed cells, scored by ADC
+    // (fixed m-order fold — see ann_pq_topk)
     val cands = codes.join(coarse, "vec_id")
       .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(lut), Seq("query_id", "m", "code"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("contrib")).as("adot"),
+      .agg(expr(orderedAdcFold).as("adot"),
         first(col("n2")).as("n2"), first(col("qn2")).as("qn2"))
       .withColumn("approx_cos", col("adot") / (sqrt(col("qn2")) * sqrt(col("n2"))))
       .groupBy(col("query_id"))
@@ -620,14 +649,192 @@ object Similarity {
           ON r.vec_id = e.neighbor_id AND r.neighbor_id = e.vec_id
         ORDER BY e.vec_id, e.rank"""
 
+  // ---- DuckDB replays of the trained-quantizer paths -----------------
+  //
+  // The IVF/PQ entries were rows-only until the training step became
+  // exactly replayable: Lloyd means are fixed-point integer sums
+  // (order-independent) and ADC sums fold in fixed m order, so every
+  // double the pipeline produces is a deterministic function of the
+  // corpus — the oracle re-runs seed → assign → mean → encode → probe
+  // → ADC → re-rank in SQL and must match bit-for-bit (cosines then
+  // trunc4'd like every ANN entry).
+
+  /** Σx²/2 of a SQL list, left-to-right like Scala's `.map(x*x).sum`. */
+  private def halfNormSql(col: String): String =
+    s"list_reduce(list_transform($col, x -> x*x), (a,b) -> a+b)/2.0"
+
+  /** Fixed-point mean in SQL — mirrors `fixedMean` exactly:
+    * (Σ floor(x·2^40) as exact int) → double / count / 2^40. */
+  private val fixedMeanSql: String =
+    "CAST(SUM(CAST(floor(x * 1099511627776.0) AS BIGINT)) AS DOUBLE)" +
+      " / CAST(count(*) AS DOUBLE) / 1099511627776.0"
+
+  /** CTE chain replaying the IVF coarse quantizer: seed centroids at
+    * fixed corpus ids → one Lloyd step (assign, fixed-point mean) →
+    * trained assignment + per-query NProbe probe list. */
+  private lazy val ivfCtes: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      norms AS (SELECT vec_id, list_inner_product(v, v) AS n2 FROM e),
+      ivf_seed AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS cell, v AS cv
+        FROM e WHERE vec_id >= $SeedBase AND vec_id < ${SeedBase + NumCells}),
+      ivf_seed_h AS (SELECT cell, cv, ${halfNormSql("cv")} AS chalf FROM ivf_seed),
+      ivf_a0 AS (
+        SELECT vec_id, cell, v FROM (
+          SELECT e.vec_id, s.cell, e.v,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_inner_product(e.v, s.cv) - s.chalf DESC, s.cell) AS rn
+          FROM e CROSS JOIN ivf_seed_h s) t WHERE rn = 1),
+      ivf_mean AS (
+        SELECT cell, pos, $fixedMeanSql AS mv
+        FROM (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM ivf_a0) u
+        GROUP BY cell, pos),
+      ivf_cent AS (
+        SELECT s.cell, COALESCE(t.cv, s.cv) AS cv
+        FROM ivf_seed s LEFT JOIN
+          (SELECT cell, list(mv ORDER BY pos) AS cv FROM ivf_mean GROUP BY cell) t
+          USING (cell)),
+      ivf_cent_h AS (SELECT cell, cv, ${halfNormSql("cv")} AS chalf FROM ivf_cent),
+      ivf_assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_inner_product(e.v, c.cv) - c.chalf DESC, c.cell) AS rn
+          FROM e CROSS JOIN ivf_cent_h c) t WHERE rn = 1),
+      ivf_probe AS (
+        SELECT vec_id AS query_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_inner_product(e.v, c.cv) - c.chalf DESC, c.cell) AS rn
+          FROM e CROSS JOIN ivf_cent_h c WHERE e.vec_id < $NumQueries) t
+        WHERE rn <= $NProbe)"""
+
+  /** Exact cosine re-rank of a (query_id, vec_id) candidate CTE —
+    * shared epilogue of every trained-ANN replay. */
+  private def rerankSql(candCte: String): String =
+    s"""scored AS (
+          SELECT c.query_id, c.vec_id AS neighbor_id,
+                 list_inner_product(qe.v, ne.v)
+                   / (sqrt(qn.n2) * sqrt(nn.n2)) AS cos
+          FROM $candCte c
+          JOIN e qe ON qe.vec_id = c.query_id
+          JOIN e ne ON ne.vec_id = c.vec_id
+          JOIN norms qn ON qn.vec_id = c.query_id
+          JOIN norms nn ON nn.vec_id = c.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, floor(cos * 10000) / 10000.0 AS cosine, rank
+        FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
+
+  lazy val ivfTopKSql: String =
+    s"""WITH $ivfCtes,
+        cand AS (
+          SELECT DISTINCT p.query_id, a.vec_id
+          FROM ivf_assign a JOIN ivf_probe p USING (cell)
+          WHERE a.vec_id <> p.query_id),
+        ${rerankSql("cand")}"""
+
+  /** CTE chain replaying the PQ pipeline: per-subspace seed codebooks
+    * → one Lloyd step → corpus codes + per-query ADC lookup table. */
+  private lazy val pqCtes: String =
+    s"""pq_sub AS (
+        SELECT e.vec_id, t.m, e.v[t.m*$PqSubDim+1 : t.m*$PqSubDim+$PqSubDim] AS sub
+        FROM e CROSS JOIN range(0, $PqM) t(m)),
+      pq_seedvec AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS k, v
+        FROM e WHERE vec_id >= $PqSeedBase AND vec_id < ${PqSeedBase + PqK}),
+      pq_seed AS (
+        SELECT t.m, s.k AS cell, s.v[t.m*$PqSubDim+1 : t.m*$PqSubDim+$PqSubDim] AS cv
+        FROM pq_seedvec s CROSS JOIN range(0, $PqM) t(m)),
+      pq_seed_h AS (SELECT m, cell, cv, ${halfNormSql("cv")} AS chalf FROM pq_seed),
+      pq_a0 AS (
+        SELECT vec_id, m, cell AS code, sub FROM (
+          SELECT s.vec_id, s.m, c.cell, s.sub,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m
+                   ORDER BY list_inner_product(s.sub, c.cv) - c.chalf DESC, c.cell) AS rn
+          FROM pq_sub s JOIN pq_seed_h c USING (m)) t WHERE rn = 1),
+      pq_mean AS (
+        SELECT m, code, pos, $fixedMeanSql AS mv
+        FROM (SELECT m, code, unnest(sub) AS x, generate_subscripts(sub, 1) AS pos
+              FROM pq_a0) u
+        GROUP BY m, code, pos),
+      pq_cb AS (
+        SELECT s.m, s.cell, COALESCE(t.cv, s.cv) AS cv
+        FROM pq_seed s LEFT JOIN
+          (SELECT m, code AS cell, list(mv ORDER BY pos) AS cv
+           FROM pq_mean GROUP BY m, code) t
+          ON s.m = t.m AND s.cell = t.cell),
+      pq_cb_h AS (SELECT m, cell, cv, ${halfNormSql("cv")} AS chalf FROM pq_cb),
+      pq_codes AS (
+        SELECT vec_id, m, cell AS code FROM (
+          SELECT s.vec_id, s.m, c.cell,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m
+                   ORDER BY list_inner_product(s.sub, c.cv) - c.chalf DESC, c.cell) AS rn
+          FROM pq_sub s JOIN pq_cb_h c USING (m)) t WHERE rn = 1),
+      pq_lut AS (
+        SELECT q.vec_id AS query_id, q.m, c.cell AS code,
+               list_inner_product(q.sub, c.cv) AS contrib
+        FROM pq_sub q JOIN pq_cb_h c USING (m) WHERE q.vec_id < $NumQueries)"""
+
+  /** ADC scores + top-PqCandidates cut for a given candidate join —
+    * `extraJoins` narrows the corpus side (empty for plain PQ, the
+    * probed-cells join for IVFPQ). */
+  private def pqCandSql(extraJoins: String): String =
+    s"""pq_adot AS (
+          SELECT l.query_id, c.vec_id,
+                 list_reduce(list(l.contrib ORDER BY l.m), (a,b) -> a+b) AS adot
+          FROM pq_codes c
+          JOIN pq_lut l ON l.m = c.m AND l.code = c.code
+          $extraJoins
+          WHERE c.vec_id <> l.query_id
+          GROUP BY l.query_id, c.vec_id),
+        cand AS (
+          SELECT query_id, vec_id FROM (
+            SELECT a.query_id, a.vec_id,
+                   row_number() OVER (PARTITION BY a.query_id
+                     ORDER BY a.adot / (sqrt(qn.n2) * sqrt(nn.n2)) DESC, a.vec_id) AS rn
+            FROM pq_adot a
+            JOIN norms qn ON qn.vec_id = a.query_id
+            JOIN norms nn ON nn.vec_id = a.vec_id) t
+          WHERE rn <= $PqCandidates)"""
+
+  /** Plain PQ replay — also the oracle for `ann_pq_packed`: the packed
+    * variant is the same function over a bit-packed codes layout (its
+    * sequence fold and this entry's m-ordered fold add the identical
+    * contribution sequence), so one replay certifies both. */
+  lazy val pqTopKSql: String =
+    s"""WITH $ivfHeaderCtes,
+        $pqCtes,
+        ${pqCandSql("")},
+        ${rerankSql("cand")}"""
+
+  /** IVFPQ replay: PQ ADC scoring restricted to the query's probed
+    * coarse cells. */
+  lazy val ivfPqTopKSql: String =
+    s"""WITH $ivfCtes,
+        $pqCtes,
+        ${pqCandSql(
+      """JOIN ivf_assign ia ON ia.vec_id = c.vec_id
+          JOIN ivf_probe p ON p.cell = ia.cell AND p.query_id = l.query_id""")},
+        ${rerankSql("cand")}"""
+
+  /** Just the corpus/norm prologue of `ivfCtes`, for the PQ-only
+    * replay (which needs no coarse quantizer). */
+  private lazy val ivfHeaderCtes: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      norms AS (SELECT vec_id, list_inner_product(v, v) AS n2 FROM e)"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("ann_knn_graph", knnGraph, Some(knnGraphSql)),
     ("ann_filtered_topk", filteredTopK, Some(filteredTopKSql)),
     ("ann_bruteforce_topk", bruteForceTopK, Some(bruteForceTopKSql)),
     ("ann_lsh_topk", lshTopK, Some(lshTopKSql)),
-    ("ann_ivf_topk", ivfTopK, None),
-    ("ann_pq_topk", pqTopK, None),
-    ("ann_pq_packed", pqPackedTopK, None),
-    ("ann_ivf_pq_topk", ivfPqTopK, None),
+    ("ann_ivf_topk", ivfTopK, Some(ivfTopKSql)),
+    ("ann_pq_topk", pqTopK, Some(pqTopKSql)),
+    ("ann_pq_packed", pqPackedTopK, Some(pqTopKSql)),
+    ("ann_ivf_pq_topk", ivfPqTopK, Some(ivfPqTopKSql)),
     ("ann_range_search", rangeSearch, Some(rangeSearchSql)))
 }
