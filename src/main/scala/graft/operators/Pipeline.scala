@@ -445,6 +445,38 @@ object Pipeline {
               CAST(sum(CASE WHEN rk <= n_min THEN doc_id END) AS BIGINT) AS kept_id_sum
        FROM r GROUP BY lang ORDER BY lang"""
 
+  val DomainCap = 10
+
+  /** Per-domain document cap — the web-curation counterweight to
+    * global quality filtering (RefinedWeb/C4 keep at most N pages per
+    * domain so one mega-site cannot dominate the corpus): keep the
+    * DomainCap longest documents per source, ranked (n_chars DESC,
+    * doc_id ASC). The cut runs through the bounded `graft_topk`
+    * aggregate, NOT a per-domain row_number window — map-side partials
+    * ship ≤ cap rows per (partition, domain), so a mega-domain costs
+    * the same shuffle volume as a tiny one and no per-domain sort ever
+    * materializes. That asymmetry is the whole point at crawl scale:
+    * domain cardinality is huge AND domain size is power-law. */
+  def curateDomainCap: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .groupBy(col("source"))
+      .agg(expr(s"graft_topk(cast(n_chars as double), doc_id, $DomainCap)").as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), col("col.id").as("doc_id"),
+        col("col.score").cast("long").as("n_chars"),
+        (col("pos") + 1).cast("int").as("domain_rank"))
+      .orderBy(col("source"), col("domain_rank"))
+  }
+
+  val curateDomainCapSql: String =
+    s"""SELECT source, doc_id, n_chars, domain_rank FROM (
+          SELECT source, doc_id, n_chars,
+                 CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY n_chars DESC, doc_id) AS INT) AS domain_rank
+          FROM documents) t
+        WHERE domain_rank <= $DomainCap ORDER BY source, domain_rank"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("pack_best_fit", packBestFit, None),
     ("sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
@@ -453,6 +485,7 @@ object Pipeline {
     ("mix_corpora", mixCorpora, Some(mixCorporaSql)),
     ("pack_token_budget", packTokenBudget, Some(packTokenBudgetSql)),
     ("curate_quality_band", curateQualityBand, Some(curateQualityBandSql)),
+    ("curate_domain_cap", curateDomainCap, Some(curateDomainCapSql)),
     ("text_tfidf_topk", tfidfTopk, Some(tfidfTopkSql)),
     ("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     ("sample_class_balanced", sampleClassBalanced, Some(sampleClassBalancedSql)),

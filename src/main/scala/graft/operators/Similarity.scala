@@ -283,6 +283,54 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF index-health profile — the first read run against any trained
+    * ANN index before serving it: per-cell population, corpus share,
+    * and mean vector energy. Cell-population skew IS probe-cost
+    * variance (a 10× hot cell makes every probe touching it 10×
+    * slower), so this is the skew detector for the `ann_ivf_topk`
+    * partition layout. One pass: assign (broadcast codebook argmax) +
+    * one integer aggregation; the mean norm² uses the same fixed-point
+    * sum as Lloyd training, so it is order-independent and replayed
+    * exactly by the oracle. Empty cells surface with zero counts (a
+    * dead centroid wastes a probe everywhere) via the codebook
+    * left join. */
+  def ivfStats: Q = (s, d) => {
+    val all = emb(s, d)
+    val cdf = ivfCentroidDf(s, d, all)
+    val perCell = assign(all, cdf)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        expr("sum(cast(floor(n2 * 1048576.0d) as decimal(38,0)))").as("s"))
+    val total = all.agg(count(lit(1)).as("total"))
+    cdf.select(col("cell"))
+      .join(perCell, Seq("cell"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("cell"),
+        coalesce(col("n_vectors"), lit(0L)).as("n_vectors"),
+        trunc4(coalesce(col("n_vectors"), lit(0L)).cast("double") / col("total").cast("double"))
+          .as("pop_share"),
+        trunc4(col("s").cast("double") / col("n_vectors").cast("double") / 1048576.0)
+          .as("avg_norm2"))
+      .orderBy(col("cell"))
+  }
+
+  lazy val ivfStatsSql: String =
+    s"""WITH $ivfCtes,
+        per_cell AS (
+          SELECT a.cell, count(*) AS n_vectors,
+                 CAST(SUM(CAST(floor(n.n2 * 1048576.0) AS BIGINT)) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) / 1048576.0 AS raw_avg
+          FROM ivf_assign a JOIN norms n USING (vec_id)
+          GROUP BY a.cell),
+        tot AS (SELECT count(*) AS total FROM e)
+        SELECT c.cell,
+               COALESCE(p.n_vectors, 0) AS n_vectors,
+               floor(CAST(COALESCE(p.n_vectors, 0) AS DOUBLE) / CAST(t.total AS DOUBLE)
+                     * 10000) / 10000.0 AS pop_share,
+               floor(p.raw_avg * 10000) / 10000.0 AS avg_norm2
+        FROM ivf_cent c LEFT JOIN per_cell p USING (cell) CROSS JOIN tot t
+        ORDER BY c.cell"""
+
   val RangeTau = 0.25
 
   /** Radius (range) search: ALL neighbors with cosine ≥ τ per query —
@@ -833,6 +881,7 @@ object Similarity {
     ("ann_bruteforce_topk", bruteForceTopK, Some(bruteForceTopKSql)),
     ("ann_lsh_topk", lshTopK, Some(lshTopKSql)),
     ("ann_ivf_topk", ivfTopK, Some(ivfTopKSql)),
+    ("ann_ivf_stats", ivfStats, Some(ivfStatsSql)),
     ("ann_pq_topk", pqTopK, Some(pqTopKSql)),
     ("ann_pq_packed", pqPackedTopK, Some(pqTopKSql)),
     ("ann_ivf_pq_topk", ivfPqTopK, Some(ivfPqTopKSql)),

@@ -316,7 +316,49 @@ object TextAnalysis {
                      '\+1-555-[0-9]{4}', '<PHONE>', 'g'), 1, 100) AS redacted_prefix
        FROM r ORDER BY doc_id"""
 
+  /** Document-length survival curve over power-of-two buckets — the
+    * corpus profile read before choosing packing/sequence lengths
+    * (what share of documents survives a minimum-length cutoff?).
+    * Bucket = bit-length of n_chars (`length(bin(x))`, the same
+    * no-floating-log trick as `metrics_gap_log2_histogram`, so bucket
+    * k holds lengths in [2^(k-1), 2^k)); survival counts are a
+    * cumulative suffix sum over the ≤64-row bucket table (bounded by
+    * the bit width of LONG — this unpartitioned window can never see
+    * more than 64 rows, unlike a per-document one). Shares are exact
+    * integer ratios truncated once. */
+  def lengthSurvival: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .groupBy(expr("length(bin(n_chars))").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_ge", sum(col("n_docs")).over(w))
+      .crossJoin(broadcast(Tables.documents(s, d).agg(count(lit(1)).as("total"))))
+      .select(col("bucket").cast("int").as("bucket"),
+        expr("cast(pow(2, bucket - 1) as bigint)").as("lo_chars"),
+        col("n_docs"), col("n_ge"),
+        trunc4(col("n_ge").cast("double") / col("total").cast("double")).as("survival"))
+      .orderBy(col("bucket"))
+  }
+
+  val lengthSurvivalSql: String =
+    """WITH b AS (
+         SELECT CAST(length(bin(n_chars)) AS INT) AS bucket, count(*) AS n_docs
+         FROM documents GROUP BY 1),
+       t AS (SELECT count(*) AS total FROM documents)
+       SELECT b.bucket, CAST(pow(2, b.bucket - 1) AS BIGINT) AS lo_chars,
+              b.n_docs,
+              CAST(sum(b.n_docs) OVER (ORDER BY b.bucket DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_ge,
+              floor(CAST(sum(b.n_docs) OVER (ORDER BY b.bucket DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                    / CAST(t.total AS DOUBLE) * 10000) / 10000.0 AS survival
+       FROM b CROSS JOIN t
+       ORDER BY bucket"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("text_length_survival", lengthSurvival, Some(lengthSurvivalSql)),
     ("text_pii_redact", piiRedact, Some(piiRedactSql)),
     ("text_tokens", tokens, Some(tokensSql)),
     ("text_code_detect", codeDetect, Some(codeDetectSql)),

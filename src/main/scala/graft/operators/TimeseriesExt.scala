@@ -737,7 +737,50 @@ object TimeseriesExt {
         FROM (SELECT event_type, ts, CAST(floor(value * 100) AS BIGINT) AS v_c FROM events) s
         GROUP BY 1, 2 ORDER BY event_type, day"""
 
+  val StaleGapSec = 3600L
+  val StaleMarkerDelaySec = 300L
+
+  /** Prometheus staleness markers — the TSDB write-side rule the
+    * reference's remote-write consumer applies (a series with no new
+    * sample within the staleness window gets a marker so range queries
+    * stop extrapolating it; Prometheus encodes it as a NaN sample 5 min
+    * after the last point, here an explicit row). A sample is followed
+    * by a marker when the gap to the series' next sample exceeds
+    * StaleGapSec — including the end-of-stream case, measured against
+    * the global horizon (max sample time), which is how a disappeared
+    * series keeps its final marker. One series-keyed lead window + a
+    * broadcast one-row horizon; all integer-seconds arithmetic, no
+    * float surface at all. */
+  def staleness: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("sec"), col("event_id"))
+    val horizon = samples(s, d).agg(max(col("sec")).as("hmax"))
+    samples(s, d)
+      .select(col("event_type"), col("sec"), col("event_id"))
+      .withColumn("nxt", lead(col("sec"), 1).over(w))
+      .crossJoin(broadcast(horizon))
+      .withColumn("gap_sec", coalesce(col("nxt"), col("hmax")) - col("sec"))
+      .filter(col("gap_sec") > StaleGapSec)
+      .select(col("event_type"), (col("sec") + StaleMarkerDelaySec).as("stale_at_sec"),
+        col("gap_sec"))
+      .orderBy(col("event_type"), col("stale_at_sec"))
+  }
+
+  val stalenessSql: String =
+    s"""WITH s AS (
+          SELECT event_type, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+                 event_id
+          FROM events),
+        g AS (
+          SELECT event_type, sec,
+                 COALESCE(lead(sec) OVER (PARTITION BY event_type ORDER BY sec, event_id),
+                          (SELECT max(sec) FROM s)) - sec AS gap_sec
+          FROM s)
+        SELECT event_type, sec + $StaleMarkerDelaySec AS stale_at_sec, gap_sec
+        FROM g WHERE gap_sec > $StaleGapSec
+        ORDER BY event_type, stale_at_sec"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("metrics_staleness", staleness, Some(stalenessSql)),
     ("metrics_apdex", apdex, Some(apdexSql)),
     ("metrics_seasonal_decompose", seasonalDecompose, Some(seasonalDecomposeSql)),
     ("metrics_gap_log2_histogram", gapLog2Histogram, Some(gapLog2HistogramSql)),

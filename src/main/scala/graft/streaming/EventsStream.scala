@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -1018,7 +1018,70 @@ object EventsStream {
       }
   }
 
+  // ---------------------------------------------- schema evolution
+
+  /** The evolved payload schema: v2 producers added `channel`. */
+  val evolvedPayloadSchema: StructType = StructType(Seq(
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("channel", StringType)))
+
+  /** Deterministic two-vintage payload: even event_ids are v1 JSON
+    * (no `channel` field), odd ones v2. Stands in for what a Kafka
+    * topic looks like mid-rollout — both producer versions interleaved
+    * in one stream. */
+  def payloadCol: Column =
+    when(col("event_id") % 2 === 0,
+      to_json(struct(col("event_type"), col("value"))))
+      .otherwise(to_json(struct(col("event_type"), col("value"),
+        concat(lit("ch"), col("user_id") % 3).as("channel"))))
+
+  /** Parse + aggregate under the EVOLVED schema: `from_json` against
+    * the superset schema reads both vintages in one pass — fields a v1
+    * payload lacks come back NULL (bucketed as '__pre__'), exactly the
+    * additive-evolution contract Avro/JSON pipelines rely on. This is
+    * the streaming-native answer to schema drift: no reprocessing, no
+    * branching on version — ONE parse expression whose nulls encode
+    * vintage. Spark-first: from_json + groupBy are codegen'd; the
+    * aggregation is integer cents so both vintages sum exactly. */
+  private def schemaEvolutionAgg(parsed: DataFrame): DataFrame =
+    parsed
+      .select(from_json(col("payload"), evolvedPayloadSchema).as("r"))
+      .select(col("r.event_type").as("event_type"),
+        coalesce(col("r.channel"), lit("__pre__")).as("channel"),
+        col("r.value").as("value"))
+      .groupBy(col("event_type"), col("channel"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100).cast("long")).as("value_cents"))
+
+  /** Batch entry `stream_schema_evolution`: build the two-vintage
+    * payload stream from events, parse under the evolved schema,
+    * aggregate. The streaming twin (`schemaEvolutionStream`) runs the
+    * same parse+agg over a MemoryStream whose chunks DRIFT (v1-only
+    * first, mixed later) — parity asserted in StreamingSpec. */
+  def schemaEvolutionBatch: Q = (s, d) => {
+    schemaEvolutionAgg(Tables.events(s, d).select(payloadCol.as("payload")))
+      .orderBy(col("event_type"), col("channel"))
+  }
+
+  /** The oracle computes the same aggregate straight off the typed
+    * columns — proving the JSON round-trip (to_json → from_json) is
+    * value-exact, not just schema-compatible. */
+  val schemaEvolutionSql: String =
+    """SELECT event_type,
+              CASE WHEN event_id % 2 = 1 THEN 'ch' || CAST(user_id % 3 AS VARCHAR)
+                   ELSE '__pre__' END AS channel,
+              count(*) AS n_events,
+              CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+       FROM events GROUP BY 1, 2 ORDER BY event_type, channel"""
+
+  /** Streaming twin over a payload stream (Complete-mode aggregation,
+    * no watermark needed — state is |event_type|×|channel| rows). */
+  def schemaEvolutionStream(payloads: DataFrame): DataFrame =
+    schemaEvolutionAgg(payloads)
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("stream_schema_evolution", schemaEvolutionBatch, Some(schemaEvolutionSql)),
     ("stream_alert_hysteresis", alertHysteresisBatch,
       Some(graft.operators.Timeseries.alertHysteresisSql)),
     ("stream_attribution", attributionBatch, Some(graft.operators.Funnel.attributionLinearSql)),

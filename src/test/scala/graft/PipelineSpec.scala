@@ -148,4 +148,22 @@ class PipelineSpec extends SparkTestBase {
     assert(df.filter(col("kept_id_sum") <= 0).count() == 0)
     df.unpersist()
   }
+  test("domain cap: at most DomainCap docs per source, equal to the window formulation") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val df = graft.operators.Pipeline.curateDomainCap(spark, sf).cache()
+    val over = df.groupBy("source").agg(count(lit(1)).as("n"))
+      .filter(col("n") > graft.operators.Pipeline.DomainCap)
+    assert(over.count() == 0)
+    // the bounded-aggregate cut equals the textbook row_number window
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))
+    val want = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("domain_rank", row_number().over(w).cast("int"))
+      .filter(col("domain_rank") <= graft.operators.Pipeline.DomainCap)
+      .collect().map(_.toSeq).toSet
+    assert(df.collect().map(_.toSeq).toSet == want)
+    df.unpersist()
+  }
+
 }

@@ -111,6 +111,19 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("IVF stats: one row per cell, populations partition the corpus") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Similarity.ivfStats(spark, sf).cache()
+    assert(df.count() == graft.operators.Similarity.NumCells, "every cell reported, even empty")
+    val total = graft.sources.Tables.embeddings(spark, sf).count()
+    val assigned = df.agg(sum("n_vectors")).collect()(0).getLong(0)
+    assert(assigned == total, "hard assignment partitions the corpus exactly")
+    assert(df.filter(col("pop_share") < 0 || col("pop_share") > 1).count() == 0)
+    assert(df.filter(col("n_vectors") > 0 && (col("avg_norm2").isNull || col("avg_norm2") <= 0))
+      .count() == 0, "non-empty cells have positive mean energy")
+    df.unpersist()
+  }
+
   test("filtered top-k: every neighbor shares the query's label") {
     import org.apache.spark.sql.functions._
     val df = graft.operators.Similarity.filteredTopK(spark, sf)

@@ -471,4 +471,39 @@ class StreamingSpec extends SparkTestBase {
         s"streaming=${got.size} batch=${want.size} diff=${(want diff got).take(3)}")
     } finally q.stop()
   }
+
+  test("schema evolution: drifted payload chunks aggregate to the batch result") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // payloads exactly as the batch entry builds them, but fed with the
+    // vintage DRIFT a rollout produces: the v1-only chunk first, then
+    // the mixed chunks — the superset-schema parse must not care
+    val payloads = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), EventsStream.payloadCol.as("payload"))
+      .as[(Long, String)].collect()
+    val (v1, v2) = payloads.partition(_._1 % 2 == 0)
+
+    val input = MemoryStream[(Long, String)]
+    val q = EventsStream.schemaEvolutionStream(
+        input.toDF().toDF("event_id", "payload"))
+      .writeStream.format("memory").queryName("evo_sink")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(v1.toSeq)          // pre-rollout traffic
+      q.processAllAvailable()
+      val mid = spark.table("evo_sink").collect()
+      assert(mid.forall(_.getString(1) == "__pre__"),
+        "v1-only stream must see no channel values")
+      val half = v2.length / 2
+      input.addData(v2.take(half).toSeq) // rollout begins
+      input.addData(v2.drop(half).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("evo_sink")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      val want = EventsStream.schemaEvolutionBatch(spark, sf)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      assert(got == want, s"streaming=${got.size} batch=${want.size} " +
+        s"diff=${(want.toSet diff got.toSet).take(3)}")
+    } finally q.stop()
+  }
 }

@@ -43,4 +43,16 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(bad.count() == 0)
     df.unpersist()
   }
+  test("length survival: buckets partition the corpus, survival is a CDF tail") {
+    val df = TextAnalysis.lengthSurvival(spark, sf).cache()
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(df.agg(sum("n_docs")).head.getLong(0) == total)
+    val rows = df.orderBy(col("bucket")).collect()
+    assert(rows.head.getLong(3) == total, "smallest bucket sees everything above it")
+    val nGe = rows.map(_.getLong(3))
+    assert(nGe.zip(nGe.tail).forall { case (a, b) => a >= b }, "tail counts decrease")
+    assert(rows.forall(r => r.getDouble(4) >= 0 && r.getDouble(4) <= 1))
+    df.unpersist()
+  }
+
 }

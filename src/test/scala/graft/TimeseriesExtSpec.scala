@@ -209,4 +209,24 @@ class TimeseriesExtSpec extends SparkTestBase {
     assert(df.filter(col("n_satisfied") === col("n") && col("apdex") < 1.0).count() == 0)
     df.unpersist()
   }
+  test("staleness: every marker trails a real gap, delay fixed at 300s") {
+    val df = TimeseriesExt.staleness(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("gap_sec") <= TimeseriesExt.StaleGapSec).count() == 0)
+    // a marker's sample really has no successor within the gap window:
+    // recompute the successor gap independently and compare counts
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("sec"), col("event_id"))
+    val base = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"), col("event_id"))
+    val hmax = base.agg(max("sec")).head.getLong(0)
+    val want = base.withColumn("nxt", lead(col("sec"), 1).over(w))
+      .filter(coalesce(col("nxt"), lit(hmax)) - col("sec") > TimeseriesExt.StaleGapSec)
+      .count()
+    assert(df.count() == want)
+    df.unpersist()
+  }
+
 }
