@@ -485,7 +485,46 @@ object Dedup {
         GROUP BY t.band_lo ORDER BY t.band_lo"""
   }
 
+  /** Cross-corpus dedup with source priority — the dedup-across-dumps
+    * rule (CCNet keeps the copy from the earliest crawl; here lower
+    * source index = higher priority): docs sharing a canonical
+    * fingerprint collapse to the copy from the highest-priority
+    * source (tie → lowest doc_id), and the group's spread (copies,
+    * distinct sources) is the audit trail. Where `dedup_keep_canonical`
+    * picks min doc_id, this picks by POLICY — the two differ exactly
+    * when a dup's preferred-source copy is not its oldest. One
+    * aggregation, winner via lexicographic `min(struct(...))` (total
+    * order, engine-exact); no window, no join-back. */
+  def crossSource: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        md5(expr(s"array_join(array_sort(array_distinct($toksExpr)), ' ')")).as("fp"),
+        expr("cast(substring(source, 4, 10) as int)").as("prio"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("source")).as("n_sources"),
+        min(struct(col("prio"), col("doc_id"), col("source"))).as("w"))
+      .filter(col("n_copies") > 1)
+      .select(col("fp").as("fingerprint"), col("n_copies"), col("n_sources"),
+        col("w.doc_id").as("keep_doc_id"), col("w.source").as("keep_source"))
+      .orderBy(col("keep_doc_id"))
+  }
+
+  val crossSourceSql: String =
+    s"""SELECT fp AS fingerprint, n_copies, n_sources,
+               (w).d AS keep_doc_id, (w).s AS keep_source FROM (
+          SELECT fp, count(*) AS n_copies,
+                 count(DISTINCT source) AS n_sources,
+                 min({'p': prio, 'd': doc_id, 's': source}) AS w
+          FROM (SELECT doc_id, source,
+                  md5(array_to_string(list_sort(list_distinct($toksSqlExpr)), ' ')) AS fp,
+                  CAST(substring(source, 4, 10) AS INT) AS prio
+                FROM documents) t
+          GROUP BY fp) g
+        WHERE n_copies > 1 ORDER BY keep_doc_id"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("dedup_cross_source", crossSource, Some(crossSourceSql)),
     ("dedup_lsh_recall", lshRecall, Some(lshRecallSql)),
     ("dedup_fuzzy_edit", fuzzyEdit, Some(fuzzyEditSql)),
     ("dedup_exact", exact, Some(exactSql)),

@@ -242,7 +242,44 @@ object Graph {
         SELECT node, CAST(min(d) AS BIGINT) AS dist
         FROM walk GROUP BY node ORDER BY node"""
 
+  /** Per-node triangle counts on the page-similarity graph — the
+    * local-clustering read (a node in many triangles sits inside a
+    * tight community; bridges sit in none). Edge-orientation algorithm:
+    * orient every undirected edge low→high id, build wedges by joining
+    * oriented edges head-to-tail, close each wedge with a third
+    * equi-join — all hash joins, total work Σ out-deg², never |V|².
+    * (Production orients by (degree, id) so hubs get low out-degree,
+    * bounding wedge fanout by √|E| per node; id-orientation is the
+    * same plan shape.) Counting is one explode + integer aggregation.
+    * The oracle states the same three-way join declaratively. */
+  def triangleCount: Q = (sp, d) => {
+    val uv = cut(pageEdges(sp, d).filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b")).distinct())
+    val wedges = uv.join(uv.toDF("b", "c"), "b")
+    val tri = wedges.join(uv.toDF("a", "c"), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("page"))
+      .groupBy(col("page")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("page"))
+  }
+
+  val triangleCountSql: String =
+    s"""WITH $pageEdgesCte,
+        uv AS (SELECT DISTINCT src AS a, dst AS b FROM e WHERE src < dst),
+        tri AS (
+          SELECT u1.a, u1.b, u2.b AS c
+          FROM uv u1
+          JOIN uv u2 ON u2.a = u1.b
+          JOIN uv u3 ON u3.a = u1.a AND u3.b = u2.b),
+        nodes AS (
+          SELECT a AS page FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+        SELECT page, count(*) AS n_triangles
+        FROM nodes GROUP BY page ORDER BY page"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("graph_triangle_count", triangleCount, Some(triangleCountSql)),
     ("graph_pagerank", pagerank, Some(pagerankSql)),
     ("graph_communities_lpa", communitiesLpa, Some(communitiesLpaSql)),
     ("graph_bfs_distance", bfsDistance, Some(bfsDistanceSql)),

@@ -357,7 +357,48 @@ object TextAnalysis {
        FROM b CROSS JOIN t
        ORDER BY bucket"""
 
+  val ZipfTopK = 20
+
+  /** Zipf head profile: the top-K tokens by frequency with their
+    * cumulative share of ALL token occurrences — the vocabulary-
+    * concentration read (how much of the corpus do 20 words cover?)
+    * that sizes stopword lists and LM vocab caps. The head cut is
+    * `orderBy().limit()` — Spark plans a distributed
+    * TakeOrderedAndProject (each partition ships its local top-K, the
+    * driver merges K·P rows), never a global sort; the cumulative
+    * window then runs over K rows by construction. */
+  def zipfProfile: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d).select(explode(expr(toksExpr)).as("tok"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    val ord = Window.orderBy(col("n").desc, col("tok"))
+    toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(ZipfTopK)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(ord).cast("int"))
+      .withColumn("cum_n",
+        sum(col("n")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank"), col("tok"), col("n"),
+        trunc4(col("cum_n").cast("double") / col("total").cast("double")).as("cum_share"))
+      .orderBy(col("rank"))
+  }
+
+  val zipfProfileSql: String =
+    s"""WITH t AS (SELECT unnest($toksSqlExpr) AS tok FROM documents),
+        tot AS (SELECT count(*) AS total FROM t),
+        top AS (
+          SELECT tok, n, CAST(row_number() OVER (ORDER BY n DESC, tok) AS INT) AS rank
+          FROM (SELECT tok, count(*) AS n FROM t GROUP BY tok) c
+          ORDER BY n DESC, tok LIMIT $ZipfTopK)
+        SELECT rank, tok, n,
+               floor(CAST(sum(n) OVER (ORDER BY rank
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                     / CAST(tt.total AS DOUBLE) * 10000) / 10000.0 AS cum_share
+        FROM top CROSS JOIN tot tt
+        ORDER BY rank"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("text_zipf_profile", zipfProfile, Some(zipfProfileSql)),
     ("text_length_survival", lengthSurvival, Some(lengthSurvivalSql)),
     ("text_pii_redact", piiRedact, Some(piiRedactSql)),
     ("text_tokens", tokens, Some(tokensSql)),

@@ -779,7 +779,57 @@ object TimeseriesExt {
         FROM g WHERE gap_sec > $StaleGapSec
         ORDER BY event_type, stale_at_sec"""
 
+  val ExemplarK = 3
+  val ExemplarBucketSec = 21600L
+
+  /** Prometheus exemplar storage semantics: alongside each aggregated
+    * bucket, keep K raw sample references ("exemplars") so an alert on
+    * the aggregate can link back to concrete traces. Selection is
+    * bottom-K by md5(event_id) — a deterministic uniform draw with no
+    * RNG state (same contract as `sample_reservoir`), through the
+    * bounded `graft_topk` aggregate: ≤ K rows per (partition, bucket)
+    * cross the shuffle no matter how hot the bucket. Values rejoin by
+    * event_id afterwards — the exemplar set is series×buckets×K rows,
+    * broadcast-sized by construction. */
+  def exemplars: Q = (s, d) => {
+    val picked = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+        (floor(unix_timestamp(date_trunc("second", col("ts"))) / ExemplarBucketSec)
+          * ExemplarBucketSec).cast("long").as("bucket_start"),
+        expr("cast(conv(substring(md5(cast(event_id as string)), 1, 8), 16, 10) as double)")
+          .as("hsc"))
+      .groupBy(col("event_type"), col("bucket_start"))
+      .agg(expr(s"graft_topk(-hsc, event_id, $ExemplarK)").as("top"))
+      .select(col("event_type"), col("bucket_start"), posexplode(col("top")))
+      .select(col("event_type"), col("bucket_start"),
+        (col("pos") + 1).cast("int").as("exemplar_rank"), col("col.id").as("event_id"))
+    picked.join(
+        Tables.events(s, d).select(col("event_id"),
+          floor(col("value") * 100).cast("long").as("value_cents")),
+        "event_id")
+      .select(col("event_type"), col("bucket_start"), col("exemplar_rank"),
+        col("event_id"), col("value_cents"))
+      .orderBy(col("event_type"), col("bucket_start"), col("exemplar_rank"))
+  }
+
+  val exemplarsSql: String =
+    s"""SELECT event_type, bucket_start, exemplar_rank, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS value_cents FROM (
+          SELECT event_type, event_id, value,
+                 CAST(floor(epoch(date_trunc('second', ts)) / $ExemplarBucketSec)
+                      * $ExemplarBucketSec AS BIGINT) AS bucket_start,
+                 CAST(row_number() OVER (
+                   PARTITION BY event_type,
+                     CAST(floor(epoch(date_trunc('second', ts)) / $ExemplarBucketSec)
+                          * $ExemplarBucketSec AS BIGINT)
+                   ORDER BY ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT,
+                            event_id) AS INT) AS exemplar_rank
+          FROM events) t
+        WHERE exemplar_rank <= $ExemplarK
+        ORDER BY event_type, bucket_start, exemplar_rank"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("metrics_exemplars", exemplars, Some(exemplarsSql)),
     ("metrics_staleness", staleness, Some(stalenessSql)),
     ("metrics_apdex", apdex, Some(apdexSql)),
     ("metrics_seasonal_decompose", seasonalDecompose, Some(seasonalDecomposeSql)),

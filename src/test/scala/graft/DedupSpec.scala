@@ -128,4 +128,25 @@ class DedupSpec extends SparkTestBase {
         "LSH must catch nearly all 0.9+ jaccard pairs")
     df.unpersist()
   }
+  test("cross-source dedup: winner has the group's best priority, groups are real dups") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Dedup.crossSource(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("n_copies") < 2).count() == 0)
+    assert(df.filter(col("n_sources") > col("n_copies")).count() == 0)
+    // the kept source's priority really is the group minimum: rejoin
+    // docs by fingerprint and compare
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        md5(expr("array_join(array_sort(array_distinct(" +
+          graft.operators.TextAnalysis.toksExpr + ")), ' ')")).as("fingerprint"),
+        expr("cast(substring(source, 4, 10) as int)").as("prio"))
+    val best = docs.groupBy(col("fingerprint")).agg(min(col("prio")).as("best_prio"))
+    val bad = df.join(best, Seq("fingerprint"))
+      .join(docs.select(col("doc_id").as("keep_doc_id"), col("prio")), Seq("keep_doc_id"))
+      .filter(col("prio") =!= col("best_prio"))
+    assert(bad.count() == 0, "kept copy must come from the highest-priority source")
+    df.unpersist()
+  }
+
 }

@@ -76,4 +76,21 @@ class GraphSpec extends SparkTestBase {
     assert(bad.count() == 0, "adjacent nodes differ by at most one hop")
     df.unpersist()
   }
+  test("triangle count: every counted node closes at least one real triangle") {
+    val df = Graph.triangleCount(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("n_triangles") <= 0).count() == 0)
+    // brute-force check on the small page graph: adjacency as sets
+    val adj = graft.operators.Affinity.nodeSimilarity(spark, sf)
+      .select(col("page_a").cast("long").as("u"), col("page_b").cast("long").as("v"))
+      .collect().flatMap(r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val want = adj.map { case (n, nbrs) =>
+      n -> nbrs.toSeq.combinations(2).count { case Seq(x, y) => adj(x).contains(y) }
+    }.filter(_._2 > 0)
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got == want, s"diff=${(want.toSet diff got.toSet).take(3)}")
+    df.unpersist()
+  }
+
 }

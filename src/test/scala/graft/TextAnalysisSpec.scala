@@ -55,4 +55,16 @@ class TextAnalysisSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("zipf profile: K rows, counts non-increasing, cumulative share monotone and <= 1") {
+    val df = TextAnalysis.zipfProfile(spark, sf).cache()
+    val rows = df.orderBy(col("rank")).collect()
+    assert(rows.length == TextAnalysis.ZipfTopK)
+    val ns = rows.map(_.getLong(2))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "head is sorted by frequency")
+    val shares = rows.map(_.getDouble(3))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b }, "cumulative share grows")
+    assert(shares.last <= 1.0 && shares.head > 0)
+    df.unpersist()
+  }
+
 }

@@ -229,4 +229,21 @@ class TimeseriesExtSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("exemplars: at most K per bucket, values match the referenced events") {
+    val df = TimeseriesExt.exemplars(spark, sf).cache()
+    assert(df.count() > 0)
+    val over = df.groupBy("event_type", "bucket_start")
+      .agg(count(lit(1)).as("k"))
+      .filter(col("k") > TimeseriesExt.ExemplarK)
+    assert(over.count() == 0)
+    // every exemplar's value really is its event's value (join-back integrity)
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), floor(col("value") * 100).cast("long").as("vc"))
+    assert(df.join(ev, "event_id").filter(col("value_cents") =!= col("vc")).count() == 0)
+    // deterministic: a second run picks the identical exemplar set
+    val again = TimeseriesExt.exemplars(spark, sf).collect().map(_.toSeq)
+    assert(df.collect().map(_.toSeq).sameElements(again))
+    df.unpersist()
+  }
+
 }
