@@ -186,7 +186,66 @@ object Funnel {
               path, n, n_users
        FROM c QUALIFY rk <= 10 ORDER BY rk"""
 
+  /** Position-based (U-shaped, 40/20/40) multi-touch attribution —
+    * the martech companion to `attribution_linear`: the first and last
+    * click before a conversion each earn 40%, the middle touches split
+    * the remaining 20%. Credit is INTEGER basis points with the
+    * integer-division remainder folded into the first touch (a total,
+    * engine-exact rule — float splits would drift across engines):
+    * n=1 → 10000; n=2 → 5000/5000; n≥3 → 4000/4000 + 2000 DIV (n−2)
+    * each, remainder to first. Same one RANGE window as linear — the
+    * per-purchase credit VECTOR is described by (n, first, last, mid),
+    * no pair explosion. */
+  def attributionPosition: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-LookbackSec, 0)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"), col("event_type"))
+      .withColumn("n_touches",
+        count(when(col("event_type") === "click", 1)).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("mid_each_bp",
+        when(col("n_touches") >= 3, expr("2000 DIV (n_touches - 2)")).otherwise(lit(0L)))
+      .withColumn("last_bp",
+        when(col("n_touches") >= 3, lit(4000L))
+          .when(col("n_touches") === 2, lit(5000L)).otherwise(lit(0L)))
+      .withColumn("first_bp",
+        when(col("n_touches") === 0, lit(null).cast("long"))
+          .otherwise(lit(10000L) - col("last_bp")
+            - col("mid_each_bp") * greatest(col("n_touches") - 2, lit(0L))))
+      .select(col("user_id"), col("event_id"), col("sec"), col("n_touches"),
+        col("first_bp"), col("last_bp"), col("mid_each_bp"))
+      .orderBy(col("user_id"), col("sec"), col("event_id"))
+  }
+
+  val attributionPositionSql: String =
+    s"""WITH e AS (
+         SELECT user_id, event_id,
+                CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec, event_type
+         FROM events),
+       t AS (
+         SELECT *,
+                count(*) FILTER (WHERE event_type = 'click')
+                  OVER (PARTITION BY user_id ORDER BY sec
+                        RANGE BETWEEN $LookbackSec PRECEDING AND CURRENT ROW) AS n_touches
+         FROM e),
+       p AS (
+         SELECT user_id, event_id, sec, n_touches,
+                CASE WHEN n_touches >= 3 THEN 2000 // (n_touches - 2) ELSE 0 END AS mid_each_bp,
+                CASE WHEN n_touches >= 3 THEN 4000
+                     WHEN n_touches = 2 THEN 5000 ELSE 0 END AS last_bp
+         FROM t WHERE event_type = 'purchase')
+       SELECT user_id, event_id, sec, n_touches,
+              CAST(CASE WHEN n_touches = 0 THEN NULL
+                   ELSE 10000 - last_bp - mid_each_bp * greatest(n_touches - 2, 0)
+              END AS BIGINT) AS first_bp,
+              CAST(last_bp AS BIGINT) AS last_bp,
+              CAST(mid_each_bp AS BIGINT) AS mid_each_bp
+       FROM p ORDER BY user_id, sec, event_id"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("attribution_position", attributionPosition, Some(attributionPositionSql)),
     ("funnel_stages", funnelStages, Some(funnelStagesSql)),
     ("attribution_linear", attributionLinear, Some(attributionLinearSql)),
     ("events_top_paths", topPaths, Some(topPathsSql)))

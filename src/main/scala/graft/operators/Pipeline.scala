@@ -445,6 +445,42 @@ object Pipeline {
               CAST(sum(CASE WHEN rk <= n_min THEN doc_id END) AS BIGINT) AS kept_id_sum
        FROM r GROUP BY lang ORDER BY lang"""
 
+  val KFolds = 5
+
+  /** Hash k-fold assignment — the cross-validation / sharded-eval
+    * split: every doc lands in exactly one of K folds by content hash
+    * (same seedless-md5 contract as `split_train_test`: reproducible
+    * on any cluster layout, no RNG state, stable under re-runs).
+    * Output is the fold manifest (count, id-checksum, share) — the
+    * checksum pins MEMBERSHIP, not just sizes, so any engine can audit
+    * its own assignment against it. One narrow map + one aggregation. */
+  def splitKfold: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (conv(substring(md5(concat(lit("fold:"), col("doc_id"))), 1, 8), 16, 10)
+          .cast("long") % KFolds).as("fold"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_checksum"))
+      .crossJoin(broadcast(Tables.documents(s, d).agg(count(lit(1)).as("total"))))
+      .select(col("fold").cast("int").as("fold"), col("n_docs"), col("id_checksum"),
+        trunc4(col("n_docs").cast("double") / col("total").cast("double")).as("share"))
+      .orderBy(col("fold"))
+  }
+
+  val splitKfoldSql: String =
+    s"""WITH f AS (
+          SELECT doc_id,
+                 ('0x' || substring(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % $KFolds AS fold
+          FROM documents),
+        t AS (SELECT count(*) AS total FROM documents)
+        SELECT CAST(fold AS INT) AS fold, count(*) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+               floor(CAST(count(*) AS DOUBLE) / CAST(t.total AS DOUBLE) * 10000) / 10000.0
+                 AS share
+        FROM f CROSS JOIN t
+        GROUP BY fold, t.total ORDER BY fold"""
+
   val DomainCap = 10
 
   /** Per-domain document cap — the web-curation counterweight to
@@ -486,6 +522,7 @@ object Pipeline {
     ("pack_token_budget", packTokenBudget, Some(packTokenBudgetSql)),
     ("curate_quality_band", curateQualityBand, Some(curateQualityBandSql)),
     ("curate_domain_cap", curateDomainCap, Some(curateDomainCapSql)),
+    ("split_kfold", splitKfold, Some(splitKfoldSql)),
     ("text_tfidf_topk", tfidfTopk, Some(tfidfTopkSql)),
     ("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     ("sample_class_balanced", sampleClassBalanced, Some(sampleClassBalancedSql)),

@@ -554,7 +554,85 @@ object Scrapers {
          AND ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 4 = 1
        GROUP BY 1, 2 ORDER BY service"""
 
+  /** Exposition-format PARSER — the scrape side of the Prometheus
+    * loop (the reference renders and pushes; a scraper consuming the
+    * same endpoint must invert it): each
+    * `name{label="v",...} value` line decomposes back into typed
+    * columns via anchored regexp_extract — pure narrow projection,
+    * codegen'd, no UDFs. Feeding the entry with our OWN rendered lines
+    * makes the oracle a round-trip proof: render → parse must
+    * reproduce the remote-write rows the renderer consumed (the value
+    * re-parses from the %.2f text, so both engines read the identical
+    * decimal literal). */
+  def expositionParse: Q = (s, d) =>
+    expositionLines(s, d)
+      .select(
+        regexp_extract(col("line"), "^([A-Za-z_:][A-Za-z0-9_:]*)\\{", 1).as("metric_name"),
+        regexp_extract(col("line"), "engine=\"([^\"]*)\"", 1).as("engine"),
+        regexp_extract(col("line"), "identifier=\"([^\"]*)\"", 1).as("identifier"),
+        regexp_extract(col("line"), "job=\"([^\"]*)\"", 1).as("job"),
+        regexp_extract(col("line"), "\\} (.+)$", 1).cast("double").as("value"))
+      .orderBy(col("metric_name"), col("identifier"))
+
+  val expositionParseSql: String =
+    s"""WITH rendered AS ($expositionSql)
+        SELECT regexp_extract(line, '^([A-Za-z_:][A-Za-z0-9_:]*)\\{', 1) AS metric_name,
+               regexp_extract(line, 'engine="([^"]*)"', 1) AS engine,
+               regexp_extract(line, 'identifier="([^"]*)"', 1) AS identifier,
+               regexp_extract(line, 'job="([^"]*)"', 1) AS job,
+               CAST(regexp_extract(line, '\\} (.+)$$', 1) AS DOUBLE) AS value
+        FROM rendered
+        ORDER BY metric_name, identifier"""
+
+  private val coarseLes = Seq(4, 32, 256)
+
+  /** Histogram re-bucketing — the recording rule that downsamples a
+    * fine `le` grid to a coarse one for long-term storage. CUMULATIVE
+    * buckets make this a PROJECTION: the coarse bucket at le=L is the
+    * fine bucket at le=L, no re-aggregation of raw samples — which is
+    * exactly why Prometheus histograms are cumulative (a non-cumulative
+    * format would force a full re-scan to merge bins). Per-bin deltas
+    * come from one lag window over ≤|les|+1 rows per series×day; all
+    * integer counts, zero float surface. */
+  def histogramRebucket: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val aggCols = coarseLes.map(le =>
+      count(when(col("value") <= le, 1)).as(s"b$le")) :+ count(lit(1)).as("binf")
+    val stackArgs = (coarseLes.zipWithIndex.map { case (le, i) =>
+      s"$i, '$le', b$le"
+    } :+ s"${coarseLes.size}, '+Inf', binf").mkString(", ")
+    val w = Window.partitionBy(col("event_type"), col("day")).orderBy(col("le_idx"))
+    Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .selectExpr("event_type", "day",
+        s"stack(${coarseLes.size + 1}, $stackArgs) as (le_idx, le, cum_count)")
+      .withColumn("bin_count",
+        col("cum_count") - coalesce(lag(col("cum_count"), 1).over(w), lit(0L)))
+      .select(col("event_type"), col("day"), col("le"), col("cum_count"), col("bin_count"))
+      .orderBy(col("event_type"), col("day"), col("le"))
+  }
+
+  val histogramRebucketSql: String = {
+    val counts = coarseLes.map(le =>
+      s"count(*) FILTER (WHERE value <= $le) AS b$le").mkString(", ")
+    val arms = (coarseLes.zipWithIndex.map { case (le, i) =>
+      s"SELECT event_type, day, $i AS le_idx, '$le' AS le, b$le AS cum_count FROM a"
+    } :+ s"SELECT event_type, day, ${coarseLes.size}, '+Inf', binf FROM a")
+      .mkString(" UNION ALL ")
+    s"""WITH a AS (SELECT event_type, CAST(ts AS DATE) AS day, $counts,
+                          count(*) AS binf
+                   FROM events GROUP BY 1, 2),
+         l AS ($arms)
+        SELECT event_type, day, le, cum_count,
+               cum_count - COALESCE(lag(cum_count) OVER (
+                 PARTITION BY event_type, day ORDER BY le_idx), 0) AS bin_count
+        FROM l ORDER BY event_type, day, le"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("metrics_histogram_rebucket", histogramRebucket, Some(histogramRebucketSql)),
+    ("prom_exposition_parse", expositionParse, Some(expositionParseSql)),
     ("prom_relabel", relabel, Some(relabelSql)),
     ("prom_histogram_quantile", histogramQuantile, Some(histogramQuantileSql)),
     ("prom_remote_write_all", remoteWriteAll, Some(remoteWriteAllSql)),

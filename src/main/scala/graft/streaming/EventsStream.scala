@@ -268,6 +268,50 @@ object EventsStream {
          c_ts > p_ts - INTERVAL 30 MINUTES AND c_ts <= p_ts"""))
   }
 
+  /** Batch twin of the stream-stream LEFT OUTER interval join: every
+    * purchase keeps a row even with ZERO clicks in its window — the
+    * rows the inner variant silently drops are exactly the
+    * "conversions with no preceding engagement" a funnel audit needs.
+    * `count(c_ts)` (non-null side) makes the zero explicit. Same
+    * single user-keyed shuffle; the outer row adds no state. */
+  def outerIntervalJoinBatch: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .withColumn("ts", date_trunc("second", col("ts")))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") > col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"), "left")
+      .groupBy(col("purchase_id"), col("user_id"))
+      .agg(count(col("c_ts")).as("n_clicks"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val outerIntervalJoinSql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id, count(c.c_ts) AS n_clicks
+       FROM (SELECT event_id, user_id, date_trunc('second', ts) AS p_ts
+             FROM events WHERE event_type = 'purchase') p
+       LEFT JOIN (SELECT user_id, date_trunc('second', ts) AS c_ts
+             FROM events WHERE event_type = 'click') c
+         ON p.user_id = c.user_id
+        AND c.c_ts > p.p_ts - INTERVAL 30 MINUTE AND c.c_ts <= p.p_ts
+       GROUP BY p.event_id, p.user_id ORDER BY purchase_id"""
+
+  /** Streaming twin: `leftOuter` interval join — Spark holds the
+    * unmatched purchase until the click-side watermark proves no match
+    * can still arrive, then emits it with nulls. The range condition
+    * bounds both sides' state exactly as in the inner variant; the
+    * null row costs nothing extra. Parity in StreamingSpec. */
+  def outerIntervalJoinStream(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("p_ts", "1 hour")
+    val c = clicks.withWatermark("c_ts", "1 hour")
+    p.join(c, expr(
+      """p_user = c_user AND
+         c_ts > p_ts - INTERVAL 30 MINUTES AND c_ts <= p_ts"""), "leftOuter")
+  }
+
   /** Batch twin of the streaming scrape→remote-write loop: the
     * reference scrapes every database on a timer and pushes long-format
     * TimeSeries; streaming-native, each 6-hour window per stream
@@ -1096,6 +1140,7 @@ object EventsStream {
     ("stream_sessionize_state", sessionizeBatch, Some(AsOfSessionizeOracle.sql)),
     ("stream_dedup_exact", eventsDedupBatch, Some(eventsDedupSql)),
     ("stream_interval_join", intervalJoinBatch, Some(intervalJoinSql)),
+    ("stream_outer_interval_join", outerIntervalJoinBatch, Some(outerIntervalJoinSql)),
     ("stream_metrics_scrape", metricsScrapeBatch, Some(metricsScrapeSql)))
 
   /** The stateful batch entry reuses the window-based sessionize oracle

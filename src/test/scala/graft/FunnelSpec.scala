@@ -45,4 +45,17 @@ class FunnelSpec extends SparkTestBase {
     assert(rks == (1 to 10), s"ranks must be dense: $rks")
     df.unpersist()
   }
+  test("position attribution: credits always total exactly 10000 bp") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Funnel.attributionPosition(spark, sf).cache()
+    val attributed = df.filter(col("n_touches") > 0)
+    assert(attributed.count() > 0)
+    val bad = attributed.filter(
+      col("first_bp") + col("last_bp")
+        + col("mid_each_bp") * greatest(col("n_touches") - 2, lit(0L)) =!= 10000L)
+    assert(bad.count() == 0, "U-shaped credit must be conservative")
+    assert(df.filter(col("n_touches") === 0 && col("first_bp").isNotNull).count() == 0)
+    df.unpersist()
+  }
+
 }

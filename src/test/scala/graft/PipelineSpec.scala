@@ -166,4 +166,19 @@ class PipelineSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("k-fold split: folds partition the corpus, assignment is hash-stable") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Pipeline.splitKfold(spark, sf).cache()
+    assert(df.count() == graft.operators.Pipeline.KFolds)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(df.agg(sum("n_docs")).head.getLong(0) == docs.count())
+    assert(df.agg(sum("id_checksum")).head.getLong(0) ==
+      docs.agg(sum("doc_id")).head.getLong(0),
+      "fold checksums partition the id space exactly")
+    // stability: a second run produces the identical manifest
+    val again = graft.operators.Pipeline.splitKfold(spark, sf).collect().map(_.toSeq)
+    assert(df.collect().map(_.toSeq).sameElements(again))
+    df.unpersist()
+  }
+
 }

@@ -176,7 +176,10 @@ class PlanSweepSpec extends SparkTestBase {
     "q_rfm_segments", "q_equidepth_histogram", "q_basket_pairs", "q_time_to_convert",
     "dq_drift_psi", "events_pareto_share", "events_stickiness", "sample_class_balanced",
     "text_bigram_lm", "metrics_dow_baseline", "metrics_alert_feed",
-    "q_interval_overlap_join", "q_purchase_intervals")
+    "q_interval_overlap_join", "q_purchase_intervals",
+    // round-5 single-row broadcasts: global horizon / corpus totals
+    "metrics_staleness", "text_length_survival", "text_zipf_profile",
+    "split_kfold", "ann_ivf_stats")
 
   test("no entry plans a CartesianProduct; BNLJ only where intended") {
     val failures = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).flatMap { name =>

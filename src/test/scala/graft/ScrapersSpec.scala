@@ -65,4 +65,31 @@ class ScrapersSpec extends SparkTestBase {
     assert(df.count() > 0)
     df.unpersist()
   }
+  test("exposition parse: render -> parse round-trips the remote-write rows") {
+    import org.apache.spark.sql.functions._
+    val parsed = graft.operators.Scrapers.expositionParse(spark, sf).cache()
+    val rw = graft.operators.Scrapers.remoteWrite(spark, sf)
+      .select(col("metric_name"), col("engine"), col("identifier"), col("job"),
+        // the wire carries %.2f text, so compare at that precision
+        round(col("value"), 2).as("value"))
+      .collect().map(_.toSeq).toSet
+    assert(parsed.collect().map(_.toSeq).toSet == rw,
+      "parsing our own exposition must recover the source rows")
+    assert(parsed.filter(col("metric_name") === "").count() == 0)
+    parsed.unpersist()
+  }
+
+  test("histogram rebucket: deltas sum to the +Inf cumulative, monotone in le") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Scrapers.histogramRebucket(spark, sf).cache()
+    // per (series, day): sum of bin deltas == total count
+    val bad = df.groupBy("event_type", "day")
+      .agg(sum(col("bin_count")).as("s"),
+        max(when(col("le") === "+Inf", col("cum_count"))).as("tot"))
+      .filter(col("s") =!= col("tot"))
+    assert(bad.count() == 0)
+    assert(df.filter(col("bin_count") < 0).count() == 0, "cumulative counts are monotone")
+    df.unpersist()
+  }
+
 }

@@ -506,4 +506,46 @@ class StreamingSpec extends SparkTestBase {
         s"diff=${(want.toSet diff got.toSet).take(3)}")
     } finally q.stop()
   }
+  test("left-outer interval join emits unmatched purchases once the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val e = graft.sources.Tables.events(spark, sf)
+      .withColumn("ts", date_trunc("second", col("ts")))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts")).as[PEv].collect()
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts")).as[CEv].collect()
+
+    val pIn = MemoryStream[PEv]
+    val cIn = MemoryStream[CEv]
+    val q = EventsStream.outerIntervalJoinStream(pIn.toDF(), cIn.toDF())
+      .writeStream.format("memory").queryName("oij_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      pIn.addData(purchases.toSeq)
+      cIn.addData(clicks.toSeq)
+      q.processAllAvailable()
+      // push BOTH watermarks far past the data so unmatched purchases
+      // are proven matchless and emitted with null click columns
+      val maxTs = (purchases.map(_.p_ts.getTime) ++ clicks.map(_.c_ts.getTime)).max
+      val far = new java.sql.Timestamp(maxTs + 10L * 3600 * 1000)
+      pIn.addData(PEv(-1L, -1L, far))
+      cIn.addData(CEv(-1L, far))
+      q.processAllAvailable()
+
+      val got = spark.table("oij_sink")
+        .filter(col("purchase_id") =!= -1L)
+        .groupBy(col("purchase_id"), col("p_user").as("user_id"))
+        .agg(count(col("c_ts")).as("n_clicks"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = EventsStream.outerIntervalJoinBatch(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"streaming=${got.size} batch=${want.size} " +
+        s"diff=${(want.toSet diff got.toSet).take(3)}")
+      // the outer rows are the point: some purchase must have zero clicks
+      assert(want.values.exists(_ == 0L), "fixture should contain clickless purchases")
+    } finally q.stop()
+  }
+
 }
