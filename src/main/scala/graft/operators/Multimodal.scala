@@ -410,7 +410,91 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** One audio document's energy profile. */
+  case class AudioProfile(doc_id: Long, n_samples: Int, n_windows: Int,
+      peak_window: Int, peak_energy: Long, mean_energy: Long)
+
+  val AudioWin = 128  // samples per analysis window
+  val AudioHop = 64   // 50% overlap
+
+  /** Audio DSP framing — the audio-modality sibling of the frame
+    * decode: the payload reads as PCM16-LE samples, sliced into
+    * 128-sample windows at 50% hop (the mel-spectrogram framing every
+    * speech pipeline runs before feature extraction), per-window
+    * energy Σ|sample| in exact integers. Same partition-batched
+    * `mapPartitions` shape as the video path — one decoder loop per
+    * partition, sequential byte reads — and the same proof obligation:
+    * the int16 little-endian byte math is replicated hex-pair by
+    * hex-pair in the DuckDB oracle, so the imperative path stays
+    * hash-verified. Zero float surface: energies, peaks and the mean
+    * are all integer (the peak tie-breaks to the earliest window). */
+  def audioStub(spark: SparkSession, dir: String): Dataset[AudioProfile] = {
+    import spark.implicits._
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    payloads.mapPartitions { it =>
+      // a real implementation would initialize the DSP pipeline ONCE here
+      it.map { case (docId, bytes) =>
+        val n = bytes.length / 2
+        def sample(k: Int): Int = {
+          val x = (bytes(2 * k) & 0xff) | ((bytes(2 * k + 1) & 0xff) << 8)
+          if (x >= 32768) x - 65536 else x
+        }
+        val starts = 0 until math.max(n, 1) by AudioHop
+        val energies = starts.map { st =>
+          val until = math.min(st + AudioWin, n)
+          if (until <= st) 0L
+          else {
+            var acc = 0L; var k = st
+            while (k < until) { acc += math.abs(sample(k)); k += 1 }
+            acc
+          }
+        }
+        val peak = energies.zipWithIndex.maxBy { case (e, i) => (e, -i) }._2
+        AudioProfile(docId, n, energies.length, peak, energies(peak),
+          energies.sum / energies.length)
+      }
+    }
+  }
+
+  def audioEnergy: Q = (s, d) =>
+    audioStub(s, d).toDF().orderBy(col("doc_id"))
+
+  /** The PCM16-LE window math in DuckDB: sample k = signed
+    * (byte(2k) | byte(2k+1)<<8), windows every AudioHop samples. */
+  val audioEnergySql: String =
+    s"""WITH p AS (SELECT doc_id, hex(encode(text)) AS hx,
+                          octet_length(encode(text)) // 2 AS n
+                   FROM documents),
+        win AS (SELECT doc_id, n, hx, unnest(range(0, greatest(n, 1), $AudioHop)) AS st
+                FROM p),
+        e AS (
+          SELECT doc_id, n,
+                 CAST(st // $AudioHop AS INT) AS widx,
+                 CASE WHEN least(st + $AudioWin, n) > st
+                      THEN list_sum(list_transform(range(st, least(st + $AudioWin, n)),
+                             k -> abs((('0x' || substr(hx, k*4 + 1, 2))::INT
+                                       | ((('0x' || substr(hx, k*4 + 3, 2))::INT) << 8))
+                                      - CASE WHEN (('0x' || substr(hx, k*4 + 1, 2))::INT
+                                                   | ((('0x' || substr(hx, k*4 + 3, 2))::INT) << 8))
+                                                  >= 32768 THEN 65536 ELSE 0 END)))
+                      ELSE 0 END AS energy
+          FROM win),
+        ranked AS (
+          SELECT doc_id, n, widx, energy,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY energy DESC, widx) AS rk,
+                 count(*) OVER (PARTITION BY doc_id) AS n_windows,
+                 CAST(sum(energy) OVER (PARTITION BY doc_id) AS BIGINT) AS tot
+          FROM e)
+        SELECT doc_id, CAST(n AS INT) AS n_samples, CAST(n_windows AS INT) AS n_windows,
+               widx AS peak_window, CAST(energy AS BIGINT) AS peak_energy,
+               CAST(tot // n_windows AS BIGINT) AS mean_energy
+        FROM ranked WHERE rk = 1 ORDER BY doc_id"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("mm_audio_energy", audioEnergy, Some(audioEnergySql)),
     ("mm_binary_meta", meta, Some(metaSql)),
     ("mm_video_scenes", videoScenes, Some(videoScenesSql)),
     ("mm_frame_dedup", frameDedup, Some(frameDedupSql)),

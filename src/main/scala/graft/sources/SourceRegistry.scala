@@ -253,7 +253,49 @@ object SourceRegistry {
         FROM ea FULL OUTER JOIN eb ON ea.host = eb.host AND ea.port = eb.port
         ORDER BY host"""
 
+  /** Epoch cutoff between the "already ingested" vintage and the new
+    * round: 2024-01-21 00:00 UTC (the events table spans Jan 1–30). */
+  val IncrementalCutoffSec = 1705795200L
+
+  /** Incremental ingestion with per-source watermarks — what replaces
+    * the reference's scrape-everything-each-round loop when the source
+    * grows past re-read scale: round N stores max(ts) per source;
+    * round N+1 reads ONLY rows past that watermark and advances it.
+    * The watermark table is |sources| rows (broadcast), and the
+    * `sec > watermark` predicate reaches the scan — on a ts-sorted
+    * layout parquet min/max stats prune whole row groups, so the
+    * incremental read costs ∝ new data, not table size. Output is the
+    * ingestion manifest: (source, stored watermark, rows ingested,
+    * advanced watermark). */
+  def incrementalRead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+    val wm = ev.filter(col("sec") < IncrementalCutoffSec)
+      .groupBy(col("event_type")).agg(max(col("sec")).as("stored_watermark"))
+    ev.join(broadcast(wm), Seq("event_type"))
+      .filter(col("sec") > col("stored_watermark"))
+      .groupBy(col("event_type"), col("stored_watermark"))
+      .agg(count(lit(1)).as("n_new"), max(col("sec")).as("new_watermark"))
+      .select(col("event_type"), col("stored_watermark"), col("n_new"),
+        col("new_watermark"))
+      .orderBy(col("event_type"))
+  }
+
+  val incrementalReadSql: String =
+    s"""WITH e AS (SELECT event_type,
+                          CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+                   FROM events),
+        wm AS (SELECT event_type, max(sec) AS stored_watermark
+               FROM e WHERE sec < $IncrementalCutoffSec GROUP BY 1)
+        SELECT e.event_type, wm.stored_watermark, count(*) AS n_new,
+               max(e.sec) AS new_watermark
+        FROM e JOIN wm USING (event_type)
+        WHERE e.sec > wm.stored_watermark
+        GROUP BY 1, 2 ORDER BY e.event_type"""
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("source_incremental_read", incrementalRead _, Some(incrementalReadSql)),
     ("source_config_dsn", configDsn _, Some(configDsnSql)),
     ("source_registry", registryRead _, Some(registryReadSql)),
     ("source_tag_filter", tagFilter _, Some(tagFilterSql)),

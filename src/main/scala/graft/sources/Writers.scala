@@ -179,6 +179,45 @@ object Writers {
     * WritersSpec). */
   val CompactTargetFiles = 4
 
+  /** Dynamic partition overwrite — the idempotent backfill sink: a
+    * correction batch replaces ONLY the day-partitions it contains
+    * (`partitionOverwriteMode=dynamic`), leaving every other partition
+    * untouched — the 100 TB restatement pattern (re-run one bad day
+    * without rewriting the table, and without the read-modify-write a
+    * MERGE would cost). Here days 2–3 arrive restated with doubled
+    * values; the read-back proves day 1/4/5 kept their original rows
+    * while 2–3 carry only the correction. WritersSpec additionally
+    * asserts the untouched partitions' files survived the second
+    * write. */
+  def partitionOverwrite: Q = (s, d) => {
+    val dir = s"/tmp/graft_events_po_${sfx(d)}"
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 100).cast("long").as("v_c"))
+      .filter(col("day") < lit("2024-01-06").cast("date"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(dir)
+    val correction = ev
+      .filter(col("day").between(lit("2024-01-02").cast("date"),
+        lit("2024-01-03").cast("date")))
+      .withColumn("v_c", col("v_c") * 2)
+    correction.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(dir)
+    s.read.parquet(dir)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"), sum(col("v_c")).as("cents_sum"))
+      .orderBy(col("day"))
+  }
+
+  val partitionOverwriteSql: String =
+    """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+              CAST(SUM(CAST(floor(value * 100) AS BIGINT)
+                       * CASE WHEN CAST(ts AS DATE) BETWEEN DATE '2024-01-02'
+                                  AND DATE '2024-01-03' THEN 2 ELSE 1 END) AS BIGINT)
+                AS cents_sum
+       FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-06'
+       GROUP BY 1 ORDER BY day"""
+
   def compactionScan: Q = (s, d) => {
     val small = s"/tmp/graft_docs_small_${sfx(d)}"
     val packed = s"/tmp/graft_docs_packed_${sfx(d)}"
@@ -482,6 +521,7 @@ object Writers {
     ("sink_bucketed_multi", bucketedMultiJoin, Some(bucketedMultiJoinSql)),
     ("sink_partitioned_scan", partitionedScan, Some(partitionedScanSql)),
     ("sink_compaction_scan", compactionScan, Some(compactionScanSql)),
+    ("sink_partition_overwrite", partitionOverwrite, Some(partitionOverwriteSql)),
     ("sink_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     ("sink_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)))
 }

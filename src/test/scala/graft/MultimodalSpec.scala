@@ -100,4 +100,18 @@ class MultimodalSpec extends SparkTestBase {
     assert(joined.count() == 0)
     df.unpersist()
   }
+  test("audio energy: window geometry follows sample count, energies conserve") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Multimodal.audioEnergy(spark, sf).cache()
+    assert(df.count() == graft.sources.Tables.documents(spark, sf).count())
+    // window count = ceil(max(n,1) / hop) with the stub's start rule
+    val badGeom = df.filter(col("n_windows") =!=
+      ceil(greatest(col("n_samples"), lit(1)).cast("double") / graft.operators.Multimodal.AudioHop))
+    assert(badGeom.count() == 0)
+    assert(df.filter(col("peak_window") >= col("n_windows")).count() == 0)
+    assert(df.filter(col("peak_energy") < col("mean_energy")).count() == 0,
+      "peak bounds the mean")
+    df.unpersist()
+  }
+
 }

@@ -75,4 +75,22 @@ class SourceRegistrySpec extends SparkTestBase {
     assert(dsns("oracle-ee") == "db3.example.com:1521/ORCL") // no creds embedded
     assert(!dsns.values.exists(d => d != null && (d.contains("tiger") || d.contains("pgpass"))))
   }
+  test("incremental read: counts split the table at the watermark, watermarks advance") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.SourceRegistry
+    val df = SourceRegistry.incrementalRead(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("new_watermark") <= col("stored_watermark")).count() == 0,
+      "every reported source advanced its watermark")
+    // ingested-row counts must equal the rows strictly past each stored watermark
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+    val recount = ev.join(df.select(col("event_type"), col("stored_watermark")), "event_type")
+      .filter(col("sec") > col("stored_watermark"))
+      .groupBy("event_type").agg(count(lit(1)).as("n2"))
+    assert(df.join(recount, "event_type").filter(col("n_new") =!= col("n2")).count() == 0)
+    df.unpersist()
+  }
+
 }

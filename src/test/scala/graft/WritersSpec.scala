@@ -148,4 +148,27 @@ class WritersSpec extends SparkTestBase {
       .filter(col("o_orderkey") % 3 =!= 0).count()
     assert(live == want, s"live rows $live must equal source minus tombstones $want")
   }
+  test("partition overwrite: correction replaces only its partitions, others keep files") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{Tables, Writers}
+    val rows = Writers.partitionOverwrite(spark, sf).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.size == 5)
+    // recompute expectations straight from the source table
+    val want = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), floor(col("value") * 100).cast("long").as("vc"))
+      .filter(col("day") < lit("2024-01-06").cast("date"))
+      .groupBy("day").agg(count(lit(1)).as("n"), sum("vc").as("s"))
+      .collect().map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    want.foreach { case (day, (n, s)) =>
+      val mult = if (day >= "2024-01-02" && day <= "2024-01-03") 2L else 1L
+      assert(rows(day) == ((n, s * mult)), s"day $day")
+    }
+    // the untouched partitions' directories survived the second write
+    val dir = new java.io.File(s"/tmp/graft_events_po_${Integer.toHexString(sf.hashCode).takeRight(6)}")
+    val days = dir.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(Seq("2024-01-01", "2024-01-04", "2024-01-05")
+      .forall(d0 => days.contains(s"day=$d0")), s"partition dirs: $days")
+  }
+
 }
