@@ -278,7 +278,46 @@ object Graph {
         SELECT page, count(*) AS n_triangles
         FROM nodes GROUP BY page ORDER BY page"""
 
+  val KCoreK = 2
+  val KCoreRounds = 4
+
+  /** K-core peel (bounded rounds) — the community-strength filter
+    * (nodes that survive repeated removal of degree-<k vertices form
+    * the graph's cohesive core; spam/bridge nodes peel off first).
+    * Each round is two aggregations + two semi-joins on the node key
+    * (degree count, then edges restricted to surviving endpoints) —
+    * Pregel-shaped like LPA, `Checkpoints.cut` per round. The contract
+    * is the R-ROUND peel, not the fixpoint: deterministic at any
+    * scale, and the oracle unrolls the same R rounds as CTEs. */
+  def kcore: Q = (sp, d) => {
+    var e = cut(pageEdges(sp, d))
+    for (i <- 1 to KCoreRounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= KCoreK).select(col("src").as("keep"))
+      e = e.join(keep, col("src") === col("keep"), "left_semi")
+        .join(keep, col("dst") === col("keep"), "left_semi")
+      if (i % 2 == 0 || i == KCoreRounds) e = cut(e)
+    }
+    e.groupBy(col("src").as("page")).agg(count(lit(1)).as("core_degree"))
+      .orderBy(col("page"))
+  }
+
+  val kcoreSql: String = {
+    val rounds = (1 to KCoreRounds).map { i =>
+      s"""k$i AS (SELECT src FROM (SELECT src, count(*) AS deg FROM e${i - 1}
+                  GROUP BY src) t WHERE deg >= $KCoreK),
+          e$i AS (SELECT x.src, x.dst FROM e${i - 1} x
+                  JOIN k$i a ON x.src = a.src JOIN k$i b ON x.dst = b.src)"""
+    }.mkString(",\n")
+    s"""WITH $pageEdgesCte,
+        e0 AS (SELECT src, dst FROM e),
+        $rounds
+        SELECT src AS page, count(*) AS core_degree
+        FROM e$KCoreRounds GROUP BY src ORDER BY page"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("graph_kcore", kcore, Some(kcoreSql)),
     ("graph_triangle_count", triangleCount, Some(triangleCountSql)),
     ("graph_pagerank", pagerank, Some(pagerankSql)),
     ("graph_communities_lpa", communitiesLpa, Some(communitiesLpaSql)),

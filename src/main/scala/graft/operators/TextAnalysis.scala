@@ -397,7 +397,56 @@ object TextAnalysis {
         FROM top CROSS JOIN tot tt
         ORDER BY rank"""
 
+  val KeywordsPerDoc = 3
+
+  /** Per-document keyword extraction — top-3 terms by in-doc TF ×
+    * corpus IDF (the doc-level sibling of the per-language
+    * `text_tfidf_topk`; what a retrieval/tagging pipeline stores per
+    * document). df counts come from a window over the already-grouped
+    * (doc, term) pairs — no second corpus scan; ranking uses the
+    * TRUNCATED tfidf (the same floored value both engines emit) with a
+    * term tiebreak, so rank boundaries are engine-exact. Per-doc
+    * window is partitioned by doc_id — embarrassingly parallel. */
+  def keywords: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val total = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    pairs
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf",
+        trunc4(col("tf") * log(col("n_docs").cast("double") / col("df"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))).cast("int"))
+      .filter(col("rn") <= KeywordsPerDoc)
+      .select(col("doc_id"), col("term").as("keyword"), col("tf"), col("df"),
+        col("tfidf"), col("rn"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  val keywordsSql: String =
+    s"""WITH pairs AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest($toksSqlExpr) AS term FROM documents) t
+          GROUP BY doc_id, term),
+        tot AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, term, tf,
+                 count(*) OVER (PARTITION BY term) AS df,
+                 floor(tf * ln(CAST(tt.n_docs AS DOUBLE)
+                               / count(*) OVER (PARTITION BY term)) * 10000) / 10000.0
+                   AS tfidf
+          FROM pairs CROSS JOIN tot tt)
+        SELECT doc_id, term AS keyword, tf, df, tfidf,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                      ORDER BY tfidf DESC, term) AS INT) AS rn
+        FROM scored QUALIFY rn <= $KeywordsPerDoc
+        ORDER BY doc_id, rn"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("text_keywords", keywords, Some(keywordsSql)),
     ("text_zipf_profile", zipfProfile, Some(zipfProfileSql)),
     ("text_length_survival", lengthSurvival, Some(lengthSurvivalSql)),
     ("text_pii_redact", piiRedact, Some(piiRedactSql)),

@@ -1124,7 +1124,52 @@ object EventsStream {
   def schemaEvolutionStream(payloads: DataFrame): DataFrame =
     schemaEvolutionAgg(payloads)
 
+  /** Split point between the materialized base view and the delta
+    * batch (2024-01-21, matching `source_incremental_read`). */
+  val IvmJoinCutoffSec = 1705795200L
+
+  /** Incremental view maintenance for a JOIN view — the classic delta
+    * rule Δ(A⋈B) = ΔA⋈B ∪ A_old⋈ΔB, applied to the purchase↔click
+    * interval-join view that `stream_interval_join` materializes.
+    * The base view aggregates P_old⋈C_old once; when the delta batch
+    * lands, only TWO delta joins run — old purchases × new clicks and
+    * new purchases × all clicks (the terms are disjoint and complete,
+    * so a count-sum merge needs no retraction logic) — instead of
+    * re-joining the full history. The oracle IS the full recompute
+    * (`intervalJoinSql`): merged increments must hash-equal it, which
+    * is the whole IVM correctness contract. At 100 TB the base terms
+    * read from the materialized view store; only Δ-sized inputs join. */
+  def ivmJoinDelta: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("ts"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("sec"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("sec").as("c_sec"))
+    val pOld = p.filter(col("sec") < IvmJoinCutoffSec)
+    val pNew = p.filter(col("sec") >= IvmJoinCutoffSec)
+    val cOld = c.filter(col("c_sec") < IvmJoinCutoffSec)
+    val cNew = c.filter(col("c_sec") >= IvmJoinCutoffSec)
+    def pairs(pp: DataFrame, cc: DataFrame): DataFrame =
+      pp.join(cc, col("user_id") === col("c_user") &&
+          col("c_ts") > col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"))
+        .groupBy(col("purchase_id"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+    pairs(pOld, cOld)               // the materialized base view
+      .unionByName(pairs(pOld, cNew)) // ΔC against old purchases
+      .unionByName(pairs(pNew, c))    // ΔP against full click history
+      .groupBy(col("purchase_id"), col("user_id"))
+      .agg(sum(col("n")).as("n_clicks"))
+      .orderBy(col("purchase_id"))
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("ivm_join_delta", ivmJoinDelta, Some(intervalJoinSql)),
     ("stream_schema_evolution", schemaEvolutionBatch, Some(schemaEvolutionSql)),
     ("stream_alert_hysteresis", alertHysteresisBatch,
       Some(graft.operators.Timeseries.alertHysteresisSql)),

@@ -93,4 +93,20 @@ class GraphSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("k-core: surviving nodes keep degree >= k against the surviving subgraph") {
+    val df = Graph.kcore(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("core_degree") < Graph.KCoreK).count() == 0,
+      "after the final peel round every survivor has degree >= k IN the core")
+    // the core is a subgraph of the full graph: degrees can only shrink
+    val full = Graph.triangleCount(spark, sf) // reuse of pageEdges shape not needed; recompute
+    val deg = graft.operators.Affinity.nodeSimilarity(spark, sf)
+      .select(col("page_a").cast("long").as("u"), col("page_b").cast("long").as("v"))
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+      .groupBy(identity).map { case (k, vs) => k -> vs.length.toLong }
+    val bad = df.collect().filter(r => r.getLong(1) > deg(r.getLong(0)))
+    assert(bad.isEmpty, s"core degree exceeded full degree: ${bad.take(3).mkString}")
+    df.unpersist()
+  }
+
 }

@@ -548,4 +548,13 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("IVM join delta: base + two delta terms merge to the full recompute") {
+    val got = EventsStream.ivmJoinDelta(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = EventsStream.intervalJoinBatch(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want, s"ivm=${got.size} full=${want.size} " +
+      s"diff=${(want.toSet diff got.toSet).take(3)}")
+  }
+
 }

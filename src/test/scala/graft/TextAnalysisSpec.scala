@@ -67,4 +67,22 @@ class TextAnalysisSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("keywords: 1-3 per doc, rarer term wins at equal tf") {
+    val df = TextAnalysis.keywords(spark, sf).cache()
+    val perDoc = df.groupBy("doc_id").agg(count(lit(1)).as("k"))
+    assert(perDoc.filter(col("k") > TextAnalysis.KeywordsPerDoc).count() == 0)
+    assert(df.filter(col("df") <= 0 || col("tf") <= 0).count() == 0)
+    // idf ranking sanity: among a doc's keywords, rank never improves
+    // with (lower tf AND higher df)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("rn"))
+    val bad = df.withColumn("ptf", lag(col("tf"), 1).over(w))
+      .withColumn("pdf", lag(col("df"), 1).over(w))
+      .withColumn("ptfidf", lag(col("tfidf"), 1).over(w))
+      .filter(col("ptf").isNotNull && col("tf") > col("ptf") && col("df") < col("pdf")
+        && col("tfidf") > col("ptfidf"))
+    assert(bad.count() == 0)
+    df.unpersist()
+  }
+
 }
