@@ -279,7 +279,85 @@ object Cohort {
               coalesce(abs($zExpr) > 1.96, false) AS significant
        FROM c"""
 
+  /** Censor horizon: users whose LAST event falls within this many
+    * days of the stream end are censored (still alive), not churned. */
+  val KmCensorDays = 7L
+
+  /** Kaplan–Meier survival curve over user lifetimes — retention's
+    * statistically honest form: a user active near the stream's end
+    * has not churned, only left observation, and K-M counts them
+    * at-risk up to their censor time instead of as deaths (naive
+    * retention understates survival exactly by this censoring error).
+    * Lifetime = last−first event day; churn observed iff the last
+    * event predates the censor horizon. S(t) = Π_{tᵢ≤t}(1 − dᵢ/nᵢ)
+    * folds in ascending-t order over the ≤31-row lifetime table
+    * (bounded by the stream's day span — the heavy work is the one
+    * per-user aggregation; the curve itself is a constant-size fold,
+    * same order-fixed contract as `metrics_smooth_ewma`). The oracle
+    * replays the fold with list_reduce. */
+  def survivalKm: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val spans = Tables.events(s, d)
+      .select(col("user_id"), expr("cast(unix_timestamp(date_trunc('second', ts)) div 86400 as bigint)").as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val horizon = spans.agg(max(col("d1")).as("hmax"))
+    val lifetimes = spans.crossJoin(broadcast(horizon))
+      .select((col("d1") - col("d0")).as("t"),
+        (col("d1") <= col("hmax") - KmCensorDays).as("observed"))
+      .groupBy(col("t"))
+      .agg(count(when(col("observed"), 1)).as("d"),
+        count(when(!col("observed"), 1)).as("c"))
+    val w = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lifetimes
+      .crossJoin(broadcast(lifetimes.agg(sum(col("d") + col("c")).as("total"))))
+      .withColumn("n_risk", col("total") - coalesce(sum(col("d") + col("c")).over(w), lit(0L)))
+      .withColumn("factors", collect_list(struct(col("t"), col("d"), col("n_risk"))).over(wAll))
+      .select(col("t").cast("int").as("t_days"), col("n_risk"), col("d").as("n_churned"),
+        col("c").as("n_censored"),
+        (floor(expr(
+          """aggregate(factors, cast(1.0 as double),
+               (acc, x) -> acc * (cast(1.0 as double) - cast(x.d as double) / cast(x.n_risk as double)))""")
+          * 1e6) / 1e6).as("survival"))
+      .orderBy(col("t_days"))
+  }
+
+  val survivalKmSql: String =
+    s"""WITH spans AS (
+          SELECT user_id,
+                 min(CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400) AS d0,
+                 max(CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400) AS d1
+          FROM events GROUP BY user_id),
+        hz AS (SELECT max(d1) AS hmax FROM spans),
+        lt AS (
+          SELECT d1 - d0 AS t,
+                 count(*) FILTER (WHERE d1 <= hz.hmax - $KmCensorDays) AS d,
+                 count(*) FILTER (WHERE d1 > hz.hmax - $KmCensorDays) AS c
+          FROM spans CROSS JOIN hz GROUP BY 1, hz.hmax),
+        tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS total FROM lt),
+        risked AS (
+          SELECT t, d, c,
+                 tt.total - COALESCE(CAST(sum(d + c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+                   AS n_risk
+          FROM lt CROSS JOIN tot tt),
+        curve AS (
+          SELECT t, d, c, n_risk,
+                 list(struct_pack(t := t, d := d, nr := n_risk))
+                   OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS factors
+          FROM risked)
+        SELECT CAST(t AS INT) AS t_days, n_risk, d AS n_churned, c AS n_censored,
+               floor(list_reduce(
+                       list_prepend(CAST(1.0 AS DOUBLE), list_transform(factors,
+                         x -> CAST(1.0 AS DOUBLE) - CAST(x.d AS DOUBLE) / CAST(x.nr AS DOUBLE))),
+                       (a, b) -> a * b) * 1e6) / 1e6 AS survival
+        FROM curve ORDER BY t_days"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("cohort_survival_km", survivalKm, Some(survivalKmSql)),
     ("q_abtest", abTest, Some(abTestSql)),
     ("q_streaks", userStreaks, Some(userStreaksSql)),
     ("q_cumulative_users", cumulativeUsers, Some(cumulativeUsersSql)),

@@ -389,7 +389,35 @@ object Reshape {
        FROM attrs a LEFT JOIN daily d USING (day)
        ORDER BY a.day"""
 
+  /** 2-D activity heatmap (hour-of-day × day-of-week) — the BI serving
+    * read behind every traffic heatmap widget. Calendar math is pure
+    * integer epoch arithmetic — `dow = (days + 4) % 7` (1970-01-01 was
+    * a Thursday), `hour = (sec mod 86400) / 3600` — because calendar
+    * FUNCTIONS disagree across engines on week start while integer
+    * division cannot. One aggregation over a 168-cell grid; cents
+    * sums exact. */
+  def heatmapGrid: Q = (s, d) => {
+    Tables.events(s, d)
+      .select(unix_timestamp(date_trunc("second", col("ts"))).as("sec"),
+        floor(col("value") * 100).cast("long").as("v_c"))
+      .groupBy(
+        expr("cast((sec div 86400 + 4) % 7 as int)").as("dow"),
+        expr("cast((sec % 86400) div 3600 as int)").as("hour"))
+      .agg(count(lit(1)).as("n_events"), sum(col("v_c")).as("cents_sum"))
+      .orderBy(col("dow"), col("hour"))
+  }
+
+  val heatmapGridSql: String =
+    """WITH s AS (SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+                         CAST(floor(value * 100) AS BIGINT) AS v_c
+                  FROM events)
+       SELECT CAST((sec // 86400 + 4) % 7 AS INT) AS dow,
+              CAST((sec % 86400) // 3600 AS INT) AS hour,
+              count(*) AS n_events, CAST(sum(v_c) AS BIGINT) AS cents_sum
+       FROM s GROUP BY 1, 2 ORDER BY dow, hour"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_heatmap_grid", heatmapGrid, Some(heatmapGridSql)),
     ("q_calendar_dim", calendarDim, Some(calendarDimSql)),
     ("q_unpivot_melt", unpivotEventsDaily, Some(unpivotEventsDailySql)),
     ("q_skyline_2d", skyline2d, Some(skyline2dSql)),

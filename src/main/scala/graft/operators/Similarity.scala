@@ -875,7 +875,104 @@ object Similarity {
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       norms AS (SELECT vec_id, list_inner_product(v, v) AS n2 FROM e)"""
 
+  val RrfDepth = 20
+  val RrfK = 60
+  val RrfTopK = 5
+
+  /** Hybrid retrieval with reciprocal-rank fusion — the modern search
+    * read (lexical recall + vector semantics, fused without score
+    * calibration): rank candidates twice — exact cosine over
+    * embeddings, token-overlap over the paired documents — and fuse as
+    * Σ 1/(RrfK + rank), a function of RANKS only, which is why RRF
+    * needs no per-modality score normalization. Both rankings are
+    * bounded (`graft_topk` depth 20); the lexical candidate join is an
+    * equi-join on tokens (at corpus scale the token lists get the same
+    * document-frequency cap as `dedup_ngram_jaccard` — heavy tokens
+    * pair everything and rank nothing). Missing from one list = that
+    * term contributes 0. All divisions are 1/(60+smallint): a discrete
+    * value set, deterministic cross-engine; ties break by doc id. */
+  def hybridRrf: Q = (s, d) => {
+    val all = emb(s, d)
+    // vector ranking: exact cosine, depth RrfDepth
+    val q = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
+    val vecRanks = all.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr(dotExpr) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .groupBy(col("query_id"))
+      .agg(expr(s"graft_topk(cos, vec_id, $RrfDepth)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("vec_rank"))
+    // lexical ranking: distinct-token overlap with the query document
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(s"array_distinct(${TextAnalysis.toksExpr})")).as("t"))
+    val qToks = toks.filter(col("doc_id") < NumQueries)
+      .select(col("doc_id").as("query_id"), col("t"))
+    val lexRanks = toks.join(qToks, Seq("t"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .groupBy(col("query_id"))
+      .agg(expr(s"graft_topk(cast(overlap as double), doc_id, $RrfDepth)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("lex_rank"))
+    vecRanks.join(lexRanks, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)))
+      .groupBy(col("query_id"))
+      .agg(expr(s"graft_topk(rrf, doc_id, $RrfTopK)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        (floor(col("col.score") * 1e6) / 1e6).as("rrf_score"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  lazy val hybridRrfSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        vec AS (
+          SELECT query_id, doc_id, vec_rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_inner_product(q.v, c.v)
+                              / (sqrt(list_inner_product(q.v, q.v))
+                                 * sqrt(list_inner_product(c.v, c.v))) DESC,
+                              c.vec_id) AS vec_rank
+            FROM e q JOIN e c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < $NumQueries) t WHERE vec_rank <= $RrfDepth),
+        toks AS (SELECT doc_id, unnest(list_distinct(${TextAnalysis.toksSqlExpr})) AS t
+                 FROM documents),
+        ov AS (
+          SELECT q.doc_id AS query_id, c.doc_id, count(*) AS overlap
+          FROM toks c JOIN (SELECT doc_id, t FROM toks WHERE doc_id < $NumQueries) q
+            USING (t)
+          WHERE c.doc_id <> q.doc_id
+          GROUP BY 1, 2),
+        lex AS (
+          SELECT query_id, doc_id, lex_rank FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY overlap DESC, doc_id) AS lex_rank
+            FROM ov) t WHERE lex_rank <= $RrfDepth),
+        fused AS (
+          SELECT COALESCE(v.query_id, l.query_id) AS query_id,
+                 COALESCE(v.doc_id, l.doc_id) AS doc_id,
+                 COALESCE(1.0e0 / ($RrfK + v.vec_rank), 0.0e0)
+                   + COALESCE(1.0e0 / ($RrfK + l.lex_rank), 0.0e0) AS rrf
+          FROM vec v FULL OUTER JOIN lex l
+            ON v.query_id = l.query_id AND v.doc_id = l.doc_id),
+        ranked AS (
+          SELECT query_id, doc_id, rrf,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY rrf DESC, doc_id) AS INT) AS rank
+          FROM fused)
+        SELECT query_id, doc_id, floor(rrf * 1e6) / 1e6 AS rrf_score, rank
+        FROM ranked WHERE rank <= $RrfTopK ORDER BY query_id, rank"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("ann_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     ("ann_knn_graph", knnGraph, Some(knnGraphSql)),
     ("ann_filtered_topk", filteredTopK, Some(filteredTopKSql)),
     ("ann_bruteforce_topk", bruteForceTopK, Some(bruteForceTopKSql)),

@@ -121,4 +121,27 @@ class CohortSpec extends SparkTestBase {
         s"$b dominates $a — not a Pareto front")
     }}
   }
+  test("heatmap grid: cells partition the events, coordinates in range") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Reshape.heatmapGrid(spark, sf).cache()
+    assert(df.agg(sum("n_events")).head.getLong(0) ==
+      graft.sources.Tables.events(spark, sf).count())
+    assert(df.filter(col("dow") < 0 || col("dow") > 6
+      || col("hour") < 0 || col("hour") > 23).count() == 0)
+    df.unpersist()
+  }
+
+  test("K-M survival: monotone non-increasing, at-risk starts at the population") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Cohort.survivalKm(spark, sf).cache()
+    val rows = df.orderBy(col("t_days")).collect()
+    assert(rows.nonEmpty)
+    val s0 = rows.map(_.getDouble(4))
+    assert(s0.zip(s0.tail).forall { case (a, b) => a >= b - 1e-12 }, "survival never rises")
+    assert(s0.forall(v => v >= 0 && v <= 1))
+    assert(rows.head.getLong(1) ==
+      graft.sources.Tables.events(spark, sf).select("user_id").distinct().count())
+    df.unpersist()
+  }
+
 }

@@ -134,4 +134,16 @@ class SimilaritySpec extends SparkTestBase {
     assert(wrong.count() == 0, "predicate must constrain the candidate set")
     assert(df.count() > 0)
   }
+  test("hybrid RRF: fused top-k is bounded and every hit has at least one ranking") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Similarity.hybridRrf(spark, sf).cache()
+    assert(df.count() > 0)
+    val perQ = df.groupBy("query_id").agg(count(lit(1)).as("k"))
+    assert(perQ.filter(col("k") > graft.operators.Similarity.RrfTopK).count() == 0)
+    // rrf score bounds: one list -> <= 1/61; both lists -> <= 2/61
+    val hi = 2.0 / (graft.operators.Similarity.RrfK + 1)
+    assert(df.filter(col("rrf_score") <= 0 || col("rrf_score") > hi + 1e-9).count() == 0)
+    df.unpersist()
+  }
+
 }
