@@ -513,6 +513,68 @@ object Pipeline {
           FROM documents) t
         WHERE domain_rank <= $DomainCap ORDER BY source, domain_rank"""
 
+  /** Dataset card — the per-source datasheet a corpus release ships
+    * (docs, token volume, mean quality, duplicate exposure, dominant
+    * language): ONE scan computes tokens + quality + fingerprint per
+    * doc, one window marks cross-corpus duplicate membership, one
+    * aggregation folds the card. The mean quality sums exact 1e4-scale
+    * integers (the score is already 4-dp truncated) and divides once —
+    * no float accumulation; dominant language is a lexicographic
+    * `max(struct(cnt, lang))` argmax, total and engine-exact. */
+  def datasetCard: Q = (s, d) => {
+    import TextAnalysis.{qualityScoreCol, toksExpr}
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        expr(toksExpr).as("toks"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        expr("size(toks)").as("n_toks"),
+        floor(qualityScoreCol * 1e4).cast("long").as("q4"),
+        md5(expr("array_join(array_sort(array_distinct(toks)), ' ')")).as("fp"))
+      .withColumn("is_dup",
+        (count(lit(1)).over(Window.partitionBy(col("fp"))) > 1).cast("long"))
+    val langTop = scored.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(max(struct(col("cnt"), col("lang"))).as("m"))
+      .select(col("source"), col("m.lang").as("top_lang"))
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("tokens_total"),
+        (floor(sum(col("q4")).cast("double") / count(lit(1)).cast("double")) / 1e4)
+          .as("mean_quality"),
+        sum(col("is_dup")).as("n_dup_docs"))
+      .join(langTop, "source")
+      .orderBy(col("source"))
+  }
+
+  val datasetCardSql: String = {
+    import TextAnalysis.{qualityScoreSqlExpr, toksSqlExpr}
+    s"""WITH scored AS (
+          SELECT doc_id, source, lang,
+                 len($toksSqlExpr) AS n_toks,
+                 CAST(floor(($qualityScoreSqlExpr) * 1e4) AS BIGINT) AS q4,
+                 md5(array_to_string(list_sort(list_distinct($toksSqlExpr)), ' ')) AS fp
+          FROM documents),
+        dup AS (
+          SELECT *, CASE WHEN count(*) OVER (PARTITION BY fp) > 1 THEN 1 ELSE 0 END AS is_dup
+          FROM scored),
+        card AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(n_toks) AS BIGINT) AS tokens_total,
+                 floor(CAST(sum(q4) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1e4
+                   AS mean_quality,
+                 CAST(sum(is_dup) AS BIGINT) AS n_dup_docs
+          FROM dup GROUP BY source),
+        lt AS (
+          SELECT source, (max({'c': cnt, 'l': lang})).l AS top_lang
+          FROM (SELECT source, lang, count(*) AS cnt FROM scored GROUP BY 1, 2) t
+          GROUP BY source)
+        SELECT c.source, c.n_docs, c.tokens_total, c.mean_quality, c.n_dup_docs,
+               lt.top_lang
+        FROM card c JOIN lt USING (source)
+        ORDER BY c.source"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("pack_best_fit", packBestFit, None),
     ("sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
@@ -522,6 +584,7 @@ object Pipeline {
     ("pack_token_budget", packTokenBudget, Some(packTokenBudgetSql)),
     ("curate_quality_band", curateQualityBand, Some(curateQualityBandSql)),
     ("curate_domain_cap", curateDomainCap, Some(curateDomainCapSql)),
+    ("pipeline_dataset_card", datasetCard, Some(datasetCardSql)),
     ("split_kfold", splitKfold, Some(splitKfoldSql)),
     ("text_tfidf_topk", tfidfTopk, Some(tfidfTopkSql)),
     ("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),

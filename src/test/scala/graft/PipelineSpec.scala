@@ -181,4 +181,20 @@ class PipelineSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("dataset card: one row per source, tokens and dups consistent with their sources") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Pipeline.datasetCard(spark, sf).cache()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(df.count() == docs.select("source").distinct().count())
+    assert(df.agg(sum("n_docs")).head.getLong(0) == docs.count())
+    assert(df.filter(col("mean_quality") < 0 || col("mean_quality") > 1).count() == 0)
+    assert(df.filter(col("n_dup_docs") > col("n_docs")).count() == 0)
+    // token totals recompute per source
+    val want = docs.select(col("source"),
+        expr(s"size(${graft.operators.TextAnalysis.toksExpr})").as("nt"))
+      .groupBy("source").agg(sum("nt").as("tt"))
+    assert(df.join(want, "source").filter(col("tokens_total") =!= col("tt")).count() == 0)
+    df.unpersist()
+  }
+
 }
