@@ -523,7 +523,43 @@ object Dedup {
           GROUP BY fp) g
         WHERE n_copies > 1 ORDER BY keep_doc_id"""
 
+  /** The LSH S-curve — the tuning read behind `dedup_minhash_lsh`'s
+    * (bands, rows) choice: P(candidate | similarity s) = 1−(1−s^r)^b
+    * for THIS pipeline's configuration, tabulated over a similarity
+    * grid with the detection threshold marked. Powers are explicit
+    * left-associated multiply chains (s*s*s*s), not `pow()` — libm
+    * pow rounding differs across engines, a fixed multiply sequence
+    * cannot. Pure math table (no corpus scan): the planning read a
+    * dedup rollout consults before paying for a full run. */
+  def lshScurve: Q = (s, d) => {
+    s.range(1, 20).toDF("i")
+      .withColumn("s_x100", (col("i") * 5).cast("int"))
+      .withColumn("sim", col("i").cast("double") / 20.0)
+      .withColumn("p_band", expr("sim * sim * sim * sim"))
+      .withColumn("miss", expr("cast(1.0 as double) - p_band"))
+      .withColumn("p_candidate",
+        expr("cast(1.0 as double) - miss * miss * miss * miss"))
+      .select(col("s_x100"), lit(NumBands).as("n_bands"), lit(BandSize).as("band_size"),
+        (floor(col("p_band") * 1e6) / 1e6).as("p_band"),
+        (floor(col("p_candidate") * 1e6) / 1e6).as("p_candidate"),
+        (col("p_candidate") >= 0.5).as("detected"))
+      .orderBy(col("s_x100"))
+  }
+
+  val lshScurveSql: String =
+    s"""SELECT CAST(i * 5 AS INT) AS s_x100,
+               $NumBands AS n_bands, $BandSize AS band_size,
+               floor((sim * sim * sim * sim) * 1e6) / 1e6 AS p_band,
+               floor((CAST(1.0 AS DOUBLE)
+                      - miss * miss * miss * miss) * 1e6) / 1e6 AS p_candidate,
+               (CAST(1.0 AS DOUBLE) - miss * miss * miss * miss) >= 0.5 AS detected
+        FROM (SELECT i, sim, CAST(1.0 AS DOUBLE) - sim * sim * sim * sim AS miss
+              FROM (SELECT i, CAST(i AS DOUBLE) / 20.0 AS sim
+                    FROM range(1, 20) t(i)) a) b
+        ORDER BY s_x100"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("dedup_lsh_scurve", lshScurve, Some(lshScurveSql)),
     ("dedup_cross_source", crossSource, Some(crossSourceSql)),
     ("dedup_lsh_recall", lshRecall, Some(lshRecallSql)),
     ("dedup_fuzzy_edit", fuzzyEdit, Some(fuzzyEditSql)),

@@ -513,6 +513,63 @@ object Pipeline {
           FROM documents) t
         WHERE domain_rank <= $DomainCap ORDER BY source, domain_rank"""
 
+  val ApportionBudget = 1000000L
+
+  /** Token-budget apportionment — turning corpus weights into an
+    * integer token allocation that sums EXACTLY to the budget
+    * (largest-remainder / Hamilton method): base_i = ⌊B·w_i/ΣW⌋, the
+    * leftover goes +1 each to the largest remainders (ties by source).
+    * Floating shares can't do this — rounding ½-up drifts the total;
+    * apportionment is the integer-exact answer every mixture config
+    * (`mix_corpora`, `mix_temperature`) ultimately needs when the
+    * budget is a hard token count. Weights here are per-source token
+    * volumes (one aggregation); the apportionment itself runs on the
+    * corpus-count-sized weight table — control-plane data, the window
+    * is bounded by |corpora|. */
+  def budgetApportion: Q = (s, d) => {
+    val w = Tables.documents(s, d)
+      .select(col("source"), expr(s"size(${TextAnalysis.toksExpr})").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("tokens_w"))
+    val tot = w.agg(sum(col("tokens_w")).as("tw"))
+    val quoted = w.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($ApportionBudget * tokens_w) DIV tw"))
+      .withColumn("rem", expr(s"($ApportionBudget * tokens_w) % tw"))
+    val leftover = quoted
+      .withColumn("leftover",
+        lit(ApportionBudget) - sum(col("base")).over(Window.partitionBy()))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+    leftover
+      .withColumn("extra", (col("rk") <= col("leftover")).cast("long"))
+      .select(col("source"), col("tokens_w"), col("base"), col("extra"),
+        (col("base") + col("extra")).as("alloc"),
+        (floor((col("base") + col("extra")).cast("double")
+          / lit(ApportionBudget.toDouble) * 1e6) / 1e6).as("achieved_share"))
+      .orderBy(col("source"))
+  }
+
+  val budgetApportionSql: String =
+    s"""WITH w AS (
+          SELECT source, CAST(sum(len(${TextAnalysis.toksSqlExpr})) AS BIGINT) AS tokens_w
+          FROM documents GROUP BY source),
+        tot AS (SELECT CAST(sum(tokens_w) AS BIGINT) AS tw FROM w),
+        q AS (
+          SELECT source, tokens_w,
+                 ($ApportionBudget * tokens_w) // tw AS base,
+                 ($ApportionBudget * tokens_w) % tw AS rem
+          FROM w CROSS JOIN tot),
+        l AS (
+          SELECT *,
+                 $ApportionBudget - CAST(sum(base) OVER () AS BIGINT) AS leftover,
+                 CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rk
+          FROM q)
+        SELECT source, tokens_w, CAST(base AS BIGINT) AS base,
+               CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+               CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+               floor(CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS DOUBLE)
+                     / ${ApportionBudget}.0 * 1e6) / 1e6 AS achieved_share
+        FROM l ORDER BY source"""
+
   /** Dataset card — the per-source datasheet a corpus release ships
     * (docs, token volume, mean quality, duplicate exposure, dominant
     * language): ONE scan computes tokens + quality + fingerprint per
@@ -585,6 +642,7 @@ object Pipeline {
     ("curate_quality_band", curateQualityBand, Some(curateQualityBandSql)),
     ("curate_domain_cap", curateDomainCap, Some(curateDomainCapSql)),
     ("pipeline_dataset_card", datasetCard, Some(datasetCardSql)),
+    ("mix_budget_apportion", budgetApportion, Some(budgetApportionSql)),
     ("split_kfold", splitKfold, Some(splitKfoldSql)),
     ("text_tfidf_topk", tfidfTopk, Some(tfidfTopkSql)),
     ("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),

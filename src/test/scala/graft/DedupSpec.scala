@@ -149,4 +149,18 @@ class DedupSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("LSH S-curve: monotone, endpoints sane, threshold crossing marked once") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Dedup.lshScurve(spark, sf).cache()
+    val rows = df.orderBy(col("s_x100")).collect()
+    assert(rows.length == 19)
+    val ps = rows.map(_.getDouble(4))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b }, "P(candidate) is monotone in s")
+    assert(ps.head < 0.01 && ps.last > 0.95, s"endpoints: ${ps.head}, ${ps.last}")
+    // detected flag flips exactly once, at the first p >= 0.5
+    val flags = rows.map(_.getBoolean(5))
+    assert(flags.zip(flags.tail).count { case (a, b) => a != b } == 1)
+    df.unpersist()
+  }
+
 }

@@ -197,4 +197,20 @@ class PipelineSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("budget apportionment: allocations sum exactly to the budget, proportional") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Pipeline.budgetApportion(spark, sf).cache()
+    assert(df.agg(sum("alloc")).head.getLong(0) == graft.operators.Pipeline.ApportionBudget,
+      "largest-remainder must hit the budget exactly")
+    assert(df.filter(col("extra") < 0 || col("extra") > 1).count() == 0)
+    // Hamilton quota property: |alloc - exact quota| < 1
+    val tw = df.agg(sum("tokens_w")).head.getLong(0).toDouble
+    val bad = df.collect().filter { r =>
+      val quota = graft.operators.Pipeline.ApportionBudget * r.getLong(1) / tw
+      math.abs(r.getLong(4) - quota) >= 1.0
+    }
+    assert(bad.isEmpty, s"quota violation: ${bad.take(3).mkString}")
+    df.unpersist()
+  }
+
 }

@@ -180,7 +180,7 @@ class PlanSweepSpec extends SparkTestBase {
     // round-5 single-row broadcasts: global horizon / corpus totals
     "metrics_staleness", "text_length_survival", "text_zipf_profile",
     "split_kfold", "ann_ivf_stats", "text_keywords",
-    "ann_hybrid_rrf", "cohort_survival_km")
+    "ann_hybrid_rrf", "cohort_survival_km", "mix_budget_apportion")
 
   test("no entry plans a CartesianProduct; BNLJ only where intended") {
     val failures = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).flatMap { name =>
