@@ -387,9 +387,12 @@ object Pipeline {
     * exceeds the budget unless a single doc alone does. Packing is a
     * sequential fold, so it runs per language via `flatMapGroups` (the
     * session-fold shape); at 100 TB the key becomes (lang, shard) so no
-    * task holds a language. Rows-only by contract (FFD isn't
-    * SQL-expressible): validity, determinism, and the driver-side
-    * replay are asserted in PipelineSpec. */
+    * task holds a language. Hash-checked since round 5: the oracle
+    * replays the greedy fold as a per-language recursive CTE whose
+    * state is the bin-load list (one doc placed per recursion step,
+    * first fit via `list_position`) — FFD is sequential, not
+    * SQL-aggregable, but it IS SQL-recursable. Validity, determinism,
+    * and the driver-side replay stay asserted in PipelineSpec. */
   def packBestFit: Q = (s, d) => {
     import s.implicits._
     Tables.documents(s, d)
@@ -570,6 +573,43 @@ object Pipeline {
                      / ${ApportionBudget}.0 * 1e6) / 1e6 AS achieved_share
         FROM l ORDER BY source"""
 
+  /** First-fit index into the recursion's bin-load list (0 = no fit:
+    * DuckDB's list_position returns 0, not NULL, on no match). */
+  private val ffdFitExpr: String =
+    s"list_position(list_transform(p.loads, x -> x + d.t <= $PackBudget), true)"
+
+  /** The FFD fold as a recursive CTE: docs sorted (tokens DESC, id)
+    * per language, one placed per step, bin state carried as two
+    * parallel lists. Recursion width = |langs|, depth = max docs per
+    * language — the oracle-side mirror of the flatMapGroups fold. */
+  val packBestFitSql: String =
+    s"""WITH RECURSIVE docs AS (
+          SELECT lang, doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS t,
+                 CAST(row_number() OVER (PARTITION BY lang
+                      ORDER BY CAST(ceil(n_chars / 4.0) AS BIGINT) DESC, doc_id) AS INT) AS rk
+          FROM documents),
+        cnts AS (SELECT lang, max(rk) AS n FROM docs GROUP BY lang),
+        pack(lang, i, loads, ndocs) AS (
+          SELECT lang, 0, CAST([] AS BIGINT[]), CAST([] AS BIGINT[]) FROM cnts
+          UNION ALL
+          SELECT p.lang, p.i + 1,
+                 CASE WHEN $ffdFitExpr = 0
+                      THEN list_append(p.loads, d.t)
+                      ELSE p.loads[1:$ffdFitExpr-1] || [p.loads[$ffdFitExpr] + d.t]
+                           || p.loads[$ffdFitExpr+1:len(p.loads)] END,
+                 CASE WHEN $ffdFitExpr = 0
+                      THEN list_append(p.ndocs, CAST(1 AS BIGINT))
+                      ELSE p.ndocs[1:$ffdFitExpr-1] || [p.ndocs[$ffdFitExpr] + 1]
+                           || p.ndocs[$ffdFitExpr+1:len(p.ndocs)] END
+          FROM pack p JOIN docs d ON d.lang = p.lang AND d.rk = p.i + 1)
+        SELECT p.lang AS lang, CAST(gs - 1 AS BIGINT) AS bin_id,
+               p.ndocs[gs] AS n_docs, p.loads[gs] AS bin_tokens,
+               floor((CAST(p.loads[gs] AS DOUBLE) * 1.0e0 / $PackBudget) * 10000) / 10000.0
+                 AS utilization
+        FROM pack p JOIN cnts c ON c.lang = p.lang AND p.i = c.n
+        CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(p.loads))) AS gs) g
+        ORDER BY lang, bin_id"""
+
   /** Dataset card — the per-source datasheet a corpus release ships
     * (docs, token volume, mean quality, duplicate exposure, dominant
     * language): ONE scan computes tokens + quality + fingerprint per
@@ -633,7 +673,7 @@ object Pipeline {
   }
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
-    ("pack_best_fit", packBestFit, None),
+    ("pack_best_fit", packBestFit, Some(packBestFitSql)),
     ("sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
     ("pipeline_end_to_end", endToEnd, Some(endToEndSql)),
     ("split_train_test", splitTrainTest, Some(splitTrainTestSql)),
