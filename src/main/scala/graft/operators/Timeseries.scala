@@ -955,7 +955,54 @@ object Timeseries {
        FROM active a LEFT JOIN births b ON a.day = b.day
        GROUP BY a.day ORDER BY a.day"""
 
+  /** Multi-resolution rollup — the TSDB continuous-aggregate cascade
+    * (raw → 6h → 1d → 1w retention tiers) as ONE GROUPING SETS pass:
+    * a single scan + one Catalyst Expand fills every resolution, where
+    * the naive cascade re-aggregates per tier (and the really naive one
+    * re-scans). Resolution labels derive from which bucket column is
+    * non-null — NOT `grouping_id()`, whose bit order is
+    * engine-specific. All bucket math is integer epoch arithmetic;
+    * sums are exact cents. */
+  def multiResolution: Q = (s, d) => {
+    Tables.events(s, d)
+      .select(col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"),
+        floor(col("value") * 100).cast("long").as("v_c"))
+      .createOrReplaceTempView("graft_events_mr")
+    s.sql(
+      s"""SELECT event_type,
+                 CASE WHEN b6 IS NOT NULL THEN '6h'
+                      WHEN d1 IS NOT NULL THEN '1d' ELSE '1w' END AS resolution,
+                 coalesce(b6, d1, w1) AS bucket_start,
+                 count(*) AS n_samples,
+                 CAST(sum(v_c) AS BIGINT) AS cents_sum
+          FROM (SELECT event_type, v_c,
+                       sec DIV 21600 * 21600 AS b6,
+                       sec DIV 86400 * 86400 AS d1,
+                       sec DIV 604800 * 604800 AS w1
+                FROM graft_events_mr) t
+          GROUP BY GROUPING SETS ((event_type, b6), (event_type, d1), (event_type, w1))
+          ORDER BY event_type, resolution, bucket_start""")
+  }
+
+  val multiResolutionSql: String =
+    """SELECT event_type,
+              CASE WHEN b6 IS NOT NULL THEN '6h'
+                   WHEN d1 IS NOT NULL THEN '1d' ELSE '1w' END AS resolution,
+              coalesce(b6, d1, w1) AS bucket_start,
+              count(*) AS n_samples,
+              CAST(sum(v_c) AS BIGINT) AS cents_sum
+       FROM (SELECT event_type,
+                    CAST(floor(value * 100) AS BIGINT) AS v_c,
+                    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 21600 * 21600 AS b6,
+                    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 * 86400 AS d1,
+                    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 604800 * 604800 AS w1
+             FROM events) t
+       GROUP BY GROUPING SETS ((event_type, b6), (event_type, d1), (event_type, w1))
+       ORDER BY event_type, resolution, bucket_start"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("metrics_multi_resolution", multiResolution, Some(multiResolutionSql)),
     ("metrics_series_churn", seriesChurn, Some(seriesChurnSql)),
     ("metrics_alert_hysteresis", alertHysteresis, Some(alertHysteresisSql)),
     ("metrics_burn_rate", burnRate, Some(burnRateSql)),

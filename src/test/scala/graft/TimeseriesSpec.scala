@@ -203,4 +203,20 @@ class TimeseriesSpec extends SparkTestBase {
     assert(born == total, "every series is born exactly once")
     df.unpersist()
   }
+  test("multi-resolution rollup: tiers agree - 6h sums fold into 1d into 1w") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Timeseries.multiResolution(spark, sf).cache()
+    val byRes = df.groupBy("resolution")
+      .agg(sum("n_samples").as("n"), sum("cents_sum").as("c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byRes.keySet == Set("6h", "1d", "1w"))
+    assert(byRes.values.toSet.size == 1, s"every tier must cover all samples: $byRes")
+    // single Expand pass: exactly one scan in the plan
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1, "one scan fills all tiers")
+    assert(p.contains("Expand"), "grouping sets should plan an Expand")
+    df.unpersist()
+  }
+
 }
