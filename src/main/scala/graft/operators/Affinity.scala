@@ -1045,7 +1045,52 @@ object Affinity {
                     / (r::DOUBLE * c::DOUBLE * t::DOUBLE) * 1e6) / 1e6 AS chi2_term
        FROM m ORDER BY event_type, dow"""
 
+  /** Pairwise day-overlap matrix — the return-visit structure behind
+    * every retention curve (J(day_a, day_b) = |users active both| /
+    * |users active either|): distinct (user, day) pairs self-join on
+    * user — fanout is Σ_u d_u² with d_u bounded by the window's day
+    * count, never |users|² — then one count per day pair and a
+    * broadcast day-size join. Jaccard is one exact integer ratio
+    * truncated once. The matrix itself is days²/2 rows: analysis-plane
+    * data at any corpus size. */
+  def dayOverlap: Q = (s, d) => {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("cast(unix_timestamp(date_trunc('second', ts)) div 86400 as bigint)").as("day"))
+      .distinct()
+    val sizes = ud.groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val common = ud.join(ud.select(col("user_id"), col("day").as("day_b")), "user_id")
+      .filter(col("day") < col("day_b"))
+      .groupBy(col("day").as("day_a"), col("day_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.select(col("day").as("day_a"), col("n").as("na"))), "day_a")
+      .join(broadcast(sizes.select(col("day").as("day_b"), col("n").as("nb"))), "day_b")
+      .select(col("day_a"), col("day_b"), col("n_common"),
+        (floor(col("n_common") * lit(10000.0) / (col("na") + col("nb") - col("n_common")))
+          / 10000.0).as("jaccard"))
+      .orderBy(col("day_a"), col("day_b"))
+  }
+
+  val dayOverlapSql: String =
+    """WITH ud AS (
+         SELECT DISTINCT user_id,
+                CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day
+         FROM events),
+       sizes AS (SELECT day, count(*) AS n FROM ud GROUP BY day),
+       common AS (
+         SELECT a.day AS day_a, b.day AS day_b, count(*) AS n_common
+         FROM ud a JOIN ud b ON a.user_id = b.user_id AND a.day < b.day
+         GROUP BY 1, 2)
+       SELECT c.day_a, c.day_b, c.n_common,
+              floor(c.n_common * 1e4 / (sa.n + sb.n - c.n_common)) / 1e4 AS jaccard
+       FROM common c
+       JOIN sizes sa ON sa.day = c.day_a
+       JOIN sizes sb ON sb.day = c.day_b
+       ORDER BY c.day_a, c.day_b"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("events_day_overlap", dayOverlap, Some(dayOverlapSql)),
     ("q_null_skew_join", nullSkewJoin, Some(nullSkewJoinSql)),
     ("q_chi2_independence", chi2Independence, Some(chi2IndependenceSql)),
     ("q_sliding_distinct_users", slidingDistinctUsers, Some(slidingDistinctUsersSql)),

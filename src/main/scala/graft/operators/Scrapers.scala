@@ -630,7 +630,40 @@ object Scrapers {
         FROM l ORDER BY event_type, day, le"""
   }
 
+  /** Series-cardinality audit — the #1 Prometheus operational read
+    * (cardinality explosions take TSDBs down; every operator guide
+    * starts with "watch your label cardinality"): per metric family,
+    * the distinct-series count and which label dimension drives it.
+    * Runs over the remote-write sample stream the reference ships —
+    * series identity = the (target, label) key — as one distinct
+    * aggregation; at fleet scale the exact distincts swap for
+    * `graft_theta` per family, same shape. The tuple key is an
+    * explicit delimited concat so both engines count identical
+    * strings. */
+  def seriesCardinality: Q = (s, d) =>
+    remoteWriteAll(s, d)
+      .groupBy(col("family_type"), col("metric_name"))
+      .agg(
+        countDistinct(concat(col("event_type"), lit("|"), col("label"))).as("n_series"),
+        countDistinct(col("event_type")).as("n_targets"),
+        countDistinct(col("label")).as("n_label_values"))
+      .withColumn("dominant_dim",
+        when(col("n_label_values") > col("n_targets"), "label").otherwise("target"))
+      .orderBy(col("family_type"), col("metric_name"))
+
+  lazy val seriesCardinalitySql: String =
+    s"""WITH rw AS ($remoteWriteAllSql)
+        SELECT family_type, metric_name,
+               count(DISTINCT event_type || '|' || label) AS n_series,
+               count(DISTINCT event_type) AS n_targets,
+               count(DISTINCT label) AS n_label_values,
+               CASE WHEN count(DISTINCT label) > count(DISTINCT event_type)
+                    THEN 'label' ELSE 'target' END AS dominant_dim
+        FROM rw GROUP BY family_type, metric_name
+        ORDER BY family_type, metric_name"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("prom_series_cardinality", seriesCardinality, Some(seriesCardinalitySql)),
     ("metrics_histogram_rebucket", histogramRebucket, Some(histogramRebucketSql)),
     ("prom_exposition_parse", expositionParse, Some(expositionParseSql)),
     ("prom_relabel", relabel, Some(relabelSql)),

@@ -249,4 +249,20 @@ class AffinitySpec extends SparkTestBase {
     assert(r.getLong(df.columns.indexOf("n_gaps")) == orders - cust)
     df.unpersist()
   }
+  test("day overlap: jaccard bounded, common never exceeds either day's actives") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Affinity.dayOverlap(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("jaccard") < 0 || col("jaccard") > 1).count() == 0)
+    val sizes = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("cast(unix_timestamp(date_trunc('second', ts)) div 86400 as bigint)").as("day"))
+      .distinct().groupBy("day").agg(count(lit(1)).as("n"))
+    val bad = df.join(sizes.select(col("day").as("day_a"), col("n").as("na")), "day_a")
+      .join(sizes.select(col("day").as("day_b"), col("n").as("nb")), "day_b")
+      .filter(col("n_common") > least(col("na"), col("nb")))
+    assert(bad.count() == 0)
+    df.unpersist()
+  }
+
 }

@@ -92,4 +92,14 @@ class ScrapersSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("series cardinality: series >= max(dimension), every family covered") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Scrapers.seriesCardinality(spark, sf).cache()
+    assert(df.select("family_type").distinct().count() == 4, "all four MetricFamily types")
+    assert(df.filter(col("n_series") < greatest(col("n_targets"), col("n_label_values")))
+      .count() == 0, "the key space is at least its largest dimension")
+    assert(df.filter(col("n_series") > col("n_targets") * col("n_label_values")).count() == 0)
+    df.unpersist()
+  }
+
 }
