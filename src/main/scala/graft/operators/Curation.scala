@@ -388,11 +388,16 @@ object Curation {
     * windows with corpus frequency ≥ 2 (every duplicated span of
     * length ≥ W contains only duplicated windows, and maximal runs of
     * duplicated windows reconstruct the spans). So: one narrow
-    * positional window explode, ONE count shuffle keyed by window
-    * text, then per-document interval-union of the flagged windows via
+    * positional window explode, ONE count shuffle keyed by the 128-bit
+    * md5 of the window text (the window STRING never crosses the wire —
+    * at 100 TB the two window shuffles are each several× the corpus if
+    * keyed on the raw ~W·avg_token bytes, vs a flat 32-hex-char
+    * signature here; 128 bits is collision-safe at any corpus scale),
+    * then per-document interval-union of the flagged windows via
     * a gaps-and-islands pass (never a ×W position explode). Output per
     * document: how many tokens sit inside some corpus-duplicated span.
-    * All integers — engine-exact. */
+    * All integers — engine-exact (both engines key on identical md5
+    * hex). */
   def dedupSubstring: Q = (s, d) => {
     val wins = Tables.documents(s, d)
       .select(col("doc_id"), expr(toksExpr).as("toks"))
@@ -400,11 +405,11 @@ object Curation {
         explode(expr(
           s"""CASE WHEN size(toks) >= $SpanW
                 THEN transform(sequence(0, size(toks) - $SpanW),
-                               i -> struct(i AS pos, array_join(slice(toks, i + 1, $SpanW), ' ') AS win))
+                               i -> struct(i AS pos, md5(array_join(slice(toks, i + 1, $SpanW), ' ')) AS sig))
                 ELSE array() END""")).as("w"))
-      .select(col("doc_id"), col("n_tokens"), col("w.pos").as("pos"), col("w.win").as("win"))
-    val freq = wins.groupBy(col("win")).agg(count(lit(1)).as("occ"))
-    val dup = wins.join(freq.filter(col("occ") >= 2), Seq("win"))
+      .select(col("doc_id"), col("n_tokens"), col("w.pos").as("pos"), col("w.sig").as("sig"))
+    val freq = wins.groupBy(col("sig")).agg(count(lit(1)).as("occ"))
+    val dup = wins.join(freq.filter(col("occ") >= 2), Seq("sig"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val islands = dup
@@ -435,13 +440,14 @@ object Curation {
 
   val dedupSubstringSql: String =
     s"""WITH wins AS (
-          SELECT doc_id, len(toks) AS n_tokens, w.i AS pos, w.win
+          SELECT doc_id, len(toks) AS n_tokens, w.i AS pos,
+                 md5(w.win) AS sig
           FROM (SELECT doc_id, toks,
                        unnest(list_transform(range(0, len(toks) - ${SpanW - 1}),
                               i -> {'i': i, 'win': array_to_string(toks[i + 1 : i + $SpanW], ' ')})) AS w
                 FROM (SELECT doc_id, $toksSqlExpr AS toks FROM documents))),
-        freq AS (SELECT win, count(*) AS occ FROM wins GROUP BY win),
-        dup AS (SELECT wins.* FROM wins JOIN freq USING (win) WHERE freq.occ >= 2),
+        freq AS (SELECT sig, count(*) AS occ FROM wins GROUP BY sig),
+        dup AS (SELECT wins.* FROM wins JOIN freq USING (sig) WHERE freq.occ >= 2),
         isl AS (
           SELECT doc_id, island, count(*) AS n_wins,
                  max(pos + $SpanW) - min(pos) AS covered
