@@ -58,11 +58,13 @@ object Bench {
         } catch { case _: Throwable => -1.0 }
       name -> sec
     }
+    // Locale.ROOT: a comma-decimal default locale would emit unparseable JSON
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // the sbt log tail can truncate the (long) JSON line — also land it
     // in a file so per-query numbers survive regardless of log capture
@@ -95,13 +97,19 @@ object Bench {
       "sample_stratified", "stream_events_window", "stream_sessionize_state",
       "pipeline_end_to_end")
     val got = results.toMap
+    // surface headline-list drift: a renamed query would otherwise vanish
+    // from the compact line silently
+    headline.filterNot(SparkEntry.queries.keySet).foreach { n =>
+      System.err.println(s"bench headline name not in SparkEntry.queries: $n")
+    }
     def compact(names: Seq[String]): String = {
-      val qsC = names.flatMap(n => got.get(n).map(v => "\"" + n + "\":" + f"$v%.3f"))
+      val qsC = names.flatMap(n => got.get(n).map(v => "\"" + n + "\":" + num(v)))
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsC,"sf":"$sfDir","n_queries":${results.size},"full":"$out"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qsC,"sf":"$sfDir","n_queries":${results.size},"full":"$out"}"""
     }
     val lastLine = Iterator.iterate(headline)(_.dropRight(1))
-      .map(compact).find(_.length <= 1700).getOrElse(compact(Nil))
+      .take(headline.size + 1).map(compact)
+      .find(_.length <= 1700).getOrElse(compact(Nil))
     println(lastLine)
     Console.flush()
   }

@@ -21,14 +21,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects as a
-    * timestamp type. Read it as raw nanos (legacy conf) and convert to
-    * a micros TimestampType — the same value DuckDB sees.
+  /** events.ts arrives in two driver vintages: parquet TIMESTAMP(NANOS)
+    * (Spark 4 rejects it as a timestamp type — read raw nanos via the
+    * legacy conf and convert) or TIMESTAMP(MICROS) (reads as
+    * TIMESTAMP_NTZ — cast to the session-UTC TimestampType the
+    * operators expect; the session timezone is pinned UTC so the cast
+    * is value-preserving and matches DuckDB's naive-timestamp view).
+    * Detect per-read from the footer schema so either vintage loads.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn(
-      "ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn(
+          "ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -37,22 +37,29 @@ object EventsStream {
               count(*) AS n_events, round(sum(value), 2) AS value_sum
        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
 
-  /** The events schema as the streaming reader needs it (ts already
-    * converted from nanos by the batch loader; streaming reads the
-    * same parquet so it uses nanosAsLong + conversion too). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos (nanosAsLong)
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** The events schema as the streaming reader needs it, in the two
+    * driver testdata vintages (see `Tables.events`): ts as raw nanos
+    * (TIMESTAMP(NANOS) + nanosAsLong) or as TIMESTAMP_NTZ micros. */
+  private def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
-  /** Streaming source over a parquet directory. */
+  /** Streaming source over a parquet directory — vintage-adaptive like
+    * the batch loader (one footer probe picks the schema + conversion). */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val tsIsNanos = spark.read.parquet(dir).schema("ts").dataType == LongType
+    if (tsIsNanos)
+      spark.readStream.schema(rawSchema(LongType)).parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else
+      spark.readStream.schema(rawSchema(TimestampNTZType)).parquet(dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Watermarked hourly windowed aggregation — the streaming twin of
