@@ -114,5 +114,9 @@ object Vectors {
       args => SampleKmv(args(0), args(1), args(2)).toAggregateExpression()))
     e.injectFunction(fn("graft_mg", classOf[MisraGries],
       args => MisraGries(args(0), args(1)).toAggregateExpression()))
+    e.injectFunction(fn("graft_snappy", classOf[SnappyCompress],
+      args => SnappyCompress(args.head)))
+    e.injectFunction(fn("graft_unsnappy", classOf[SnappyDecompress],
+      args => SnappyDecompress(args.head)))
   }
 }

@@ -211,6 +211,46 @@ object PromWire {
         FROM s4 ORDER BY metric_name, event_type"""
   }
 
+  /** Snappy-compressed request bodies — the reference's full encode
+    * path (`proto.Marshal` + `snappy.Encode`, prometheus.go:122-127).
+    * One request body per metric family: the ordered concatenation of
+    * that family's per-series frames (frames commute — WriteRequest
+    * field 1 is repeated — so any partition-local batching is a valid
+    * body; the per-family grouping here just makes the bodies
+    * deterministic for the oracle). The codec step itself cannot be
+    * replayed by a different engine, so the hash-checked surface is
+    * the UNCOMPRESSED body (length + md5) plus the decompress∘compress
+    * identity computed in the same generated projection; compressed
+    * size bounds are spec-asserted (PromWireSpec). At 100 TB bodies
+    * are assembled per partition after the per-family shuffle —
+    * request-sized strings, never a driver-side concat. */
+  def wireSnappy: Q = (s, d) => {
+    import org.apache.spark.sql.functions._
+    wireFrame(s, d)
+      .groupBy(col("family_type"), col("metric_name"))
+      .agg(
+        count(lit(1)).as("n_series"),
+        expr("""array_join(transform(
+                  array_sort(collect_list(struct(event_type, wire_hex))),
+                  x -> x.wire_hex), '')""").as("body_hex"))
+      .selectExpr(
+        "family_type", "metric_name", "n_series",
+        "length(body_hex) div 2 AS body_len",
+        "md5(body_hex) AS body_md5",
+        "lower(hex(graft_unsnappy(graft_snappy(unhex(body_hex))))) = body_hex AS roundtrip_ok")
+      .orderBy(col("metric_name"))
+  }
+
+  val wireSnappySql: String =
+    s"""WITH f AS ($wireFrameSql)
+        SELECT family_type, metric_name,
+               CAST(count(*) AS BIGINT) AS n_series,
+               CAST(length(string_agg(wire_hex, '' ORDER BY event_type)) // 2 AS BIGINT) AS body_len,
+               md5(string_agg(wire_hex, '' ORDER BY event_type)) AS body_md5,
+               TRUE AS roundtrip_ok
+        FROM f GROUP BY family_type, metric_name ORDER BY metric_name"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
-    ("prom_wire_frame", wireFrame, Some(wireFrameSql)))
+    ("prom_wire_frame", wireFrame, Some(wireFrameSql)),
+    ("prom_wire_snappy", wireSnappy, Some(wireSnappySql)))
 }

@@ -94,6 +94,47 @@ class PromWireSpec extends SparkTestBase {
   private def hex(s: String): String =
     s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
 
+  test("prom_wire_snappy: every body round-trips and the compressed form is receiver-decodable") {
+    val rows = PromWire.wireSnappy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r => assert(r.getBoolean(5), s"roundtrip_ok false for ${r.getString(1)}") }
+    // independently rebuild each family body, push it through the same
+    // codec library a receiver would use, and parse the decompressed
+    // bytes as a WriteRequest — the full reference encode path
+    val frames = PromWire.wireFrame(spark, sf).collect()
+    val byFamily = frames.groupBy(r => (r.getString(0), r.getString(1)))
+    rows.foreach { r =>
+      val body = byFamily((r.getString(0), r.getString(1)))
+        .sortBy(_.getString(2)).flatMap(f => unhex(f.getString(6)))
+      assert(body.length == r.getLong(3))
+      val compressed = org.xerial.snappy.Snappy.compress(body)
+      // the wire bodies are label-heavy and must compress smaller
+      assert(compressed.length < body.length,
+        s"${r.getString(1)}: ${compressed.length} !< ${body.length}")
+      val decoded = fields(org.xerial.snappy.Snappy.uncompress(compressed))
+      assert(decoded.size == r.getLong(2))
+      assert(decoded.forall(f => f.num == 1 && f.wireType == 2))
+    }
+  }
+
+  test("graft_snappy codec edge cases round-trip: empty, 1-byte, incompressible, repetitive") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val cases: Seq[Array[Byte]] = Seq(
+      Array.empty[Byte],
+      Array[Byte](7),
+      Array.fill(10000)(rnd.nextInt().toByte), // incompressible
+      Array.fill(100000)('a'.toByte))          // maximally repetitive
+    val out = cases.zipWithIndex.map { case (b, i) => (i, b) }.toDF("i", "b")
+      .selectExpr("i", "length(b) AS raw_len", "length(graft_snappy(b)) AS comp_len",
+        "graft_unsnappy(graft_snappy(b)) <=> b AS ok")
+      .collect().sortBy(_.getInt(0))
+    out.foreach(r => assert(r.getBoolean(3), s"case ${r.getInt(0)} failed round-trip"))
+    // snappy may expand incompressible input (bounded overhead), but the
+    // repetitive block must shrink dramatically
+    assert(out(3).getInt(2) < out(3).getInt(1) / 10)
+  }
+
   test("frames concatenate into one WriteRequest regardless of row order") {
     val rows = PromWire.wireFrame(spark, sf).collect()
     val body = rows.reverse.flatMap(r => unhex(r.getString(6)))
