@@ -397,7 +397,12 @@ object Curation {
     * a gaps-and-islands pass (never a ×W position explode). Output per
     * document: how many tokens sit inside some corpus-duplicated span.
     * All integers — engine-exact (both engines key on identical md5
-    * hex). */
+    * hex). Contract note: duplicate detection is exact MODULO md5
+    * collisions — a colliding pair of distinct windows would falsely
+    * flag a unique window as duplicated; at 128 bits the probability
+    * is ~n²/2^129 (immeasurable at any real corpus size), and the
+    * oracle replays the same hash, so the two engines cannot disagree
+    * about it. */
   def dedupSubstring: Q = (s, d) => {
     val wins = Tables.documents(s, d)
       .select(col("doc_id"), expr(toksExpr).as("toks"))

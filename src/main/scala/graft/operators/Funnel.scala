@@ -244,7 +244,44 @@ object Funnel {
               CAST(mid_each_bp AS BIGINT) AS mid_each_bp
        FROM p ORDER BY user_id, sec, event_id"""
 
+  /** Sequence-pattern matching over per-user event journeys — the
+    * MATCH_RECOGNIZE-style read: each user's time-ordered event-type
+    * initials become one string (c/e/p/s/v — the five types have
+    * distinct initials), and regular expressions do the pattern work:
+    * `v.*c.*p` = the view→click→purchase funnel in order (any
+    * interleaving), and non-overlapping `cp` occurrences = direct
+    * click→purchase conversions with nothing in between. Per-user
+    * strings are session-sized (bounded by per-user activity), built
+    * with one grouped sort — the standard journey-analysis shape; the
+    * regex scan is per-row CPU on a compact string, no joins. */
+  def sequenceMatch: Q = (s, d) => {
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        substring(col("event_type"), 1, 1).as("ini"))
+      .groupBy(col("user_id"))
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(ts, event_id, ini))), x -> x.ini), '')")
+        .as("seq"))
+      .select(col("user_id"),
+        length(col("seq")).as("seq_len"),
+        col("seq").rlike("v.*c.*p").as("funnel_match"),
+        expr("CAST((length(seq) - length(replace(seq, 'cp', ''))) div 2 AS INT)")
+          .as("n_quick_convert"))
+      .orderBy(col("user_id"))
+  }
+
+  val sequenceMatchSql: String =
+    """WITH seqs AS (
+         SELECT user_id,
+                string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+         FROM events GROUP BY user_id)
+       SELECT user_id, CAST(length(seq) AS INT) AS seq_len,
+              regexp_matches(seq, 'v.*c.*p') AS funnel_match,
+              CAST((length(seq) - length(replace(seq, 'cp', ''))) // 2 AS INT) AS n_quick_convert
+       FROM seqs ORDER BY user_id"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("events_sequence_match", sequenceMatch, Some(sequenceMatchSql)),
     ("attribution_position", attributionPosition, Some(attributionPositionSql)),
     ("funnel_stages", funnelStages, Some(funnelStagesSql)),
     ("attribution_linear", attributionLinear, Some(attributionLinearSql)),

@@ -493,7 +493,80 @@ object Multimodal {
                CAST(tot // n_windows AS BIGINT) AS mean_energy
         FROM ranked WHERE rk = 1 ORDER BY doc_id"""
 
+  /** SDXL-style aspect-ratio bucket ladder (w, h at ~1MP), id-ordered
+    * portrait→landscape. */
+  val AspectBuckets: Seq[(Int, Int, Int)] = Seq(
+    (1, 512, 2048), (2, 576, 1664), (3, 704, 1408), (4, 832, 1216),
+    (5, 1024, 1024), (6, 1216, 832), (7, 1408, 704), (8, 1664, 576),
+    (9, 2048, 512))
+
+  /** Aspect-ratio bucketing — how an image-training pipeline forms
+    * fixed-shape batches without destructive square cropping: each
+    * image goes to the ladder bucket with the nearest aspect ratio,
+    * and batches are cut per bucket. Nearest-in-log-aspect is computed
+    * WITHOUT logs: |ln(w/h) − ln(bw/bh)| ordering equals ordering by
+    * max(w·bh, h·bw)/min(w·bh, h·bw) — exact integer cross products
+    * and one IEEE division, so the argmin is bit-portable across
+    * engines (libm logs are not). Broadcast 9-row ladder × images,
+    * bounded `graft_topk` argmin, one 9-group agg: a 100 TB corpus is
+    * one narrow pass. */
+  def aspectBucket: Q = (s, d) => {
+    import s.implicits._
+    val BatchSize = 32
+    val imgs = meta(s, d).filter(col("modality") === "image")
+      .select(col("doc_id"), col("width"), col("height"))
+    val ladder = AspectBuckets.toDF("bucket_id", "bw", "bh")
+    val assigned = imgs.crossJoin(broadcast(ladder))
+      .withColumn("p", col("width").cast("long") * col("bh"))
+      .withColumn("q", col("height").cast("long") * col("bw"))
+      .withColumn("ratio",
+        greatest(col("p"), col("q")).cast("double") / least(col("p"), col("q")).cast("double"))
+      .groupBy(col("doc_id"))
+      .agg(element_at(expr("graft_topk(-ratio, cast(bucket_id as bigint), 1)"), 1)
+        .getField("id").cast("int").as("bucket_id"))
+    val counts = assigned.groupBy(col("bucket_id")).agg(count(lit(1)).as("n_images"))
+    val total = imgs.agg(count(lit(1)).as("t"))
+    ladder.join(broadcast(counts), Seq("bucket_id"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("bucket_id"), col("bw"), col("bh"),
+        coalesce(col("n_images"), lit(0L)).as("n_images"),
+        expr(s"(coalesce(n_images, 0L) + ${BatchSize - 1}) div $BatchSize").as("n_batches"),
+        TextAnalysis.trunc4(coalesce(col("n_images"), lit(0L)).cast("double")
+          / col("t").cast("double")).as("share"))
+      .orderBy(col("bucket_id"))
+  }
+
+  val aspectBucketSql: String = {
+    val values = AspectBuckets.map { case (i, w, h) => s"($i, $w, $h)" }.mkString(", ")
+    s"""WITH m AS (
+          SELECT doc_id,
+                 (('0x' || substr(md5(text), 1, 4))::INT % 1216 + 64) AS width,
+                 (('0x' || substr(md5(text), 5, 4))::INT % 696 + 32) AS height
+          FROM documents
+          WHERE ['image','audio','video'][(('0x' || substr(md5(text), 9, 4))::INT % 3) + 1] = 'image'),
+        b(bucket_id, bw, bh) AS (VALUES $values),
+        sc AS (
+          SELECT m.doc_id, b.bucket_id,
+                 CAST(greatest(m.width * b.bh, m.height * b.bw) AS DOUBLE)
+                   / CAST(least(m.width * b.bh, m.height * b.bw) AS DOUBLE) AS ratio
+          FROM m CROSS JOIN b),
+        a AS (SELECT doc_id, bucket_id FROM (
+                SELECT doc_id, bucket_id,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY ratio, bucket_id) AS rn
+                FROM sc) t WHERE rn = 1),
+        cnt AS (SELECT bucket_id, count(*) AS n_images FROM a GROUP BY bucket_id),
+        tot AS (SELECT count(*) AS t FROM m)
+        SELECT b.bucket_id, b.bw, b.bh,
+               CAST(COALESCE(c.n_images, 0) AS BIGINT) AS n_images,
+               CAST((COALESCE(c.n_images, 0) + 31) // 32 AS BIGINT) AS n_batches,
+               floor(CAST(COALESCE(c.n_images, 0) AS DOUBLE) / CAST(t.t AS DOUBLE)
+                     * 10000) / 10000.0 AS share
+        FROM b LEFT JOIN cnt c USING (bucket_id) CROSS JOIN tot t
+        ORDER BY b.bucket_id"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("mm_aspect_bucket", aspectBucket, Some(aspectBucketSql)),
     ("mm_audio_energy", audioEnergy, Some(audioEnergySql)),
     ("mm_binary_meta", meta, Some(metaSql)),
     ("mm_video_scenes", videoScenes, Some(videoScenesSql)),

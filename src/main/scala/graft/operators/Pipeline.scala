@@ -672,7 +672,60 @@ object Pipeline {
         ORDER BY c.source"""
   }
 
+  /** Temporal split boundaries: train < 2024-01-20, a 2-day embargo
+    * gap, test ≥ 2024-01-22 (events span 2024-01). */
+  private val TrainEndDay = "2024-01-20"
+  private val TestStartDay = "2024-01-22"
+
+  /** Leakage-safe TEMPORAL train/test split with an embargo gap — the
+    * split a time-series / recommendation corpus needs where the hash
+    * split (`split_train_test`) would leak future information into
+    * training. The embargo strip between the two boundaries absorbs
+    * label lookahead (a target computed over a 2-day horizon at train
+    * time never peeks into test). Output per split: event count,
+    * distinct users, and how many of those users also appear in train
+    * — the USER overlap is reported, not hidden, because temporal
+    * splits intentionally share users (that's entity leakage only if
+    * the model memorizes ids; the datasheet read makes it auditable).
+    * Shape: one narrow projection, one (user, split) agg, one
+    * user-partitioned window over the per-user split list, one 3-group
+    * agg — no broadcast of a corpus-sized user set. */
+  def splitTemporal: Q = (s, d) => {
+    val tagged = Tables.events(s, d)
+      .select(col("user_id"),
+        when(to_date(col("ts")) < lit(TrainEndDay).cast("date"), "train")
+          .when(to_date(col("ts")) < lit(TestStartDay).cast("date"), "embargo")
+          .otherwise("test").as("split"))
+    val perUser = tagged.groupBy(col("user_id"), col("split"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("in_train",
+        max(when(col("split") === "train", 1).otherwise(0))
+          .over(Window.partitionBy(col("user_id"))))
+    perUser.groupBy(col("split"))
+      .agg(sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_users"),
+        sum(col("in_train")).cast("long").as("n_users_in_train"))
+      .orderBy(col("split"))
+  }
+
+  val splitTemporalSql: String =
+    s"""WITH t AS (
+          SELECT user_id,
+                 CASE WHEN CAST(ts AS DATE) < DATE '$TrainEndDay' THEN 'train'
+                      WHEN CAST(ts AS DATE) < DATE '$TestStartDay' THEN 'embargo'
+                      ELSE 'test' END AS split
+          FROM events),
+        pu AS (SELECT user_id, split, count(*) AS n FROM t GROUP BY user_id, split),
+        pu2 AS (SELECT *,
+                  max(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id) AS in_train
+                FROM pu)
+        SELECT split, CAST(sum(n) AS BIGINT) AS n_events, count(*) AS n_users,
+               CAST(sum(in_train) AS BIGINT) AS n_users_in_train
+        FROM pu2 GROUP BY split ORDER BY split"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("split_temporal", splitTemporal, Some(splitTemporalSql)),
     ("pack_best_fit", packBestFit, Some(packBestFitSql)),
     ("sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
     ("pipeline_end_to_end", endToEnd, Some(endToEndSql)),

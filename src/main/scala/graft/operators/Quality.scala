@@ -268,7 +268,110 @@ object Quality {
         FROM t ORDER BY bucket"""
   }
 
+  import TextAnalysis.trunc4
+
+  /** Benford first-digit expectations log10(1+1/d), computed ONCE in
+    * Scala and embedded as identical double literals in both engines'
+    * plans — the libm-log call never runs inside either engine, so the
+    * comparison is literal-exact by construction. */
+  private val benfordExpected: Seq[(Int, Double)] =
+    (1 to 9).map(dd => dd -> math.log(1.0 + 1.0 / dd) / math.log(10.0))
+
+  /** Benford's-law conformance of order totals — the classic fraud /
+    * synthetic-data smell test: share of orders by first significant
+    * digit vs log10(1+1/d). The digit is extracted from the exact cent
+    * integer's decimal string (no float log10 in the hot path — engine
+    * logs differ in ulps; strings don't). One scan, one 9-group agg.
+    */
+  def dqBenford: Q = (s, d) => {
+    val expectedCase = benfordExpected
+      .map { case (dd, v) => s"WHEN $dd THEN ${v}e0" }.mkString(" ")
+    Tables.orders(s, d)
+      .select(expr("CAST(substring(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS INT)")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+      .withColumn("total", sum(col("n_orders")).over())
+      .select(col("digit"), col("n_orders"),
+        trunc4(col("n_orders").cast("double") / col("total").cast("double")).as("share"),
+        expr(s"CASE digit $expectedCase END").as("expected_share"),
+        trunc4(abs(col("n_orders").cast("double") / col("total").cast("double")
+          - expr(s"CASE digit $expectedCase END"))).as("abs_gap"))
+      .orderBy(col("digit"))
+  }
+
+  val dqBenfordSql: String = {
+    val expectedCase = benfordExpected
+      .map { case (dd, v) => s"WHEN $dd THEN ${v}e0" }.mkString(" ")
+    s"""WITH dg AS (
+          SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+          FROM orders),
+        c AS (SELECT digit, count(*) AS n_orders FROM dg GROUP BY digit),
+        t AS (SELECT digit, n_orders, sum(n_orders) OVER () AS total FROM c)
+        SELECT digit, n_orders,
+               floor(CAST(n_orders AS DOUBLE) / CAST(total AS DOUBLE) * 10000) / 10000.0 AS share,
+               CASE digit $expectedCase END AS expected_share,
+               floor(abs(CAST(n_orders AS DOUBLE) / CAST(total AS DOUBLE)
+                 - CASE digit $expectedCase END) * 10000) / 10000.0 AS abs_gap
+        FROM t ORDER BY digit"""
+  }
+
+  /** Tukey-fence outlier accounting per customer segment: exact Q1/Q3
+    * (bounded group count → exact percentile is fine; rounded to cents
+    * like `q_percentiles`, which pins the percentile↔quantile_cont
+    * cross-engine parity), IQR fences at 1.5×, and the count of
+    * customers outside each fence. Two passes over customer: one 5-row
+    * quantile agg broadcast back, one filtered count — at 100 TB both
+    * are single shuffles on the segment key. */
+  def dqOutlierIqr: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    // fences in exact integer cents: a second float round() at the
+    // x.xx5 boundary is engine-divergent; integer 3·iqr/2 is not
+    val fences = c.groupBy(col("c_mktsegment"))
+      .agg(round(expr("percentile(c_acctbal, 0.25)"), 2).as("q1"),
+        round(expr("percentile(c_acctbal, 0.75)"), 2).as("q3"))
+      .withColumn("q1c", round(col("q1") * 100).cast("long"))
+      .withColumn("q3c", round(col("q3") * 100).cast("long"))
+      .select(col("c_mktsegment"), col("q1"), col("q3"),
+        (expr("q1c - (3 * (q3c - q1c)) div 2") / 100.0).as("fence_lo"),
+        (expr("q3c + (3 * (q3c - q1c)) div 2") / 100.0).as("fence_hi"))
+    c.join(broadcast(fences), Seq("c_mktsegment"))
+      .groupBy(col("c_mktsegment"), col("q1"), col("q3"),
+        col("fence_lo"), col("fence_hi"))
+      .agg(count(lit(1)).as("n_customers"),
+        count(when(col("c_acctbal") < col("fence_lo"), 1)).as("n_low"),
+        count(when(col("c_acctbal") > col("fence_hi"), 1)).as("n_high"))
+      .select(col("c_mktsegment"), col("n_customers"), col("q1"), col("q3"),
+        col("fence_lo"), col("fence_hi"), col("n_low"), col("n_high"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val dqOutlierIqrSql: String =
+    """WITH f AS (
+         SELECT c_mktsegment,
+                round(quantile_cont(c_acctbal, 0.25), 2) AS q1,
+                round(quantile_cont(c_acctbal, 0.75), 2) AS q3
+         FROM customer GROUP BY c_mktsegment),
+       fc AS (
+         SELECT c_mktsegment, q1, q3,
+                CAST(round(q1 * 100) AS BIGINT) AS q1c,
+                CAST(round(q3 * 100) AS BIGINT) AS q3c
+         FROM f),
+       f2 AS (
+         SELECT c_mktsegment, q1, q3,
+                (q1c - (3 * (q3c - q1c)) // 2) / 100.0 AS fence_lo,
+                (q3c + (3 * (q3c - q1c)) // 2) / 100.0 AS fence_hi
+         FROM fc)
+       SELECT c.c_mktsegment, count(*) AS n_customers, f2.q1, f2.q3,
+              f2.fence_lo, f2.fence_hi,
+              count(*) FILTER (WHERE c.c_acctbal < f2.fence_lo) AS n_low,
+              count(*) FILTER (WHERE c.c_acctbal > f2.fence_hi) AS n_high
+       FROM customer c JOIN f2 USING (c_mktsegment)
+       GROUP BY c.c_mktsegment, f2.q1, f2.q3, f2.fence_lo, f2.fence_hi
+       ORDER BY c.c_mktsegment"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("dq_benford", dqBenford, Some(dqBenfordSql)),
+    ("dq_outlier_iqr", dqOutlierIqr, Some(dqOutlierIqrSql)),
     ("dq_drift_psi", driftPsi, Some(driftPsiSql)),
     ("dq_rules", dqRules, Some(dqRulesSql)),
     ("dq_profile", dqProfile, Some(dqProfileSql)),

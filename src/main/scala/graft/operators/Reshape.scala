@@ -416,7 +416,36 @@ object Reshape {
               count(*) AS n_events, CAST(sum(v_c) AS BIGINT) AS cents_sum
        FROM s GROUP BY 1, 2 ORDER BY dow, hour"""
 
+  /** Exact per-group MODE with a deterministic tie-break (highest
+    * count, then smallest value) — the categorical summary `avg`/
+    * `percentile` can't give. Two-level shape: the (group, value)
+    * count is the only corpus-sized shuffle; the argmax window runs
+    * over the |groups|×|distinct values| count table (3×50 here,
+    * bounded by the value domain — for unbounded domains the count
+    * table is still the compacted form). */
+  def modePerGroup: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("n_rows").desc, col("l_quantity"))))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_quantity"), col("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val modePerGroupSql: String =
+    """SELECT l_returnflag, mode_quantity, n_rows FROM (
+         SELECT l_returnflag, l_quantity AS mode_quantity, count(*) AS n_rows,
+                row_number() OVER (PARTITION BY l_returnflag
+                  ORDER BY count(*) DESC, l_quantity) AS rn
+         FROM lineitem GROUP BY l_returnflag, l_quantity) t
+       WHERE rn = 1 ORDER BY l_returnflag"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_mode_per_group", modePerGroup, Some(modePerGroupSql)),
     ("q_heatmap_grid", heatmapGrid, Some(heatmapGridSql)),
     ("q_calendar_dim", calendarDim, Some(calendarDimSql)),
     ("q_unpivot_melt", unpivotEventsDaily, Some(unpivotEventsDailySql)),

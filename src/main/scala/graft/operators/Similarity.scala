@@ -971,7 +971,108 @@ object Similarity {
         SELECT query_id, doc_id, floor(rrf * 1e6) / 1e6 AS rrf_score, rank
         FROM ranked WHERE rank <= $RrfTopK ORDER BY query_id, rank"""
 
+  /** Seed + Lloyd-train an IVF codebook over an arbitrary corpus
+    * subset: seeds are the NumCells LOWEST vec_ids ≥ SeedBase present
+    * in the subset (for the full corpus this is exactly the contiguous
+    * id block `ivfCentroidDf` uses, so both spellings train the same
+    * codebook). K-row collect; training shuffles are `lloydStep`'s. */
+  private def trainCentroids(all: DataFrame): Array[Array[Double]] = {
+    val seeds = all.filter(col("vec_id") >= SeedBase)
+      .orderBy(col("vec_id")).limit(NumCells)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seeds.length == NumCells, s"need $NumCells seed vectors ≥ $SeedBase")
+    (1 to LloydIters).foldLeft(seeds)((c, _) => lloydStep(all, c))
+  }
+
+  /** Index-drift profile between two corpus vintages — the staleness
+    * read run before deciding whether a 100 TB ANN index needs a
+    * rebuild: codebook OLD is trained on the previous vintage (here
+    * the even-id half, standing in for "the corpus at last build"),
+    * codebook NEW on the full corpus (shared with `ann_ivf_topk` via
+    * the training memo — no extra training job). Every vector is
+    * assigned under both; per cell: population under each codebook,
+    * how many vectors kept their cell id, and the stay share. High
+    * churn ⇒ the coarse quantizer no longer matches the data
+    * distribution ⇒ probe recall degrades ⇒ rebuild. Both trainings
+    * are the deterministic fixed-point Lloyd, so the DuckDB oracle
+    * replays seed→assign→mean→assign for BOTH codebooks and
+    * hash-matches the churn matrix exactly. Scale: two broadcast-
+    * codebook argmax passes + one vec_id-keyed join + two K-row aggs. */
+  def indexDrift: Q = (s, d) => {
+    val all = emb(s, d)
+    val oldCdf = codebookMemo.getOrElseUpdate((d, "ivf_old"),
+      centroidDf(s, trainCentroids(all.filter(col("vec_id") % 2 === 0))))
+    val newCdf = ivfCentroidDf(s, d, all)
+    val j = assign(all, oldCdf).select(col("vec_id"), col("cell").as("cell_old"))
+      .join(assign(all, newCdf).select(col("vec_id"), col("cell").as("cell_new")),
+        Seq("vec_id"))
+    val po = j.groupBy(col("cell_old").as("cell"))
+      .agg(count(lit(1)).as("n_old"),
+        count(when(col("cell_new") === col("cell_old"), 1)).as("n_stay"))
+    val pn = j.groupBy(col("cell_new").as("cell")).agg(count(lit(1)).as("n_new"))
+    newCdf.select(col("cell"))
+      .join(broadcast(po), Seq("cell"), "left")
+      .join(broadcast(pn), Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_stay"), lit(0L)).as("n_stay"),
+        when(coalesce(col("n_old"), lit(0L)) === 0, lit(null).cast("double"))
+          .otherwise(trunc4(col("n_stay").cast("double") / col("n_old").cast("double")))
+          .as("stay_share"))
+      .orderBy(col("cell"))
+  }
+
+  lazy val indexDriftSql: String =
+    s"""WITH $ivfCtes,
+        old_corpus AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+        old_seed AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS cell, v AS cv
+          FROM (SELECT vec_id, v FROM old_corpus WHERE vec_id >= $SeedBase
+                ORDER BY vec_id LIMIT $NumCells) s),
+        old_seed_h AS (SELECT cell, cv, ${halfNormSql("cv")} AS chalf FROM old_seed),
+        old_a0 AS (
+          SELECT vec_id, cell, v FROM (
+            SELECT c.vec_id, s.cell, c.v,
+                   row_number() OVER (PARTITION BY c.vec_id
+                     ORDER BY list_inner_product(c.v, s.cv) - s.chalf DESC, s.cell) AS rn
+            FROM old_corpus c CROSS JOIN old_seed_h s) t WHERE rn = 1),
+        old_mean AS (
+          SELECT cell, pos, $fixedMeanSql AS mv
+          FROM (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+                FROM old_a0) u
+          GROUP BY cell, pos),
+        old_cent AS (
+          SELECT s.cell, COALESCE(t.cv, s.cv) AS cv
+          FROM old_seed s LEFT JOIN
+            (SELECT cell, list(mv ORDER BY pos) AS cv FROM old_mean GROUP BY cell) t
+            USING (cell)),
+        old_cent_h AS (SELECT cell, cv, ${halfNormSql("cv")} AS chalf FROM old_cent),
+        old_assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_inner_product(e.v, c.cv) - c.chalf DESC, c.cell) AS rn
+            FROM e CROSS JOIN old_cent_h c) t WHERE rn = 1),
+        drift AS (
+          SELECT o.vec_id, o.cell AS cell_old, n.cell AS cell_new
+          FROM old_assign o JOIN ivf_assign n USING (vec_id)),
+        po AS (SELECT cell_old AS cell, count(*) AS n_old,
+                      count(*) FILTER (WHERE cell_new = cell_old) AS n_stay
+               FROM drift GROUP BY 1),
+        pn AS (SELECT cell_new AS cell, count(*) AS n_new FROM drift GROUP BY 1)
+        SELECT c.cell,
+               CAST(COALESCE(po.n_old, 0) AS BIGINT) AS n_old,
+               CAST(COALESCE(pn.n_new, 0) AS BIGINT) AS n_new,
+               CAST(COALESCE(po.n_stay, 0) AS BIGINT) AS n_stay,
+               floor(CAST(COALESCE(po.n_stay, 0) AS DOUBLE)
+                     / CAST(NULLIF(po.n_old, 0) AS DOUBLE) * 10000) / 10000.0 AS stay_share
+        FROM ivf_cent c LEFT JOIN po USING (cell) LEFT JOIN pn USING (cell)
+        ORDER BY c.cell"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("ann_index_drift", indexDrift, Some(indexDriftSql)),
     ("ann_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     ("ann_knn_graph", knnGraph, Some(knnGraphSql)),
     ("ann_filtered_topk", filteredTopK, Some(filteredTopKSql)),

@@ -116,6 +116,103 @@ object LateData {
       .agg(count(lit(1)).as("n_accepted"))
       .select(col("window.start").as("wstart"), col("n_accepted"))
 
+  // ------------------------------------- state-store size accounting
+
+  /** Batch twin of the streaming state-store OBSERVABILITY read — the
+    * `StreamingQueryProgress.stateOperators` numbers (numRowsTotal /
+    * numRowsUpdated / numRowsDroppedByWatermark) every production
+    * deployment of the stateful entries watches. Per micro-batch
+    * (= arrival chunk) of the watermarked 10-min window aggregation
+    * (`lateDataStream`):
+    *
+    *  - `wm_sec`   — watermark in force DURING the batch: max event
+    *    time over strictly earlier chunks − delay (null for chunk 0);
+    *  - `n_late_rows` — INPUT rows whose window end ≤ that watermark
+    *    (the same drop rule `stream_late_data` already proves);
+    *  - `n_dropped` — what the progress metric actually reports:
+    *    numRowsDroppedByWatermark counts rows reaching the STATEFUL
+    *    operator, i.e. after the pre-shuffle partial aggregation has
+    *    compacted the batch's input to one row per window — so it is
+    *    the count of DISTINCT late windows in the batch, not of late
+    *    input rows (verified empirically: 244 distinct late windows vs
+    *    250 late rows in the sf0.001 chunk-1 batch);
+    *  - `n_updated` — distinct windows touched by accepted rows (state
+    *    rows written that batch);
+    *  - `state_rows` — windows live AFTER the batch's no-data
+    *    watermark-commit: accepted in some chunk ≤ N with window end >
+    *    max(event time through N) − delay. Eviction uses the POST
+    *    watermark because Spark advances the watermark at batch end
+    *    and runs a no-data batch to finalize + evict.
+    *
+    * `LateDataSpec` asserts these rows equal a real MemoryStream run's
+    * progress metrics chunk by chunk. Scale shape: the same narrow
+    * hash projection as `stream_late_data`, one |chunks|-row running
+    * max, one windowed count, and a |chunks|×|windows| broadcast range
+    * join of two bounded tables — nothing proportional to the corpus
+    * beyond the first projection. */
+  def stateMetricsBatch: Q = (s, d) => {
+    val arr = arrivals(s, d)
+      .withColumn("wend", (expr(s"sec DIV $WindowSec") + 1) * WindowSec)
+    val w = Window.orderBy(col("chunk"))
+    val wmt = arr.groupBy(col("chunk")).agg(max(col("sec")).as("chunk_max"))
+      .withColumn("wm_pre",
+        max(col("chunk_max")).over(w.rowsBetween(Window.unboundedPreceding, -1)) - DelaySec)
+      .withColumn("wm_post",
+        max(col("chunk_max")).over(w.rowsBetween(Window.unboundedPreceding, 0)) - DelaySec)
+      .select(col("chunk"), col("wm_pre"), col("wm_post"))
+    val f = arr.join(broadcast(wmt), Seq("chunk"))
+      .withColumn("late", col("wm_pre").isNotNull && col("wend") <= col("wm_pre"))
+    val perChunk = f.groupBy(col("chunk"), col("wm_pre"), col("wm_post"))
+      .agg(count(lit(1)).as("n_input"),
+        count(when(col("late"), 1)).as("n_late_rows"),
+        countDistinct(when(col("late"), col("wend"))).as("n_dropped"),
+        countDistinct(when(!col("late"), col("wend"))).as("n_updated"))
+    val firstAcc = f.filter(!col("late"))
+      .groupBy(col("wend")).agg(min(col("chunk")).as("first_chunk"))
+    val st = perChunk.select(col("chunk").as("p_chunk"), col("wm_post").as("p_wm"))
+      .join(broadcast(firstAcc),
+        col("first_chunk") <= col("p_chunk") && col("wend") > col("p_wm"))
+      .groupBy(col("p_chunk")).agg(count(lit(1)).as("state_rows"))
+      .withColumnRenamed("p_chunk", "chunk")
+    perChunk.join(broadcast(st), Seq("chunk"), "left")
+      .select(col("chunk"), col("wm_pre").as("wm_sec"), col("n_input"),
+        col("n_late_rows"), col("n_dropped"), col("n_updated"),
+        coalesce(col("state_rows"), lit(0L)).as("state_rows"))
+      .orderBy(col("chunk"))
+  }
+
+  val stateMetricsSql: String =
+    s"""WITH arr AS (
+          SELECT (row_number() OVER (ORDER BY ('0x' || substr(md5('arr:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT, event_id) - 1)
+                   // $ChunkSize AS chunk,
+                 CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+          FROM events),
+        a2 AS (SELECT chunk, sec, (sec // $WindowSec + 1) * $WindowSec AS wend FROM arr),
+        cm AS (SELECT chunk, max(sec) AS chunk_max FROM a2 GROUP BY chunk),
+        wmt AS (SELECT chunk,
+                 max(chunk_max) OVER (ORDER BY chunk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - $DelaySec AS wm_pre,
+                 max(chunk_max) OVER (ORDER BY chunk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - $DelaySec AS wm_post
+                FROM cm),
+        f AS (SELECT a.chunk, a.wend, w.wm_pre, w.wm_post,
+                     (w.wm_pre IS NOT NULL AND a.wend <= w.wm_pre) AS late
+              FROM a2 a JOIN wmt w USING (chunk)),
+        per_chunk AS (SELECT chunk, wm_pre, wm_post, count(*) AS n_input,
+                       count(*) FILTER (WHERE late) AS n_late_rows,
+                       count(DISTINCT wend) FILTER (WHERE late) AS n_dropped,
+                       count(DISTINCT wend) FILTER (WHERE NOT late) AS n_updated
+                      FROM f GROUP BY chunk, wm_pre, wm_post),
+        fa AS (SELECT wend, min(chunk) AS first_chunk FROM f WHERE NOT late GROUP BY wend),
+        st AS (SELECT p.chunk, count(*) AS state_rows
+               FROM per_chunk p JOIN fa d
+                 ON d.first_chunk <= p.chunk AND d.wend > p.wm_post
+               GROUP BY p.chunk)
+        SELECT p.chunk, CAST(p.wm_pre AS BIGINT) AS wm_sec, p.n_input, p.n_late_rows,
+               p.n_dropped, p.n_updated,
+               CAST(COALESCE(st.state_rows, 0) AS BIGINT) AS state_rows
+        FROM per_chunk p LEFT JOIN st USING (chunk) ORDER BY p.chunk"""
+
   // ---------------------------------------------------- hopping window
 
   val HopSlideSec = 900L   // 15-min slide
@@ -211,6 +308,7 @@ object LateData {
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("stream_late_data", lateDataBatch, Some(lateDataSql)),
+    ("stream_state_metrics", stateMetricsBatch, Some(stateMetricsSql)),
     ("stream_hopping_window", hoppingWindowBatch, Some(hoppingWindowSql)),
     ("stream_session_native", sessionNativeBatch, Some(sessionNativeSql)))
 }

@@ -62,6 +62,58 @@ class LateDataSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("state-store metrics: a real run's progress numbers match the batch twin chunk by chunk") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val twin = LateData.stateMetricsBatch(spark, sf).collect()
+    val chunks = LateData.arrivals(spark, sf)
+      .select(col("chunk"), col("arrival"), col("sec"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getLong(1)).map(r =>
+          DEv(r.getLong(1), new java.sql.Timestamp(r.getLong(2) * 1000), "e")).toSeq
+      }
+    assert(twin.length == chunks.length)
+
+    val input = MemoryStream[DEv]
+    val q = LateData.lateDataStream(input.toDF())
+      .writeStream.format("memory").queryName("state_metrics_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      var dropsSeen = 0L
+      var updatesSeen = 0L
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        input.addData(c); q.processAllAvailable()
+        val expect = twin(i)
+        // the eviction lands in the post-watermark no-data batch, which
+        // processAllAvailable does not await — poll for it
+        def stateRows: Long = Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq).headOption.map(_.numRowsTotal).getOrElse(-1L)
+        val deadline = System.currentTimeMillis + 20000
+        while (stateRows != expect.getLong(6) && System.currentTimeMillis < deadline)
+          Thread.sleep(50)
+        assert(stateRows == expect.getLong(6),
+          s"chunk $i: state rows $stateRows != twin ${expect.getLong(6)}")
+        val ops = q.recentProgress.flatMap(_.stateOperators)
+        val drops = ops.map(_.numRowsDroppedByWatermark).sum
+        val updates = ops.map(_.numRowsUpdated).sum
+        assert(drops - dropsSeen == expect.getLong(4),
+          s"chunk $i: dropped ${drops - dropsSeen} != twin ${expect.getLong(4)}")
+        assert(updates - updatesSeen == expect.getLong(5),
+          s"chunk $i: updated ${updates - updatesSeen} != twin ${expect.getLong(5)}")
+        dropsSeen = drops; updatesSeen = updates
+      }
+      // sanity: the run must have real watermark pressure — some chunk
+      // drops rows AND some chunk evicts state
+      assert(twin.map(_.getLong(4)).sum > 0, "no rows dropped — twin untested")
+      assert(twin.sliding(2).exists(p => p(1).getLong(6) < p(0).getLong(6) + p(1).getLong(5)),
+        "state never shrank — eviction untested")
+    } finally q.stop()
+  }
+
   test("streaming run accepts exactly the rows the batch twin predicts") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

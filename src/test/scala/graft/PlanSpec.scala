@@ -161,7 +161,8 @@ class PlanSweepSpec extends SparkTestBase {
     "q_exact_global_median", "sketch_theta_distinct", "sketch_sample_quantile",
     "sink_bucketed_join", "sink_bucketed_multi", "sink_partitioned_scan",
     "sink_compaction_scan", "sink_csv_roundtrip", "sink_json_roundtrip",
-    "sink_zorder_scan", "sink_bucket_lookup", "sink_partition_overwrite", "source_schema_evolution", "sink_merge_on_read", "idx_secondary_lookup", "graph_pagerank", "graph_kcore", "ann_ivf_pq_topk", "sketch_set_ops")
+    "sink_zorder_scan", "sink_bucket_lookup", "sink_partition_overwrite", "source_schema_evolution", "sink_merge_on_read", "idx_secondary_lookup", "graph_pagerank", "graph_kcore", "ann_ivf_pq_topk", "sketch_set_ops",
+    "ann_index_drift") // trains two codebooks at construction
 
   private val bnljAllowed = Set(
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_range_search", // query != candidate non-equi pairing
@@ -180,7 +181,10 @@ class PlanSweepSpec extends SparkTestBase {
     // round-5 single-row broadcasts: global horizon / corpus totals
     "metrics_staleness", "text_length_survival", "text_zipf_profile",
     "split_kfold", "ann_ivf_stats", "text_keywords",
-    "ann_hybrid_rrf", "cohort_survival_km", "mix_budget_apportion")
+    "ann_hybrid_rrf", "cohort_survival_km", "mix_budget_apportion",
+    // round-7: bounded |chunks|×|windows| state-liveness range join;
+    // 9-row aspect-ladder + single-row total broadcasts
+    "stream_state_metrics", "mm_aspect_bucket")
 
   test("no entry plans a CartesianProduct; BNLJ only where intended") {
     val failures = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).flatMap { name =>
