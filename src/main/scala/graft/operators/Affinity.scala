@@ -128,6 +128,79 @@ object Affinity {
               floor(n * 10000 / sum(n) OVER (PARTITION BY from_type)) / 10000.0 AS prob
        FROM c ORDER BY from_type, to_type"""
 
+  // ------------------------------------------------- Markov steady state
+
+  private val MarkovBase = 1000000000000L // 10^12 fixed-point mass
+  private val MarkovPScale = 1000000L     // 10^6 fixed-point row probabilities
+  private val MarkovIters = 16
+
+  /** Steady-state distribution of the event-type Markov chain (the
+    * long-run "where does a user journey spend its time" read over
+    * `events_transition_matrix`): power iteration in EXACT integer
+    * fixed point, the `graph_pagerank` scheme. Row probabilities are
+    * pre-normalized to 10^6 fixed point (so v·p stays under 2^63 for
+    * ANY corpus size — the raw-count product would overflow at ~10^9
+    * transitions per pair), and every iteration is integer
+    * multiply-sum-floor — order-independent under any partitioning,
+    * replayed by 16 unrolled DuckDB CTEs bit-for-bit. The transition
+    * counts are a |types|²-row model (bounded by the event vocabulary,
+    * the LM-vocab/codebook collect idiom): counting is the only
+    * corpus-sized pass; iterating the tiny chain is driver arithmetic. */
+  def markovSteady: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val totals = counts.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._3).sum }
+    val p = counts.map { case (f, t, n) => (f, t, n * MarkovPScale / totals(f)) }
+    val types = counts.map(_._1).distinct.sorted
+    var v: Map[String, Long] = types.map(_ -> MarkovBase / types.length).toMap
+    for (_ <- 1 to MarkovIters) {
+      val next = scala.collection.mutable.Map(types.map(_ -> 0L): _*)
+      p.foreach { case (f, t, pfp) =>
+        next(t) = next(t) + v(f) * pfp / MarkovPScale
+      }
+      v = next.toMap
+    }
+    val totalR = types.map(v).sum
+    types.toSeq.map(t => (t, v(t), (v(t) * 10000L / totalR) / 10000.0))
+      .toDF("event_type", "rank_fp", "share")
+      .orderBy(col("event_type"))
+  }
+
+  val markovSteadySql: String = {
+    val prologue =
+      s"""WITH steps AS (
+           SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+                  event_type AS to_type
+           FROM events),
+         c AS (SELECT from_type, to_type, count(*) AS n FROM steps
+               WHERE from_type IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1),
+         p AS (SELECT c.from_type, c.to_type, (c.n * $MarkovPScale) // t.tot AS pfp
+               FROM c JOIN t USING (from_type)),
+         types AS (SELECT DISTINCT from_type AS ty FROM c),
+         nt AS (SELECT count(*) AS k FROM types),
+         v0 AS (SELECT ty, $MarkovBase // k AS r FROM types CROSS JOIN nt)"""
+    val iters = (1 to MarkovIters).map { i =>
+      s"""v$i AS (
+           SELECT p.to_type AS ty, CAST(sum((v.r * p.pfp) // $MarkovPScale) AS BIGINT) AS r
+           FROM v${i - 1} v JOIN p ON v.ty = p.from_type GROUP BY 1)"""
+    }
+    (Seq(prologue) ++ iters).mkString(",\n") +
+      s""",
+        tot_r AS (SELECT sum(r) AS sr FROM v$MarkovIters)
+        SELECT v.ty AS event_type, v.r AS rank_fp,
+               ((v.r * 10000) // t.sr) / 10000.0 AS share
+        FROM v$MarkovIters v CROSS JOIN tot_r t ORDER BY v.ty"""
+  }
+
   // ------------------------------------------------------- RFM segments
 
   /** RFM segmentation: recency (days since last order), frequency
@@ -1103,6 +1176,7 @@ object Affinity {
     ("q_time_to_convert", timeToConvert, Some(timeToConvertSql)),
     ("q_interval_coverage", intervalCoverage, Some(intervalCoverageSql)),
     ("q_basket_pairs", basketPairs, Some(basketPairsSql)),
+    ("events_markov_steady", markovSteady, Some(markovSteadySql)),
     ("events_transition_matrix", transitionMatrix, Some(transitionMatrixSql)),
     ("q_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
     ("q_concurrency", concurrency, Some(concurrencySql)),

@@ -724,7 +724,65 @@ object Pipeline {
                CAST(sum(in_train) AS BIGINT) AS n_users_in_train
         FROM pu2 GROUP BY split ORDER BY split"""
 
+  /** Curriculum phasing — order training data easy→hard: per-language
+    * quality tertiles (percent_rank DESC over score, the language
+    * partition keeps the window scale-correct AND the curriculum
+    * language-balanced) assign each document to phase 1 (highest
+    * quality), 2, or 3; per phase: documents, whitespace tokens, token
+    * share, score range, languages covered. Tertile predicates compare
+    * the same IEEE doubles in both engines, so boundary rows land
+    * identically. Same shape as `curate_quality_band` plus one 3-group
+    * agg. */
+  def packCurriculum: Q = (s, d) => {
+    val w = Window.partitionBy(col("lang")).orderBy(col("score").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"),
+        expr(TextAnalysis.toksExpr).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScoreCol.as("score"),
+        expr("size(toks)").cast("long").as("n_toks"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("phase",
+        when(col("pr") < 1.0 / 3, 1).when(col("pr") < 2.0 / 3, 2).otherwise(3))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        TextAnalysis.trunc4(min(col("score"))).as("min_score"),
+        TextAnalysis.trunc4(max(col("score"))).as("max_score"),
+        countDistinct(col("lang")).as("n_langs"))
+      .withColumn("token_share",
+        TextAnalysis.trunc4(col("n_tokens").cast("double")
+          / sum(col("n_tokens")).over().cast("double")))
+      .select(col("phase"), col("n_docs"), col("n_tokens"), col("token_share"),
+        col("min_score"), col("max_score"), col("n_langs"))
+      .orderBy(col("phase"))
+  }
+
+  val packCurriculumSql: String =
+    s"""WITH sc AS (
+          SELECT doc_id, lang, ${TextAnalysis.qualityScoreSqlExpr} AS score,
+                 CAST(len(${TextAnalysis.toksSqlExpr}) AS BIGINT) AS n_toks
+          FROM documents),
+        pr AS (
+          SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS pr
+          FROM sc),
+        ph AS (
+          SELECT *, CASE WHEN pr < 1.0/3 THEN 1 WHEN pr < 2.0/3 THEN 2 ELSE 3 END AS phase
+          FROM pr),
+        agg AS (
+          SELECT phase, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                 floor(min(score) * 10000) / 10000.0 AS min_score,
+                 floor(max(score) * 10000) / 10000.0 AS max_score,
+                 count(DISTINCT lang) AS n_langs
+          FROM ph GROUP BY phase)
+        SELECT CAST(phase AS INT) AS phase, n_docs, n_tokens,
+               floor(CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE)
+                     * 10000) / 10000.0 AS token_share,
+               min_score, max_score, n_langs
+        FROM agg ORDER BY phase"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("pack_curriculum", packCurriculum, Some(packCurriculumSql)),
     ("split_temporal", splitTemporal, Some(splitTemporalSql)),
     ("pack_best_fit", packBestFit, Some(packBestFitSql)),
     ("sample_weighted", sampleWeighted, Some(sampleWeightedSql)),

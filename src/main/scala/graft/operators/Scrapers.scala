@@ -662,7 +662,69 @@ object Scrapers {
         FROM rw GROUP BY family_type, metric_name
         ORDER BY family_type, metric_name"""
 
+  /** PromQL `histogram_stddev`/`histogram_avg` analog over the coarse
+    * `le` grid: bucket-midpoint moments per (event_type, day). The
+    * +Inf bucket's mass sits at the last finite boundary (PromQL's
+    * convention). All moments are EXACT integers — twice-midpoints
+    * (lo+hi: 4, 36, 288, 512) and their squares weighted by integer
+    * bin counts — so only the final mean/variance divisions and the
+    * IEEE sqrt touch floats, in textually identical expression order
+    * in both engines. One conditional-count aggregation pass, same
+    * shape as `metrics_histogram_rebucket`. */
+  def histogramStddev: Q = (s, d) => {
+    val hi = coarseLes                      // 4, 32, 256
+    val lo = 0 +: coarseLes.init            // 0, 4, 32
+    val m2 = hi.zip(lo).map { case (h, l) => l + h } :+ (2 * coarseLes.last)
+    val conds = hi.zip(lo).map { case (h, l) =>
+      count(when(col("value") > l && col("value") <= h, 1))
+    } :+ count(when(col("value") > coarseLes.last, 1))
+    val aggCols = conds.zipWithIndex.map { case (c, i) => c.as(s"c$i") }
+    val nExpr = m2.indices.map(i => s"c$i").mkString(" + ")
+    val aExpr = m2.zipWithIndex.map { case (m, i) => s"c$i * $m" }.mkString(" + ")
+    val bExpr = m2.zipWithIndex.map { case (m, i) => s"c$i * ${m * m}" }.mkString(" + ")
+    Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .selectExpr("event_type", "day",
+        s"$nExpr AS n_samples", s"$aExpr AS a2", s"$bExpr AS b4")
+      .selectExpr("event_type", "day", "n_samples",
+        // single division over exact integers: a chained-division float
+        // path diverges from DuckDB by an ulp at trunc boundaries
+        "floor((CAST(a2 AS DOUBLE) / CAST(2 * n_samples AS DOUBLE)) * 10000) / 10000.0 AS mean_mid",
+        """floor(sqrt(greatest(0.0d,
+             CAST(CAST(b4 AS DECIMAL(38,0)) * n_samples - CAST(a2 AS DECIMAL(38,0)) * a2 AS DOUBLE)
+               / (4.0 * CAST(n_samples AS DOUBLE) * CAST(n_samples AS DOUBLE))))
+           * 10000) / 10000.0 AS stddev_mid""")
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val histogramStddevSql: String = {
+    val hi = coarseLes
+    val lo = 0 +: coarseLes.init
+    val m2 = hi.zip(lo).map { case (h, l) => l + h } :+ (2 * coarseLes.last)
+    val conds = hi.zip(lo).map { case (h, l) =>
+      s"count(*) FILTER (WHERE value > $l AND value <= $h)"
+    } :+ s"count(*) FILTER (WHERE value > ${coarseLes.last})"
+    val aggCols = conds.zipWithIndex.map { case (c, i) => s"$c AS c$i" }.mkString(", ")
+    val nExpr = m2.indices.map(i => s"c$i").mkString(" + ")
+    val aExpr = m2.zipWithIndex.map { case (m, i) => s"c$i * $m" }.mkString(" + ")
+    val bExpr = m2.zipWithIndex.map { case (m, i) => s"c$i * ${m * m}" }.mkString(" + ")
+    s"""WITH a AS (SELECT event_type, CAST(ts AS DATE) AS day, $aggCols
+                   FROM events GROUP BY 1, 2),
+          m AS (SELECT event_type, day,
+                       $nExpr AS n_samples, $aExpr AS a2, $bExpr AS b4
+                FROM a)
+        SELECT event_type, day, CAST(n_samples AS BIGINT) AS n_samples,
+               floor((CAST(a2 AS DOUBLE) / CAST(2 * n_samples AS DOUBLE)) * 10000) / 10000.0 AS mean_mid,
+               floor(sqrt(greatest(0.0,
+                 CAST(CAST(b4 AS DECIMAL(38,0)) * n_samples - CAST(a2 AS DECIMAL(38,0)) * a2 AS DOUBLE)
+                   / (4.0 * CAST(n_samples AS DOUBLE) * CAST(n_samples AS DOUBLE))))
+                 * 10000) / 10000.0 AS stddev_mid
+        FROM m ORDER BY event_type, day"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("metrics_histogram_stddev", histogramStddev, Some(histogramStddevSql)),
     ("prom_series_cardinality", seriesCardinality, Some(seriesCardinalitySql)),
     ("metrics_histogram_rebucket", histogramRebucket, Some(histogramRebucketSql)),
     ("prom_exposition_parse", expositionParse, Some(expositionParseSql)),

@@ -1175,7 +1175,105 @@ object EventsStream {
       .orderBy(col("purchase_id"))
   }
 
+  // --------------------------------------------- token-bucket limiter
+
+  /** Token-bucket quota enforcement per user — the scrape/API rate
+    * limiter a continuously-collecting deployment puts in front of
+    * every source: capacity 2 tokens, refill 1 token per 2 hours
+    * (integer milli-tokens, refill floored per arrival gap so the fold
+    * is exact), one token per event. The batch entry is a declarative
+    * per-user `aggregate` fold over the time-sorted event list (exact
+    * integers end to end — the DuckDB oracle replays the fold as a
+    * recursive CTE and hash-matches); the streaming twin runs the SAME
+    * transition in `flatMapGroupsWithState` and emits each user's
+    * summary on event-time timeout (parity in StreamingSpec). Per-user
+    * state is three integers — horizontal scale = shuffle partitions. */
+  val RlCapMilli = 2000L
+  val RlCostMilli = 1000L
+
+  case class RlState(prevSec: Long, tokens: Long, acc: Long, rej: Long)
+  case class RlSummary(user_id: Long, n_events: Long, n_accepted: Long,
+      n_rejected: Long, final_tokens: Long)
+
+  /** One token-bucket transition (shared by the streaming fold; the
+    * batch entry encodes the same arithmetic in SQL). */
+  def rlStep(st: RlState, sec: Long): RlState = {
+    val refill = if (st.prevSec < 0) 0L else (sec - st.prevSec) * 1000L / 7200L
+    val avail = math.min(RlCapMilli, st.tokens + refill)
+    if (avail >= RlCostMilli) RlState(sec, avail - RlCostMilli, st.acc + 1, st.rej)
+    else RlState(sec, avail, st.acc, st.rej + 1)
+  }
+
+  def rateLimitBatch: Q = (s, d) => {
+    val avail = "least(2000L, st.tokens + (CASE WHEN st.prev_sec < 0L THEN 0L " +
+      "ELSE ((e.sec - st.prev_sec) * 1000L) div 7200L END))"
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        expr(s"""aggregate(
+            array_sort(collect_list(struct(sec, event_id))),
+            named_struct('prev_sec', -1L, 'tokens', 2000L, 'acc', 0L, 'rej', 0L),
+            (st, e) -> named_struct(
+              'prev_sec', e.sec,
+              'tokens', CASE WHEN $avail >= 1000L THEN $avail - 1000L ELSE $avail END,
+              'acc', st.acc + (CASE WHEN $avail >= 1000L THEN 1L ELSE 0L END),
+              'rej', st.rej + (CASE WHEN $avail < 1000L THEN 1L ELSE 0L END)))""").as("st"))
+      .select(col("user_id"), col("n_events"),
+        col("st.acc").as("n_accepted"), col("st.rej").as("n_rejected"),
+        col("st.tokens").as("final_tokens"))
+      .orderBy(col("user_id"))
+  }
+
+  val rateLimitSql: String =
+    """WITH RECURSIVE ev AS (
+         SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+         FROM events),
+       mx AS (SELECT user_id, max(i) AS n FROM ev GROUP BY user_id),
+       st AS (
+         SELECT user_id, i, sec,
+                CAST(1000 AS BIGINT) AS tokens,
+                CAST(1 AS BIGINT) AS acc, CAST(0 AS BIGINT) AS rej
+         FROM ev WHERE i = 1
+         UNION ALL
+         SELECT e.user_id, e.i, e.sec,
+                CASE WHEN least(2000, st.tokens + ((e.sec - st.sec) * 1000) // 7200) >= 1000
+                     THEN least(2000, st.tokens + ((e.sec - st.sec) * 1000) // 7200) - 1000
+                     ELSE least(2000, st.tokens + ((e.sec - st.sec) * 1000) // 7200) END,
+                st.acc + CASE WHEN least(2000, st.tokens + ((e.sec - st.sec) * 1000) // 7200) >= 1000
+                              THEN 1 ELSE 0 END,
+                st.rej + CASE WHEN least(2000, st.tokens + ((e.sec - st.sec) * 1000) // 7200) < 1000
+                              THEN 1 ELSE 0 END
+         FROM st JOIN ev e ON e.user_id = st.user_id AND e.i = st.i + 1)
+       SELECT s.user_id, CAST(m.n AS BIGINT) AS n_events, s.acc AS n_accepted,
+              s.rej AS n_rejected, s.tokens AS final_tokens
+       FROM st s JOIN mx m ON s.user_id = m.user_id AND s.i = m.n
+       ORDER BY s.user_id"""
+
+  /** Streaming twin: same transition per user in arrival order (the
+    * spec feeds event-time-ordered chunks), running summary emitted
+    * per batch in Update mode — the live quota dashboard read. The
+    * last summary per user (highest n_events) equals the batch fold. */
+  def rateLimitStream(events: Dataset[Event]): Dataset[RlSummary] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RlState, RlSummary](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[RlState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.tsSec, e.event_id))
+          val st0 = state.getOption.getOrElse(RlState(-1L, RlCapMilli, 0L, 0L))
+          val st = sorted.foldLeft(st0)((a, e) => rlStep(a, e.tsSec))
+          state.update(st)
+          Iterator.single(RlSummary(uid, st.acc + st.rej, st.acc, st.rej, st.tokens))
+      }
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("stream_rate_limit", rateLimitBatch, Some(rateLimitSql)),
     ("ivm_join_delta", ivmJoinDelta, Some(intervalJoinSql)),
     ("stream_schema_evolution", schemaEvolutionBatch, Some(schemaEvolutionSql)),
     ("stream_alert_hysteresis", alertHysteresisBatch,

@@ -375,6 +375,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("token-bucket rate limiter: final streaming summaries equal the batch fold") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // chronological chunks (shuffled within each) so the concatenated
+    // per-batch folds equal the global time-ordered fold
+    val events = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("tsSec"), col("value"))
+      .as[EventsStream.Event].collect().sortBy(e => (e.tsSec, e.event_id))
+    val rnd = new scala.util.Random(7)
+    val chunks = events.grouped(math.max(1, events.length / 3)).toSeq
+      .map(c => rnd.shuffle(c.toSeq))
+
+    val input = MemoryStream[EventsStream.Event]
+    val q = EventsStream.rateLimitStream(input.toDS())
+      .writeStream.format("memory").queryName("rl_sink")
+      .outputMode(OutputMode.Update).start()
+    try {
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      // last running summary per user = the one with the full event count
+      val got = spark.table("rl_sink").collect()
+        .groupBy(_.getLong(0)).map { case (u, rows) =>
+          u -> rows.maxBy(_.getLong(1)).toSeq.drop(1)
+        }
+      val want = EventsStream.rateLimitBatch(spark, sf).collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      assert(got.keySet == want.keySet)
+      want.foreach { case (u, w) =>
+        assert(got(u) == w, s"user $u: streaming ${got(u)} != batch $w")
+      }
+      // the limiter must actually reject something for the test to mean anything
+      assert(want.values.map(_(2).asInstanceOf[Long]).sum > 0, "no rejections at all")
+    } finally q.stop()
+  }
+
   test("streaming funnel emits each batch conversion exactly once, out-of-order chunks") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
