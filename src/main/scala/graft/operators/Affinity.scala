@@ -263,6 +263,67 @@ object Affinity {
        FROM rfm CROSS JOIN b
        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
 
+  // ------------------------------------------------- RFM tier migration
+
+  /** Customer value-tier MIGRATION between two periods — the read that
+    * turns a static RFM snapshot into a retention story: monetary
+    * quartile tiers computed independently per period (each period's
+    * own boundaries, so the matrix shows RELATIVE movement, not
+    * inflation), then a full-outer per-customer join → 5×5 transition
+    * matrix with tier 0 = absent (row 0·× = acquired, ×·0 = churned).
+    * Same single-row boundary broadcast as `q_rfm_segments`; the only
+    * corpus-sized work is two grouped aggregations and one customer-
+    * keyed join. */
+  def rfmMigration: Q = (s, d) => {
+    val CutDate = "1998-01-01"
+    def tiers(o: DataFrame): DataFrame = {
+      val cust = o.groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("m_cents"))
+      val bounds = cust.agg(
+        expr("percentile(m_cents, array(0.25e0, 0.5e0, 0.75e0))").as("mq"))
+      cust.crossJoin(broadcast(bounds))
+        .select(col("o_custkey"),
+          (lit(1) + when(col("m_cents") > col("mq")(0), 1).otherwise(0)
+            + when(col("m_cents") > col("mq")(1), 1).otherwise(0)
+            + when(col("m_cents") > col("mq")(2), 1).otherwise(0)).cast("int").as("tier"))
+    }
+    val o = Tables.orders(s, d)
+    val a = tiers(o.filter(to_date(col("o_orderdate")) < lit(CutDate).cast("date")))
+      .withColumnRenamed("tier", "tier_a")
+    val b = tiers(o.filter(to_date(col("o_orderdate")) >= lit(CutDate).cast("date")))
+      .withColumnRenamed("tier", "tier_b")
+    a.join(b, Seq("o_custkey"), "full_outer")
+      .select(coalesce(col("tier_a"), lit(0)).as("tier_a"),
+        coalesce(col("tier_b"), lit(0)).as("tier_b"))
+      .groupBy(col("tier_a"), col("tier_b"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("tier_a"), col("tier_b"))
+  }
+
+  val rfmMigrationSql: String =
+    """WITH ca AS (
+         SELECT o_custkey, sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS m_cents
+         FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01' GROUP BY 1),
+       ba AS (SELECT quantile_cont(m_cents, [0.25, 0.5, 0.75]) AS mq FROM ca),
+       ta AS (
+         SELECT o_custkey,
+                CAST(1 + (m_cents > mq[1])::INT + (m_cents > mq[2])::INT
+                       + (m_cents > mq[3])::INT AS INT) AS tier_a
+         FROM ca CROSS JOIN ba),
+       cb AS (
+         SELECT o_custkey, sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS m_cents
+         FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01' GROUP BY 1),
+       bb AS (SELECT quantile_cont(m_cents, [0.25, 0.5, 0.75]) AS mq FROM cb),
+       tb AS (
+         SELECT o_custkey,
+                CAST(1 + (m_cents > mq[1])::INT + (m_cents > mq[2])::INT
+                       + (m_cents > mq[3])::INT AS INT) AS tier_b
+         FROM cb CROSS JOIN bb)
+       SELECT COALESCE(ta.tier_a, 0) AS tier_a, COALESCE(tb.tier_b, 0) AS tier_b,
+              count(*) AS n_customers
+       FROM ta FULL OUTER JOIN tb USING (o_custkey)
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
   // -------------------------------------------------------- concurrency
 
   /** Peak concurrent sessions per hour — the capacity-planning curve.
@@ -1179,6 +1240,7 @@ object Affinity {
     ("events_markov_steady", markovSteady, Some(markovSteadySql)),
     ("events_transition_matrix", transitionMatrix, Some(transitionMatrixSql)),
     ("q_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
+    ("cohort_rfm_migration", rfmMigration, Some(rfmMigrationSql)),
     ("q_concurrency", concurrency, Some(concurrencySql)),
     ("q_equidepth_histogram", equidepthHistogram, Some(equidepthHistogramSql)),
     ("graph_node_similarity", nodeSimilarity, Some(nodeSimilaritySql)))

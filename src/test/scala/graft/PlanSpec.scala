@@ -184,7 +184,7 @@ class PlanSweepSpec extends SparkTestBase {
     "ann_hybrid_rrf", "cohort_survival_km", "mix_budget_apportion",
     // round-7: bounded |chunks|×|windows| state-liveness range join;
     // 9-row aspect-ladder + single-row total broadcasts
-    "stream_state_metrics", "mm_aspect_bucket")
+    "stream_state_metrics", "mm_aspect_bucket", "cohort_rfm_migration")
 
   test("no entry plans a CartesianProduct; BNLJ only where intended") {
     val failures = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).flatMap { name =>
