@@ -95,7 +95,9 @@ object Bench {
       "text_langid", "text_quality", "text_tfidf_topk",
       "mm_frame_dedup", "mix_corpora", "pack_token_budget",
       "sample_stratified", "stream_events_window", "stream_sessionize_state",
-      "pipeline_end_to_end")
+      "pipeline_end_to_end",
+      "prom_wire_snappy", "stream_state_metrics", "ann_index_drift",
+      "stream_rate_limit")
     val got = results.toMap
     // surface headline-list drift: a renamed query would otherwise vanish
     // from the compact line silently
