@@ -287,10 +287,13 @@ object Affinity {
             + when(col("m_cents") > col("mq")(1), 1).otherwise(0)
             + when(col("m_cents") > col("mq")(2), 1).otherwise(0)).cast("int").as("tier"))
     }
+    // raw timestamp comparison (o_orderdate values are exact midnights,
+    // so this equals the date comparison) — reaches the parquet scan as
+    // a PushedFilter, where to_date(o_orderdate) < ... would not
     val o = Tables.orders(s, d)
-    val a = tiers(o.filter(to_date(col("o_orderdate")) < lit(CutDate).cast("date")))
+    val a = tiers(o.filter(col("o_orderdate") < lit(s"$CutDate 00:00:00").cast("timestamp")))
       .withColumnRenamed("tier", "tier_a")
-    val b = tiers(o.filter(to_date(col("o_orderdate")) >= lit(CutDate).cast("date")))
+    val b = tiers(o.filter(col("o_orderdate") >= lit(s"$CutDate 00:00:00").cast("timestamp")))
       .withColumnRenamed("tier", "tier_b")
     a.join(b, Seq("o_custkey"), "full_outer")
       .select(coalesce(col("tier_a"), lit(0)).as("tier_a"),

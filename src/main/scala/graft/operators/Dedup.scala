@@ -558,7 +558,49 @@ object Dedup {
                     FROM range(1, 20) t(i)) a) b
         ORDER BY s_x100"""
 
+  /** Eval-set decontamination audit — the check run after every split:
+    * do near-duplicate pairs (the `dedup_minhash_lsh` candidates,
+    * Jaccard ≥ 0.4) CROSS the train/val/test boundary? A near-dup of a
+    * training document sitting in the eval split silently inflates
+    * eval scores; this surfaces every (split_a, split_b) cell of the
+    * near-dup pair matrix with counts, an example pair anchor, and the
+    * worst Jaccard — `leaks_eval` marks the cross-split cells. Splits
+    * are the same seedless md5 rule as `split_train_test`, so the
+    * audit is a pure composition: LSH candidate generation (bucketed,
+    * never all-pairs) plus a constant-width projection. */
+  def splitLeakageAudit: Q = (s, d) => {
+    def splitCol(c: Column): Column = {
+      val b = Pipeline.hashBucket(concat(lit("split:"), c.cast("string")))
+      when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    }
+    minhashLsh(s, d)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        splitCol(col("doc_a")).as("split_a"), splitCol(col("doc_b")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("doc_a")).as("example_doc_a"),
+        max(col("jaccard")).as("max_jaccard"))
+      .withColumn("leaks_eval", col("split_a") =!= col("split_b"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
+  val splitLeakageAuditSql: String = {
+    def sp(idc: String) = {
+      val b = Pipeline.hashBucketSql(s"'split:' || CAST($idc AS VARCHAR)")
+      s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END"
+    }
+    s"""WITH pairs AS ($minhashLshSql)
+        SELECT ${sp("doc_a")} AS split_a, ${sp("doc_b")} AS split_b,
+               count(*) AS n_pairs,
+               CAST(min(doc_a) AS BIGINT) AS example_doc_a,
+               max(jaccard) AS max_jaccard,
+               ${sp("doc_a")} <> ${sp("doc_b")} AS leaks_eval
+        FROM pairs
+        GROUP BY 1, 2, 6 ORDER BY split_a, split_b"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("split_leakage_audit", splitLeakageAudit, Some(splitLeakageAuditSql)),
     ("dedup_lsh_scurve", lshScurve, Some(lshScurveSql)),
     ("dedup_cross_source", crossSource, Some(crossSourceSql)),
     ("dedup_lsh_recall", lshRecall, Some(lshRecallSql)),

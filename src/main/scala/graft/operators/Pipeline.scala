@@ -30,11 +30,11 @@ object Pipeline {
 
   /** Engine-portable uniform bucket in [0, 100): first 8 hex chars of
     * md5 over a key string. Spark side. */
-  private def hashBucket(key: Column): Column =
+  private[operators] def hashBucket(key: Column): Column =
     conv(substring(md5(key), 1, 8), 16, 10).cast("long") % 100
 
   /** Same bucket in DuckDB. */
-  private def hashBucketSql(key: String): String =
+  private[operators] def hashBucketSql(key: String): String =
     s"('0x' || substring(md5($key), 1, 8))::BIGINT % 100"
 
   // ---------------------------------------------------------------- split

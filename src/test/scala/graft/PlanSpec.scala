@@ -184,7 +184,8 @@ class PlanSweepSpec extends SparkTestBase {
     "ann_hybrid_rrf", "cohort_survival_km", "mix_budget_apportion",
     // round-7: bounded |chunks|×|windows| state-liveness range join;
     // 9-row aspect-ladder + single-row total broadcasts
-    "stream_state_metrics", "mm_aspect_bucket", "cohort_rfm_migration")
+    "stream_state_metrics", "mm_aspect_bucket", "cohort_rfm_migration",
+    "split_leakage_audit") // inherits dedup_minhash_lsh's allowed shape
 
   test("no entry plans a CartesianProduct; BNLJ only where intended") {
     val failures = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).flatMap { name =>
