@@ -159,7 +159,10 @@ object Affinity {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val totals = counts.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._3).sum }
     val p = counts.map { case (f, t, n) => (f, t, n * MarkovPScale / totals(f)) }
-    val types = counts.map(_._1).distinct.sorted
+    // Full type universe: a type that only ever appears as a transition
+    // TARGET (terminal per user) must still hold a row of the vector, and
+    // a pure-source type keeps its rank_fp=0 row — mirrored in the oracle.
+    val types = (counts.map(_._1) ++ counts.map(_._2)).distinct.sorted
     var v: Map[String, Long] = types.map(_ -> MarkovBase / types.length).toMap
     for (_ <- 1 to MarkovIters) {
       val next = scala.collection.mutable.Map(types.map(_ -> 0L): _*)
@@ -185,13 +188,17 @@ object Affinity {
          t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1),
          p AS (SELECT c.from_type, c.to_type, (c.n * $MarkovPScale) // t.tot AS pfp
                FROM c JOIN t USING (from_type)),
-         types AS (SELECT DISTINCT from_type AS ty FROM c),
+         types AS (SELECT DISTINCT from_type AS ty FROM c
+                   UNION SELECT DISTINCT to_type FROM c),
          nt AS (SELECT count(*) AS k FROM types),
          v0 AS (SELECT ty, $MarkovBase // k AS r FROM types CROSS JOIN nt)"""
     val iters = (1 to MarkovIters).map { i =>
       s"""v$i AS (
-           SELECT p.to_type AS ty, CAST(sum((v.r * p.pfp) // $MarkovPScale) AS BIGINT) AS r
-           FROM v${i - 1} v JOIN p ON v.ty = p.from_type GROUP BY 1)"""
+           SELECT ty.ty, COALESCE(s.r, 0) AS r
+           FROM types ty LEFT JOIN (
+             SELECT p.to_type AS ty, CAST(sum((v.r * p.pfp) // $MarkovPScale) AS BIGINT) AS r
+             FROM v${i - 1} v JOIN p ON v.ty = p.from_type GROUP BY 1) s
+           ON ty.ty = s.ty)"""
     }
     (Seq(prologue) ++ iters).mkString(",\n") +
       s""",

@@ -690,11 +690,11 @@ object Scrapers {
       .selectExpr("event_type", "day", "n_samples",
         // single division over exact integers: a chained-division float
         // path diverges from DuckDB by an ulp at trunc boundaries
-        "floor((CAST(a2 AS DOUBLE) / CAST(2 * n_samples AS DOUBLE)) * 10000) / 10000.0 AS mean_mid",
+        "floor((CAST(a2 AS DOUBLE) / CAST(2 * n_samples AS DOUBLE)) * 1e4) / 1e4 AS mean_mid",
         """floor(sqrt(greatest(0.0d,
              CAST(CAST(b4 AS DECIMAL(38,0)) * n_samples - CAST(a2 AS DECIMAL(38,0)) * a2 AS DOUBLE)
                / (4.0 * CAST(n_samples AS DOUBLE) * CAST(n_samples AS DOUBLE))))
-           * 10000) / 10000.0 AS stddev_mid""")
+           * 1e4) / 1e4 AS stddev_mid""")
       .orderBy(col("event_type"), col("day"))
   }
 
@@ -715,11 +715,11 @@ object Scrapers {
                        $nExpr AS n_samples, $aExpr AS a2, $bExpr AS b4
                 FROM a)
         SELECT event_type, day, CAST(n_samples AS BIGINT) AS n_samples,
-               floor((CAST(a2 AS DOUBLE) / CAST(2 * n_samples AS DOUBLE)) * 10000) / 10000.0 AS mean_mid,
+               floor((CAST(a2 AS DOUBLE) / CAST(2 * n_samples AS DOUBLE)) * 1e4) / 1e4 AS mean_mid,
                floor(sqrt(greatest(0.0,
-                 CAST(CAST(b4 AS DECIMAL(38,0)) * n_samples - CAST(a2 AS DECIMAL(38,0)) * a2 AS DOUBLE)
+                 CAST(CAST(b4 AS HUGEINT) * n_samples - CAST(a2 AS HUGEINT) * a2 AS DOUBLE)
                    / (4.0 * CAST(n_samples AS DOUBLE) * CAST(n_samples AS DOUBLE))))
-                 * 10000) / 10000.0 AS stddev_mid
+                 * 1e4) / 1e4 AS stddev_mid
         FROM m ORDER BY event_type, day"""
   }
 

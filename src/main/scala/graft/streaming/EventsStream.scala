@@ -1205,8 +1205,8 @@ object EventsStream {
   }
 
   def rateLimitBatch: Q = (s, d) => {
-    val avail = "least(2000L, st.tokens + (CASE WHEN st.prev_sec < 0L THEN 0L " +
-      "ELSE ((e.sec - st.prev_sec) * 1000L) div 7200L END))"
+    val avail = s"least(${RlCapMilli}L, st.tokens + (CASE WHEN st.prev_sec < 0L THEN 0L " +
+      s"ELSE ((e.sec - st.prev_sec) * 1000L) div 7200L END))"
     Tables.events(s, d)
       .select(col("user_id"), col("event_id"),
         unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
@@ -1214,43 +1214,49 @@ object EventsStream {
       .agg(count(lit(1)).as("n_events"),
         expr(s"""aggregate(
             array_sort(collect_list(struct(sec, event_id))),
-            named_struct('prev_sec', -1L, 'tokens', 2000L, 'acc', 0L, 'rej', 0L),
+            named_struct('prev_sec', -1L, 'tokens', ${RlCapMilli}L, 'acc', 0L, 'rej', 0L),
             (st, e) -> named_struct(
               'prev_sec', e.sec,
-              'tokens', CASE WHEN $avail >= 1000L THEN $avail - 1000L ELSE $avail END,
-              'acc', st.acc + (CASE WHEN $avail >= 1000L THEN 1L ELSE 0L END),
-              'rej', st.rej + (CASE WHEN $avail < 1000L THEN 1L ELSE 0L END)))""").as("st"))
+              'tokens', CASE WHEN $avail >= ${RlCostMilli}L THEN $avail - ${RlCostMilli}L ELSE $avail END,
+              'acc', st.acc + (CASE WHEN $avail >= ${RlCostMilli}L THEN 1L ELSE 0L END),
+              'rej', st.rej + (CASE WHEN $avail < ${RlCostMilli}L THEN 1L ELSE 0L END)))""").as("st"))
       .select(col("user_id"), col("n_events"),
         col("st.acc").as("n_accepted"), col("st.rej").as("n_rejected"),
         col("st.tokens").as("final_tokens"))
       .orderBy(col("user_id"))
   }
 
-  val rateLimitSql: String =
-    """WITH RECURSIVE ev AS (
+  val rateLimitSql: String = {
+    // Base case = rlStep applied to the initial state (prev<0 → refill 0,
+    // avail = cap): derived from the constants so changing cap/cost can
+    // never silently desynchronize the oracle from the fold.
+    val baseAccepted = RlCapMilli >= RlCostMilli
+    val baseTokens = if (baseAccepted) RlCapMilli - RlCostMilli else RlCapMilli
+    val baseAcc = if (baseAccepted) 1 else 0
+    val avail = s"least($RlCapMilli, st.tokens + ((e.sec - st.sec) * 1000) // 7200)"
+    s"""WITH RECURSIVE ev AS (
          SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
          FROM events),
        mx AS (SELECT user_id, max(i) AS n FROM ev GROUP BY user_id),
        st AS (
          SELECT user_id, i, sec,
-                CAST(1000 AS BIGINT) AS tokens,
-                CAST(1 AS BIGINT) AS acc, CAST(0 AS BIGINT) AS rej
+                CAST($baseTokens AS BIGINT) AS tokens,
+                CAST($baseAcc AS BIGINT) AS acc, CAST(${1 - baseAcc} AS BIGINT) AS rej
          FROM ev WHERE i = 1
          UNION ALL
          SELECT e.user_id, e.i, e.sec,
-                CASE WHEN least(2000, st.tokens + ((e.sec - st.sec) * 1000) // 7200) >= 1000
-                     THEN least(2000, st.tokens + ((e.sec - st.sec) * 1000) // 7200) - 1000
-                     ELSE least(2000, st.tokens + ((e.sec - st.sec) * 1000) // 7200) END,
-                st.acc + CASE WHEN least(2000, st.tokens + ((e.sec - st.sec) * 1000) // 7200) >= 1000
-                              THEN 1 ELSE 0 END,
-                st.rej + CASE WHEN least(2000, st.tokens + ((e.sec - st.sec) * 1000) // 7200) < 1000
-                              THEN 1 ELSE 0 END
+                CASE WHEN $avail >= $RlCostMilli
+                     THEN $avail - $RlCostMilli
+                     ELSE $avail END,
+                st.acc + CASE WHEN $avail >= $RlCostMilli THEN 1 ELSE 0 END,
+                st.rej + CASE WHEN $avail < $RlCostMilli THEN 1 ELSE 0 END
          FROM st JOIN ev e ON e.user_id = st.user_id AND e.i = st.i + 1)
        SELECT s.user_id, CAST(m.n AS BIGINT) AS n_events, s.acc AS n_accepted,
               s.rej AS n_rejected, s.tokens AS final_tokens
        FROM st s JOIN mx m ON s.user_id = m.user_id AND s.i = m.n
        ORDER BY s.user_id"""
+  }
 
   /** Streaming twin: same transition per user in arrival order (the
     * spec feeds event-time-ordered chunks), running summary emitted
