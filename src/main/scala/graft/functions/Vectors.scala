@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, BloomFilterMightContain, ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -118,5 +119,16 @@ object Vectors {
       args => SnappyCompress(args.head)))
     e.injectFunction(fn("graft_unsnappy", classOf[SnappyDecompress],
       args => SnappyDecompress(args.head)))
+    // Spark's own runtime-filter pair (codegen'd, deserialize-once),
+    // which the builtin FunctionRegistry does not expose as SQL — both
+    // live in the internal registry and are only ever built by
+    // InjectRuntimeFilter. Exposing them lets operators place an
+    // explicit build-and-probe semi-join reduction (probe's filter side
+    // must be foldable or a scalar subquery); values are xxhash64'd on
+    // both sides, matching the upstream runtime-filter convention.
+    e.injectFunction(fn("graft_bloom_agg", classOf[BloomFilterAggregate],
+      args => new BloomFilterAggregate(args(0), args(1), args(2)).toAggregateExpression()))
+    e.injectFunction(fn("graft_might_contain", classOf[BloomFilterMightContain],
+      args => BloomFilterMightContain(args(0), args(1))))
   }
 }

@@ -23,18 +23,26 @@ object Prune {
     * map-side before the join shuffle. False positives only cost a
     * few extra shuffled rows — the exact join after the filter keeps
     * the result identical to the plain join (that plain join IS the
-    * oracle). At 1000 executors the sketch rides the broadcast, and
-    * the shuffle carries ~|matching lineitem| instead of |lineitem|. */
+    * oracle). The filter is built by Spark's own `bloom_filter_agg`
+    * as a scalar subquery and probed by the native runtime-filter
+    * expression (`graft_might_contain` = BloomFilterMightContain):
+    * everything stays inside one job and whole-stage codegen — no
+    * driver-side count/collect, no UDF boxing on the fact scan. At
+    * 1000 executors the 1 MiB sketch rides the subquery broadcast,
+    * and the shuffle carries ~|matching lineitem| instead of
+    * |lineitem|. */
   def bloomJoinPrune: Q = (s, d) => {
     val dim = Tables.orders(s, d)
       .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000)
       .select(col("o_orderkey"), col("o_orderdate"))
-    val bf = dim.stat.bloomFilter("o_orderkey", math.max(dim.count(), 1L), 0.01)
-    val bfB = s.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
+    // 2^20 capacity / 2^23 bits = 8 bits/key (~2% fpp at capacity);
+    // oversubscription degrades fpp, never correctness.
+    val bf = dim
+      .agg(expr("graft_bloom_agg(xxhash64(o_orderkey), 1048576L, 8388608L)").as("bf"))
+      .scalar()
     val pruned = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      .filter(mightContain(col("l_orderkey")))
+      .filter(call_function("graft_might_contain", bf, xxhash64(col("l_orderkey"))))
     pruned.join(dim, col("l_orderkey") === col("o_orderkey"))
       .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
       .agg(count(lit(1)).as("n_lines"),

@@ -12,20 +12,29 @@ class PruneSpec extends SparkTestBase {
     val dim = Tables.orders(spark, sf)
       .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000)
       .select("o_orderkey")
-    val nDim = dim.count()
-    assert(nDim > 0, "dim filter should keep some orders at sf0.001")
-    val bf = dim.stat.bloomFilter("o_orderkey", math.max(nDim, 1L), 0.01)
-    val bfB = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
+    assert(dim.count() > 0, "dim filter should keep some orders at sf0.001")
+    val bf = dim
+      .agg(expr("graft_bloom_agg(xxhash64(o_orderkey), 1048576L, 8388608L)").as("bf"))
+      .scalar()
     val li = Tables.lineitem(spark, sf)
     val total = li.count()
-    val pruned = li.filter(mightContain(col("l_orderkey"))).count()
+    val pruned = li
+      .filter(call_function("graft_might_contain", bf, xxhash64(col("l_orderkey"))))
+      .count()
     val matched = li.join(dim, col("l_orderkey") === col("o_orderkey")).count()
     assert(pruned >= matched, "bloom filters have no false negatives")
     // false-positive overhead stays near fpp: pruned ≈ matched, both ≪ total
     assert(pruned < matched + 0.05 * total + 10,
       s"bloom should pass ~matched rows (pruned=$pruned matched=$matched total=$total)")
     assert(pruned < total / 2, s"bloom should prune most of the fact ($pruned of $total)")
+  }
+
+  test("bloom probe is the native runtime-filter expression, not a UDF") {
+    val plan = Prune.bloomJoinPrune(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "native Bloom probe should plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"),
+      "probe must stay inside codegen — no UDF nodes")
   }
 
   test("set-op cohorts partition the 1995 customer set") {
