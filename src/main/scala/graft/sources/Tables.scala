@@ -23,21 +23,23 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
   /** events.ts arrives in two driver vintages: parquet TIMESTAMP(NANOS)
     * (Spark 4 rejects it as a timestamp type — read raw nanos via the
-    * legacy conf and convert) or TIMESTAMP(MICROS) (reads as
-    * TIMESTAMP_NTZ — cast to the session-UTC TimestampType the
-    * operators expect; the session timezone is pinned UTC so the cast
+    * legacy conf and convert) or TIMESTAMP(MICROS, not UTC-adjusted).
+    * For the MICROS vintage, disabling NTZ inference makes the scan
+    * surface the column directly as the session-UTC TimestampType the
+    * operators expect — no per-row cast projection over the corpus
+    * scan (the session timezone is pinned UTC, so the reinterpretation
     * is value-preserving and matches DuckDB's naive-timestamp view).
     * Detect per-read from the footer schema so either vintage loads.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = t(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn(
           "ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case _ =>
-        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => raw
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
