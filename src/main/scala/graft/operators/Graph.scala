@@ -284,18 +284,23 @@ object Graph {
   /** K-core peel (bounded rounds) — the community-strength filter
     * (nodes that survive repeated removal of degree-<k vertices form
     * the graph's cohesive core; spam/bridge nodes peel off first).
-    * Each round is two aggregations + two semi-joins on the node key
-    * (degree count, then edges restricted to surviving endpoints) —
-    * Pregel-shaped like LPA, `Checkpoints.cut` per round. The contract
-    * is the R-ROUND peel, not the fixpoint: deterministic at any
-    * scale, and the oracle unrolls the same R rounds as CTEs. */
+    * Each round is one degree aggregation + two ANTI-joins against the
+    * REMOVED set (degree < k) — the complement of the survivor
+    * semi-join, valid because `pageEdges` is symmetrized so every
+    * endpoint owns a degree row. The removed set collapses after the
+    * first peel (and is always ≤ |V|, never |E|), so AQE turns both
+    * endpoint checks into broadcast joins: the edge set is shuffled
+    * once per round (the degree count), not three times. Pregel-shaped
+    * like LPA, `Checkpoints.cut` per round. The contract is the
+    * R-ROUND peel, not the fixpoint: deterministic at any scale, and
+    * the oracle unrolls the same R rounds as CTEs. */
   def kcore: Q = (sp, d) => {
     var e = cut(pageEdges(sp, d))
     for (i <- 1 to KCoreRounds) {
-      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= KCoreK).select(col("src").as("keep"))
-      e = e.join(keep, col("src") === col("keep"), "left_semi")
-        .join(keep, col("dst") === col("keep"), "left_semi")
+      val bad = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") < KCoreK).select(col("src").as("bad"))
+      e = e.join(bad, col("src") === col("bad"), "left_anti")
+        .join(bad, col("dst") === col("bad"), "left_anti")
       if (i % 2 == 0 || i == KCoreRounds) e = cut(e)
     }
     e.groupBy(col("src").as("page")).agg(count(lit(1)).as("core_degree"))
