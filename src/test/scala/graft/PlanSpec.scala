@@ -185,7 +185,8 @@ class PlanSweepSpec extends SparkTestBase {
     // round-7: bounded |chunks|×|windows| state-liveness range join;
     // 9-row aspect-ladder + single-row total broadcasts
     "stream_state_metrics", "mm_aspect_bucket", "cohort_rfm_migration",
-    "split_leakage_audit") // inherits dedup_minhash_lsh's allowed shape
+    "split_leakage_audit", // inherits dedup_minhash_lsh's allowed shape
+    "q11_important_stock") // Q11 HAVING: single-row nation-total broadcast
 
   test("no entry plans a CartesianProduct; BNLJ only where intended") {
     val failures = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).flatMap { name =>
