@@ -64,14 +64,41 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // per-family subtotals: round-over-round drift in the 200+
+    // non-headline queries was unattributable from the compact line
+    // alone — one bounded line per operator family localizes it
+    def family(n: String): String =
+      if (n.length > 1 && n(0) == 'q' && n(1).isDigit) "tpch"
+      else if (n.startsWith("q_")) "analytics"
+      else n.takeWhile(_ != '_') match {
+        case "metrics" | "prom" | "tsdb" => "timeseries"
+        case "stream" | "ivm" => "streaming"
+        case "dedup" | "split" => "dedup"
+        case "mix" | "pack" | "sample" | "curate" | "pipeline" => "pipeline"
+        case "sink" | "source" | "idx" | "bloom" => "io"
+        case "events" | "cohort" | "funnel" | "attribution" | "sessionize" => "behavior"
+        case "asof" | "range" => "asof"
+        case "scd2" | "cdc" => "cdc"
+        case "dq" => "quality"
+        case other => other // ann / text / mm / graph / sketch / model
+      }
+    val fams = results.filter(_._2 >= 0).groupBy { case (n, _) => family(n) }
+      .map { case (f, rs) => f -> rs.map(_._2).sum }.toSeq.sortBy(_._1)
+    val famJson = fams.map { case (f, v) => "\"" + f + "\":" + num(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"family_subtotals","families":$famJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"families":$famJson,"sf":"$sfDir"}"""
     println(json)
     // the sbt log tail can truncate the (long) JSON line — also land it
-    // in a file so per-query numbers survive regardless of log capture
+    // in a file so per-query numbers survive regardless of log capture,
+    // and mirror it into the repo working tree so every driver round
+    // leaves a committable full-history artifact (BENCH_FULL_latest)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_last.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"bench json write failed: $e") }
+    for (path <- Seq(out, "BENCH_FULL_latest.json")) {
+      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (json + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"bench json write failed ($path): $e") }
+    }
     spark.stop()
     // The driver's capture keeps only the LAST ~2000 chars of stdout; the
     // full 264-query line is ~8 KB and can never fit in that window, so
@@ -97,7 +124,7 @@ object Bench {
       "sample_stratified", "stream_events_window", "stream_sessionize_state",
       "pipeline_end_to_end",
       "prom_wire_snappy", "stream_state_metrics", "ann_index_drift",
-      "stream_rate_limit")
+      "stream_rate_limit", "q2_min_cost_supplier")
     val got = results.toMap
     // surface headline-list drift: a renamed query would otherwise vanish
     // from the compact line silently
