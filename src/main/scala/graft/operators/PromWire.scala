@@ -167,6 +167,18 @@ object PromWire {
     Seq(s1, s2, s3, s4)
   }
 
+  /** Encode arbitrary sample rows into per-sample WriteRequest frames.
+    * Input contract: columns `metric_name` (string), `event_type`
+    * (string label), `value` (double), `ts_ms` (long); all other
+    * columns pass through. Adds `wire_hex`. This is the reusable core
+    * of `wireFrame`, also driven standalone by the collector loop
+    * (graft.streaming.CollectorLoop) for scraped-table samples. */
+  def encodeSamples(df: DataFrame): DataFrame = {
+    var x = df
+    stages(sparkDia).foreach { cols => x = x.selectExpr("*" +: cols: _*) }
+    x.drop("vbits", "sample_hex", "name_frame", "et_frame", "ts_msg")
+  }
+
   /** One WriteRequest frame (`0A <len> <TimeSeries>`) per metric: the
     * concatenation of this entry's wire_hex column, in any row order,
     * unhexed, IS a valid `prompb.WriteRequest` body (field order within
@@ -181,10 +193,10 @@ object PromWire {
       .withColumn("gavg", expr("floor(vsum / n * 1e4) / 1e4"))
     val stackArgs = families
       .map { case (f, m, v) => s"'$f', '$m', $v" }.mkString(", ")
-    var df = agg.selectExpr("event_type", "ts_ms",
+    val stacked = agg.selectExpr("event_type", "ts_ms",
       s"stack(${families.size}, $stackArgs) AS (family_type, metric_name, value)")
-    stages(sparkDia).foreach { cols => df = df.selectExpr("*" +: cols: _*) }
-    df.selectExpr("family_type", "metric_name", "event_type", "ts_ms", "value",
+    encodeSamples(stacked)
+      .selectExpr("family_type", "metric_name", "event_type", "ts_ms", "value",
         s"${sparkDia.idiv("length(wire_hex)")} AS wire_len", "wire_hex")
       .orderBy(col("metric_name"), col("event_type"))
   }
