@@ -380,8 +380,13 @@ object Tpch {
 
   /** t-digest/GK-style approximate percentiles via approx_percentile —
     * the sketch path for unbounded-cardinality groups where exact
-    * percentile sorting is unaffordable. Approximate by design → no SQL
-    * oracle (rows-only); error vs exact asserted in EntriesSpec. */
+    * percentile sorting is unaffordable. The sketch VALUE is
+    * engine-internal (no other engine replays GK bit-for-bit), so the
+    * hash-checked surface is the exact companion percentile plus the
+    * error-band and monotonicity CLAIMS evaluated in the same
+    * projection (the `roundtrip_ok` idiom from prom_wire_snappy: the
+    * oracle states TRUE, a sketch regression flips the bit and fails
+    * the hash). WritersSpec keeps the numeric bound. */
   def qApproxPercentile: Q = (s, d) => {
     Tables.orders(s, d)
       .groupBy(col("o_orderpriority"))
@@ -389,19 +394,40 @@ object Tpch {
         expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap50"),
         expr("approx_percentile(o_totalprice, 0.99, 1000)").as("ap99"),
         round(expr("percentile(o_totalprice, 0.5)"), 2).as("exact_p50"))
+      .select(col("o_orderpriority"), col("exact_p50"),
+        (abs(col("ap50") - col("exact_p50")) <= col("exact_p50") * 0.10)
+          .as("p50_within_10pct"),
+        (col("ap99") >= col("ap50")).as("p99_monotone"))
       .orderBy(col("o_orderpriority"))
   }
 
-  /** HLL approximate distinct vs exact — approximate by design, so no
-    * SQL oracle (rows-only check); spec asserts relative error. */
+  val qApproxPercentileSql: String =
+    """SELECT o_orderpriority,
+              round(quantile_cont(o_totalprice, 0.5), 2) AS exact_p50,
+              TRUE AS p50_within_10pct, TRUE AS p99_monotone
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** HLL approximate distinct with its exact companion — the HLL++
+    * estimate is engine-internal, so the hash-checked surface is the
+    * exact count plus the 5% error-band claim evaluated in the same
+    * aggregation (oracle states TRUE; an estimator regression past the
+    * band fails the hash). WritersSpec keeps the numeric bound. */
   def qApproxDistinct: Q = (s, d) => {
     Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("hll_within_5pct"))
       .orderBy(col("event_type"))
   }
+
+  val qApproxDistinctSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+              TRUE AS hll_within_5pct
+       FROM events GROUP BY event_type ORDER BY event_type"""
 
   /** Statistical aggregates: per-flag Pearson correlation, sample
     * covariance and stddevs between quantity and price — one
@@ -494,7 +520,7 @@ object Tpch {
     ("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),
     ("q_window_stats", qWindowStats, Some(qWindowStatsSql)),
     ("q_percentiles", qPercentiles, Some(qPercentilesSql)),
-    ("q_approx_distinct", qApproxDistinct, None),
-    ("q_approx_percentile", qApproxPercentile, None)
+    ("q_approx_distinct", qApproxDistinct, Some(qApproxDistinctSql)),
+    ("q_approx_percentile", qApproxPercentile, Some(qApproxPercentileSql))
   )
 }

@@ -116,15 +116,25 @@ class WritersSpec extends SparkTestBase {
     assert(zSpan < 0.75, s"z-order mean max-span too wide: $zSpan")
   }
 
-  test("approx percentiles stay within 10% of exact") {
-    val rows = graft.operators.Tpch.qApproxPercentile(spark, sf).collect()
+  test("approx percentiles stay within 10% of exact; entry claims all hold") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.sources.Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap50"),
+        expr("percentile(o_totalprice, 0.5)").as("exact"))
+      .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val ap50 = r.getDouble(1)
-      val exact = r.getDouble(3)
+      val exact = r.getDouble(2)
       assert(math.abs(ap50 - exact) / math.max(math.abs(exact), 1e-9) < 0.10,
         s"ap50=$ap50 exact=$exact for ${r.getString(0)}")
     }
+    // the hash-checked claim columns must all be true at this SF
+    val pct = graft.operators.Tpch.qApproxPercentile(spark, sf).collect()
+    assert(pct.nonEmpty && pct.forall(r => r.getBoolean(2) && r.getBoolean(3)))
+    val dst = graft.operators.Tpch.qApproxDistinct(spark, sf).collect()
+    assert(dst.nonEmpty && dst.forall(_.getBoolean(2)))
   }
 
   test("schema evolution: merged read surfaces the new column as null on old rows") {
