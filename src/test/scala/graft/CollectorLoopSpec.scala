@@ -141,4 +141,47 @@ class CollectorLoopSpec extends SparkTestBase {
       assert(m3("db1.example.com:1527").getAs[Long]("new_watermark") == 220)
     } finally q.stop()
   }
+
+  test("loop state survives a process restart: a NEW query resumes from the stored watermark") {
+    val base = java.nio.file.Files.createTempDirectory("graft_loop_rs").toString
+    val db = s"$base/src"
+    val conn = java.sql.DriverManager.getConnection(s"jdbc:derby:$db;create=true", "u", "p")
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        s"CREATE TABLE ${CollectorLoop.ScrapeTable} (name VARCHAR(64), val DOUBLE, ts_sec BIGINT)")
+      st.executeUpdate(s"INSERT INTO ${CollectorLoop.ScrapeTable} VALUES ('up', 1.0, 50)")
+      st.close()
+    } finally conn.close()
+    val secrets = Seq(secret("dbr.example.com", db))
+    val work = s"$base/work"
+
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t1 = MemoryStream[Long]
+    val q1 = CollectorLoop.stream(t1.toDS(), () => secrets, work)
+      .option("checkpointLocation", s"$base/ckpt1").start()
+    try { t1.addData(1L); q1.processAllAvailable() } finally q1.stop()
+
+    // "restart": a brand-new query, fresh checkpoint — only the
+    // workDir parquet state carries over, as after a driver crash
+    val c2 = java.sql.DriverManager.getConnection(s"jdbc:derby:$db", "u", "p")
+    try {
+      val st = c2.createStatement()
+      st.executeUpdate(s"INSERT INTO ${CollectorLoop.ScrapeTable} VALUES ('up', 2.0, 90)")
+      st.close()
+    } finally c2.close()
+    val t2 = MemoryStream[Long]
+    val q2 = CollectorLoop.stream(t2.toDS(), () => secrets, work)
+      .option("checkpointLocation", s"$base/ckpt2").start()
+    try { t2.addData(2L); q2.processAllAvailable() } finally q2.stop()
+
+    val m = spark.read.parquet(s"$work/manifest").collect()
+      .map(r => r.getAs[Long]("round") -> r).toMap
+    assert(m(1L).getAs[Long]("n_new") == 1 && m(1L).getAs[Long]("new_watermark") == 50)
+    assert(m(2L).getAs[String]("status") == "kept",
+      "registry snapshot survived the restart")
+    assert(m(2L).getAs[Long]("old_watermark") == 50 && m(2L).getAs[Long]("n_new") == 1,
+      "restarted loop resumed from the stored watermark, not a rescan")
+  }
 }
