@@ -28,14 +28,18 @@ object Tpch3 {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Derived partsupp: distinct supply pairs + hash-derived
-    * ps_availqty ∈ [1, 9999] and ps_supplycost_cents ∈ [100, 100000]
-    * (1.00–1000.00 in cents), from disjoint md5 hex windows. */
-  def partsupp(s: SparkSession, d: String): DataFrame = {
+  /** Derived partsupp over any lineitem subset: distinct supply pairs
+    * + hash-derived ps_availqty ∈ [1, 9999] and ps_supplycost_cents ∈
+    * [100, 100000] (1.00–1000.00 in cents), from disjoint md5 hex
+    * windows. Because each pair's values are a pure content hash,
+    * deriving from a FILTERED lineitem yields exactly the full
+    * table's rows for the surviving pairs — queries that join
+    * partsupp against a selective key set can push that filter ahead
+    * of the distinct shuffle (q20 does). */
+  def partsuppOf(li: DataFrame): DataFrame = {
     val k = md5(concat(lit("ps:"), col("ps_partkey").cast("string"),
       lit(":"), col("ps_suppkey").cast("string")))
-    Tables.lineitem(s, d)
-      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+    li.select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
       .distinct()
       .withColumn("k", k)
       .select(col("ps_partkey"), col("ps_suppkey"),
@@ -44,6 +48,9 @@ object Tpch3 {
         (conv(substring(col("k"), 9, 8), 16, 10).cast("long") % 99901L + 100L)
           .as("ps_supplycost_cents"))
   }
+
+  def partsupp(s: SparkSession, d: String): DataFrame =
+    partsuppOf(Tables.lineitem(s, d))
 
   /** The same derivation as a DuckDB CTE (text-identical hash recipe). */
   val partsuppCte: String =
@@ -163,7 +170,12 @@ object Tpch3 {
       .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity")).cast("long").as("qty"))
-    val excess = partsupp(s, d)
+    // content-hash derivation ⇒ pre-filtering lineitem to small* parts
+    // yields exactly the full partsupp's rows for the pairs the inner
+    // join below can keep — the part filter prunes BEFORE the distinct
+    // shuffle instead of after it
+    val excess = partsuppOf(Tables.lineitem(s, d)
+        .join(broadcast(prt), col("l_partkey") === col("p_partkey")))
       .join(qty, col("ps_partkey") === col("l_partkey") &&
         col("ps_suppkey") === col("l_suppkey"))
       .filter(col("ps_availqty") * 2L > col("qty"))
