@@ -78,7 +78,12 @@ object Tpch3 {
       .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     val prt = Tables.part(s, d).filter(col("p_type") === "LARGE")
       .select("p_partkey", "p_brand")
-    val eligible = partsupp(s, d)
+    // both dims are selective and broadcastable: prune lineitem to
+    // eligible (LARGE part, EUROPE supplier) pairs BEFORE the distinct
+    // shuffle — the content-hash derivation makes the subset exact
+    val eligible = partsuppOf(Tables.lineitem(s, d)
+        .join(broadcast(prt.select("p_partkey")), col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(broadcast(sup.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"), "left_semi"))
       .join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
       .join(broadcast(prt), col("ps_partkey") === col("p_partkey"))
     val minCost = min(col("ps_supplycost_cents"))
@@ -125,7 +130,11 @@ object Tpch3 {
       .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")
         .select("n_nationkey")), col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey")
-    val held = partsupp(s, d)
+    // the nation holds ~1/25 of suppliers: semi-join lineitem down to
+    // their pairs BEFORE the distinct shuffle (content-hash derivation
+    // keeps the subset exact)
+    val held = partsuppOf(Tables.lineitem(s, d)
+        .join(broadcast(natSup), col("l_suppkey") === col("s_suppkey"), "left_semi"))
       .join(broadcast(natSup), col("ps_suppkey") === col("s_suppkey"))
       .select(col("ps_partkey"),
         (col("ps_availqty") * col("ps_supplycost_cents")).as("value_cents"))
