@@ -24,6 +24,13 @@ class Tpch3Spec extends SparkTestBase {
     ps.unpersist()
   }
 
+  test("partsuppOf(filtered lineitem) == filtered full derivation (pushdown soundness)") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val a = Tpch3.partsuppOf(li.filter(col("l_suppkey") % 7 === 0))
+    val b = Tpch3.partsupp(spark, sf).filter(col("ps_suppkey") % 7 === 0)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("q2: every surviving row carries its part's minimum eligible cost") {
     val out = run("q2_min_cost_supplier").cache()
     assert(out.count() > 0)
