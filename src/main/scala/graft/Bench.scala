@@ -94,7 +94,10 @@ object Bench {
     // and mirror it into the repo working tree so every driver round
     // leaves a committable full-history artifact (BENCH_FULL_latest)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_last.json")
-    for (path <- Seq(out, "BENCH_FULL_latest.json")) {
+    // the repo mirror only on full-suite runs — a partial dev run must
+    // not clobber the round's committable history artifact
+    val paths = if (only.isEmpty) Seq(out, "BENCH_FULL_latest.json") else Seq(out)
+    for (path <- paths) {
       try java.nio.file.Files.write(java.nio.file.Paths.get(path),
         (json + "\n").getBytes("UTF-8"))
       catch { case e: Throwable => System.err.println(s"bench json write failed ($path): $e") }
