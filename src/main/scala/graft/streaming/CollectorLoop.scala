@@ -103,17 +103,23 @@ object CollectorLoop {
       (id, wm, rows)
     }
 
-    // samples → frames → one snappy body per (source, metric)
-    val samples = scraped
+    // union every source's scrape into ONE plan: the reference scrapes
+    // its databases concurrently (sync.WaitGroup) — here concurrency
+    // is Spark's own scheduling of the union's leaves, and both the
+    // manifest stats and the bodies are single jobs regardless of how
+    // many sources are enrolled (no per-source driver round-trips)
+    val scrapedRows = scraped
       .map { case (id, _, rows) =>
-        rows.select(col("name").cast("string").as("metric_name"),
-          lit(id).as("event_type"),
-          col("val").cast("double").as("value"),
-          (col("ts_sec").cast("long") * 1000L).as("ts_ms"))
+        rows.select(lit(id).as("source_id"), col("name").cast("string").as("name"),
+          col("val").cast("double").as("val"), col("ts_sec").cast("long").as("ts_sec"))
       }
       .reduceOption(_ unionByName _)
       .getOrElse(Seq.empty[(String, String, Double, Long)]
-        .toDF("metric_name", "event_type", "value", "ts_ms"))
+        .toDF("source_id", "name", "val", "ts_sec"))
+
+    val samples = scrapedRows.select(col("name").as("metric_name"),
+      col("source_id").as("event_type"), col("val").as("value"),
+      (col("ts_sec") * 1000L).as("ts_ms"))
     val bodies = graft.operators.PromWire.encodeSamples(samples)
       .groupBy(col("event_type").as("source_id"), col("metric_name"))
       .agg(count(lit(1)).as("n_series"),
@@ -126,12 +132,15 @@ object CollectorLoop {
       .withColumn("round", lit(round))
     bodies.write.mode("append").parquet(s"$workDir/bodies")
 
-    // manifest + advanced state (all |sources|-bounded)
-    val counts: Map[String, (Long, Long)] = scraped.map { case (id, wm, rows) =>
-      val agg = rows.agg(count(lit(1)), max(col("ts_sec").cast("long"))).head()
-      val n = agg.getLong(0)
-      id -> (n, if (n == 0) wm else agg.getLong(1))
-    }.toMap
+    // manifest + advanced state (all |sources|-bounded): one grouped
+    // aggregation over the union — a source with no new rows simply
+    // has no group and keeps its stored watermark
+    val counts: Map[String, (Long, Long)] = scrapedRows
+      .groupBy(col("source_id"))
+      .agg(count(lit(1)).as("n"), max(col("ts_sec")).as("mx"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
     val manifest = status.toSeq.sortBy(_._1).map { case (id, st) =>
       val wm = storedWm.getOrElse(id, Long.MinValue)
       val (n, newWm) = counts.getOrElse(id, (0L, wm))
