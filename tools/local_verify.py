@@ -64,7 +64,7 @@ def main():
         for c in g.columns:
             gv, ev = g[c], e[c]
             if np.issubdtype(gv.dtype, np.floating) or np.issubdtype(ev.dtype, np.floating):
-                bad = ~(np.isclose(gv.astype(float), ev.astype(float), rtol=0, atol=1e-9,
+                bad = ~(np.isclose(gv.astype(float), ev.astype(float), rtol=0, atol=0.0,
                                    equal_nan=True))
             else:
                 bad = ~((gv == ev) | (gv.isna() & ev.isna()))
