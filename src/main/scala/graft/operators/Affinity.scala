@@ -163,12 +163,19 @@ object Affinity {
     // TARGET (terminal per user) must still hold a row of the vector, and
     // a pure-source type keeps its rank_fp=0 row — mirrored in the oracle.
     val types = (counts.map(_._1) ++ counts.map(_._2)).distinct.sorted
+    // A type with no outgoing transitions would otherwise LEAK its mass
+    // each round (the chain can drain to an all-zero vector and a
+    // divide-by-zero share). PageRank's dangling-node rule, in its
+    // simplest deterministic form: a dangling type holds its mass
+    // (implicit self-loop) — a no-op on corpora where every type emits.
+    val dangling = types.filterNot(p.map(_._1).toSet)
     var v: Map[String, Long] = types.map(_ -> MarkovBase / types.length).toMap
     for (_ <- 1 to MarkovIters) {
       val next = scala.collection.mutable.Map(types.map(_ -> 0L): _*)
       p.foreach { case (f, t, pfp) =>
         next(t) = next(t) + v(f) * pfp / MarkovPScale
       }
+      dangling.foreach(t => next(t) = next(t) + v(t))
       v = next.toMap
     }
     val totalR = types.map(v).sum
@@ -186,10 +193,13 @@ object Affinity {
          c AS (SELECT from_type, to_type, count(*) AS n FROM steps
                WHERE from_type IS NOT NULL GROUP BY 1, 2),
          t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1),
-         p AS (SELECT c.from_type, c.to_type, (c.n * $MarkovPScale) // t.tot AS pfp
-               FROM c JOIN t USING (from_type)),
          types AS (SELECT DISTINCT from_type AS ty FROM c
                    UNION SELECT DISTINCT to_type FROM c),
+         p AS (SELECT c.from_type, c.to_type, (c.n * $MarkovPScale) // t.tot AS pfp
+               FROM c JOIN t USING (from_type)
+               UNION ALL
+               SELECT ty, ty, $MarkovPScale FROM types
+               WHERE ty NOT IN (SELECT from_type FROM c)),
          nt AS (SELECT count(*) AS k FROM types),
          v0 AS (SELECT ty, $MarkovBase // k AS r FROM types CROSS JOIN nt)"""
     val iters = (1 to MarkovIters).map { i =>

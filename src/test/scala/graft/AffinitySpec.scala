@@ -6,6 +6,30 @@ import graft.sources.Tables
 
 class AffinitySpec extends SparkTestBase {
 
+  test("markov steady state survives terminal-only and source-only event types") {
+    // A corpus where type B only ever RECEIVES transitions (every B is
+    // a user's last event) and C only ever EMITS them — the skew that
+    // made the pre-round-8 vector throw on next(t) / drop rank-0 rows.
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft_markov").toString
+    val rows = Seq(
+      // user 1: A -> B (B terminal)
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 10L, "A", 1.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 00:01:00"), 10L, "B", 1.0, "{}"),
+      // user 2: C -> A (C pure source)
+      (3L, Timestamp.valueOf("2024-01-01 00:00:00"), 20L, "C", 1.0, "{}"),
+      (4L, Timestamp.valueOf("2024-01-01 00:01:00"), 20L, "A", 1.0, "{}"))
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.operators.Affinity.markovSteady(spark, dir).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("A", "B", "C"),
+      "every type in the chain keeps a vector row")
+    val byType = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("C") == 0L, "a pure-source type drains to rank 0")
+    assert(byType("B") > 0L, "a terminal-only type accumulates mass")
+  }
+
   test("basket pairs: support bounded by item counts, lift consistent") {
     val df = Affinity.basketPairs(spark, sf).cache()
     assert(df.count() > 0)
