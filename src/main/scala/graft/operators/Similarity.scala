@@ -1071,7 +1071,66 @@ object Similarity {
         FROM ivf_cent c LEFT JOIN po USING (cell) LEFT JOIN pn USING (cell)
         ORDER BY c.cell"""
 
+  /** Cosine threshold for semantic dedup — applied to the TRUNCATED
+    * cosine so the keep/drop boundary is the same floored value in
+    * both engines (the `dedup_embedding_cosine` idiom). */
+  val SemTau = 0.35
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding corpus with the SAME
+    * trained IVF coarse quantizer the ANN entries share (codebook
+    * memo — no extra training job), then mark a vector a duplicate if
+    * some LOWER-id member of ITS OWN cell has cosine ≥ τ. Candidate
+    * pairs are cell-bounded (Σ|cell|², never corpus²) — at 100 TB the
+    * cell count K scales with the corpus to hold E|cell| flat, which
+    * is exactly the published SemDeDup recipe (k-means first, ε-dedup
+    * within cluster only). Keeper = lowest id, like every dedup
+    * entry; output is one row per vector with its cell, keep flag,
+    * canonical `dup_of`, and best within-cell cosine. Everything
+    * after the (deterministic, fixed-point-Lloyd) training is joins +
+    * one agg; the DuckDB oracle replays training AND the pair pass
+    * bit-for-bit. */
+  def semanticDedup: Q = (s, d) => {
+    val all = emb(s, d)
+    val asg = assign(all, ivfCentroidDf(s, d, all))
+    val a = asg.select(col("cell"), col("vec_id").as("va"),
+      col("v").as("av"), col("n2").as("an2"))
+    val b = asg.select(col("cell").as("cell_b"), col("vec_id").as("vb"),
+      col("v").as("bv"), col("n2").as("bn2"))
+    val dup = a.join(b, col("cell") === col("cell_b") && col("vb") < col("va"))
+      .withColumn("cos",
+        trunc4(expr("graft_dot(av, bv)") / (sqrt(col("an2")) * sqrt(col("bn2")))))
+      .filter(col("cos") >= SemTau)
+      .groupBy(col("va").as("vec_id"))
+      .agg(min(col("vb")).as("dup_of"), max(col("cos")).as("max_cos"))
+    asg.select(col("vec_id"), col("cell"))
+      .join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of").isNull.as("keep"),
+        col("dup_of"), col("max_cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  lazy val semanticDedupSql: String =
+    s"""WITH $ivfCtes,
+        simp AS (
+          SELECT a.vec_id AS va, b.vec_id AS vb,
+                 floor(list_inner_product(ea.v, eb.v)
+                       / (sqrt(na.n2) * sqrt(nb.n2)) * 10000) / 10000.0 AS cos
+          FROM ivf_assign a JOIN ivf_assign b
+            ON b.cell = a.cell AND b.vec_id < a.vec_id
+          JOIN e ea ON ea.vec_id = a.vec_id
+          JOIN e eb ON eb.vec_id = b.vec_id
+          JOIN norms na ON na.vec_id = a.vec_id
+          JOIN norms nb ON nb.vec_id = b.vec_id),
+        dup AS (
+          SELECT va AS vec_id, min(vb) AS dup_of, max(cos) AS max_cos
+          FROM simp WHERE cos >= $SemTau GROUP BY va)
+        SELECT g.vec_id, g.cell, d.vec_id IS NULL AS keep, d.dup_of, d.max_cos
+        FROM ivf_assign g LEFT JOIN dup d USING (vec_id)
+        ORDER BY g.vec_id"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("dedup_semantic", semanticDedup, Some(semanticDedupSql)),
     ("ann_index_drift", indexDrift, Some(indexDriftSql)),
     ("ann_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     ("ann_knn_graph", knnGraph, Some(knnGraphSql)),

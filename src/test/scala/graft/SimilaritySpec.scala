@@ -146,4 +146,23 @@ class SimilaritySpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("semantic dedup: one row per vector, keepers canonical, dup_of within cell and below id") {
+    import org.apache.spark.sql.functions._
+    val df = Similarity.semanticDedup(spark, sf).cache()
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(df.count() == n, "exactly one verdict per vector")
+    // keep <=> no dup_of; dropped rows carry a qualifying cosine
+    assert(df.filter(col("keep") && col("dup_of").isNotNull).count() == 0)
+    assert(df.filter(!col("keep") &&
+      (col("dup_of").isNull || col("max_cos") < Similarity.SemTau)).count() == 0)
+    // dup_of points at a lower id in the SAME cell (cluster-bounded candidates)
+    val cells = df.select(col("vec_id").as("dup_of"), col("cell").as("cell_of"))
+    val bad = df.filter(!col("keep")).join(cells, Seq("dup_of"))
+      .filter(col("cell_of") =!= col("cell") || col("dup_of") >= col("vec_id"))
+    assert(bad.count() == 0)
+    // the canonical target of every drop is itself kept OR has a still-lower dup
+    assert(df.filter(!col("keep")).count() > 0, "threshold must actually drop rows")
+    df.unpersist()
+  }
+
 }
