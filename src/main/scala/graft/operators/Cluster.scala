@@ -90,6 +90,74 @@ object Cluster {
        GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** Soft dedup (the reweighting alternative to dropping — e.g.
+    * SoftDeDup-style loss downweighting): every document in a
+    * near-dup component of size c keeps weight 1/c, so each
+    * component contributes exactly one document's worth of mass to
+    * the training mix; singletons keep weight 1. Per-source corpus
+    * accounting in exact integer parts-per-million
+    * (floor(1e6/c) — BIGINT sums are order-independent where a
+    * float Σ1/c is not; one IEEE division only at the final share).
+    * Scale: the cluster sizes table is |pair-graph|-bounded, the
+    * join back to documents is one doc_id-keyed shuffle, the
+    * accounting one groupBy — at 100 TB the ppm sums outgrow BIGINT
+    * around 9e18 (≈9e12 docs); the decimal(38) spelling is the same
+    * plan. */
+  def softWeight: Q = (s, d) => {
+    import graft.sources.Tables
+    val clusters = dedupCluster(s, d)
+    val sizes = clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("csz"))
+    val perDoc = clusters.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("csz"))
+    Tables.documents(s, d)
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("c", coalesce(col("csz"), lit(1L)))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup_docs"),
+        sum(expr("1000000 DIV c")).as("eff_docs_ppm"),
+        sum(col("n_chars")).as("chars"),
+        sum(expr("(n_chars * 1000000) DIV c")).as("eff_chars_ppm"))
+      .withColumn("eff_share",
+        floor(col("eff_chars_ppm").cast("double")
+          / (col("chars").cast("double") * 1e6) * 10000) / 10000.0)
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB oracle: same transitive closure, same ppm arithmetic. */
+  val softWeightSql: String = {
+    val pairSql = Dedup.minhashLshSql
+    s"""WITH RECURSIVE pairs AS ($pairSql),
+         bi AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+         walk(u, v) AS (
+           SELECT u, v FROM bi
+           UNION
+           SELECT w.u, b.v FROM walk w JOIN bi b ON w.v = b.u),
+         clusters AS (
+           SELECT doc_id, min(reach) AS cluster_id FROM (
+             SELECT u AS doc_id, least(u, v) AS reach FROM walk) t
+           GROUP BY doc_id),
+         sizes AS (SELECT cluster_id, count(*) AS csz FROM clusters GROUP BY 1),
+         per_doc AS (
+           SELECT c.doc_id, s.csz FROM clusters c JOIN sizes s USING (cluster_id)),
+         weighted AS (
+           SELECT d.source, d.n_chars, COALESCE(p.csz, 1) AS c
+           FROM documents d LEFT JOIN per_doc p USING (doc_id))
+       SELECT source,
+              count(*) AS docs,
+              CAST(count(*) FILTER (WHERE c > 1) AS BIGINT) AS dup_docs,
+              CAST(sum(1000000 // c) AS BIGINT) AS eff_docs_ppm,
+              CAST(sum(n_chars) AS BIGINT) AS chars,
+              CAST(sum((n_chars * 1000000) // c) AS BIGINT) AS eff_chars_ppm,
+              floor(CAST(sum((n_chars * 1000000) // c) AS DOUBLE)
+                    / (CAST(sum(n_chars) AS DOUBLE) * 1e6) * 10000) / 10000.0
+                AS eff_share
+       FROM weighted GROUP BY source ORDER BY source"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
-    ("dedup_cluster", dedupCluster, Some(dedupClusterSql)))
+    ("dedup_cluster", dedupCluster, Some(dedupClusterSql)),
+    ("dedup_soft_weight", softWeight, Some(softWeightSql)))
 }

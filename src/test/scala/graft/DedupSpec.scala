@@ -24,6 +24,34 @@ class ClusterSpec extends SparkTestBase {
     assert(got == want,
       s"got=${got.size} want=${want.size} diff=${(want.toSet diff got.toSet).take(3)}")
   }
+
+  test("soft-weight mass conservation: each component contributes ~one doc of ppm mass") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = graft.operators.Cluster.softWeight(spark, sf).cache()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // one row per source, raw counts conserved
+    assert(df.count() == docs.select("source").distinct().count())
+    assert(df.agg(sum("docs")).as[Long].head() == docs.count())
+    assert(df.agg(sum("chars")).as[Long].head() ==
+      docs.agg(sum("n_chars")).as[Long].head())
+    // effective doc mass: singletons contribute exactly 1e6 each;
+    // every c-sized component sums to <= 1e6 with floor loss < c ppm.
+    // Global check: n_components*1e6 >= sum(eff) > n_components*1e6 - total_docs
+    val clusters = graft.operators.Cluster.dedupCluster(spark, sf)
+    val nComp = clusters.select("cluster_id").distinct().count()
+    val nClustered = clusters.count()
+    val singles = docs.count() - nClustered
+    val eff = df.agg(sum("eff_docs_ppm")).as[Long].head()
+    val upper = (singles + nComp) * 1000000L
+    assert(eff <= upper && eff > upper - docs.count(),
+      s"eff=$eff upper=$upper")
+    // weights never exceed 1: effective never exceeds raw
+    assert(df.filter(col("eff_docs_ppm") > col("docs") * 1000000L).count() == 0)
+    assert(df.filter(col("eff_chars_ppm") > col("chars") * 1000000L).count() == 0)
+    assert(df.filter(col("dup_docs") > col("docs")).count() == 0)
+    df.unpersist()
+  }
 }
 
 import graft.operators.Dedup
