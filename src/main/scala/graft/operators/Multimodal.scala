@@ -461,6 +461,121 @@ object Multimodal {
   def audioEnergy: Q = (s, d) =>
     audioStub(s, d).toDF().orderBy(col("doc_id"))
 
+  /** One analysis window of one audio document. */
+  case class AudioWindowRow(doc_id: Long, widx: Int, energy: Long)
+
+  /** Per-window energies as rows — the decode stays imperative
+    * (`mapPartitions`, one DSP init per partition like `audioStub`),
+    * the analytics downstream stay declarative. */
+  def audioWindows(spark: SparkSession, dir: String): Dataset[AudioWindowRow] = {
+    import spark.implicits._
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    payloads.mapPartitions { it =>
+      it.flatMap { case (docId, bytes) =>
+        val n = bytes.length / 2
+        def sample(k: Int): Int = {
+          val x = (bytes(2 * k) & 0xff) | ((bytes(2 * k + 1) & 0xff) << 8)
+          if (x >= 32768) x - 65536 else x
+        }
+        (0 until math.max(n, 1) by AudioHop).iterator.map { st =>
+          val until = math.min(st + AudioWin, n)
+          var acc = 0L; var k = st
+          while (k < until) { acc += math.abs(sample(k)); k += 1 }
+          AudioWindowRow(docId, st / AudioHop, acc)
+        }
+      }
+    }
+  }
+
+  /** VAD hangover: up to this many silent windows are bridged inside
+    * one speech segment. */
+  val VadMaxGap = 1
+  /** Minimum active windows for a segment to survive. */
+  val VadMinWin = 2
+
+  /** Voice-activity detection over the PCM16 framing — the segmenter a
+    * speech-data pipeline runs before cutting training clips: a window
+    * is ACTIVE when its energy is strictly above the document mean
+    * (the adaptive threshold is the exact integer comparison
+    * energy·n_windows > Σenergy — no division, no float), active
+    * windows merge into segments across gaps ≤ `VadMaxGap`
+    * (gaps-and-islands via lag + running break-sum), and segments
+    * shorter than `VadMinWin` active windows are noise-gated away.
+    * All window functions are doc_id-partitioned (bounded by one
+    * document's frame count) and every output column is an exact
+    * integer — at 100 TB this is one narrow decode pass plus two
+    * per-doc-keyed shuffles. */
+  def audioVad: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = audioWindows(s, d).toDF()
+    val tot = w.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nw"), sum(col("energy")).as("tot"))
+    val act = w.join(tot, Seq("doc_id"))
+      .filter(col("energy") * col("nw") > col("tot"))
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("widx"))
+    val segd = act
+      .withColumn("prev", lag(col("widx"), 1).over(ord))
+      .withColumn("brk", when(col("prev").isNull
+        || col("widx") - col("prev") > VadMaxGap + 1, 1L).otherwise(0L))
+      .withColumn("seg", sum(col("brk")).over(ord))
+    segd.groupBy(col("doc_id"), col("seg"))
+      .agg(min(col("widx")).as("start_widx"), max(col("widx")).as("end_widx"),
+        count(lit(1)).as("n_active"), sum(col("energy")).as("seg_energy"))
+      .filter(col("n_active") >= VadMinWin)
+      .withColumn("seg_id", row_number()
+        .over(Window.partitionBy(col("doc_id")).orderBy(col("start_widx"))).cast("int"))
+      .select(col("doc_id"), col("seg_id"), col("start_widx"), col("end_widx"),
+        col("n_active"), col("seg_energy"))
+      .orderBy(col("doc_id"), col("seg_id"))
+  }
+
+  /** Same PCM16 window math as `audioEnergySql`, then the identical
+    * adaptive-threshold + gaps-and-islands chain. */
+  val audioVadSql: String =
+    s"""WITH p AS (SELECT doc_id, hex(encode(text)) AS hx,
+                          octet_length(encode(text)) // 2 AS n
+                   FROM documents),
+        win AS (SELECT doc_id, n, hx, unnest(range(0, greatest(n, 1), $AudioHop)) AS st
+                FROM p),
+        e AS (
+          SELECT doc_id,
+                 CAST(st // $AudioHop AS INT) AS widx,
+                 CAST(CASE WHEN least(st + $AudioWin, n) > st
+                      THEN list_sum(list_transform(range(st, least(st + $AudioWin, n)),
+                             k -> abs((('0x' || substr(hx, k*4 + 1, 2))::INT
+                                       | ((('0x' || substr(hx, k*4 + 3, 2))::INT) << 8))
+                                      - CASE WHEN (('0x' || substr(hx, k*4 + 1, 2))::INT
+                                                   | ((('0x' || substr(hx, k*4 + 3, 2))::INT) << 8))
+                                                  >= 32768 THEN 65536 ELSE 0 END)))
+                      ELSE 0 END AS BIGINT) AS energy
+          FROM win),
+        tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw,
+                       CAST(sum(energy) AS BIGINT) AS tot
+                FROM e GROUP BY 1),
+        act AS (SELECT e.doc_id, e.widx, e.energy
+                FROM e JOIN tot USING (doc_id)
+                WHERE e.energy * tot.nw > tot.tot),
+        lagged AS (SELECT doc_id, widx, energy,
+                          lag(widx) OVER (PARTITION BY doc_id ORDER BY widx) AS prev
+                   FROM act),
+        segd AS (SELECT doc_id, widx, energy,
+                        sum(CASE WHEN prev IS NULL OR widx - prev > ${VadMaxGap + 1}
+                                 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY widx
+                                ROWS UNBOUNDED PRECEDING) AS seg
+                 FROM lagged),
+        segs AS (SELECT doc_id, seg, min(widx) AS start_widx, max(widx) AS end_widx,
+                        CAST(count(*) AS BIGINT) AS n_active,
+                        CAST(sum(energy) AS BIGINT) AS seg_energy
+                 FROM segd GROUP BY 1, 2 HAVING count(*) >= $VadMinWin)
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_widx) AS INT)
+                 AS seg_id,
+               start_widx, end_widx, n_active, seg_energy
+        FROM segs ORDER BY doc_id, seg_id"""
+
   /** The PCM16-LE window math in DuckDB: sample k = signed
     * (byte(2k) | byte(2k+1)<<8), windows every AudioHop samples. */
   val audioEnergySql: String =
@@ -568,6 +683,7 @@ object Multimodal {
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("mm_aspect_bucket", aspectBucket, Some(aspectBucketSql)),
     ("mm_audio_energy", audioEnergy, Some(audioEnergySql)),
+    ("mm_audio_vad", audioVad, Some(audioVadSql)),
     ("mm_binary_meta", meta, Some(metaSql)),
     ("mm_video_scenes", videoScenes, Some(videoScenesSql)),
     ("mm_frame_dedup", frameDedup, Some(frameDedupSql)),

@@ -114,4 +114,33 @@ class MultimodalSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("audio VAD: segments ordered, min-length gated, separated by real silence") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    val df = Multimodal.audioVad(spark, sf).cache()
+    assert(df.count() > 0)
+    // segment geometry: start<=end, at least VadMinWin active, active fits the span
+    assert(df.filter(col("start_widx") > col("end_widx")).count() == 0)
+    assert(df.filter(col("n_active") < Multimodal.VadMinWin).count() == 0)
+    assert(df.filter(col("n_active") > col("end_widx") - col("start_widx") + 1).count() == 0)
+    // consecutive segments of a doc are separated by > VadMaxGap+1 (else merged)
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("seg_id"))
+    val gaps = df.withColumn("pend", lag(col("end_widx"), 1).over(ord))
+      .filter(col("pend").isNotNull)
+      .filter(col("start_widx") - col("pend") <= Multimodal.VadMaxGap + 1)
+    assert(gaps.count() == 0, "adjacent segments must be separated by real silence")
+    // boundary windows are active: start/end energies strictly above the doc mean
+    val w = Multimodal.audioWindows(spark, sf).toDF()
+    val tot = w.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nw"), sum(col("energy")).as("tot"))
+    val act = w.join(tot, Seq("doc_id"))
+      .filter(col("energy") * col("nw") > col("tot"))
+      .select(col("doc_id"), col("widx"))
+    val badStart = df.select(col("doc_id"), col("start_widx").as("widx"))
+      .join(act, Seq("doc_id", "widx"), "left_anti")
+    assert(badStart.count() == 0, "every segment starts on an active window")
+    df.unpersist()
+  }
+
 }
