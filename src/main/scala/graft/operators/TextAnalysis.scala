@@ -265,6 +265,65 @@ object TextAnalysis {
                CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS INT) AS rn
         FROM counts QUALIFY rn <= 5 ORDER BY lang, rn"""
 
+  /** Vocabulary budgets for the coverage curve. */
+  val CoverageKs = Seq(32, 128, 512, 2048)
+
+  /** Tokenizer-design read: what share of the corpus' bigram
+    * occurrences does a top-K vocabulary cover (the OOV-rate curve a
+    * BPE/vocab-size decision is made from)? ONE count shuffle builds
+    * the n-gram frequency table; the rank/cum-sum window runs over at
+    * most max(K) survivors of a TakeOrderedAndProject (bounded, never
+    * the corpus — same shape as `text_zipf_profile`), and each budget
+    * row joins its cumulative mass at rank min(K, vocab). Coverage is
+    * exact-integer occurrence counts with one final IEEE division. */
+  def ngramCoverage: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val bi = Tables.documents(s, d)
+      .select(expr(toksExpr).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .as("bigram"))
+    val counts = bi.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+    val stats = counts.agg(count(lit(1)).as("vocab_size"), sum(col("n")).as("total"))
+    val ord = Window.orderBy(col("n").desc, col("bigram"))
+    val ranked = counts.orderBy(col("n").desc, col("bigram")).limit(CoverageKs.max)
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("cum_n", sum(col("n"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ks = { import s.implicits._; CoverageKs.toDF("k") }
+    ks.crossJoin(broadcast(stats))
+      .join(broadcast(ranked.select(col("rank"), col("cum_n"))),
+        least(col("k").cast("long"), col("vocab_size")) === col("rank"))
+      .select(col("k"), col("vocab_size"), col("total"), col("cum_n").as("covered"),
+        trunc4(col("cum_n").cast("double") / col("total").cast("double")).as("coverage"))
+      .orderBy(col("k"))
+  }
+
+  val ngramCoverageSql: String =
+    s"""WITH bi AS (
+          SELECT unnest(list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+          FROM (SELECT $toksSqlExpr AS toks FROM documents)
+          WHERE len(toks) >= 2),
+        counts AS (SELECT bigram, count(*) AS n FROM bi GROUP BY 1),
+        stats AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+                         CAST(sum(n) AS BIGINT) AS total FROM counts),
+        top AS (SELECT bigram, n FROM counts
+                ORDER BY n DESC, bigram LIMIT ${CoverageKs.max}),
+        ranked AS (
+          SELECT CAST(row_number() OVER (ORDER BY n DESC, bigram) AS BIGINT) AS rank,
+                 CAST(sum(n) OVER (ORDER BY n DESC, bigram
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+          FROM top),
+        ks AS (SELECT unnest([${CoverageKs.mkString(", ")}]) AS k)
+        SELECT CAST(k AS INT) AS k, vocab_size, total, cum_n AS covered,
+               floor(CAST(cum_n AS DOUBLE) / CAST(total AS DOUBLE) * 10000) / 10000.0
+                 AS coverage
+        FROM ks CROSS JOIN stats
+        JOIN ranked ON least(CAST(k AS BIGINT), vocab_size) = ranked.rank
+        ORDER BY k"""
+
   /** PII pattern redaction — the scrub pass every training corpus
     * runs. The test corpus carries no real PII, so the query derives a
     * deterministic contact block per row (email/phone presence keyed
@@ -456,5 +515,6 @@ object TextAnalysis {
     ("text_langid", langid, Some(langidSql)),
     ("text_quality", quality, Some(qualitySql)),
     ("text_fingerprint", fingerprint, Some(fingerprintSql)),
-    ("text_bigram_topk", bigramTopk, Some(bigramTopkSql)))
+    ("text_bigram_topk", bigramTopk, Some(bigramTopkSql)),
+    ("text_ngram_coverage", ngramCoverage, Some(ngramCoverageSql)))
 }

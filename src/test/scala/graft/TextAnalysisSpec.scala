@@ -85,4 +85,25 @@ class TextAnalysisSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("ngram coverage: monotone in k, saturates at full vocab, bounded by total") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = graft.operators.TextAnalysis.ngramCoverage(spark, sf)
+      .orderBy("k").cache()
+    val rows = df.select("k", "vocab_size", "total", "covered")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(rows.length == graft.operators.TextAnalysis.CoverageKs.length)
+    // covered is monotone non-decreasing in k and never exceeds total
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._4, s"coverage must grow with k: $a -> $b") }
+    assert(rows.forall(r => r._4 <= r._3))
+    // a budget >= vocab covers everything exactly
+    rows.filter(r => r._1 >= r._2).foreach(r =>
+      assert(r._4 == r._3, s"k=${r._1} >= vocab=${r._2} must cover total"))
+    // a budget < vocab must NOT cover everything (counts are positive)
+    rows.filter(r => r._1 < r._2).foreach(r =>
+      assert(r._4 < r._3, s"k=${r._1} < vocab=${r._2} cannot cover total"))
+    df.unpersist()
+  }
+
 }
