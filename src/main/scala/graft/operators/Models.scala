@@ -97,6 +97,82 @@ object Models {
        WHERE i.xi >= $TrainHours
        ORDER BY i.event_type, i.hour_sec"""
 
+  val LiftBuckets = 10
+
+  /** Decile lift / gains table — the standard evaluation read for any
+    * scoring model: rank the population by score, cut into deciles,
+    * and report what share of the positives each cumulative decile
+    * captures vs the base rate. Score = order value in exact cents,
+    * positive = urgent priority. Decile EDGES come from ONE exact-
+    * percentile aggregate broadcast back over the scan (the
+    * `q_equidepth_histogram` idiom — no corpus ntile sort); all
+    * counts and cumulative masses are exact BIGINTs over the 10-row
+    * aggregate, with capture and lift each one IEEE division of
+    * exact integer products. At 100 TB: one percentile pass + one
+    * 10-group agg, nothing corpus-sized is ever sorted. */
+  def decileLift: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    import graft.sources.Tables
+    val o = Tables.orders(s, d).select(
+      floor(col("o_totalprice") * 100).cast("long").as("cents"),
+      when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("pos"))
+    val qs = (1 until LiftBuckets).map(i => i.toDouble / LiftBuckets)
+    val bounds = o.agg(
+      expr(s"percentile(cents, array(${qs.map(q => s"${q}e0").mkString(", ")}))").as("b"))
+    val bucket = (lit(1) +: (0 until LiftBuckets - 1)
+      .map(i => when(col("cents") > col("b")(i), 1).otherwise(0)))
+      .reduce(_ + _)
+    val g = o.crossJoin(broadcast(bounds))
+      .select((lit(LiftBuckets + 1) - bucket).cast("int").as("decile"), col("pos"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+    val ord = Window.orderBy(col("decile"))
+    val whole = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("cum_n", sum(col("n"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_pos", sum(col("n_pos"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total_n", sum(col("n")).over(whole))
+      .withColumn("total_pos", sum(col("n_pos")).over(whole))
+      .select(col("decile"), col("n"), col("n_pos"), col("cum_n"), col("cum_pos"),
+        floor(col("cum_pos").cast("double") / col("total_pos").cast("double") * 10000)
+          .divide(10000.0).as("capture"),
+        floor((col("cum_pos") * col("total_n")).cast("double")
+            / (col("cum_n") * col("total_pos")).cast("double") * 10000)
+          .divide(10000.0).as("cum_lift"))
+      .orderBy(col("decile"))
+  }
+
+  val decileLiftSql: String = {
+    val qs = (1 until LiftBuckets).map(i => i.toDouble / LiftBuckets)
+    val terms = (1 until LiftBuckets).map(i => s"(cents > b[$i])::INT").mkString(" + ")
+    s"""WITH c AS (
+          SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+                 CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos
+          FROM orders),
+        b AS (SELECT quantile_cont(cents, [${qs.mkString(", ")}]) AS b FROM c),
+        a AS (SELECT CAST(${LiftBuckets + 1} - (1 + $terms) AS INT) AS decile, pos
+              FROM c CROSS JOIN b),
+        g AS (SELECT decile, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos
+              FROM a GROUP BY 1),
+        w AS (SELECT decile, n, n_pos,
+                     CAST(sum(n) OVER (ORDER BY decile
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+                     CAST(sum(n_pos) OVER (ORDER BY decile
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
+                     CAST(sum(n) OVER () AS BIGINT) AS total_n,
+                     CAST(sum(n_pos) OVER () AS BIGINT) AS total_pos
+              FROM g)
+        SELECT decile, n, n_pos, cum_n, cum_pos,
+               floor(CAST(cum_pos AS DOUBLE) / CAST(total_pos AS DOUBLE) * 10000)
+                 / 10000.0 AS capture,
+               floor(CAST(cum_pos * total_n AS DOUBLE)
+                     / CAST(cum_n * total_pos AS DOUBLE) * 10000) / 10000.0 AS cum_lift
+        FROM w ORDER BY decile"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
-    ("model_registry_score", registryScore, Some(registryScoreSql)))
+    ("model_registry_score", registryScore, Some(registryScoreSql)),
+    ("q_decile_lift", decileLift, Some(decileLiftSql)))
 }

@@ -23,4 +23,27 @@ class ModelsSpec extends SparkTestBase {
     assert(df.select("event_type").distinct().count() == 5)
     df.unpersist()
   }
+
+  test("decile lift: partition of the population, monotone capture, lift sanity") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = graft.operators.Models.decileLift(spark, sf).orderBy("decile").cache()
+    val rows = df.select("decile", "n", "n_pos", "cum_n", "cum_pos", "capture", "cum_lift")
+      .as[(Int, Long, Long, Long, Long, Double, Double)].collect()
+    assert(rows.length == graft.operators.Models.LiftBuckets)
+    // deciles partition the orders table
+    val orders = graft.sources.Tables.orders(spark, sf).count()
+    assert(rows.map(_._2).sum == orders)
+    assert(rows.last._4 == orders, "cum_n at decile 10 is the population")
+    // positives conserved and capture monotone, ending at ~1.0
+    assert(rows.map(_._3).sum == rows.last._5)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._6 <= b._6, "capture is cumulative") }
+    assert(math.abs(rows.last._6 - 1.0) < 1.1e-4)
+    // final cumulative lift is 1 by construction (whole population)
+    assert(math.abs(rows.last._7 - 1.0) < 1.1e-4)
+    // per-decile counts are balanced within ties (each ~10% of population)
+    assert(rows.forall(r => r._2 > 0))
+    df.unpersist()
+  }
 }
