@@ -169,8 +169,10 @@ object Dedup {
     * sentinel. All candidates are verified with exact Jaccard ≥ 0.4,
     * so the LSH layer only affects recall — and the oracle runs the
     * identical pipeline, keeping parity end-to-end. */
-  def minhashLsh: Q = (s, d) => {
-    val sets = shingleSets(s, d)
+  /** (doc_id, band_idx, bh) — the one-permutation-hashing signature
+    * exploded to one row per LSH band, shared by `dedup_minhash_lsh`
+    * and `dedup_incremental`. */
+  private def bandList(sets: DataFrame): DataFrame = {
     val e = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
       .select(col("doc_id"), md5(col("sh")).as("h"))
     val sigCols = (0 until NumHashes).map { i =>
@@ -182,7 +184,12 @@ object Dedup {
       md5(concat((b * BandSize until (b + 1) * BandSize).map(i => col(s"s$i")): _*)).as(s"band$b"))
     val banded = sig.select(col("doc_id") +: bandCols: _*)
     val stackArgs = (0 until NumBands).map(b => s"'$b', band$b").mkString(", ")
-    val bl = banded.selectExpr("doc_id", s"stack($NumBands, $stackArgs) as (band_idx, bh)")
+    banded.selectExpr("doc_id", s"stack($NumBands, $stackArgs) as (band_idx, bh)")
+  }
+
+  def minhashLsh: Q = (s, d) => {
+    val sets = shingleSets(s, d)
+    val bl = bandList(sets)
     val cand = bl.select(col("doc_id").as("da"), col("band_idx"), col("bh"))
       .join(bl.select(col("doc_id").as("db"), col("band_idx"), col("bh")),
         Seq("band_idx", "bh"))
@@ -230,6 +237,110 @@ object Dedup {
         WHERE floor((len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
                 (sa.n_sh + sb.n_sh - len(list_intersect(sa.shingles, sb.shingles)))) * 10000) / 10000.0 >= 0.4
         ORDER BY doc_a, doc_b"""
+  }
+
+  /** Hex first-chars of md5(text) that route a document into the
+    * incremental DELTA batch (~2/16 ≈ 12.5% of the corpus) — the same
+    * content-hash membership idiom the split family uses, so the
+    * batch is partitioning- and arrival-order-independent. */
+  val IncDeltaHex: Seq[String] = Seq("0", "1")
+
+  /** Incremental near-dedup — the ingestion-time shape of
+    * `dedup_minhash_lsh`: only the DELTA batch probes the banded LSH
+    * index; base×base pairs are never generated (that work belongs to
+    * the round that ingested the base). At 100 TB the base band list
+    * is a stored index and the probe cost is ∝ |delta|, not |corpus|.
+    * Each delta doc reports its verified duplicate count and best
+    * match (highest Jaccard, ties to the higher partner id — one
+    * lexicographic struct max). The oracle rebuilds the identical
+    * index + probe in SQL, so the hash match certifies the
+    * incremental semantics ≡ full recompute restricted to delta. */
+  def incremental: Q = (s, d) => {
+    val sets = shingleSets(s, d)
+    val side = Tables.documents(s, d).select(col("doc_id"),
+      substring(md5(col("text")), 1, 1).isin(IncDeltaHex: _*).as("is_delta"))
+    val bl = bandList(sets).join(side, Seq("doc_id"))
+    val probe = bl.filter(col("is_delta"))
+      .select(col("doc_id").as("da"), col("band_idx"), col("bh"))
+    val index = bl.select(col("doc_id").as("db"), col("band_idx"), col("bh"))
+    val cand = probe.join(index, Seq("band_idx", "bh"))
+      .filter(col("da") =!= col("db"))
+      .select("da", "db").distinct()
+    val verified = cand
+      .join(sets.select(col("doc_id").as("da"), col("shingles").as("sha"), col("n_sh").as("na")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("shingles").as("shb"), col("n_sh").as("nb")), "db")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        trunc4(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter"))))
+      .filter(col("jaccard") >= 0.4)
+    val agg = verified.groupBy(col("da"))
+      .agg(count(lit(1)).as("n_dups"),
+        max(struct(col("jaccard"), col("db"))).as("best"))
+    side.filter(col("is_delta"))
+      .join(sets.select(col("doc_id")), Seq("doc_id"))
+      .join(agg.withColumnRenamed("da", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("n_dups").isNull, lit("unique")).otherwise(lit("dup")).as("status"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("best.db"), lit(-1L)).as("best_partner"),
+        coalesce(col("best.jaccard"), lit(0.0)).as("best_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  val incrementalSql: String = {
+    val sigExprs = (0 until NumHashes)
+      .map { i =>
+        val slot = Integer.toHexString(i)
+        s"coalesce(min(CASE WHEN substr(h, 1, 1) = '$slot' THEN h END), 'e$slot') AS s$i"
+      }.mkString(", ")
+    val bandExprs = (0 until NumBands)
+      .map(b => s"md5(${(b * BandSize until (b + 1) * BandSize).map(i => s"s$i").mkString(" || ")}) AS band$b")
+      .mkString(", ")
+    val blSelects = (0 until NumBands)
+      .map(b => s"SELECT doc_id, '$b' AS band_idx, band$b AS bh FROM banded")
+      .mkString(" UNION ALL ")
+    val deltaIn = IncDeltaHex.map(h => s"'$h'").mkString(", ")
+    s"""WITH sets AS (
+          SELECT doc_id, shingles, len(shingles) AS n_sh FROM (
+            SELECT doc_id, $shinglesSqlExpr AS shingles FROM documents)
+          WHERE len(shingles) > 0),
+        side AS (SELECT doc_id, substr(md5(text), 1, 1) IN ($deltaIn) AS is_delta
+                 FROM documents),
+        e AS (SELECT doc_id, md5(unnest(shingles)) AS h FROM sets),
+        sig AS (SELECT doc_id, $sigExprs FROM e GROUP BY doc_id),
+        banded AS (SELECT doc_id, $bandExprs FROM sig),
+        bl AS ($blSelects),
+        bls AS (SELECT bl.doc_id, band_idx, bh, is_delta
+                FROM bl JOIN side USING (doc_id)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM bls a JOIN bls b ON a.band_idx = b.band_idx AND a.bh = b.bh
+            AND a.is_delta AND a.doc_id <> b.doc_id),
+        ver AS (
+          SELECT da, db,
+                 floor((len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+                   (sa.n_sh + sb.n_sh - len(list_intersect(sa.shingles, sb.shingles))))
+                   * 10000) / 10000.0 AS jaccard
+          FROM cand JOIN sets sa ON da = sa.doc_id JOIN sets sb ON db = sb.doc_id
+          WHERE floor((len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+                  (sa.n_sh + sb.n_sh - len(list_intersect(sa.shingles, sb.shingles))))
+                  * 10000) / 10000.0 >= 0.4),
+        agg AS (SELECT da, count(*) AS n_dups FROM ver GROUP BY da),
+        best AS (
+          SELECT da, db, jaccard,
+                 row_number() OVER (PARTITION BY da
+                                    ORDER BY jaccard DESC, db DESC) AS rn
+          FROM ver)
+        SELECT s.doc_id,
+               CASE WHEN a.n_dups IS NULL THEN 'unique' ELSE 'dup' END AS status,
+               CAST(COALESCE(a.n_dups, 0) AS BIGINT) AS n_dups,
+               CAST(COALESCE(b.db, -1) AS BIGINT) AS best_partner,
+               COALESCE(b.jaccard, 0.0) AS best_jaccard
+        FROM (SELECT side.doc_id FROM side JOIN sets USING (doc_id)
+              WHERE is_delta) s
+        LEFT JOIN agg a ON s.doc_id = a.da
+        LEFT JOIN best b ON s.doc_id = b.da AND b.rn = 1
+        ORDER BY s.doc_id"""
   }
 
   /** SimHash near-dup pairs: 60-bit signature from md5-prefix token
@@ -609,6 +720,7 @@ object Dedup {
     ("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     ("dedup_containment", containment, Some(containmentSql)),
     ("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
+    ("dedup_incremental", incremental, Some(incrementalSql)),
     ("dedup_simhash", simhash, Some(simhashSql)),
     ("dedup_embedding_cosine", embeddingCosine, Some(embeddingCosineSql)),
     ("dedup_keep_canonical", keepCanonical, Some(keepCanonicalSql)))

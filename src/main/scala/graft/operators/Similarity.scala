@@ -1129,7 +1129,43 @@ object Similarity {
         FROM ivf_assign g LEFT JOIN dup d USING (vec_id)
         ORDER BY g.vec_id"""
 
+  /** Recall@k evaluation of the LSH index against exact brute force —
+    * the measurement loop any ANN deployment runs before trusting an
+    * approximate index. Both arms are THIS engine's own entries
+    * (`ann_bruteforce_topk` as ground truth, `ann_lsh_topk` as the
+    * candidate), so the oracle composes their two already-verified SQL
+    * bodies and the hash match certifies the recall arithmetic, not
+    * just the arms. Counts are exact; recall is one floored division.
+    * At 100 TB the truth arm runs on a sampled query set (here: the
+    * fixed 8-query panel) — recall estimation never needs the full
+    * corpus as queries. */
+  def recallEval: Q = (s, d) => {
+    val truth = bruteForceTopK(s, d).select(col("query_id"), col("neighbor_id"))
+    val approx = lshTopK(s, d)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        floor(col("n_hit").cast("double") / col("n_truth").cast("double") * 1e4) / 1e4)
+      .orderBy(col("query_id"))
+  }
+
+  lazy val recallEvalSql: String =
+    s"""WITH truth AS (SELECT query_id, neighbor_id FROM ($bruteForceTopKSql)),
+        approx AS (SELECT query_id, neighbor_id FROM ($lshTopKSql))
+        SELECT t.query_id, count(*) AS n_truth,
+               CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_hit,
+               floor(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                       AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e4) / 1e4 AS recall
+        FROM truth t LEFT JOIN approx a
+          ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+        GROUP BY t.query_id ORDER BY t.query_id"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("ann_recall_eval", recallEval, Some(recallEvalSql)),
     ("dedup_semantic", semanticDedup, Some(semanticDedupSql)),
     ("ann_index_drift", indexDrift, Some(indexDriftSql)),
     ("ann_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),

@@ -504,7 +504,68 @@ object TextAnalysis {
         FROM scored QUALIFY rn <= $KeywordsPerDoc
         ORDER BY doc_id, rn"""
 
+  /** Number of equal-width doc-id slices the corpus is cut into for
+    * the vocabulary-growth curve. */
+  val VocabGrowthBuckets = 8
+
+  /** Heaps-law vocabulary growth — the tokenizer-sizing read: how many
+    * NEW bigram types each successive slice of the corpus contributes,
+    * against the bigram-occurrence mass of that slice. A type's slice
+    * is its FIRST occurrence (min bucket over the one bigram-count
+    * shuffle); cumulative sums run over the 8-row bucket spine. All
+    * masses exact BIGINTs — there is no floating point anywhere.
+    * At 100 TB: two aggregations over the exploded bigrams (one keyed
+    * by bucket, one by bigram), nothing corpus-sized is sorted or
+    * collected; the curve itself is 8 rows. */
+  def vocabGrowth: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val maxd = docs.agg(max(col("doc_id")).as("maxd"))
+    val bi = docs.select(col("doc_id"), expr(toksExpr).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .as("bigram"))
+      .crossJoin(broadcast(maxd))
+      .select(expr(s"(doc_id * $VocabGrowthBuckets) div (maxd + 1)").as("bucket"),
+        col("bigram"))
+    val occ = bi.groupBy(col("bucket")).agg(count(lit(1)).as("n_occ"))
+    val firsts = bi.groupBy(col("bigram")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    occ.join(firsts, Seq("bucket"), "left")
+      .select(col("bucket").cast("long").as("bucket"), col("n_occ"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_occ", sum(col("n_occ")).over(w))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .orderBy(col("bucket"))
+  }
+
+  val vocabGrowthSql: String =
+    s"""WITH maxd AS (SELECT max(doc_id) AS maxd FROM documents),
+        bi AS (
+          SELECT (doc_id * $VocabGrowthBuckets) // (maxd + 1) AS bucket,
+                 unnest(list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+          FROM (SELECT doc_id, $toksSqlExpr AS toks FROM documents) CROSS JOIN maxd
+          WHERE len(toks) >= 2),
+        occ AS (SELECT bucket, count(*) AS n_occ FROM bi GROUP BY bucket),
+        firsts AS (
+          SELECT bucket, count(*) AS new_types FROM (
+            SELECT bigram, min(bucket) AS bucket FROM bi GROUP BY bigram)
+          GROUP BY bucket)
+        SELECT CAST(o.bucket AS BIGINT) AS bucket, o.n_occ,
+               CAST(COALESCE(f.new_types, 0) AS BIGINT) AS new_types,
+               CAST(sum(o.n_occ) OVER (ORDER BY o.bucket
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_occ,
+               CAST(sum(COALESCE(f.new_types, 0)) OVER (ORDER BY o.bucket
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+        FROM occ o LEFT JOIN firsts f ON o.bucket = f.bucket
+        ORDER BY bucket"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("text_vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
     ("text_keywords", keywords, Some(keywordsSql)),
     ("text_zipf_profile", zipfProfile, Some(zipfProfileSql)),
     ("text_length_survival", lengthSurvival, Some(lengthSurvivalSql)),
