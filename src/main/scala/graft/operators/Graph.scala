@@ -321,7 +321,57 @@ object Graph {
         FROM e$KCoreRounds GROUP BY src ORDER BY page"""
   }
 
+  /** Degree assortativity (Newman 2002, Phys. Rev. Lett. 89.208701):
+    * Pearson correlation of endpoint degrees over the DIRECTED
+    * symmetric edge list. Because the list contains both directions,
+    * Σx = Σy and Σx² = Σy², so r reduces to
+    * (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) — no square roots, one IEEE
+    * division over exact integer moments (DECIMAL(38,0) here, HUGEINT
+    * in the oracle). Negative r = hubs link to leaves (typical for
+    * trade/bipartite graphs). At 100 TB: degree join is two
+    * co-partitioned equi-joins, the moments are one total aggregation
+    * — nothing iterative, nothing collected. */
+  def assortativity: Q = (sp, d) => {
+    val e = edges(sp, d)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .withColumnRenamed("src", "dnode")
+    val xy = e
+      .join(deg.select(col("dnode").as("src"), col("degree").as("x")), Seq("src"))
+      .join(deg.select(col("dnode").as("dst"), col("degree").as("y")), Seq("dst"))
+      .select(col("x").cast("decimal(38,0)").as("x"), col("y").cast("decimal(38,0)").as("y"))
+    xy.agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("m"), col("sx").cast("long").as("sum_deg"),
+        col("sxy").cast("long").as("sum_xy"), col("sxx").cast("long").as("sum_xx"),
+        (floor((col("m").cast("decimal(38,0)") * col("sxy") - col("sx") * col("sx")).cast("double")
+          / (col("m").cast("decimal(38,0)") * col("sxx") - col("sx") * col("sx")).cast("double")
+          * 1e4) / 1e4).as("assortativity"))
+  }
+
+  val assortativitySql: String =
+    """WITH pairs AS (
+         SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS sup
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       e AS (
+         SELECT c AS src, sup AS dst FROM pairs
+         UNION ALL
+         SELECT sup AS src, c AS dst FROM pairs),
+       deg AS (SELECT src AS dnode, count(*) AS degree FROM e GROUP BY src),
+       xy AS (
+         SELECT CAST(dx.degree AS HUGEINT) AS x, CAST(dy.degree AS HUGEINT) AS y
+         FROM e JOIN deg dx ON e.src = dx.dnode
+                JOIN deg dy ON e.dst = dy.dnode)
+       SELECT count(*) AS m,
+              CAST(sum(x) AS BIGINT) AS sum_deg,
+              CAST(sum(x * y) AS BIGINT) AS sum_xy,
+              CAST(sum(x * x) AS BIGINT) AS sum_xx,
+              floor(CAST(count(*) * sum(x * y) - sum(x) * sum(x) AS DOUBLE)
+                    / CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)
+                    * 1e4) / 1e4 AS assortativity
+       FROM xy"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("graph_assortativity", assortativity, Some(assortativitySql)),
     ("graph_kcore", kcore, Some(kcoreSql)),
     ("graph_triangle_count", triangleCount, Some(triangleCountSql)),
     ("graph_pagerank", pagerank, Some(pagerankSql)),

@@ -680,7 +680,60 @@ object Multimodal {
         ORDER BY b.bucket_id"""
   }
 
+  /** Width of one exposure bin over the 0–255 intensity range. */
+  val ExposureBinWidth = 16.0
+
+  /** Exposure histogram per modality — the visual-QA read a curation
+    * pipeline runs before training (all-dark / blown-out shards show
+    * up as mass at the histogram edges): every decoded frame's mean
+    * intensity binned into 16 exposure bands, counts + within-modality
+    * share. Runs on the SAME partition-batched decode as the other
+    * frame ops; the share window spans the ≤ 3×16-row histogram, never
+    * frames. Binning floors an already display-floored double —
+    * identical doubles, identical floor, engine-exact. */
+  def exposureHistogram: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val modal = Tables.documents(s, d).select(col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (conv(substring(md5(col("text")), 9, 4), 16, 10).cast("int") % 3) + 1)
+        .as("modality"))
+    val binned = decodeStub(s, d).toDF()
+      .join(modal, Seq("doc_id"))
+      .withColumn("bin", floor(col("mean_intensity") / ExposureBinWidth).cast("int"))
+      .groupBy(col("modality"), col("bin")).agg(count(lit(1)).as("n_frames"))
+    binned
+      .withColumn("modality_total",
+        sum(col("n_frames")).over(Window.partitionBy(col("modality"))))
+      .withColumn("share",
+        floor(col("n_frames").cast("double") / col("modality_total").cast("double")
+          * 1e4) / 1e4)
+      .select(col("modality"), col("bin"), col("n_frames"), col("modality_total"),
+        col("share"))
+      .orderBy(col("modality"), col("bin"))
+  }
+
+  lazy val exposureHistogramSql: String =
+    s"""WITH $framesCte,
+        modal AS (
+          SELECT doc_id,
+                 ['image','audio','video'][(('0x' || substr(md5(text), 9, 4))::INT % 3) + 1]
+                   AS modality
+          FROM documents),
+        binned AS (
+          SELECT modality, CAST(floor(mean_intensity / $ExposureBinWidth) AS INT) AS bin,
+                 count(*) AS n_frames
+          FROM frames JOIN modal USING (doc_id)
+          GROUP BY 1, 2)
+        SELECT modality, bin, n_frames,
+               CAST(sum(n_frames) OVER (PARTITION BY modality) AS BIGINT)
+                 AS modality_total,
+               floor(CAST(n_frames AS DOUBLE)
+                     / CAST(sum(n_frames) OVER (PARTITION BY modality) AS DOUBLE)
+                     * 1e4) / 1e4 AS share
+        FROM binned ORDER BY modality, bin"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("mm_exposure_histogram", exposureHistogram, Some(exposureHistogramSql)),
     ("mm_aspect_bucket", aspectBucket, Some(aspectBucketSql)),
     ("mm_audio_energy", audioEnergy, Some(audioEnergySql)),
     ("mm_audio_vad", audioVad, Some(audioVadSql)),

@@ -828,7 +828,64 @@ object TimeseriesExt {
         WHERE exemplar_rank <= $ExemplarK
         ORDER BY event_type, bucket_start, exemplar_rank"""
 
+  /** SLO objective in ppm of non-error events (75% — matched to the
+    * synthetic corpus's ~20% error rate so both sides of the breach
+    * line are exercised). */
+  val SloObjectivePpm = 750000L
+
+  /** SLO attainment calendar — the error-budget bookkeeping a
+    * collector's consumers run over its metrics (availability per day,
+    * month-to-date attainment, budget left against the objective).
+    * EVERY number is an exact integer: attainment is integer-division
+    * ppm (good·1e6 div total), cumulative masses are BIGINT sums over
+    * the ≤31-row day spine, budget left is a plain subtraction — there
+    * is no floating point in this operator at all. At 100 TB the daily
+    * rollup is one map-side-combinable aggregation; the cumulative
+    * window runs over the bounded day spine. */
+  def sloAttainment: Q = (s, d) => {
+    val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .groupBy(expr("cast(unix_timestamp(date_trunc('second', ts)) div 86400 as bigint)")
+        .as("day"))
+      .agg(count(lit(1)).as("total"),
+        count(when(col("event_type") === "error", 1)).as("errors"))
+      .withColumn("attainment_ppm",
+        expr("(total - errors) * 1000000 div total"))
+      .withColumn("cum_total", sum(col("total")).over(w))
+      .withColumn("cum_errors", sum(col("errors")).over(w))
+      .withColumn("cum_attainment_ppm",
+        expr("(cum_total - cum_errors) * 1000000 div cum_total"))
+      .withColumn("budget_left_ppm", col("cum_attainment_ppm") - lit(SloObjectivePpm))
+      .withColumn("breached", col("budget_left_ppm") < 0)
+      .select(col("day"), col("total"), col("errors"), col("attainment_ppm"),
+        col("cum_total"), col("cum_errors"), col("cum_attainment_ppm"),
+        col("budget_left_ppm"), col("breached"))
+      .orderBy(col("day"))
+  }
+
+  val sloAttainmentSql: String =
+    s"""WITH daily AS (
+         SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+                count(*) AS total,
+                count(*) FILTER (WHERE event_type = 'error') AS errors
+         FROM events GROUP BY 1),
+       c AS (
+         SELECT day, total, errors,
+                (total - errors) * 1000000 // total AS attainment_ppm,
+                CAST(sum(total) OVER win AS BIGINT) AS cum_total,
+                CAST(sum(errors) OVER win AS BIGINT) AS cum_errors
+         FROM daily
+         WINDOW win AS (ORDER BY day ROWS UNBOUNDED PRECEDING))
+       SELECT day, total, errors, attainment_ppm, cum_total, cum_errors,
+              (cum_total - cum_errors) * 1000000 // cum_total AS cum_attainment_ppm,
+              (cum_total - cum_errors) * 1000000 // cum_total - $SloObjectivePpm
+                AS budget_left_ppm,
+              (cum_total - cum_errors) * 1000000 // cum_total - $SloObjectivePpm < 0
+                AS breached
+       FROM c ORDER BY day"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("metrics_slo_attainment", sloAttainment, Some(sloAttainmentSql)),
     ("metrics_exemplars", exemplars, Some(exemplarsSql)),
     ("metrics_staleness", staleness, Some(stalenessSql)),
     ("metrics_apdex", apdex, Some(apdexSql)),

@@ -51,6 +51,67 @@ class Round8Spec extends SparkTestBase {
     inc.unpersist()
   }
 
+  test("graph_assortativity: one exact-moment row with a proper correlation") {
+    import spark.implicits._
+    val rows = run("graph_assortativity")
+      .select("m", "sum_deg", "sum_xy", "sum_xx", "assortativity")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.length == 1)
+    val (m, sx, sxy, sxx, r) = rows.head
+    assert(r >= -1.0 && r <= 1.0)
+    // Cauchy–Schwarz on the exact moments: |M·Sxy − Sx²| ≤ M·Sxx − Sx²
+    assert(math.abs(m.toDouble * sxy - sx.toDouble * sx) <=
+      m.toDouble * sxx - sx.toDouble * sx + 1e-6)
+    // the directed symmetric edge list has even cardinality
+    assert(m % 2 == 0 && m > 0)
+    // Σ_edges deg(src) == Σ_v deg(v)² — cross-check via the histogram entry
+    val fromHist = run("graph_degree_histogram")
+      .select((col("degree") * col("degree") * col("n_nodes")).as("c"))
+      .agg(sum("c")).head.getLong(0)
+    assert(sx == fromHist)
+  }
+
+  test("mm_exposure_histogram: bins partition decoded frames within each modality") {
+    import spark.implicits._
+    val rows = run("mm_exposure_histogram")
+      .select("modality", "bin", "n_frames", "modality_total", "share")
+      .as[(String, Int, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, b, n, t, sh) =>
+      assert(b >= 0 && b <= 15)
+      assert(n > 0 && n <= t)
+      assert(sh >= 0.0 && sh <= 1.0)
+    }
+    // per-modality counts really sum to the window total
+    rows.groupBy(_._1).foreach { case (m, rs) =>
+      assert(rs.map(_._3).sum == rs.head._4, s"modality $m total mismatch")
+    }
+    // all decoded frames are binned exactly once
+    val frames = graft.operators.Multimodal.decodeStub(spark, sf).count()
+    assert(rows.map(_._3).sum == frames)
+  }
+
+  test("metrics_slo_attainment: all-integer budget ledger is internally consistent") {
+    import spark.implicits._
+    val rows = run("metrics_slo_attainment")
+      .select("day", "total", "errors", "attainment_ppm", "cum_total", "cum_errors",
+        "cum_attainment_ppm", "budget_left_ppm", "breached")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    // cumulative columns are the running sums; ledger identities hold
+    var (ct, ce) = (0L, 0L)
+    rows.foreach { case (_, t, e, app, cumT, cumE, cApp, left, breached) =>
+      ct += t; ce += e
+      assert(cumT == ct && cumE == ce)
+      assert(app == (t - e) * 1000000L / t)
+      assert(cApp == (ct - ce) * 1000000L / ct)
+      assert(left == cApp - graft.operators.TimeseriesExt.SloObjectivePpm)
+      assert(breached == (left < 0))
+    }
+    val events = graft.sources.Tables.events(spark, sf).count()
+    assert(rows.last._5 == events)
+  }
+
   test("text_vocab_growth: buckets partition occurrences, growth curve is monotone") {
     import spark.implicits._
     val rows = run("text_vocab_growth")
