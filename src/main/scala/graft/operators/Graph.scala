@@ -332,15 +332,25 @@ object Graph {
     * co-partitioned equi-joins, the moments are one total aggregation
     * — nothing iterative, nothing collected. */
   def assortativity: Q = (sp, d) => {
-    val e = edges(sp, d)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
-      .withColumnRenamed("src", "dnode")
-    val xy = e
-      .join(deg.select(col("dnode").as("src"), col("degree").as("x")), Seq("src"))
-      .join(deg.select(col("dnode").as("dst"), col("degree").as("y")), Seq("dst"))
-      .select(col("x").cast("decimal(38,0)").as("x"), col("y").cast("decimal(38,0)").as("y"))
-    xy.agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
-        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    // The symmetric edge list never has to materialize: over the
+    // UNDIRECTED pair list, each directed-edge moment is an algebraic
+    // fold — M = 2·|pairs|, Σx = Σ(xc+xs), Σxy = 2·Σxc·xs,
+    // Σx² = Σ(xc²+xs²) — so the plan joins the pair list to the two
+    // per-side degree tables once each and aggregates once (vs 6
+    // rebuilds of the edge union for the naive formulation).
+    val pairs = Tables.lineitem(sp, d)
+      .join(Tables.orders(sp, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+      .distinct()
+    val degC = pairs.groupBy(col("c")).agg(count(lit(1)).as("xc"))
+    val degS = pairs.groupBy(col("sup")).agg(count(lit(1)).as("xs"))
+    pairs.join(degC, Seq("c")).join(degS, Seq("sup"))
+      .select(col("xc").cast("decimal(38,0)").as("xc"),
+        col("xs").cast("decimal(38,0)").as("xs"))
+      .agg((count(lit(1)) * 2).as("m"),
+        sum(col("xc") + col("xs")).as("sx"),
+        (sum(col("xc") * col("xs")) * 2).as("sxy"),
+        sum(col("xc") * col("xc") + col("xs") * col("xs")).as("sxx"))
       .select(col("m"), col("sx").cast("long").as("sum_deg"),
         col("sxy").cast("long").as("sum_xy"), col("sxx").cast("long").as("sum_xx"),
         (floor((col("m").cast("decimal(38,0)") * col("sxy") - col("sx") * col("sx")).cast("double")
@@ -350,25 +360,27 @@ object Graph {
 
   val assortativitySql: String =
     """WITH pairs AS (
-         SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS sup
+         SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       e AS (
-         SELECT c AS src, sup AS dst FROM pairs
-         UNION ALL
-         SELECT sup AS src, c AS dst FROM pairs),
-       deg AS (SELECT src AS dnode, count(*) AS degree FROM e GROUP BY src),
+       degc AS (SELECT c, count(*) AS xc FROM pairs GROUP BY c),
+       degs AS (SELECT sup, count(*) AS xs FROM pairs GROUP BY sup),
        xy AS (
-         SELECT CAST(dx.degree AS HUGEINT) AS x, CAST(dy.degree AS HUGEINT) AS y
-         FROM e JOIN deg dx ON e.src = dx.dnode
-                JOIN deg dy ON e.dst = dy.dnode)
-       SELECT count(*) AS m,
-              CAST(sum(x) AS BIGINT) AS sum_deg,
-              CAST(sum(x * y) AS BIGINT) AS sum_xy,
-              CAST(sum(x * x) AS BIGINT) AS sum_xx,
-              floor(CAST(count(*) * sum(x * y) - sum(x) * sum(x) AS DOUBLE)
-                    / CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)
+         SELECT CAST(xc AS HUGEINT) AS xc, CAST(xs AS HUGEINT) AS xs
+         FROM pairs JOIN degc USING (c) JOIN degs USING (sup)),
+       mom AS (
+         SELECT count(*) * 2 AS m,
+                sum(xc + xs) AS sx,
+                sum(xc * xs) * 2 AS sxy,
+                sum(xc * xc + xs * xs) AS sxx
+         FROM xy)
+       SELECT m,
+              CAST(sx AS BIGINT) AS sum_deg,
+              CAST(sxy AS BIGINT) AS sum_xy,
+              CAST(sxx AS BIGINT) AS sum_xx,
+              floor(CAST(m * sxy - sx * sx AS DOUBLE)
+                    / CAST(m * sxx - sx * sx AS DOUBLE)
                     * 1e4) / 1e4 AS assortativity
-       FROM xy"""
+       FROM mom"""
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("graph_assortativity", assortativity, Some(assortativitySql)),

@@ -529,8 +529,12 @@ object TextAnalysis {
       .crossJoin(broadcast(maxd))
       .select(expr(s"(doc_id * $VocabGrowthBuckets) div (maxd + 1)").as("bucket"),
         col("bigram"))
-    val occ = bi.groupBy(col("bucket")).agg(count(lit(1)).as("n_occ"))
-    val firsts = bi.groupBy(col("bigram")).agg(min(col("bucket")).as("bucket"))
+    // one (bigram, bucket) pre-aggregation feeds BOTH reads: the two
+    // downstream groupBys consume the identical exchange (Spark's
+    // ReuseExchange), so the corpus is tokenized and exploded ONCE
+    val bb = bi.groupBy(col("bigram"), col("bucket")).agg(count(lit(1)).as("n"))
+    val occ = bb.groupBy(col("bucket")).agg(sum(col("n")).as("n_occ"))
+    val firsts = bb.groupBy(col("bigram")).agg(min(col("bucket")).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
     val w = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -133,5 +133,9 @@ class Round8Spec extends SparkTestBase {
         "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
         .as("b")).distinct().count()
     assert(rows.last._5 == distinctBigrams)
+    // the (bigram, bucket) pre-aggregation is shared: at execution the
+    // second consumer reuses the exchange instead of re-exploding
+    assert(executedPlan("text_vocab_growth").contains("ReusedExchange"),
+      "occ/firsts must consume one shared exchange")
   }
 }
