@@ -162,7 +162,8 @@ class PlanSweepSpec extends SparkTestBase {
     "sink_bucketed_join", "sink_bucketed_multi", "sink_partitioned_scan",
     "sink_compaction_scan", "sink_csv_roundtrip", "sink_json_roundtrip",
     "sink_zorder_scan", "sink_bucket_lookup", "sink_partition_overwrite", "source_schema_evolution", "sink_merge_on_read", "idx_secondary_lookup", "graph_pagerank", "graph_kcore", "ann_ivf_pq_topk", "sketch_set_ops",
-    "ann_index_drift") // trains two codebooks at construction
+    "ann_index_drift", // trains two codebooks at construction
+    "dedup_semantic")  // trains the shared IVF quantizer at construction
 
   private val bnljAllowed = Set(
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_range_search", // query != candidate non-equi pairing
@@ -186,7 +187,10 @@ class PlanSweepSpec extends SparkTestBase {
     // 9-row aspect-ladder + single-row total broadcasts
     "stream_state_metrics", "mm_aspect_bucket", "cohort_rfm_migration",
     "split_leakage_audit", // inherits dedup_minhash_lsh's allowed shape
-    "q11_important_stock") // Q11 HAVING: single-row nation-total broadcast
+    "q11_important_stock", // Q11 HAVING: single-row nation-total broadcast
+    "ann_recall_eval", // composes the two allowed ANN arms (truth + LSH)
+    // round-8 single-row broadcasts: decile bounds / bigram totals / max doc id
+    "q_decile_lift", "text_ngram_coverage", "text_vocab_growth")
 
   test("no entry plans a CartesianProduct; BNLJ only where intended") {
     val failures = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).flatMap { name =>

@@ -138,4 +138,15 @@ class Round8Spec extends SparkTestBase {
     assert(executedPlan("text_vocab_growth").contains("ReusedExchange"),
       "occ/firsts must consume one shared exchange")
   }
+
+  test("dedup_semantic: cell pair join is a hash/merge equi-join, never a product") {
+    // the entry is skipped by PlanSweepSpec (quantizer training runs
+    // jobs at construction), so its scale contract is pinned here: the
+    // only nested-loop shape allowed is the K-row centroid broadcast;
+    // the within-cell pair generation must ride the cell equi-join
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"cell pair join must be an equi-join:\n${p.take(1500)}")
+  }
 }
