@@ -356,7 +356,71 @@ object Cohort {
                        (a, b) -> a * b) * 1e6) / 1e6 AS survival
         FROM curve ORDER BY t_days"""
 
+  /** Weekly growth accounting (the "new / retained / resurrected /
+    * churned" ledger): each active (user, week) is classified by the
+    * gap to that user's PREVIOUS active week — no gap = new, gap 1 =
+    * retained, gap > 1 = resurrected — and churn at week w is the
+    * balancing term actives(w−1) − retained(w), taken on the bounded
+    * week spine. Per-user lag windows partition on user (parallel);
+    * the only unpartitioned window runs over |weeks| rows. All
+    * integer counts — no float surface. */
+  def lifecycle: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val uw = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("cast(unix_timestamp(date_trunc('second', ts)) div 86400 as bigint) div 7")
+          .as("week"))
+      .distinct()
+    val lagw = Window.partitionBy(col("user_id")).orderBy(col("week"))
+    val states = uw.withColumn("prev", lag(col("week"), 1).over(lagw))
+      .select(col("week"),
+        when(col("prev").isNull, "new")
+          .when(col("week") - col("prev") === 1, "retained")
+          .otherwise("resurrected").as("state"))
+    val weekly = states.groupBy(col("week"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("state") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("state") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("state") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+    weekly
+      .withColumn("prev_active",
+        lag(col("n_active"), 1).over(Window.orderBy(col("week"))))
+      .withColumn("n_churned",
+        when(col("prev_active").isNull, 0L)
+          .otherwise(col("prev_active") - col("n_retained")))
+      .select(col("week"), col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_churned"))
+      .orderBy(col("week"))
+  }
+
+  val lifecycleSql: String =
+    """WITH uw AS (
+         SELECT DISTINCT user_id,
+                (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400) // 7 AS week
+         FROM events),
+       st AS (
+         SELECT week,
+                CASE WHEN lag(week) OVER (PARTITION BY user_id ORDER BY week) IS NULL
+                       THEN 'new'
+                     WHEN week - lag(week) OVER (PARTITION BY user_id ORDER BY week) = 1
+                       THEN 'retained'
+                     ELSE 'resurrected' END AS state
+         FROM uw),
+       weekly AS (
+         SELECT week, count(*) AS n_active,
+                CAST(sum(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+                CAST(sum(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_retained,
+                CAST(sum(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_resurrected
+         FROM st GROUP BY 1)
+       SELECT week, n_active, n_new, n_retained, n_resurrected,
+              CASE WHEN lag(n_active) OVER (ORDER BY week) IS NULL THEN 0
+                   ELSE lag(n_active) OVER (ORDER BY week) - n_retained END AS n_churned
+       FROM weekly ORDER BY week"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("cohort_lifecycle", lifecycle, Some(lifecycleSql)),
     ("cohort_survival_km", survivalKm, Some(survivalKmSql)),
     ("q_abtest", abTest, Some(abTestSql)),
     ("q_streaks", userStreaks, Some(userStreaksSql)),

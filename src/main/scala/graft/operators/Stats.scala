@@ -237,9 +237,220 @@ object Stats {
                 AS price_effect
        FROM g ORDER BY o_orderpriority"""
 
+  private val orderDayCol =
+    expr("cast(unix_timestamp(date_trunc('second', o_orderdate)) div 86400 as bigint)")
+  private val orderDaySql =
+    "CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) // 86400"
+
+  /** Two-sample Kolmogorov–Smirnov statistic comparing the 1995 vs
+    * 1996 order-price distributions. Exact, and without a global
+    * sort: prices collapse to their cent value (the value domain is
+    * bounded by the price grid, not the corpus), cumulative counts
+    * are a DISTRIBUTED prefix sum — a per-$10k-bucket window (the
+    * bucket key is a fixed arithmetic grid, so the layout is
+    * deterministic; ≤ ~60 buckets at any scale) plus a broadcast of
+    * per-bucket offsets — and D's numerator max|cumA·nB − cumB·nA|
+    * stays in exact integers until one final division. */
+  def ksTest: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(year(col("o_orderdate")).as("yr"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .filter(col("yr").isin(1995, 1996))
+    val byVal = o.groupBy(col("cents"))
+      .agg(sum(when(col("yr") === 1995, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("yr") === 1996, 1L).otherwise(0L)).as("cb"))
+      .withColumn("bucket", expr("cents div 1000000"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byVal
+      .withColumn("pa", sum(col("ca")).over(w))
+      .withColumn("pb", sum(col("cb")).over(w))
+    val off = byVal.groupBy(col("bucket"))
+      .agg(sum(col("ca")).as("ba"), sum(col("cb")).as("bb"))
+      .select(col("bucket"),
+        coalesce(sum(col("ba")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("oa"),
+        coalesce(sum(col("bb")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("ob"))
+    val totals = o.agg(
+      sum(when(col("yr") === 1995, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("yr") === 1996, 1L).otherwise(0L)).as("n_b"))
+    cum.join(broadcast(off), Seq("bucket"))
+      .crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"),
+        abs((col("pa") + col("oa")).cast("decimal(38,0)") * col("n_b")
+          - (col("pb") + col("ob")).cast("decimal(38,0)") * col("n_a")).as("dnum"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("dnum")).as("dmax"))
+      .select(col("n_a"), col("n_b"),
+        (floor(col("dmax").cast("double")
+          / (col("n_a").cast("decimal(38,0)") * col("n_b")).cast("double") * 1e4) / 1e4)
+          .as("d_stat"),
+        (floor(col("dmax").cast("double")
+            / (col("n_a").cast("decimal(38,0)") * col("n_b")).cast("double")
+          * sqrt(col("n_a").cast("double") * col("n_b").cast("double")
+            / (col("n_a") + col("n_b")).cast("double")) * 1e4) / 1e4).as("ks_scaled"))
+  }
+
+  val ksTestSql: String =
+    """WITH o AS (
+         SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+                CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+         FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) IN (1995, 1996)),
+       v AS (
+         SELECT cents,
+                CAST(sum(CASE WHEN yr = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                CAST(sum(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         FROM o GROUP BY 1),
+       c AS (
+         SELECT sum(ca) OVER (ORDER BY cents
+                              ROWS UNBOUNDED PRECEDING) AS cuma,
+                sum(cb) OVER (ORDER BY cents
+                              ROWS UNBOUNDED PRECEDING) AS cumb
+         FROM v),
+       t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                    CAST(sum(cb) AS BIGINT) AS n_b FROM v),
+       m AS (
+         SELECT max(abs(CAST(cuma AS HUGEINT) * n_b
+                        - CAST(cumb AS HUGEINT) * n_a)) AS dmax
+         FROM c, t)
+       SELECT n_a, n_b,
+              floor(CAST(dmax AS DOUBLE)
+                    / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE) * 1e4) / 1e4 AS d_stat,
+              floor(CAST(dmax AS DOUBLE)
+                      / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE)
+                    * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                           / CAST(n_a + n_b AS DOUBLE)) * 1e4) / 1e4 AS ks_scaled
+       FROM m, t"""
+
+  /** Per-nation OLS of daily order revenue on the day index: slope,
+    * intercept and R² from the five classical sums, every one an
+    * exact integer (days × cents in DECIMAL(38,0) / HUGEINT), so
+    * each emitted real is a fixed IEEE sequence over exact inputs.
+    * One join + two aggregations; nothing sorts the corpus. */
+  def regressionTrend: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .select(col("o_custkey"), orderDayCol.as("x"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("x"))
+      .agg(sum(col("cents")).as("y"))
+    val g = daily.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+      .filter(col("n") >= 2)
+      .withColumn("dxy", col("n").cast("decimal(38,0)") * col("sxy")
+        - col("sx").cast("decimal(38,0)") * col("sy"))
+      .withColumn("dxx", col("n").cast("decimal(38,0)") * col("sxx")
+        - col("sx").cast("decimal(38,0)") * col("sx"))
+      .withColumn("dyy", col("n").cast("decimal(38,0)") * col("syy")
+        - col("sy").cast("decimal(38,0)") * col("sy"))
+      .withColumn("slope_raw", col("dxy").cast("double") / col("dxx").cast("double"))
+    g.select(col("n_name"), col("n").as("n_days"),
+      (floor(col("slope_raw") * 1e4) / 1e4).as("slope"),
+      (floor((col("sy").cast("double") - col("slope_raw") * col("sx").cast("double"))
+        / col("n").cast("double") * 1e4) / 1e4).as("intercept"),
+      (floor((col("dxy").cast("double") / col("dxx").cast("double"))
+        * (col("dxy").cast("double") / col("dyy").cast("double")) * 1e4) / 1e4).as("r2"),
+      when(col("dxy") > 0, lit("up")).when(col("dxy") < 0, lit("down"))
+        .otherwise(lit("flat")).as("trend"))
+      .orderBy(col("n_name"))
+  }
+
+  val regressionTrendSql: String =
+    s"""WITH daily AS (
+          SELECT n_name, $orderDaySql AS x,
+                 CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey
+                      JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2),
+        g AS (
+          SELECT n_name, count(*) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(y AS HUGEINT) * y) AS syy
+          FROM daily GROUP BY 1 HAVING count(*) >= 2),
+        dd AS (
+          SELECT n_name, n, sx, sy,
+                 CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS dxy,
+                 CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dxx,
+                 CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS dyy
+          FROM g)
+        SELECT n_name, n AS n_days,
+               floor(CAST(dxy AS DOUBLE) / CAST(dxx AS DOUBLE) * 1e4) / 1e4 AS slope,
+               floor((CAST(sy AS DOUBLE)
+                      - CAST(dxy AS DOUBLE) / CAST(dxx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE) * 1e4) / 1e4 AS intercept,
+               floor((CAST(dxy AS DOUBLE) / CAST(dxx AS DOUBLE))
+                     * (CAST(dxy AS DOUBLE) / CAST(dyy AS DOUBLE)) * 1e4) / 1e4 AS r2,
+               CASE WHEN dxy > 0 THEN 'up' WHEN dxy < 0 THEN 'down'
+                    ELSE 'flat' END AS trend
+        FROM dd ORDER BY n_name"""
+
+  /** Pointwise mutual information between event type and day-of-week
+    * — the dependence ledger behind "is traffic mix day-shaped".
+    * dow is day mod 7 (Thursday = 0), pure integer arithmetic so both
+    * engines agree without calendar functions. Margins ride windows
+    * over the |types|×7 CELL table (bounded), never the corpus; each
+    * pmi is one ln of an exact integer ratio (the established libm
+    * parity surface), and the additive MI contribution is emitted
+    * per cell rather than summed, keeping every real one IEEE
+    * sequence. */
+  def mutualInfo: Q = (s, d) => {
+    val cells = Tables.events(s, d)
+      .groupBy(col("event_type"), (dayCol % 7).as("dow"))
+      .agg(count(lit(1)).as("n_ij"))
+    val wi = Window.partitionBy(col("event_type"))
+    val wj = Window.partitionBy(col("dow"))
+    val wall = Window.partitionBy()
+    cells
+      .withColumn("n_i", sum(col("n_ij")).over(wi))
+      .withColumn("n_j", sum(col("n_ij")).over(wj))
+      .withColumn("n_total", sum(col("n_ij")).over(wall))
+      .withColumn("pmi",
+        floor(log((col("n_ij").cast("decimal(38,0)") * col("n_total")).cast("double")
+          / (col("n_i").cast("decimal(38,0)") * col("n_j")).cast("double")) * 1e6) / 1e6)
+      .withColumn("mi_part",
+        floor(col("n_ij").cast("double") / col("n_total").cast("double")
+          * log((col("n_ij").cast("decimal(38,0)") * col("n_total")).cast("double")
+            / (col("n_i").cast("decimal(38,0)") * col("n_j")).cast("double")) * 1e6) / 1e6)
+      .select(col("event_type"), col("dow"), col("n_ij"), col("n_i"), col("n_j"),
+        col("n_total"), col("pmi"), col("mi_part"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  val mutualInfoSql: String =
+    s"""WITH cells AS (
+          SELECT event_type, ($daySql) % 7 AS dow, count(*) AS n_ij
+          FROM events GROUP BY 1, 2),
+        m AS (
+          SELECT event_type, dow, n_ij,
+                 CAST(sum(n_ij) OVER (PARTITION BY event_type) AS BIGINT) AS n_i,
+                 CAST(sum(n_ij) OVER (PARTITION BY dow) AS BIGINT) AS n_j,
+                 CAST(sum(n_ij) OVER () AS BIGINT) AS n_total
+          FROM cells)
+        SELECT event_type, dow, n_ij, n_i, n_j, n_total,
+               floor(ln(CAST(CAST(n_ij AS HUGEINT) * n_total AS DOUBLE)
+                        / CAST(CAST(n_i AS HUGEINT) * n_j AS DOUBLE)) * 1e6) / 1e6 AS pmi,
+               floor(CAST(n_ij AS DOUBLE) / CAST(n_total AS DOUBLE)
+                     * ln(CAST(CAST(n_ij AS HUGEINT) * n_total AS DOUBLE)
+                          / CAST(CAST(n_i AS HUGEINT) * n_j AS DOUBLE)) * 1e6) / 1e6 AS mi_part
+        FROM m ORDER BY event_type, dow"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_gini_revenue", giniRevenue, Some(giniRevenueSql)),
     ("q_mann_kendall", mannKendall, Some(mannKendallSql)),
     ("q_runs_test", runsTest, Some(runsTestSql)),
-    ("q_waterfall_bridge", waterfallBridge, Some(waterfallBridgeSql)))
+    ("q_waterfall_bridge", waterfallBridge, Some(waterfallBridgeSql)),
+    ("q_ks_test", ksTest, Some(ksTestSql)),
+    ("q_regression_trend", regressionTrend, Some(regressionTrendSql)),
+    ("q_mutual_info", mutualInfo, Some(mutualInfoSql)))
 }

@@ -189,8 +189,9 @@ class PlanSweepSpec extends SparkTestBase {
     "split_leakage_audit", // inherits dedup_minhash_lsh's allowed shape
     "q11_important_stock", // Q11 HAVING: single-row nation-total broadcast
     "ann_recall_eval", // composes the two allowed ANN arms (truth + LSH)
-    // round-8 single-row broadcasts: decile bounds / bigram totals / max doc id
-    "q_decile_lift", "text_ngram_coverage", "text_vocab_growth")
+    // round-8 single-row broadcasts: decile bounds / bigram totals /
+    // max doc id / KS arm totals
+    "q_decile_lift", "text_ngram_coverage", "text_vocab_growth", "q_ks_test")
 
   test("no entry plans a CartesianProduct; BNLJ only where intended") {
     val failures = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).flatMap { name =>

@@ -78,8 +78,102 @@ class StatsSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("ks test: matches a single-node reference computation exactly") {
+    import spark.implicits._
+    val (na, nb, d, scaled) = Stats.ksTest(spark, sf)
+      .as[(Long, Long, Double, Double)].collect().head
+    // single-node reference: sort the two arms, walk the merged CDF
+    val o = graft.sources.Tables.orders(spark, sf)
+      .select(year(col("o_orderdate")).as("yr"),
+        floor(col("o_totalprice") * 100).cast("long").as("c"))
+      .filter(col("yr").isin(1995, 1996))
+      .as[(Int, Long)].collect()
+    val a = o.filter(_._1 == 1995).map(_._2).sorted
+    val b = o.filter(_._1 == 1996).map(_._2).sorted
+    assert(na == a.length && nb == b.length)
+    val values = (a ++ b).distinct.sorted
+    val dRef = values.map { v =>
+      val ca = a.count(_ <= v).toLong
+      val cb = b.count(_ <= v).toLong
+      math.abs(ca * nb - cb * na)
+    }.max
+    assert(d == math.floor(dRef.toDouble / (na.toDouble * nb) * 1e4) / 1e4)
+    assert(scaled >= d && scaled < d * math.sqrt(math.min(na, nb).toDouble) + 1)
+  }
+
+  test("regression trend: slope/r2 agree with a per-nation single-node OLS") {
+    import spark.implicits._
+    val rows = Stats.regressionTrend(spark, sf)
+      .select("n_name", "n_days", "slope", "intercept", "r2", "trend")
+      .as[(String, Long, Double, Double, Double, String)].collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    rows.foreach { case (n, nd, _, _, r2, tr) =>
+      assert(nd >= 2, s"$n needs >=2 days")
+      assert(r2 >= -1e-4 && r2 <= 1.0, s"$n r2=$r2")
+      assert(Set("up", "down", "flat")(tr))
+    }
+    // reference OLS for one nation
+    val daily = graft.sources.Tables.orders(spark, sf)
+      .join(graft.sources.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.sources.Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === rows.head._1)
+      .select(expr("cast(unix_timestamp(date_trunc('second', o_orderdate)) div 86400 as bigint)").as("x"),
+        floor(col("o_totalprice") * 100).cast("long").as("c"))
+      .groupBy("x").agg(sum("c").as("y"))
+      .as[(Long, Long)].collect()
+    val n = daily.length.toDouble
+    val sx = daily.map(_._1).sum.toDouble; val sy = daily.map(_._2).sum.toDouble
+    val sxy = daily.map(p => BigInt(p._1) * BigInt(p._2)).sum
+    val sxx = daily.map(p => BigInt(p._1) * BigInt(p._1)).sum
+    val slopeRef = (n * sxy.toDouble - sx * sy) / (n * sxx.toDouble - sx * sx)
+    assert(math.abs(rows.head._3 - slopeRef) < 1e-2,
+      s"slope ${rows.head._3} vs ref $slopeRef")
+  }
+
+  test("mutual info: margins and cells are consistent, pmi signs make sense") {
+    import spark.implicits._
+    val rows = Stats.mutualInfo(spark, sf)
+      .select("event_type", "dow", "n_ij", "n_i", "n_j", "n_total", "pmi", "mi_part")
+      .as[(String, Long, Long, Long, Long, Long, Double, Double)].collect()
+    assert(rows.length <= 5 * 7)
+    val total = rows.head._6
+    assert(rows.map(_._3).sum == total, "cells partition the corpus")
+    // per-type margin consistency
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._3).sum == g.head._4)
+    }
+    rows.foreach { case (_, _, nij, ni, nj, nt, pmi, _) =>
+      val ref = math.log(nij.toDouble * nt / (ni.toDouble * nj))
+      assert(math.abs(pmi - ref) < 2e-6, s"pmi $pmi vs $ref")
+    }
+  }
+
+  test("cohort_lifecycle: states partition actives, ledger balances week over week") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("cohort_lifecycle")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, act, nw, ret, res, _) =>
+      assert(act == nw + ret + res, "states must partition actives")
+    }
+    rows.sliding(2).foreach {
+      case Array(p, c) =>
+        // churned(w) = active(w-1) - retained(w) only when weeks are adjacent
+        if (c._1 == p._1 + 1) assert(c._6 == p._2 - c._4)
+        assert(c._6 >= 0, "churn cannot be negative")
+      case _ => ()
+    }
+    // every user is new exactly once
+    val users = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == users)
+  }
+
   test("stats entries are deterministic under repartitioning") {
-    for (name <- Seq("q_gini_revenue", "q_mann_kendall", "q_runs_test", "q_waterfall_bridge")) {
+    for (name <- Seq("q_gini_revenue", "q_mann_kendall", "q_runs_test", "q_waterfall_bridge",
+        "q_ks_test", "q_regression_trend", "q_mutual_info", "cohort_lifecycle")) {
       val a = SparkEntry.queries(name)(spark, sf).collect().toSeq
       val b = SparkEntry.queries(name)(spark, sf).collect().toSeq
       assert(a == b, s"$name unstable across runs")
