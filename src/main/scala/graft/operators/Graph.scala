@@ -170,8 +170,9 @@ object Graph {
     * the node key, `Checkpoints.cut` cuts lineage every second round;
     * all integers. The oracle unrolls the same 5 rounds as plain
     * CTEs. */
-  def communitiesLpa: Q = (sp, d) => {
-    val e = cut(pageEdges(sp, d))
+  /** The LPA label fold, shared by `graph_communities_lpa` (which
+    * emits the labels) and `graph_modularity` (which scores them). */
+  private def lpaLabels(e: DataFrame): DataFrame = {
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node"))
     for (i <- 1 to LpaRounds) {
@@ -182,13 +183,21 @@ object Graph {
         .select(col("dst").as("node"), (-col("m.nl")).as("lab"))
       if (i % 2 == 0 || i == LpaRounds) labels = cut(labels)
     }
+    labels
+  }
+
+  def communitiesLpa: Q = (sp, d) => {
+    val e = cut(pageEdges(sp, d))
+    val labels = lpaLabels(e)
     val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("community_size"))
     labels.join(broadcast(sizes), Seq("lab"))
       .select(col("node").as("page"), col("lab").as("community"), col("community_size"))
       .orderBy(col("page"))
   }
 
-  val communitiesLpaSql: String = {
+  /** The unrolled LPA rounds as CTEs (l0..l5), shared by the two
+    * oracles that need the converged labels. */
+  private val lpaCteChain: String = {
     val clean = (1 to LpaRounds).map { i =>
       s"""l$i AS (
             SELECT dst AS node, -(max({'c': cnt, 'nl': -lab})).nl AS lab
@@ -197,14 +206,76 @@ object Graph {
                   GROUP BY e.dst, l.lab)
             GROUP BY dst)"""
     }.mkString(",\n")
+    s"""l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+        $clean"""
+  }
+
+  val communitiesLpaSql: String =
     s"""WITH $pageEdgesCte,
-        l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
-        $clean,
+        $lpaCteChain,
         sizes AS (SELECT lab, count(*) AS community_size FROM l$LpaRounds GROUP BY lab)
         SELECT l.node AS page, l.lab AS community, s.community_size
         FROM l$LpaRounds l JOIN sizes s USING (lab)
         ORDER BY page"""
+
+  /** Newman modularity of the LPA partition, decomposed per
+    * community: with E2 the directed-double edge list (|E2| = 2m),
+    * each community contributes intra_c/|E2| − (deg_c/|E2|)². Every
+    * count is exact (the only floats are two divisions and one
+    * product per community row, display-floored at 1e6), and the
+    * total is left to the reader rather than emitted as an
+    * order-dependent float sum. Costs one degree aggregation + two
+    * label joins over the edge list — no new shuffle shape beyond
+    * what LPA itself runs. */
+  def modularity: Q = (sp, d) => {
+    val e = cut(pageEdges(sp, d))
+    val labels = lpaLabels(e)
+    val deg = e.groupBy(col("src").as("dnode")).agg(count(lit(1)).as("deg"))
+    val nd = labels.join(deg, col("node") === col("dnode"))
+      .groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("degree_sum"))
+    val ls = labels.select(col("node").as("sn"), col("lab").as("sl"))
+    val ld = labels.select(col("node").as("dn"), col("lab").as("dl"))
+    val intra = e.join(ls, col("src") === col("sn"))
+      .join(ld, col("dst") === col("dn"))
+      .filter(col("sl") === col("dl"))
+      .groupBy(col("sl").as("community")).agg(count(lit(1)).as("intra_edges"))
+    val tot = e.agg(count(lit(1)).as("e2"))
+    nd.join(intra, Seq("community"), "left")
+      .na.fill(0L, Seq("intra_edges"))
+      .crossJoin(broadcast(tot))
+      .select(col("community"), col("n_nodes"), col("degree_sum"), col("intra_edges"),
+        (floor((col("intra_edges").cast("double") / col("e2").cast("double")
+          - (col("degree_sum").cast("double") / col("e2").cast("double"))
+            * (col("degree_sum").cast("double") / col("e2").cast("double"))) * 1e6) / 1e6)
+          .as("q_contrib"))
+      .orderBy(col("community"))
   }
+
+  val modularitySql: String =
+    s"""WITH $pageEdgesCte,
+        $lpaCteChain,
+        deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+        nd AS (
+          SELECT l.lab AS community, count(*) AS n_nodes,
+                 CAST(sum(deg) AS BIGINT) AS degree_sum
+          FROM l$LpaRounds l JOIN deg d ON l.node = d.node GROUP BY 1),
+        intra AS (
+          SELECT ls.lab AS community, count(*) AS intra_edges
+          FROM e JOIN l$LpaRounds ls ON e.src = ls.node
+                 JOIN l$LpaRounds ld ON e.dst = ld.node
+          WHERE ls.lab = ld.lab GROUP BY 1),
+        tot AS (SELECT count(*) AS e2 FROM e),
+        j AS (
+          SELECT community, n_nodes, degree_sum,
+                 COALESCE(intra_edges, 0) AS intra_edges, e2
+          FROM nd LEFT JOIN intra USING (community), tot)
+        SELECT community, n_nodes, degree_sum, intra_edges,
+               floor((CAST(intra_edges AS DOUBLE) / CAST(e2 AS DOUBLE)
+                      - (CAST(degree_sum AS DOUBLE) / CAST(e2 AS DOUBLE))
+                        * (CAST(degree_sum AS DOUBLE) / CAST(e2 AS DOUBLE))) * 1e6) / 1e6
+                 AS q_contrib
+        FROM j ORDER BY community"""
 
   val BfsMaxHops = 6
 
@@ -388,6 +459,7 @@ object Graph {
     ("graph_triangle_count", triangleCount, Some(triangleCountSql)),
     ("graph_pagerank", pagerank, Some(pagerankSql)),
     ("graph_communities_lpa", communitiesLpa, Some(communitiesLpaSql)),
+    ("graph_modularity", modularity, Some(modularitySql)),
     ("graph_bfs_distance", bfsDistance, Some(bfsDistanceSql)),
     ("graph_degree_histogram", degreeHistogram, Some(degreeHistogramSql)))
 }

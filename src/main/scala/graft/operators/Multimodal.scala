@@ -732,7 +732,79 @@ object Multimodal {
                      * 1e4) / 1e4 AS share
         FROM binned ORDER BY modality, bin"""
 
+  /** Sharpness threshold: mean per-pixel Laplacian energy below this
+    * flags the frame as blurry (variance-of-Laplacian blur detection,
+    * 1-D here because the stub payload is a byte stream). */
+  val BlurTau = 30.0
+
+  case class BlurFrame(doc_id: Long, frame_idx: Int, flen: Int, lap_energy: Long)
+
+  /** Blur detection over decoded frames: per 256-byte frame, the
+    * integer 1-D Laplacian energy Σ|2b[i]−b[i−1]−b[i+1]| (a real
+    * implementation applies the 2-D kernel to decoded pixels — the
+    * partition-batched decode shape is identical), then sharpness =
+    * energy/(interior points), one IEEE division display-floored.
+    * All counts exact; the DuckDB oracle replays the byte math from
+    * `hex(encode(text))` windows. Ceil framing (no synthetic pad
+    * frame) so both engines enumerate identical windows. */
+  def blurDetect: Q = (s, d) => {
+    import s.implicits._
+    val payloads = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    val frames = payloads.mapPartitions { it =>
+      // a real implementation would initialize the decoder ONCE here
+      it.flatMap { case (docId, bytes) =>
+        val n = (bytes.length + 255) / 256
+        (0 until n).iterator.map { f =>
+          val from = f * 256
+          val until = math.min(from + 256, bytes.length)
+          val w = bytes.slice(from, until)
+          var e = 0L
+          var i = 1
+          while (i < w.length - 1) {
+            e += math.abs(2 * (w(i) & 0xff) - (w(i - 1) & 0xff) - (w(i + 1) & 0xff)).toLong
+            i += 1
+          }
+          BlurFrame(docId, f, w.length, e)
+        }
+      }
+    }.toDF()
+    frames.select(col("doc_id"), col("frame_idx"), col("flen"), col("lap_energy"),
+      when(col("flen") > 2,
+        floor(col("lap_energy").cast("double") / (col("flen") - 2).cast("double") * 1e4) / 1e4)
+        .otherwise(lit(0.0)).as("sharpness"))
+      .withColumn("is_blurry", col("sharpness") < BlurTau)
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val blurDetectSql: String =
+    s"""WITH p AS (SELECT doc_id, hex(encode(text)) AS hx,
+                          octet_length(encode(text)) AS blen
+                   FROM documents),
+        f AS (SELECT doc_id, fi, substr(hx, fi*512 + 1, 512) AS fh
+              FROM (SELECT doc_id, hx,
+                           unnest(range(0, (blen + 255) // 256)) AS fi FROM p) t),
+        m AS (SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+                     CAST(len(fh) // 2 AS INT) AS flen,
+                     CAST(COALESCE(list_sum(list_transform(range(1, len(fh) // 2 - 1),
+                       j -> abs(2 * (('0x' || substr(fh, j*2 + 1, 2))::INT)
+                                - (('0x' || substr(fh, (j-1)*2 + 1, 2))::INT)
+                                - (('0x' || substr(fh, (j+1)*2 + 1, 2))::INT)))), 0)
+                       AS BIGINT) AS lap_energy
+              FROM f),
+        sh AS (SELECT doc_id, frame_idx, flen, lap_energy,
+                      CASE WHEN flen > 2
+                           THEN floor(CAST(lap_energy AS DOUBLE)
+                                      / CAST(flen - 2 AS DOUBLE) * 1e4) / 1e4
+                           ELSE 0.0 END AS sharpness
+               FROM m)
+        SELECT doc_id, frame_idx, flen, lap_energy, sharpness,
+               sharpness < $BlurTau AS is_blurry
+        FROM sh ORDER BY doc_id, frame_idx"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("mm_blur_detect", blurDetect, Some(blurDetectSql)),
     ("mm_exposure_histogram", exposureHistogram, Some(exposureHistogramSql)),
     ("mm_aspect_bucket", aspectBucket, Some(aspectBucketSql)),
     ("mm_audio_energy", audioEnergy, Some(audioEnergySql)),

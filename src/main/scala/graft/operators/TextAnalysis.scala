@@ -568,7 +568,82 @@ object TextAnalysis {
         FROM occ o LEFT JOIN firsts f ON o.bucket = f.bucket
         ORDER BY bucket"""
 
+  /** Gopher-style rule bounds (Rae et al. 2021 §A1.1 re-expressed for
+    * this corpus; the rules are the public curation recipe, the
+    * thresholds are knobs). */
+  val GopherMinTokens = 20L
+  val GopherMaxTokens = 100000L
+
+  /** Rule-based curation ledger (Gopher/Dolma-style): five boolean
+    * rules per document — token count bounds, mean word length in
+    * [3,10], ≥80% alphabetic tokens, ≥2 distinct stopword types,
+    * symbol-to-word ratio ≤ 0.1 — each evaluated in INTEGER
+    * arithmetic (3·nt ≤ Σlen ≤ 10·nt, never a float division), plus
+    * the failure count and the keep verdict. One narrow pass, no
+    * shuffle (the presentation sort is the only exchange); at 100 TB
+    * this is the classic map-only filter stage. */
+  def gopherRules: Q = (s, d) => {
+    val stopArr = "array(" + stop("en").map("'" + _ + "'").mkString(", ") + ")"
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), expr(toksExpr).as("toks"))
+      .select(col("doc_id"),
+        expr("size(toks)").cast("long").as("n_tokens"),
+        expr("aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)").as("sum_len"),
+        expr("size(filter(toks, t -> t rlike '[a-z]'))").cast("long").as("n_alpha"),
+        expr(s"size(filter($stopArr, w -> array_contains(toks, w)))").cast("long")
+          .as("n_stop_types"),
+        expr("size(regexp_extract_all(text, '[#…]', 0))").cast("long").as("n_sym"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") >= GopherMinTokens && col("n_tokens") <= GopherMaxTokens).as("r_len"),
+        (col("sum_len") >= lit(3) * col("n_tokens")
+          && col("sum_len") <= lit(10) * col("n_tokens")).as("r_mwl"),
+        (lit(5) * col("n_alpha") >= lit(4) * col("n_tokens")).as("r_alpha"),
+        (col("n_stop_types") >= 2).as("r_stop"),
+        (lit(10) * col("n_sym") <= col("n_tokens")).as("r_sym"))
+      .withColumn("n_failed",
+        (when(col("r_len"), 0).otherwise(1) + when(col("r_mwl"), 0).otherwise(1)
+          + when(col("r_alpha"), 0).otherwise(1) + when(col("r_stop"), 0).otherwise(1)
+          + when(col("r_sym"), 0).otherwise(1)).cast("int"))
+      .withColumn("keep", col("n_failed") === 0)
+      .orderBy(col("doc_id"))
+  }
+
+  val gopherRulesSql: String = {
+    val stopList = "[" + stop("en").map("'" + _ + "'").mkString(", ") + "]"
+    s"""WITH t AS (SELECT doc_id, text, $toksSqlExpr AS toks FROM documents),
+        m AS (SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+                  AS BIGINT) AS sum_len,
+                CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                  AS BIGINT) AS n_alpha,
+                CAST(len(list_filter($stopList, w -> list_contains(toks, w)))
+                  AS BIGINT) AS n_stop_types,
+                CAST(len(regexp_extract_all(text, '[#…]', 0)) AS BIGINT) AS n_sym
+              FROM t),
+        r AS (SELECT doc_id, n_tokens,
+                n_tokens >= $GopherMinTokens AND n_tokens <= $GopherMaxTokens AS r_len,
+                sum_len >= 3 * n_tokens AND sum_len <= 10 * n_tokens AS r_mwl,
+                5 * n_alpha >= 4 * n_tokens AS r_alpha,
+                n_stop_types >= 2 AS r_stop,
+                10 * n_sym <= n_tokens AS r_sym
+              FROM m)
+        SELECT doc_id, n_tokens, r_len, r_mwl, r_alpha, r_stop, r_sym,
+               CAST((CASE WHEN r_len THEN 0 ELSE 1 END)
+                    + (CASE WHEN r_mwl THEN 0 ELSE 1 END)
+                    + (CASE WHEN r_alpha THEN 0 ELSE 1 END)
+                    + (CASE WHEN r_stop THEN 0 ELSE 1 END)
+                    + (CASE WHEN r_sym THEN 0 ELSE 1 END) AS INT) AS n_failed,
+               (CASE WHEN r_len THEN 0 ELSE 1 END)
+                 + (CASE WHEN r_mwl THEN 0 ELSE 1 END)
+                 + (CASE WHEN r_alpha THEN 0 ELSE 1 END)
+                 + (CASE WHEN r_stop THEN 0 ELSE 1 END)
+                 + (CASE WHEN r_sym THEN 0 ELSE 1 END) = 0 AS keep
+        FROM r ORDER BY doc_id"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("text_gopher_rules", gopherRules, Some(gopherRulesSql)),
     ("text_vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
     ("text_keywords", keywords, Some(keywordsSql)),
     ("text_zipf_profile", zipfProfile, Some(zipfProfileSql)),

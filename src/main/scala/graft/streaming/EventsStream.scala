@@ -1278,7 +1278,128 @@ object EventsStream {
       }
   }
 
+  case class ZSample(event_type: String, tsSec: Long)
+  case class ZSampleT(event_type: String, tsSec: Long, eventTime: java.sql.Timestamp)
+  /** Running moments of the CLOSED hours (n, Σx, Σx²) + open-hour
+    * partial counts. Σx² is a Long here; a production deployment
+    * promotes it to a 128-bit accumulator — the state size (3 numbers
+    * per series) is the point. */
+  case class ZState(n: Long, sx: Long, sxx: Long, buf: List[(Long, Long)])
+  case class HourZ(event_type: String, hour_sec: Long, cnt: Long, n_prior: Long,
+      z: Double, is_anomaly: Boolean)
+
+  /** Batch twin for `stream_anomaly_zscore`: each hour's event count
+    * z-scored against ALL PRIOR closed hours of its series — the
+    * expanding-window formulation whose streaming state is exactly
+    * three moments per series (n, Σx, Σx²), unlike a trailing window
+    * which would buffer k hours. z = (n·x − Σx)/√(n·Σx² − (Σx)²):
+    * integer numerator and radicand (DECIMAL(38,0)/HUGEINT), one
+    * sqrt + one division, display-floored. The stateful streaming
+    * path emits identical rows (StreamingSpec). */
+  def anomalyZBatch: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hour_sec"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("(unix_timestamp(date_trunc('second', ts)) div 3600) * 3600").as("hour_sec"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n_prior", count(col("cnt")).over(w))
+      .withColumn("sx", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("sxx", coalesce(sum(col("cnt").cast("decimal(38,0)") * col("cnt")).over(w),
+        lit(0).cast("decimal(38,0)")))
+      .withColumn("rad", col("n_prior").cast("decimal(38,0)") * col("sxx")
+        - col("sx").cast("decimal(38,0)") * col("sx"))
+      .withColumn("num", col("n_prior").cast("decimal(38,0)") * col("cnt") - col("sx"))
+      .withColumn("z", when(col("n_prior") >= 2 && col("rad") > 0,
+        floor(col("num").cast("double") / sqrt(col("rad").cast("double")) * 1e4) / 1e4)
+        .otherwise(lit(0.0)))
+      .withColumn("is_anomaly",
+        col("n_prior") >= 2 && col("rad") > 0 && abs(col("z")) > 3.0)
+      .select(col("event_type"), col("hour_sec"), col("cnt"), col("n_prior"),
+        col("z"), col("is_anomaly"))
+      .orderBy(col("event_type"), col("hour_sec"))
+  }
+
+  val anomalyZSql: String =
+    """WITH hourly AS (
+         SELECT event_type,
+                (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600) * 3600 AS hour_sec,
+                count(*) AS cnt
+         FROM events GROUP BY 1, 2),
+       m AS (
+         SELECT event_type, hour_sec, cnt,
+                CAST(count(cnt) OVER wp AS BIGINT) AS n_prior,
+                CAST(COALESCE(sum(cnt) OVER wp, 0) AS BIGINT) AS sx,
+                COALESCE(sum(CAST(cnt AS HUGEINT) * cnt) OVER wp, 0) AS sxx
+         FROM hourly
+         WINDOW wp AS (PARTITION BY event_type ORDER BY hour_sec
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       r AS (
+         SELECT event_type, hour_sec, cnt, n_prior,
+                CAST(n_prior AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS rad,
+                CAST(n_prior AS HUGEINT) * cnt - sx AS num
+         FROM m),
+       zz AS (
+         SELECT event_type, hour_sec, cnt, n_prior, rad,
+                CASE WHEN n_prior >= 2 AND rad > 0
+                     THEN floor(CAST(num AS DOUBLE) / sqrt(CAST(rad AS DOUBLE)) * 1e4) / 1e4
+                     ELSE 0.0 END AS z
+         FROM r)
+       SELECT event_type, hour_sec, cnt, n_prior, z,
+              (n_prior >= 2 AND rad > 0 AND abs(z) > 3.0) AS is_anomaly
+       FROM zz ORDER BY event_type, hour_sec"""
+
+  /** Streaming stateful z-score anomaly detector: per-series state is
+    * the three running moments of closed hours plus only the open-hour
+    * partial counts — O(1) per series regardless of history length.
+    * An hour is scored and folded into the moments the moment the
+    * event-time watermark closes it; the emitted rows equal the batch
+    * twin's (StreamingSpec asserts chunk-by-chunk). */
+  def anomalyZStream(samples: Dataset[ZSample]): Dataset[HourZ] = {
+    val s = samples.sparkSession
+    import s.implicits._
+    samples
+      .withColumn("eventTime", timestamp_seconds(col("tsSec")))
+      .withWatermark("eventTime", "1 hour")
+      .as[ZSampleT]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[ZState, HourZ](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k: String, batch: Iterator[ZSampleT], state: GroupState[ZState]) => {
+          val st = state.getOption.getOrElse(ZState(0L, 0L, 0L, Nil))
+          val merged = scala.collection.mutable.Map.empty[Long, Long]
+          st.buf.foreach { case (h, c) => merged(h) = merged.getOrElse(h, 0L) + c }
+          batch.foreach { e =>
+            val h = e.tsSec / 3600 * 3600
+            merged(h) = merged.getOrElse(h, 0L) + 1L
+          }
+          val wmSec = state.getCurrentWatermarkMs() / 1000
+          val boundary = wmSec / 3600 * 3600
+          val (closed, open) = merged.toList.sortBy(_._1).partition(_._1 < boundary)
+          var n = st.n; var sx = st.sx; var sxx = st.sxx
+          val out = closed.map { case (h, c) =>
+            val rad = n * sxx - sx * sx
+            val num = n * c - sx
+            val z = if (n >= 2 && rad > 0)
+              math.floor(num.toDouble / math.sqrt(rad.toDouble) * 1e4) / 1e4 else 0.0
+            val row = HourZ(k, h, c, n, z, n >= 2 && rad > 0 && math.abs(z) > 3.0)
+            n += 1; sx += c; sxx += c * c
+            row
+          }
+          state.update(ZState(n, sx, sxx, open))
+          if (open.nonEmpty) {
+            state.setTimeoutTimestamp(
+              math.max((open.last._1 + 3600) * 1000L,
+                state.getCurrentWatermarkMs() + 1000L))
+          }
+          out.iterator
+        }
+      }
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("stream_anomaly_zscore", anomalyZBatch, Some(anomalyZSql)),
     ("stream_rate_limit", rateLimitBatch, Some(rateLimitSql)),
     ("ivm_join_delta", ivmJoinDelta, Some(intervalJoinSql)),
     ("stream_schema_evolution", schemaEvolutionBatch, Some(schemaEvolutionSql)),

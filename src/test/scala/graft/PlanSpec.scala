@@ -191,7 +191,8 @@ class PlanSweepSpec extends SparkTestBase {
     "ann_recall_eval", // composes the two allowed ANN arms (truth + LSH)
     // round-8 single-row broadcasts: decile bounds / bigram totals /
     // max doc id / KS arm totals
-    "q_decile_lift", "text_ngram_coverage", "text_vocab_growth", "q_ks_test")
+    "q_decile_lift", "text_ngram_coverage", "text_vocab_growth", "q_ks_test",
+    "graph_modularity") // single-row |E2| total broadcast
 
   test("no entry plans a CartesianProduct; BNLJ only where intended") {
     val failures = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).flatMap { name =>

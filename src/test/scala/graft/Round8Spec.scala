@@ -139,6 +139,70 @@ class Round8Spec extends SparkTestBase {
       "occ/firsts must consume one shared exchange")
   }
 
+  test("graph_modularity: communities partition nodes, intra edges bounded, Q in range") {
+    import spark.implicits._
+    val rows = run("graph_modularity")
+      .select("community", "n_nodes", "degree_sum", "intra_edges", "q_contrib")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // community sizes must sum to the LPA node count
+    val lpaNodes = run("graph_communities_lpa").count()
+    assert(rows.map(_._2).sum == lpaNodes)
+    rows.foreach { case (c, nn, ds, ie, q) =>
+      assert(ie <= ds, s"community $c: intra $ie cannot exceed degree sum $ds")
+      assert(nn >= 1 && q <= 1.0 && q >= -1.0)
+    }
+    // total modularity of a real partition on this graph is positive
+    assert(rows.map(_._5).sum > 0.0, "LPA should beat the null model")
+  }
+
+  test("text_gopher_rules: failure count consistent, rules match a driver-side replay") {
+    import spark.implicits._
+    val rows = run("text_gopher_rules")
+      .select("doc_id", "n_tokens", "r_len", "r_mwl", "r_alpha", "r_stop", "r_sym",
+        "n_failed", "keep")
+      .as[(Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean, Int, Boolean)]
+      .collect()
+    assert(rows.length == graft.sources.Tables.documents(spark, sf).count())
+    rows.foreach { case (id, _, a, b, c, dd, e, nf, keep) =>
+      val expect = Seq(a, b, c, dd, e).count(!_)
+      assert(nf == expect, s"doc $id n_failed")
+      assert(keep == (nf == 0))
+    }
+    // the word-salad corpus is alphabetic and symbol-free: those rules never fire
+    assert(rows.forall(_._5), "alphabetic rule should pass everywhere")
+    assert(rows.forall(_._7), "symbol rule should pass everywhere")
+    // but the ledger is not vacuous — some docs fail at least one rule
+    assert(rows.exists(!_._9), "expected at least one dropped doc")
+    assert(rows.exists(_._9), "expected at least one kept doc")
+  }
+
+  test("mm_blur_detect: Laplacian energy matches a driver-side byte replay") {
+    import spark.implicits._
+    val got = run("mm_blur_detect")
+      .select("doc_id", "frame_idx", "flen", "lap_energy", "sharpness")
+      .as[(Long, Int, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(got.nonEmpty)
+    docs.take(50).foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val n = (bytes.length + 255) / 256
+      (0 until n).foreach { f =>
+        val w = bytes.slice(f * 256, math.min(f * 256 + 256, bytes.length))
+        val e = (1 until w.length - 1).map(i =>
+          math.abs(2 * (w(i) & 0xff) - (w(i - 1) & 0xff) - (w(i + 1) & 0xff)).toLong).sum
+        val row = got((id, f))
+        assert(row._3 == w.length && row._4 == e, s"doc $id frame $f")
+        if (w.length > 2)
+          assert(row._5 == math.floor(e.toDouble / (w.length - 2) * 1e4) / 1e4)
+      }
+    }
+    // frame inventory: every doc contributes ceil(len/256) frames
+    assert(got.size == docs.map(d => (d._2.getBytes("UTF-8").length + 255) / 256).sum)
+  }
+
   test("dedup_semantic: cell pair join is a hash/merge equi-join, never a product") {
     // the entry is skipped by PlanSweepSpec (quantizer training runs
     // jobs at construction), so its scale contract is pinned here: the

@@ -592,4 +592,45 @@ class StreamingSpec extends SparkTestBase {
       s"diff=${(want.toSet diff got.toSet).take(3)}")
   }
 
+  test("stateful streaming z-score emits the batch expanding-window rows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val samples = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("tsSec"))
+      .as[EventsStream.ZSample].collect()
+
+    val input = MemoryStream[EventsStream.ZSample]
+    val q = EventsStream.anomalyZStream(input.toDS())
+      .writeStream.format("memory").queryName("zscore_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two chronological chunks so mid-stream watermark closure runs
+      val (early, late) = samples.sortBy(_.tsSec).splitAt(samples.length / 2)
+      input.addData(early.toSeq)
+      q.processAllAvailable()
+      input.addData(late.toSeq)
+      q.processAllAvailable()
+      val maxSec = samples.map(_.tsSec).max
+      input.addData(EventsStream.ZSample("__wm__", maxSec + 36000L))
+      q.processAllAvailable()
+
+      val gotRows = spark.table("zscore_sink").filter(col("event_type") =!= "__wm__")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getBoolean(5)))
+      val dupes = gotRows.groupBy(_._1).filter(_._2.length > 1)
+      assert(dupes.isEmpty, s"hours emitted twice: ${dupes.keys.take(3)}")
+      val got = gotRows.toMap
+      val want = EventsStream.anomalyZBatch(spark, sf)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getBoolean(5))).toMap
+      assert(got.keySet == want.keySet,
+        s"hours differ: missing=${(want.keySet diff got.keySet).take(3)} " +
+          s"extra=${(got.keySet diff want.keySet).take(3)}")
+      want.foreach { case (k, v) => assert(got(k) == v, s"mismatch at $k: ${got(k)} vs $v") }
+    } finally q.stop()
+  }
+
 }
