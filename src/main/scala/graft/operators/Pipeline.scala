@@ -781,7 +781,139 @@ object Pipeline {
                min_score, max_score, n_langs
         FROM agg ORDER BY phase"""
 
+  /** Per-source-tier Poisson rates for epoch resampling (tier =
+    * numeric source suffix mod 4 — a stand-in for the per-domain
+    * weight table a real mixing config carries). */
+  val PoissonLams = Seq(0.5, 1.0, 1.5, 2.5)
+  val PoissonCap = 8
+
+  /** Poisson CDF thresholds t_j = P(X ≤ j), j = 0..cap−1, computed
+    * ONCE driver-side. Both engines compare the hash-uniform against
+    * these IDENTICAL double literals (Spark via lit(), DuckDB by
+    * parsing the round-tripping toString), so no runtime exp/libm
+    * call exists in either engine — the parity surface is literal
+    * equality. */
+  def poissonThresholds(lam: Double): Seq[Double] = {
+    var p = math.exp(-lam)
+    var cdf = p
+    val out = scala.collection.mutable.ArrayBuffer(cdf)
+    for (j <- 1 until PoissonCap) { p = p * lam / j; cdf += p; out += cdf }
+    out.toSeq
+  }
+
+  /** Deterministic Poisson epoch resampling (sampling WITH
+    * replacement at fractional rates — the standard way to hit a
+    * target token budget when per-domain weights aren't integers):
+    * each doc draws u from its content hash and replicates
+    * n_copies = inverse-CDF(u) times, λ set by its source tier.
+    * Zero shuffle, zero RNG state, partitioning-independent — the
+    * same doc set yields the same epoch on any cluster layout. */
+  def samplePoisson: Q = (s, d) => {
+    val u = conv(substring(md5(concat(lit("psmp:"), col("doc_id").cast("string"))), 1, 13),
+      16, 10).cast("double") / lit(4503599627370496e0)
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        (substring(col("source"), 4, 10).cast("int") % PoissonLams.length).as("lam_idx"),
+        u.as("u"))
+    val nCopies = PoissonLams.indices.map { li =>
+      val ts = poissonThresholds(PoissonLams(li))
+      li -> ts.map(t => when(col("u") > lit(t), 1).otherwise(0)).reduce(_ + _)
+    }.foldLeft(lit(-1)) { case (acc, (li, e)) =>
+      when(col("lam_idx") === li, e).otherwise(acc)
+    }
+    base.select(col("doc_id"), col("source"), col("lam_idx"),
+      element_at(array(PoissonLams.map(lit): _*), col("lam_idx") + 1).as("lam"),
+      nCopies.cast("int").as("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  val samplePoissonSql: String = {
+    val cases = PoissonLams.indices.map { li =>
+      val sumExpr = poissonThresholds(PoissonLams(li))
+        .map(t => s"(CASE WHEN u > ${t} THEN 1 ELSE 0 END)").mkString(" + ")
+      s"WHEN $li THEN $sumExpr"
+    }.mkString("\n                 ")
+    val lamCases = PoissonLams.indices
+      .map(li => s"WHEN $li THEN ${PoissonLams(li)}").mkString(" ")
+    s"""WITH t AS (
+          SELECT doc_id, source,
+                 CAST(substr(source, 4, 10) AS INT) % ${PoissonLams.length} AS lam_idx,
+                 ('0x' || substr(md5('psmp:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                   / 4503599627370496e0 AS u
+          FROM documents)
+        SELECT doc_id, source, lam_idx,
+               CAST(CASE lam_idx $lamCases END AS DOUBLE) AS lam,
+               CAST(CASE lam_idx
+                 $cases
+               END AS INT) AS n_copies
+        FROM t ORDER BY doc_id"""
+  }
+
+  /** Reproducibility ledger for the curation pipeline: per stage
+    * (raw → rule-kept → exact-dedup survivors → train split), the row
+    * count plus an ORDER-INDEPENDENT content checksum — the sum of
+    * 52-bit content hashes in DECIMAL(38,0)/HUGEINT (commutative, so
+    * any partitioning/execution order yields the same digest). A
+    * re-run — on another cluster, another day — proves stage-level
+    * byte identity by comparing four (count, digest) pairs instead
+    * of diffing terabytes. */
+  def reproLedger: Q = (s, d) => {
+    val h = conv(substring(md5(concat(lit("led:"), col("doc_id").cast("string"))), 1, 13),
+      16, 10).cast("decimal(38,0)")
+    val docs = Tables.documents(s, d)
+    val raw = docs.select(col("doc_id"))
+    val kept = TextAnalysis.gopherRules(s, d).filter(col("keep")).select(col("doc_id"))
+    // exact-dedup survivors among the kept: min doc_id per text hash
+    val survivors = docs.join(kept, Seq("doc_id"))
+      .groupBy(md5(col("text")).as("th")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val train = survivors.filter(
+      conv(substring(md5(concat(lit("spl:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+        .cast("long") % 10 < 8)
+    def stage(name: String, order: Int, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_rows"), coalesce(sum(h), lit(0).cast("decimal(38,0)"))
+        .as("digest"))
+        .select(lit(order).as("stage_idx"), lit(name).as("stage"), col("n_rows"),
+          col("digest").cast("string").as("digest"))
+    stage("raw", 0, raw)
+      .unionByName(stage("rule_kept", 1, kept))
+      .unionByName(stage("dedup_survivors", 2, survivors))
+      .unionByName(stage("train_split", 3, train))
+      .orderBy(col("stage_idx"))
+  }
+
+  val reproLedgerSql: String = {
+    val h = "('0x' || substr(md5('led:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT"
+    s"""WITH kept AS (
+          SELECT doc_id FROM (${TextAnalysis.gopherRulesSql.replace("ORDER BY doc_id", "")})
+          WHERE keep),
+        survivors AS (
+          SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+          FROM documents JOIN kept USING (doc_id)
+          GROUP BY md5(text)),
+        train AS (
+          SELECT doc_id FROM survivors
+          WHERE ('0x' || substr(md5('spl:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                % 10 < 8),
+        ledger AS (
+          SELECT 0 AS stage_idx, 'raw' AS stage, count(*) AS n_rows,
+                 COALESCE(sum(CAST($h AS HUGEINT)), 0) AS dg FROM documents
+          UNION ALL
+          SELECT 1, 'rule_kept', count(*), COALESCE(sum(CAST($h AS HUGEINT)), 0) FROM kept
+          UNION ALL
+          SELECT 2, 'dedup_survivors', count(*),
+                 COALESCE(sum(CAST($h AS HUGEINT)), 0) FROM survivors
+          UNION ALL
+          SELECT 3, 'train_split', count(*),
+                 COALESCE(sum(CAST($h AS HUGEINT)), 0) FROM train)
+        SELECT CAST(stage_idx AS INT) AS stage_idx, stage, n_rows,
+               CAST(dg AS VARCHAR) AS digest
+        FROM ledger ORDER BY stage_idx"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("sample_poisson", samplePoisson, Some(samplePoissonSql)),
+    ("pipeline_repro_ledger", reproLedger, Some(reproLedgerSql)),
     ("pack_curriculum", packCurriculum, Some(packCurriculumSql)),
     ("split_temporal", splitTemporal, Some(splitTemporalSql)),
     ("pack_best_fit", packBestFit, Some(packBestFitSql)),

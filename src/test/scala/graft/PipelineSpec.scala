@@ -213,4 +213,58 @@ class PipelineSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("sample_poisson: inverse-CDF replication matches a driver-side replay; mean ≈ λ") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val P = graft.operators.Pipeline
+    val rows = P.samplePoisson(spark, sf)
+      .select("doc_id", "lam_idx", "lam", "n_copies")
+      .as[(Long, Int, Double, Int)].collect()
+    assert(rows.nonEmpty)
+    // thresholds are a proper CDF prefix (monotone, < 1, ends near 1)
+    P.PoissonLams.foreach { lam =>
+      val ts = P.poissonThresholds(lam)
+      assert(ts.length == P.PoissonCap && ts.sliding(2).forall(p => p(0) < p(1)))
+      assert(ts.last > 0.99 && ts.last < 1.0)
+    }
+    // per-doc replay of the same hash draw + threshold count
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.take(100).foreach { case (id, li, lam, k) =>
+      assert(lam == P.PoissonLams(li))
+      val hx = md.digest(s"psmp:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(hx.take(13), 16).toDouble / 4503599627370496.0
+      val want = P.poissonThresholds(lam).count(_ < u)
+      assert(k == want, s"doc $id: $k vs $want")
+    }
+    // law of large numbers, loose: overall mean within 35% of mean λ
+    val meanCopies = rows.map(_._4.toDouble).sum / rows.length
+    val meanLam = rows.map(_._3).sum / rows.length
+    assert(math.abs(meanCopies - meanLam) < 0.35 * meanLam,
+      s"mean copies $meanCopies vs mean lam $meanLam")
+  }
+
+  test("pipeline_repro_ledger: stages shrink monotonically, digests replay exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Pipeline.reproLedger(spark, sf)
+      .as[(Int, String, Long, String)].collect().sortBy(_._1)
+    assert(rows.map(_._2).toSeq == Seq("raw", "rule_kept", "dedup_survivors", "train_split"))
+    assert(rows.sliding(2).forall { case Array(a, b) => b._3 <= a._3; case _ => true },
+      "each stage can only drop rows")
+    assert(rows.last._3 > 0, "train split must be non-empty")
+    // digest replay for the raw stage: sum the same 52-bit hashes driver-side
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val ids = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").as[Long].collect()
+    val want = ids.map { id =>
+      val hx = md.digest(s"led:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      BigInt(java.lang.Long.parseLong(hx.take(13), 16))
+    }.sum
+    assert(BigInt(rows.head._4) == want, s"raw digest ${rows.head._4} vs $want")
+    // determinism: a second run reproduces every digest
+    val again = graft.operators.Pipeline.reproLedger(spark, sf)
+      .as[(Int, String, Long, String)].collect().sortBy(_._1)
+    assert(again.toSeq == rows.toSeq)
+  }
+
 }
