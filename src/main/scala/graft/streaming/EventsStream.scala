@@ -760,6 +760,56 @@ object EventsStream {
     publishSnapshot(snapshotDir, merged)
   }
 
+  /** Batch twin for `ivm_distinct_delta`: daily distinct users under
+    * RETRACTIONS ('error' events retract one unit of that user's
+    * presence). Plain distinct-count is not incrementally maintainable
+    * under deletes — the classic fix is a per-(day,user) REFCOUNT
+    * layer: the view is #keys with refcount > 0, and the refcount
+    * table is an abelian-group sum, so deltas merge additively in any
+    * chunking/order. State is ≤ |active (day,user) pairs|, the same
+    * as the distinct state Spark itself would keep. */
+  def ivmDistinctBatch: Q = (s, d) => {
+    Tables.events(s, d)
+      .select(expr("cast(unix_timestamp(date_trunc('second', ts)) div 86400 as bigint)")
+        .as("day"), col("user_id"),
+        when(col("event_type") === "error", lit(-1L)).otherwise(lit(1L)).as("op"))
+      .groupBy(col("day"), col("user_id")).agg(sum(col("op")).as("rc"))
+      .filter(col("rc") > 0)
+      .groupBy(col("day")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("day"))
+  }
+
+  val ivmDistinctSql: String =
+    """WITH rc AS (
+         SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+                user_id,
+                CAST(sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) AS BIGINT)
+                  AS rc
+         FROM events GROUP BY 1, 2)
+       SELECT day, count(*) AS n_users FROM rc WHERE rc > 0
+       GROUP BY day ORDER BY day"""
+
+  /** One micro-batch of refcount maintenance: batch deltas merge into
+    * the stored refcount table by addition; only EXACT-ZERO rows are
+    * dropped (a negative refcount is a debt that a late insert must
+    * still repay — dropping it would double-count). */
+  def ivmDistinctBatchInto(snapshotDir: String, batch: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val delta = batch.groupBy(col("day"), col("user_id")).agg(sum(col("op")).as("rc"))
+    val merged = currentSnapshot(spark, snapshotDir)
+      .map(_.unionByName(delta)).getOrElse(delta)
+      .groupBy(col("day"), col("user_id")).agg(sum(col("rc")).as("rc"))
+      .filter(col("rc") =!= 0)
+    publishSnapshot(snapshotDir, merged)
+  }
+
+  /** Read-back in the batch twin's shape: membership is rc > 0. */
+  def ivmDistinctSnapshotRead(spark: SparkSession, snapshotDir: String): DataFrame =
+    currentSnapshot(spark, snapshotDir).get
+      .filter(col("rc") > 0)
+      .groupBy(col("day")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("day"))
+
   /** Read-back of the maintained view in the batch twin's shape. */
   def ivmSnapshotRead(spark: SparkSession, snapshotDir: String): DataFrame =
     spark.read.parquet(s"$snapshotDir/current")
@@ -1412,6 +1462,7 @@ object EventsStream {
     ("stream_sketch_distinct", sketchDistinctBatch, Some(sketchDistinctSql)),
     ("stream_heavy_hitters", heavyHittersBatch, Some(heavyHittersSql)),
     ("ivm_agg_delta", ivmAggBatch, Some(ivmAggSql)),
+    ("ivm_distinct_delta", ivmDistinctBatch, Some(ivmDistinctSql)),
     ("stream_counter_rate", counterRateHourlyBatch, Some(counterRateHourlySql)),
     ("stream_events_window", eventsWindowBatch, Some(eventsWindowSql)),
     ("stream_sessionize_state", sessionizeBatch, Some(AsOfSessionizeOracle.sql)),

@@ -592,6 +592,41 @@ class StreamingSpec extends SparkTestBase {
       s"diff=${(want.toSet diff got.toSet).take(3)}")
   }
 
+  test("refcount distinct-view maintenance equals the batch view, any chunking") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(
+        expr("cast(unix_timestamp(date_trunc('second', ts)) div 86400 as bigint)").as("day"),
+        col("user_id"),
+        when(col("event_type") === "error", -1L).otherwise(1L).as("op"),
+        col("event_id"))
+      .as[(Long, Long, Long, Long)].collect()
+
+    val snapDir = java.nio.file.Files.createTempDirectory("graft_ivmd").toString
+    val input = MemoryStream[(Long, Long, Long, Long)]
+    val q = input.toDF()
+      .toDF("day", "user_id", "op", "event_id")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        EventsStream.ivmDistinctBatchInto(snapDir, df)
+      }
+      .start()
+    try {
+      // REVERSED chunks: retractions can arrive before their inserts,
+      // driving refcounts negative mid-stream — the debt must persist
+      val sorted = rows.sortBy(_._4)
+      val chunks = sorted.grouped(math.max(1, sorted.length / 3 + 1)).toSeq.reverse
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      val got = EventsStream.ivmDistinctSnapshotRead(spark, snapDir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = EventsStream.ivmDistinctBatch(spark, sf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"streaming=${got.size} batch=${want.size} " +
+        s"diff=${(want.toSet diff got.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("stateful streaming z-score emits the batch expanding-window rows") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
