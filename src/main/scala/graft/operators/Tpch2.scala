@@ -258,11 +258,20 @@ object Tpch2 {
     val l1 = li.filter(col("l_returnflag") === "R")
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-    val l2 = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
-    val l3 = li.filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
-    l1.join(l2, col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
-      .join(l3, col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+    // EXISTS(other supplier) / NOT EXISTS(other late supplier) as ONE
+    // two-level aggregation instead of a semi + anti self-join pair:
+    // per (order, supplier) fold the late flag (map-side combinable),
+    // then per order count suppliers and late suppliers. A late row
+    // qualifies iff the order has >= 2 suppliers and exactly 1 late
+    // one (itself) — set-equivalent to the EXISTS pair, at one
+    // lineitem shuffle instead of two join probes.
+    val perSupp = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("late"))
+    val perOrder = perSupp.groupBy(col("l_orderkey").as("ok_agg"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+      .select(col("ok_agg"))
+    l1.join(perOrder, col("ok") === col("ok_agg"), "left_semi")
       .join(broadcast(sup), col("sk") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
