@@ -165,4 +165,38 @@ class SimilaritySpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("graph search: beam discipline holds and recall@5 vs in-block exact is high") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = Similarity.graphSearch(spark, sf)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.length == Similarity.NumQueries * Similarity.TopK)
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to Similarity.TopK), s"q$q ranks")
+      assert(sorted.sliding(2).forall { case Array(a, b) => a._3 >= b._3; case _ => true },
+        s"q$q cosine must be non-increasing in rank")
+      assert(rows.forall(_._2 != q), "query must not retrieve itself")
+    }
+    // exact in-block top-5 as truth (the same blocking the graph uses)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val q = emb.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("qid"), col("label").as("ql"), col("v").as("qv"))
+    val truth = emb.join(q, col("label") === col("ql") && col("vec_id") =!= col("qid"))
+      .withColumn("cos", expr("graft_dot(qv, v)")
+        / (sqrt(expr("graft_norm2(qv)")) * sqrt(expr("graft_norm2(v)"))))
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= Similarity.TopK)
+      .select(col("qid"), col("vec_id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val gotSets = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = truth.keys.toSeq.map { k =>
+      (truth(k) intersect gotSets(k)).size.toDouble / Similarity.TopK
+    }.sum / truth.size
+    assert(recall >= 0.8, s"mean recall@5 $recall below bound")
+  }
+
 }
