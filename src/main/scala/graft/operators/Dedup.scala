@@ -710,7 +710,77 @@ object Dedup {
         GROUP BY 1, 2, 6 ORDER BY split_a, split_b"""
   }
 
+  /** Winnowing window width (Schleimer, Wilkerson & Aiken 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting"): any
+    * match of length ≥ w+k−1 tokens is guaranteed to share a selected
+    * fingerprint. */
+  val WinnowW = 4
+
+  /** Winnowing fingerprint selection — the MOSS-style dedup
+    * fingerprinting discipline beside MinHash/SimHash: positional
+    * 3-gram hashes, one min per sliding window of W consecutive
+    * grams, distinct selected set per doc. Unlike MinHash (a global
+    * sample of the set), winnowing's guarantee is LOCAL: any shared
+    * run of ≥ W+2 tokens must share a fingerprint, which is what
+    * plagiarism/quotation detection needs. Per-doc windows partition
+    * on doc (parallel, bounded by doc length); the cross-doc sharing
+    * join is an equi-join on the fingerprint — never all-pairs. */
+  def winnow: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(toks) - 3), " +
+          "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("col")), 1, 13), 16, 10).cast("long").as("h"))
+    val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, WinnowW - 1)
+    val sel = grams
+      .withColumn("n_grams", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("wmin", min(col("h")).over(wWin))
+      .filter(col("pos") <= col("n_grams") - WinnowW) // full windows only
+      .select(col("doc_id"), col("n_grams"), col("wmin"))
+      .distinct()
+    val byFp = sel.groupBy(col("wmin")).agg(count(lit(1)).as("n_docs"))
+    sel.join(byFp, Seq("wmin"))
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_selected"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"),
+        min(col("wmin")).as("min_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val winnowSql: String =
+    s"""WITH t AS (
+          SELECT doc_id, $toksSqlExpr AS toks FROM documents),
+        g AS (
+          SELECT doc_id, i - 1 AS pos,
+                 ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+                   1, 13))::BIGINT AS h
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 2)) AS i
+                FROM t WHERE len(toks) >= 3) x),
+        m AS (
+          SELECT doc_id, pos,
+                 count(*) OVER (PARTITION BY doc_id) AS n_grams,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW
+                              AND ${WinnowW - 1} FOLLOWING) AS wmin
+          FROM g),
+        sel AS (
+          SELECT DISTINCT doc_id, n_grams, wmin
+          FROM m WHERE pos <= n_grams - $WinnowW),
+        fp AS (SELECT wmin, count(*) AS n_docs FROM sel GROUP BY 1)
+        SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, count(*) AS n_selected,
+               CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+               CAST(min(wmin) AS BIGINT) AS min_fp
+        FROM sel JOIN fp USING (wmin)
+        GROUP BY doc_id, n_grams ORDER BY doc_id"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("dedup_winnow", winnow, Some(winnowSql)),
     ("split_leakage_audit", splitLeakageAudit, Some(splitLeakageAuditSql)),
     ("dedup_lsh_scurve", lshScurve, Some(lshScurveSql)),
     ("dedup_cross_source", crossSource, Some(crossSourceSql)),

@@ -1001,7 +1001,75 @@ object Timeseries {
        GROUP BY GROUPING SETS ((event_type, b6), (event_type, d1), (event_type, w1))
        ORDER BY event_type, resolution, bucket_start"""
 
+  /** Bitemporal point-in-time read — the two-axis version of
+    * `scd2_pit_join`: valid time (when a balance assertion takes
+    * effect — the event's day) × transaction time (when the warehouse
+    * LEARNED it — the event's log position). Each probe asks "as the
+    * database stood at txn cutoff T, what was user u's balance valid
+    * at day V" — the audit/backfill read that distinguishes a real
+    * bitemporal store from plain SCD2. The probe grid is a 3-row
+    * broadcast (valid cut × knowledge cut), the txn cutoff is a
+    * 1-row aggregate, and the winning version is one max(struct)
+    * aggregation — map-side combinable, no window over the log. */
+  def bitemporal: Q = (s, d) => {
+    import s.implicits._
+    val versions = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("cast(unix_timestamp(date_trunc('second', ts)) div 86400 as bigint)")
+          .as("valid_day"),
+        col("event_id").as("txn"),
+        round(col("value"), 2).as("bal"))
+    // "what we knew on Jan 15": the largest log position before it
+    val txnCut = Tables.events(s, d)
+      .filter(col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+      .agg(max(col("event_id")).as("txn_cut"))
+    val probes = Seq(
+      ("known_0115_valid_0110", "2024-01-10", true),
+      ("known_now_valid_0110", "2024-01-10", false),
+      ("known_now_valid_0131", "2024-01-31", false))
+      .toDF("probe", "vdate", "use_cut")
+      .crossJoin(broadcast(txnCut))
+      .select(col("probe"),
+        expr("cast(unix_timestamp(to_timestamp(vdate)) div 86400 as bigint)").as("vday"),
+        when(col("use_cut"), col("txn_cut")).otherwise(lit(Long.MaxValue)).as("txn_limit"))
+    versions.join(broadcast(probes),
+        col("valid_day") <= col("vday") && col("txn") <= col("txn_limit"))
+      .groupBy(col("probe"), col("user_id"))
+      .agg(max(struct(col("valid_day"), col("txn"), col("bal"))).as("win"))
+      .select(col("probe"), col("user_id"), col("win.valid_day").as("valid_day"),
+        col("win.txn").as("txn"), col("win.bal").as("balance"))
+      .orderBy(col("probe"), col("user_id"))
+  }
+
+  val bitemporalSql: String =
+    s"""WITH v AS (
+          SELECT user_id,
+                 CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS valid_day,
+                 event_id AS txn, round(value, 2) AS bal
+          FROM events),
+        cut AS (
+          SELECT CAST(max(event_id) AS BIGINT) AS txn_cut FROM events
+          WHERE ts < TIMESTAMP '2024-01-15 00:00:00'),
+        probes AS (
+          SELECT p.probe,
+                 CAST(epoch(CAST(p.vdate AS TIMESTAMP)) AS BIGINT) // 86400 AS vday,
+                 CASE WHEN p.use_cut THEN c.txn_cut
+                      ELSE ${Long.MaxValue}::BIGINT END AS txn_limit
+          FROM (VALUES ('known_0115_valid_0110', '2024-01-10', true),
+                       ('known_now_valid_0110', '2024-01-10', false),
+                       ('known_now_valid_0131', '2024-01-31', false))
+               AS p(probe, vdate, use_cut), cut c)
+        SELECT probe, user_id,
+               (max({'d': valid_day, 't': txn, 'b': bal})).d AS valid_day,
+               (max({'d': valid_day, 't': txn, 'b': bal})).t AS txn,
+               (max({'d': valid_day, 't': txn, 'b': bal})).b AS balance
+        FROM v JOIN probes
+          ON v.valid_day <= probes.vday AND v.txn <= probes.txn_limit
+        GROUP BY probe, user_id
+        ORDER BY probe, user_id"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("scd2_bitemporal", bitemporal, Some(bitemporalSql)),
     ("metrics_multi_resolution", multiResolution, Some(multiResolutionSql)),
     ("metrics_series_churn", seriesChurn, Some(seriesChurnSql)),
     ("metrics_alert_hysteresis", alertHysteresis, Some(alertHysteresisSql)),

@@ -192,7 +192,8 @@ class PlanSweepSpec extends SparkTestBase {
     // round-8 single-row broadcasts: decile bounds / bigram totals /
     // max doc id / KS arm totals
     "q_decile_lift", "text_ngram_coverage", "text_vocab_growth", "q_ks_test",
-    "graph_modularity") // single-row |E2| total broadcast
+    "graph_modularity", // single-row |E2| total broadcast
+    "scd2_bitemporal") // 3-row probe grid + 1-row txn-cutoff broadcast
 
   test("no entry plans a CartesianProduct; BNLJ only where intended") {
     val failures = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).flatMap { name =>

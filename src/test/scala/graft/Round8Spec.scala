@@ -203,6 +203,72 @@ class Round8Spec extends SparkTestBase {
     assert(got.size == docs.map(d => (d._2.getBytes("UTF-8").length + 255) / 256).sum)
   }
 
+  test("dedup_winnow: selection bounds hold and a driver-side replay agrees") {
+    import spark.implicits._
+    val W = graft.operators.Dedup.WinnowW
+    val rows = run("dedup_winnow")
+      .select("doc_id", "n_grams", "n_selected", "n_shared", "min_fp")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, ng, sel, sh, _) =>
+      assert(sel >= 1 && sel <= ng - W + 1, s"doc $id selection out of bounds")
+      assert(sh >= 0 && sh <= sel)
+    }
+    // driver-side replay of the winnowing fold for a sample
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().take(30)
+    val got = rows.map(r => r._1 -> r).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    docs.foreach { case (id, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.length >= W + 2) {
+        val hs = toks.sliding(3).map(_.mkString(" ")).map { g =>
+          val hx = md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          java.lang.Long.parseLong(hx.take(13), 16)
+        }.toArray
+        val selected = (0 to hs.length - W).map(i => hs.slice(i, i + W).min).distinct
+        val (_, ng, sel, _, minFp) = got(id)
+        assert(ng == hs.length, s"doc $id gram count")
+        assert(sel == selected.length, s"doc $id selected ${sel} vs ${selected.length}")
+        assert(minFp == selected.min)
+      }
+    }
+  }
+
+  test("scd2_bitemporal: probes respect both axes; the now-probe equals last-writer-wins") {
+    import spark.implicits._
+    val rows = run("scd2_bitemporal")
+      .select("probe", "user_id", "valid_day", "txn", "balance")
+      .as[(String, Long, Long, Long, Double)].collect()
+    val byProbe = rows.groupBy(_._1)
+    assert(byProbe.keySet == Set("known_0115_valid_0110", "known_now_valid_0110",
+      "known_now_valid_0131"))
+    // the full-knowledge, full-validity probe is plain LWW over events
+    val lww = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(max(struct(
+        expr("cast(unix_timestamp(date_trunc('second', ts)) div 86400 as bigint)").as("d"),
+        col("event_id").as("t"), round(col("value"), 2).as("b"))).as("w"))
+      .select(col("user_id"), col("w.t"), col("w.b"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    byProbe("known_now_valid_0131").foreach { case (_, u, _, t, b) =>
+      assert(lww(u) == ((t, b)), s"user $u now-probe must be LWW")
+    }
+    // the knowledge cutoff really caps the txn axis
+    val cut = graft.sources.Tables.events(spark, sf)
+      .filter(col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+      .agg(max(col("event_id"))).head.getLong(0)
+    byProbe("known_0115_valid_0110").foreach { case (_, u, vd, t, _) =>
+      assert(t <= cut, s"user $u leaked future txn $t > $cut")
+      assert(vd <= 19732L, s"user $u valid_day $vd past the 01-10 cut") // 2024-01-10
+    }
+    // more knowledge can only move a user's version forward
+    val early = byProbe("known_0115_valid_0110").map(r => r._2 -> r._4).toMap
+    byProbe("known_now_valid_0110").foreach { case (_, u, _, t, _) =>
+      early.get(u).foreach(te => assert(t >= te))
+    }
+  }
+
   test("dedup_semantic: cell pair join is a hash/merge equi-join, never a product") {
     // the entry is skipped by PlanSweepSpec (quantizer training runs
     // jobs at construction), so its scale contract is pinned here: the
