@@ -453,7 +453,61 @@ object Graph {
                     * 1e4) / 1e4 AS assortativity
        FROM mom"""
 
+  val LinkPredK = 20
+
+  /** Jaccard common-neighbor link prediction — "which edges are
+    * missing": candidate pairs are nodes at distance 2 (generated
+    * through their shared neighbor, an EQUI-join keyed on the middle
+    * node — fanout Σdeg(v)², the same bound as triangle counting,
+    * never |V|²), existing edges are anti-joined away, and each
+    * candidate scores |N(a)∩N(b)| / |N(a)∪N(b)| from exact integer
+    * counts with one final division. Top-K selection runs on the
+    * scored candidate set (TakeOrderedAndProject), not the corpus. */
+  def linkPred: Q = (sp, d) => {
+    val e = cut(pageEdges(sp, d))
+    val deg = e.groupBy(col("src").as("dnode")).agg(count(lit(1)).as("deg"))
+    val pairs = e.select(col("src").as("v"), col("dst").as("a"))
+      .join(e.select(col("src").as("v2"), col("dst").as("b")),
+        col("v") === col("v2") && col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    val candidates = pairs
+      .join(e.select(col("src").as("ea"), col("dst").as("eb")),
+        col("a") === col("ea") && col("b") === col("eb"), "left_anti")
+      .join(deg.select(col("dnode").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("dnode").as("b"), col("deg").as("db")), Seq("b"))
+      .withColumn("jaccard",
+        floor(col("inter").cast("double")
+          / (col("da") + col("db") - col("inter")).cast("double") * 1e4) / 1e4)
+    candidates
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(LinkPredK)
+      .select(col("a").as("node_a"), col("b").as("node_b"), col("inter"),
+        col("da"), col("db"), col("jaccard"))
+  }
+
+  val linkPredSql: String =
+    s"""WITH $pageEdgesCte,
+        deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+        pairs AS (
+          SELECT x.dst AS a, y.dst AS b, count(*) AS inter
+          FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst
+          GROUP BY 1, 2),
+        cand AS (
+          SELECT p.a, p.b, p.inter
+          FROM pairs p ANTI JOIN e ON e.src = p.a AND e.dst = p.b),
+        scored AS (
+          SELECT c.a AS node_a, c.b AS node_b, c.inter,
+                 CAST(dda.deg AS BIGINT) AS da, CAST(ddb.deg AS BIGINT) AS db,
+                 floor(CAST(c.inter AS DOUBLE)
+                       / CAST(dda.deg + ddb.deg - c.inter AS DOUBLE) * 1e4) / 1e4
+                   AS jaccard
+          FROM cand c JOIN deg dda ON dda.node = c.a
+                      JOIN deg ddb ON ddb.node = c.b)
+        SELECT node_a, node_b, inter, da, db, jaccard
+        FROM scored ORDER BY jaccard DESC, node_a, node_b LIMIT $LinkPredK"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("graph_linkpred_jaccard", linkPred, Some(linkPredSql)),
     ("graph_assortativity", assortativity, Some(assortativitySql)),
     ("graph_kcore", kcore, Some(kcoreSql)),
     ("graph_triangle_count", triangleCount, Some(triangleCountSql)),

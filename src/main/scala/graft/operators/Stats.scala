@@ -445,7 +445,67 @@ object Stats {
                           / CAST(CAST(n_i AS HUGEINT) * n_j AS DOUBLE)) * 1e6) / 1e6 AS mi_part
         FROM m ORDER BY event_type, dow"""
 
+  /** Burstiness of inter-arrival gaps per series (Goh & Barabási
+    * 2008): B = (σ−μ)/(σ+μ) over the second-granular gaps. With
+    * rad = n·Σx²−(Σx)² the n's cancel EXACTLY:
+    * B = (√rad − Σx)/(√rad + Σx) — integer Σx and rad until one sqrt
+    * and one division, so the statistic is engine-exact with no
+    * mean/variance intermediate floats. B≈0 is Poisson traffic, −1
+    * periodic, →1 bursty. One lag window (partitioned per series) +
+    * one aggregation. */
+  def burstiness: Q = (s, d) => {
+    val secCol = expr("cast(unix_timestamp(date_trunc('second', ts)) as bigint)")
+    val w = Window.partitionBy(col("event_type")).orderBy(col("sec"), col("event_id"))
+    val gaps = Tables.events(s, d)
+      .select(col("event_type"), secCol.as("sec"), col("event_id"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("sum_gap"),
+        sum(col("gap").cast("decimal(38,0)") * col("gap")).as("sxx"))
+      .withColumn("rad", col("n_gaps").cast("decimal(38,0)") * col("sxx")
+        - col("sum_gap").cast("decimal(38,0)") * col("sum_gap"))
+      .select(col("event_type"), col("n_gaps"), col("sum_gap"),
+        (floor(col("sum_gap").cast("double") / col("n_gaps").cast("double") * 1e4) / 1e4)
+          .as("mean_gap"),
+        (floor((sqrt(col("rad").cast("double")) - col("sum_gap").cast("double"))
+          / (sqrt(col("rad").cast("double")) + col("sum_gap").cast("double")) * 1e4) / 1e4)
+          .as("burstiness"))
+      .orderBy(col("event_type"))
+  }
+
+  val burstinessSql: String =
+    """WITH g AS (
+         SELECT event_type,
+                CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+                event_id
+         FROM events),
+       gaps AS (
+         SELECT event_type,
+                sec - lag(sec) OVER (PARTITION BY event_type
+                                     ORDER BY sec, event_id) AS gap
+         FROM g),
+       a AS (
+         SELECT event_type, count(*) AS n_gaps,
+                CAST(sum(gap) AS BIGINT) AS sum_gap,
+                sum(CAST(gap AS HUGEINT) * gap) AS sxx
+         FROM gaps WHERE gap IS NOT NULL GROUP BY 1),
+       r AS (
+         SELECT event_type, n_gaps, sum_gap,
+                CAST(n_gaps AS HUGEINT) * sxx
+                  - CAST(sum_gap AS HUGEINT) * sum_gap AS rad
+         FROM a)
+       SELECT event_type, n_gaps, sum_gap,
+              floor(CAST(sum_gap AS DOUBLE) / CAST(n_gaps AS DOUBLE) * 1e4) / 1e4
+                AS mean_gap,
+              floor((sqrt(CAST(rad AS DOUBLE)) - CAST(sum_gap AS DOUBLE))
+                    / (sqrt(CAST(rad AS DOUBLE)) + CAST(sum_gap AS DOUBLE)) * 1e4) / 1e4
+                AS burstiness
+       FROM r ORDER BY event_type"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("events_burstiness", burstiness, Some(burstinessSql)),
     ("q_gini_revenue", giniRevenue, Some(giniRevenueSql)),
     ("q_mann_kendall", mannKendall, Some(mannKendallSql)),
     ("q_runs_test", runsTest, Some(runsTestSql)),

@@ -269,6 +269,50 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  test("events_burstiness: statistic in range and exact against a driver-side fold") {
+    import spark.implicits._
+    val rows = run("events_burstiness")
+      .select("event_type", "n_gaps", "sum_gap", "mean_gap", "burstiness")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(rows.length == 5)
+    rows.foreach { case (_, n, sx, _, b) =>
+      assert(n > 0 && sx >= 0)
+      assert(b >= -1.0 && b < 1.0)
+    }
+    // exact replay for one series
+    val t0 = rows.head._1
+    val secs = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === t0)
+      .select(expr("cast(unix_timestamp(date_trunc('second', ts)) as bigint)").as("s"),
+        col("event_id"))
+      .as[(Long, Long)].collect().sortBy(identity).map(_._1)
+    val gaps = secs.sliding(2).map(p => p(1) - p(0)).toArray
+    val n = gaps.length.toLong
+    val sx = gaps.sum
+    val rad = (BigInt(n) * gaps.map(g => BigInt(g) * BigInt(g)).sum
+      - BigInt(sx) * BigInt(sx)).toDouble
+    val want = math.floor((math.sqrt(rad) - sx.toDouble)
+      / (math.sqrt(rad) + sx.toDouble) * 1e4) / 1e4
+    assert(rows.head._2 == n && rows.head._3 == sx)
+    assert(rows.head._5 == want, s"${rows.head._5} vs $want")
+  }
+
+  test("graph_linkpred_jaccard: candidates are non-edges at distance 2, scores exact") {
+    import spark.implicits._
+    val rows = run("graph_linkpred_jaccard")
+      .select("node_a", "node_b", "inter", "da", "db", "jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows.length == graft.operators.Graph.LinkPredK)
+    rows.foreach { case (a, b, inter, da, db, j) =>
+      assert(a < b, "canonical pair order")
+      assert(inter >= 1 && inter <= math.min(da, db), "intersection bounds")
+      assert(j == math.floor(inter.toDouble / (da + db - inter) * 1e4) / 1e4)
+      assert(j > 0.0 && j <= 1.0)
+    }
+    // scores non-increasing down the ranking
+    assert(rows.sliding(2).forall { case Array(x, y) => x._6 >= y._6; case _ => true })
+  }
+
   test("dedup_semantic: cell pair join is a hash/merge equi-join, never a product") {
     // the entry is skipped by PlanSweepSpec (quantizer training runs
     // jobs at construction), so its scale contract is pinned here: the
