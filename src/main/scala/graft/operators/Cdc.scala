@@ -82,6 +82,74 @@ object Cdc {
        WHERE l.last_op IS NULL OR l.last_op <> 'D'
        ORDER BY entity_key"""
 
+  val ReconcileBuckets = 16
+
+  /** Merkle-style snapshot reconciliation — how a replication pipeline
+    * PROVES the replica caught up without diffing every row: both
+    * sides (the pre-CDC customer snapshot and the CDC-applied state)
+    * roll up to per-bucket (count, digest) pairs, where the digest is
+    * an order-independent DECIMAL(38,0)/HUGEINT sum of 52-bit row
+    * hashes over (key, exact cents). A mismatched bucket localizes
+    * the divergence to 1/B of the keyspace; equal digests end the
+    * audit at B rows of comparison. Balances hash as exact integer
+    * cents, so no float-formatting parity surface exists. */
+  def reconcile: Q = (s, d) => {
+    def side(df: DataFrame, keyCol: String, balCol: String): DataFrame = {
+      val cents = round(col(balCol) * 100).cast("long")
+      val h = conv(substring(md5(concat(lit("rc:"), col(keyCol).cast("string"),
+        lit(":"), cents.cast("string"))), 1, 13), 16, 10).cast("decimal(38,0)")
+      df.select(col(keyCol).as("k"), h.as("h"),
+        (conv(substring(md5(concat(lit("rb:"), col(keyCol).cast("string"))), 1, 2), 16, 10)
+          .cast("int") % ReconcileBuckets).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("h")).as("dg"))
+    }
+    val applied = side(
+      cdcApply(s, d).select(col("entity_key"), col("balance")), "entity_key", "balance")
+      .select(col("bucket"), col("n").as("n_applied"),
+        col("dg").cast("string").as("digest_applied"))
+    val snap = side(
+      Tables.customer(s, d).select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal")),
+      "c_custkey", "bal")
+      .select(col("bucket"), col("n").as("n_snapshot"),
+        col("dg").cast("string").as("digest_snapshot"))
+    snap.join(applied, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_snapshot"), lit(0L)).as("n_snapshot"),
+        coalesce(col("digest_snapshot"), lit("0")).as("digest_snapshot"),
+        coalesce(col("n_applied"), lit(0L)).as("n_applied"),
+        coalesce(col("digest_applied"), lit("0")).as("digest_applied"))
+      .withColumn("in_sync",
+        col("n_snapshot") === col("n_applied")
+          && col("digest_snapshot") === col("digest_applied"))
+      .orderBy(col("bucket"))
+  }
+
+  val reconcileSql: String = {
+    def sideSql(src: String, key: String, bal: String) =
+      s"""SELECT ('0x' || substr(md5('rb:' || CAST($key AS VARCHAR)), 1, 2))::INT
+                   % $ReconcileBuckets AS bucket,
+                 count(*) AS n,
+                 CAST(sum(CAST(('0x' || substr(md5('rc:' || CAST($key AS VARCHAR) || ':'
+                   || CAST(CAST(round($bal * 100) AS BIGINT) AS VARCHAR)), 1, 13))::BIGINT
+                   AS HUGEINT)) AS VARCHAR) AS dg
+          FROM $src GROUP BY 1"""
+    s"""WITH applied_rows AS (${cdcApplySql.replace("ORDER BY entity_key", "")}),
+        a AS (${sideSql("applied_rows", "entity_key", "balance")}),
+        sn AS (${sideSql("(SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer) t",
+          "c_custkey", "bal")})
+        SELECT COALESCE(sn.bucket, a.bucket) AS bucket,
+               COALESCE(sn.n, 0) AS n_snapshot,
+               COALESCE(sn.dg, '0') AS digest_snapshot,
+               COALESCE(a.n, 0) AS n_applied,
+               COALESCE(a.dg, '0') AS digest_applied,
+               COALESCE(sn.n, 0) = COALESCE(a.n, 0)
+                 AND COALESCE(sn.dg, '0') = COALESCE(a.dg, '0') AS in_sync
+        FROM sn FULL OUTER JOIN a ON sn.bucket = a.bucket
+        ORDER BY bucket"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
-    ("cdc_apply", cdcApply, Some(cdcApplySql)))
+    ("cdc_apply", cdcApply, Some(cdcApplySql)),
+    ("cdc_reconcile", reconcile, Some(reconcileSql)))
 }

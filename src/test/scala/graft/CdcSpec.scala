@@ -35,4 +35,25 @@ class CdcSpec extends SparkTestBase {
     val plan = Cdc.cdcApply(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "LWW must combine map-side via max(struct), not sort a window")
   }
+
+  test("cdc_reconcile: buckets partition both sides; drift is detected and localized") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Cdc.reconcile(spark, sf)
+      .select("bucket", "n_snapshot", "digest_snapshot", "n_applied", "digest_applied",
+        "in_sync")
+      .as[(Int, Long, String, Long, String, Boolean)].collect()
+    assert(rows.length <= Cdc.ReconcileBuckets)
+    // bucket counts partition each side's keyspace
+    val nSnap = graft.sources.Tables.customer(spark, sf).count()
+    val nApplied = Cdc.cdcApply(spark, sf).count()
+    assert(rows.map(_._2).sum == nSnap)
+    assert(rows.map(_._4).sum == nApplied)
+    // the CDC log really changed balances: at least one bucket drifted,
+    // and in_sync is exactly the (count, digest) conjunction
+    assert(rows.exists(!_._6), "expected drift between snapshot and applied state")
+    rows.foreach { case (_, ns, ds, na, da, sync) =>
+      assert(sync == (ns == na && ds == da))
+    }
+  }
 }
