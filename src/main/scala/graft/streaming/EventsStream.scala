@@ -1448,7 +1448,110 @@ object EventsStream {
       }
   }
 
+  case class SEv(user_id: Long, tsSec: Long, event_id: Long, event_type: String)
+  case class SEvT(user_id: Long, tsSec: Long, event_id: Long, event_type: String,
+      eventTime: java.sql.Timestamp)
+  /** Open SCD2 version + samples the watermark hasn't finalized. */
+  case class Scd2State(curType: String, curFrom: Long, version: Int, buf: List[SEv])
+  case class Scd2Closed(user_id: Long, attr_value: String, version: Int,
+      valid_from: String, valid_to: String)
+
+  private def fmtSec(sec: Long): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(sec))
+
+  /** Batch twin for `stream_scd2`: the CLOSED SCD2 versions (valid_to
+    * known) under second-truncated event-time order — the portion of
+    * the dimension an append-mode stream can have emitted; the open
+    * current version lives in state, not in the sink. Second
+    * truncation on BOTH twins keeps the change-detection order
+    * identical to the stateful fold's (sub-second precision differs
+    * across readers). */
+  def scd2ClosedBatch: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("next_sec", lead(col("sec"), 1).over(w))
+      .filter(col("next_sec").isNotNull)
+      .select(col("user_id"), col("event_type").as("attr_value"), col("version"),
+        date_format(timestamp_seconds(col("sec")), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(timestamp_seconds(col("next_sec")), "yyyy-MM-dd HH:mm:ss").as("valid_to"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val scd2ClosedSql: String =
+    """WITH o AS (
+         SELECT user_id,
+                CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+                event_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                  ORDER BY date_trunc('second', ts), event_id) AS prev_type
+         FROM events),
+       c AS (SELECT user_id, sec, event_id, event_type
+             FROM o WHERE prev_type IS NULL OR prev_type <> event_type),
+       v AS (
+         SELECT user_id, event_type AS attr_value,
+                CAST(row_number() OVER w AS INT) AS version,
+                sec, lead(sec) OVER w AS next_sec
+         FROM c WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id))
+       SELECT user_id, attr_value, version,
+              strftime(make_timestamp(sec * 1000000), '%Y-%m-%d %H:%M:%S') AS valid_from,
+              strftime(make_timestamp(next_sec * 1000000), '%Y-%m-%d %H:%M:%S') AS valid_to
+       FROM v WHERE next_sec IS NOT NULL ORDER BY user_id, version"""
+
+  /** Streaming SCD2 dimension maintenance: per-entity state is the
+    * ONE open version plus only the samples the event-time watermark
+    * hasn't finalized. A version row is emitted the moment the change
+    * that closes it finalizes — the sink accumulates exactly the
+    * closed dimension history (the batch twin), and the open version
+    * never needs retraction, which is what makes SCD2 maintainable in
+    * append mode. */
+  def scd2Stream(events: Dataset[SEv]): Dataset[Scd2Closed] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withColumn("eventTime", timestamp_seconds(col("tsSec")))
+      .withWatermark("eventTime", "1 hour")
+      .as[SEvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Closed](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[SEvT], state: GroupState[Scd2State]) => {
+          val st = state.getOption.getOrElse(Scd2State(null, 0L, 0, Nil))
+          val all = (st.buf ++ batch.map(e =>
+              SEv(e.user_id, e.tsSec, e.event_id, e.event_type)).toList)
+            .sortBy(e => (e.tsSec, e.event_id))
+          val wmSec = state.getCurrentWatermarkMs() / 1000
+          val (closed, open) = all.partition(_.tsSec < wmSec)
+          var cur = st.curType; var curFrom = st.curFrom; var ver = st.version
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
+          closed.foreach { e =>
+            if (cur == null) { cur = e.event_type; curFrom = e.tsSec; ver = 1 }
+            else if (e.event_type != cur) {
+              out += Scd2Closed(uid, cur, ver, fmtSec(curFrom), fmtSec(e.tsSec))
+              cur = e.event_type; curFrom = e.tsSec; ver += 1
+            }
+          }
+          state.update(Scd2State(cur, curFrom, ver, open))
+          if (open.nonEmpty) {
+            state.setTimeoutTimestamp(
+              math.max((open.last.tsSec + 1) * 1000L,
+                state.getCurrentWatermarkMs() + 1000L))
+          }
+          out.iterator
+        }
+      }
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("stream_scd2", scd2ClosedBatch, Some(scd2ClosedSql)),
     ("stream_anomaly_zscore", anomalyZBatch, Some(anomalyZSql)),
     ("stream_rate_limit", rateLimitBatch, Some(rateLimitSql)),
     ("ivm_join_delta", ivmJoinDelta, Some(intervalJoinSql)),

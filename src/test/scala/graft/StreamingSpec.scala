@@ -627,6 +627,45 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming SCD2 emits exactly the batch closed-version history") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val samples = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("tsSec"),
+        col("event_id"), col("event_type"))
+      .as[EventsStream.SEv].collect()
+
+    val input = MemoryStream[EventsStream.SEv]
+    val q = EventsStream.scd2Stream(input.toDS())
+      .writeStream.format("memory").queryName("scd2_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (early, late) = samples.sortBy(s => (s.tsSec, s.event_id))
+        .splitAt(samples.length / 2)
+      input.addData(early.toSeq)
+      q.processAllAvailable()
+      input.addData(late.toSeq)
+      q.processAllAvailable()
+      val maxSec = samples.map(_.tsSec).max
+      input.addData(EventsStream.SEv(-1L, maxSec + 36000L, -1L, "__wm__"))
+      q.processAllAvailable()
+
+      val got = spark.table("scd2_sink").filter(col("user_id") =!= -1L)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(2)) ->
+          (r.getString(1), r.getString(3), r.getString(4))).toMap
+      val want = EventsStream.scd2ClosedBatch(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(2)) ->
+          (r.getString(1), r.getString(3), r.getString(4))).toMap
+      assert(got.keySet == want.keySet,
+        s"versions differ: missing=${(want.keySet diff got.keySet).take(3)} " +
+          s"extra=${(got.keySet diff want.keySet).take(3)}")
+      want.foreach { case (k, v) => assert(got(k) == v, s"mismatch at $k") }
+    } finally q.stop()
+  }
+
   test("stateful streaming z-score emits the batch expanding-window rows") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
