@@ -911,7 +911,58 @@ object Pipeline {
         FROM ledger ORDER BY stage_idx"""
   }
 
+  /** Power-of-two sequence-length ladder for batch bucketing. */
+  val LengthBuckets = Seq(16L, 32L, 64L, 128L, 256L, 512L)
+
+  /** Sequence-length bucketing ledger — the padding-efficiency read
+    * behind bucketed batching (group samples of similar length so a
+    * batch pads to its bucket cap, not the corpus max): each doc
+    * lands in the smallest power-of-two bucket ≥ its token count,
+    * and per bucket the ledger reports docs, real tokens, padded
+    * capacity and the waste ratio. All integers except the one
+    * waste division; one narrow pass + one 6-group aggregation. */
+  def lengthBuckets: Q = (s, d) => {
+    val nt = expr(s"size(${graft.operators.TextAnalysis.toksExpr})").cast("long")
+    val bucket = LengthBuckets.init.reverse
+      .foldLeft(lit(LengthBuckets.last)) { (acc, b) =>
+        when(col("n_tokens") <= b, lit(b)).otherwise(acc)
+      }
+    Tables.documents(s, d)
+      .select(nt.as("n_tokens"))
+      .select(col("n_tokens"), bucket.as("bucket"))
+      .withColumn("padded", least(col("n_tokens"), col("bucket")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("padded")).as("sum_tokens"))
+      .withColumn("capacity", col("n_docs") * col("bucket"))
+      .withColumn("waste_ratio",
+        floor((col("capacity") - col("sum_tokens")).cast("double")
+          / col("capacity").cast("double") * 1e4) / 1e4)
+      .select(col("bucket"), col("n_docs"), col("sum_tokens"), col("capacity"),
+        col("waste_ratio"))
+      .orderBy(col("bucket"))
+  }
+
+  val lengthBucketsSql: String = {
+    val nt = s"CAST(len(${graft.operators.TextAnalysis.toksSqlExpr}) AS BIGINT)"
+    val cases = LengthBuckets.init
+      .map(b => s"WHEN n_tokens <= $b THEN $b").mkString(" ")
+    s"""WITH t AS (SELECT $nt AS n_tokens FROM documents),
+        b AS (SELECT n_tokens,
+                     CAST(CASE $cases ELSE ${LengthBuckets.last} END AS BIGINT) AS bucket
+              FROM t),
+        g AS (SELECT bucket, count(*) AS n_docs,
+                     CAST(sum(least(n_tokens, bucket)) AS BIGINT) AS sum_tokens
+              FROM b GROUP BY 1)
+        SELECT bucket, n_docs, sum_tokens,
+               n_docs * bucket AS capacity,
+               floor(CAST(n_docs * bucket - sum_tokens AS DOUBLE)
+                     / CAST(n_docs * bucket AS DOUBLE) * 1e4) / 1e4 AS waste_ratio
+        FROM g ORDER BY bucket"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("pack_length_buckets", lengthBuckets, Some(lengthBucketsSql)),
     ("sample_poisson", samplePoisson, Some(samplePoissonSql)),
     ("pipeline_repro_ledger", reproLedger, Some(reproLedgerSql)),
     ("pack_curriculum", packCurriculum, Some(packCurriculumSql)),
