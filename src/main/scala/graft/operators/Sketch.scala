@@ -100,7 +100,7 @@ object Sketch {
     * sample, pick index floor(p·(n−1)) — selection, not interpolation,
     * so the result is a stored double both engines reproduce exactly
     * (the same rule `metrics_quantile_over_time` uses). */
-  private def qFromSample(sk: String, p: String): String =
+  private[graft] def qFromSample(sk: String, p: String): String =
     s"""element_at(array_sort(transform($sk, x -> x.v)),
                    CAST(floor($p * (size($sk) - 1)) AS INT) + 1)"""
 

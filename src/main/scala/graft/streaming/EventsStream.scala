@@ -1550,7 +1550,76 @@ object EventsStream {
       }
   }
 
+  /** Batch twin for `stream_sample_quantile`: daily p50/p90 from the
+    * bottom-K-by-hash uniform sample (the mergeable quantile sketch
+    * `sketch_sample_quantile` uses). Bottom-k-by-hash is a
+    * SEMILATTICE — merge(sample(A), sample(B)) = sample(A ∪ B) — so
+    * the foreachBatch maintenance below converges to this exact
+    * result under ANY chunking, with ≤ K rows of state per day. */
+  def sampleQuantileDailyBatch: Q = (s, d) => {
+    val k = graft.operators.Sketch.SampleK
+    Tables.events(s, d)
+      .select(expr("cast(unix_timestamp(date_trunc('second', ts)) div 86400 as bigint)")
+        .as("day"),
+        expr(graft.operators.Sketch.hash60("e", "event_id")).as("h"), col("value"))
+      .groupBy(col("day"))
+      .agg(expr(s"graft_sample(h, value, $k)").as("sk"))
+      .select(col("day"),
+        expr(graft.operators.Sketch.qFromSample("sk", "0.5e0")).as("p50"),
+        expr(graft.operators.Sketch.qFromSample("sk", "0.9e0")).as("p90"))
+      .orderBy(col("day"))
+  }
+
+  val sampleQuantileDailySql: String = {
+    val k = graft.operators.Sketch.SampleK
+    s"""WITH h AS (
+          SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+                 ('0x' || substr(md5('e' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+                 value
+          FROM events),
+        r AS (SELECT day, h, value,
+                     row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+              FROM h),
+        smp AS (SELECT day, value FROM r WHERE rn <= $k),
+        q AS (SELECT day, value,
+                     row_number() OVER (PARTITION BY day ORDER BY value) AS vr,
+                     count(*) OVER (PARTITION BY day) AS n
+              FROM smp)
+        SELECT day,
+               max(CASE WHEN vr = CAST(floor(0.5e0 * (n - 1)) AS BIGINT) + 1
+                        THEN value END) AS p50,
+               max(CASE WHEN vr = CAST(floor(0.9e0 * (n - 1)) AS BIGINT) + 1
+                        THEN value END) AS p90
+        FROM q GROUP BY day ORDER BY day"""
+  }
+
+  /** One micro-batch of sample maintenance: the stored per-day sample
+    * unions with the batch's and re-truncates to bottom-K by hash —
+    * the semilattice merge, so chunk order cannot matter. */
+  def sampleQuantileBatchInto(snapshotDir: String, batch: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val k = graft.operators.Sketch.SampleK
+    val batchSk = batch.groupBy(col("day"))
+      .agg(expr(s"graft_sample(h, value, $k)").as("sk"))
+    val merged = currentSnapshot(spark, snapshotDir)
+      .map(_.unionByName(batchSk)).getOrElse(batchSk)
+      .select(col("day"), explode(col("sk")).as("p"))
+      .select(col("day"), col("p.h").as("h"), col("p.v").as("value"))
+      .groupBy(col("day"))
+      .agg(expr(s"graft_sample(h, value, $k)").as("sk"))
+    publishSnapshot(snapshotDir, merged)
+  }
+
+  /** Read-back in the batch twin's shape. */
+  def sampleQuantileSnapshotRead(spark: SparkSession, snapshotDir: String): DataFrame =
+    currentSnapshot(spark, snapshotDir).get
+      .select(col("day"),
+        expr(graft.operators.Sketch.qFromSample("sk", "0.5e0")).as("p50"),
+        expr(graft.operators.Sketch.qFromSample("sk", "0.9e0")).as("p90"))
+      .orderBy(col("day"))
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("stream_sample_quantile", sampleQuantileDailyBatch, Some(sampleQuantileDailySql)),
     ("stream_scd2", scd2ClosedBatch, Some(scd2ClosedSql)),
     ("stream_anomaly_zscore", anomalyZBatch, Some(anomalyZSql)),
     ("stream_rate_limit", rateLimitBatch, Some(rateLimitSql)),

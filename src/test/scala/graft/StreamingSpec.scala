@@ -627,6 +627,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("incremental sample-quantile sketch equals the batch twin, any chunking") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(
+        expr("cast(unix_timestamp(date_trunc('second', ts)) div 86400 as bigint)").as("day"),
+        expr(graft.operators.Sketch.hash60("e", "event_id")).as("h"),
+        col("value"), col("event_id"))
+      .as[(Long, Long, Double, Long)].collect()
+
+    val snapDir = java.nio.file.Files.createTempDirectory("graft_sq").toString
+    val input = MemoryStream[(Long, Long, Double, Long)]
+    val q = input.toDF()
+      .toDF("day", "h", "value", "event_id")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        EventsStream.sampleQuantileBatchInto(snapDir, df)
+      }
+      .start()
+    try {
+      // reversed chunks: the semilattice merge must converge anyway
+      val sorted = rows.sortBy(_._4)
+      val chunks = sorted.grouped(math.max(1, sorted.length / 3 + 1)).toSeq.reverse
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      val got = EventsStream.sampleQuantileSnapshotRead(spark, snapDir)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val want = EventsStream.sampleQuantileDailyBatch(spark, sf)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      assert(got == want, s"streaming=${got.size} batch=${want.size} " +
+        s"diff=${(want.toSet diff got.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming SCD2 emits exactly the batch closed-version history") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
