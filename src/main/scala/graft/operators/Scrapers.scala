@@ -723,7 +723,58 @@ object Scrapers {
         FROM m ORDER BY event_type, day"""
   }
 
+  /** Recording-rule cascade — Prometheus' `record:` rule tree
+    * re-expressed as one layered query: level 1 aggregates the raw
+    * stream per (series, hour), level 2 re-aggregates level 1 across
+    * series, level 3 windows level 2 over a trailing 6h frame. The
+    * three levels union into one rule feed, and because 2 and 3
+    * DERIVE from 1's aggregation, Spark's ReuseExchange evaluates the
+    * raw scan + first shuffle ONCE for the whole tree (asserted in
+    * Round8Spec) — the cascade costs one pass over the events, which
+    * is the entire point of recording rules. All integer counts. */
+  def recordingRules: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val l1 = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("(unix_timestamp(date_trunc('second', ts)) div 3600) * 3600").as("hour_sec"))
+      .agg(count(lit(1)).as("value"))
+    val l2 = l1.groupBy(col("hour_sec")).agg(sum(col("value")).as("value"))
+    val l3 = l2.withColumn("value",
+      max(col("value")).over(Window.orderBy(col("hour_sec")).rowsBetween(-5, 0)))
+    l1.select(lit("type_hourly_count").as("rule"), col("event_type"),
+        col("hour_sec"), col("value"))
+      .unionByName(l2.select(lit("total_hourly").as("rule"),
+        lit(null).cast("string").as("event_type"), col("hour_sec"), col("value")))
+      .unionByName(l3.select(lit("total_max6h").as("rule"),
+        lit(null).cast("string").as("event_type"), col("hour_sec"), col("value")))
+      .orderBy(col("rule"), col("event_type"), col("hour_sec"))
+  }
+
+  val recordingRulesSql: String =
+    """WITH l1 AS (
+         SELECT event_type,
+                (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600) * 3600
+                  AS hour_sec,
+                count(*) AS value
+         FROM events GROUP BY 1, 2),
+       l2 AS (
+         SELECT hour_sec, CAST(sum(value) AS BIGINT) AS value
+         FROM l1 GROUP BY 1),
+       l3 AS (
+         SELECT hour_sec,
+                CAST(max(value) OVER (ORDER BY hour_sec
+                  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS value
+         FROM l2)
+       SELECT rule, event_type, hour_sec, value FROM (
+         SELECT 'type_hourly_count' AS rule, event_type, hour_sec, value FROM l1
+         UNION ALL
+         SELECT 'total_hourly', NULL, hour_sec, value FROM l2
+         UNION ALL
+         SELECT 'total_max6h', NULL, hour_sec, value FROM l3) u
+       ORDER BY rule, event_type, hour_sec"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("prom_recording_rules", recordingRules, Some(recordingRulesSql)),
     ("metrics_histogram_stddev", histogramStddev, Some(histogramStddevSql)),
     ("prom_series_cardinality", seriesCardinality, Some(seriesCardinalitySql)),
     ("metrics_histogram_rebucket", histogramRebucket, Some(histogramRebucketSql)),

@@ -313,6 +313,36 @@ class Round8Spec extends SparkTestBase {
     assert(rows.sliding(2).forall { case Array(x, y) => x._6 >= y._6; case _ => true })
   }
 
+  test("prom_recording_rules: levels are consistent and the rule tree shares one scan") {
+    import spark.implicits._
+    val rows = run("prom_recording_rules")
+      .select("rule", "event_type", "hour_sec", "value")
+      .as[(String, Option[String], Long, Long)].collect()
+    val l1 = rows.filter(_._1 == "type_hourly_count")
+    val l2 = rows.filter(_._1 == "total_hourly")
+    val l3 = rows.filter(_._1 == "total_max6h")
+    assert(l1.nonEmpty && l2.nonEmpty && l3.size == l2.size)
+    // level 2 = level 1 re-aggregated
+    val l1ByHour = l1.groupBy(_._3).view.mapValues(_.map(_._4).sum).toMap
+    l2.foreach { case (_, _, h, v) => assert(l1ByHour(h) == v, s"hour $h") }
+    // level 3 = trailing-6 max of level 2
+    val l2Sorted = l2.sortBy(_._3)
+    val l2Vals = l2Sorted.map(_._4)
+    l2Sorted.zipWithIndex.foreach { case ((_, _, h, _), i) =>
+      val want = l2Vals.slice(math.max(0, i - 5), i + 1).max
+      val got = l3.find(_._3 == h).get._4
+      assert(got == want, s"hour $h max6h")
+    }
+    // the whole cascade reuses level 1's exchange instead of rescanning:
+    // count scans in the FINAL (post-AQE) section only — the formatted
+    // string repeats the pre-reuse initial plan below it
+    val p = executedPlan("prom_recording_rules")
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.contains("ReusedExchange"), "rule tree must share the level-1 shuffle")
+    assert("Scan parquet".r.findAllIn(finalSection).size <= 1,
+      "one events scan for the whole tree")
+  }
+
   test("dedup_semantic: cell pair join is a hash/merge equi-join, never a product") {
     // the entry is skipped by PlanSweepSpec (quantizer training runs
     // jobs at construction), so its scale contract is pinned here: the
