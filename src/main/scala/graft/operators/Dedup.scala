@@ -172,20 +172,29 @@ object Dedup {
   /** (doc_id, band_idx, bh) — the one-permutation-hashing signature
     * exploded to one row per LSH band, shared by `dedup_minhash_lsh`
     * and `dedup_incremental`. */
-  private def bandList(sets: DataFrame): DataFrame = {
+  private def sigTable(sets: DataFrame): DataFrame = {
     val e = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
       .select(col("doc_id"), md5(col("sh")).as("h"))
     val sigCols = (0 until NumHashes).map { i =>
       val slot = Integer.toHexString(i)
       coalesce(min(when(substring(col("h"), 1, 1) === slot, col("h"))), lit("e" + slot)).as(s"s$i")
     }
-    val sig = e.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-    val bandCols = (0 until NumBands).map(b =>
-      md5(concat((b * BandSize until (b + 1) * BandSize).map(i => col(s"s$i")): _*)).as(s"band$b"))
-    val banded = sig.select(col("doc_id") +: bandCols: _*)
-    val stackArgs = (0 until NumBands).map(b => s"'$b', band$b").mkString(", ")
-    banded.selectExpr("doc_id", s"stack($NumBands, $stackArgs) as (band_idx, bh)")
+    e.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
+
+  /** Band the 16-slot signature at `rows` hashes per band (bands =
+    * 16/rows) — the (b, r) knob the tuning entry sweeps. */
+  private def bandListFor(sig: DataFrame, rows: Int): DataFrame = {
+    val bands = NumHashes / rows
+    val bandCols = (0 until bands).map(b =>
+      md5(concat((b * rows until (b + 1) * rows).map(i => col(s"s$i")): _*)).as(s"band$b"))
+    val banded = sig.select(col("doc_id") +: bandCols: _*)
+    val stackArgs = (0 until bands).map(b => s"'$b', band$b").mkString(", ")
+    banded.selectExpr("doc_id", s"stack($bands, $stackArgs) as (band_idx, bh)")
+  }
+
+  private def bandList(sets: DataFrame): DataFrame =
+    bandListFor(sigTable(sets), BandSize)
 
   def minhashLsh: Q = (s, d) => {
     val sets = shingleSets(s, d)
@@ -779,7 +788,107 @@ object Dedup {
         FROM sel JOIN fp USING (wmin)
         GROUP BY doc_id, n_grams ORDER BY doc_id"""
 
+  /** Rows-per-band configs swept by the tuning ledger (bands = 16/r). */
+  val TuneRows = Seq(2, 4, 8)
+
+  /** LSH index-design sweep — THE MinHash deployment decision (how
+    * many bands × rows) quantified on the corpus itself: from ONE
+    * shared 16-slot signature table, band at r ∈ {2,4,8} hashes per
+    * band and report candidate volume, truth coverage (vs the exact
+    * df-capped Jaccard ≥ 0.5 pairs) and precision per config. More
+    * bands → higher recall, more candidates to verify; the ledger
+    * makes the S-curve tradeoff a measured number instead of a
+    * formula guess. Signature and truth build once (lineage cut);
+    * each config is one band equi-join + three bounded aggregates. */
+  def lshTuning: Q = (s, d) => {
+    val sets = shingleSets(s, d)
+    val sig = graft.Checkpoints.cut(sigTable(sets))
+    val truth = graft.Checkpoints.cut(
+      pairIntersections(s, d)
+        .select(col("da"), col("db"),
+          trunc4(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")))
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("da"), col("db")))
+    val perConfig = TuneRows.map { r =>
+      val bl = bandListFor(sig, r)
+      val cand = bl.select(col("doc_id").as("da"), col("band_idx"), col("bh"))
+        .join(bl.select(col("doc_id").as("db"), col("band_idx"), col("bh")),
+          Seq("band_idx", "bh"))
+        .filter(col("da") < col("db"))
+        .select("da", "db").distinct()
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(
+          cand.join(truth, Seq("da", "db"), "left_semi")
+            .agg(count(lit(1)).as("n_caught"))))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+        .select(lit(NumHashes / r).as("bands"), lit(r).as("rows_per_band"),
+          col("n_candidates"), col("n_caught"), col("n_truth"))
+    }
+    perConfig.reduce(_ unionByName _)
+      .withColumn("recall",
+        when(col("n_truth") > 0,
+          floor(col("n_caught").cast("double") / col("n_truth").cast("double") * 1e4) / 1e4)
+          .otherwise(lit(0.0)))
+      .withColumn("precision",
+        when(col("n_candidates") > 0,
+          floor(col("n_caught").cast("double") / col("n_candidates").cast("double") * 1e4)
+            / 1e4)
+          .otherwise(lit(0.0)))
+      .orderBy(col("rows_per_band"))
+  }
+
+  lazy val lshTuningSql: String = {
+    val sigExprs = (0 until NumHashes)
+      .map { i =>
+        val slot = Integer.toHexString(i)
+        s"coalesce(min(CASE WHEN substr(h, 1, 1) = '$slot' THEN h END), 'e$slot') AS s$i"
+      }.mkString(", ")
+    val configs = TuneRows.map { r =>
+      val bands = NumHashes / r
+      val bandExprs = (0 until bands)
+        .map(b => s"md5(${(b * r until (b + 1) * r).map(i => s"s$i").mkString(" || ")}) AS band$b")
+        .mkString(", ")
+      val blSelects = (0 until bands)
+        .map(b => s"SELECT doc_id, '$b' AS band_idx, band$b AS bh FROM banded_$r")
+        .mkString(" UNION ALL ")
+      s"""banded_$r AS (SELECT doc_id, $bandExprs FROM sig),
+          bl_$r AS ($blSelects),
+          cand_$r AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM bl_$r a JOIN bl_$r b ON a.band_idx = b.band_idx AND a.bh = b.bh
+              AND a.doc_id < b.doc_id),
+          st_$r AS (
+            SELECT CAST($bands AS INT) AS bands, CAST($r AS INT) AS rows_per_band,
+                   (SELECT count(*) FROM cand_$r) AS n_candidates,
+                   (SELECT count(*) FROM cand_$r c SEMI JOIN truth t
+                      ON c.da = t.da AND c.db = t.db) AS n_caught,
+                   (SELECT count(*) FROM truth) AS n_truth)"""
+    }.mkString(",\n")
+    val union = TuneRows.map(r => s"SELECT * FROM st_$r").mkString(" UNION ALL ")
+    s"""WITH sets AS (
+          SELECT doc_id, shingles, len(shingles) AS n_sh FROM (
+            SELECT doc_id, $shinglesSqlExpr AS shingles FROM documents)
+          WHERE len(shingles) > 0),
+        e AS (SELECT doc_id, md5(unnest(shingles)) AS h FROM sets),
+        sig AS (SELECT doc_id, $sigExprs FROM e GROUP BY doc_id),
+        truth AS (
+          SELECT doc_a AS da, doc_b AS db
+          FROM (${ngramJaccardSql.replace("ORDER BY doc_a, doc_b", "")})),
+        $configs
+        SELECT bands, rows_per_band, n_candidates, n_caught, n_truth,
+               CASE WHEN n_truth > 0
+                    THEN floor(CAST(n_caught AS DOUBLE) / CAST(n_truth AS DOUBLE) * 1e4) / 1e4
+                    ELSE 0.0 END AS recall,
+               CASE WHEN n_candidates > 0
+                    THEN floor(CAST(n_caught AS DOUBLE)
+                               / CAST(n_candidates AS DOUBLE) * 1e4) / 1e4
+                    ELSE 0.0 END AS precision
+        FROM ($union) u ORDER BY rows_per_band"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("dedup_lsh_tuning", lshTuning, Some(lshTuningSql)),
     ("dedup_winnow", winnow, Some(winnowSql)),
     ("split_leakage_audit", splitLeakageAudit, Some(splitLeakageAuditSql)),
     ("dedup_lsh_scurve", lshScurve, Some(lshScurveSql)),

@@ -343,6 +343,35 @@ class Round8Spec extends SparkTestBase {
       "one events scan for the whole tree")
   }
 
+  test("dedup_lsh_tuning: candidate volume falls and precision rises with rows per band") {
+    import spark.implicits._
+    val rows = run("dedup_lsh_tuning")
+      .select("bands", "rows_per_band", "n_candidates", "n_caught", "n_truth",
+        "recall", "precision")
+      .as[(Int, Int, Long, Long, Long, Double, Double)].collect()
+    assert(rows.map(_._2).toSeq == graft.operators.Dedup.TuneRows)
+    rows.foreach { case (b, r, nc, caught, truth, rec, prec) =>
+      assert(b * r == graft.operators.Dedup.NumHashes)
+      assert(caught <= truth && caught <= nc)
+      if (truth > 0) assert(rec == math.floor(caught.toDouble / truth * 1e4) / 1e4)
+      if (nc > 0) assert(prec == math.floor(caught.toDouble / nc * 1e4) / 1e4)
+    }
+    // banding theory: the band boundaries nest (2 | 4 | 8), so wider
+    // bands give a SUBSET of candidates — volume and recall can only
+    // shrink as rows per band grow (precision usually rises but is
+    // not a theorem, so it is reported, not asserted)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._3 <= a._3, "candidates must shrink as bands widen")
+        assert(b._4 <= a._4, "caught set is nested")
+        assert(b._6 <= a._6 + 1e-12, "recall cannot rise as bands widen")
+      case _ => ()
+    }
+    // the sweep is non-trivial on this corpus: the widest-net config
+    // pays real candidate overhead over the strictest
+    assert(rows.head._3 > rows.last._3)
+  }
+
   test("dedup_semantic: cell pair join is a hash/merge equi-join, never a product") {
     // the entry is skipped by PlanSweepSpec (quantizer training runs
     // jobs at construction), so its scale contract is pinned here: the
