@@ -504,7 +504,71 @@ object Stats {
                 AS burstiness
        FROM r ORDER BY event_type"""
 
+  /** SPRT design constants: H0 p=0.20 vs H1 p=0.25 conversion,
+    * α=0.05, β=0.20. The four log constants are computed ONCE here
+    * and embedded as identical double literals in both engines
+    * (the `sample_poisson` discipline) — llr arithmetic is then
+    * literal × exact-integer, with no runtime log anywhere. */
+  val SprtP0 = 0.20
+  val SprtP1 = 0.25
+  val SprtL1: Double = math.log(SprtP1 / SprtP0)
+  val SprtL0: Double = math.log((1.0 - SprtP1) / (1.0 - SprtP0))
+  val SprtLowA: Double = math.log(0.20 / (1.0 - 0.05))
+  val SprtUpB: Double = math.log((1.0 - 0.20) / 0.05)
+
+  /** Sequential probability ratio test over the daily conversion
+    * stream — the "peek every day without p-hacking" monitor: the
+    * cumulative log-likelihood ratio llr = k·ln(p1/p0) +
+    * (n−k)·ln(q1/q0) against Wald's boundaries, emitted per day with
+    * the current verdict. Counts cumulate over the bounded day spine;
+    * every real is one multiply-add of embedded literals by exact
+    * integers. */
+  def sprtAbtest: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(dayCol.as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("k"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("n_cum", sum(col("n")).over(w))
+      .withColumn("k_cum", sum(col("k")).over(w))
+      .withColumn("llr",
+        floor((col("k_cum").cast("double") * lit(SprtL1)
+          + (col("n_cum") - col("k_cum")).cast("double") * lit(SprtL0)) * 1e6) / 1e6)
+      .withColumn("verdict",
+        when(col("llr") >= SprtUpB, lit("accept_h1"))
+          .when(col("llr") <= SprtLowA, lit("accept_h0"))
+          .otherwise(lit("continue")))
+      .select(col("day"), col("n_cum"), col("k_cum"), col("llr"), col("verdict"))
+      .orderBy(col("day"))
+  }
+
+  val sprtAbtestSql: String =
+    s"""WITH daily AS (
+          SELECT $daySql AS day, count(*) AS n,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS k
+          FROM events GROUP BY 1),
+        c AS (
+          SELECT day,
+                 CAST(sum(n) OVER w AS BIGINT) AS n_cum,
+                 CAST(sum(k) OVER w AS BIGINT) AS k_cum
+          FROM daily
+          WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+        l AS (
+          SELECT day, n_cum, k_cum,
+                 floor((CAST(k_cum AS DOUBLE) * ${SprtL1}
+                        + CAST(n_cum - k_cum AS DOUBLE) * ${SprtL0}) * 1e6) / 1e6 AS llr
+          FROM c)
+        SELECT day, n_cum, k_cum, llr,
+               CASE WHEN llr >= ${SprtUpB} THEN 'accept_h1'
+                    WHEN llr <= ${SprtLowA} THEN 'accept_h0'
+                    ELSE 'continue' END AS verdict
+        FROM l ORDER BY day"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_sprt_abtest", sprtAbtest, Some(sprtAbtestSql)),
     ("events_burstiness", burstiness, Some(burstinessSql)),
     ("q_gini_revenue", giniRevenue, Some(giniRevenueSql)),
     ("q_mann_kendall", mannKendall, Some(mannKendallSql)),

@@ -171,6 +171,26 @@ class StatsSpec extends SparkTestBase {
     assert(rows.map(_._3).sum == users)
   }
 
+  test("sprt: cumulative counts are exact, llr replays from the embedded constants") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_sprt_abtest")(spark, sf)
+      .as[(Long, Long, Long, Double, String)].collect()
+    assert(rows.nonEmpty)
+    // cumulative counts are monotone and end at the corpus totals
+    assert(rows.sliding(2).forall { case Array(a, b) => b._2 > a._2 && b._3 >= a._3
+    case _ => true })
+    val total = graft.sources.Tables.events(spark, sf).count()
+    assert(rows.last._2 == total)
+    rows.foreach { case (_, n, k, llr, v) =>
+      val want = math.floor((k.toDouble * Stats.SprtL1
+        + (n - k).toDouble * Stats.SprtL0) * 1e6) / 1e6
+      assert(llr == want, s"llr $llr vs $want")
+      val expectV = if (llr >= Stats.SprtUpB) "accept_h1"
+        else if (llr <= Stats.SprtLowA) "accept_h0" else "continue"
+      assert(v == expectV)
+    }
+  }
+
   test("stats entries are deterministic under repartitioning") {
     for (name <- Seq("q_gini_revenue", "q_mann_kendall", "q_runs_test", "q_waterfall_bridge",
         "q_ks_test", "q_regression_trend", "q_mutual_info", "cohort_lifecycle")) {
