@@ -506,7 +506,66 @@ object Graph {
         SELECT node_a, node_b, inter, da, db, jaccard
         FROM scored ORDER BY jaccard DESC, node_a, node_b LIMIT $LinkPredK"""
 
+  val WalkLen = 4
+
+  /** Deterministic random-walk sampling — the DeepWalk/node2vec
+    * corpus-generation stage (walks become "sentences" for a graph
+    * embedding): one walk per node, each step choosing the neighbor
+    * ranked hash(start, step, node) mod degree in the sorted
+    * adjacency — an RNG-free choice both engines replay exactly, and
+    * reproducible across cluster layouts like every sampler here.
+    * Each step is ONE equi-join of the |V|-row frontier against the
+    * rank-indexed edge list (the rank condition rides the src
+    * equi-join as a residual); the oracle unrolls the steps as CTEs,
+    * so the hash certifies every trajectory. */
+  def walkSample: Q = (sp, d) => {
+    val e = cut(pageEdges(sp, d))
+    val wIdx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    val idx = e
+      .withColumn("rank", row_number().over(wIdx).cast("long"))
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+    var cur = e.select(col("src")).distinct()
+      .select(col("src").as("start"), lit(0).as("step"), col("src").as("node"))
+    var acc = cur
+    for (t <- 1 to WalkLen) {
+      val pick = expr(
+        s"cast(conv(substring(md5(concat('wk:', cast(start as string), ':$t:', " +
+          s"cast(node as string))), 1, 13), 16, 10) as bigint)")
+      val next = cur.join(idx,
+          col("node") === col("src") && col("rank") === pick % col("outdeg") + 1)
+        .select(col("start"), lit(t).as("step"), col("dst").as("node"))
+      acc = acc.unionByName(next)
+      cur = next
+    }
+    acc.orderBy(col("start"), col("step"), col("node"))
+  }
+
+  lazy val walkSampleSql: String = {
+    val steps = (1 to WalkLen).map { t =>
+      s"""w$t AS (
+            SELECT w.start, $t AS step, i.dst AS node
+            FROM w${t - 1} w JOIN idx i ON i.src = w.node
+              AND i.rank = (('0x' || substr(md5('wk:' || CAST(w.start AS VARCHAR)
+                || ':$t:' || CAST(w.node AS VARCHAR)), 1, 13))::BIGINT
+                % i.outdeg) + 1)"""
+    }.mkString(",\n")
+    val union = (0 to WalkLen).map(t => s"SELECT * FROM w$t").mkString(" UNION ALL ")
+    s"""WITH $pageEdgesCte,
+        idx AS (
+          SELECT src, dst,
+                 CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) AS rank,
+                 count(*) OVER (PARTITION BY src) AS outdeg
+          FROM e),
+        w0 AS (SELECT DISTINCT src AS start, 0 AS step, src AS node FROM e),
+        $steps
+        SELECT start, CAST(step AS INT) AS step, node
+        FROM ($union) u ORDER BY start, step, node"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("graph_walk_sample", walkSample, Some(walkSampleSql)),
     ("graph_linkpred_jaccard", linkPred, Some(linkPredSql)),
     ("graph_assortativity", assortativity, Some(assortativitySql)),
     ("graph_kcore", kcore, Some(kcoreSql)),

@@ -372,6 +372,34 @@ class Round8Spec extends SparkTestBase {
     assert(rows.head._3 > rows.last._3)
   }
 
+  test("graph_walk_sample: every walk is connected, complete, and hash-deterministic") {
+    import spark.implicits._
+    val rows = run("graph_walk_sample")
+      .select("start", "step", "node").as[(Long, Int, Long)].collect()
+    val byWalk = rows.groupBy(_._1)
+    // adjacency for validation, rebuilt from the same similarity graph
+    val adj = graft.operators.Affinity.nodeSimilarity(spark, sf)
+      .select(col("page_a").cast("long"), col("page_b").cast("long"))
+      .as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    byWalk.foreach { case (start, steps) =>
+      val path = steps.sortBy(_._2)
+      assert(path.map(_._2).toSeq == (0 to graft.operators.Graph.WalkLen),
+        s"walk $start must have every step")
+      assert(path.head._3 == start)
+      path.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(adj(a._3).contains(b._3), s"walk $start jumps a non-edge")
+        case _ => ()
+      }
+    }
+    // deterministic: a rerun yields the identical corpus
+    val again = run("graph_walk_sample")
+      .select("start", "step", "node").as[(Long, Int, Long)].collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("dedup_semantic: cell pair join is a hash/merge equi-join, never a product") {
     // the entry is skipped by PlanSweepSpec (quantizer training runs
     // jobs at construction), so its scale contract is pinned here: the
