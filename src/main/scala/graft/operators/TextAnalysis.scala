@@ -642,7 +642,52 @@ object TextAnalysis {
         FROM r ORDER BY doc_id"""
   }
 
+  /** Tokenizer fertility per language — the metric that decides a
+    * tokenizer (how many subword tokens per word, how many bytes per
+    * token, per language): fertility disparity across languages is a
+    * documented training-equity concern, and this is the aggregate
+    * read that surfaces it. Exact integer sums per language; the two
+    * emitted reals are single divisions, display-floored. One narrow
+    * pass + a |languages|-group aggregation. */
+  def tokenizerFertility: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("lang"),
+        expr(s"size($toksExpr)").cast("long").as("ws"),
+        expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))")
+          .cast("long").as("bpe"),
+        expr("octet_length(encode(text, 'UTF-8'))").cast("long").as("bytes"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"),
+        sum(col("bytes")).as("text_bytes"))
+      .withColumn("fertility",
+        floor(col("bpe_tokens").cast("double") / col("ws_tokens").cast("double") * 1e4) / 1e4)
+      .withColumn("bytes_per_token",
+        floor(col("text_bytes").cast("double") / col("bpe_tokens").cast("double") * 1e4) / 1e4)
+      .orderBy(col("lang"))
+  }
+
+  val tokenizerFertilitySql: String =
+    s"""WITH t AS (
+          SELECT lang,
+                 CAST(len($toksSqlExpr) AS BIGINT) AS ws,
+                 CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+                   AS BIGINT) AS bpe,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS bytes
+          FROM documents)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(ws) AS BIGINT) AS ws_tokens,
+               CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+               CAST(sum(bytes) AS BIGINT) AS text_bytes,
+               floor(CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) * 1e4) / 1e4
+                 AS fertility,
+               floor(CAST(sum(bytes) AS DOUBLE) / CAST(sum(bpe) AS DOUBLE) * 1e4) / 1e4
+                 AS bytes_per_token
+        FROM t GROUP BY lang ORDER BY lang"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("text_tokenizer_fertility", tokenizerFertility, Some(tokenizerFertilitySql)),
     ("text_gopher_rules", gopherRules, Some(gopherRulesSql)),
     ("text_vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
     ("text_keywords", keywords, Some(keywordsSql)),
