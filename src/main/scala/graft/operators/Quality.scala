@@ -369,11 +369,68 @@ object Quality {
        GROUP BY c.c_mktsegment, f2.q1, f2.q3, f2.fence_lo, f2.fence_hi
        ORDER BY c.c_mktsegment"""
 
+  /** Expected update cadence per table, seconds. */
+  val FreshnessCadence = Seq(
+    ("events", 3600L), ("orders", 86400L), ("lineitem", 86400L))
+
+  /** Freshness SLA ledger — "is every table still being fed": per
+    * table the latest event-time, its lag against a DETERMINISTIC
+    * reference clock (the max timestamp across all monitored tables —
+    * never the wall clock, so the entry is replayable), the expected
+    * cadence, and the SLA verdict at 2× cadence. Three 1-row
+    * aggregates + one 1-row broadcast; all integer seconds. */
+  def freshnessSla: Q = (s, d) => {
+    import org.apache.spark.sql.DataFrame
+    def latest(name: String, df: DataFrame, tsCol: String): DataFrame =
+      df.agg(max(unix_timestamp(date_trunc("second", col(tsCol)))).as("latest_sec"))
+        .select(lit(name).as("table_name"), col("latest_sec"))
+    val per = latest("events", Tables.events(s, d), "ts")
+      .unionByName(latest("orders", Tables.orders(s, d), "o_orderdate"))
+      .unionByName(latest("lineitem", Tables.lineitem(s, d), "l_shipdate"))
+    val ref = per.agg(max(col("latest_sec")).as("ref_sec"))
+    val cadence = FreshnessCadence.tail.foldLeft(
+      when(col("table_name") === FreshnessCadence.head._1, lit(FreshnessCadence.head._2))) {
+      case (acc, (n, c)) => acc.when(col("table_name") === n, lit(c))
+    }
+    per.crossJoin(broadcast(ref))
+      .withColumn("cadence_sec", cadence)
+      .withColumn("lag_sec", col("ref_sec") - col("latest_sec"))
+      .withColumn("sla_ok", col("lag_sec") <= lit(2L) * col("cadence_sec"))
+      .select(col("table_name"), col("latest_sec"), col("ref_sec"),
+        col("lag_sec"), col("cadence_sec"), col("sla_ok"))
+      .orderBy(col("table_name"))
+  }
+
+  val freshnessSlaSql: String = {
+    val cadenceCase = FreshnessCadence
+      .map { case (n, c) => s"WHEN '$n' THEN $c" }.mkString(" ")
+    s"""WITH per AS (
+          SELECT 'events' AS table_name,
+                 CAST(max(epoch(date_trunc('second', ts))) AS BIGINT) AS latest_sec
+          FROM events
+          UNION ALL
+          SELECT 'orders',
+                 CAST(max(epoch(date_trunc('second', o_orderdate))) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'lineitem',
+                 CAST(max(epoch(date_trunc('second', l_shipdate))) AS BIGINT)
+          FROM lineitem),
+        ref AS (SELECT max(latest_sec) AS ref_sec FROM per)
+        SELECT table_name, latest_sec, ref_sec,
+               ref_sec - latest_sec AS lag_sec,
+               CAST(CASE table_name $cadenceCase END AS BIGINT) AS cadence_sec,
+               ref_sec - latest_sec <= 2 * CAST(CASE table_name $cadenceCase END AS BIGINT)
+                 AS sla_ok
+        FROM per, ref ORDER BY table_name"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("dq_benford", dqBenford, Some(dqBenfordSql)),
     ("dq_outlier_iqr", dqOutlierIqr, Some(dqOutlierIqrSql)),
     ("dq_drift_psi", driftPsi, Some(driftPsiSql)),
     ("dq_rules", dqRules, Some(dqRulesSql)),
+    ("dq_freshness_sla", freshnessSla, Some(freshnessSlaSql)),
     ("dq_profile", dqProfile, Some(dqProfileSql)),
     ("q_decimal_money", decimalMoney, Some(decimalMoneySql)))
 }
