@@ -884,7 +884,49 @@ object TimeseriesExt {
                 AS breached
        FROM c ORDER BY day"""
 
+  /** M4 downsampling (Jugel et al., VLDB 2014): per pixel-bucket the
+    * FIRST, LAST, MIN and MAX samples — the four points that make a
+    * line rendering of the bucket pixel-exact, where avg-downsampling
+    * visually lies. Unlike LTTB (a per-series sequential fold), M4 is
+    * ONE map-side-combinable aggregation: first/last ride
+    * min/max(struct(sec, event_id, value)) — exact, order-free — so
+    * the operator scales like any groupBy. Values round once at the
+    * sample (2-dp inputs), everything else is integer. */
+  def downsampleM4: Q = (s, d) => {
+    Tables.events(s, d)
+      .select(col("event_type"),
+        expr("cast(unix_timestamp(date_trunc('second', ts)) as bigint)").as("sec"),
+        col("event_id"), round(col("value"), 2).as("v"))
+      .groupBy(col("event_type"),
+        expr("(sec div 21600) * 21600").as("bucket_start"))
+      .agg(count(lit(1)).as("samples"),
+        min(struct(col("sec"), col("event_id"), col("v"))).as("f"),
+        max(struct(col("sec"), col("event_id"), col("v"))).as("l"),
+        min(col("v")).as("min_value"),
+        max(col("v")).as("max_value"))
+      .select(col("event_type"), col("bucket_start"), col("samples"),
+        col("f.v").as("first_value"), col("l.v").as("last_value"),
+        col("min_value"), col("max_value"))
+      .orderBy(col("event_type"), col("bucket_start"))
+  }
+
+  val downsampleM4Sql: String =
+    """WITH e AS (
+         SELECT event_type,
+                CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+                event_id, round(value, 2) AS v
+         FROM events)
+       SELECT event_type,
+              (sec // 21600) * 21600 AS bucket_start,
+              count(*) AS samples,
+              (min({'s': sec, 'e': event_id, 'v': v})).v AS first_value,
+              (max({'s': sec, 'e': event_id, 'v': v})).v AS last_value,
+              min(v) AS min_value,
+              max(v) AS max_value
+       FROM e GROUP BY 1, 2 ORDER BY event_type, bucket_start"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("metrics_downsample_m4", downsampleM4, Some(downsampleM4Sql)),
     ("metrics_slo_attainment", sloAttainment, Some(sloAttainmentSql)),
     ("metrics_exemplars", exemplars, Some(exemplarsSql)),
     ("metrics_staleness", staleness, Some(stalenessSql)),

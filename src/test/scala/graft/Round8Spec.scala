@@ -400,6 +400,24 @@ class Round8Spec extends SparkTestBase {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("metrics_downsample_m4: envelope bounds hold and the plan is one aggregation") {
+    import spark.implicits._
+    val rows = run("metrics_downsample_m4")
+      .select("event_type", "bucket_start", "samples", "first_value", "last_value",
+        "min_value", "max_value")
+      .as[(String, Long, Long, Double, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, b, n, f, l, mn, mx) =>
+      assert(n >= 1)
+      assert(mn <= mx && f >= mn && f <= mx && l >= mn && l <= mx,
+        s"$t@$b envelope violated")
+    }
+    // M4 must stay a single map-side-combinable aggregation: no window,
+    // no join — this is its advantage over the LTTB fold
+    val p = plan("metrics_downsample_m4")
+    assert(!p.contains("Window") && !p.contains("Join"), "M4 must be one groupBy")
+  }
+
   test("dedup_semantic: cell pair join is a hash/merge equi-join, never a product") {
     // the entry is skipped by PlanSweepSpec (quantizer training runs
     // jobs at construction), so its scale contract is pinned here: the
