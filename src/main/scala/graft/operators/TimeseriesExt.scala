@@ -925,7 +925,54 @@ object TimeseriesExt {
               max(v) AS max_value
        FROM e GROUP BY 1, 2 ORDER BY event_type, bucket_start"""
 
+  /** Monotonic counter repair — the adjusted series a TSDB actually
+    * stores when a counter resets (process restart): each sample's
+    * repaired value is the running sum of non-negative increases,
+    * where a drop re-bases the chain at the post-reset value (the
+    * `increase()` reset rule, applied cumulatively). Exact integer
+    * cents end-to-end; one per-series lag window + one per-series
+    * cumulative window over the same shuffle. */
+  def counterRepair: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("sec"), col("event_id"))
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    samples(s, d)
+      .withColumn("delta", col("v_c") - lag(col("v_c"), 1).over(w))
+      .withColumn("inc",
+        when(col("delta").isNull, lit(0L))
+          .when(col("delta") < 0, col("v_c"))
+          .otherwise(col("delta")))
+      .withColumn("repaired_c", sum(col("inc")).over(wc))
+      .withColumn("was_reset", coalesce(col("delta") < 0, lit(false)))
+      .select(col("event_type"), col("sec"), col("event_id"), col("v_c").as("raw_c"),
+        col("repaired_c"), col("was_reset"))
+      .orderBy(col("event_type"), col("sec"), col("event_id"))
+  }
+
+  val counterRepairSql: String =
+    """WITH s AS (
+         SELECT event_type,
+                CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+                event_id,
+                CAST(floor(value * 100) AS BIGINT) AS v_c
+         FROM events),
+       l AS (
+         SELECT event_type, sec, event_id, v_c,
+                v_c - lag(v_c) OVER w AS delta
+         FROM s WINDOW w AS (PARTITION BY event_type ORDER BY sec, event_id)),
+       i AS (
+         SELECT event_type, sec, event_id, v_c,
+                CASE WHEN delta IS NULL THEN 0
+                     WHEN delta < 0 THEN v_c ELSE delta END AS inc,
+                coalesce(delta < 0, false) AS was_reset
+         FROM l)
+       SELECT event_type, sec, event_id, v_c AS raw_c,
+              CAST(sum(inc) OVER (PARTITION BY event_type ORDER BY sec, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS repaired_c,
+              was_reset
+       FROM i ORDER BY event_type, sec, event_id"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("metrics_counter_repair", counterRepair, Some(counterRepairSql)),
     ("metrics_downsample_m4", downsampleM4, Some(downsampleM4Sql)),
     ("metrics_slo_attainment", sloAttainment, Some(sloAttainmentSql)),
     ("metrics_exemplars", exemplars, Some(exemplarsSql)),
