@@ -887,7 +887,64 @@ object Dedup {
         FROM ($union) u ORDER BY rows_per_band"""
   }
 
+  /** Source-to-source overlap matrix — dataset-level dedup
+    * diagnostics ("which sources are mirrors of each other"): exact
+    * shingle-set Jaccard per source pair, computed from one
+    * (shingle → distinct sources) aggregation whose pair fanout is
+    * bounded by |sources|² per shingle — sources are a config-bounded
+    * registry (here 20, in production maybe hundreds), never the
+    * corpus, so this is the rare all-pairs that is actually safe.
+    * The per-pair intersection rides the same compiled combo kernel
+    * as the doc-level Jaccard family. */
+  def sourceOverlap: Q = (s, d) => {
+    val sh = Tables.documents(s, d)
+      .select(col("source"), expr(toksExpr).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"),
+        explode(graft.functions.TextUdfs.shingle3(col("toks"))).as("raw"))
+      .select(col("source"),
+        conv(substring(md5(col("raw")), 1, 15), 16, 10).cast("long").as("sh"))
+      .distinct()
+    val perSource = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.groupBy(col("sh"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(srcs, (a, i) -> transform(slice(srcs, i + 2, size(srcs)), " +
+          "b -> struct(a, b))))")).as("p"))
+      .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(perSource.select(col("source").as("source_a"),
+        col("n_sh").as("na"))), Seq("source_a"))
+      .join(broadcast(perSource.select(col("source").as("source_b"),
+        col("n_sh").as("nb"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("inter"), col("na"), col("nb"),
+        trunc4(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH sh AS (
+          SELECT DISTINCT source,
+                 ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+          FROM (SELECT source, unnest($shinglesSqlExpr) AS g FROM documents) t),
+        per AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.source AS source_a, b.source AS source_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT source_a, source_b, inter,
+               pa.n_sh AS na, pb.n_sh AS nb,
+               floor(inter * 1.0 / (pa.n_sh + pb.n_sh - inter) * 10000) / 10000.0
+                 AS jaccard
+        FROM inter JOIN per pa ON pa.source = source_a
+                   JOIN per pb ON pb.source = source_b
+        ORDER BY source_a, source_b"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("dedup_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
     ("dedup_lsh_tuning", lshTuning, Some(lshTuningSql)),
     ("dedup_winnow", winnow, Some(winnowSql)),
     ("split_leakage_audit", splitLeakageAudit, Some(splitLeakageAuditSql)),
