@@ -567,7 +567,70 @@ object Stats {
                     ELSE 'continue' END AS verdict
         FROM l ORDER BY day"""
 
+  /** Unordered co-occurrence PMI between event types within a
+    * (user, day) context — "which behaviors travel together",
+    * complementing the SEQUENTIAL transition matrix: n_ab counts
+    * contexts containing both types, margins count contexts per
+    * type, and pmi/lift are one ln / one division of exact integer
+    * ratios. The pair self-join keys on the context (fanout ≤
+    * |types|² per context — types are a bounded vocabulary); margins
+    * and the context total are bounded aggregates. */
+  def cooccurPmi: Q = (s, d) => {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), dayCol.as("day"), col("event_type"))
+      .distinct()
+    val total = ud.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("n_groups"))
+    val margin = ud.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val pairs = ud.select(col("user_id"), col("day"), col("event_type").as("ta"))
+      .join(ud.select(col("user_id"), col("day"), col("event_type").as("tb")),
+        Seq("user_id", "day"))
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta").as("type_a"), col("tb").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(margin.select(col("event_type").as("type_a"),
+        col("n_t").as("n_a"))), Seq("type_a"))
+      .join(broadcast(margin.select(col("event_type").as("type_b"),
+        col("n_t").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(total))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("n_groups"),
+        (floor((col("n_ab").cast("decimal(38,0)") * col("n_groups")).cast("double")
+          / (col("n_a").cast("decimal(38,0)") * col("n_b")).cast("double") * 1e4) / 1e4)
+          .as("lift"),
+        (floor(log((col("n_ab").cast("decimal(38,0)") * col("n_groups")).cast("double")
+          / (col("n_a").cast("decimal(38,0)") * col("n_b")).cast("double")) * 1e6) / 1e6)
+          .as("pmi"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val cooccurPmiSql: String =
+    s"""WITH ud AS (
+          SELECT DISTINCT user_id, $daySql AS day, event_type FROM events),
+        total AS (
+          SELECT count(*) AS n_groups
+          FROM (SELECT DISTINCT user_id, day FROM ud) t),
+        margin AS (SELECT event_type, count(*) AS n_t FROM ud GROUP BY 1),
+        pairs AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab
+          FROM ud a JOIN ud b
+            ON a.user_id = b.user_id AND a.day = b.day
+            AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+        SELECT type_a, type_b, n_ab, ma.n_t AS n_a, mb.n_t AS n_b, t.n_groups,
+               floor(CAST(CAST(n_ab AS HUGEINT) * t.n_groups AS DOUBLE)
+                     / CAST(CAST(ma.n_t AS HUGEINT) * mb.n_t AS DOUBLE) * 1e4) / 1e4
+                 AS lift,
+               floor(ln(CAST(CAST(n_ab AS HUGEINT) * t.n_groups AS DOUBLE)
+                        / CAST(CAST(ma.n_t AS HUGEINT) * mb.n_t AS DOUBLE)) * 1e6) / 1e6
+                 AS pmi
+        FROM pairs JOIN margin ma ON ma.event_type = type_a
+                   JOIN margin mb ON mb.event_type = type_b, total t
+        ORDER BY type_a, type_b"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("events_cooccur_pmi", cooccurPmi, Some(cooccurPmiSql)),
     ("q_sprt_abtest", sprtAbtest, Some(sprtAbtestSql)),
     ("events_burstiness", burstiness, Some(burstinessSql)),
     ("q_gini_revenue", giniRevenue, Some(giniRevenueSql)),

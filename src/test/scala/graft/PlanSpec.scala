@@ -195,7 +195,8 @@ class PlanSweepSpec extends SparkTestBase {
     "graph_modularity", // single-row |E2| total broadcast
     "scd2_bitemporal", // 3-row probe grid + 1-row txn-cutoff broadcast
     "dedup_lsh_tuning", // per-config 1-row count aggregates broadcast
-    "dq_freshness_sla") // 1-row reference-clock broadcast
+    "dq_freshness_sla", // 1-row reference-clock broadcast
+    "events_cooccur_pmi") // 1-row context-total broadcast
 
   test("no entry plans a CartesianProduct; BNLJ only where intended") {
     val failures = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).flatMap { name =>
