@@ -629,7 +629,54 @@ object Stats {
                    JOIN margin mb ON mb.event_type = type_b, total t
         ORDER BY type_a, type_b"""
 
+  /** Join-key skew audit — the read you run BEFORE choosing a salting
+    * or AQE strategy: for each candidate join column, the key count,
+    * the heaviest key and its row count, and the skew ratio
+    * max·n_keys/n_rows (1.0 = uniform). Each column costs one
+    * two-level aggregation (per-key counts map-side-combine, then a
+    * bounded max-of-struct); ties break to the smallest key so the
+    * audit is engine-exact. */
+  def skewAudit: Q = (s, d) => {
+    def audit(table: String, column: String, df: DataFrame): DataFrame =
+      df.select(col(column).cast("long").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+          max(struct(col("cnt"), (-col("k")).as("nk"))).as("m"))
+        .select(lit(table).as("table_name"), lit(column).as("column_name"),
+          col("n_rows"), col("n_keys"),
+          col("m.cnt").as("max_rows"), (-col("m.nk")).as("heaviest_key"),
+          (floor((col("m.cnt").cast("decimal(38,0)") * col("n_keys")).cast("double")
+            / col("n_rows").cast("double") * 1e4) / 1e4).as("skew_ratio"))
+    audit("lineitem", "l_orderkey", Tables.lineitem(s, d))
+      .unionByName(audit("lineitem", "l_partkey", Tables.lineitem(s, d)))
+      .unionByName(audit("lineitem", "l_suppkey", Tables.lineitem(s, d)))
+      .unionByName(audit("orders", "o_custkey", Tables.orders(s, d)))
+      .unionByName(audit("events", "user_id", Tables.events(s, d)))
+      .orderBy(col("table_name"), col("column_name"))
+  }
+
+  val skewAuditSql: String = {
+    def audit(table: String, column: String) =
+      s"""SELECT '$table' AS table_name, '$column' AS column_name,
+                 CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+                 (max({'c': cnt, 'nk': -k})).c AS max_rows,
+                 -(max({'c': cnt, 'nk': -k})).nk AS heaviest_key,
+                 floor(CAST(CAST((max({'c': cnt, 'nk': -k})).c AS HUGEINT) * count(*)
+                            AS DOUBLE)
+                       / CAST(sum(cnt) AS DOUBLE) * 1e4) / 1e4 AS skew_ratio
+          FROM (SELECT CAST($column AS BIGINT) AS k, count(*) AS cnt
+                FROM $table GROUP BY 1) t"""
+    s"""SELECT * FROM (
+          ${audit("lineitem", "l_orderkey")}
+          UNION ALL ${audit("lineitem", "l_partkey")}
+          UNION ALL ${audit("lineitem", "l_suppkey")}
+          UNION ALL ${audit("orders", "o_custkey")}
+          UNION ALL ${audit("events", "user_id")}) u
+        ORDER BY table_name, column_name"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_data_skew_audit", skewAudit, Some(skewAuditSql)),
     ("events_cooccur_pmi", cooccurPmi, Some(cooccurPmiSql)),
     ("q_sprt_abtest", sprtAbtest, Some(sprtAbtestSql)),
     ("events_burstiness", burstiness, Some(burstinessSql)),
