@@ -971,7 +971,71 @@ object TimeseriesExt {
               was_reset
        FROM i ORDER BY event_type, sec, event_id"""
 
+  /** Shewhart x̄/R A2 factor — the classical n=5 convention; a
+    * config knob, embedded as the same literal in both engines. */
+  val SpcA2 = 0.577
+
+  /** Statistical process control (Shewhart x̄/R chart) per series:
+    * daily subgroups contribute a mean and range; the series' control
+    * limits are grand-mean ± A2·R̄, and each day is flagged when its
+    * subgroup mean leaves the band. Every mean is one division of
+    * exact integer cents, ranges are exact integers, and the limits
+    * are a per-series 1-row broadcast — the whole chart is two
+    * aggregations and one broadcast join. */
+  def spcControl: Q = (s, d) => {
+    val daily = samples(s, d)
+      .groupBy(col("event_type"), expr("sec div 86400").as("day"))
+      .agg(count(lit(1)).as("n"), sum(col("v_c")).as("sum_c"),
+        (max(col("v_c")) - min(col("v_c"))).as("range_c"))
+    val limits = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("sum_c")).as("tot_c"),
+        sum(col("n")).as("tot_n"), sum(col("range_c")).as("tot_range"))
+      .select(col("event_type"), col("n_days"),
+        (col("tot_c").cast("double") / col("tot_n").cast("double")).as("grand_mean"),
+        (col("tot_range").cast("double") / col("n_days").cast("double")).as("rbar"))
+    daily.join(broadcast(limits), Seq("event_type"))
+      .withColumn("day_mean", col("sum_c").cast("double") / col("n").cast("double"))
+      .select(col("event_type"), col("day"), col("n"),
+        (floor(col("day_mean") * 1e2) / 1e6).as("day_mean"),
+        (floor(col("grand_mean") * 1e2) / 1e6).as("center"),
+        (floor((col("grand_mean") + lit(SpcA2) * col("rbar")) * 1e2) / 1e6).as("ucl"),
+        (floor((col("grand_mean") - lit(SpcA2) * col("rbar")) * 1e2) / 1e6).as("lcl"),
+        (col("day_mean") > col("grand_mean") + lit(SpcA2) * col("rbar")
+          || col("day_mean") < col("grand_mean") - lit(SpcA2) * col("rbar"))
+          .as("out_of_control"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val spcControlSql: String =
+    s"""WITH sm AS (
+          SELECT event_type,
+                 CAST(floor(value * 100) AS BIGINT) AS v_c,
+                 CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day
+          FROM events),
+        daily AS (
+          SELECT event_type, day, count(*) AS n,
+                 CAST(sum(v_c) AS BIGINT) AS sum_c,
+                 CAST(max(v_c) - min(v_c) AS BIGINT) AS range_c
+          FROM sm GROUP BY 1, 2),
+        limits AS (
+          SELECT event_type, count(*) AS n_days,
+                 CAST(sum(sum_c) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS grand_mean,
+                 CAST(sum(range_c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rbar
+          FROM daily GROUP BY 1)
+        SELECT d.event_type, d.day, d.n,
+               floor(CAST(sum_c AS DOUBLE) / CAST(d.n AS DOUBLE) * 1e2) / 1e6 AS day_mean,
+               floor(grand_mean * 1e2) / 1e6 AS center,
+               floor((grand_mean + $SpcA2 * rbar) * 1e2) / 1e6 AS ucl,
+               floor((grand_mean - $SpcA2 * rbar) * 1e2) / 1e6 AS lcl,
+               (CAST(sum_c AS DOUBLE) / CAST(d.n AS DOUBLE)
+                  > grand_mean + $SpcA2 * rbar
+                OR CAST(sum_c AS DOUBLE) / CAST(d.n AS DOUBLE)
+                  < grand_mean - $SpcA2 * rbar) AS out_of_control
+        FROM daily d JOIN limits l ON l.event_type = d.event_type
+        ORDER BY d.event_type, d.day"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("metrics_spc_control", spcControl, Some(spcControlSql)),
     ("metrics_counter_repair", counterRepair, Some(counterRepairSql)),
     ("metrics_downsample_m4", downsampleM4, Some(downsampleM4Sql)),
     ("metrics_slo_attainment", sloAttainment, Some(sloAttainmentSql)),
