@@ -675,7 +675,71 @@ object Stats {
         ORDER BY table_name, column_name"""
   }
 
+  /** Lorenz curve deciles per nation — the curve behind
+    * `q_gini_revenue`'s scalar: at each decile k the cumulative
+    * customer share and revenue share, read off the SAME ranked
+    * customer aggregate the Gini uses (never the fact table). The
+    * decile anchor rows are selected by joining a broadcast 10-row
+    * grid on i = (k·n) div 10 — exact integer arithmetic; the two
+    * shares are the only divisions. */
+  def lorenzCurve: Q = (s, d) => {
+    val rev = Tables.orders(s, d)
+      .select(col("o_custkey"), floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("cust_cents"))
+    val byNation = rev
+      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_custkey").as("custkey"), col("cust_cents"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("cust_cents"), col("custkey"))
+    val ranked = byNation
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("cum_cents", sum(col("cust_cents"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_cust", count(lit(1))
+        .over(Window.partitionBy(col("n_name"))))
+      .withColumn("total_cents", sum(col("cust_cents"))
+        .over(Window.partitionBy(col("n_name"))))
+    val grid = { import s.implicits._; (1 to 10).toDF("decile") }
+    ranked.join(broadcast(grid),
+        col("i") === expr("(decile * n_cust) div 10") && col("decile") >= 1)
+      .select(col("n_name"), col("decile"), col("i"), col("n_cust"),
+        col("cum_cents"), col("total_cents"),
+        (floor(col("i").cast("double") / col("n_cust").cast("double") * 1e4) / 1e4)
+          .as("cust_share"),
+        (floor(col("cum_cents").cast("double") / col("total_cents").cast("double") * 1e4)
+          / 1e4).as("rev_share"))
+      .orderBy(col("n_name"), col("decile"))
+  }
+
+  val lorenzCurveSql: String =
+    """WITH rev AS (
+         SELECT o_custkey,
+                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cust_cents
+         FROM orders GROUP BY 1),
+       j AS (
+         SELECT n_name, o_custkey AS custkey, cust_cents
+         FROM rev JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey),
+       r AS (
+         SELECT n_name, custkey, cust_cents,
+                CAST(row_number() OVER w AS BIGINT) AS i,
+                CAST(sum(cust_cents) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS cum_cents,
+                CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT) AS n_cust,
+                CAST(sum(cust_cents) OVER (PARTITION BY n_name) AS BIGINT) AS total_cents
+         FROM j WINDOW w AS (PARTITION BY n_name ORDER BY cust_cents, custkey))
+       SELECT n_name, CAST(g.decile AS INT) AS decile, i, n_cust, cum_cents, total_cents,
+              floor(CAST(i AS DOUBLE) / CAST(n_cust AS DOUBLE) * 1e4) / 1e4 AS cust_share,
+              floor(CAST(cum_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) * 1e4) / 1e4
+                AS rev_share
+       FROM r JOIN (SELECT unnest(generate_series(1, 10)) AS decile) g
+         ON i = (g.decile * n_cust) // 10
+       ORDER BY n_name, g.decile"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_lorenz_curve", lorenzCurve, Some(lorenzCurveSql)),
     ("q_data_skew_audit", skewAudit, Some(skewAuditSql)),
     ("events_cooccur_pmi", cooccurPmi, Some(cooccurPmiSql)),
     ("q_sprt_abtest", sprtAbtest, Some(sprtAbtestSql)),
