@@ -418,6 +418,70 @@ class Round8Spec extends SparkTestBase {
     assert(!p.contains("Window") && !p.contains("Join"), "M4 must be one groupBy")
   }
 
+  test("late round-8 ledgers: internal invariants hold") {
+    import spark.implicits._
+    // source overlap: symmetric-free canonical pairs, Jaccard in (0, 1]
+    val so = run("dedup_source_overlap")
+      .select("source_a", "source_b", "inter", "na", "nb", "jaccard")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(so.length == 20 * 19 / 2, "all source pairs overlap on this corpus")
+    so.foreach { case (a, b, inter, na, nb, j) =>
+      assert(a < b && inter >= 1 && inter <= math.min(na, nb))
+      assert(j > 0.0 && j <= 1.0)
+    }
+    // co-occurrence: margins bound pair counts
+    val cp = run("events_cooccur_pmi")
+      .select("type_a", "type_b", "n_ab", "n_a", "n_b", "n_groups")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(cp.length == 5 * 4 / 2)
+    cp.foreach { case (_, _, ab, a, b, n) =>
+      assert(ab <= math.min(a, b) && math.max(a, b) <= n)
+    }
+    // skew audit: ratio >= 1 (max cannot be below average), keys <= rows
+    val sk = run("q_data_skew_audit")
+      .select("n_rows", "n_keys", "max_rows", "skew_ratio")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(sk.length == 5)
+    sk.foreach { case (r, k, m, ratio) =>
+      assert(k <= r && m >= r / k && ratio >= 1.0 - 1e-4)
+    }
+    // lorenz: shares are monotone per nation and the curve is convex-ish
+    val lz = run("q_lorenz_curve")
+      .select("n_name", "decile", "cust_share", "rev_share")
+      .as[(String, Int, Double, Double)].collect()
+    lz.groupBy(_._1).foreach { case (n, pts) =>
+      val s = pts.sortBy(_._2)
+      s.sliding(2).foreach {
+        case Array(p, q) =>
+          assert(q._3 >= p._3 && q._4 >= p._4, s"$n shares must be monotone")
+        case _ => ()
+      }
+      // Lorenz curve sits below the diagonal (concentration)
+      s.foreach { case (_, _, cs, rs) => assert(rs <= cs + 1e-4, s"$n curve above diagonal") }
+    }
+    // spc: band ordering and flag consistency
+    val spc = run("metrics_spc_control")
+      .select("day_mean", "center", "ucl", "lcl", "out_of_control")
+      .as[(Double, Double, Double, Double, Boolean)].collect()
+    spc.foreach { case (dm, c, u, l, f) =>
+      assert(l <= c && c <= u)
+      // floored columns: only check the unambiguous cases
+      if (dm > u + 1e-4 || dm < l - 1e-4) assert(f)
+      if (dm < u - 1e-4 && dm > l + 1e-4) assert(!f)
+    }
+    // counter repair: repaired series is monotone per series
+    val cr = run("metrics_counter_repair")
+      .select("event_type", "sec", "event_id", "repaired_c")
+      .as[(String, Long, Long, Long)].collect()
+    cr.groupBy(_._1).foreach { case (t, rows) =>
+      val s = rows.sortBy(r => (r._2, r._3))
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 >= a._4, s"$t repaired series must be monotone")
+        case _ => ()
+      }
+    }
+  }
+
   test("dedup_semantic: cell pair join is a hash/merge equi-join, never a product") {
     // the entry is skipped by PlanSweepSpec (quantizer training runs
     // jobs at construction), so its scale contract is pinned here: the
