@@ -1269,7 +1269,90 @@ object Similarity {
         FROM s$GsHops WHERE rk <= $TopK ORDER BY query_id, rank"""
   }
 
+  val IvfTuneProbes = Seq(1, 2, 4, 8)
+
+  /** IVF nprobe sweep — the OTHER index-design decision beside the
+    * LSH (b,r) knob (`dedup_lsh_tuning`): from ONE trained quantizer,
+    * probe at nprobe ∈ {1,2,4,8} and report candidate volume, the
+    * scan share of the corpus each query actually touches (the cost
+    * axis), and coverage of the exact top-k truth (the recall axis).
+    * Probe lists NEST by construction (rank ≤ p), so volume and
+    * coverage are provably monotone in nprobe; the ledger turns the
+    * recall/latency S-curve into measured numbers against this
+    * corpus's own cell-population skew. */
+  def ivfTuning: Q = (s, d) => {
+    val all = emb(s, d)
+    val cdf = ivfCentroidDf(s, d, all)
+    val corpus = graft.Checkpoints.cut(
+      assign(all, cdf).select(col("cell"), col("vec_id")))
+    val probes = graft.Checkpoints.cut(
+      scored(all.filter(col("vec_id") < NumQueries), cdf)
+        .groupBy(col("vec_id"))
+        .agg(expr(s"graft_topk(score, cell, ${IvfTuneProbes.max})").as("pc"))
+        .select(col("vec_id").as("query_id"), posexplode(col("pc")))
+        .select(col("query_id"), col("col.id").as("cell"), (col("pos") + 1).as("prank")))
+    val truth = graft.Checkpoints.cut(
+      bruteForceTopK(s, d).select(col("query_id"),
+        col("neighbor_id").as("vec_id")))
+    val nCorpus = all.agg(count(lit(1)).as("n_corpus"))
+    val per = IvfTuneProbes.map { p =>
+      val cand = corpus.join(probes.filter(col("prank") <= p), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id")).distinct()
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(cand.join(truth, Seq("query_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_caught"))))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+        .crossJoin(broadcast(nCorpus))
+        .select(lit(p).as("nprobe"), col("n_candidates"), col("n_caught"),
+          col("n_truth"),
+          (floor(col("n_caught").cast("double") / col("n_truth").cast("double") * 1e4)
+            / 1e4).as("coverage"),
+          (floor(col("n_candidates").cast("double")
+            / (lit(NumQueries) * (col("n_corpus") - 1)).cast("double") * 1e4) / 1e4)
+            .as("scan_share"))
+    }
+    per.reduce(_ unionByName _).orderBy(col("nprobe"))
+  }
+
+  lazy val ivfTuningSql: String = {
+    val pmax = IvfTuneProbes.max
+    val configs = IvfTuneProbes.map { p =>
+      s"""cand_$p AS (
+            SELECT DISTINCT pr.query_id, a.vec_id
+            FROM ivf_assign a JOIN ivf_probe_t pr USING (cell)
+            WHERE pr.prank <= $p AND a.vec_id <> pr.query_id),
+          st_$p AS (
+            SELECT CAST($p AS INT) AS nprobe,
+                   (SELECT count(*) FROM cand_$p) AS n_candidates,
+                   (SELECT count(*) FROM cand_$p c SEMI JOIN truth t
+                      ON c.query_id = t.query_id AND c.vec_id = t.vec_id) AS n_caught,
+                   (SELECT count(*) FROM truth) AS n_truth)"""
+    }.mkString(",\n")
+    val union = IvfTuneProbes.map(p => s"SELECT * FROM st_$p").mkString(" UNION ALL ")
+    s"""WITH $ivfCtes,
+        ivf_probe_t AS (
+          SELECT vec_id AS query_id, cell, rn AS prank FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_inner_product(e.v, c.cv) - c.chalf DESC, c.cell) AS rn
+            FROM e CROSS JOIN ivf_cent_h c WHERE e.vec_id < $NumQueries) t
+          WHERE rn <= $pmax),
+        truth AS (
+          SELECT query_id, neighbor_id AS vec_id FROM ($bruteForceTopKSql)),
+        nc AS (SELECT count(*) AS n_corpus FROM e),
+        $configs
+        SELECT nprobe, n_candidates, n_caught, n_truth,
+               floor(CAST(n_caught AS DOUBLE) / CAST(n_truth AS DOUBLE) * 1e4) / 1e4
+                 AS coverage,
+               floor(CAST(n_candidates AS DOUBLE)
+                     / CAST($NumQueries * (nc.n_corpus - 1) AS DOUBLE) * 1e4) / 1e4
+                 AS scan_share
+        FROM ($union) u, nc ORDER BY nprobe"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("ann_ivf_tuning", ivfTuning, Some(ivfTuningSql)),
     ("ann_graph_search", graphSearch, Some(graphSearchSql)),
     ("ann_recall_eval", recallEval, Some(recallEvalSql)),
     ("dedup_semantic", semanticDedup, Some(semanticDedupSql)),

@@ -11,7 +11,7 @@ class PlanSnapshotSpec extends SparkTestBase {
   // entries whose construction runs jobs (training, writes, sketch
   // builds) are covered by their own suites
   private val skip = Set(
-    "ann_ivf_topk", "ann_ivf_stats", "ann_pq_topk", "ann_pq_packed", "dedup_cluster",
+    "ann_ivf_topk", "ann_ivf_tuning", "ann_ivf_stats", "ann_pq_topk", "ann_pq_packed", "dedup_cluster",
     "q_exact_global_median", "sketch_theta_distinct", "sketch_sample_quantile",
     "sink_bucketed_join", "sink_bucketed_multi", "sink_partitioned_scan",
     "sink_compaction_scan", "sink_csv_roundtrip", "sink_json_roundtrip",

@@ -482,6 +482,28 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  test("ann_ivf_tuning: nested probe lists make volume and coverage monotone") {
+    import spark.implicits._
+    val rows = run("ann_ivf_tuning")
+      .select("nprobe", "n_candidates", "n_caught", "n_truth", "coverage", "scan_share")
+      .as[(Int, Long, Long, Long, Double, Double)].collect()
+    assert(rows.map(_._1).toSeq == graft.operators.Similarity.IvfTuneProbes)
+    rows.foreach { case (_, nc, caught, truth, cov, share) =>
+      assert(caught <= truth && caught <= nc)
+      assert(cov == math.floor(caught.toDouble / truth * 1e4) / 1e4)
+      assert(share > 0.0 && share <= 1.0)
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._2 >= a._2, "candidates grow with nprobe")
+        assert(b._3 >= a._3, "caught set is nested")
+        assert(b._6 >= a._6 - 1e-12, "scan share grows with nprobe")
+      case _ => ()
+    }
+    // the sweep is informative: more probes really buy coverage here
+    assert(rows.last._5 > rows.head._5)
+  }
+
   test("dedup_semantic: cell pair join is a hash/merge equi-join, never a product") {
     // the entry is skipped by PlanSweepSpec (quantizer training runs
     // jobs at construction), so its scale contract is pinned here: the
