@@ -961,7 +961,126 @@ object Pipeline {
         FROM g ORDER BY bucket"""
   }
 
+  /** Group-aware (here: source/domain-aware) split audit — the
+    * leakage control `split_train_test` can't give: hashing per DOC
+    * scatters every domain across train AND test, so near-duplicate
+    * pages from one site straddle the boundary (the classic eval
+    * contamination channel `split_leakage_audit` then has to catch
+    * pair by pair); hashing per SOURCE keeps each domain whole on one
+    * side BY CONSTRUCTION. This entry runs both strategies and emits
+    * the side-by-side ledger — docs/chars/sources per split plus the
+    * leaked-source count (sources with feet in both splits): >0 for
+    * by_doc, provably 0 for by_source. Decisions are pure content
+    * hashes (zero shuffle, partitioning-independent); only the audit
+    * aggregations shuffle, and those are split×strategy-bounded. */
+  def splitGrouped: Q = (s, d) => {
+    val tagged = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("split_doc",
+        when(hashBucket(concat(lit("split:"), col("doc_id").cast("string"))) < 80,
+          "train").otherwise("test"))
+      .withColumn("split_src",
+        when(hashBucket(concat(lit("gsplit:"), col("source"))) < 80, "train")
+          .otherwise("test"))
+    def audit(strategy: String, splitCol: String) = {
+      val leaked = tagged.groupBy(col("source"))
+        .agg(countDistinct(col(splitCol)).as("n_splits"))
+        .filter(col("n_splits") > 1)
+        .agg(count(lit(1)).as("n_leaked_sources"))
+      tagged.groupBy(col(splitCol).as("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .crossJoin(broadcast(leaked))
+        .select(lit(strategy).as("strategy"), col("split"), col("n_docs"),
+          col("n_chars"), col("n_sources"), col("n_leaked_sources"))
+    }
+    audit("by_doc", "split_doc").unionByName(audit("by_source", "split_src"))
+      .orderBy(col("strategy"), col("split"))
+  }
+
+  val splitGroupedSql: String = {
+    val bDoc = hashBucketSql("'split:' || CAST(doc_id AS VARCHAR)")
+    val bSrc = hashBucketSql("'gsplit:' || source")
+    def arm(strategy: String, splitCol: String) =
+      s"""SELECT '$strategy' AS strategy, $splitCol AS split, count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                 count(DISTINCT source) AS n_sources,
+                 (SELECT count(*) FROM (
+                    SELECT source FROM t GROUP BY source
+                    HAVING count(DISTINCT $splitCol) > 1)) AS n_leaked_sources
+          FROM t GROUP BY 2"""
+    s"""WITH t AS (
+          SELECT doc_id, source, n_chars,
+                 CASE WHEN $bDoc < 80 THEN 'train' ELSE 'test' END AS split_doc,
+                 CASE WHEN $bSrc < 80 THEN 'train' ELSE 'test' END AS split_src
+          FROM documents)
+        ${arm("by_doc", "split_doc")}
+        UNION ALL
+        ${arm("by_source", "split_src")}
+        ORDER BY strategy, split"""
+  }
+
+  val NeymanBudget = 1000
+
+  /** Neyman-allocation stratified sampling design: with a fixed audit
+    * budget of $NeymanBudget docs, allocate to each source stratum
+    * n_h ∝ N_h·σ_h (minimum-variance allocation for estimating the
+    * corpus mean; Neyman 1934) — vs the proportional n_h ∝ N_h
+    * baseline ledgered beside it. σ_h comes from exact integer sums
+    * (n, Σx, Σx² with the wide product in DECIMAL(38,0)/HUGEINT);
+    * the allocation itself is INTEGER arithmetic end to end — each
+    * stratum's mass floor(N_h·σ_h·1e4) is a BIGINT, so the shares
+    * divide exactly the same way on any engine (no float-sum-order
+    * surface across strata). One corpus aggregation; everything
+    * after runs on the |sources|-row ledger. */
+  def sampleNeyman: Q = (s, d) => {
+    val per = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sx"),
+        sum(col("n_chars").cast("decimal(38,0)") * col("n_chars")).as("sxx"))
+    val m = per.withColumn("sd",
+        when(col("n") > 1,
+          sqrt((col("n").cast("decimal(38,0)") * col("sxx")
+              - col("sx").cast("decimal(38,0)") * col("sx")).cast("double")
+            / (col("n") * (col("n") - 1)).cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn("mass", floor(col("n").cast("double") * col("sd") * 1e4).cast("long"))
+    val tot = m.agg(sum(col("mass")).as("tmass"), sum(col("n")).as("n_total"))
+    m.crossJoin(broadcast(tot))
+      .select(col("source"), col("n"),
+        (floor(col("sd") * 1e4) / 1e4).as("sd_chars"), col("mass"),
+        expr(s"(mass * $NeymanBudget) div tmass").as("neyman_alloc"),
+        expr(s"(n * $NeymanBudget) div n_total").as("prop_alloc"))
+      .orderBy(col("source"))
+  }
+
+  val sampleNeymanSql: String =
+    s"""WITH per AS (
+          SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sx,
+                 sum(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+          FROM documents GROUP BY 1),
+        m AS (
+          SELECT source, n,
+                 CASE WHEN n > 1
+                      THEN sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                                     - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                                / CAST(n * (n - 1) AS DOUBLE))
+                      ELSE 0.0 END AS sd
+          FROM per),
+        w AS (
+          SELECT source, n, sd,
+                 CAST(floor(CAST(n AS DOUBLE) * sd * 1e4) AS BIGINT) AS mass
+          FROM m),
+        tot AS (SELECT CAST(sum(mass) AS BIGINT) AS tmass,
+                       CAST(sum(n) AS BIGINT) AS n_total FROM w)
+        SELECT source, n, floor(sd * 1e4) / 1e4 AS sd_chars, mass,
+               (mass * $NeymanBudget) // tmass AS neyman_alloc,
+               (n * $NeymanBudget) // n_total AS prop_alloc
+        FROM w, tot ORDER BY source"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("split_grouped", splitGrouped, Some(splitGroupedSql)),
+    ("sample_neyman", sampleNeyman, Some(sampleNeymanSql)),
     ("pack_length_buckets", lengthBuckets, Some(lengthBucketsSql)),
     ("sample_poisson", samplePoisson, Some(samplePoissonSql)),
     ("pipeline_repro_ledger", reproLedger, Some(reproLedgerSql)),

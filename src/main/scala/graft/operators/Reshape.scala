@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Reshaping operators: fixed-width histogram and long→wide pivot —
@@ -444,7 +445,123 @@ object Reshape {
          FROM lineitem GROUP BY l_returnflag, l_quantity) t
        WHERE rn = 1 ORDER BY l_returnflag"""
 
+  /** Decimal-ancestor powers shared by q_hierarchy_rollup: node k's
+    * ancestor chain is k div 10^i, i = 0..6 (7 levels bounds any key
+    * below 10M; higher levels collapse into root 0 and dedupe out). */
+  private val HierPows = Seq(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L)
+
+  /** Hierarchical (BOM-style) subtree rollup WITHOUT recursion or
+    * iteration: the part hierarchy is the decimal trie over p_partkey
+    * (parent(k) = k div 10, root 0), and instead of walking it level
+    * by level — Spark has no recursive CTE, and an L-round loop is L
+    * joins — every leaf EXPLODES its full (≤7-node, depth-bounded)
+    * ancestor chain and one groupBy sums each node's subtree. The
+    * classic closure-list rollup: ×depth row amplification in the map
+    * phase, ONE shuffle total, no lineage growth — at 100 TB this
+    * beats per-level iteration whenever depth is bounded (org charts,
+    * category trees, BOMs). The oracle replays the same chain with a
+    * list comprehension; n_desc counts the node itself when it is a
+    * real part (contributes to its own subtree). */
+  def hierarchyRollup: Q = (s, d) => {
+    val parts = Tables.part(s, d).select(col("p_partkey"),
+      floor(col("p_retailprice") * 100).cast("long").as("cents"))
+    val powArr = HierPows.map(p => s"${p}L").mkString("array(", ", ", ")")
+    val contrib = parts.select(col("cents"),
+      explode(expr(s"array_distinct(transform($powArr, s -> p_partkey div s))"))
+        .as("node"))
+    contrib.groupBy(col("node"))
+      .agg(count(lit(1)).as("n_desc"), sum(col("cents")).as("subtree_cents"))
+      .join(parts.select(col("p_partkey").as("node"), col("cents").as("own")),
+        Seq("node"), "left")
+      .select(col("node"), length(col("node").cast("string")).as("depth"),
+        col("n_desc"), col("subtree_cents"),
+        coalesce(col("own"), lit(0L)).as("own_cents"))
+      .orderBy(col("node"))
+  }
+
+  val hierarchyRollupSql: String = {
+    val pows = HierPows.mkString("[", ", ", "]")
+    s"""WITH parts AS (
+          SELECT p_partkey, CAST(floor(p_retailprice * 100) AS BIGINT) AS cents
+          FROM part),
+        contrib AS (
+          SELECT unnest(list_distinct([p_partkey // s for s in $pows])) AS node, cents
+          FROM parts),
+        agg AS (
+          SELECT node, count(*) AS n_desc, CAST(sum(cents) AS BIGINT) AS subtree_cents
+          FROM contrib GROUP BY 1)
+        SELECT a.node, CAST(length(CAST(a.node AS VARCHAR)) AS INT) AS depth,
+               n_desc, subtree_cents,
+               CAST(COALESCE(p.cents, 0) AS BIGINT) AS own_cents
+        FROM agg a LEFT JOIN parts p ON p.p_partkey = a.node
+        ORDER BY a.node"""
+  }
+
+  /** Winsorized vs raw mean of the extended price per return flag —
+    * the robust-mean read an analyst reaches for when a fat tail
+    * drags the average. Percentile bounds are EXACT discrete p05/p95
+    * by rank rule ceil(q·n) = (q·100·n + 99) div 100 in pure integer
+    * arithmetic, found on the VALUE-DOMAIN histogram (groupBy cents →
+    * cumulative over distinct cents): the cumulative window runs over
+    * the price grid, bounded by the value domain, never a corpus-row
+    * sort (the `q_exact_global_median` discipline, kept per-group).
+    * Clamping then happens IN the histogram — cnt·clamped(cents) stays
+    * exact BIGINT — so raw and winsorized means are each one floored
+    * division. */
+  def winsorizedMean: Q = (s, d) => {
+    val g = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .groupBy(col("l_returnflag"), col("cents")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+    val cum = g.withColumn("cum", sum(col("cnt")).over(w))
+    val tot = g.groupBy(col("l_returnflag")).agg(sum(col("cnt")).as("n"))
+    val bounds = cum.join(tot, "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(min(when(col("cum") >= expr("(5 * n + 99) div 100"), col("cents")))
+          .as("p05_cents"),
+        min(when(col("cum") >= expr("(95 * n + 99) div 100"), col("cents")))
+          .as("p95_cents"))
+    g.join(broadcast(bounds), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("cnt")).as("n"),
+        min(col("p05_cents")).as("p05_cents"), min(col("p95_cents")).as("p95_cents"),
+        sum(col("cnt") * col("cents")).as("raw_sum"),
+        sum(col("cnt") * least(greatest(col("cents"), col("p05_cents")),
+          col("p95_cents"))).as("win_sum"))
+      .select(col("l_returnflag"), col("n"), col("p05_cents"), col("p95_cents"),
+        (floor(col("raw_sum").cast("double") / col("n").cast("double") * 1e4) / 1e4)
+          .as("mean_cents"),
+        (floor(col("win_sum").cast("double") / col("n").cast("double") * 1e4) / 1e4)
+          .as("winsor_mean_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val winsorizedMeanSql: String =
+    """WITH b AS (
+         SELECT l_returnflag, CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+         FROM lineitem),
+       g AS (SELECT l_returnflag, cents, count(*) AS cnt FROM b GROUP BY 1, 2),
+       c AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY cents)
+                 AS BIGINT) AS cum FROM g),
+       t AS (SELECT l_returnflag, CAST(sum(cnt) AS BIGINT) AS n FROM g GROUP BY 1),
+       bounds AS (
+         SELECT c.l_returnflag,
+                min(CASE WHEN cum >= (5 * n + 99) // 100 THEN cents END) AS p05_cents,
+                min(CASE WHEN cum >= (95 * n + 99) // 100 THEN cents END) AS p95_cents
+         FROM c JOIN t USING (l_returnflag) GROUP BY 1)
+       SELECT g.l_returnflag, t.n, bo.p05_cents, bo.p95_cents,
+              floor(CAST(CAST(sum(cnt * cents) AS BIGINT) AS DOUBLE)
+                    / CAST(t.n AS DOUBLE) * 1e4) / 1e4 AS mean_cents,
+              floor(CAST(CAST(sum(cnt * least(greatest(cents, p05_cents), p95_cents))
+                      AS BIGINT) AS DOUBLE)
+                    / CAST(t.n AS DOUBLE) * 1e4) / 1e4 AS winsor_mean_cents
+       FROM g JOIN t USING (l_returnflag) JOIN bounds bo USING (l_returnflag)
+       GROUP BY 1, 2, 3, 4 ORDER BY l_returnflag"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_hierarchy_rollup", hierarchyRollup, Some(hierarchyRollupSql)),
+    ("q_winsorized_mean", winsorizedMean, Some(winsorizedMeanSql)),
     ("q_mode_per_group", modePerGroup, Some(modePerGroupSql)),
     ("q_heatmap_grid", heatmapGrid, Some(heatmapGridSql)),
     ("q_calendar_dim", calendarDim, Some(calendarDimSql)),

@@ -1351,7 +1351,88 @@ object Similarity {
         FROM ($union) u, nc ORDER BY nprobe"""
   }
 
+  val SqDim = 64
+
+  /** Scalar-quantization ANN (the FAISS SQ8 index shape): each of the
+    * 64 dims is mapped to one uint8 code against per-dim [min, max]
+    * trained from the corpus, and queries are quantized the SAME way so
+    * the search distance is the SYMMETRIC integer Σ(qc−c)² — exact
+    * BIGINT arithmetic end to end, no float in the ranking, which is
+    * what makes this the one ANN entry whose FULL search (not just a
+    * re-rank) is hash-certified. At 100 TB the codes column is
+    * 64 B/vector vs 256 B of floats (4× scan compression, int8 SIMD on
+    * a real executor), the per-dim stats are a 64-row broadcast model
+    * (sampled in production), and the search is the same broadcast-
+    * queries × one-corpus-pass shape as `ann_bruteforce_topk` with
+    * `graft_topk`'s bounded per-partition state. Train/encode/search
+    * replay exactly in the oracle: min/max are corpus-derived doubles
+    * (float→double widening exact), the code formula is one fixed IEEE
+    * sequence spelled identically in both engines, and every
+    * comparison after encoding is integer. */
+  def sq8TopK: Q = (s, d) => {
+    val all = emb(s, d)
+    // per-dim [min, max] folded into ONE broadcastable row of two
+    // pos-ordered arrays (the bounded-model idiom, kept lazy)
+    val stats = all.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, mn))), p -> p.mn)").as("mins"),
+        expr("transform(sort_array(collect_list(struct(pos, mx))), p -> p.mx)").as("maxs"))
+    val codeExpr =
+      s"""transform(sequence(1, $SqDim), i ->
+            CASE WHEN element_at(maxs, i) > element_at(mins, i)
+                 THEN least(cast(255 as bigint), greatest(cast(0 as bigint),
+                        cast(floor((element_at(v, i) - element_at(mins, i))
+                               / (element_at(maxs, i) - element_at(mins, i))
+                               * 255.0e0) as bigint)))
+                 ELSE cast(0 as bigint) END)"""
+    val coded = all.crossJoin(broadcast(stats))
+      .select(col("vec_id"), expr(codeExpr).as("codes"))
+    val q = coded.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("codes").as("qc"))
+    coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("dist", expr(
+        s"""aggregate(sequence(1, $SqDim), cast(0 as bigint),
+              (acc, i) -> acc + (element_at(qc, i) - element_at(codes, i))
+                              * (element_at(qc, i) - element_at(codes, i)))"""))
+      .groupBy(col("query_id"))
+      .agg(expr(s"graft_topk(cast(-dist as double), vec_id, $TopK)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (-col("col.score")).cast("bigint").as("sq_dist"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  lazy val sq8TopKSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        dims AS (SELECT unnest(range(1, ${SqDim + 1})) AS i),
+        stat AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx FROM e, dims GROUP BY i),
+        model AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM stat),
+        coded AS (
+          SELECT vec_id,
+                 [CASE WHEN maxs[i] > mins[i]
+                       THEN least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+                              CAST(floor((v[i] - mins[i]) / (maxs[i] - mins[i])
+                                     * 255.0) AS BIGINT)))
+                       ELSE CAST(0 AS BIGINT) END
+                  for i in range(1, ${SqDim + 1})] AS codes
+          FROM e, model),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 CAST(list_sum([(q.codes[i] - c.codes[i]) * (q.codes[i] - c.codes[i])
+                                for i in range(1, ${SqDim + 1})]) AS BIGINT) AS dist
+          FROM coded c JOIN coded q ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < $NumQueries),
+        ranked AS (
+          SELECT query_id, neighbor_id, dist,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY dist, neighbor_id) AS INT) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, dist AS sq_dist, rank
+        FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("ann_sq8_topk", sq8TopK, Some(sq8TopKSql)),
     ("ann_ivf_tuning", ivfTuning, Some(ivfTuningSql)),
     ("ann_graph_search", graphSearch, Some(graphSearchSql)),
     ("ann_recall_eval", recallEval, Some(recallEvalSql)),

@@ -738,7 +738,148 @@ object Stats {
          ON i = (g.decile * n_cust) // 10
        ORDER BY n_name, g.decile"""
 
+  val BootB = 64
+  /** 95% percentile-CI ranks over BootB sorted replicate means:
+    * conservative inner indices floor(.025·B)+1 and ceil(.975·B). */
+  val BootLoRank: Int = math.floor(0.025 * BootB).toInt + 1
+  val BootHiRank: Int = math.ceil(0.975 * BootB).toInt
+
+  /** One-pass Poisson bootstrap of the mean order value (the
+    * massive-data resampling discipline of Chamandy et al., "Estimating
+    * uncertainty for massive data streams", 2012): replicate b draws
+    * each order Poisson(1) times via its content hash against
+    * driver-embedded CDF thresholds (the `sample_poisson` idiom — no
+    * runtime libm, no RNG state), so all B resampled means come out of
+    * ONE corpus pass as B map-side-combined aggregates. The shuffle
+    * carries B rows per partition regardless of corpus size; the
+    * 95% CI is rank-based over the B replicate means (no float
+    * summation across replicates anywhere). Emits the full replicate
+    * ledger — rank 2 / 63 rows ARE the interval bounds. */
+  def bootstrapCi: Q = (s, d) => {
+    val ts = Pipeline.poissonThresholds(1.0)
+    val u = conv(substring(md5(concat(lit("boot:"), col("b").cast("string"),
+      lit(":"), col("o_orderkey").cast("string"))), 1, 13), 16, 10)
+      .cast("double") / lit(4503599627370496e0)
+    val w = ts.map(t => when(col("u") > lit(t), 1L).otherwise(0L)).reduce(_ + _)
+    val reps = Tables.orders(s, d)
+      .select(col("o_orderkey"), floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .select(col("o_orderkey"), col("cents"),
+        explode(sequence(lit(0), lit(BootB - 1))).as("b"))
+      .withColumn("u", u).withColumn("w", w)
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("cents")).as("wcents"))
+      .withColumn("mean_cents",
+        floor(col("wcents").cast("double") / col("n_eff").cast("double") * 1e4) / 1e4)
+    reps.withColumn("rank", row_number().over(
+        Window.orderBy(col("mean_cents"), col("b"))).cast("int"))
+      .select(col("b"), col("n_eff"), col("mean_cents"), col("rank"),
+        (col("rank") === BootLoRank).as("is_ci_lo"),
+        (col("rank") === BootHiRank).as("is_ci_hi"))
+      .orderBy(col("b"))
+  }
+
+  val bootstrapCiSql: String = {
+    val wExpr = Pipeline.poissonThresholds(1.0)
+      .map(t => s"(CASE WHEN u > $t THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH d AS (
+          SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents, g.b,
+                 ('0x' || substr(md5('boot:' || CAST(g.b AS VARCHAR) || ':'
+                    || CAST(o_orderkey AS VARCHAR)), 1, 13))::BIGINT
+                   / 4503599627370496e0 AS u
+          FROM orders, (SELECT unnest(range(0, $BootB)) AS b) g),
+        reps AS (
+          SELECT CAST(b AS INT) AS b,
+                 CAST(sum($wExpr) AS BIGINT) AS n_eff,
+                 CAST(sum(($wExpr) * cents) AS BIGINT) AS wcents
+          FROM d GROUP BY 1),
+        m AS (
+          SELECT b, n_eff,
+                 floor(CAST(wcents AS DOUBLE) / CAST(n_eff AS DOUBLE) * 1e4) / 1e4
+                   AS mean_cents
+          FROM reps),
+        r AS (
+          SELECT *, CAST(row_number() OVER (ORDER BY mean_cents, b) AS INT) AS rank
+          FROM m)
+        SELECT b, n_eff, mean_cents, rank,
+               rank = $BootLoRank AS is_ci_lo, rank = $BootHiRank AS is_ci_hi
+        FROM r ORDER BY b"""
+  }
+
+  /** Welch's unequal-variance t-test between every pair of event
+    * types on the (cent-exact) value column: n, Σx, Σx² per group are
+    * exact integers (Σx² and the variance numerator n·Σx²−(Σx)² in
+    * DECIMAL(38,0)/HUGEINT), so t and the Welch–Satterthwaite df are
+    * each ONE fixed double sequence over exact inputs. The pair join
+    * is |types|² on a groups-sized aggregate — at 100 TB the corpus
+    * contributes one map-side-combined aggregation and nothing else.
+    * (No p-value by design: that would need a t-CDF — irrational
+    * surface; consumers threshold t against their own tables.) */
+  def welchTtest: Q = (s, d) => {
+    val per = Tables.events(s, d)
+      .select(col("event_type"), floor(col("value") * 100).cast("long").as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("sxx"))
+    val a = per.select(col("event_type").as("type_a"), col("n").as("n_a"),
+      col("sx").as("sx_a"), col("sxx").as("sxx_a"))
+    val b = per.select(col("event_type").as("type_b"), col("n").as("n_b"),
+      col("sx").as("sx_b"), col("sxx").as("sxx_b"))
+    def varOverN(n: String, sx: String, sxx: String) =
+      (col(n).cast("decimal(38,0)") * col(sxx)
+        - col(sx).cast("decimal(38,0)") * col(sx)).cast("double") /
+        (col(n) * (col(n) - 1)).cast("double") / col(n).cast("double")
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .withColumn("v_a", varOverN("n_a", "sx_a", "sxx_a"))
+      .withColumn("v_b", varOverN("n_b", "sx_b", "sxx_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        (floor(col("sx_a").cast("double") / col("n_a").cast("double") * 1e4) / 1e4)
+          .as("mean_a"),
+        (floor(col("sx_b").cast("double") / col("n_b").cast("double") * 1e4) / 1e4)
+          .as("mean_b"),
+        (floor((col("sx_a").cast("double") / col("n_a").cast("double")
+            - col("sx_b").cast("double") / col("n_b").cast("double"))
+          / sqrt(col("v_a") + col("v_b")) * 1e4) / 1e4).as("t_welch"),
+        (floor((col("v_a") + col("v_b")) * (col("v_a") + col("v_b"))
+          / (col("v_a") * col("v_a") / (col("n_a") - 1).cast("double")
+            + col("v_b") * col("v_b") / (col("n_b") - 1).cast("double"))
+          * 1e4) / 1e4).as("df_welch"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val welchTtestSql: String =
+    """WITH per AS (
+         SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS sx,
+                sum(CAST(c AS HUGEINT) * c) AS sxx
+         FROM (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c
+               FROM events) t
+         GROUP BY 1),
+       p AS (
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+                a.n AS n_a, b.n AS n_b, a.sx AS sx_a, b.sx AS sx_b,
+                CAST(a.n AS HUGEINT) * a.sxx - CAST(a.sx AS HUGEINT) * a.sx AS num_a,
+                CAST(b.n AS HUGEINT) * b.sxx - CAST(b.sx AS HUGEINT) * b.sx AS num_b
+         FROM per a JOIN per b ON a.event_type < b.event_type),
+       v AS (
+         SELECT *,
+           CAST(num_a AS DOUBLE) / CAST(n_a * (n_a - 1) AS DOUBLE)
+             / CAST(n_a AS DOUBLE) AS v_a,
+           CAST(num_b AS DOUBLE) / CAST(n_b * (n_b - 1) AS DOUBLE)
+             / CAST(n_b AS DOUBLE) AS v_b
+         FROM p)
+       SELECT type_a, type_b, n_a, n_b,
+         floor(CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) * 1e4) / 1e4 AS mean_a,
+         floor(CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) * 1e4) / 1e4 AS mean_b,
+         floor((CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               / sqrt(v_a + v_b) * 1e4) / 1e4 AS t_welch,
+         floor((v_a + v_b) * (v_a + v_b)
+               / (v_a * v_a / CAST(n_a - 1 AS DOUBLE)
+                  + v_b * v_b / CAST(n_b - 1 AS DOUBLE)) * 1e4) / 1e4 AS df_welch
+       FROM v ORDER BY type_a, type_b"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
+    ("q_welch_ttest", welchTtest, Some(welchTtestSql)),
     ("q_lorenz_curve", lorenzCurve, Some(lorenzCurveSql)),
     ("q_data_skew_audit", skewAudit, Some(skewAuditSql)),
     ("events_cooccur_pmi", cooccurPmi, Some(cooccurPmiSql)),

@@ -686,7 +686,65 @@ object TextAnalysis {
                  AS bytes_per_token
         FROM t GROUP BY lang ORDER BY lang"""
 
+  /** Per-document character-class Shannon entropy — the cheap
+    * gibberish/boilerplate signal every curation stack keeps beside
+    * the Gopher rules (a page of one repeated char scores ~0; mixed
+    * prose sits near the ~2-bit ceiling of the 5-class alphabet).
+    * Classes are FIXED (lower / upper / digit / whitespace / other),
+    * so H = −Σ p·ln p is five explicit terms added in one fixed
+    * order — no float aggregation anywhere; counts come from the
+    * same regexp_extract_all discipline as `text_tokens` and the
+    * only irrational surface is ln over identical doubles (the
+    * `events_cooccur_pmi` parity idiom), display-floored at 1e4.
+    * Zero shuffle: one narrow pass over documents. */
+  def charEntropy: Q = (s, d) => {
+    def cnt(re: String) = expr(s"size(regexp_extract_all(text, '$re', 0))")
+    val base = Tables.documents(s, d).select(
+      col("doc_id"), length(col("text")).as("n"),
+      cnt("[a-z]").as("c_lower"), cnt("[A-Z]").as("c_upper"),
+      cnt("[0-9]").as("c_digit"), cnt("\\\\s").as("c_space"))
+      .withColumn("c_other",
+        col("n") - col("c_lower") - col("c_upper") - col("c_digit") - col("c_space"))
+    def term(c: String) =
+      when(col(c) > 0,
+        (col(c).cast("double") / col("n").cast("double"))
+          * log(col(c).cast("double") / col("n").cast("double")))
+        .otherwise(lit(0.0))
+    base.filter(col("n") > 0)
+      .select(col("doc_id"), col("n"), col("c_lower"), col("c_upper"),
+        col("c_digit"), col("c_space"), col("c_other"),
+        trunc4(-(term("c_lower") + term("c_upper") + term("c_digit")
+          + term("c_space") + term("c_other"))).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  val charEntropySql: String = {
+    def cnt(re: String) = s"len(regexp_extract_all(text, '$re'))"
+    def term(c: String) =
+      s"""CASE WHEN $c > 0
+            THEN (CAST($c AS DOUBLE) / CAST(n AS DOUBLE))
+                 * ln(CAST($c AS DOUBLE) / CAST(n AS DOUBLE))
+            ELSE 0.0 END"""
+    s"""WITH base AS (
+          SELECT doc_id, length(text) AS n,
+                 ${cnt("[a-z]")} AS c_lower, ${cnt("[A-Z]")} AS c_upper,
+                 ${cnt("[0-9]")} AS c_digit, ${cnt("\\s")} AS c_space
+          FROM documents),
+        t AS (
+          SELECT doc_id, n, c_lower, c_upper, c_digit, c_space,
+                 n - c_lower - c_upper - c_digit - c_space AS c_other
+          FROM base WHERE n > 0)
+        SELECT doc_id, CAST(n AS INT) AS n, CAST(c_lower AS INT) AS c_lower,
+               CAST(c_upper AS INT) AS c_upper, CAST(c_digit AS INT) AS c_digit,
+               CAST(c_space AS INT) AS c_space, CAST(c_other AS INT) AS c_other,
+               floor(-(${term("c_lower")} + ${term("c_upper")} + ${term("c_digit")}
+                 + ${term("c_space")} + ${term("c_other")}) * 10000) / 10000.0
+                 AS entropy
+        FROM t ORDER BY doc_id"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("text_char_entropy", charEntropy, Some(charEntropySql)),
     ("text_tokenizer_fertility", tokenizerFertility, Some(tokenizerFertilitySql)),
     ("text_gopher_rules", gopherRules, Some(gopherRulesSql)),
     ("text_vocab_growth", vocabGrowth, Some(vocabGrowthSql)),

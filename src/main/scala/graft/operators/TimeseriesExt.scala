@@ -1034,7 +1034,86 @@ object TimeseriesExt {
         FROM daily d JOIN limits l ON l.event_type = d.event_type
         ORDER BY d.event_type, d.day"""
 
+  /** Scrape-target health ledger — the collector's own `up` metric
+    * read (the reference's whole job is keeping targets scraped;
+    * reference collector/database-collector.go runs the per-database
+    * scrape loop this ledger would monitor): each series is a target,
+    * each hour in the global span a scheduled scrape slot, `up` = the
+    * slot has ≥1 sample. Emits per target the slot count, up count,
+    * availability, flap count (up↔down transitions) and the longest
+    * down run — the target-flapping read an SRE does before trusting
+    * an alert. Everything runs on the |targets|×|hours| spine
+    * (bounded by the time span, never event volume): one fact
+    * aggregation, spine generation by sequence+explode, bounded
+    * windows per series. Run segmentation is the classic
+    * sum-of-transitions run id. */
+  def scrapeHealth: Q = (s, d) => {
+    val h = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("hour_sec"))
+      .agg(count(lit(1)).as("n_samples"))
+    val bounds = h.agg(min(col("hour_sec")).as("h0"), max(col("hour_sec")).as("h1"))
+    val spine = h.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(h0, h1, 3600)")).as("hour_sec"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_sec"))
+    val runs = spine.join(h, Seq("event_type", "hour_sec"), "left")
+      .select(col("event_type"), col("hour_sec"),
+        when(col("n_samples").isNull, 0L).otherwise(1L).as("up"))
+      .withColumn("flap",
+        when(lag(col("up"), 1).over(w).isNotNull &&
+          lag(col("up"), 1).over(w) =!= col("up"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("flap")).over(w))
+    val runLens = runs.groupBy(col("event_type"), col("run_id"))
+      .agg(min(col("up")).as("up"), count(lit(1)).as("len"))
+    val down = runLens.filter(col("up") === 0)
+      .groupBy(col("event_type")).agg(max(col("len")).as("ldh"))
+    runs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_slots"), sum(col("up")).as("n_up"),
+        sum(col("flap")).as("n_flaps"))
+      .join(down, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_slots"), col("n_up"),
+        (floor(col("n_up").cast("double") / col("n_slots").cast("double") * 1e4) / 1e4)
+          .as("availability"),
+        col("n_flaps"), coalesce(col("ldh"), lit(0L)).as("longest_down_hours"))
+      .orderBy(col("event_type"))
+  }
+
+  val scrapeHealthSql: String =
+    """WITH ev AS (
+         SELECT event_type, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hour_sec
+         FROM events),
+       h AS (SELECT event_type, hour_sec, count(*) AS n FROM ev GROUP BY 1, 2),
+       b AS (SELECT min(hour_sec) AS h0, max(hour_sec) AS h1 FROM h),
+       spine AS (
+         SELECT et.event_type, gs.hs AS hour_sec
+         FROM (SELECT DISTINCT event_type FROM h) et
+         CROSS JOIN (SELECT unnest(generate_series(h0, h1, 3600)) AS hs FROM b) gs),
+       up AS (
+         SELECT s.event_type, s.hour_sec,
+                CASE WHEN h.n IS NULL THEN 0 ELSE 1 END AS up
+         FROM spine s LEFT JOIN h USING (event_type, hour_sec)),
+       f AS (
+         SELECT *, CASE WHEN lag(up) OVER w IS NOT NULL
+                         AND lag(up) OVER w <> up THEN 1 ELSE 0 END AS flap
+         FROM up WINDOW w AS (PARTITION BY event_type ORDER BY hour_sec)),
+       r AS (
+         SELECT *, sum(flap) OVER (PARTITION BY event_type ORDER BY hour_sec) AS run_id
+         FROM f),
+       rl AS (SELECT event_type, run_id, min(up) AS up, count(*) AS len
+              FROM r GROUP BY 1, 2),
+       dn AS (SELECT event_type, max(len) AS ldh FROM rl WHERE up = 0 GROUP BY 1),
+       sm AS (SELECT event_type, count(*) AS n_slots, CAST(sum(up) AS BIGINT) AS n_up,
+                     CAST(sum(flap) AS BIGINT) AS n_flaps
+              FROM r GROUP BY 1)
+       SELECT sm.event_type, n_slots, n_up,
+              floor(CAST(n_up AS DOUBLE) / CAST(n_slots AS DOUBLE) * 1e4) / 1e4
+                AS availability,
+              n_flaps, CAST(COALESCE(dn.ldh, 0) AS BIGINT) AS longest_down_hours
+       FROM sm LEFT JOIN dn USING (event_type) ORDER BY event_type"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("prom_scrape_health", scrapeHealth, Some(scrapeHealthSql)),
     ("metrics_spc_control", spcControl, Some(spcControlSql)),
     ("metrics_counter_repair", counterRepair, Some(counterRepairSql)),
     ("metrics_downsample_m4", downsampleM4, Some(downsampleM4Sql)),

@@ -196,7 +196,15 @@ class PlanSweepSpec extends SparkTestBase {
     "scd2_bitemporal", // 3-row probe grid + 1-row txn-cutoff broadcast
     "dedup_lsh_tuning", // per-config 1-row count aggregates broadcast
     "dq_freshness_sla", // 1-row reference-clock broadcast
-    "events_cooccur_pmi") // 1-row context-total broadcast
+    "events_cooccur_pmi", // 1-row context-total broadcast
+    "q_lorenz_curve",     // 10-row decile-grid broadcast against per-nation ranks
+    // round-8 session 3: 1-row bounds/total broadcasts and non-equi
+    // bounded pairings (query≠candidate, type_a<type_b)
+    "ann_sq8_topk",       // 1-row min/max model + 8-query code broadcast
+    "q_welch_ttest",      // |types|² pair join on a groups-sized aggregate
+    "sample_neyman",      // 1-row budget-total broadcast
+    "prom_scrape_health", // 1-row global-hour-bounds broadcast (gap_fill shape)
+    "split_grouped")      // 1-row leaked-source-count broadcast
 
   test("no entry plans a CartesianProduct; BNLJ only where intended") {
     val failures = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).flatMap { name =>
