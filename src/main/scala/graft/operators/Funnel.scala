@@ -280,7 +280,152 @@ object Funnel {
               CAST((length(seq) - length(replace(seq, 'cp', ''))) // 2 AS INT) AS n_quick_convert
        FROM seqs ORDER BY user_id"""
 
+  /** Channel universe for Markov attribution — the four non-purchase
+    * event types act as marketing channels; purchase is conversion. */
+  val AttrChannels: Seq[String] = Seq("click", "error", "signup", "view")
+  private val AttrStates = "start" +: AttrChannels :+ "conv" :+ "null"
+  private val AttrPScale = 1000000L      // 10^6 fixed-point row probabilities
+  private val AttrUScale = 1000000000000L // 10^12 fixed-point absorption prob
+  val AttrIters = 16
+
+  /** Journey transition rows shared by Spark and the oracle: per event,
+    * from = prev type ('start' when none or after a purchase — a
+    * conversion ends the journey), to = type ('conv' for purchase);
+    * plus a terminal (last_type → 'null') row per user whose trail
+    * doesn't end in a purchase. */
+  private def attrTransitions(s: SparkSession, d: String): DataFrame = {
+    val wAsc = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wDesc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(wAsc))
+      .withColumn("rn_last", row_number().over(wDesc))
+    val steps = e.select(
+      when(col("prev").isNull || col("prev") === "purchase", "start")
+        .otherwise(col("prev")).as("f"),
+      when(col("event_type") === "purchase", "conv")
+        .otherwise(col("event_type")).as("t"))
+    val terms = e.filter(col("rn_last") === 1 && col("event_type") =!= "purchase")
+      .select(col("event_type").as("f"), lit("null").as("t"))
+    steps.unionByName(terms)
+  }
+
+  /** Markov removal-effect attribution (Anderl et al. 2016 — the
+    * data-driven multi-touch model beside the positional heuristics):
+    * fit a first-order journey chain (start → channels → conv|null),
+    * then credit each channel by how much the conversion probability
+    * DROPS when that channel is knocked out (entering it becomes a
+    * loss — equivalent to redirecting its inbound mass to null).
+    * Absorption probabilities come from AttrIters fixed-point integer
+    * iterations of u ← P·u with u(conv) pinned — the `events_markov_
+    * steady` discipline: the transition matrix is a BOUNDED
+    * (≤|states|²) collect, iteration is exact BIGINT arithmetic
+    * replayed term-for-term by unrolled oracle CTEs, so the hash
+    * certifies every arm's trajectory. One user-keyed shuffle + one
+    * bounded aggregation; at 100 TB the corpus cost is the journey
+    * scan, the chain solve is constant-size. */
+  def attributionMarkov: Q = (s, d) => {
+    import s.implicits._
+    val counts = attrTransitions(s, d)
+      .groupBy(col("f"), col("t")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val totals = counts.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._3).sum }
+    val p = counts.map { case (f, t, n) => (f, t, n * AttrPScale / totals(f)) }
+    // absorption u(s) = P(conv | start at s), with `removed` forced to 0
+    def absorb(removed: Option[String]): Long = {
+      var u: Map[String, Long] =
+        AttrStates.map(s0 => s0 -> (if (s0 == "conv") AttrUScale else 0L)).toMap
+      for (_ <- 1 to AttrIters) {
+        val next = scala.collection.mutable.Map(AttrStates.map(_ -> 0L): _*)
+        p.foreach { case (f, t, pfp) => next(f) = next(f) + u(t) * pfp / AttrPScale }
+        next("conv") = AttrUScale
+        next("null") = 0L
+        removed.foreach(c => next(c) = 0L)
+        u = next.toMap
+      }
+      u("start")
+    }
+    val pFull = absorb(None)
+    val res = AttrChannels.map { c =>
+      val pc = absorb(Some(c))
+      (c, pc, math.max(0L, pFull - pc))
+    }
+    val reSum = res.map(_._3).sum
+    res.map { case (c, pc, re) =>
+      (c,
+        math.floor(pFull.toDouble / AttrUScale * 1e4) / 1e4,
+        math.floor(pc.toDouble / AttrUScale * 1e4) / 1e4,
+        math.floor(re.toDouble / AttrUScale * 1e4) / 1e4,
+        if (reSum > 0) (re * 10000L / reSum) / 10000.0 else 0.0)
+    }.toDF("channel", "p_conv_full", "p_conv_removed", "removal_effect", "attribution")
+      .orderBy(col("channel"))
+  }
+
+  lazy val attributionMarkovSql: String = {
+    val statesVals = AttrStates.map(s0 => s"('$s0')").mkString(", ")
+    def arm(name: String, removed: Option[String]): String = {
+      val pin = removed.map(c => s"WHEN st.s = '$c' THEN 0").getOrElse("")
+      val iters = (1 to AttrIters).map { i =>
+        s"""u${i}_$name AS (
+             SELECT st.s,
+                    CASE WHEN st.s = 'conv' THEN $AttrUScale
+                         WHEN st.s = 'null' THEN 0
+                         $pin
+                         ELSE COALESCE(x.r, 0) END AS r
+             FROM states st LEFT JOIN (
+               SELECT p.f AS s, CAST(sum((u.r * p.pfp) // $AttrPScale) AS BIGINT) AS r
+               FROM p JOIN u${i - 1}_$name u ON u.s = p.t GROUP BY 1) x
+               ON x.s = st.s)"""
+      }.mkString(",\n")
+      s"""u0_$name AS (
+           SELECT s, CASE WHEN s = 'conv' THEN $AttrUScale ELSE 0 END AS r
+           FROM states),
+         $iters,
+         p_$name AS (SELECT r FROM u${AttrIters}_$name WHERE s = 'start')"""
+    }
+    val arms = (arm("full", None) +:
+      AttrChannels.map(c => arm(c, Some(c)))).mkString(",\n")
+    val resRows = AttrChannels.map { c =>
+      s"""SELECT '$c' AS channel, (SELECT r FROM p_full) AS pf,
+                 (SELECT r FROM p_$c) AS pc"""
+    }.mkString(" UNION ALL ")
+    s"""WITH e AS (
+          SELECT user_id, ts, event_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn_last
+          FROM events),
+        trans AS (
+          SELECT CASE WHEN prev IS NULL OR prev = 'purchase' THEN 'start'
+                      ELSE prev END AS f,
+                 CASE WHEN event_type = 'purchase' THEN 'conv'
+                      ELSE event_type END AS t
+          FROM e
+          UNION ALL
+          SELECT event_type, 'null' FROM e
+          WHERE rn_last = 1 AND event_type <> 'purchase'),
+        c AS (SELECT f, t, count(*) AS n FROM trans GROUP BY 1, 2),
+        tot AS (SELECT f, sum(n) AS tn FROM c GROUP BY 1),
+        p AS (SELECT c.f, c.t, (c.n * $AttrPScale) // tot.tn AS pfp
+              FROM c JOIN tot USING (f)),
+        states(s) AS (VALUES $statesVals),
+        $arms,
+        res AS ($resRows),
+        re AS (SELECT channel, pf, pc, greatest(0, pf - pc) AS re FROM res),
+        s AS (SELECT CAST(sum(re) AS BIGINT) AS re_sum FROM re)
+        SELECT channel,
+               floor(CAST(pf AS DOUBLE) / $AttrUScale * 1e4) / 1e4 AS p_conv_full,
+               floor(CAST(pc AS DOUBLE) / $AttrUScale * 1e4) / 1e4 AS p_conv_removed,
+               floor(CAST(re AS DOUBLE) / $AttrUScale * 1e4) / 1e4 AS removal_effect,
+               CASE WHEN s.re_sum > 0 THEN ((re * 10000) // s.re_sum) / 10000.0
+                    ELSE 0.0 END AS attribution
+        FROM re, s ORDER BY channel"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("attribution_markov", attributionMarkov, Some(attributionMarkovSql)),
     ("events_sequence_match", sequenceMatch, Some(sequenceMatchSql)),
     ("attribution_position", attributionPosition, Some(attributionPositionSql)),
     ("funnel_stages", funnelStages, Some(funnelStagesSql)),

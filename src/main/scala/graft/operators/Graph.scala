@@ -564,7 +564,98 @@ object Graph {
         FROM ($union) u ORDER BY start, step, node"""
   }
 
+  private val HitsIters = 8
+  private val HitsTopK = 20
+
+  /** HITS hubs/authorities (Kleinberg 1999) on the DIRECTED bipartite
+    * trade graph (customer → supplier): authority(s) = Σ hub scores of
+    * its buyers, hub(c) = Σ authority scores of its suppliers, each
+    * side rescaled to total mass BASE after every round (L1
+    * normalization — the power iteration on AᵀA without materializing
+    * it). Companion fixed-point to `graph_pagerank`, same portability
+    * discipline: scores are INTEGER micro-units, rescale is
+    * (raw·BASE) div Σraw with the wide product in DECIMAL(38,0)/
+    * HUGEINT, so per-node sums are order-independent and the oracle's
+    * unrolled CTEs match bit-for-bit. Each round is two equi-joins +
+    * two aggregations + two 1-row total broadcasts; `cut` every
+    * second round holds the plan flat. Output is the top-20 of each
+    * side via the bounded `graft_topk` aggregate — never a
+    * corpus-wide sort. */
+  def hits: Q = (sp, d) => {
+    val pairs = cut(Tables.lineitem(sp, d)
+      .join(Tables.orders(sp, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("hub"), col("l_suppkey").as("auth"))
+      .distinct())
+    val nHubs = pairs.select(col("hub")).distinct().count()
+    def rescale(df: DataFrame, node: String): DataFrame = {
+      val tot = df.agg(sum(col("raw")).as("t"))
+      df.crossJoin(broadcast(tot))
+        .select(col(node).as("node"),
+          expr(s"cast(cast(raw as decimal(38,0)) * ${Base}L div t as bigint)").as("r"))
+    }
+    var h = pairs.select(col("hub")).distinct()
+      .select(col("hub").as("node"), lit(Base / nHubs).as("r"))
+    var a: DataFrame = null
+    for (i <- 1 to HitsIters) {
+      val aRaw = pairs.join(h, col("hub") === col("node"))
+        .groupBy(col("auth")).agg(sum(col("r")).as("raw"))
+      a = rescale(aRaw, "auth")
+      val hRaw = pairs.join(a, col("auth") === col("node"))
+        .groupBy(col("hub")).agg(sum(col("r")).as("raw"))
+      h = rescale(hRaw, "hub")
+      if (i % 2 == 0 && i < HitsIters) { h = cut(h); a = cut(a) }
+    }
+    def top(df: DataFrame, side: String) = df
+      .groupBy().agg(expr(s"graft_topk(cast(r as double), node, $HitsTopK)").as("tk"))
+      .select(posexplode(col("tk")))
+      .select(lit(side).as("side"), col("col.id").as("node_id"),
+        col("col.score").cast("long").as("score_fp"),
+        (col("pos") + 1).cast("int").as("rank"))
+    top(h, "hub").unionByName(top(a, "authority"))
+      .orderBy(col("side"), col("rank"))
+  }
+
+  lazy val hitsSql: String = {
+    // Each CTE references its predecessor exactly ONCE (round totals
+    // ride a sum() OVER () window, not a separate aggregate CTE): under
+    // a CTE-inlining planner a twice-referenced chain would expand
+    // 4^rounds copies of the edge scan — enough to exhaust file
+    // descriptors — while this shape stays linear in the round count.
+    val rounds = (1 to HitsIters).map { i =>
+      s"""a$i AS (
+           SELECT auth AS node,
+                  CAST((CAST(raw AS HUGEINT) * $Base)
+                       // CAST(sum(raw) OVER () AS BIGINT) AS BIGINT) AS r
+           FROM (SELECT e.auth, CAST(sum(h.r) AS BIGINT) AS raw
+                 FROM e JOIN h${i - 1} h ON h.node = e.hub GROUP BY 1) ar),
+         h$i AS (
+           SELECT hub AS node,
+                  CAST((CAST(raw AS HUGEINT) * $Base)
+                       // CAST(sum(raw) OVER () AS BIGINT) AS BIGINT) AS r
+           FROM (SELECT e.hub, CAST(sum(a.r) AS BIGINT) AS raw
+                 FROM e JOIN a$i a ON a.node = e.auth GROUP BY 1) hr)"""
+    }.mkString(",\n")
+    s"""WITH e AS (
+          SELECT DISTINCT o_custkey AS hub, l_suppkey AS auth
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        hubs AS (SELECT DISTINCT hub FROM e),
+        h0 AS (SELECT hub AS node,
+                      $Base // (SELECT count(*) FROM hubs) AS r FROM hubs),
+        $rounds,
+        ranked AS (
+          SELECT 'hub' AS side, node AS node_id, r AS score_fp,
+                 CAST(row_number() OVER (ORDER BY r DESC, node) AS INT) AS rank
+          FROM h$HitsIters
+          UNION ALL
+          SELECT 'authority', node, r,
+                 CAST(row_number() OVER (ORDER BY r DESC, node) AS INT)
+          FROM a$HitsIters)
+        SELECT side, node_id, score_fp, rank FROM ranked
+        WHERE rank <= $HitsTopK ORDER BY side, rank"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("graph_hits", hits, Some(hitsSql)),
     ("graph_walk_sample", walkSample, Some(walkSampleSql)),
     ("graph_linkpred_jaccard", linkPred, Some(linkPredSql)),
     ("graph_assortativity", assortativity, Some(assortativitySql)),

@@ -1112,7 +1112,76 @@ object TimeseriesExt {
               n_flaps, CAST(COALESCE(dn.ldh, 0) AS BIGINT) AS longest_down_hours
        FROM sm LEFT JOIN dn USING (event_type) ORDER BY event_type"""
 
+  /** Rolling 7-day Pearson correlation of every series against the
+    * 'click' reference series — the "do these metrics move together
+    * this week" read behind dashboard correlation panels (and the
+    * lead-indicator hunt `metrics_top_movers` doesn't answer). Daily
+    * sums are exact integer cents; the five classical sums ride ONE
+    * rows-frame window over the observed-day spine (aligned by inner
+    * join on day — frames cover present days, identically in both
+    * engines), so each correlation is one fixed IEEE sequence over
+    * exact BIGINTs with zero-variance guarded to null. Corpus cost is
+    * the daily aggregation; windows run on the bounded |series|×|days|
+    * table. Wide products stay in BIGINT here (7-day frames of cent
+    * sums); a 100 TB deployment with larger frames lifts them to
+    * DECIMAL(38,0) the way the OLS entry does. */
+  def rollingCorr: Q = (s, d) => {
+    val daily = samples(s, d)
+      .groupBy(col("event_type"), expr("sec div 86400").as("day"))
+      .agg(sum(col("v_c")).as("x"))
+    val ref = daily.filter(col("event_type") === "click")
+      .select(col("day"), col("x").as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    daily.join(broadcast(ref), "day")
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .filter(col("n") === 7)
+      .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+      .select(col("event_type"), col("day"),
+        when(col("vx") > 0 && col("vy") > 0,
+          floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt(col("vx").cast("double")) * sqrt(col("vy").cast("double")))
+            * 1e4) / 1e4).as("corr_7d"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val rollingCorrSql: String =
+    """WITH daily AS (
+         SELECT event_type,
+                CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+                CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+         FROM events GROUP BY 1, 2),
+       ref AS (SELECT day, x AS y FROM daily WHERE event_type = 'click'),
+       j AS (SELECT d.event_type, d.day, d.x, r.y FROM daily d JOIN ref r USING (day)),
+       f AS (
+         SELECT event_type, day,
+                count(*) OVER w AS n,
+                CAST(sum(x) OVER w AS BIGINT) AS sx,
+                CAST(sum(y) OVER w AS BIGINT) AS sy,
+                CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+                CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+                CAST(sum(y * y) OVER w AS BIGINT) AS syy
+         FROM j
+         WINDOW w AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+       v AS (
+         SELECT *, n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy
+         FROM f WHERE n = 7)
+       SELECT event_type, day,
+              CASE WHEN vx > 0 AND vy > 0
+                   THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                              / (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE)))
+                              * 1e4) / 1e4 END AS corr_7d
+       FROM v ORDER BY event_type, day"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("metrics_rolling_corr", rollingCorr, Some(rollingCorrSql)),
     ("prom_scrape_health", scrapeHealth, Some(scrapeHealthSql)),
     ("metrics_spc_control", spcControl, Some(spcControlSql)),
     ("metrics_counter_repair", counterRepair, Some(counterRepairSql)),

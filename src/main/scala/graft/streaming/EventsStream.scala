@@ -789,6 +789,63 @@ object EventsStream {
        SELECT day, count(*) AS n_users FROM rc WHERE rc > 0
        GROUP BY day ORDER BY day"""
 
+  /** Batch twin for `ivm_minmax_delta`: daily min/max of the value
+    * column under RETRACTIONS ('error' events retract one unit of
+    * their value). MIN/MAX are the textbook non-incrementally-
+    * maintainable aggregates under deletes — retracting the current
+    * extremum forces a rescan if the view keeps only the scalar. The
+    * classic fix is the same refcount layer `ivm_distinct_delta`
+    * uses, but keyed on the VALUE DOMAIN: maintain rc(day, cents) as
+    * an abelian-group sum (deltas merge additively in any chunking /
+    * order), and the view reads min/max over cents with rc > 0 —
+    * never a rescan of the fact stream. State is |distinct values per
+    * day| (the cent grid), not row volume; at 100 TB with a wide
+    * domain, the same discipline runs on a coarsened bucket grid with
+    * an exact re-read only inside the extremum's bucket. */
+  def ivmMinmaxBatch: Q = (s, d) => {
+    Tables.events(s, d)
+      .select(expr("cast(unix_timestamp(date_trunc('second', ts)) div 86400 as bigint)")
+        .as("day"), floor(col("value") * 100).cast("long").as("cents"),
+        when(col("event_type") === "error", lit(-1L)).otherwise(lit(1L)).as("op"))
+      .groupBy(col("day"), col("cents")).agg(sum(col("op")).as("rc"))
+      .filter(col("rc") > 0)
+      .groupBy(col("day")).agg(min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"), count(lit(1)).as("n_support"))
+      .orderBy(col("day"))
+  }
+
+  val ivmMinmaxSql: String =
+    """WITH rc AS (
+         SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+                CAST(floor(value * 100) AS BIGINT) AS cents,
+                CAST(sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) AS BIGINT)
+                  AS rc
+         FROM events GROUP BY 1, 2)
+       SELECT day, min(cents) AS min_cents, max(cents) AS max_cents,
+              count(*) AS n_support
+       FROM rc WHERE rc > 0 GROUP BY day ORDER BY day"""
+
+  /** One micro-batch of value-domain refcount maintenance — identical
+    * merge discipline to the distinct view (add, drop exact zeros,
+    * keep negative debts). */
+  def ivmMinmaxBatchInto(snapshotDir: String, batch: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val delta = batch.groupBy(col("day"), col("cents")).agg(sum(col("op")).as("rc"))
+    val merged = currentSnapshot(spark, snapshotDir)
+      .map(_.unionByName(delta)).getOrElse(delta)
+      .groupBy(col("day"), col("cents")).agg(sum(col("rc")).as("rc"))
+      .filter(col("rc") =!= 0)
+    publishSnapshot(snapshotDir, merged)
+  }
+
+  /** Read-back in the batch twin's shape: extrema over rc > 0. */
+  def ivmMinmaxSnapshotRead(spark: SparkSession, snapshotDir: String): DataFrame =
+    currentSnapshot(spark, snapshotDir).get
+      .filter(col("rc") > 0)
+      .groupBy(col("day")).agg(min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"), count(lit(1)).as("n_support"))
+      .orderBy(col("day"))
+
   /** One micro-batch of refcount maintenance: batch deltas merge into
     * the stored refcount table by addition; only EXACT-ZERO rows are
     * dropped (a negative refcount is a debt that a late insert must
@@ -1635,6 +1692,7 @@ object EventsStream {
     ("stream_heavy_hitters", heavyHittersBatch, Some(heavyHittersSql)),
     ("ivm_agg_delta", ivmAggBatch, Some(ivmAggSql)),
     ("ivm_distinct_delta", ivmDistinctBatch, Some(ivmDistinctSql)),
+    ("ivm_minmax_delta", ivmMinmaxBatch, Some(ivmMinmaxSql)),
     ("stream_counter_rate", counterRateHourlyBatch, Some(counterRateHourlySql)),
     ("stream_events_window", eventsWindowBatch, Some(eventsWindowSql)),
     ("stream_sessionize_state", sessionizeBatch, Some(AsOfSessionizeOracle.sql)),

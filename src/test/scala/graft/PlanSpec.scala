@@ -163,7 +163,8 @@ class PlanSweepSpec extends SparkTestBase {
     "sink_compaction_scan", "sink_csv_roundtrip", "sink_json_roundtrip",
     "sink_zorder_scan", "sink_bucket_lookup", "sink_partition_overwrite", "source_schema_evolution", "sink_merge_on_read", "idx_secondary_lookup", "graph_pagerank", "graph_kcore", "ann_ivf_pq_topk", "sketch_set_ops",
     "ann_index_drift", // trains two codebooks at construction
-    "dedup_semantic")  // trains the shared IVF quantizer at construction
+    "dedup_semantic",  // trains the shared IVF quantizer at construction
+    "graph_hits")      // iterates with eager lineage cuts at construction
 
   private val bnljAllowed = Set(
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_range_search", // query != candidate non-equi pairing
@@ -204,7 +205,8 @@ class PlanSweepSpec extends SparkTestBase {
     "q_welch_ttest",      // |types|² pair join on a groups-sized aggregate
     "sample_neyman",      // 1-row budget-total broadcast
     "prom_scrape_health", // 1-row global-hour-bounds broadcast (gap_fill shape)
-    "split_grouped")      // 1-row leaked-source-count broadcast
+    "split_grouped",      // 1-row leaked-source-count broadcast
+    "sink_manifest_prune") // 1-row predicate-bounds broadcast
 
   test("no entry plans a CartesianProduct; BNLJ only where intended") {
     val failures = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).flatMap { name =>

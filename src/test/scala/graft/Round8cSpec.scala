@@ -147,6 +147,101 @@ class Round8cSpec extends SparkTestBase {
     }
   }
 
+  test("attribution_markov: removal always hurts, attribution is a normalized split") {
+    import spark.implicits._
+    val rows = run("attribution_markov")
+      .select("channel", "p_conv_full", "p_conv_removed", "removal_effect", "attribution")
+      .as[(String, Double, Double, Double, Double)].collect()
+    assert(rows.map(_._1).sorted.toSeq == graft.operators.Funnel.AttrChannels.sorted)
+    val pFull = rows.head._2
+    assert(rows.forall(_._2 == pFull), "arms disagree on the full-chain conversion prob")
+    assert(pFull > 0 && pFull <= 1.0)
+    rows.foreach { case (c, pf, pr, re, at) =>
+      assert(pr >= 0 && pr <= pf + 1e-9, s"$c removal should not raise conversion")
+      assert(re >= 0 && re <= pf + 1e-9, s"$c removal effect out of range")
+      assert(at >= 0 && at <= 1.0, s"$c attribution out of range")
+    }
+    val atSum = rows.map(_._5).sum
+    assert(atSum > 0.99 && atSum <= 1.0 + 1e-9, s"attribution shares sum to $atSum")
+  }
+
+  test("metrics_rolling_corr: click autocorrelation is exactly 1; all values in [-1, 1]") {
+    import spark.implicits._
+    val rows = run("metrics_rolling_corr")
+      .select("event_type", "day", "corr_7d")
+      .as[(String, Long, Option[Double])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, day, c) =>
+      c.foreach(v => assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9, s"($t,$day) corr $v"))
+    }
+    val click = rows.filter(_._1 == "click").flatMap(_._3)
+    assert(click.nonEmpty && click.forall(v => math.abs(v - 0.9999) < 1e-9 || v == 1.0),
+      "click-vs-click rolling correlation must floor to 0.9999/1.0")
+  }
+
+  test("ivm_minmax_delta: refcounted extrema match a direct windowless recompute") {
+    import spark.implicits._
+    val got = run("ivm_minmax_delta")
+      .select("day", "min_cents", "max_cents", "n_support")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // direct recompute of the net multiset per day
+    val want = graft.sources.Tables.events(spark, sf)
+      .select(expr("cast(unix_timestamp(date_trunc('second', ts)) div 86400 as bigint)").as("day"),
+        floor(col("value") * 100).cast("long").as("cents"),
+        when(col("event_type") === "error", -1L).otherwise(1L).as("op"))
+      .groupBy("day", "cents").agg(sum("op").as("rc"))
+      .filter(col("rc") > 0)
+      .groupBy("day").agg(min("cents").as("mn"), max("cents").as("mx"),
+        count(lit(1)).as("ns"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+    got.foreach { case (_, mn, mx, ns) => assert(mn <= mx && ns > 0) }
+  }
+
+  test("sink_manifest_prune: clustering skips files; hash placement scans everything") {
+    import spark.implicits._
+    val rows = run("sink_manifest_prune")
+      .select("layout", "n_files", "files_scanned", "rows_total", "rows_scanned",
+        "rows_matched", "scan_share")
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+    val byLayout = rows.map(r => r._1 -> r).toMap
+    assert(byLayout.keySet == Set("clustered", "hash"))
+    rows.foreach { case (l, nf, fs, rt, rs, rm, share) =>
+      assert(fs <= nf, s"$l scanned more files than exist")
+      assert(rm <= rs && rs <= rt, s"$l row accounting broken")
+      assert(share >= 0 && share <= 1)
+    }
+    // both layouts hold the same corpus and the same predicate
+    assert(byLayout("clustered")._4 == byLayout("hash")._4)
+    assert(byLayout("clustered")._6 == byLayout("hash")._6)
+    // the whole point: clustered min/max prune beats hash placement
+    assert(byLayout("clustered")._7 < byLayout("hash")._7,
+      "clustered layout failed to out-prune hash placement")
+    // hash files span wide ranges → most survive pruning (all of them
+    // once files hold enough rows; sparse sf0.001 files can miss)
+    assert(byLayout("hash")._3 * 2 > byLayout("hash")._2,
+      "hash placement pruned more than half its files — layout not wide-range")
+  }
+
+  test("graph_hits: top-k panels are complete, sorted and mass-bounded") {
+    import spark.implicits._
+    val rows = run("graph_hits")
+      .select("side", "node_id", "score_fp", "rank")
+      .as[(String, Long, Long, Int)].collect()
+    val nHubs = graft.sources.Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    val nAuths = graft.sources.Tables.supplier(spark, sf).count()
+    Seq("hub" -> nHubs, "authority" -> nAuths).foreach { case (side, nSide) =>
+      val expect = math.min(20L, nSide).toInt
+      val panel = rows.filter(_._1 == side).sortBy(_._4)
+      assert(panel.length == expect, s"$side panel size ${panel.length} != $expect")
+      assert(panel.map(_._4).toSeq == (1 to expect), s"$side ranks")
+      assert(panel.sliding(2).forall(p => p(0)._3 >= p(1)._3), s"$side scores not descending")
+      assert(panel.forall(_._3 > 0), s"$side nonpositive score")
+      // L1 mass is normalized to BASE: no 20 nodes can hold more than all of it
+      assert(panel.map(_._3).sum <= 1000000000000L, s"$side top-k mass exceeds BASE")
+    }
+  }
+
   test("q_winsorized_mean: bounds ordered, winsorized mean clamped inside them") {
     import spark.implicits._
     val rows = run("q_winsorized_mean")

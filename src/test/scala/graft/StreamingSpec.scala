@@ -627,6 +627,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("refcount min/max-view maintenance equals the batch view, any chunking") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(
+        expr("cast(unix_timestamp(date_trunc('second', ts)) div 86400 as bigint)").as("day"),
+        floor(col("value") * 100).cast("long").as("cents"),
+        when(col("event_type") === "error", -1L).otherwise(1L).as("op"),
+        col("event_id"))
+      .as[(Long, Long, Long, Long)].collect()
+
+    val snapDir = java.nio.file.Files.createTempDirectory("graft_ivmm").toString
+    val input = MemoryStream[(Long, Long, Long, Long)]
+    val q = input.toDF()
+      .toDF("day", "cents", "op", "event_id")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        EventsStream.ivmMinmaxBatchInto(snapDir, df)
+      }
+      .start()
+    try {
+      // reversed chunks again: a retraction of the running max may land
+      // before its insert — the refcount debt must keep the view exact
+      val sorted = rows.sortBy(_._4)
+      val chunks = sorted.grouped(math.max(1, sorted.length / 3 + 1)).toSeq.reverse
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      val got = EventsStream.ivmMinmaxSnapshotRead(spark, snapDir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val want = EventsStream.ivmMinmaxBatch(spark, sf)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got == want, s"streaming=${got.size} batch=${want.size} " +
+        s"diff=${(want.toSet diff got.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("incremental sample-quantile sketch equals the batch twin, any chunking") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
