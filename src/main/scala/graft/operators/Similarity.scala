@@ -1431,7 +1431,58 @@ object Similarity {
         SELECT query_id, neighbor_id, dist AS sq_dist, rank
         FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
 
+  /** Exact maximum-inner-product top-k (MIPS) — the recommendation
+    * retrieval read, where ranking by RAW dot product lets large-norm
+    * items dominate (an untrained cosine index silently changes recsys
+    * semantics; MIPS is its own problem class — Shrivastava & Li's
+    * asymmetric-LSH line exists precisely because hyperplane LSH does
+    * not solve it). Same broadcast-queries × one-corpus-pass shape and
+    * float-parity contract as `ann_bruteforce_topk` (sequential
+    * graft_dot == list_inner_product, ties score DESC id ASC); each
+    * result row also carries whether that neighbor makes the COSINE
+    * top-k — the divergence flag that tells a pipeline the two
+    * rankings disagree and norm calibration matters. */
+  def mipsTopK: Q = (s, d) => {
+    val all = emb(s, d)
+    val q = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val mips = all.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("dot", expr(dotExpr))
+      .groupBy(col("query_id"))
+      .agg(expr(s"graft_topk(dot, vec_id, $TopK)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        trunc4(col("col.score")).as("dot"), (col("pos") + 1).cast("int").as("rank"))
+    val cosSet = bruteForceTopK(s, d)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("in_cos"))
+    mips.join(cosSet, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("neighbor_id"), col("dot"), col("rank"),
+        coalesce(col("in_cos"), lit(false)).as("in_cosine_topk"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  lazy val mipsTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_inner_product(q.v, c.v) AS dot
+          FROM e c JOIN e q ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < $NumQueries),
+        ranked AS (
+          SELECT query_id, neighbor_id, dot,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY dot DESC, neighbor_id) AS INT) AS rank
+          FROM scored),
+        cosk AS (SELECT query_id, neighbor_id FROM ($bruteForceTopKSql))
+        SELECT r.query_id, r.neighbor_id,
+               floor(r.dot * 10000) / 10000.0 AS dot, r.rank,
+               k.neighbor_id IS NOT NULL AS in_cosine_topk
+        FROM ranked r LEFT JOIN cosk k
+          ON k.query_id = r.query_id AND k.neighbor_id = r.neighbor_id
+        WHERE r.rank <= $TopK ORDER BY r.query_id, r.rank"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("ann_mips_topk", mipsTopK, Some(mipsTopKSql)),
     ("ann_sq8_topk", sq8TopK, Some(sq8TopKSql)),
     ("ann_ivf_tuning", ivfTuning, Some(ivfTuningSql)),
     ("ann_graph_search", graphSearch, Some(graphSearchSql)),

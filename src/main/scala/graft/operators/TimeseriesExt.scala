@@ -1180,7 +1180,70 @@ object TimeseriesExt {
                               * 1e4) / 1e4 END AS corr_7d
        FROM v ORDER BY event_type, day"""
 
+  val AcfLags = Seq(1L, 7L)
+
+  /** Per-series autocorrelation at lag 1 and 7 days — the periodicity
+    * detector behind `metrics_seasonal_decompose`'s weekly assumption
+    * (a series with no lag-7 signal shouldn't get a weekly baseline).
+    * Pairs (day, day+k) align by equi-join on the daily aggregate —
+    * no window, no spine densification needed (absent days simply
+    * form no pair; n_pairs reports the support). The five sums are
+    * exact BIGINTs; each r_k is one fixed IEEE sequence,
+    * zero-variance guarded to null. Corpus cost is one daily
+    * aggregation; the joins run on |series|×|days| rows. */
+  def autocorr: Q = (s, d) => {
+    val daily = samples(s, d)
+      .groupBy(col("event_type"), expr("sec div 86400").as("day"))
+      .agg(sum(col("v_c")).as("x"))
+    val arms = AcfLags.map { k =>
+      val b = daily.select(col("event_type"), (col("day") - k).as("day"),
+        col("x").as("y"))
+      daily.join(b, Seq("event_type", "day"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+        .withColumn("vx", col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("vy", col("n_pairs") * col("syy") - col("sy") * col("sy"))
+        .select(col("event_type"), lit(k).as("lag"), col("n_pairs"),
+          when(col("vx") > 0 && col("vy") > 0,
+            floor((col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (sqrt(col("vx").cast("double")) * sqrt(col("vy").cast("double")))
+              * 1e4) / 1e4).as("acf"))
+    }
+    arms.reduce(_ unionByName _).orderBy(col("event_type"), col("lag"))
+  }
+
+  val autocorrSql: String = {
+    val arms = AcfLags.map { k =>
+      s"""SELECT a.event_type, CAST($k AS BIGINT) AS lag, count(*) AS n_pairs,
+                 CAST(sum(a.x) AS BIGINT) AS sx, CAST(sum(b.x) AS BIGINT) AS sy,
+                 CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
+                 CAST(sum(a.x * a.x) AS BIGINT) AS sxx,
+                 CAST(sum(b.x * b.x) AS BIGINT) AS syy
+          FROM daily a JOIN daily b
+            ON b.event_type = a.event_type AND b.day = a.day + $k
+          GROUP BY 1"""
+    }.mkString(" UNION ALL ")
+    s"""WITH daily AS (
+          SELECT event_type,
+                 CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+                 CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        m AS ($arms),
+        v AS (
+          SELECT *, n_pairs * sxx - sx * sx AS vx, n_pairs * syy - sy * sy AS vy
+          FROM m)
+        SELECT event_type, lag, n_pairs,
+               CASE WHEN vx > 0 AND vy > 0
+                    THEN floor(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                               / (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE)))
+                               * 1e4) / 1e4 END AS acf
+        FROM v ORDER BY event_type, lag"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("metrics_autocorr", autocorr, Some(autocorrSql)),
     ("metrics_rolling_corr", rollingCorr, Some(rollingCorrSql)),
     ("prom_scrape_health", scrapeHealth, Some(scrapeHealthSql)),
     ("metrics_spc_control", spcControl, Some(spcControlSql)),

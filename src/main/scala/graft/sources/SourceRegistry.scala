@@ -294,7 +294,64 @@ object SourceRegistry {
         WHERE e.sec > wm.stored_watermark
         GROUP BY 1, 2 ORDER BY e.event_type"""
 
+  val JdbcParts = 8L
+
+  /** Partitioned-JDBC read planning ledger — the parallel-scrape rule
+    * the collector applies when one database table is too big for one
+    * connection (Spark's own jdbc(partitionColumn, lowerBound,
+    * upperBound, numPartitions) discipline, made explicit): bounds
+    * come from min/max of the key, stride = (hi − lo) div P, partition
+    * i reads [lo + i·stride, lo + (i+1)·stride) with the LAST
+    * partition unbounded above (it absorbs the remainder — and, on a
+    * live source, rows inserted after planning). Emits per partition
+    * its WHERE-clause bounds, actual row count, and the skew ratio
+    * n·P/total — the number that says whether the key is uniform
+    * enough to parallelize on (a sequence key is; a skewed foreign key
+    * wants `q_data_skew_audit` first). Pure integer arithmetic; one
+    * aggregation over the fact + a 1-row bounds broadcast. */
+  def partitionBounds(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey").as("k"))
+    val b = o.agg(min(col("k")).as("lo"), max(col("k")).as("hi"),
+      count(lit(1)).as("total"))
+    o.crossJoin(broadcast(b))
+      .withColumn("stride", greatest(expr(s"(hi - lo) div $JdbcParts"), lit(1L)))
+      .withColumn("part_id",
+        least(lit(JdbcParts - 1), expr("(k - lo) div stride")).cast("long"))
+      .groupBy(col("part_id"))
+      .agg(count(lit(1)).as("n_rows"), min(col("lo")).as("lo"),
+        min(col("stride")).as("stride"), min(col("total")).as("total"))
+      .select(col("part_id"),
+        (col("lo") + col("part_id") * col("stride")).as("lo_bound"),
+        when(col("part_id") < JdbcParts - 1,
+          col("lo") + (col("part_id") + 1) * col("stride")).as("hi_bound"),
+        col("n_rows"),
+        (floor(col("n_rows").cast("double") * JdbcParts
+          / col("total").cast("double") * 1e4) / 1e4).as("skew_ratio"))
+      .orderBy(col("part_id"))
+  }
+
+  val partitionBoundsSql: String =
+    s"""WITH o AS (SELECT o_orderkey AS k FROM orders),
+        b AS (SELECT min(k) AS lo, max(k) AS hi, count(*) AS total FROM o),
+        p AS (
+          SELECT least($JdbcParts - 1,
+                       (k - lo) // greatest((hi - lo) // $JdbcParts, 1)) AS part_id,
+                 lo, greatest((hi - lo) // $JdbcParts, 1) AS stride, total
+          FROM o, b),
+        g AS (
+          SELECT part_id, count(*) AS n_rows, min(lo) AS lo,
+                 min(stride) AS stride, CAST(min(total) AS BIGINT) AS total
+          FROM p GROUP BY 1)
+        SELECT part_id, lo + part_id * stride AS lo_bound,
+               CASE WHEN part_id < $JdbcParts - 1
+                    THEN lo + (part_id + 1) * stride END AS hi_bound,
+               n_rows,
+               floor(CAST(n_rows AS DOUBLE) * $JdbcParts
+                     / CAST(total AS DOUBLE) * 1e4) / 1e4 AS skew_ratio
+        FROM g ORDER BY part_id"""
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("source_partition_bounds", partitionBounds _, Some(partitionBoundsSql)),
     ("source_incremental_read", incrementalRead _, Some(incrementalReadSql)),
     ("source_config_dsn", configDsn _, Some(configDsnSql)),
     ("source_registry", registryRead _, Some(registryReadSql)),

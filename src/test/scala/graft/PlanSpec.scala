@@ -206,7 +206,9 @@ class PlanSweepSpec extends SparkTestBase {
     "sample_neyman",      // 1-row budget-total broadcast
     "prom_scrape_health", // 1-row global-hour-bounds broadcast (gap_fill shape)
     "split_grouped",      // 1-row leaked-source-count broadcast
-    "sink_manifest_prune") // 1-row predicate-bounds broadcast
+    "sink_manifest_prune", // 1-row predicate-bounds broadcast
+    "ann_mips_topk",       // query≠candidate non-equi pairing (bruteforce shape)
+    "source_partition_bounds") // 1-row min/max/total bounds broadcast
 
   test("no entry plans a CartesianProduct; BNLJ only where intended") {
     val failures = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).flatMap { name =>

@@ -242,6 +242,64 @@ class Round8cSpec extends SparkTestBase {
     }
   }
 
+  test("source_partition_bounds: partitions tile the key space and conserve rows") {
+    import spark.implicits._
+    val rows = run("source_partition_bounds")
+      .select("part_id", "lo_bound", "hi_bound", "n_rows", "skew_ratio")
+      .as[(Long, Long, Option[Long], Long, Double)].collect().sortBy(_._1)
+    assert(rows.length == graft.sources.SourceRegistry.JdbcParts)
+    assert(rows.map(_._1).toSeq == (0L until graft.sources.SourceRegistry.JdbcParts))
+    // contiguous, non-overlapping bounds; last unbounded above
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3.contains(b._2), s"partition ${a._1} upper != ${b._1} lower")
+    }
+    assert(rows.last._3.isEmpty, "last partition must be unbounded above")
+    val total = graft.sources.Tables.orders(spark, sf).count()
+    assert(rows.map(_._4).sum == total, "partitions lose or duplicate rows")
+    // a sequence-like key should parallelize near-uniformly
+    assert(rows.forall(r => r._5 > 0.2 && r._5 < 5.0), "pathological partition skew")
+  }
+
+  test("ann_mips_topk: dot ranking is descending and diverges measurably from cosine") {
+    import spark.implicits._
+    val rows = run("ann_mips_topk")
+      .select("query_id", "neighbor_id", "dot", "rank", "in_cosine_topk")
+      .as[(Long, Long, Double, Int, Boolean)].collect()
+    val k = graft.operators.Similarity.TopK
+    assert(rows.length == graft.operators.Similarity.NumQueries * k)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1 to k), s"q$q ranks")
+      assert(byRank.sliding(2).forall(p => p(0)._3 >= p(1)._3), s"q$q dots not descending")
+      assert(rs.forall(_._2 != q), s"q$q returned itself")
+    }
+    // the flag must agree with an independent recomputation of the cosine panel
+    val cos = run("ann_bruteforce_topk").select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    rows.foreach { case (q, n, _, _, flag) =>
+      assert(flag == cos((q, n)), s"($q,$n) cosine-membership flag wrong")
+    }
+  }
+
+  test("metrics_autocorr: one row per (series, lag); acf bounded; support shrinks with lag") {
+    import spark.implicits._
+    val rows = run("metrics_autocorr")
+      .select("event_type", "lag", "n_pairs", "acf")
+      .as[(String, Long, Long, Option[Double])].collect()
+    val lags = graft.operators.TimeseriesExt.AcfLags
+    val types = rows.map(_._1).distinct
+    assert(rows.length == types.length * lags.length)
+    rows.foreach { case (t, l, n, a) =>
+      assert(n > 0, s"($t,$l) no pairs")
+      a.foreach(v => assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9, s"($t,$l) acf $v"))
+    }
+    types.foreach { t =>
+      val byLag = rows.filter(_._1 == t).sortBy(_._2)
+      assert(byLag.sliding(2).forall(p => p(0)._3 >= p(1)._3),
+        s"$t pair support should not grow with lag")
+    }
+  }
+
   test("q_winsorized_mean: bounds ordered, winsorized mean clamped inside them") {
     import spark.implicits._
     val rows = run("q_winsorized_mean")
