@@ -1243,7 +1243,55 @@ object Affinity {
        JOIN sizes sb ON sb.day = c.day_b
        ORDER BY c.day_a, c.day_b"""
 
+  /** Audience overlap between every pair of event types: the
+    * "do clickers also sign up" read — Jaccard and overlap
+    * coefficient of the two user SETS (complementing
+    * `events_day_overlap`'s temporal overlap and `events_cooccur_pmi`'s
+    * context counts). One distinct (type, user) aggregation, then a
+    * user-keyed self-join bounded by |types| per user; per-type
+    * totals broadcast back onto the |types|² pair table. All counts
+    * exact; two floored divisions per pair. */
+  def audienceOverlap: Q = (s, d) => {
+    val tu = Tables.events(s, d).select(col("event_type"), col("user_id")).distinct()
+    val sizes = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val pairs = tu.select(col("event_type").as("type_a"), col("user_id"))
+      .join(tu.select(col("event_type").as("type_b"), col("user_id")), "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(sizes.select(col("event_type").as("type_a"), col("n").as("n_a"))),
+        "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"), col("n").as("n_b"))),
+        "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        (floor(col("n_both").cast("double")
+          / (col("n_a") + col("n_b") - col("n_both")).cast("double") * 1e4) / 1e4)
+          .as("jaccard"),
+        (floor(col("n_both").cast("double")
+          / least(col("n_a"), col("n_b")).cast("double") * 1e4) / 1e4)
+          .as("overlap_coef"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val audienceOverlapSql: String =
+    """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+       sizes AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1),
+       pairs AS (
+         SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+         FROM tu a JOIN tu b
+           ON b.user_id = a.user_id AND a.event_type < b.event_type
+         GROUP BY 1, 2)
+       SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+              floor(CAST(n_both AS DOUBLE)
+                    / CAST(sa.n + sb.n - n_both AS DOUBLE) * 1e4) / 1e4 AS jaccard,
+              floor(CAST(n_both AS DOUBLE)
+                    / CAST(least(sa.n, sb.n) AS DOUBLE) * 1e4) / 1e4 AS overlap_coef
+       FROM pairs JOIN sizes sa ON sa.event_type = type_a
+                  JOIN sizes sb ON sb.event_type = type_b
+       ORDER BY type_a, type_b"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("events_audience_overlap", audienceOverlap, Some(audienceOverlapSql)),
     ("events_day_overlap", dayOverlap, Some(dayOverlapSql)),
     ("q_null_skew_join", nullSkewJoin, Some(nullSkewJoinSql)),
     ("q_chi2_independence", chi2Independence, Some(chi2IndependenceSql)),

@@ -268,7 +268,86 @@ object AsOf {
               CAST(least(coalesce(db, df), coalesce(df, db)) AS BIGINT) AS gap_us
        FROM g ORDER BY event_id"""
 
+  /** Data-driven session-timeout selection: Otsu's method (the
+    * bimodal-histogram thresholder from image binarization, 1979) on
+    * the log2 inter-event-gap histogram — within-session gaps and
+    * between-session gaps form the two modes, and the 30-minute
+    * timeout every sessionizer hardcodes becomes a MEASURED quantity.
+    * For each candidate split t the between-class variance
+    * w0·w1·(μ0−μ1)² reduces to (m0·w1 − m1·w0)²/(w0·w1) — cumulative
+    * counts/moments over the ≤40-bucket histogram, the wide square in
+    * DECIMAL(38,0)/HUGEINT, ONE double division per candidate, argmax
+    * tie-broken to the smaller bucket. Emits the full sweep ledger
+    * with `is_chosen` marking the winner and its timeout 2^t seconds.
+    * Corpus cost is one lag window + the bucket aggregation; the
+    * sweep runs on the bounded histogram (at extreme corpus sizes the
+    * squared moment outgrows DECIMAL(38,0) — run the identical sweep
+    * on the down-scaled histogram shares). */
+  def sessionizeOtsu: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val hist = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .withColumn("bucket",
+        when(col("gap") <= 0, lit(0)).otherwise(length(bin(col("gap")))).cast("int"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val tot = hist.agg(sum(col("n")).as("nn"),
+      sum(col("n") * col("bucket")).as("mm"))
+    val cw = Window.orderBy(col("bucket"))
+    hist
+      .withColumn("w0", sum(col("n")).over(cw))
+      .withColumn("m0", sum(col("n") * col("bucket")).over(cw))
+      .crossJoin(broadcast(tot))
+      .filter(col("w0") < col("nn"))
+      .withColumn("w1", col("nn") - col("w0"))
+      .withColumn("diff", col("m0").cast("decimal(38,0)") * col("w1")
+        - (col("mm") - col("m0")).cast("decimal(38,0)") * col("w0"))
+      .withColumn("score", (col("diff") * col("diff")).cast("double")
+        / (col("w0") * col("w1")).cast("double"))
+      .withColumn("is_chosen", row_number().over(
+        Window.orderBy(col("score").desc, col("bucket"))) === 1)
+      .select(col("bucket"), col("n"), col("w0"), col("w1"),
+        floor(col("score")).cast("long").as("score_floor"), col("is_chosen"),
+        expr("shiftleft(1L, bucket)").as("timeout_sec"))
+      .orderBy(col("bucket"))
+  }
+
+  val sessionizeOtsuSql: String =
+    """WITH g AS (
+         SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                  - lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+         FROM events),
+       hist AS (
+         SELECT CAST(CASE WHEN gap <= 0 THEN 0 ELSE length(bin(gap)) END AS INT)
+                  AS bucket,
+                count(*) AS n
+         FROM g WHERE gap IS NOT NULL GROUP BY 1),
+       tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                      CAST(sum(n * bucket) AS BIGINT) AS mm FROM hist),
+       c AS (
+         SELECT bucket, n,
+                CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS w0,
+                CAST(sum(n * bucket) OVER (ORDER BY bucket) AS BIGINT) AS m0
+         FROM hist),
+       sw AS (
+         SELECT bucket, n, w0, nn - w0 AS w1,
+                CAST(m0 AS HUGEINT) * (nn - w0)
+                  - CAST(mm - m0 AS HUGEINT) * w0 AS diff
+         FROM c, tot WHERE w0 < nn),
+       sc AS (
+         SELECT *, CAST(diff * diff AS DOUBLE) / CAST(w0 * w1 AS DOUBLE) AS score
+         FROM sw)
+       SELECT bucket, n, w0, w1,
+              CAST(floor(score) AS BIGINT) AS score_floor,
+              row_number() OVER (ORDER BY score DESC, bucket) = 1 AS is_chosen,
+              (CAST(1 AS BIGINT) << bucket) AS timeout_sec
+       FROM sc ORDER BY bucket"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("sessionize_otsu", sessionizeOtsu, Some(sessionizeOtsuSql)),
     ("asof_nearest", asofNearest, Some(asofNearestSql)),
     ("asof_join", asofJoin, Some(asofJoinSql)),
     ("asof_join_forward", asofJoinForward, Some(asofJoinForwardSql)),

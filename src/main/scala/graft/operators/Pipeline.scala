@@ -1078,7 +1078,80 @@ object Pipeline {
                (n * $NeymanBudget) // n_total AS prop_alloc
         FROM w, tot ORDER BY source"""
 
+  /** Achieved-vs-target mixture report with per-source KL
+    * contributions — the drift check a data-mixing pipeline runs
+    * after `mix_corpora`: the hash-bucket rule only approximates the
+    * fractional weights (w=1.8 delivers ~1.8 copies, not exactly), so
+    * this ledger compares the DELIVERED copy distribution p against
+    * the weight-implied target q (q_mass = 10·w·N_src, exact BIGINT)
+    * and emits each source's share, lift p/q, and KL term p·ln(p/q).
+    * The log argument is ONE exact integer ratio (copies·Σq)/(Σc·q)
+    * — the `events_cooccur_pmi` parity idiom — and the KL total is
+    * left to the reader (per-row terms, no order-dependent float
+    * sum, the `graph_modularity` discipline). Two bounded
+    * aggregations + two 1-row total broadcasts. */
+  def mixKlDivergence: Q = (s, d) => {
+    val b = hashBucket(concat(lit("mix:"), col("source"), lit(":"),
+      col("doc_id").cast("string")))
+    val isOdd = expr("cast(substring(source, 4) as int)") % 2 === 1
+    val per = Tables.documents(s, d)
+      .select(col("source"), b.as("bucket"), isOdd.as("odd"))
+      .withColumn("copies",
+        when(col("odd"), lit(1) + when(col("bucket") < 80, 1).otherwise(0))
+          .otherwise(when(col("bucket") < 60, 1).otherwise(0)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("copies")).as("copies"),
+        (count(lit(1)) * when(min(col("odd")), 18L).otherwise(6L)).as("q_mass"))
+    val tot = per.agg(sum(col("copies")).as("ctot"), sum(col("q_mass")).as("qtot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("copies"), col("q_mass"),
+        (floor(col("copies").cast("double") / col("ctot").cast("double") * 1e4) / 1e4)
+          .as("p_share"),
+        (floor(col("q_mass").cast("double") / col("qtot").cast("double") * 1e4) / 1e4)
+          .as("q_share"),
+        (floor((col("copies").cast("decimal(38,0)") * col("qtot")).cast("double")
+          / (col("q_mass").cast("decimal(38,0)") * col("ctot")).cast("double")
+          * 1e4) / 1e4).as("lift"),
+        (floor(col("copies").cast("double") / col("ctot").cast("double")
+          * log((col("copies").cast("decimal(38,0)") * col("qtot")).cast("double")
+            / (col("q_mass").cast("decimal(38,0)") * col("ctot")).cast("double"))
+          * 1e6) / 1e6).as("kl_term"))
+      .orderBy(col("source"))
+  }
+
+  val mixKlDivergenceSql: String = {
+    val bkt = hashBucketSql("'mix:' || source || ':' || CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (
+          SELECT source, CAST(substr(source, 4) AS INT) % 2 = 1 AS odd,
+                 $bkt AS bucket
+          FROM documents),
+        per AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(CASE WHEN odd THEN 1 + (CASE WHEN bucket < 80 THEN 1 ELSE 0 END)
+                          ELSE (CASE WHEN bucket < 60 THEN 1 ELSE 0 END) END) AS BIGINT)
+                   AS copies,
+                 CAST(count(*) * (CASE WHEN min(odd) THEN 18 ELSE 6 END) AS BIGINT)
+                   AS q_mass
+          FROM t GROUP BY 1),
+        tot AS (SELECT CAST(sum(copies) AS BIGINT) AS ctot,
+                       CAST(sum(q_mass) AS BIGINT) AS qtot FROM per)
+        SELECT source, n_docs, copies, q_mass,
+               floor(CAST(copies AS DOUBLE) / CAST(ctot AS DOUBLE) * 1e4) / 1e4
+                 AS p_share,
+               floor(CAST(q_mass AS DOUBLE) / CAST(qtot AS DOUBLE) * 1e4) / 1e4
+                 AS q_share,
+               floor(CAST(CAST(copies AS HUGEINT) * qtot AS DOUBLE)
+                     / CAST(CAST(q_mass AS HUGEINT) * ctot AS DOUBLE) * 1e4) / 1e4
+                 AS lift,
+               floor(CAST(copies AS DOUBLE) / CAST(ctot AS DOUBLE)
+                     * ln(CAST(CAST(copies AS HUGEINT) * qtot AS DOUBLE)
+                          / CAST(CAST(q_mass AS HUGEINT) * ctot AS DOUBLE))
+                     * 1e6) / 1e6 AS kl_term
+        FROM per, tot ORDER BY source"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("mix_kl_divergence", mixKlDivergence, Some(mixKlDivergenceSql)),
     ("split_grouped", splitGrouped, Some(splitGroupedSql)),
     ("sample_neyman", sampleNeyman, Some(sampleNeymanSql)),
     ("pack_length_buckets", lengthBuckets, Some(lengthBucketsSql)),

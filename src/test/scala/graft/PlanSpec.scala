@@ -208,7 +208,9 @@ class PlanSweepSpec extends SparkTestBase {
     "split_grouped",      // 1-row leaked-source-count broadcast
     "sink_manifest_prune", // 1-row predicate-bounds broadcast
     "ann_mips_topk",       // query≠candidate non-equi pairing (bruteforce shape)
-    "source_partition_bounds") // 1-row min/max/total bounds broadcast
+    "source_partition_bounds", // 1-row min/max/total bounds broadcast
+    "sessionize_otsu",     // 1-row histogram-total broadcast
+    "mix_kl_divergence")   // 1-row mixture-total broadcast
 
   test("no entry plans a CartesianProduct; BNLJ only where intended") {
     val failures = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).flatMap { name =>

@@ -300,6 +300,63 @@ class Round8cSpec extends SparkTestBase {
     }
   }
 
+  test("sessionize_otsu: exactly one winner maximizing the between-class score") {
+    import spark.implicits._
+    val rows = run("sessionize_otsu")
+      .select("bucket", "n", "w0", "w1", "score_floor", "is_chosen", "timeout_sec")
+      .as[(Int, Long, Long, Long, Long, Boolean, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    assert(rows.count(_._6) == 1, "not exactly one chosen threshold")
+    // the last bucket is rightly absent (no split leaves both classes
+    // nonempty there), so the grand total is any row's w0+w1
+    val total = rows.head._3 + rows.head._4
+    rows.foreach { case (b, n, w0, w1, sf_, _, ts) =>
+      assert(w0 + w1 == total, s"bucket $b classes don't partition")
+      assert(w0 > 0 && w1 > 0, s"bucket $b empty class survived the sweep")
+      assert(sf_ >= 0)
+      assert(ts == (1L << b), s"bucket $b timeout")
+    }
+    // cumulative w0 must be monotone in bucket
+    assert(rows.sliding(2).forall(p => p(0)._3 < p(1)._3), "w0 not strictly increasing")
+    val chosen = rows.find(_._6).get
+    assert(rows.forall(r => r._5 <= chosen._5), "winner does not maximize the score")
+  }
+
+  test("mix_kl_divergence: shares are distributions; kl term signs follow lift") {
+    import spark.implicits._
+    val rows = run("mix_kl_divergence")
+      .select("source", "n_docs", "copies", "q_mass", "p_share", "q_share", "lift", "kl_term")
+      .as[(String, Long, Long, Long, Double, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    val pSum = rows.map(_._5).sum; val qSum = rows.map(_._6).sum
+    assert(pSum > 0.98 && pSum <= 1.0 + 1e-9, s"p shares sum $pSum")
+    assert(qSum > 0.98 && qSum <= 1.0 + 1e-9, s"q shares sum $qSum")
+    rows.foreach { case (src, n, copies, qm, p, q, lift, kl) =>
+      assert(copies >= 0 && copies <= 2 * n, s"$src copies outside [0, 2n]")
+      assert(qm == n * 6 || qm == n * 18, s"$src target mass not weight-implied")
+      assert(p >= 0 && q > 0 && lift >= 0)
+      // floored values: a clearly down/up-delivered source signs its KL term
+      if (lift > 1.01) assert(kl > 0, s"$src over-delivered but kl $kl")
+      if (lift < 0.99 && p > 0) assert(kl < 0, s"$src under-delivered but kl $kl")
+    }
+  }
+
+  test("events_audience_overlap: every pair once; jaccard <= overlap coefficient") {
+    import spark.implicits._
+    val rows = run("events_audience_overlap")
+      .select("type_a", "type_b", "n_a", "n_b", "n_both", "jaccard", "overlap_coef")
+      .as[(String, String, Long, Long, Long, Double, Double)].collect()
+    val nTypes = graft.sources.Tables.events(spark, sf)
+      .select("event_type").distinct().count().toInt
+    assert(rows.length == nTypes * (nTypes - 1) / 2)
+    rows.foreach { case (a, b, na, nb, both, j, oc) =>
+      assert(a < b)
+      assert(both <= math.min(na, nb), s"($a,$b) intersection exceeds a side")
+      assert(j >= 0 && j <= 1 && oc >= 0 && oc <= 1)
+      assert(j <= oc + 1e-9, s"($a,$b) jaccard should not exceed overlap coefficient")
+    }
+  }
+
   test("q_winsorized_mean: bounds ordered, winsorized mean clamped inside them") {
     import spark.implicits._
     val rows = run("q_winsorized_mean")
