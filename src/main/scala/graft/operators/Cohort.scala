@@ -419,7 +419,52 @@ object Cohort {
                    ELSE lag(n_active) OVER (ORDER BY week) - n_retained END AS n_churned
        FROM weekly ORDER BY week"""
 
+  /** Net revenue retention (NDR) per month — the SaaS board metric
+    * `cohort_ltv` doesn't give: of the users who spent in month m,
+    * how much did THE SAME users spend in m+1 (expansion and
+    * contraction included, new users excluded — that's the
+    * "net dollar" discipline). One monthly (user, month) revenue
+    * aggregate, self-joined on (user, month+1); everything exact
+    * integer cents until one floored division per month. */
+  def cohortNdr: Q = (s, d) => {
+    val monthly = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"),
+        expr("cast(unix_timestamp(date_trunc('second', ts)) div 86400 div 30 as bigint)")
+          .as("month"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+    val nxt = monthly.select(col("user_id"), (col("month") - 1).as("month"),
+      col("cents").as("next_cents"))
+    monthly.join(nxt, Seq("user_id", "month"), "left")
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("rev_cents"),
+        sum(coalesce(col("next_cents"), lit(0L))).as("retained_cents"),
+        sum(when(col("next_cents").isNotNull, 1L).otherwise(0L)).as("n_retained"))
+      .withColumn("ndr",
+        floor(col("retained_cents").cast("double") / col("rev_cents").cast("double")
+          * 1e4) / 1e4)
+      .orderBy(col("month"))
+  }
+
+  val cohortNdrSql: String =
+    """WITH m AS (
+         SELECT user_id,
+                CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 // 30 AS month,
+                CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+       SELECT a.month, count(*) AS n_users,
+              CAST(sum(a.cents) AS BIGINT) AS rev_cents,
+              CAST(sum(COALESCE(b.cents, 0)) AS BIGINT) AS retained_cents,
+              CAST(sum(CASE WHEN b.cents IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_retained,
+              floor(CAST(sum(COALESCE(b.cents, 0)) AS DOUBLE)
+                    / CAST(sum(a.cents) AS DOUBLE) * 1e4) / 1e4 AS ndr
+       FROM m a LEFT JOIN m b
+         ON b.user_id = a.user_id AND b.month = a.month + 1
+       GROUP BY 1 ORDER BY 1"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("cohort_ndr", cohortNdr, Some(cohortNdrSql)),
     ("cohort_lifecycle", lifecycle, Some(lifecycleSql)),
     ("cohort_survival_km", survivalKm, Some(survivalKmSql)),
     ("q_abtest", abTest, Some(abTestSql)),

@@ -1150,7 +1150,60 @@ object Pipeline {
         FROM per, tot ORDER BY source"""
   }
 
+  /** Epoch-shuffle interleaving quality: training order matters — a
+    * corpus read source-by-source gives the optimizer long
+    * single-domain stretches — and the deterministic fix is ordering
+    * by a content hash (reproducible on any cluster, no RNG state:
+    * the same discipline as every split/sample entry). This ledger
+    * MEASURES the fix: same-source run lengths under the hash order
+    * vs the source-sorted baseline (n_runs, max_run, mean_run — the
+    * sorted arm degenerates to one run per source, the shuffled arm
+    * should sit near mean_run ≈ 1/(1−Σp²)). Run segmentation is a
+    * global lag over the permuted order — measuring adjacency is
+    * inherently a total-order pass (range-partitioned sort, the
+    * presentation-sort cost class); the verdict it produces is
+    * bounded rows. */
+  def shuffleQuality: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .withColumn("h", md5(concat(lit("ep0:"), col("doc_id").cast("string"))))
+    def arm(layout: String, w: org.apache.spark.sql.expressions.WindowSpec) =
+      docs.withColumn("brk",
+          when(lag(col("source"), 1).over(w).isNull ||
+            lag(col("source"), 1).over(w) =!= col("source"), 1L).otherwise(0L))
+        .agg(count(lit(1)).as("n_docs"), sum(col("brk")).as("n_runs"))
+        .select(lit(layout).as("layout"), col("n_docs"), col("n_runs"),
+          (floor(col("n_docs").cast("double") / col("n_runs").cast("double") * 1e4)
+            / 1e4).as("mean_run"))
+    val sorted = arm("source_sorted",
+      Window.orderBy(col("source"), col("doc_id")))
+    val shuffled = arm("hash_shuffled",
+      Window.orderBy(col("h"), col("doc_id")))
+    sorted.unionByName(shuffled).orderBy(col("layout"))
+  }
+
+  val shuffleQualitySql: String = {
+    def arm(layout: String, order: String) =
+      s"""SELECT '$layout' AS layout, count(*) AS n_docs,
+                 CAST(sum(brk) AS BIGINT) AS n_runs,
+                 floor(CAST(count(*) AS DOUBLE) / CAST(sum(brk) AS DOUBLE) * 1e4) / 1e4
+                   AS mean_run
+          FROM (
+            SELECT CASE WHEN lag(source) OVER (ORDER BY $order) IS NULL
+                          OR lag(source) OVER (ORDER BY $order) <> source
+                        THEN 1 ELSE 0 END AS brk
+            FROM t) x"""
+    s"""WITH t AS (
+          SELECT doc_id, source,
+                 md5('ep0:' || CAST(doc_id AS VARCHAR)) AS h
+          FROM documents)
+        ${arm("source_sorted", "source, doc_id")}
+        UNION ALL
+        ${arm("hash_shuffled", "h, doc_id")}
+        ORDER BY layout"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("pack_shuffle_quality", shuffleQuality, Some(shuffleQualitySql)),
     ("mix_kl_divergence", mixKlDivergence, Some(mixKlDivergenceSql)),
     ("split_grouped", splitGrouped, Some(splitGroupedSql)),
     ("sample_neyman", sampleNeyman, Some(sampleNeymanSql)),

@@ -1068,7 +1068,125 @@ object Timeseries {
         GROUP BY probe, user_id
         ORDER BY probe, user_id"""
 
+  /** Metric-TYPE inference — the read a collector runs when upstream
+    * exposition lacks `# TYPE` lines (the reference's exporters emit
+    * typed metrics; an ingester that guesses wrong rates a gauge or
+    * averages a counter): a series whose every decrease looks like a
+    * RESET (drop below half the previous value) and whose decreases
+    * are rare (≤5% of steps) behaves like a counter; everything else
+    * is a gauge. Runs over BOTH arms — the raw value series (gauges
+    * by construction here) and each series' running total (counters
+    * by construction) — so both verdicts are exercised. One
+    * series-keyed shuffle; deltas are a lag window; all shares exact
+    * integer ratios. */
+  def metricTypeInfer: Q = (s, d) => {
+    val base = Tables.events(s, d).select(col("event_type"), col("event_id"),
+      unix_timestamp(date_trunc("second", col("ts"))).as("sec"),
+      floor(col("value") * 100).cast("long").as("v_c"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("sec"), col("event_id"))
+    val arms = base
+      .select(col("event_type").as("series"), col("sec"), col("event_id"),
+        col("v_c").as("val"))
+      .unionByName(base
+        .withColumn("val", sum(col("v_c")).over(wCum))
+        .select(concat(col("event_type"), lit(":cum")).as("series"),
+          col("sec"), col("event_id"), col("val")))
+    val w = Window.partitionBy(col("series")).orderBy(col("sec"), col("event_id"))
+    arms
+      .withColumn("prev", lag(col("val"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("series"))
+      .agg(count(lit(1)).as("n_steps"),
+        sum(when(col("val") < col("prev"), 1L).otherwise(0L)).as("n_down"),
+        sum(when(col("val") < col("prev") && col("val") * 2 < col("prev"), 1L)
+          .otherwise(0L)).as("n_reset"))
+      .select(col("series"), col("n_steps"), col("n_down"), col("n_reset"),
+        (floor((col("n_steps") - col("n_down")).cast("double")
+          / col("n_steps").cast("double") * 1e4) / 1e4).as("monotone_share"),
+        when(col("n_down") === col("n_reset") && col("n_down") * 20 <= col("n_steps"),
+          "counter").otherwise("gauge").as("inferred_type"))
+      .orderBy(col("series"))
+  }
+
+  val metricTypeInferSql: String =
+    """WITH base AS (
+         SELECT event_type, event_id,
+                CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+                CAST(floor(value * 100) AS BIGINT) AS v_c
+         FROM events),
+       arms AS (
+         SELECT event_type AS series, sec, event_id, v_c AS val FROM base
+         UNION ALL
+         SELECT event_type || ':cum', sec, event_id,
+                CAST(sum(v_c) OVER (PARTITION BY event_type
+                  ORDER BY sec, event_id) AS BIGINT)
+         FROM base),
+       d AS (
+         SELECT series, val,
+                lag(val) OVER (PARTITION BY series ORDER BY sec, event_id) AS prev
+         FROM arms),
+       g AS (
+         SELECT series, count(*) AS n_steps,
+                CAST(sum(CASE WHEN val < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+                CAST(sum(CASE WHEN val < prev AND val * 2 < prev THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_reset
+         FROM d WHERE prev IS NOT NULL GROUP BY 1)
+       SELECT series, n_steps, n_down, n_reset,
+              floor(CAST(n_steps - n_down AS DOUBLE)
+                    / CAST(n_steps AS DOUBLE) * 1e4) / 1e4 AS monotone_share,
+              CASE WHEN n_down = n_reset AND n_down * 20 <= n_steps
+                   THEN 'counter' ELSE 'gauge' END AS inferred_type
+       FROM g ORDER BY series"""
+
+  /** Scrape-interval inference: the modal inter-sample gap per series
+    * (what a TSDB calls the series' step, what the collector
+    * configures as scrape_interval — reconstructing it from data is
+    * how you audit that every target scrapes at its configured rate).
+    * One lag window + a (series, gap) count + a bounded top-1 pick
+    * by (count DESC, gap ASC). */
+  def scrapeInterval: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("sec"), col("event_id"))
+    val gaps = Tables.events(s, d).select(col("event_type"), col("event_id"),
+      unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    val counts = gaps.groupBy(col("event_type"), col("gap"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = gaps.groupBy(col("event_type")).agg(count(lit(1)).as("n_gaps"))
+    counts.withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("cnt").desc, col("gap"))))
+      .filter(col("rk") === 1)
+      .join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("n_gaps"), col("gap").as("modal_gap_sec"),
+        col("cnt").as("modal_count"),
+        (floor(col("cnt").cast("double") / col("n_gaps").cast("double") * 1e4) / 1e4)
+          .as("modal_share"))
+      .orderBy(col("event_type"))
+  }
+
+  val scrapeIntervalSql: String =
+    """WITH g AS (
+         SELECT event_type,
+                CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                  - lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+                    OVER (PARTITION BY event_type ORDER BY
+                          CAST(epoch(date_trunc('second', ts)) AS BIGINT), event_id)
+                  AS gap
+         FROM events),
+       c AS (SELECT event_type, gap, count(*) AS cnt
+             FROM g WHERE gap IS NOT NULL GROUP BY 1, 2),
+       t AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_gaps FROM c GROUP BY 1),
+       r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                        ORDER BY cnt DESC, gap) AS rk FROM c)
+       SELECT r.event_type, t.n_gaps, r.gap AS modal_gap_sec, r.cnt AS modal_count,
+              floor(CAST(r.cnt AS DOUBLE) / CAST(t.n_gaps AS DOUBLE) * 1e4) / 1e4
+                AS modal_share
+       FROM r JOIN t USING (event_type) WHERE rk = 1 ORDER BY event_type"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("prom_metric_type_infer", metricTypeInfer, Some(metricTypeInferSql)),
+    ("metrics_scrape_interval", scrapeInterval, Some(scrapeIntervalSql)),
     ("scd2_bitemporal", bitemporal, Some(bitemporalSql)),
     ("metrics_multi_resolution", multiResolution, Some(multiResolutionSql)),
     ("metrics_series_churn", seriesChurn, Some(seriesChurnSql)),

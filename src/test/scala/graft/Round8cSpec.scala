@@ -357,6 +357,78 @@ class Round8cSpec extends SparkTestBase {
     }
   }
 
+  test("prom_metric_type_infer: cumulative arms infer counter, raw arms gauge") {
+    import spark.implicits._
+    val rows = run("prom_metric_type_infer")
+      .select("series", "n_steps", "n_down", "n_reset", "monotone_share", "inferred_type")
+      .as[(String, Long, Long, Long, Double, String)].collect()
+    val (cum, raw) = rows.partition(_._1.endsWith(":cum"))
+    assert(cum.nonEmpty && raw.nonEmpty)
+    cum.foreach { r =>
+      assert(r._3 == 0 && r._6 == "counter", s"${r._1}: running total must infer counter")
+      assert(r._5 == 1.0)
+    }
+    raw.foreach { r =>
+      assert(r._6 == "gauge", s"${r._1}: oscillating raw series must infer gauge")
+      assert(r._3 > 0 && r._4 <= r._3)
+    }
+  }
+
+  test("metrics_scrape_interval: one modal row per series with a proper share") {
+    import spark.implicits._
+    val rows = run("metrics_scrape_interval")
+      .select("event_type", "n_gaps", "modal_gap_sec", "modal_count", "modal_share")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(rows.map(_._1).distinct.length == rows.length, "duplicate series rows")
+    rows.foreach { case (t, n, gap, cnt, share) =>
+      assert(gap >= 0, s"$t negative modal gap")
+      assert(cnt >= 1 && cnt <= n, s"$t modal count out of range")
+      assert(math.abs(share - math.floor(cnt.toDouble / n * 1e4) / 1e4) < 1e-12)
+    }
+  }
+
+  test("pack_shuffle_quality: hash order interleaves, source order degenerates") {
+    import spark.implicits._
+    val rows = run("pack_shuffle_quality")
+      .select("layout", "n_docs", "n_runs", "mean_run")
+      .as[(String, Long, Long, Double)].collect()
+    val byLayout = rows.map(r => r._1 -> r).toMap
+    assert(byLayout.keySet == Set("source_sorted", "hash_shuffled"))
+    val nSources = graft.sources.Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    assert(byLayout("source_sorted")._3 == nSources,
+      "sorted layout must produce exactly one run per source")
+    val sh = byLayout("hash_shuffled")
+    assert(sh._3 > nSources, "hash order failed to interleave")
+    assert(sh._4 < 3.0, s"hash-shuffled mean run ${sh._4} too long for ~uniform sources")
+  }
+
+  test("cohort_ndr: retained revenue comes only from the prior month's users") {
+    import spark.implicits._
+    val rows = run("cohort_ndr")
+      .select("month", "n_users", "rev_cents", "retained_cents", "n_retained", "ndr")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (m, nu, rev, ret, nr, ndr) =>
+      assert(nu > 0 && rev > 0)
+      assert(nr <= nu, s"month $m retained more users than it had")
+      assert(ndr >= 0)
+      assert(math.abs(ndr - math.floor(ret.toDouble / rev * 1e4) / 1e4) < 1e-12)
+    }
+    // cross-check one month's retained revenue against a direct recompute
+    val monthly = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"),
+        expr("cast(unix_timestamp(date_trunc('second', ts)) div 86400 div 30 as bigint)")
+          .as("month"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+      .as[(Long, Long, Long)].collect()
+    val m0 = rows.head._1
+    val users0 = monthly.filter(_._2 == m0).map(_._1).toSet
+    val want = monthly.filter(r => r._2 == m0 + 1 && users0(r._1)).map(_._3).sum
+    assert(rows.head._4 == want, "retained revenue mismatch vs direct recompute")
+  }
+
   test("q_winsorized_mean: bounds ordered, winsorized mean clamped inside them") {
     import spark.implicits._
     val rows = run("q_winsorized_mean")
