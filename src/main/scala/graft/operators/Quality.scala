@@ -425,7 +425,128 @@ object Quality {
         FROM per, ref ORDER BY table_name"""
   }
 
+  /** One-pass correlation MATRIX over lineitem's four numeric
+    * measures (quantity, price, discount scaled ×100, tax ×100) —
+    * the EDA read behind every "which columns move together" heatmap,
+    * computed the way a 100 TB table forces: ONE aggregation collects
+    * all 4 sums, 4 squared sums and 6 cross sums as exact integers
+    * (wide products DECIMAL(38,0)/HUGEINT), then the 6 pairwise
+    * correlations unpivot from that single row — the corpus is
+    * scanned once, not once per pair (vs `q_corr_covar`'s single
+    * pair). Each r is one fixed IEEE sequence, zero-variance → null. */
+  def corrMatrix: Q = (s, d) => {
+    val cols = Seq(
+      "qty" -> floor(col("l_quantity")).cast("long"),
+      "price" -> floor(col("l_extendedprice") * 100).cast("long"),
+      "disc" -> floor(col("l_discount") * 100).cast("long"),
+      "tax" -> floor(col("l_tax") * 100).cast("long"))
+    val base = Tables.lineitem(s, d).select(cols.map { case (n, c) => c.as(n) }: _*)
+    val sums =
+      Seq(count(lit(1)).as("n")) ++
+        cols.map { case (n, _) => sum(col(n)).as(s"s_$n") } ++
+        (for {
+          (a, i) <- cols.map(_._1).zipWithIndex
+          b <- cols.map(_._1).drop(i)
+        } yield sum(col(a).cast("decimal(38,0)") * col(b)).as(s"s_${a}_$b"))
+    val agg = base.agg(sums.head, sums.tail: _*)
+    val pairs = for {
+      (a, i) <- cols.map(_._1).zipWithIndex
+      b <- cols.map(_._1).drop(i + 1)
+    } yield (a, b)
+    // all 6 pair rows unpivot from the SINGLE aggregate row (one corpus
+    // scan, not one per pair); sums are widened to DECIMAL(38,0) before
+    // squaring — a cent-sum square overflows BIGINT at this scale
+    def wide(c: String) = col(c).cast("decimal(38,0)")
+    val arms = agg.select(explode(array(pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("n").as("n"),
+        (col("n") * col(s"s_${a}_$a") - wide(s"s_$a") * col(s"s_$a")).as("vx"),
+        (col("n") * col(s"s_${b}_$b") - wide(s"s_$b") * col(s"s_$b")).as("vy"),
+        (col("n") * col(s"s_${a}_$b") - wide(s"s_$a") * col(s"s_$b")).as("cov"))
+    }: _*)).as("p")).select("p.*")
+    arms
+      .select(col("col_a"), col("col_b"), col("n"),
+        when(col("vx") > 0 && col("vy") > 0,
+          floor(col("cov").cast("double")
+            / (sqrt(col("vx").cast("double")) * sqrt(col("vy").cast("double")))
+            * 1e4) / 1e4).as("corr"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
+  val corrMatrixSql: String = {
+    val defs = Seq("qty" -> "CAST(floor(l_quantity) AS BIGINT)",
+      "price" -> "CAST(floor(l_extendedprice * 100) AS BIGINT)",
+      "disc" -> "CAST(floor(l_discount * 100) AS BIGINT)",
+      "tax" -> "CAST(floor(l_tax * 100) AS BIGINT)")
+    val names = defs.map(_._1)
+    val crossSums = (for {
+      (a, i) <- names.zipWithIndex
+      b <- names.drop(i)
+    } yield s"sum(CAST($a AS HUGEINT) * $b) AS s_${a}_$b").mkString(", ")
+    val simpleSums = names.map(n => s"CAST(sum($n) AS BIGINT) AS s_$n").mkString(", ")
+    val armsSql = (for {
+      (a, i) <- names.zipWithIndex
+      b <- names.drop(i + 1)
+    } yield
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+             n * s_${a}_$a - CAST(s_$a AS HUGEINT) * s_$a AS vx,
+             n * s_${b}_$b - CAST(s_$b AS HUGEINT) * s_$b AS vy,
+             n * s_${a}_$b - CAST(s_$a AS HUGEINT) * s_$b AS cov
+          FROM agg""").mkString(" UNION ALL ")
+    s"""WITH base AS (
+          SELECT ${defs.map { case (n, e) => s"$e AS $n" }.mkString(", ")}
+          FROM lineitem),
+        agg AS (SELECT count(*) AS n, $simpleSums, $crossSums FROM base),
+        arms AS ($armsSql)
+        SELECT col_a, col_b, n,
+               CASE WHEN vx > 0 AND vy > 0
+                    THEN floor(CAST(cov AS DOUBLE)
+                               / (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE)))
+                               * 1e4) / 1e4 END AS corr
+        FROM arms ORDER BY col_a, col_b"""
+  }
+
+  /** Duplicate-payment audit — the classic AP forensic query: two
+    * DIFFERENT purchase events by the same user for the same dollar
+    * amount within 7 days are double-charge suspects. The pair join
+    * keys on (user, dollar-amount) — exact equality does the heavy
+    * pruning, the time window is a residual filter, the lower-id side
+    * anchors each pair once. At 100 TB the join shuffles on a
+    * high-cardinality composite key whose group sizes are naturally
+    * tiny (same-dollar purchases by one user) — no all-pairs
+    * anywhere. */
+  def duplicatePayments: Q = (s, d) => {
+    val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        floor(col("value")).cast("long").as("amt"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+    val a = p.select(col("event_id").as("ev_a"), col("user_id"),
+      col("amt"), col("sec").as("sec_a"))
+    val b = p.select(col("event_id").as("ev_b"), col("user_id"),
+      col("amt"), col("sec").as("sec_b"))
+    a.join(b, Seq("user_id", "amt"))
+      .filter(col("ev_a") < col("ev_b") &&
+        abs(col("sec_a") - col("sec_b")) <= 7L * 86400L)
+      .select(col("user_id"), col("amt"), col("ev_a"), col("ev_b"),
+        floor(abs(col("sec_a") - col("sec_b")).cast("double") / 3600.0e0)
+          .cast("long").as("hours_apart"))
+      .orderBy(col("user_id"), col("amt"), col("ev_a"), col("ev_b"))
+  }
+
+  val duplicatePaymentsSql: String =
+    """WITH p AS (
+         SELECT event_id, user_id, CAST(floor(value) AS BIGINT) AS amt,
+                CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+         FROM events WHERE event_type = 'purchase')
+       SELECT a.user_id, a.amt, a.event_id AS ev_a, b.event_id AS ev_b,
+              abs(a.sec - b.sec) // 3600 AS hours_apart
+       FROM p a JOIN p b
+         ON b.user_id = a.user_id AND b.amt = a.amt AND a.event_id < b.event_id
+       WHERE abs(a.sec - b.sec) <= 7 * 86400
+       ORDER BY a.user_id, a.amt, ev_a, ev_b"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_corr_matrix", corrMatrix, Some(corrMatrixSql)),
+    ("q_duplicate_payments", duplicatePayments, Some(duplicatePaymentsSql)),
     ("dq_benford", dqBenford, Some(dqBenfordSql)),
     ("dq_outlier_iqr", dqOutlierIqr, Some(dqOutlierIqrSql)),
     ("dq_drift_psi", driftPsi, Some(driftPsiSql)),

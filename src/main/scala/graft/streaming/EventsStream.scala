@@ -825,6 +825,52 @@ object EventsStream {
               count(*) AS n_support
        FROM rc WHERE rc > 0 GROUP BY day ORDER BY day"""
 
+  val IvmTopN = 3
+
+  /** Batch twin for `ivm_topn_delta`: per-day top-3 VALUES by live
+    * multiplicity under retractions — the leaderboard view. Like
+    * min/max, a top-N is not maintainable from the scalar result
+    * under deletes (a retraction of a podium member needs the
+    * runner-up), and the same value-domain refcount layer fixes it:
+    * the view is the top-N of (rc, cents) over rc > 0 — rank by live
+    * count, ties to the smaller value — read with the bounded
+    * `graft_topk` aggregate, never a corpus sort. The integer rank
+    * key rc·2^24 − cents_bucket makes (rc DESC, cents ASC) one
+    * total-ordered score for both graft_topk and the oracle's
+    * row_number. */
+  def ivmTopnBatch: Q = (s, d) => {
+    val rc = Tables.events(s, d)
+      .select(expr("cast(unix_timestamp(date_trunc('second', ts)) div 86400 as bigint)")
+        .as("day"), floor(col("value")).cast("long").as("bucket"),
+        when(col("event_type") === "error", lit(-1L)).otherwise(lit(1L)).as("op"))
+      .groupBy(col("day"), col("bucket")).agg(sum(col("op")).as("rc"))
+      .filter(col("rc") > 0)
+    rc.groupBy(col("day"))
+      .agg(expr(s"graft_topk(cast(rc * 16777216 - bucket as double), bucket, $IvmTopN)")
+        .as("top"))
+      .select(col("day"), posexplode(col("top")))
+      .select(col("day"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("bucket"),
+        ((col("col.score") + col("col.id")) / 16777216.0).cast("long").as("rc"))
+      .orderBy(col("day"), col("rank"))
+  }
+
+  val ivmTopnSql: String =
+    s"""WITH rc AS (
+         SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+                CAST(floor(value) AS BIGINT) AS bucket,
+                CAST(sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) AS BIGINT)
+                  AS rc
+         FROM events GROUP BY 1, 2),
+       live AS (SELECT * FROM rc WHERE rc > 0),
+       r AS (
+         SELECT day, bucket, rc,
+                CAST(row_number() OVER (PARTITION BY day
+                       ORDER BY rc DESC, bucket) AS INT) AS rank
+         FROM live)
+       SELECT day, rank, bucket, rc FROM r
+       WHERE rank <= $IvmTopN ORDER BY day, rank"""
+
   /** One micro-batch of value-domain refcount maintenance — identical
     * merge discipline to the distinct view (add, drop exact zeros,
     * keep negative debts). */
@@ -1693,6 +1739,7 @@ object EventsStream {
     ("ivm_agg_delta", ivmAggBatch, Some(ivmAggSql)),
     ("ivm_distinct_delta", ivmDistinctBatch, Some(ivmDistinctSql)),
     ("ivm_minmax_delta", ivmMinmaxBatch, Some(ivmMinmaxSql)),
+    ("ivm_topn_delta", ivmTopnBatch, Some(ivmTopnSql)),
     ("stream_counter_rate", counterRateHourlyBatch, Some(counterRateHourlySql)),
     ("stream_events_window", eventsWindowBatch, Some(eventsWindowSql)),
     ("stream_sessionize_state", sessionizeBatch, Some(AsOfSessionizeOracle.sql)),

@@ -429,6 +429,73 @@ class Round8cSpec extends SparkTestBase {
     assert(rows.head._4 == want, "retained revenue mismatch vs direct recompute")
   }
 
+  test("ivm_topn_delta: podium matches a direct recompute of the live multiset") {
+    import spark.implicits._
+    val got = run("ivm_topn_delta")
+      .select("day", "rank", "bucket", "rc")
+      .as[(Long, Int, Long, Long)].collect()
+    // rank keys assume the bucket domain fits below 2^24
+    assert(got.forall(r => r._3 >= 0 && r._3 < (1L << 24)))
+    val live = graft.sources.Tables.events(spark, sf)
+      .select(expr("cast(unix_timestamp(date_trunc('second', ts)) div 86400 as bigint)").as("day"),
+        floor(col("value")).cast("long").as("bucket"),
+        when(col("event_type") === "error", -1L).otherwise(1L).as("op"))
+      .groupBy("day", "bucket").agg(sum("op").as("rc"))
+      .filter(col("rc") > 0)
+      .as[(Long, Long, Long)].collect()
+    val want = live.groupBy(_._1).toSeq.flatMap { case (day, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(3).zipWithIndex
+        .map { case ((_, b, rc), i) => (day, i + 1, b, rc) }
+    }.toSet
+    assert(got.map(r => (r._1, r._2, r._3, r._4)).toSet == want)
+  }
+
+  test("q_corr_matrix: six pairs, bounded correlations, self-consistency with corr()") {
+    import spark.implicits._
+    val rows = run("q_corr_matrix")
+      .select("col_a", "col_b", "n", "corr")
+      .as[(String, String, Long, Option[Double])].collect()
+    assert(rows.length == 6)
+    assert(rows.map(r => (r._1, r._2)).distinct.length == 6)
+    // pairs follow measure declaration order (qty, price, disc, tax),
+    // not alphabetical order
+    val declared = Seq("qty" -> "price", "qty" -> "disc", "qty" -> "tax",
+      "price" -> "disc", "price" -> "tax", "disc" -> "tax").toSet
+    assert(rows.map(r => (r._1, r._2)).toSet == declared)
+    rows.foreach { case (a, b, n, c) =>
+      assert(n > 0)
+      c.foreach(v => assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9, s"($a,$b) corr $v"))
+    }
+    // cross-check one pair against Spark's own corr aggregate (float,
+    // so compare loosely)
+    val want = graft.sources.Tables.lineitem(spark, sf)
+      .select(floor(col("l_quantity")).cast("long").cast("double").as("x"),
+        floor(col("l_extendedprice") * 100).cast("long").cast("double").as("y"))
+      .agg(corr(col("x"), col("y"))).as[Double].collect().head
+    val got = rows.find(r => r._1 == "price" && r._2 == "qty")
+      .orElse(rows.find(r => r._1 == "qty" && r._2 == "price")).get._4.get
+    assert(math.abs(got - want) < 1e-3, s"corr(qty, price) $got vs $want")
+  }
+
+  test("q_duplicate_payments: every pair is same-user same-amount inside the window") {
+    import spark.implicits._
+    val rows = run("q_duplicate_payments")
+      .select("user_id", "amt", "ev_a", "ev_b", "hours_apart")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val purchases = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), floor(col("value")).cast("long").as("amt"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { case (u, amt, a, b, h) =>
+      assert(a < b, "pair not anchored on the lower id")
+      assert(purchases(a) == ((u, amt)) && purchases(b) == ((u, amt)),
+        s"pair ($a,$b) members don't share (user, amount)")
+      assert(h >= 0 && h <= 7 * 24, s"pair ($a,$b) outside the window")
+    }
+    assert(rows.map(p => (p._3, p._4)).distinct.length == rows.length, "duplicate pairs")
+  }
+
   test("q_winsorized_mean: bounds ordered, winsorized mean clamped inside them") {
     import spark.implicits._
     val rows = run("q_winsorized_mean")
