@@ -559,7 +559,63 @@ object Reshape {
        FROM g JOIN t USING (l_returnflag) JOIN bounds bo USING (l_returnflag)
        GROUP BY 1, 2, 3, 4 ORDER BY l_returnflag"""
 
+  /** Semi-additive measure aggregation — the balance/inventory rule
+    * every warehouse needs and plain SUM gets wrong: a balance is
+    * additive ACROSS ACCOUNTS but not across time (month-end total =
+    * Σ each user's LAST observed value in the month, not Σ all
+    * samples). Last-per-(user, month) is one bounded row_number
+    * window (partition sizes = one user-month's samples), then the
+    * across-accounts sum is a plain aggregation — two shuffles on the
+    * same composite key. Emits per month the account count, the
+    * month-end total, the naive (wrong) fully-additive sum beside it,
+    * and their ratio — the ledger that shows WHY the distinction
+    * matters. */
+  def semiAdditive: Q = (s, d) => {
+    val base = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("cast(unix_timestamp(date_trunc('second', ts)) div 86400 div 30 as bigint)")
+          .as("month"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("user_id"), col("month"))
+      .orderBy(col("sec").desc, col("event_id").desc)
+    val last = base.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val naive = base.groupBy(col("month"))
+      .agg(sum(col("cents")).as("naive_sum_cents"))
+    last.groupBy(col("month"))
+      .agg(count(lit(1)).as("n_accounts"), sum(col("cents")).as("eom_balance_cents"))
+      .join(naive, "month")
+      .withColumn("additive_overcount",
+        floor(col("naive_sum_cents").cast("double")
+          / col("eom_balance_cents").cast("double") * 1e4) / 1e4)
+      .orderBy(col("month"))
+  }
+
+  val semiAdditiveSql: String =
+    """WITH base AS (
+         SELECT user_id,
+                CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 // 30 AS month,
+                CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec, event_id,
+                CAST(floor(value * 100) AS BIGINT) AS cents
+         FROM events WHERE event_type = 'purchase'),
+       last AS (
+         SELECT * FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id, month
+                       ORDER BY sec DESC, event_id DESC) AS rn
+           FROM base) t WHERE rn = 1),
+       naive AS (SELECT month, CAST(sum(cents) AS BIGINT) AS naive_sum_cents
+                 FROM base GROUP BY 1)
+       SELECT l.month, count(*) AS n_accounts,
+              CAST(sum(l.cents) AS BIGINT) AS eom_balance_cents,
+              n.naive_sum_cents,
+              floor(CAST(n.naive_sum_cents AS DOUBLE)
+                    / CAST(sum(l.cents) AS DOUBLE) * 1e4) / 1e4 AS additive_overcount
+       FROM last l JOIN naive n USING (month)
+       GROUP BY l.month, n.naive_sum_cents ORDER BY l.month"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_semi_additive", semiAdditive, Some(semiAdditiveSql)),
     ("q_hierarchy_rollup", hierarchyRollup, Some(hierarchyRollupSql)),
     ("q_winsorized_mean", winsorizedMean, Some(winsorizedMeanSql)),
     ("q_mode_per_group", modePerGroup, Some(modePerGroupSql)),

@@ -773,7 +773,77 @@ object Scrapers {
          SELECT 'total_max6h', NULL, hour_sec, value FROM l3) u
        ORDER BY rule, event_type, hour_sec"""
 
+  /** HA scrape-pair deduplication (the Thanos/Cortex replica-election
+    * discipline): two replicas scrape the same targets — replica B
+    * here is the deterministic degraded twin of A (drops every
+    * id%10==0 sample, jitters even-id timestamps +1s, exactly what a
+    * second scraper's network does) — and the querier must pick ONE
+    * replica per (series, hour) window, not merge both (merging
+    * double-counts; switching mid-window tears rate()). Election is
+    * per-window sample count, ties to replica a (the penalty rule's
+    * deterministic core). Emits per series the window counts each
+    * replica won, samples kept vs ingested, and the dedup ratio.
+    * Two bounded (series, hour) aggregations + one join — the
+    * full-outer handles windows only one replica saw. */
+  def haDedup: Q = (s, d) => {
+    val base = Tables.events(s, d).select(col("event_type"), col("event_id"),
+      unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+    def hourly(df: DataFrame, name: String) = df
+      .groupBy(col("event_type"),
+        (floor(col("sec") / 3600) * 3600).cast("long").as("hour_sec"))
+      .agg(count(lit(1)).as(name))
+    val a = hourly(base, "n_a")
+    val b = hourly(base
+      .filter(col("event_id") % 10 =!= 0)
+      .withColumn("sec", col("sec") +
+        when(col("event_id") % 2 === 0, 1L).otherwise(0L)), "n_b")
+    a.join(b, Seq("event_type", "hour_sec"), "full_outer")
+      .select(col("event_type"), col("hour_sec"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .withColumn("kept",
+        when(col("n_a") >= col("n_b"), col("n_a")).otherwise(col("n_b")))
+      .withColumn("b_won", when(col("n_b") > col("n_a"), 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_windows"), sum(col("b_won")).as("windows_b"),
+        sum(col("n_a") + col("n_b")).as("samples_ingested"),
+        sum(col("kept")).as("samples_kept"))
+      .withColumn("dedup_ratio",
+        floor(col("samples_kept").cast("double")
+          / col("samples_ingested").cast("double") * 1e4) / 1e4)
+      .orderBy(col("event_type"))
+  }
+
+  val haDedupSql: String =
+    """WITH base AS (
+         SELECT event_type, event_id,
+                CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+         FROM events),
+       a AS (
+         SELECT event_type, CAST(floor(sec / 3600) * 3600 AS BIGINT) AS hour_sec,
+                count(*) AS n_a
+         FROM base GROUP BY 1, 2),
+       b AS (
+         SELECT event_type,
+                CAST(floor((sec + CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                  / 3600) * 3600 AS BIGINT) AS hour_sec,
+                count(*) AS n_b
+         FROM base WHERE event_id % 10 <> 0 GROUP BY 1, 2),
+       w AS (
+         SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+                COALESCE(a.n_a, 0) AS n_a, COALESCE(b.n_b, 0) AS n_b
+         FROM a FULL OUTER JOIN b USING (event_type, hour_sec))
+       SELECT event_type, count(*) AS n_windows,
+              CAST(sum(CASE WHEN n_b > n_a THEN 1 ELSE 0 END) AS BIGINT) AS windows_b,
+              CAST(sum(n_a + n_b) AS BIGINT) AS samples_ingested,
+              CAST(sum(CASE WHEN n_a >= n_b THEN n_a ELSE n_b END) AS BIGINT)
+                AS samples_kept,
+              floor(CAST(sum(CASE WHEN n_a >= n_b THEN n_a ELSE n_b END) AS DOUBLE)
+                    / CAST(sum(n_a + n_b) AS DOUBLE) * 1e4) / 1e4 AS dedup_ratio
+       FROM w GROUP BY 1 ORDER BY 1"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("prom_ha_dedup", haDedup, Some(haDedupSql)),
     ("prom_recording_rules", recordingRules, Some(recordingRulesSql)),
     ("metrics_histogram_stddev", histogramStddev, Some(histogramStddevSql)),
     ("prom_series_cardinality", seriesCardinality, Some(seriesCardinalitySql)),

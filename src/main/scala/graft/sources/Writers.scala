@@ -511,7 +511,71 @@ object Writers {
        FROM orders WHERE o_orderkey % 3 <> 0
        GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** Write–Audit–Publish (the staging discipline behind Iceberg's WAP
+    * branch / the classic `_staging` + atomic-rename pattern): the
+    * batch lands in a STAGING dir, an audit recomputes row count and
+    * an order-independent content checksum (sum of 52-bit row hashes
+    * in DECIMAL(38,0) — commutative, any partitioning yields the same
+    * digest, the `pipeline_repro_ledger` idiom) from the STAGED files
+    * and compares both against the same audit run on the source;
+    * only a full match publishes (atomic directory rename — readers
+    * see the old snapshot or the new one, never a half-write). The
+    * emitted ledger carries both audits and the publish verdict; the
+    * oracle recomputes the source-side audit, so the hash also
+    * certifies that staging round-trips bytes. */
+  def writeAuditPublish: Q = (s, d) => {
+    val root = s"/tmp/graft_wap_${sfx(d)}"
+    val src = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val staging = s"$root/staging"
+    src.write.mode("overwrite").parquet(staging)
+    def audit(df: DataFrame, side: String) = df
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(conv(substring(md5(concat_ws(":",
+          col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+          col("cents").cast("string"))), 1, 13), 16, 10)
+          .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("digest"))
+      .select(lit(side).as("side"), col("n_rows"),
+        col("digest").cast("string").as("digest"))
+    val srcAudit = audit(src, "source")
+    val stAudit = audit(s.read.parquet(staging), "staged")
+    val verdict = srcAudit.select(col("n_rows").as("sn"), col("digest").as("sd"))
+      .crossJoin(stAudit.select(col("n_rows").as("tn"), col("digest").as("td")))
+      .select((col("sn") === col("tn") && col("sd") === col("td")).as("published"))
+    // publish on a clean audit: atomic rename staging → published
+    val ok = verdict.collect().head.getBoolean(0)
+    if (ok) {
+      val pub = new java.io.File(s"$root/published")
+      if (pub.exists()) { def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }; rm(pub) }
+      new java.io.File(staging).renameTo(pub)
+    }
+    srcAudit.unionByName(audit(s.read.parquet(s"$root/published"), "published"))
+      .withColumn("published", lit(ok))
+      .orderBy(col("side"))
+  }
+
+  val writeAuditPublishSql: String =
+    """WITH src AS (
+         SELECT o_orderkey, o_custkey,
+                CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+         FROM orders WHERE o_orderstatus = 'F'),
+       a AS (
+         SELECT count(*) AS n_rows,
+                CAST(COALESCE(sum(CAST(('0x' || substr(md5(
+                  CAST(o_orderkey AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)
+                    || ':' || CAST(cents AS VARCHAR)), 1, 13))::BIGINT AS HUGEINT)), 0)
+                  AS VARCHAR) AS digest
+         FROM src)
+       SELECT side, n_rows, digest, true AS published FROM (
+         SELECT 'source' AS side, n_rows, digest FROM a
+         UNION ALL SELECT 'published', n_rows, digest FROM a) t
+       ORDER BY side"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("sink_write_audit_publish", writeAuditPublish, Some(writeAuditPublishSql)),
     ("sink_merge_on_read", mergeOnRead, Some(mergeOnReadSql)),
     ("source_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
     ("sink_bucket_lookup", bucketLookup, Some(bucketLookupSql)),

@@ -16,7 +16,8 @@ class PlanSnapshotSpec extends SparkTestBase {
     "sink_bucketed_join", "sink_bucketed_multi", "sink_partitioned_scan",
     "sink_compaction_scan", "sink_csv_roundtrip", "sink_json_roundtrip",
     "sink_zorder_scan", "sink_bucket_lookup", "sink_partition_overwrite", "source_schema_evolution", "sink_merge_on_read", "idx_secondary_lookup", "graph_pagerank", "graph_kcore", "ann_ivf_pq_topk", "sketch_set_ops",
-    "graph_communities_lpa", "graph_bfs_distance", "graph_hits")
+    "graph_communities_lpa", "graph_bfs_distance", "graph_hits",
+    "sink_write_audit_publish")
 
   private val snapFile = new java.io.File("src/test/resources/plan_signatures.txt")
 

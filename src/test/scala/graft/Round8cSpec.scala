@@ -496,6 +496,64 @@ class Round8cSpec extends SparkTestBase {
     assert(rows.map(p => (p._3, p._4)).distinct.length == rows.length, "duplicate pairs")
   }
 
+  test("sink_write_audit_publish: staged bytes round-trip and the publish is audited") {
+    import spark.implicits._
+    val rows = run("sink_write_audit_publish")
+      .select("side", "n_rows", "digest", "published")
+      .as[(String, Long, String, Boolean)].collect()
+    assert(rows.map(_._1).sorted.toSeq == Seq("published", "source"))
+    assert(rows.forall(_._4), "audit failed — staging did not round-trip")
+    val Array(p, s0) = rows.sortBy(_._1)
+    assert(p._2 == s0._2 && p._3 == s0._3, "published audit differs from source audit")
+    assert(p._2 > 0)
+  }
+
+  test("q_semi_additive: month-end balance uses each account's last sample only") {
+    import spark.implicits._
+    val rows = run("q_semi_additive")
+      .select("month", "n_accounts", "eom_balance_cents", "naive_sum_cents",
+        "additive_overcount")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (m, na, eom, naive, over) =>
+      assert(na > 0 && eom > 0)
+      assert(naive >= eom, s"month $m naive sum below last-sample sum")
+      assert(over >= 1.0, s"month $m overcount ratio below 1")
+    }
+    // direct recompute of one month's end-of-month balance
+    val base = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("cast(unix_timestamp(date_trunc('second', ts)) div 86400 div 30 as bigint)").as("month"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val m0 = rows.head._1
+    val want = base.filter(_._2 == m0).groupBy(_._1).values
+      .map(_.maxBy(r => (r._3, r._4))._5).sum
+    assert(rows.head._3 == want, "eom balance mismatch vs direct recompute")
+  }
+
+  test("prom_ha_dedup: election never keeps fewer samples than the better replica") {
+    import spark.implicits._
+    val rows = run("prom_ha_dedup")
+      .select("event_type", "n_windows", "windows_b", "samples_ingested",
+        "samples_kept", "dedup_ratio")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val totalEvents = graft.sources.Tables.events(spark, sf).count()
+    // replica a is complete: kept >= a's sample count per series overall
+    val perType = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type").count().as[(String, Long)].collect().toMap
+    rows.foreach { case (t, nw, wb, ing, kept, ratio) =>
+      assert(nw > 0 && wb <= nw)
+      assert(kept >= perType(t), s"$t kept fewer samples than the complete replica")
+      assert(kept <= ing && ing < 2 * perType(t) + 1)
+      assert(ratio > 0.5 && ratio <= 1.0, s"$t dedup ratio $ratio")
+    }
+    assert(rows.map(_._5).sum >= totalEvents, "dedup lost data overall")
+  }
+
   test("q_winsorized_mean: bounds ordered, winsorized mean clamped inside them") {
     import spark.implicits._
     val rows = run("q_winsorized_mean")
