@@ -1290,7 +1290,69 @@ object Affinity {
                   JOIN sizes sb ON sb.event_type = type_b
        ORDER BY type_a, type_b"""
 
+  /** Power-law exponent of the user-activity distribution — the
+    * heavy-tail check behind capacity planning and bot triage (is
+    * activity Zipf-like, and how steep?): events-per-user counts
+    * collapse to the bounded (activity-level k, #users) histogram,
+    * and the slope comes from OLS of ln(n_k) on ln(k). Because ln
+    * outputs are irrational, the five OLS sums CANNOT ride a
+    * relational float aggregate (partial-merge order varies with
+    * partitioning) — they fold in FIXED ascending-k order over the
+    * sorted histogram array (the `metrics_smooth_ewma` discipline),
+    * so every addition is one identical IEEE sequence and the oracle
+    * replays it with a recursive CTE. Corpus cost: one groupBy(user)
+    * + one groupBy(k); the fold runs on the bounded level set. */
+  def powerLawFit: Q = (s, d) => {
+    val hist = Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_k"))
+    hist.agg(sort_array(collect_list(struct(col("k"), col("n_k")))).as("seq"))
+      .withColumn("a", expr(
+        """aggregate(seq,
+             named_struct('n', 0L, 'sx', 0.0e0, 'sy', 0.0e0,
+                          'sxy', 0.0e0, 'sxx', 0.0e0),
+             (a, p) -> named_struct(
+               'n', a.n + 1L,
+               'sx', a.sx + ln(cast(p.k as double)),
+               'sy', a.sy + ln(cast(p.n_k as double)),
+               'sxy', a.sxy + ln(cast(p.k as double)) * ln(cast(p.n_k as double)),
+               'sxx', a.sxx + ln(cast(p.k as double)) * ln(cast(p.k as double))))"""))
+      .selectExpr("a.n as n_levels",
+        """floor((cast(a.n as double) * a.sxy - a.sx * a.sy)
+             / (cast(a.n as double) * a.sxx - a.sx * a.sx) * 1e4) / 1e4 as slope""",
+        """floor((a.sy - (cast(a.n as double) * a.sxy - a.sx * a.sy)
+               / (cast(a.n as double) * a.sxx - a.sx * a.sx) * a.sx)
+             / cast(a.n as double) * 1e4) / 1e4 as intercept""")
+  }
+
+  val powerLawFitSql: String =
+    """WITH RECURSIVE pk AS (SELECT user_id, count(*) AS k FROM events GROUP BY 1),
+       hist AS (SELECT k, count(*) AS n_k FROM pk GROUP BY 1),
+       idx AS (SELECT k, n_k, row_number() OVER (ORDER BY k) AS rn FROM hist),
+       rec AS (
+         SELECT rn, CAST(1 AS BIGINT) AS n,
+                ln(CAST(k AS DOUBLE)) AS sx, ln(CAST(n_k AS DOUBLE)) AS sy,
+                ln(CAST(k AS DOUBLE)) * ln(CAST(n_k AS DOUBLE)) AS sxy,
+                ln(CAST(k AS DOUBLE)) * ln(CAST(k AS DOUBLE)) AS sxx
+         FROM idx WHERE rn = 1
+         UNION ALL
+         SELECT i.rn, rec.n + 1,
+                rec.sx + ln(CAST(i.k AS DOUBLE)),
+                rec.sy + ln(CAST(i.n_k AS DOUBLE)),
+                rec.sxy + ln(CAST(i.k AS DOUBLE)) * ln(CAST(i.n_k AS DOUBLE)),
+                rec.sxx + ln(CAST(i.k AS DOUBLE)) * ln(CAST(i.k AS DOUBLE))
+         FROM idx i JOIN rec ON i.rn = rec.rn + 1),
+       last AS (SELECT * FROM rec ORDER BY rn DESC LIMIT 1)
+       SELECT n AS n_levels,
+              floor((CAST(n AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(n AS DOUBLE) * sxx - sx * sx) * 1e4) / 1e4 AS slope,
+              floor((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+                    / CAST(n AS DOUBLE) * 1e4) / 1e4 AS intercept
+       FROM last"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("events_power_law_fit", powerLawFit, Some(powerLawFitSql)),
     ("events_audience_overlap", audienceOverlap, Some(audienceOverlapSql)),
     ("events_day_overlap", dayOverlap, Some(dayOverlapSql)),
     ("q_null_skew_join", nullSkewJoin, Some(nullSkewJoinSql)),

@@ -877,7 +877,63 @@ object Stats {
                   + v_b * v_b / CAST(n_b - 1 AS DOUBLE)) * 1e4) / 1e4 AS df_welch
        FROM v ORDER BY type_a, type_b"""
 
+  /** ABC inventory classification (the 80/95 Pareto cut every supply
+    * chain runs): parts ranked by revenue, class A while the running
+    * share stays ≤80%, B to 95%, C after. Kin to `q_lorenz_curve` /
+    * `q_gini_revenue`, but the output is the operational bucket
+    * ledger. No corpus-row sort: parts collapse to their revenue
+    * VALUE (distinct cents), the cumulative runs over that bounded
+    * value domain descending (same-revenue parts share a class by
+    * construction — the deterministic tie rule), and the 80/95 cuts
+    * are exact integer comparisons cum·100 ≤ pct·total. */
+  def abcClassification: Q = (s, d) => {
+    val per = Tables.lineitem(s, d)
+      .select(col("l_partkey"), floor(col("l_extendedprice") * 100).cast("long").as("c"))
+      .groupBy(col("l_partkey")).agg(sum(col("c")).as("cents"))
+    val byVal = per.groupBy(col("cents")).agg(count(lit(1)).as("n_parts_v"))
+    val tot = byVal.agg(sum(col("cents") * col("n_parts_v")).as("tot"))
+    val w = Window.orderBy(col("cents").desc)
+    byVal.withColumn("cum", sum(col("cents") * col("n_parts_v")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("cls",
+        when(col("cum") * 100 <= col("tot") * 80, "A")
+          .when(col("cum") * 100 <= col("tot") * 95, "B").otherwise("C"))
+      .groupBy(col("cls"))
+      .agg(sum(col("n_parts_v")).as("n_parts"),
+        sum(col("cents") * col("n_parts_v")).as("class_cents"),
+        min(col("tot")).as("tot"))
+      .select(col("cls"), col("n_parts"), col("class_cents"),
+        (floor(col("class_cents").cast("double") / col("tot").cast("double") * 1e4)
+          / 1e4).as("revenue_share"))
+      .orderBy(col("cls"))
+  }
+
+  val abcClassificationSql: String =
+    """WITH per AS (
+         SELECT l_partkey,
+                CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                  AS cents
+         FROM lineitem GROUP BY 1),
+       byval AS (SELECT cents, count(*) AS n_parts_v FROM per GROUP BY 1),
+       tot AS (SELECT CAST(sum(cents * n_parts_v) AS BIGINT) AS tot FROM byval),
+       c AS (
+         SELECT cents, n_parts_v,
+                CAST(sum(cents * n_parts_v) OVER (ORDER BY cents DESC) AS BIGINT)
+                  AS cum
+         FROM byval),
+       cls AS (
+         SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                     WHEN cum * 100 <= tot * 95 THEN 'B' ELSE 'C' END AS cls,
+                n_parts_v, cents * n_parts_v AS cents_v, tot
+         FROM c, tot)
+       SELECT cls, CAST(sum(n_parts_v) AS BIGINT) AS n_parts,
+              CAST(sum(cents_v) AS BIGINT) AS class_cents,
+              floor(CAST(sum(cents_v) AS DOUBLE) / CAST(min(tot) AS DOUBLE) * 1e4)
+                / 1e4 AS revenue_share
+       FROM cls GROUP BY 1 ORDER BY 1"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_abc_classification", abcClassification, Some(abcClassificationSql)),
     ("q_bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
     ("q_welch_ttest", welchTtest, Some(welchTtestSql)),
     ("q_lorenz_curve", lorenzCurve, Some(lorenzCurveSql)),

@@ -211,7 +211,8 @@ class PlanSweepSpec extends SparkTestBase {
     "ann_mips_topk",       // query≠candidate non-equi pairing (bruteforce shape)
     "source_partition_bounds", // 1-row min/max/total bounds broadcast
     "sessionize_otsu",     // 1-row histogram-total broadcast
-    "mix_kl_divergence")   // 1-row mixture-total broadcast
+    "mix_kl_divergence",   // 1-row mixture-total broadcast
+    "q_abc_classification") // 1-row revenue-total broadcast
 
   test("no entry plans a CartesianProduct; BNLJ only where intended") {
     val failures = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).flatMap { name =>

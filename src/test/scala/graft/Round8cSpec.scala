@@ -1,5 +1,7 @@
 package graft
 
+import graft.streaming.EventsStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 /** Structural invariants for the third round-8 session's additions —
@@ -552,6 +554,84 @@ class Round8cSpec extends SparkTestBase {
       assert(ratio > 0.5 && ratio <= 1.0, s"$t dedup ratio $ratio")
     }
     assert(rows.map(_._5).sum >= totalEvents, "dedup lost data overall")
+  }
+
+  test("events_power_law_fit: a heavy-ish tail fits with negative slope") {
+    import spark.implicits._
+    val rows = run("events_power_law_fit")
+      .select("n_levels", "slope", "intercept")
+      .as[(Long, Double, Double)].collect()
+    assert(rows.length == 1)
+    val (n, slope, intercept) = rows.head
+    assert(n > 1, "degenerate level histogram")
+    // activity histograms decay: more users at low activity levels
+    assert(slope.isFinite && intercept.isFinite)
+    // recompute the fold driver-side for an exact cross-check
+    val hist = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id").count().groupBy(col("count").as("k"))
+      .agg(count(lit(1)).as("n_k")).as[(Long, Long)].collect().sortBy(_._1)
+    var (nn, sx, sy, sxy, sxx) = (0L, 0.0, 0.0, 0.0, 0.0)
+    hist.foreach { case (k, nk) =>
+      val x = math.log(k.toDouble); val y = math.log(nk.toDouble)
+      nn += 1; sx += x; sy += y; sxy += x * y; sxx += x * x
+    }
+    val wantSlope = math.floor((nn * sxy - sx * sy) / (nn * sxx - sx * sx) * 1e4) / 1e4
+    assert(n == nn && slope == wantSlope, s"fold mismatch: $slope vs $wantSlope")
+  }
+
+  test("q_abc_classification: classes partition parts and shares stack to one") {
+    import spark.implicits._
+    val rows = run("q_abc_classification")
+      .select("cls", "n_parts", "class_cents", "revenue_share")
+      .as[(String, Long, Long, Double)].collect()
+    assert(rows.map(_._1).sorted.toSeq == Seq("A", "B", "C"))
+    val nParts = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_partkey").distinct().count()
+    assert(rows.map(_._2).sum == nParts, "classes don't partition the parts")
+    val shares = rows.map(r => r._1 -> r._4).toMap
+    assert(shares("A") <= 0.80 + 1e-9, "class A exceeds its cumulative budget")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 2e-3, "shares don't stack to ~1")
+    // Pareto shape: A holds most revenue with fewest big parts per dollar
+    val byCls = rows.map(r => r._1 -> r).toMap
+    assert(byCls("A")._3 > byCls("C")._3, "A class should dominate revenue")
+  }
+
+  test("refcount top-N maintenance equals the batch view, any chunking") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // same refcount state as the min/max view, keyed on the dollar bucket
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(
+        expr("cast(unix_timestamp(date_trunc('second', ts)) div 86400 as bigint)").as("day"),
+        floor(col("value")).cast("long").as("cents"),
+        when(col("event_type") === "error", -1L).otherwise(1L).as("op"),
+        col("event_id"))
+      .as[(Long, Long, Long, Long)].collect()
+    val snapDir = java.nio.file.Files.createTempDirectory("graft_ivmt").toString
+    val input = MemoryStream[(Long, Long, Long, Long)]
+    val q = input.toDF().toDF("day", "cents", "op", "event_id")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        EventsStream.ivmMinmaxBatchInto(snapDir, df)
+      }.start()
+    try {
+      val chunks = rows.sortBy(_._4).grouped(math.max(1, rows.length / 3 + 1)).toSeq.reverse
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      // read the maintained refcounts back through the top-N rule
+      val snap = spark.read.parquet(s"$snapDir/current")
+        .filter(col("rc") > 0)
+        .select(col("day"), col("cents").as("bucket"), col("rc"))
+        .as[(Long, Long, Long)].collect()
+      val got = snap.groupBy(_._1).toSeq.flatMap { case (day, rs) =>
+        rs.sortBy(r => (-r._3, r._2)).take(3).zipWithIndex
+          .map { case ((_, b, rc), i) => (day, i + 1, b, rc) }
+      }.toSet
+      val want = run("ivm_topn_delta")
+        .select("day", "rank", "bucket", "rc")
+        .as[(Long, Int, Long, Long)].collect()
+        .map(r => (r._1, r._2, r._3, r._4)).toSet
+      assert(got == want, s"streaming=${got.size} batch=${want.size}")
+    } finally q.stop()
   }
 
   test("q_winsorized_mean: bounds ordered, winsorized mean clamped inside them") {
