@@ -485,7 +485,8 @@ object Reshape {
           SELECT p_partkey, CAST(floor(p_retailprice * 100) AS BIGINT) AS cents
           FROM part),
         contrib AS (
-          SELECT unnest(list_distinct([p_partkey // s for s in $pows])) AS node, cents
+          SELECT unnest(list_distinct(
+                   list_transform($pows, s -> p_partkey // s))) AS node, cents
           FROM parts),
         agg AS (
           SELECT node, count(*) AS n_desc, CAST(sum(cents) AS BIGINT) AS subtree_cents

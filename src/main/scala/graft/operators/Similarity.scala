@@ -1410,17 +1410,18 @@ object Similarity {
         model AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM stat),
         coded AS (
           SELECT vec_id,
-                 [CASE WHEN maxs[i] > mins[i]
-                       THEN least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
-                              CAST(floor((v[i] - mins[i]) / (maxs[i] - mins[i])
-                                     * 255.0) AS BIGINT)))
-                       ELSE CAST(0 AS BIGINT) END
-                  for i in range(1, ${SqDim + 1})] AS codes
+                 list_transform(range(1, ${SqDim + 1}), i ->
+                   CASE WHEN maxs[i] > mins[i]
+                        THEN least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+                               CAST(floor((v[i] - mins[i]) / (maxs[i] - mins[i])
+                                      * 255.0) AS BIGINT)))
+                        ELSE CAST(0 AS BIGINT) END) AS codes
           FROM e, model),
         scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 CAST(list_sum([(q.codes[i] - c.codes[i]) * (q.codes[i] - c.codes[i])
-                                for i in range(1, ${SqDim + 1})]) AS BIGINT) AS dist
+                 CAST(list_sum(list_transform(range(1, ${SqDim + 1}), i ->
+                   (q.codes[i] - c.codes[i]) * (q.codes[i] - c.codes[i])))
+                   AS BIGINT) AS dist
           FROM coded c JOIN coded q ON c.vec_id <> q.vec_id
           WHERE q.vec_id < $NumQueries),
         ranked AS (
