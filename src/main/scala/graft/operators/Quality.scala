@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality profiling — the "what did I just ingest" read every
@@ -544,7 +545,76 @@ object Quality {
        WHERE abs(a.sec - b.sec) <= 7 * 86400
        ORDER BY a.user_id, a.amt, ev_a, ev_b"""
 
+  /** Table-level ingest-volume anomaly detection — the data-ops
+    * monitor that catches a broken upstream feed before any query
+    * does: daily row counts per TABLE (orders, lineitem, events — the
+    * multi-table shape none of the per-series detectors cover), a
+    * robust median/MAD baseline per table, and a |n−med| > 3·MAD
+    * flag. Median and MAD are exact discrete ranks ((N+1) div 2) over
+    * the bounded day spine — two rank windows per table, both on the
+    * |tables|×|days| aggregate, never the facts; all comparisons
+    * integer (3·MAD vs |n−med|, no division anywhere). */
+  def volumeAnomaly: Q = (s, d) => {
+    def daily(df: DataFrame, tsCol: String, name: String) = df
+      .groupBy(expr(s"cast(unix_timestamp(date_trunc('second', $tsCol)) div 86400 as bigint)")
+        .as("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit(name).as("tbl"), col("day"), col("n"))
+    val all = daily(Tables.orders(s, d), "o_orderdate", "orders")
+      .unionByName(daily(Tables.lineitem(s, d), "l_shipdate", "lineitem"))
+      .unionByName(daily(Tables.events(s, d), "ts", "events"))
+    val wN = Window.partitionBy(col("tbl"))
+    val r1 = all
+      .withColumn("nd", count(lit(1)).over(wN))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("tbl")).orderBy(col("n"), col("day"))))
+    val med = r1.filter(col("rn") === expr("(nd + 1) div 2"))
+      .select(col("tbl"), col("n").as("med"))
+    val r2 = all.join(broadcast(med), "tbl")
+      .withColumn("adev", abs(col("n") - col("med")))
+      .withColumn("nd", count(lit(1)).over(wN))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("tbl")).orderBy(col("adev"), col("day"))))
+    val mad = r2.filter(col("rn") === expr("(nd + 1) div 2"))
+      .select(col("tbl"), col("adev").as("mad"))
+    all.join(broadcast(med), "tbl").join(broadcast(mad), "tbl")
+      .select(col("tbl"), col("day"), col("n"), col("med"), col("mad"),
+        (abs(col("n") - col("med")) > col("mad") * 3).as("is_anomaly"))
+      .filter(col("is_anomaly"))
+      .orderBy(col("tbl"), col("day"))
+  }
+
+  val volumeAnomalySql: String = {
+    def daily(table: String, tsCol: String) =
+      s"""SELECT '$table' AS tbl,
+                 CAST(epoch(date_trunc('second', $tsCol)) AS BIGINT) // 86400 AS day,
+                 count(*) AS n
+          FROM $table GROUP BY 2"""
+    s"""WITH alld AS (
+          ${daily("orders", "o_orderdate")}
+          UNION ALL ${daily("lineitem", "l_shipdate")}
+          UNION ALL ${daily("events", "ts")}),
+        r1 AS (
+          SELECT *, count(*) OVER (PARTITION BY tbl) AS nd,
+                 row_number() OVER (PARTITION BY tbl ORDER BY n, day) AS rn
+          FROM alld),
+        med AS (SELECT tbl, n AS med FROM r1 WHERE rn = (nd + 1) // 2),
+        r2 AS (
+          SELECT a.tbl, a.day, abs(a.n - m.med) AS adev,
+                 count(*) OVER (PARTITION BY a.tbl) AS nd,
+                 row_number() OVER (PARTITION BY a.tbl
+                   ORDER BY abs(a.n - m.med), a.day) AS rn
+          FROM alld a JOIN med m USING (tbl)),
+        mad AS (SELECT tbl, adev AS mad FROM r2 WHERE rn = (nd + 1) // 2)
+        SELECT a.tbl, a.day, a.n, m.med, d.mad,
+               abs(a.n - m.med) > d.mad * 3 AS is_anomaly
+        FROM alld a JOIN med m USING (tbl) JOIN mad d USING (tbl)
+        WHERE abs(a.n - m.med) > d.mad * 3
+        ORDER BY a.tbl, a.day"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("dq_volume_anomaly", volumeAnomaly, Some(volumeAnomalySql)),
     ("q_corr_matrix", corrMatrix, Some(corrMatrixSql)),
     ("q_duplicate_payments", duplicatePayments, Some(duplicatePaymentsSql)),
     ("dq_benford", dqBenford, Some(dqBenfordSql)),

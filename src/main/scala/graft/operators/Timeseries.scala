@@ -1184,7 +1184,110 @@ object Timeseries {
                 AS modal_share
        FROM r JOIN t USING (event_type) WHERE rk = 1 ORDER BY event_type"""
 
+  val NotifyRepeatSec = 43200L
+
+  /** Alertmanager-style notification deduplication over the
+    * hysteresis alert stream (repeat_interval = 12 h): a new incident
+    * (`fire` transition) notifies immediately, a STILL-firing alert
+    * re-notifies only when 12 h have passed since the last
+    * notification (everything in between is suppressed — the
+    * page-storm control), and a `resolve` sends its own notification
+    * and resets the clock. Pure composition over `metrics_alert_
+    * hysteresis`'s verified output; the clock is inherently
+    * sequential, so it runs as one order-fixed fold per series
+    * (bounded by the hour spine) with an INTEGER -1 sentinel for
+    * "no notification yet" — no NULL-semantics surface in the state
+    * — and the oracle replays it as a recursive CTE over the
+    * hysteresis CTE chain. */
+  def alertNotifyDedup: Q = (s, d) => {
+    alertHysteresis(s, d)
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("hour_sec").as("h"),
+        col("firing").as("f"), col("transition").as("tr")))).as("seq"))
+      .withColumn("st", expr(
+        s"""aggregate(seq,
+              named_struct('ln', -1L, 'nn', 0L, 'nr', 0L, 'nres', 0L, 'nsup', 0L),
+              (a, p) -> named_struct(
+                'ln', CASE WHEN p.tr = 'fire' THEN p.h
+                           WHEN p.f = 1 AND p.tr IS NULL AND a.ln >= 0L
+                                AND p.h - a.ln >= ${NotifyRepeatSec}L THEN p.h
+                           WHEN p.tr = 'resolve' THEN -1L
+                           ELSE a.ln END,
+                'nn', a.nn + CASE WHEN p.tr = 'fire' THEN 1L ELSE 0L END,
+                'nr', a.nr + CASE WHEN p.f = 1 AND p.tr IS NULL AND a.ln >= 0L
+                                  AND p.h - a.ln >= ${NotifyRepeatSec}L
+                             THEN 1L ELSE 0L END,
+                'nres', a.nres + CASE WHEN p.tr = 'resolve' THEN 1L ELSE 0L END,
+                'nsup', a.nsup + CASE WHEN p.f = 1 AND p.tr IS NULL
+                                      AND NOT (a.ln >= 0L
+                                        AND p.h - a.ln >= ${NotifyRepeatSec}L)
+                                 THEN 1L ELSE 0L END))"""))
+      .select(col("event_type"), size(col("seq")).cast("long").as("n_hours"),
+        col("st.nn").as("n_incidents"), col("st.nr").as("n_repeats"),
+        col("st.nres").as("n_resolves"), col("st.nsup").as("n_suppressed"))
+      .orderBy(col("event_type"))
+  }
+
+  /** ONE merged recursion: an outer recursive CTE that references an
+    * inner recursive CTE re-evaluates it on EVERY iteration (measured:
+    * minutes instead of milliseconds, whether nested as a derived
+    * table or spliced as a sibling CTE), so the hysteresis state
+    * machine and the notification clock advance together in a single
+    * recursive step — same cost class as the hysteresis oracle
+    * itself. The step conditions restate the hysteresis algebra
+    * (fire = idle & breach; resolve = firing & 2 consecutive lows)
+    * verbatim from `alertHysteresisSql`. */
+  lazy val alertNotifyDedupSql: String = {
+    val fire = "(rec.f = 0 AND i.av > 100.0e0)"
+    val res =
+      "(rec.f = 1 AND (CASE WHEN i.av < 50.0e0 THEN rec.lr + 1 ELSE 0 END) >= 2)"
+    val steady = s"(rec.f = 1 AND NOT $res)"
+    val due = s"($steady AND rec.ln >= 0 AND i.hour_sec - rec.ln >= $NotifyRepeatSec)"
+    s"""WITH RECURSIVE hourly AS (
+          SELECT event_type, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hour_sec,
+                 floor(round(sum(value), 2) / count(*) * 1e4) / 1e4 AS av
+          FROM events GROUP BY 1, 2),
+        idx AS (
+          SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY hour_sec)
+                   AS rn
+          FROM hourly),
+        rec AS (
+          SELECT event_type, hour_sec, rn, av,
+                 CASE WHEN av > 100.0e0 THEN 1 ELSE 0 END AS f,
+                 0 AS lr,
+                 CASE WHEN av > 100.0e0 THEN hour_sec ELSE -1 END AS ln,
+                 CASE WHEN av > 100.0e0 THEN CAST(1 AS BIGINT) ELSE 0 END AS nn,
+                 CAST(0 AS BIGINT) AS nr, CAST(0 AS BIGINT) AS nres,
+                 CAST(0 AS BIGINT) AS nsup
+          FROM idx WHERE rn = 1
+          UNION ALL
+          SELECT i.event_type, i.hour_sec, i.rn, i.av,
+                 CASE WHEN rec.f = 0
+                      THEN CASE WHEN i.av > 100.0e0 THEN 1 ELSE 0 END
+                      ELSE CASE WHEN $res THEN 0 ELSE 1 END END,
+                 CASE WHEN rec.f = 0 THEN 0
+                      WHEN $res THEN 0
+                      ELSE CASE WHEN i.av < 50.0e0 THEN rec.lr + 1 ELSE 0 END END,
+                 CASE WHEN $fire THEN i.hour_sec
+                      WHEN $due THEN i.hour_sec
+                      WHEN $res THEN -1
+                      ELSE rec.ln END,
+                 rec.nn + CASE WHEN $fire THEN 1 ELSE 0 END,
+                 rec.nr + CASE WHEN $due THEN 1 ELSE 0 END,
+                 rec.nres + CASE WHEN $res THEN 1 ELSE 0 END,
+                 rec.nsup + CASE WHEN $steady AND NOT $due THEN 1 ELSE 0 END
+          FROM idx i JOIN rec
+            ON i.event_type = rec.event_type AND i.rn = rec.rn + 1)
+        SELECT event_type, CAST(rn AS BIGINT) AS n_hours,
+               CAST(nn AS BIGINT) AS n_incidents, nr AS n_repeats,
+               nres AS n_resolves, nsup AS n_suppressed
+        FROM rec
+        QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY rn DESC) = 1
+        ORDER BY event_type"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("alert_notify_dedup", alertNotifyDedup, Some(alertNotifyDedupSql)),
     ("prom_metric_type_infer", metricTypeInfer, Some(metricTypeInferSql)),
     ("metrics_scrape_interval", scrapeInterval, Some(scrapeIntervalSql)),
     ("scd2_bitemporal", bitemporal, Some(bitemporalSql)),

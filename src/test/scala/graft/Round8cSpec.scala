@@ -634,6 +634,44 @@ class Round8cSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("alert_notify_dedup: notification accounting tiles the firing hours") {
+    import spark.implicits._
+    val rows = run("alert_notify_dedup")
+      .select("event_type", "n_hours", "n_incidents", "n_repeats", "n_resolves",
+        "n_suppressed")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // independent recount from the hysteresis stream itself
+    val hyst = run("metrics_alert_hysteresis")
+      .select("event_type", "firing", "transition")
+      .as[(String, Int, Option[String])].collect()
+    rows.foreach { case (t, nh, ni, nr, nres, nsup) =>
+      val mine = hyst.filter(_._1 == t)
+      assert(nh == mine.length, s"$t hour count")
+      assert(ni == mine.count(_._3.contains("fire")), s"$t incidents != fire transitions")
+      assert(nres == mine.count(_._3.contains("resolve")), s"$t resolves")
+      val steady = mine.count(r => r._2 == 1 && r._3.isEmpty)
+      assert(nr + nsup == steady, s"$t repeats+suppressed must tile steady-firing hours")
+      assert(nr <= ni * (nh * 3600 / graft.operators.Timeseries.NotifyRepeatSec + 1))
+    }
+  }
+
+  test("dq_volume_anomaly: flagged days truly exceed the robust 3-MAD band") {
+    import spark.implicits._
+    val rows = run("dq_volume_anomaly")
+      .select("tbl", "day", "n", "med", "mad", "is_anomaly")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.forall(_._6), "non-anomalous rows leaked into the feed")
+    rows.foreach { case (t, d, n, med, mad, _) =>
+      assert(math.abs(n - med) > 3 * mad, s"($t,$d) inside the band")
+      assert(mad >= 0 && med > 0)
+    }
+    // med/mad constant per table
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      assert(rs.map(r => (r._4, r._5)).distinct.length == 1, s"$t baseline not constant")
+    }
+  }
+
   test("q_winsorized_mean: bounds ordered, winsorized mean clamped inside them") {
     import spark.implicits._
     val rows = run("q_winsorized_mean")
