@@ -115,6 +115,12 @@ object Vectors {
       args => SampleKmv(args(0), args(1), args(2)).toAggregateExpression()))
     e.injectFunction(fn("graft_mg", classOf[MisraGries],
       args => MisraGries(args(0), args(1)).toAggregateExpression()))
+    e.injectFunction(fn("graft_shingle3", classOf[Shingle3],
+      args => Shingle3(args.head)))
+    e.injectFunction(fn("graft_pairs", classOf[PairCombos],
+      args => PairCombos(args.head)))
+    e.injectFunction(fn("graft_simhash", classOf[PackSimhash],
+      args => PackSimhash(args.head)))
     e.injectFunction(fn("graft_snappy", classOf[SnappyCompress],
       args => SnappyCompress(args.head)))
     e.injectFunction(fn("graft_unsnappy", classOf[SnappyDecompress],

@@ -1049,7 +1049,11 @@ object Pipeline {
     m.crossJoin(broadcast(tot))
       .select(col("source"), col("n"),
         (floor(col("sd") * 1e4) / 1e4).as("sd_chars"), col("mass"),
-        expr(s"(mass * $NeymanBudget) div tmass").as("neyman_alloc"),
+        // tmass=0 is reachable (all strata single-doc or constant-length):
+        // Spark's `div` by zero yields NULL but DuckDB's `//` raises, so
+        // guard both engines to an explicit NULL allocation
+        expr(s"CASE WHEN tmass > 0 THEN (mass * $NeymanBudget) div tmass END")
+          .as("neyman_alloc"),
         expr(s"(n * $NeymanBudget) div n_total").as("prop_alloc"))
       .orderBy(col("source"))
   }
@@ -1074,7 +1078,8 @@ object Pipeline {
         tot AS (SELECT CAST(sum(mass) AS BIGINT) AS tmass,
                        CAST(sum(n) AS BIGINT) AS n_total FROM w)
         SELECT source, n, floor(sd * 1e4) / 1e4 AS sd_chars, mass,
-               (mass * $NeymanBudget) // tmass AS neyman_alloc,
+               CASE WHEN tmass > 0 THEN (mass * $NeymanBudget) // tmass END
+                 AS neyman_alloc,
                (n * $NeymanBudget) // n_total AS prop_alloc
         FROM w, tot ORDER BY source"""
 
@@ -1109,13 +1114,18 @@ object Pipeline {
           .as("p_share"),
         (floor(col("q_mass").cast("double") / col("qtot").cast("double") * 1e4) / 1e4)
           .as("q_share"),
-        (floor((col("copies").cast("decimal(38,0)") * col("qtot")).cast("double")
-          / (col("q_mass").cast("decimal(38,0)") * col("ctot")).cast("double")
-          * 1e4) / 1e4).as("lift"),
-        (floor(col("copies").cast("double") / col("ctot").cast("double")
-          * log((col("copies").cast("decimal(38,0)") * col("qtot")).cast("double")
-            / (col("q_mass").cast("decimal(38,0)") * col("ctot")).cast("double"))
-          * 1e6) / 1e6).as("kl_term"))
+        // copies=0 is possible on small/skewed corpora (every even-source
+        // doc hashing >= 60): ln(0) is NULL on Spark but an out-of-range
+        // ERROR on DuckDB, so guard BOTH engines to an explicit NULL
+        when(col("copies") > 0,
+          floor((col("copies").cast("decimal(38,0)") * col("qtot")).cast("double")
+            / (col("q_mass").cast("decimal(38,0)") * col("ctot")).cast("double")
+            * 1e4) / 1e4).as("lift"),
+        when(col("copies") > 0,
+          floor(col("copies").cast("double") / col("ctot").cast("double")
+            * log((col("copies").cast("decimal(38,0)") * col("qtot")).cast("double")
+              / (col("q_mass").cast("decimal(38,0)") * col("ctot")).cast("double"))
+            * 1e6) / 1e6).as("kl_term"))
       .orderBy(col("source"))
   }
 
@@ -1140,13 +1150,15 @@ object Pipeline {
                  AS p_share,
                floor(CAST(q_mass AS DOUBLE) / CAST(qtot AS DOUBLE) * 1e4) / 1e4
                  AS q_share,
-               floor(CAST(CAST(copies AS HUGEINT) * qtot AS DOUBLE)
-                     / CAST(CAST(q_mass AS HUGEINT) * ctot AS DOUBLE) * 1e4) / 1e4
-                 AS lift,
-               floor(CAST(copies AS DOUBLE) / CAST(ctot AS DOUBLE)
-                     * ln(CAST(CAST(copies AS HUGEINT) * qtot AS DOUBLE)
-                          / CAST(CAST(q_mass AS HUGEINT) * ctot AS DOUBLE))
-                     * 1e6) / 1e6 AS kl_term
+               CASE WHEN copies > 0 THEN
+                 floor(CAST(CAST(copies AS HUGEINT) * qtot AS DOUBLE)
+                       / CAST(CAST(q_mass AS HUGEINT) * ctot AS DOUBLE) * 1e4) / 1e4
+                 END AS lift,
+               CASE WHEN copies > 0 THEN
+                 floor(CAST(copies AS DOUBLE) / CAST(ctot AS DOUBLE)
+                       * ln(CAST(CAST(copies AS HUGEINT) * qtot AS DOUBLE)
+                            / CAST(CAST(q_mass AS HUGEINT) * ctot AS DOUBLE))
+                       * 1e6) / 1e6 END AS kl_term
         FROM per, tot ORDER BY source"""
   }
 

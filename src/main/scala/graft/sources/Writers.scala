@@ -544,16 +544,32 @@ object Writers {
     val verdict = srcAudit.select(col("n_rows").as("sn"), col("digest").as("sd"))
       .crossJoin(stAudit.select(col("n_rows").as("tn"), col("digest").as("td")))
       .select((col("sn") === col("tn") && col("sd") === col("td")).as("published"))
-    // publish on a clean audit: atomic rename staging → published
-    val ok = verdict.collect().head.getBoolean(0)
-    if (ok) {
+    // publish on a clean audit: atomic rename staging → published. The
+    // rename result is CHECKED — a cross-device or permission failure must
+    // not report published=true over a stale/missing dir (java.io.File
+    // assumes a local FS; Files.move(ATOMIC_MOVE) is the loud fallback).
+    val auditOk = verdict.collect().head.getBoolean(0)
+    val published = auditOk && {
       val pub = new java.io.File(s"$root/published")
       if (pub.exists()) { def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }; rm(pub) }
-      new java.io.File(staging).renameTo(pub)
+      new java.io.File(staging).renameTo(pub) || {
+        try {
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(staging), pub.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        } catch { case _: java.io.IOException => false }
+      }
     }
-    srcAudit.unionByName(audit(s.read.parquet(s"$root/published"), "published"))
-      .withColumn("published", lit(ok))
+    // on a clean publish read back the published snapshot; on any failure
+    // (bad audit OR failed rename) re-emit the staged audit with
+    // published=false instead of reading a possibly nonexistent dir
+    val thirdSide =
+      if (published) audit(s.read.parquet(s"$root/published"), "published")
+      else stAudit.select(lit("published").as("side"), col("n_rows"), col("digest"))
+    srcAudit.unionByName(thirdSide)
+      .withColumn("published", lit(published))
       .orderBy(col("side"))
   }
 

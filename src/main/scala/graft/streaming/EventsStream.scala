@@ -845,8 +845,17 @@ object EventsStream {
         when(col("event_type") === "error", lit(-1L)).otherwise(lit(1L)).as("op"))
       .groupBy(col("day"), col("bucket")).agg(sum(col("op")).as("rc"))
       .filter(col("rc") > 0)
+    // the packed key is only total-ordered while 0 <= bucket < 2^24 and
+    // rc < 2^29 (exact in a double); assert the domain IN the operator so
+    // a wider value domain fails loudly instead of silently mis-ranking
+    val packedKey = s"""cast(CASE
+      WHEN bucket >= 0 AND bucket < 16777216 AND rc < 536870912
+      THEN rc * 16777216 - bucket
+      ELSE raise_error(concat('ivm_topn_delta: rank-key domain violated: ',
+        'bucket=', cast(bucket as string), ' rc=', cast(rc as string)))
+      END as double)"""
     rc.groupBy(col("day"))
-      .agg(expr(s"graft_topk(cast(rc * 16777216 - bucket as double), bucket, $IvmTopN)")
+      .agg(expr(s"graft_topk($packedKey, bucket, $IvmTopN)")
         .as("top"))
       .select(col("day"), posexplode(col("top")))
       .select(col("day"), (col("pos") + 1).cast("int").as("rank"),

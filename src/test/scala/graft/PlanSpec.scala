@@ -214,13 +214,50 @@ class PlanSweepSpec extends SparkTestBase {
     "mix_kl_divergence",   // 1-row mixture-total broadcast
     "q_abc_classification") // 1-row revenue-total broadcast
 
-  test("no entry plans a CartesianProduct; BNLJ only where intended") {
+  // entries allowed a partitionless window over a NON-aggregate input,
+  // each with its one-line justification — everything else must derive
+  // a global window from a bounded barrier (aggregate / range spine /
+  // broadcast), or the sweep fails before a corpus-sized global window
+  // burns a cluster
+  private val globalWindowAllowed = Map(
+    "pack_shuffle_quality" -> ("run-length segmentation over the permuted corpus order is " +
+      "inherently a total-order lag; declared presentation-sort cost class in its Scaladoc"))
+
+  /** true iff some root→leaf path under `p` reaches a source scan with
+    * no bounded barrier (aggregate, generated spine, local/broadcast
+    * data) in between — i.e. the node sees corpus-sized input. */
+  private def unboundedBelow(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+    p match {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => false
+      case _: org.apache.spark.sql.execution.RangeExec => false
+      case _: org.apache.spark.sql.execution.LocalTableScanExec => false
+      case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => false
+      case leaf if leaf.children.isEmpty => true // file/rdd/memory scan
+      case other => other.children.exists(unboundedBelow)
+    }
+
+  test("sweep: no CartesianProduct; BNLJ and global windows only where intended; no ScalaUDF") {
     val failures = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).flatMap { name =>
-      val p = plan(name)
+      val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+      val p = qe.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       val cart = p.contains("CartesianProduct")
       val bnlj = p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
+      // the whole surface is UDF-free: the dedup kernels are codegen
+      // Catalyst expressions (graft_shingle3/graft_pairs/graft_simhash),
+      // so any ScalaUDF appearing in a plan is an optimizer black box
+      // someone snuck in — fail the sweep
+      val udf = p.contains("ScalaUDF") || p.toLowerCase.contains("udf(")
+      // partitionless windows single-thread their whole input: legal
+      // only over provably bounded frames (the WindowExec warning gate)
+      val badWindow = qe.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty && unboundedBelow(w.child) => w
+      }.nonEmpty && !globalWindowAllowed.contains(name)
       if (cart) Some(s"$name: CartesianProduct")
       else if (bnlj) Some(s"$name: unexpected BroadcastNestedLoopJoin")
+      else if (udf) Some(s"$name: ScalaUDF in physical plan")
+      else if (badWindow) Some(s"$name: partitionless WindowExec over unbounded (corpus-sized) input")
       else None
     }
     assert(failures.isEmpty, failures.mkString("\n"))

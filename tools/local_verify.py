@@ -7,6 +7,12 @@ same parquet tables and compares with the Spark-side parquet dumps
 
 Usage: after `sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/gv"`:
     python3 tools/local_verify.py /root/testdata/sf0.01 /tmp/gv [name...]
+    python3 tools/local_verify.py --json OUT.json SFDIR OUTDIR [name...]
+
+--json writes a machine-readable artifact in the driver's shape:
+    {name: {rows_match, schema_match, hash_match, err}} — committed each
+round as CORRECTNESS_LOCAL_r{N}.json so the round carries a diffable
+correctness file even when the driver-side capture fails.
 """
 import sys, os, json, glob
 import duckdb
@@ -25,8 +31,13 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sfdir, outdir = argv[0], argv[1]
+    only = set(argv[2:])
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
@@ -34,6 +45,10 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    report = {}
+    def record(name, rows_match, schema_match, hash_match, err=None):
+        report[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                        "hash_match": hash_match, "err": err}
     for name in sorted(os.listdir(outdir)):
         path = os.path.join(outdir, name)
         if not os.path.isdir(path) or (only and name not in only):
@@ -43,20 +58,25 @@ def main():
             else pd.DataFrame()
         if name not in oracle:
             print(f"  {name:34s} rows-only: {len(got)} rows")
+            record(name, len(got) > 0, None, None, "rows-only (no oracle)")
             continue
         try:
             exp = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"✗ {name:34s} ORACLE SQL ERROR: {e}")
+            record(name, False, False, False, f"oracle sql error: {e}")
             n_bad += 1
             continue
         g, e = norm(got), norm(exp)
         if list(g.columns) != list(e.columns):
             print(f"✗ {name:34s} COLUMNS spark={list(g.columns)} oracle={list(e.columns)}")
+            record(name, False, False, False,
+                   f"columns spark={list(g.columns)} oracle={list(e.columns)}")
             n_bad += 1
             continue
         if len(g) != len(e):
             print(f"✗ {name:34s} ROWS spark={len(g)} oracle={len(e)}")
+            record(name, False, True, False, f"rows spark={len(g)} oracle={len(e)}")
             n_bad += 1
             continue
         # dtype check (schema match) then values
@@ -78,11 +98,19 @@ def main():
                    if sdt[c] != edt[c] and not (sdt[c].startswith("float") and edt[c].startswith("float"))}
         if mism or dt_mism:
             print(f"✗ {name:34s} {'; '.join(mism[:3])} {('DTYPES ' + str(dt_mism)) if dt_mism else ''}")
+            record(name, True, not dt_mism, False,
+                   "; ".join(mism[:3]) + (f" DTYPES {dt_mism}" if dt_mism else ""))
             n_bad += 1
         else:
             print(f"✓ {name:34s} {len(g)} rows")
+            record(name, True, True, True)
             n_ok += 1
     print(f"\n{n_ok} ok, {n_bad} bad")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sfdir, "n_ok": n_ok, "n_bad": n_bad,
+                       "queries": report}, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     sys.exit(1 if n_bad else 0)
 
 if __name__ == "__main__":
