@@ -28,6 +28,14 @@ object SourceRegistry {
     StructField("dbname", StringType),
     StructField("format", StringType),
     StructField("path", StringType),
+    // optional raw-DSN override: some deployments hand the collector a
+    // ready JDBC URL instead of host/port parts (also the hook that lets
+    // specs exercise the mysql/postgres/oracle scrape TEMPLATES against
+    // an embedded engine — template selection stays on `engine`)
+    StructField("jdbc_url", StringType),
+    // optional scrape parallelism: >1 fans each scrape out over planned
+    // ts_sec bounds as N parallel range queries (source_partition_bounds)
+    StructField("partitions", StringType),
     StructField("tags", MapType(StringType, StringType))))
 
   /** The tag KEY whose presence opts a source into collection. The
@@ -70,16 +78,34 @@ object SourceRegistry {
         .csv(config("path"))
       case "json" => spark.read.json(config("path"))
       case "jdbc" =>
-        val url = config("engine") match {
+        val url = config.getOrElse("jdbc_url", config("engine") match {
           case "mysql" => s"jdbc:mysql://${config("host")}:${config("port")}/${config.getOrElse("dbname", "")}"
           case "postgres" => s"jdbc:postgresql://${config("host")}:${config("port")}/${config.getOrElse("dbname", "")}"
           case "derby" => s"jdbc:derby:${config("path")}"
           case e if e.startsWith("oracle") => s"jdbc:oracle:thin:@//${config("host")}:${config("port")}/${config("dbname")}"
           case other => sys.error(s"unsupported engine: $other")
+        })
+        val base = spark.read.format("jdbc").option("url", url)
+        // split read: when the caller has planned partition bounds
+        // (`source_partition_bounds` semantics) the scan fans out over
+        // numPartitions parallel range queries instead of one cursor —
+        // Spark requires the dbtable form for partitioned reads, the
+        // query form otherwise
+        val reader = config.get("numPartitions") match {
+          case Some(n) =>
+            val table = config.getOrElse("dbtable",
+              s"(${config.getOrElse("query", sys.error("dbtable or query required"))}) scrape")
+            base.option("dbtable", table)
+              .option("numPartitions", n)
+              .option("partitionColumn", config("partitionColumn"))
+              .option("lowerBound", config("lowerBound"))
+              .option("upperBound", config("upperBound"))
+          case None => config.get("query") match {
+            case Some(q) => base.option("query", q)
+            case None => base.option("dbtable",
+              config.getOrElse("dbtable", sys.error("dbtable or query required")))
+          }
         }
-        val reader = spark.read.format("jdbc")
-          .option("url", url)
-          .option("dbtable", config.getOrElse("dbtable", sys.error("dbtable required")))
         val withUser = config.get("username").fold(reader)(u => reader.option("user", u))
         config.get("password").fold(withUser)(p => withUser.option("password", p))
           .load()

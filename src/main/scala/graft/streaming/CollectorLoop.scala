@@ -19,39 +19,122 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
   *      round's snapshot → added/kept/removed (`source_refresh_diff`
   *      semantics; the reference re-lists secrets every 15 min).
   *   3. SCRAPE, INCREMENTALLY — read each enrolled source through
-  *      [[SourceRegistry.read]] (JDBC/file alike) and keep only rows
-  *      past the source's stored watermark (`source_incremental_read`
-  *      semantics; the `ts_sec > wm` predicate pushes into the scan —
-  *      on JDBC it becomes a WHERE on the remote query). The scrape
-  *      target is the fixed `metrics(name, val, ts_sec)` table — the
-  *      reference exporters likewise hardcode their per-engine queries.
-  *   4. ENCODE — every scraped sample becomes a Prometheus
-  *      remote-write frame ([[graft.operators.PromWire.encodeSamples]],
-  *      the source id as the series label), grouped into one
+  *      [[SourceRegistry.read]] with the ENGINE'S OWN scrape-query
+  *      templates ([[scrapeQueries]] — the reference exporters hardcode
+  *      a per-engine scraper list: mysql-exporter.go:12-48 global
+  *      status/variables/processlist, postgres-exporter.go:1-34
+  *      pg_stat_database, oracle-exporter.go:1-33 v$ views) and keep
+  *      only rows past the source's stored watermark
+  *      (`source_incremental_read` semantics; the `ts_sec > wm`
+  *      predicate pushes into the remote WHERE). A source whose secret
+  *      carries `partitions` fans the scrape out over planned bounds
+  *      (`source_partition_bounds` semantics) as N parallel range
+  *      queries. All (source × scraper) reads union into ONE plan that
+  *      is executed EXACTLY ONCE per round, spooling raw samples to the
+  *      round's scratch dir — the remote engines never see a second
+  *      query for the same round (the old shape scraped twice: once for
+  *      bodies, once for the manifest counts).
+  *   4. ENCODE + PUBLISH, EXACTLY-ONCE — every spooled sample becomes a
+  *      Prometheus remote-write frame
+  *      ([[graft.operators.PromWire.encodeSamples]]), grouped into one
   *      snappy-compressed WriteRequest body per (source, metric) —
-  *      the reference's `proto.Marshal` + `snappy.Encode` push path.
-  *      The sigv4-signed HTTP POST stays out of scope (AWS infra); the
-  *      bodies parquet is the push boundary.
+  *      `proto.Marshal` + `snappy.Encode`. Bodies and manifest are
+  *      written with the repo's own write-audit-publish discipline
+  *      (stage → row-count audit → atomic rename into `round=N`), and
+  *      the state snapshots (registry, watermarks) advance strictly
+  *      AFTER publish: a crash anywhere mid-round leaves the watermarks
+  *      unmoved, and the restarted round's publish REPLACES its own
+  *      `round=N` dirs instead of appending — no double-pushed bodies,
+  *      ever (spec-proven by killing the loop between publish and
+  *      advance). The sigv4-signed HTTP POST stays out of scope (AWS
+  *      infra); the bodies parquet is the push boundary.
   *
   * Round state (registry snapshot, per-source watermarks) and outputs
-  * (manifest, bodies) live under a work directory as parquet — tiny
-  * |sources|-bounded tables, re-readable on restart, so the loop is a
-  * restartable foreachBatch pipeline rather than driver-memory state.
-  * At scale each source's scrape is a distributed read; nothing here
-  * collects data rows to the driver (the registry collect is config
-  * rows — the reference holds the same list in memory).
+  * (manifest, bodies — both partitioned by round) live under a work
+  * directory as parquet — tiny |sources|-bounded tables, re-readable on
+  * restart, so the loop is a restartable foreachBatch pipeline rather
+  * than driver-memory state. At scale each source's scrape is a
+  * distributed (optionally split) read; nothing here collects data rows
+  * to the driver (the registry collect is config rows — the reference
+  * holds the same list in memory).
   */
 object CollectorLoop {
 
-  /** Fixed scrape target, mirroring the reference's per-engine
-    * hardcoded queries (SHOW GLOBAL STATUS etc.). */
+  /** Fixed scrape target for engines with no template set (and the
+    * embedded-Derby sandbox engine). */
   val ScrapeTable = "metrics"
+
+  /** Per-engine scrape-query templates, keyed by the parsed secret's
+    * `engine` — the Spark-side analog of the reference's hardcoded
+    * per-engine scraper lists. Each template is an ANSI SELECT over the
+    * engine's stats relation normalized to `(name, val, ts_sec)`, with
+    * the exporter-style engine prefix baked into the metric name
+    * (`mysql_global_status_*` / `pg_stat_database_*` / `oracledb_*` —
+    * exactly how the reference's exporters label what they scrape), so
+    * every downstream body is engine-attributable from its series names
+    * alone. Stand-ins for the unqueryable originals (SHOW GLOBAL
+    * STATUS, pg_stat_database, v$sysstat) so they run on any
+    * JDBC-speaking engine, embedded Derby included. */
+  val scrapeQueries: Map[String, Seq[(String, String)]] = Map(
+    "mysql" -> Seq(
+      "global_status" ->
+        ("SELECT 'mysql_global_status_' || LOWER(variable_name) AS name, " +
+          "variable_value AS val, captured_sec AS ts_sec FROM global_status"),
+      "processlist" ->
+        ("SELECT 'mysql_processlist_' || LOWER(state) AS name, " +
+          "CAST(n_threads AS DOUBLE) AS val, captured_sec AS ts_sec FROM processlist_summary")),
+    "postgres" -> Seq(
+      "pg_stat_database" ->
+        ("SELECT 'pg_stat_database_' || LOWER(stat_name) AS name, " +
+          "stat_value AS val, captured_sec AS ts_sec FROM pg_stat_database")),
+    "oracle" -> Seq(
+      "v_sysstat" ->
+        ("SELECT 'oracledb_' || LOWER(stat_name) AS name, " +
+          "stat_value AS val, captured_sec AS ts_sec FROM v_sysstat")),
+    "derby" -> Seq(
+      ScrapeTable -> s"SELECT name, val, ts_sec FROM $ScrapeTable"))
+
+  /** Engine → its scraper list; `oracle-ee`/`custom-oracle-ee` route to
+    * the oracle set (same normalization the DSN builder applies). */
+  def scrapersFor(engine: String): Seq[(String, String)] = {
+    val key = if (engine != null && engine.startsWith("oracle")) "oracle" else engine
+    scrapeQueries.getOrElse(key, scrapeQueries("derby"))
+  }
 
   private def exists(spark: SparkSession, path: String): Boolean =
     try {
       val p = new org.apache.hadoop.fs.Path(path)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     } catch { case _: Throwable => false }
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def deleteDir(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    fsOf(spark, path).delete(p, true); ()
+  }
+
+  /** Stage → audit → atomic publish of one round's slice of `table`:
+    * write under an invisible dot-dir, count-audit the staged files
+    * against the expected row count, then rename into `round=N`.
+    * A replayed round DELETES its own published dir first — outputs are
+    * per-round idempotent, so a crash-and-restart can never append a
+    * second copy (the `sink_write_audit_publish` discipline). */
+  private def publishRound(spark: SparkSession, table: String, round: Long,
+      df: DataFrame, expectRows: Long): Unit = {
+    val stagedPath = s"$table/.staging_round_$round"
+    df.write.mode("overwrite").parquet(stagedPath)
+    val got = spark.read.parquet(stagedPath).count()
+    if (got != expectRows)
+      sys.error(s"audit failed for $table round $round: staged $got != expected $expectRows")
+    val fs = fsOf(spark, table)
+    val target = new org.apache.hadoop.fs.Path(s"$table/round=$round")
+    if (fs.exists(target)) fs.delete(target, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(stagedPath), target))
+      sys.error(s"publish rename failed: $stagedPath -> $target")
+  }
 
   /** Enrolled registry for one round: id, engine, dsn + the config
     * fields [[SourceRegistry.read]] needs. */
@@ -61,102 +144,148 @@ object CollectorLoop {
       .withColumn("source_id", concat(col("host"), lit(":"), col("port")))
 
   /** One collection round. Returns the round's manifest (one row per
-    * enrolled-or-removed source: status, watermark movement, rows
-    * scraped) after appending bodies + manifest parquet and advancing
-    * the state snapshots under `workDir`. */
+    * enrolled-or-removed source: engine, status, watermark movement,
+    * rows scraped) after publishing bodies + manifest `round=N` slices
+    * and advancing the state snapshots under `workDir`.
+    *
+    * `failpoint` is the crash-recovery test hook: `"before-advance"`
+    * throws after the round's outputs are published but BEFORE the
+    * watermark/registry snapshots move — the exact window where the old
+    * append-based shape double-pushed on restart. */
   def runRound(spark: SparkSession, secrets: Seq[String], workDir: String,
-      round: Long): DataFrame = {
+      round: Long, failpoint: String = ""): DataFrame = {
     import spark.implicits._
 
     // 1. enumerate
     val enrolled = enumerate(spark, secrets)
       .select("source_id", "engine", "format", "path", "host", "port",
-        "username", "password", "dbname")
+        "username", "password", "dbname", "jdbc_url", "partitions")
       .collect()
 
     // 2. diff against the previous registry snapshot
     val regPath = s"$workDir/registry"
-    val prevIds: Set[String] =
+    val prev: Map[String, String] =
       if (exists(spark, regPath))
-        spark.read.parquet(regPath).select("source_id").as[String].collect().toSet
-      else Set.empty
-    val curIds = enrolled.map(_.getAs[String]("source_id")).toSet
+        spark.read.parquet(regPath).select("source_id", "engine")
+          .as[(String, String)].collect().toMap
+      else Map.empty
+    val cur: Map[String, String] = enrolled
+      .map(r => r.getAs[String]("source_id") -> r.getAs[String]("engine")).toMap
     val status: Map[String, String] =
-      (curIds.map(id => id -> (if (prevIds(id)) "kept" else "added")) ++
-        (prevIds -- curIds).map(_ -> "removed")).toMap
+      (cur.keySet.map(id => id -> (if (prev.contains(id)) "kept" else "added")) ++
+        (prev.keySet -- cur.keySet).map(_ -> "removed")).toMap
 
-    // 3. per-source incremental scrape
+    // 3. per-source incremental scrape: every engine runs ITS OWN
+    // scraper templates; the watermark predicate pushes into each
+    // remote query's WHERE
     val wmPath = s"$workDir/watermarks"
     val storedWm: Map[String, Long] =
       if (exists(spark, wmPath))
         spark.read.parquet(wmPath).as[(String, Long)].collect().toMap
       else Map.empty
-    val scraped: Seq[(String, Long, DataFrame)] = enrolled.toSeq.map { r =>
+    val scraped: Seq[DataFrame] = enrolled.toSeq.flatMap { r =>
       val id = r.getAs[String]("source_id")
-      val conf = Seq("engine", "format", "path", "host", "port", "username",
-        "password", "dbname")
-        .flatMap(k => Option(r.getAs[String](k)).map(k -> _)).toMap +
-        ("dbtable" -> ScrapeTable)
+      val engine = r.getAs[String]("engine")
+      val baseConf = Seq("engine", "format", "path", "host", "port", "username",
+        "password", "dbname", "jdbc_url", "partitions")
+        .flatMap(k => Option(r.getAs[String](k)).map(k -> _)).toMap
       val wm = storedWm.getOrElse(id, Long.MinValue)
-      val rows = SourceRegistry.read(spark, conf)
-        .filter(col("ts_sec") > wm) // pushes into the JDBC WHERE / scan
-      (id, wm, rows)
+      val nParts = baseConf.get("partitions").map(_.toInt).getOrElse(1)
+      scrapersFor(engine).map { case (family, sql) =>
+        val isJdbc = baseConf.getOrElse("format", "jdbc") == "jdbc"
+        val rows =
+          if (!isJdbc) SourceRegistry.read(spark, baseConf + ("dbtable" -> ScrapeTable))
+          else if (nParts <= 1) SourceRegistry.read(spark, baseConf + ("query" -> sql))
+          else {
+            // planned split read (`source_partition_bounds` semantics):
+            // one 1-row bounds probe over the still-unscraped range,
+            // then the scrape itself fans out as nParts parallel range
+            // queries on ts_sec instead of one remote cursor
+            // (Long.MinValue renders as an out-of-range unary-minus
+            // literal in some SQL dialects — use a tautology instead)
+            val wmPred = if (wm == Long.MinValue) "1=1" else s"ts_sec > $wm"
+            val b = SourceRegistry.read(spark, baseConf + ("query" ->
+              s"SELECT MIN(ts_sec) AS lo, MAX(ts_sec) AS hi FROM ($sql) b WHERE $wmPred"))
+              .collect().head
+            if (b.isNullAt(0)) SourceRegistry.read(spark, baseConf + ("query" -> sql))
+            else SourceRegistry.read(spark, baseConf ++ Map(
+              "dbtable" -> s"($sql) scrape",
+              "numPartitions" -> nParts.toString,
+              "partitionColumn" -> "ts_sec",
+              "lowerBound" -> b.getLong(0).toString,
+              "upperBound" -> (b.getLong(1) + 1).toString))
+          }
+        rows.filter(col("ts_sec") > wm) // pushes into the JDBC WHERE / scan
+          .select(lit(id).as("source_id"), lit(engine).as("engine"),
+            lit(family).as("scraper"), col("name").cast("string").as("name"),
+            col("val").cast("double").as("val"), col("ts_sec").cast("long").as("ts_sec"))
+      }
     }
 
-    // union every source's scrape into ONE plan: the reference scrapes
-    // its databases concurrently (sync.WaitGroup) — here concurrency
-    // is Spark's own scheduling of the union's leaves, and both the
-    // manifest stats and the bodies are single jobs regardless of how
-    // many sources are enrolled (no per-source driver round-trips)
+    // union every (source × scraper) into ONE plan — the reference
+    // scrapes concurrently (sync.WaitGroup); here concurrency is
+    // Spark's scheduling of the union's leaves — and execute it
+    // EXACTLY ONCE into the round's spool: every derived output
+    // (bodies, manifest counts, watermarks) reads the spool, so the
+    // remote engines are queried once per round no matter how many
+    // consumers the round has
     val scrapedRows = scraped
-      .map { case (id, _, rows) =>
-        rows.select(lit(id).as("source_id"), col("name").cast("string").as("name"),
-          col("val").cast("double").as("val"), col("ts_sec").cast("long").as("ts_sec"))
-      }
       .reduceOption(_ unionByName _)
-      .getOrElse(Seq.empty[(String, String, Double, Long)]
-        .toDF("source_id", "name", "val", "ts_sec"))
+      .getOrElse(Seq.empty[(String, String, String, String, Double, Long)]
+        .toDF("source_id", "engine", "scraper", "name", "val", "ts_sec"))
+    val spool = s"$workDir/.spool_round_$round"
+    scrapedRows.write.mode("overwrite").parquet(spool)
+    val spooled = spark.read.parquet(spool)
 
-    val samples = scrapedRows.select(col("name").as("metric_name"),
-      col("source_id").as("event_type"), col("val").as("value"),
-      (col("ts_sec") * 1000L).as("ts_ms"))
-    val bodies = graft.operators.PromWire.encodeSamples(samples)
+    // 4a. encode bodies from the spool; count groups for the audit
+    val bodiesDf = graft.operators.PromWire.encodeSamples(
+      spooled.select(col("name").as("metric_name"),
+        col("source_id").as("event_type"), col("val").as("value"),
+        (col("ts_sec") * 1000L).as("ts_ms")))
       .groupBy(col("event_type").as("source_id"), col("metric_name"))
       .agg(count(lit(1)).as("n_series"),
         expr("""array_join(transform(
                   array_sort(collect_list(struct(ts_ms, wire_hex))),
                   x -> x.wire_hex), '')""").as("body_hex"))
-      .selectExpr("source_id", "metric_name", "n_series",
+      .join(cur.toSeq.toDF("source_id", "engine"), Seq("source_id"), "left")
+      .selectExpr("source_id", "engine", "metric_name", "n_series",
         "length(body_hex) div 2 AS body_len",
         "graft_snappy(unhex(body_hex)) AS body_snappy")
-      .withColumn("round", lit(round))
-    bodies.write.mode("append").parquet(s"$workDir/bodies")
+    val nBodies = spooled.select(col("source_id"), col("name")).distinct().count()
+    publishRound(spark, s"$workDir/bodies", round, bodiesDf, nBodies)
 
-    // manifest + advanced state (all |sources|-bounded): one grouped
-    // aggregation over the union — a source with no new rows simply
-    // has no group and keeps its stored watermark
-    val counts: Map[String, (Long, Long)] = scrapedRows
+    // 4b. manifest from the spool's per-source stats (|sources|-bounded)
+    val counts: Map[String, (Long, Long)] = spooled
       .groupBy(col("source_id"))
       .agg(count(lit(1)).as("n"), max(col("ts_sec")).as("mx"))
       .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
-    val manifest = status.toSeq.sortBy(_._1).map { case (id, st) =>
+    val manifestRows = status.toSeq.sortBy(_._1).map { case (id, st) =>
       val wm = storedWm.getOrElse(id, Long.MinValue)
       val (n, newWm) = counts.getOrElse(id, (0L, wm))
-      (round, id, st, wm, n, newWm)
-    }.toDF("round", "source_id", "status", "old_watermark", "n_new", "new_watermark")
-    manifest.write.mode("append").parquet(s"$workDir/manifest")
+      (id, cur.getOrElse(id, prev.getOrElse(id, "unknown")), st, wm, n, newWm)
+    }
+    val manifestDf = manifestRows
+      .toDF("source_id", "engine", "status", "old_watermark", "n_new", "new_watermark")
+    publishRound(spark, s"$workDir/manifest", round, manifestDf, manifestRows.size.toLong)
 
-    // advance snapshots AFTER outputs so a failed round replays cleanly
-    enrolled.map(_.getAs[String]("source_id")).toSeq.toDF("source_id")
-      .write.mode("overwrite").parquet(regPath)
+    if (failpoint == "before-advance")
+      sys.error(s"failpoint: crash after publish, before snapshot advance (round $round)")
+
+    // 5. advance snapshots AFTER the publishes: a crash before this
+    // point leaves the watermarks unmoved and the restarted round
+    // replaces its own round=N dirs — exactly-once outputs per round
+    cur.toSeq.toDF("source_id", "engine").write.mode("overwrite").parquet(regPath)
     val newWms = (storedWm ++ counts.map { case (id, (_, w)) => id -> w })
-      .filter { case (id, _) => curIds(id) || storedWm.contains(id) }
+      .filter { case (id, _) => cur.contains(id) || storedWm.contains(id) }
     newWms.toSeq.toDF("source_id", "watermark")
       .write.mode("overwrite").parquet(wmPath)
+    deleteDir(spark, spool)
 
-    manifest
+    manifestDf.withColumn("round", lit(round))
+      .select("round", "source_id", "engine", "status", "old_watermark",
+        "n_new", "new_watermark")
   }
 
   /** Wire the loop onto a trigger stream: each tick value is a round

@@ -177,11 +177,139 @@ class CollectorLoopSpec extends SparkTestBase {
     try { t2.addData(2L); q2.processAllAvailable() } finally q2.stop()
 
     val m = spark.read.parquet(s"$work/manifest").collect()
-      .map(r => r.getAs[Long]("round") -> r).toMap
+      .map(r => r.getAs[Int]("round").toLong -> r).toMap
     assert(m(1L).getAs[Long]("n_new") == 1 && m(1L).getAs[Long]("new_watermark") == 50)
     assert(m(2L).getAs[String]("status") == "kept",
       "registry snapshot survived the restart")
     assert(m(2L).getAs[Long]("old_watermark") == 50 && m(2L).getAs[Long]("n_new") == 1,
       "restarted loop resumed from the stored watermark, not a rescan")
+  }
+
+  /** DDL + rows for an engine-shaped Derby stand-in database. */
+  private def mkDb(path: String, ddl: Seq[String]): Unit = {
+    val conn = java.sql.DriverManager.getConnection(s"jdbc:derby:$path;create=true", "u", "p")
+    try {
+      val st = conn.createStatement()
+      ddl.foreach(st.executeUpdate)
+      st.close()
+    } finally conn.close()
+  }
+
+  private def engineSecret(host: String, engine: String, dbPath: String,
+      extra: String = ""): String =
+    s"""{"engine":"$engine","host":"$host","port":"1527","username":"u","password":"p",
+        "dbname":"d","format":"jdbc","jdbc_url":"jdbc:derby:$dbPath"$extra,
+        "tags":{"${graft.sources.SourceRegistry.EnabledTagKey}":"true"}}"""
+      .replaceAll("\n\\s*", "")
+
+  test("per-engine templates: mysql and postgres scrape different shapes in one round; bodies label the engine") {
+    val base = java.nio.file.Files.createTempDirectory("graft_loop_eng").toString
+    // mysql-shaped stats relations (stand-ins for SHOW GLOBAL STATUS /
+    // SHOW PROCESSLIST — the reference's mysql-exporter scraper list)
+    mkDb(s"$base/my", Seq(
+      "CREATE TABLE global_status (variable_name VARCHAR(64), variable_value DOUBLE, captured_sec BIGINT)",
+      "INSERT INTO global_status VALUES ('Threads_running', 7.0, 100), ('Uptime', 5000.0, 100)",
+      "CREATE TABLE processlist_summary (state VARCHAR(64), n_threads INT, captured_sec BIGINT)",
+      "INSERT INTO processlist_summary VALUES ('executing', 3, 100), ('idle', 12, 100)"))
+    // postgres-shaped stats relation (stand-in for pg_stat_database)
+    mkDb(s"$base/pg", Seq(
+      "CREATE TABLE pg_stat_database (stat_name VARCHAR(64), stat_value DOUBLE, captured_sec BIGINT)",
+      "INSERT INTO pg_stat_database VALUES ('xact_commit', 420.0, 100), ('blks_read', 9000.0, 100)"))
+    val secrets = Seq(
+      engineSecret("my1.example.com", "mysql", s"$base/my"),
+      engineSecret("pg1.example.com", "postgres", s"$base/pg"))
+    val work = s"$base/work"
+
+    val manifest = CollectorLoop.runRound(spark, secrets, work, 1L)
+      .collect().map(r => r.getAs[String]("source_id") -> r).toMap
+    // each engine ran ITS OWN scraper set: mysql = 2 scrapers × 2 rows,
+    // postgres = 1 scraper × 2 rows
+    assert(manifest("my1.example.com:1527").getAs[String]("engine") == "mysql")
+    assert(manifest("my1.example.com:1527").getAs[Long]("n_new") == 4)
+    assert(manifest("pg1.example.com:1527").getAs[String]("engine") == "postgres")
+    assert(manifest("pg1.example.com:1527").getAs[Long]("n_new") == 2)
+
+    val bodies = spark.read.parquet(s"$work/bodies")
+      .select("source_id", "engine", "metric_name", "n_series").collect()
+    val byEngine = bodies.groupBy(_.getAs[String]("engine"))
+    // bodies label the engine, and the metric names carry the
+    // exporter-style engine prefix (mysql_global_status_* / pg_stat_*)
+    assert(byEngine("mysql").map(_.getAs[String]("metric_name")).toSet ==
+      Set("mysql_global_status_threads_running", "mysql_global_status_uptime",
+        "mysql_processlist_executing", "mysql_processlist_idle"))
+    assert(byEngine("postgres").map(_.getAs[String]("metric_name")).toSet ==
+      Set("pg_stat_database_xact_commit", "pg_stat_database_blks_read"))
+    // every body decodes to one WriteRequest TimeSeries per sample
+    val dec = spark.read.parquet(s"$work/bodies")
+      .selectExpr("metric_name", "n_series", "graft_unsnappy(body_snappy) AS body")
+      .collect()
+    dec.foreach { b =>
+      assert(lenFields(b.getAs[Array[Byte]]("body"), 1).size == b.getAs[Long]("n_series"))
+    }
+  }
+
+  test("exactly-once: a crash between publish and snapshot-advance does not double-push bodies") {
+    val base = java.nio.file.Files.createTempDirectory("graft_loop_xo").toString
+    val db = s"$base/src"
+    mkDb(db, Seq(
+      s"CREATE TABLE ${CollectorLoop.ScrapeTable} (name VARCHAR(64), val DOUBLE, ts_sec BIGINT)",
+      s"INSERT INTO ${CollectorLoop.ScrapeTable} VALUES ('up', 1.0, 100), ('lat', 2.0, 100)"))
+    val secrets = Seq(secret("dbx.example.com", db))
+    val work = s"$base/work"
+
+    // round 1 crashes AFTER bodies+manifest are published but BEFORE
+    // the watermark/registry snapshots advance — the exact window where
+    // an append-based loop double-pushes on restart
+    intercept[RuntimeException] {
+      CollectorLoop.runRound(spark, secrets, work, 1L, failpoint = "before-advance")
+    }
+    assert(spark.read.parquet(s"$work/bodies").count() == 2,
+      "the crashed round's bodies were published")
+    // "restart": the loop replays the SAME round (its tick was never
+    // committed); outputs must REPLACE, not append
+    CollectorLoop.runRound(spark, secrets, work, 1L)
+    val bodies = spark.read.parquet(s"$work/bodies")
+      .select("round", "source_id", "metric_name", "n_series").collect()
+    assert(bodies.length == 2, s"replayed round must not duplicate bodies: ${bodies.toSeq}")
+    assert(bodies.map(_.getAs[Long]("n_series")).sum == 2,
+      "each sample ships exactly once")
+    val manifest = spark.read.parquet(s"$work/manifest").collect()
+    assert(manifest.length == 1, "one manifest row total: the replay replaced the crashed round's")
+    assert(manifest.head.getAs[Long]("new_watermark") == 100)
+
+    // and the next round is a clean increment on the once-advanced state
+    CollectorLoop.runRound(spark, secrets, work, 2L)
+    val m2 = spark.read.parquet(s"$work/manifest")
+      .filter(col("round") === 2).head()
+    assert(m2.getAs[Long]("old_watermark") == 100 && m2.getAs[Long]("n_new") == 0)
+  }
+
+  test("partitioned scrape: bounds-planned split read returns the same rows as the serial read") {
+    val base = java.nio.file.Files.createTempDirectory("graft_loop_par").toString
+    val db = s"$base/src"
+    mkDb(db, Seq(
+      s"CREATE TABLE ${CollectorLoop.ScrapeTable} (name VARCHAR(64), val DOUBLE, ts_sec BIGINT)",
+      s"INSERT INTO ${CollectorLoop.ScrapeTable} VALUES " +
+        (1 to 40).map(i => s"('m$i', $i.0, ${100 + i})").mkString(", ")))
+
+    // the registry read itself fans out: 4 range partitions on ts_sec
+    val par = graft.sources.SourceRegistry.read(spark, Map(
+      "engine" -> "derby", "format" -> "jdbc", "path" -> db,
+      "username" -> "u", "password" -> "p",
+      "dbtable" -> s"(SELECT name, val, ts_sec FROM ${CollectorLoop.ScrapeTable}) scrape",
+      "numPartitions" -> "4", "partitionColumn" -> "ts_sec",
+      "lowerBound" -> "101", "upperBound" -> "141"))
+    assert(par.rdd.getNumPartitions == 4, "the planned bounds drive a real split read")
+    assert(par.count() == 40)
+
+    // and the loop consumes the same plan end-to-end via `partitions`
+    val secrets = Seq(
+      engineSecret("dbp.example.com", "derby", db, extra = ""","partitions":"4"""")
+        .replace(s""""jdbc_url":"jdbc:derby:$db"""", s""""path":"$db","jdbc_url":"jdbc:derby:$db""""))
+    val work = s"$base/work"
+    val manifest = CollectorLoop.runRound(spark, secrets, work, 1L).head()
+    assert(manifest.getAs[Long]("n_new") == 40)
+    assert(manifest.getAs[Long]("new_watermark") == 140)
+    assert(spark.read.parquet(s"$work/bodies").agg(sum("n_series")).head().getLong(0) == 40)
   }
 }
