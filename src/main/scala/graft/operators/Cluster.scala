@@ -39,9 +39,16 @@ object Cluster {
     // per-round state is a sliver of the corpus (only docs with a
     // near-dup pair) — coalesce so each round's checkpoint+scan doesn't
     // pay 32-partition task overhead for a few hundred rows; at real
-    // scale this constant tracks the pair-graph size, not the corpus
-    var labels = cut(edges.select(col("u").as("doc")).distinct()
-      .withColumn("label", col("doc"))
+    // scale this constant tracks the pair-graph size, not the corpus.
+    // Seed labels with least(self, min-neighbor) — one aggregation, no
+    // join — instead of the identity: LSH near-dup components are
+    // near-cliques (every similar pair shares a band), so the seed IS
+    // the fixed point for clique-shaped components and the loop's first
+    // pass is already the convergence confirmation (one round saved per
+    // entry; chain-shaped outliers still converge via the jump below)
+    var labels = cut(edges.groupBy(col("u").as("doc"))
+      .agg(min(col("v")).as("nbr"))
+      .select(col("doc"), least(col("doc"), col("nbr")).as("label"))
       .coalesce(8))
     var round = 0
     var converged = false
@@ -106,8 +113,14 @@ object Cluster {
   def softWeight: Q = (s, d) => {
     import graft.sources.Tables
     val clusters = dedupCluster(s, d)
-    val sizes = clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("csz"))
-    val perDoc = clusters.join(sizes, Seq("cluster_id"))
+    // component size via ONE window over cluster_id rather than
+    // aggregate + join-back: same values, one shuffle instead of two,
+    // and no component-keyed join for a giant near-dup cluster to skew
+    // (a pathological component still lands on one partition, but it
+    // pays one pass, not an agg + a probe)
+    val perDoc = clusters
+      .withColumn("csz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
       .select(col("doc_id"), col("csz"))
     Tables.documents(s, d)
       .join(perDoc, Seq("doc_id"), "left")

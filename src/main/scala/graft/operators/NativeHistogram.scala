@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Prometheus NATIVE histograms — the sparse exponential-bucket
+  * successor to the fixed `le` grids (the read side Prometheus 3.x is
+  * moving to; spec: standard schema n buckets cover
+  * `(base^(i-1), base^i]` with `base = 2^(2^-n)`, and only NON-EMPTY
+  * buckets are stored). Two reads:
+  *
+  *   - `prom_native_histogram_quantile` — builds each series' sparse
+  *     schema-2 histogram (base = 2^0.25) in one aggregation pass and
+  *     runs the native `histogram_quantile()` estimator: covering
+  *     bucket by cumulative count, LINEAR interpolation within the
+  *     bucket's exponential bounds (the PromQL estimator for
+  *     positive-bucket native histograms). A same-fidelity `le` grid
+  *     over the value domain would need ~1 boundary per 19% step
+  *     hard-coded END TO END; the native form stores only the ≤64
+  *     buckets the data actually hits — the ledger's `n_buckets`
+  *     column surfaces that sparsity per series.
+  *   - `prom_native_histogram_downscale` — schema 2 → schema 0
+  *     resolution merge (`idx' = ceil(idx/4)`, pure integer on bucket
+  *     INDICES): the native-histogram analog of the cumulative
+  *     rebucketing recording rule (`metrics_histogram_rebucket`), and
+  *     the compaction step a TSDB applies to age out resolution. Counts
+  *     are conserved by construction — the oracle hash-checks the
+  *     merged masses.
+  *
+  * Cross-engine determinism: bucket ASSIGNMENT never calls runtime
+  * log() — the exponential boundaries are driver-computed
+  * `StrictMath.pow` double literals embedded verbatim in BOTH engines'
+  * SQL (the repo-wide no-libm-on-decision-paths contract), so a value
+  * lands in the same bucket bit-for-bit everywhere. The quantile
+  * interpolation is plain IEEE arithmetic on identical inputs,
+  * truncated at 4 dp.
+  *
+  * Scale: one groupBy(series, idx) aggregation (map-side combined);
+  * the per-series windows run over ≤64-row sparse bucket sets, and the
+  * quantile fan-out is a 3-literal explode — nothing here grows with
+  * row volume past the first aggregation.
+  */
+object NativeHistogram {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Standard schema 2: base = 2^(1/4); indices covering the events
+    * value domain (0.01 .. ~500] with margin. */
+  val Schema = 2
+  val IdxLo = -28
+  val IdxHi = 40
+
+  /** base^i as a round-trip double literal (identical text in both
+    * engines ⇒ identical doubles ⇒ identical bucket decisions). */
+  private def bound(i: Int): String =
+    java.lang.Double.toString(StrictMath.pow(2.0, i / 4.0))
+
+  /** `CASE WHEN value <= base^i THEN i ...` — first match is the native
+    * bucket index (smallest i with v ≤ base^i). */
+  private val idxLadder: String = {
+    val whens = (IdxLo to IdxHi)
+      .map(i => s"WHEN value <= ${bound(i)} THEN $i").mkString(" ")
+    s"(CASE $whens ELSE ${IdxHi + 1} END)"
+  }
+
+  /** idx → bucket bound literal, exact CASE on the integer index. */
+  private def boundOf(idxExpr: String, off: Int): String = {
+    val whens = (IdxLo to IdxHi)
+      .map(i => s"WHEN $i THEN ${bound(i + off)}").mkString(" ")
+    s"(CASE $idxExpr $whens END)"
+  }
+
+  private val qLits = Seq("0.5e0" -> "p50", "0.9e0" -> "p90", "0.99e0" -> "p99")
+
+  def nativeQuantile: Q = (s, d) => {
+    val buckets = Tables.events(s, d)
+      .select(col("event_type"), expr(idxLadder).as("idx"))
+      .groupBy(col("event_type"), col("idx"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = buckets
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("total", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+      .withColumn("nb", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+    val est = cum
+      .select(col("event_type"), col("idx"), col("cnt"), col("cum"),
+        col("total"), col("nb"),
+        explode(array(qLits.map(q => lit(q._1.dropRight(2).toDouble)): _*)).as("q"))
+      .withColumn("target", col("q") * col("total"))
+      .filter(col("cum") >= col("target") &&
+        (col("cum") - col("cnt")) < col("target"))
+      .withColumn("lo", expr(boundOf("idx", -1)))
+      .withColumn("hi", expr(boundOf("idx", 0)))
+      .withColumn("est", expr(
+        "floor((lo + (hi - lo) * (target - (cum - cnt)) / cnt) * 1e4) / 1e4"))
+    est.groupBy(col("event_type"))
+      .agg(max(col("nb")).as("n_buckets"),
+        max(when(col("q") === 0.5, col("est"))).as("p50"),
+        max(when(col("q") === 0.9, col("est"))).as("p90"),
+        max(when(col("q") === 0.99, col("est"))).as("p99"))
+      .orderBy(col("event_type"))
+  }
+
+  val nativeQuantileSql: String =
+    s"""WITH b AS (
+          SELECT event_type, $idxLadder AS idx, count(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        c AS (
+          SELECT event_type, idx, cnt,
+                 sum(cnt) OVER (PARTITION BY event_type ORDER BY idx) AS cum,
+                 sum(cnt) OVER (PARTITION BY event_type) AS total,
+                 count(*) OVER (PARTITION BY event_type) AS nb
+          FROM b),
+        e AS (
+          SELECT event_type, nb, q,
+                 floor((${boundOf("idx", -1)}
+                        + (${boundOf("idx", 0)} - ${boundOf("idx", -1)})
+                          * (q * total - (cum - cnt)) / cnt) * 1e4) / 1e4 AS est
+          FROM c CROSS JOIN (VALUES (${qLits.map(_._1).mkString("), (")})) qs(q)
+          WHERE cum >= q * total AND cum - cnt < q * total)
+        SELECT event_type, CAST(max(nb) AS BIGINT) AS n_buckets,
+               max(CASE WHEN q = 0.5e0 THEN est END) AS p50,
+               max(CASE WHEN q = 0.9e0 THEN est END) AS p90,
+               max(CASE WHEN q = 0.99e0 THEN est END) AS p99
+        FROM e GROUP BY event_type ORDER BY event_type"""
+
+  def nativeDownscale: Q = (s, d) => {
+    Tables.events(s, d)
+      .select(col("event_type"), expr(idxLadder).as("idx"))
+      .groupBy(col("event_type"), col("idx"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket_idx", expr("cast(ceil(idx / 4.0) as int)"))
+      .groupBy(col("event_type"), col("bucket_idx"))
+      .agg(sum(col("cnt")).as("cnt"), count(lit(1)).as("n_merged"))
+      .orderBy(col("event_type"), col("bucket_idx"))
+  }
+
+  val nativeDownscaleSql: String =
+    s"""WITH b AS (
+          SELECT event_type, $idxLadder AS idx, count(*) AS cnt
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, CAST(ceil(idx / 4.0) AS INT) AS bucket_idx,
+               CAST(sum(cnt) AS BIGINT) AS cnt, count(*) AS n_merged
+        FROM b GROUP BY 1, 2 ORDER BY event_type, bucket_idx"""
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("prom_native_histogram_quantile", nativeQuantile, Some(nativeQuantileSql)),
+    ("prom_native_histogram_downscale", nativeDownscale, Some(nativeDownscaleSql)))
+}
