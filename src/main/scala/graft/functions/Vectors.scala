@@ -121,6 +121,8 @@ object Vectors {
       args => PairCombos(args.head)))
     e.injectFunction(fn("graft_simhash", classOf[PackSimhash],
       args => PackSimhash(args.head)))
+    e.injectFunction(fn("graft_lttb", classOf[LttbSelect],
+      args => LttbSelect(args(0), args(1))))
     e.injectFunction(fn("graft_snappy", classOf[SnappyCompress],
       args => SnappyCompress(args.head)))
     e.injectFunction(fn("graft_unsnappy", classOf[SnappyDecompress],

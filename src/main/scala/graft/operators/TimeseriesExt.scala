@@ -389,40 +389,15 @@ object TimeseriesExt {
     * (the same contract as the EWMA fold). */
   def downsampleLttb: Q = (s, d) => {
     val k = LttbK
+    // the selection chain (each pick anchors on the previous pick) runs
+    // in the compiled graft_lttb kernel — ONE O(n) pass per series; the
+    // former higher-order `aggregate` fold copied its growing array
+    // accumulator per bucket (O(buckets²) — the sf1 probe's 22× entry)
     samples(s, d)
       .groupBy(col("event_type"))
       .agg(sort_array(collect_list(struct(col("sec"), col("event_id"), col("v_c")))).as("pts"))
-      .withColumn("n", size(col("pts")))
-      .filter(col("n") >= 3)
-      .withColumn("nb", expr(s"(n - 2 + ${k - 1}) DIV $k"))
-      .withColumn("buckets", expr(
-        s"""transform(sequence(0, nb - 1), i -> named_struct(
-              'ps', slice(pts, 2 + i * $k, least($k, n - 2 - i * $k)),
-              'cen', CASE WHEN i < nb - 1 THEN named_struct(
-                  'sx', aggregate(slice(pts, 2 + (i + 1) * $k, least($k, n - 2 - (i + 1) * $k)),
-                                  0L, (a, p) -> a + p.sec),
-                  'sy', aggregate(slice(pts, 2 + (i + 1) * $k, least($k, n - 2 - (i + 1) * $k)),
-                                  0L, (a, p) -> a + p.v_c),
-                  'n1', CAST(least($k, n - 2 - (i + 1) * $k) AS BIGINT))
-                ELSE named_struct(
-                  'sx', element_at(pts, -1).sec,
-                  'sy', element_at(pts, -1).v_c,
-                  'n1', 1L) END))"""))
-      .withColumn("sel", expr(
-        """aggregate(buckets,
-             array(named_struct('a', 0L, 'negs', -element_at(pts, 1).sec,
-               'sec', element_at(pts, 1).sec, 'v_c', element_at(pts, 1).v_c)),
-             (acc, b) -> concat(acc, array(
-               element_at(array_sort(transform(b.ps, p -> named_struct(
-                 'a', abs((b.cen.n1 * element_at(acc, -1).sec - b.cen.sx) * (p.v_c - element_at(acc, -1).v_c)
-                        - (element_at(acc, -1).sec - p.sec) * (b.cen.sy - b.cen.n1 * element_at(acc, -1).v_c)),
-                 'negs', -p.sec,
-                 'sec', p.sec, 'v_c', p.v_c))), -1))))"""))
-      .withColumn("out", expr(
-        """concat(transform(sel, q -> named_struct('sec', q.sec, 'v_c', q.v_c)),
-                  array(named_struct('sec', element_at(pts, -1).sec,
-                                     'v_c', element_at(pts, -1).v_c)))"""))
-      .select(col("event_type"), posexplode(col("out")))
+      .filter(size(col("pts")) >= 3)
+      .select(col("event_type"), posexplode(expr(s"graft_lttb(pts, $k)")))
       .select(col("event_type"), (col("pos") + 1).cast("int").as("sel_idx"),
         col("col.sec").as("sec"), col("col.v_c").as("v_c"))
       .orderBy(col("event_type"), col("sel_idx"))

@@ -353,17 +353,23 @@ object Tpch2 {
     * bucket nulled on a deterministic rule; Spark plans `<=>` as a
     * normal hash/merge equi-join (null-safe keys still hash), NOT a
     * nested loop — same shuffle shape as `=`. The companion inner
-    * count shows exactly how many pairs a plain `=` would lose. */
+    * count shows exactly how many pairs a plain `=` would lose.
+    *
+    * SCALE: the pair COUNT is computed without materializing pairs —
+    * both sides pre-aggregate to |keys|-bounded count tables, the
+    * null-safe join runs bounded × bounded, and n_pairs = nv·nc.
+    * The naive row-level join is Σ_k nv(k)·nc(k) rows (quadratic in
+    * per-key density — the sf1 probe measured it 12× at 10× data);
+    * this form is the same answer at Σ|keys| cost. */
   def qNullSafeJoin: Q = (s, d) => {
     def side(t: String, alias: String) = Tables.events(s, d)
       .filter(col("event_type") === t)
       .select(when(get_json_object(col("props"), "$.k").cast("int") % 7 =!= 0,
         get_json_object(col("props"), "$.k").cast("int")).as(alias))
-    val views = side("view", "kn")
-    val clicks = side("click", "kc")
+    val views = side("view", "kn").groupBy(col("kn")).agg(count(lit(1)).as("nv"))
+    val clicks = side("click", "kc").groupBy(col("kc")).agg(count(lit(1)).as("nc"))
     views.join(clicks, col("kn") <=> col("kc"))
-      .groupBy(col("kn"))
-      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("kn"), (col("nv") * col("nc")).as("n_pairs"))
       .orderBy(col("kn"))
   }
 
