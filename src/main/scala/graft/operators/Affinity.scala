@@ -644,20 +644,47 @@ object Affinity {
     * the run's value is the min — and whether the run crosses depends
     * only on its last row's cumulative, which order can't change). */
   def weightedPercentile: Q = (s, d) => {
+    // distributed two-pass exact weighted percentile — the round-8 KS
+    // prefix-sum discipline instead of a row-level cumulative window:
+    // the old shape sorted the WHOLE corpus inside |returnflags|=3
+    // partitions (the sf1 probe measured it 8× at 10× data). Pass 1
+    // aggregates weights onto a ≤~110-slot arithmetic cents-bucket grid
+    // and finds each quantile's covering bucket; pass 2 runs the exact
+    // row-level cumulative ONLY inside that one covering bucket
+    // (~1/|buckets| of the corpus), seeded with the grid's prefix sum.
+    // Identical result: bucket order refines cents order, and the
+    // within-bucket tiebreak (orderkey, linenumber) never crosses a
+    // bucket boundary.
+    val BucketCents = 100000L // $1000 grid over the price domain
     val li = Tables.lineitem(s, d).select(col("l_returnflag"),
       floor(col("l_extendedprice") * 100).cast("long").as("cents"),
       col("l_quantity").cast("long").as("w"),
       col("l_orderkey"), col("l_linenumber"))
-    val wCum = Window.partitionBy(col("l_returnflag"))
+      .withColumn("bkt", expr(s"cents div $BucketCents"))
+    val bsum = li.groupBy(col("l_returnflag"), col("bkt")).agg(sum(col("w")).as("bw"))
+    val cumB = bsum
+      .withColumn("cumb", sum(col("bw")).over(Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("bw")).over(Window.partitionBy(col("l_returnflag"))))
+    val covering = cumB
+      .select(col("l_returnflag"), col("bkt"), col("bw"), col("cumb"), col("tot"),
+        explode(array(lit(50L), lit(90L))).as("q"))
+      .filter(col("cumb") * 100 >= col("q") * col("tot") &&
+        (col("cumb") - col("bw")) * 100 < col("q") * col("tot"))
+      .select(col("l_returnflag"), col("q"), col("bkt"),
+        (col("cumb") - col("bw")).as("cum0"), col("tot"))
+    val wIn = Window.partitionBy(col("l_returnflag"), col("q"))
       .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wTot = Window.partitionBy(col("l_returnflag"))
-    li.withColumn("cum", sum(col("w")).over(wCum))
-      .withColumn("tot", sum(col("w")).over(wTot))
+    li.join(broadcast(covering), Seq("l_returnflag", "bkt"))
+      .withColumn("cum", col("cum0") + sum(col("w")).over(wIn))
+      .groupBy(col("l_returnflag"), col("q"))
+      .agg(min(when(col("cum") * 100 >= col("q") * col("tot"), col("cents"))).as("wc"),
+        max(col("tot")).as("tot"))
       .groupBy(col("l_returnflag"))
       .agg(max(col("tot")).as("total_weight"),
-        min(when(col("cum") * 100 >= lit(50) * col("tot"), col("cents"))).as("w50_cents"),
-        min(when(col("cum") * 100 >= lit(90) * col("tot"), col("cents"))).as("w90_cents"))
+        max(when(col("q") === 50, col("wc"))).as("w50_cents"),
+        max(when(col("q") === 90, col("wc"))).as("w90_cents"))
       .orderBy(col("l_returnflag"))
   }
 
