@@ -757,15 +757,32 @@ object Stats {
     * ledger — rank 2 / 63 rows ARE the interval bounds. */
   def bootstrapCi: Q = (s, d) => {
     val ts = Pipeline.poissonThresholds(1.0)
-    val u = conv(substring(md5(concat(lit("boot:"), col("b").cast("string"),
-      lit(":"), col("o_orderkey").cast("string"))), 1, 13), 16, 10)
-      .cast("double") / lit(4503599627370496e0)
+    // ONE md5 yields 128 bits = TWO independent 52-bit uniforms, so the
+    // B=64 replicas need only B/2 digests per row — md5 is the dominant
+    // cost of the whole declared B·N draw budget (sf1-probe-informed;
+    // the oracle derives the identical two halves per digest)
     val w = ts.map(t => when(col("u") > lit(t), 1L).otherwise(0L)).reduce(_ + _)
+    val half = BootB / 2
+    // (a fully-wide B-column formulation — no explode, one 2B-slot
+    // aggregation — was measured SLOWER here: its ~640-branch projection
+    // pays ~14 s of fixed codegen compilation per session, dwarfing the
+    // row-explosion savings at these scales; the explode form keeps the
+    // generated code small and the B× rows combine map-side)
     val reps = Tables.orders(s, d)
       .select(col("o_orderkey"), floor(col("o_totalprice") * 100).cast("long").as("cents"))
       .select(col("o_orderkey"), col("cents"),
-        explode(sequence(lit(0), lit(BootB - 1))).as("b"))
-      .withColumn("u", u).withColumn("w", w)
+        explode(sequence(lit(0), lit(half - 1))).as("b2"))
+      .withColumn("h", md5(concat(lit("boot:"), col("b2").cast("string"),
+        lit(":"), col("o_orderkey").cast("string"))))
+      .select(col("cents"), explode(array(
+        struct(col("b2").as("b"),
+          (conv(substring(col("h"), 1, 13), 16, 10).cast("double")
+            / lit(4503599627370496e0)).as("u")),
+        struct((col("b2") + half).as("b"),
+          (conv(substring(col("h"), 14, 13), 16, 10).cast("double")
+            / lit(4503599627370496e0)).as("u")))).as("x"))
+      .select(col("cents"), col("x.b").as("b"), col("x.u").as("u"))
+      .withColumn("w", w)
       .groupBy(col("b"))
       .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("cents")).as("wcents"))
       .withColumn("mean_cents",
@@ -781,12 +798,20 @@ object Stats {
   val bootstrapCiSql: String = {
     val wExpr = Pipeline.poissonThresholds(1.0)
       .map(t => s"(CASE WHEN u > $t THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH d AS (
-          SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents, g.b,
-                 ('0x' || substr(md5('boot:' || CAST(g.b AS VARCHAR) || ':'
-                    || CAST(o_orderkey AS VARCHAR)), 1, 13))::BIGINT
-                   / 4503599627370496e0 AS u
-          FROM orders, (SELECT unnest(range(0, $BootB)) AS b) g),
+    val half = BootB / 2
+    s"""WITH hd AS (
+          SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents, g.b2,
+                 md5('boot:' || CAST(g.b2 AS VARCHAR) || ':'
+                    || CAST(o_orderkey AS VARCHAR)) AS h
+          FROM orders, (SELECT unnest(range(0, $half)) AS b2) g),
+        d AS (
+          SELECT cents, b2 AS b,
+                 ('0x' || substr(h, 1, 13))::BIGINT / 4503599627370496e0 AS u
+          FROM hd
+          UNION ALL
+          SELECT cents, b2 + $half AS b,
+                 ('0x' || substr(h, 14, 13))::BIGINT / 4503599627370496e0 AS u
+          FROM hd),
         reps AS (
           SELECT CAST(b AS INT) AS b,
                  CAST(sum($wExpr) AS BIGINT) AS n_eff,
