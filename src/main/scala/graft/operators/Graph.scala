@@ -61,9 +61,14 @@ object Graph {
     val r0 = Base / n
     val teleport = (15L * r0) / 100L
     // the degree is static: attach it to the edge list ONCE, outside
-    // the loop — each round then runs a single join + single agg
+    // the loop — each round then runs a single join + single agg. The
+    // edge list is also hash-PARTITIONED on the join key once here:
+    // localCheckpoint preserves outputPartitioning, so every round's
+    // rank⋈edge join shuffles only the node-sized rank side — the
+    // edge-sized exchange happens once, not once per round
     val eDeg = cut(e.join(deg, col("src") === col("dnode"))
-      .select(col("src"), col("dst"), col("outdeg")))
+      .select(col("src"), col("dst"), col("outdeg"))
+      .repartition(col("src")))
     // Per-round wall time is scheduler latency (eager checkpoint job +
     // two small shuffles), not data volume, and under a loaded
     // scheduler (the driver's full-suite run) each eager job queues —
