@@ -943,7 +943,65 @@ object Dedup {
                    JOIN per pb ON pb.source = source_b
         ORDER BY source_a, source_b"""
 
+  /** LSH-prefiltered edit-distance dedup — the SCALE path for
+    * `dedup_fuzzy_edit`: that entry's contract is the exact
+    * nearest-neighbor within (lang, length-band) blocks, which is
+    * Σ|block|² pairs by construction (the sf1 probe's one declared
+    * superlinear entry). This one gets its candidates from the banded
+    * MinHash join instead — candidate volume ∝ bucket collisions, not
+    * block populations — and runs the character-level Levenshtein
+    * verdict ONLY on those candidates: per doc, its nearest verified
+    * near-dup by (prefix edit distance, id) plus how many candidates
+    * LSH surfaced for it. The production pipeline composition
+    * (prefilter → exact verify) as one entry; at 100 TB the pair
+    * stage is the same bounded LSH machinery `dedup_minhash_lsh`
+    * ships. */
+  def fuzzyLsh: Q = (s, d) => {
+    // materialize the candidate pairs ONCE (the dedup_cluster
+    // discipline): the two prefix joins below would otherwise each
+    // re-derive the whole minhash pipeline under their own branch
+    val cand = graft.Checkpoints.cut(
+      minhashLsh(s, d).select(col("doc_a"), col("doc_b")))
+    val pref = Tables.documents(s, d)
+      .select(col("doc_id"), substring(col("text"), 1, FuzzyPrefix).as("prefix"))
+    val half = cand
+      .join(pref.select(col("doc_id").as("doc_a"), col("prefix").as("pa")), "doc_a")
+      .join(pref.select(col("doc_id").as("doc_b"), col("prefix").as("pb")), "doc_b")
+      .withColumn("edit_distance", levenshtein(col("pa"), col("pb")))
+      .select(col("doc_a"), col("doc_b"), col("edit_distance"))
+    val sym = half.unionByName(half.select(col("doc_b").as("doc_a"),
+      col("doc_a").as("doc_b"), col("edit_distance")))
+    sym.groupBy(col("doc_a").as("doc_id"))
+      .agg(count(lit(1)).as("n_cands"),
+        min(struct(col("edit_distance"), col("doc_b"))).as("m"))
+      .select(col("doc_id"), col("n_cands"),
+        col("m").getField("doc_b").as("nn_doc_id"),
+        col("m").getField("edit_distance").as("edit_distance"))
+      .orderBy(col("doc_id"))
+  }
+
+  val fuzzyLshSql: String =
+    s"""WITH cand AS ($minhashLshSql),
+       p AS (SELECT doc_id, substr(text, 1, $FuzzyPrefix) AS prefix FROM documents),
+       h AS (
+         SELECT c.doc_a, c.doc_b,
+                CAST(levenshtein(pa.prefix, pb.prefix) AS INT) AS edit_distance
+         FROM cand c
+         JOIN p pa ON c.doc_a = pa.doc_id
+         JOIN p pb ON c.doc_b = pb.doc_id),
+       sym AS (
+         SELECT * FROM h
+         UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b, edit_distance FROM h)
+       SELECT doc_id, n_cands, nn_doc_id, edit_distance FROM (
+         SELECT doc_a AS doc_id, doc_b AS nn_doc_id, edit_distance,
+                CAST(count(*) OVER (PARTITION BY doc_a) AS BIGINT) AS n_cands,
+                row_number() OVER (
+                  PARTITION BY doc_a ORDER BY edit_distance, doc_b) AS rn
+         FROM sym) t
+       WHERE rn = 1 ORDER BY doc_id"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("dedup_fuzzy_lsh", fuzzyLsh, Some(fuzzyLshSql)),
     ("dedup_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
     ("dedup_lsh_tuning", lshTuning, Some(lshTuningSql)),
     ("dedup_winnow", winnow, Some(winnowSql)),

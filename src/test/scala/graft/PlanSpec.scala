@@ -158,7 +158,7 @@ class PlanSweepSpec extends SparkTestBase {
   // are exercised by their own suites; the sweep covers the rest
   private val skip = Set(
     "ann_ivf_topk", "ann_ivf_tuning", "ann_pq_topk", "ann_pq_packed", "dedup_cluster",
-    "q_exact_global_median", "sketch_theta_distinct", "sketch_sample_quantile",
+    "q_exact_global_median", "sketch_theta_distinct", "sketch_sample_quantile", "dedup_fuzzy_lsh",
     "sink_bucketed_join", "sink_bucketed_multi", "sink_partitioned_scan",
     "sink_compaction_scan", "sink_csv_roundtrip", "sink_json_roundtrip",
     "sink_zorder_scan", "sink_bucket_lookup", "sink_partition_overwrite", "source_schema_evolution", "sink_merge_on_read", "idx_secondary_lookup", "graph_pagerank", "graph_kcore", "ann_ivf_pq_topk", "sketch_set_ops",
