@@ -9,8 +9,9 @@ import org.apache.spark.sql.SparkSession
   * skew-join splitting, partition coalescing) and UTC session time.
   */
 object Engine {
-  def session(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession = {
-    val spark = SparkSession
+  def session(master: String = "local[32]", shufflePartitions: Int = 32,
+      extraConf: Map[String, String] = Map.empty): SparkSession = {
+    val builder = SparkSession
       .builder()
       .master(master)
       .appName("graft")
@@ -27,6 +28,7 @@ object Engine {
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
+    val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -1,27 +1,78 @@
 package graft
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.{ConcurrentLinkedQueue, Executors, TimeUnit}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * The dump runs entries on N concurrent threads of ONE warm session
+  * (local[32] schedules all their tasks side by side) — a serial dump of
+  * 368 small sf0.01 queries is latency-bound on per-query plan/launch
+  * overhead, not CPU, and had outgrown the driver's wall-clock budget
+  * (two straight rounds of empty CORRECTNESS captures). Entries are
+  * independent single-shot DataFrame programs; the only cross-entry
+  * mutable state is the shared bucketed-lineitem layout
+  * (`sink_bucketed_join` drops + rebuilds the table that
+  * `sink_bucket_lookup` reads), so those run in one serial lane.
+  *
+  * Env knobs: SPARK_GRAFT_CPUS (local[N], default 32),
+  * SPARK_GRAFT_VERIFY_THREADS (dump threads, default 8; 1 = the old
+  * fully-serial behavior). Extra args after (sfDir, outDir) restrict the
+  * dump to the named entries — incremental re-gates while iterating.
+  */
 object Verify {
+  /** Entries that mutate a layout another entry reads: never dump these
+    * concurrently with each other. */
+  private val SerialLane = Seq("sink_bucketed_join", "sink_bucket_lookup")
+
   def main(args: Array[String]): Unit = {
     // driver contract: exactly (sfDir, outDir). Extra args are a
     // local-iteration convenience: dump only the named entries.
     val sfDir = args(0); val outDir = args(1)
     val only = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "8").toInt
+      .max(1)
     // Engine.session, not a bare builder: the graft_* native functions
-    // are registered via extensions and must exist here too.
-    val spark = Engine.session(master = s"local[$cpus]", shufflePartitions = cpus)
+    // are registered via extensions and must exist here too. FAIR
+    // scheduling interleaves the concurrent dump jobs' tasks instead of
+    // queueing whole jobs behind one long straggler.
+    val spark = Engine.session(master = s"local[$cpus]", shufflePartitions = cpus,
+      extraConf = Map("spark.scheduler.mode" -> "FAIR"))
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
+
+    val t0 = System.nanoTime()
+    val failed = new ConcurrentLinkedQueue[String]
+    def dump(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed.add(name)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+
+    val picked = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+    val (serial, parallel) =
+      picked.toSeq.sortBy(_._1).partition(e => SerialLane.contains(e._1))
+    val pool = Executors.newFixedThreadPool(threads)
+    // the serial lane is itself one task: its entries run in a fixed
+    // order relative to EACH OTHER, concurrently with everything else
+    if (serial.nonEmpty) pool.submit(new Runnable {
+      def run(): Unit =
+        SerialLane.flatMap(n => serial.find(_._1 == n))
+          .foreach { case (n, f) => dump(n, f) }
+    })
+    parallel.foreach { case (name, fn) =>
+      pool.submit(new Runnable { def run(): Unit = dump(name, fn) })
     }
+    pool.shutdown()
+    pool.awaitTermination(7, TimeUnit.DAYS)
+    val secs = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"[verify] dumped ${picked.size - failed.size()}/${picked.size} " +
+      f"entries in $secs%.1f s ($threads threads, local[$cpus])" +
+      (if (failed.isEmpty) "" else s"; FAILED: ${failed.toArray.mkString(", ")}"))
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

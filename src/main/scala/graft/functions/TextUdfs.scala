@@ -53,10 +53,19 @@ object TextKernels {
   }
 
   /** All unordered (a < b) pairs of a sorted id list — compiled combo
-    * generation for the shared-shingle candidate step. */
+    * generation for the shared-shingle candidate step. Callers are
+    * expected to df-cap hot keys BEFORE expanding pairs; if one slips
+    * through, fail loudly rather than mis-size: n ≥ 65,537 overflows
+    * n*(n-1)/2 in Int (the old UDF clamped an ArrayBuffer hint and
+    * silently kept going — a behavior hole, not a contract). */
   def pairCombos(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
-    val out = new Array[Any](n * (n - 1) / 2)
+    val nPairs = n.toLong * (n - 1) / 2
+    if (nPairs > Int.MaxValue - 8)
+      throw new IllegalArgumentException(
+        s"graft_pairs: $n ids share one key -> $nPairs pairs overflows a single " +
+          "array; cap the block (document-frequency cap) before pair expansion")
+    val out = new Array[Any](nPairs.toInt)
     var idx = 0
     var i = 0
     while (i < n) {

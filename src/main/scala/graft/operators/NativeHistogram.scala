@@ -64,11 +64,18 @@ object NativeHistogram {
     s"(CASE $whens ELSE ${IdxHi + 1} END)"
   }
 
-  /** idx → bucket bound literal, exact CASE on the integer index. */
-  private def boundOf(idxExpr: String, off: Int): String = {
+  /** idx → bucket bound literal, exact CASE on the integer index.
+    * The overflow bucket (IdxHi+1 — values past bound(IdxHi)) has no
+    * finite exponential bounds: if it ever COVERS a requested quantile
+    * the estimate is undefined, so that branch fails loudly in both
+    * engines (`errFn` = `raise_error` in Spark / `error` in DuckDB)
+    * instead of the silent NULL p50/p90/p99 a missing branch yields. */
+  private def boundOf(idxExpr: String, off: Int, errFn: String): String = {
     val whens = (IdxLo to IdxHi)
       .map(i => s"WHEN $i THEN ${bound(i + off)}").mkString(" ")
-    s"(CASE $idxExpr $whens END)"
+    val overflowMsg = s"native histogram: quantile falls in the overflow " +
+      s"bucket (value > ${bound(IdxHi)}) - widen IdxHi"
+    s"(CASE $idxExpr $whens WHEN ${IdxHi + 1} THEN $errFn('$overflowMsg') END)"
   }
 
   private val qLits = Seq("0.5e0" -> "p50", "0.9e0" -> "p90", "0.99e0" -> "p99")
@@ -94,8 +101,8 @@ object NativeHistogram {
       .withColumn("target", col("q") * col("total"))
       .filter(col("cum") >= col("target") &&
         (col("cum") - col("cnt")) < col("target"))
-      .withColumn("lo", expr(boundOf("idx", -1)))
-      .withColumn("hi", expr(boundOf("idx", 0)))
+      .withColumn("lo", expr(boundOf("idx", -1, "raise_error")))
+      .withColumn("hi", expr(boundOf("idx", 0, "raise_error")))
       .withColumn("est", expr(
         "floor((lo + (hi - lo) * (target - (cum - cnt)) / cnt) * 1e4) / 1e4"))
     est.groupBy(col("event_type"))
@@ -118,8 +125,8 @@ object NativeHistogram {
           FROM b),
         e AS (
           SELECT event_type, nb, q,
-                 floor((${boundOf("idx", -1)}
-                        + (${boundOf("idx", 0)} - ${boundOf("idx", -1)})
+                 floor((${boundOf("idx", -1, "error")}
+                        + (${boundOf("idx", 0, "error")} - ${boundOf("idx", -1, "error")})
                           * (q * total - (cum - cnt)) / cnt) * 1e4) / 1e4 AS est
           FROM c CROSS JOIN (VALUES (${qLits.map(_._1).mkString("), (")})) qs(q)
           WHERE cum >= q * total AND cum - cnt < q * total)

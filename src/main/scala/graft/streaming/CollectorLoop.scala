@@ -24,9 +24,13 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
   *      a per-engine scraper list: mysql-exporter.go:12-48 global
   *      status/variables/processlist, postgres-exporter.go:1-34
   *      pg_stat_database, oracle-exporter.go:1-33 v$ views) and keep
-  *      only rows past the source's stored watermark
-  *      (`source_incremental_read` semantics; the `ts_sec > wm`
-  *      predicate pushes into the remote WHERE). A source whose secret
+  *      only rows past the stored watermark of that (source, scraper
+  *      family) pair (`source_incremental_read` semantics; the
+  *      `ts_sec > wm` predicate pushes into the remote WHERE).
+  *      Watermarks are per-FAMILY, not per-source: one source's
+  *      families capture independently, and a shared watermark jumped
+  *      to the fastest family's max(ts_sec) would silently drop a
+  *      lagging family's late rows forever. A source whose secret
   *      carries `partitions` fans the scrape out over planned bounds
   *      (`source_partition_bounds` semantics) as N parallel range
   *      queries. All (source × scraper) reads union into ONE plan that
@@ -49,7 +53,7 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
   *      advance). The sigv4-signed HTTP POST stays out of scope (AWS
   *      infra); the bodies parquet is the push boundary.
   *
-  * Round state (registry snapshot, per-source watermarks) and outputs
+  * Round state (registry snapshot, per-(source, scraper) watermarks) and outputs
   * (manifest, bodies — both partitioned by round) live under a work
   * directory as parquet — tiny |sources|-bounded tables, re-readable on
   * restart, so the loop is a restartable foreachBatch pipeline rather
@@ -74,15 +78,36 @@ object CollectorLoop {
     * every downstream body is engine-attributable from its series names
     * alone. Stand-ins for the unqueryable originals (SHOW GLOBAL
     * STATUS, pg_stat_database, v$sysstat) so they run on any
-    * JDBC-speaking engine, embedded Derby included. */
+    * JDBC-speaking engine, embedded Derby included.
+    *
+    * The mysql set mirrors the reference's ENABLED scraper map exactly
+    * (mysql-exporter.go:13-42: GlobalStatus, GlobalVariables,
+    * SlaveStatus, InnodbCmp, InnodbCmpMem, QueryResponseTime — and
+    * notably NOT Processlist, which the reference turns off at
+    * mysql-exporter.go:16); metric prefixes follow mysqld_exporter's
+    * public naming (`mysql_global_status_*`, `mysql_global_variables_*`,
+    * `mysql_slave_status_*`, `mysql_info_schema_innodb_cmp[_mem]_*`,
+    * `mysql_info_schema_query_response_time_*`). */
   val scrapeQueries: Map[String, Seq[(String, String)]] = Map(
     "mysql" -> Seq(
       "global_status" ->
         ("SELECT 'mysql_global_status_' || LOWER(variable_name) AS name, " +
           "variable_value AS val, captured_sec AS ts_sec FROM global_status"),
-      "processlist" ->
-        ("SELECT 'mysql_processlist_' || LOWER(state) AS name, " +
-          "CAST(n_threads AS DOUBLE) AS val, captured_sec AS ts_sec FROM processlist_summary")),
+      "global_variables" ->
+        ("SELECT 'mysql_global_variables_' || LOWER(variable_name) AS name, " +
+          "variable_value AS val, captured_sec AS ts_sec FROM global_variables"),
+      "slave_status" ->
+        ("SELECT 'mysql_slave_status_' || LOWER(stat_name) AS name, " +
+          "stat_value AS val, captured_sec AS ts_sec FROM slave_status"),
+      "innodb_cmp" ->
+        ("SELECT 'mysql_info_schema_innodb_cmp_' || LOWER(stat_name) AS name, " +
+          "stat_value AS val, captured_sec AS ts_sec FROM innodb_cmp"),
+      "innodb_cmp_mem" ->
+        ("SELECT 'mysql_info_schema_innodb_cmp_mem_' || LOWER(stat_name) AS name, " +
+          "stat_value AS val, captured_sec AS ts_sec FROM innodb_cmp_mem"),
+      "query_response_time" ->
+        ("SELECT 'mysql_info_schema_query_response_time_' || LOWER(stat_name) AS name, " +
+          "stat_value AS val, captured_sec AS ts_sec FROM query_response_time")),
     "postgres" -> Seq(
       "pg_stat_database" ->
         ("SELECT 'pg_stat_database_' || LOWER(stat_name) AS name, " +
@@ -177,11 +202,16 @@ object CollectorLoop {
 
     // 3. per-source incremental scrape: every engine runs ITS OWN
     // scraper templates; the watermark predicate pushes into each
-    // remote query's WHERE
+    // remote query's WHERE. Watermarks are keyed by (source_id,
+    // scraper): the families of one source capture independently, and a
+    // shared per-source watermark advanced to max(ts_sec) across ALL
+    // families would permanently skip a lagging family's late rows —
+    // silent sample loss the exactly-once machinery can't see.
     val wmPath = s"$workDir/watermarks"
-    val storedWm: Map[String, Long] =
+    val storedWm: Map[(String, String), Long] =
       if (exists(spark, wmPath))
-        spark.read.parquet(wmPath).as[(String, Long)].collect().toMap
+        spark.read.parquet(wmPath).as[(String, String, Long)].collect()
+          .map { case (id, fam, w) => (id, fam) -> w }.toMap
       else Map.empty
     val scraped: Seq[DataFrame] = enrolled.toSeq.flatMap { r =>
       val id = r.getAs[String]("source_id")
@@ -189,9 +219,9 @@ object CollectorLoop {
       val baseConf = Seq("engine", "format", "path", "host", "port", "username",
         "password", "dbname", "jdbc_url", "partitions")
         .flatMap(k => Option(r.getAs[String](k)).map(k -> _)).toMap
-      val wm = storedWm.getOrElse(id, Long.MinValue)
       val nParts = baseConf.get("partitions").map(_.toInt).getOrElse(1)
       scrapersFor(engine).map { case (family, sql) =>
+        val wm = storedWm.getOrElse((id, family), Long.MinValue)
         val isJdbc = baseConf.getOrElse("format", "jdbc") == "jdbc"
         val rows =
           if (!isJdbc) SourceRegistry.read(spark, baseConf + ("dbtable" -> ScrapeTable))
@@ -254,17 +284,25 @@ object CollectorLoop {
     val nBodies = spooled.select(col("source_id"), col("name")).distinct().count()
     publishRound(spark, s"$workDir/bodies", round, bodiesDf, nBodies)
 
-    // 4b. manifest from the spool's per-source stats (|sources|-bounded)
-    val counts: Map[String, (Long, Long)] = spooled
-      .groupBy(col("source_id"))
+    // 4b. manifest from the spool's per-(source, scraper) stats
+    // (|sources × families|-bounded): each family's count and max
+    // ts_sec feed ITS OWN watermark; the manifest row summarizes a
+    // source as (old = most-behind family's stored watermark, new =
+    // most-ahead family's post-round watermark, n = total new rows)
+    val famCounts: Map[(String, String), (Long, Long)] = spooled
+      .groupBy(col("source_id"), col("scraper"))
       .agg(count(lit(1)).as("n"), max(col("ts_sec")).as("mx"))
       .collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
       .toMap
     val manifestRows = status.toSeq.sortBy(_._1).map { case (id, st) =>
-      val wm = storedWm.getOrElse(id, Long.MinValue)
-      val (n, newWm) = counts.getOrElse(id, (0L, wm))
-      (id, cur.getOrElse(id, prev.getOrElse(id, "unknown")), st, wm, n, newWm)
+      val engine = cur.getOrElse(id, prev.getOrElse(id, "unknown"))
+      val fams = scrapersFor(engine).map(_._1)
+      val oldWm = fams.map(f => storedWm.getOrElse((id, f), Long.MinValue)).min
+      val n = famCounts.collect { case ((i, _), (c, _)) if i == id => c }.sum
+      val newWm = fams.map(f => famCounts.get((id, f)).map(_._2)
+        .getOrElse(storedWm.getOrElse((id, f), Long.MinValue))).max
+      (id, engine, st, oldWm, n, newWm)
     }
     val manifestDf = manifestRows
       .toDF("source_id", "engine", "status", "old_watermark", "n_new", "new_watermark")
@@ -277,9 +315,10 @@ object CollectorLoop {
     // point leaves the watermarks unmoved and the restarted round
     // replaces its own round=N dirs — exactly-once outputs per round
     cur.toSeq.toDF("source_id", "engine").write.mode("overwrite").parquet(regPath)
-    val newWms = (storedWm ++ counts.map { case (id, (_, w)) => id -> w })
-      .filter { case (id, _) => cur.contains(id) || storedWm.contains(id) }
-    newWms.toSeq.toDF("source_id", "watermark")
+    val newWms = (storedWm ++ famCounts.map { case (k, (_, w)) => k -> w })
+      .filter { case (k @ (id, _), _) => cur.contains(id) || storedWm.contains(k) }
+    newWms.toSeq.map { case ((id, fam), w) => (id, fam, w) }
+      .toDF("source_id", "scraper", "watermark")
       .write.mode("overwrite").parquet(wmPath)
     deleteDir(spark, spool)
 

@@ -202,15 +202,31 @@ class CollectorLoopSpec extends SparkTestBase {
         "tags":{"${graft.sources.SourceRegistry.EnabledTagKey}":"true"}}"""
       .replaceAll("\n\\s*", "")
 
-  test("per-engine templates: mysql and postgres scrape different shapes in one round; bodies label the engine") {
+  /** All six mysql-shaped stats relations (the stand-ins for the
+    * reference's ENABLED mysqld scrapers, mysql-exporter.go:13-42) plus
+    * a processlist table that must NOT be scraped (the reference
+    * disables ScrapeProcesslist, mysql-exporter.go:16). */
+  private def mysqlDdl: Seq[String] = Seq(
+    "CREATE TABLE global_status (variable_name VARCHAR(64), variable_value DOUBLE, captured_sec BIGINT)",
+    "CREATE TABLE global_variables (variable_name VARCHAR(64), variable_value DOUBLE, captured_sec BIGINT)",
+    "CREATE TABLE slave_status (stat_name VARCHAR(64), stat_value DOUBLE, captured_sec BIGINT)",
+    "CREATE TABLE innodb_cmp (stat_name VARCHAR(64), stat_value DOUBLE, captured_sec BIGINT)",
+    "CREATE TABLE innodb_cmp_mem (stat_name VARCHAR(64), stat_value DOUBLE, captured_sec BIGINT)",
+    "CREATE TABLE query_response_time (stat_name VARCHAR(64), stat_value DOUBLE, captured_sec BIGINT)",
+    "CREATE TABLE processlist_summary (state VARCHAR(64), n_threads INT, captured_sec BIGINT)")
+
+  test("per-engine templates: mysql runs all six enabled reference scrapers (and no processlist); bodies label the engine") {
     val base = java.nio.file.Files.createTempDirectory("graft_loop_eng").toString
-    // mysql-shaped stats relations (stand-ins for SHOW GLOBAL STATUS /
-    // SHOW PROCESSLIST — the reference's mysql-exporter scraper list)
-    mkDb(s"$base/my", Seq(
-      "CREATE TABLE global_status (variable_name VARCHAR(64), variable_value DOUBLE, captured_sec BIGINT)",
+    mkDb(s"$base/my", mysqlDdl ++ Seq(
       "INSERT INTO global_status VALUES ('Threads_running', 7.0, 100), ('Uptime', 5000.0, 100)",
-      "CREATE TABLE processlist_summary (state VARCHAR(64), n_threads INT, captured_sec BIGINT)",
-      "INSERT INTO processlist_summary VALUES ('executing', 3, 100), ('idle', 12, 100)"))
+      "INSERT INTO global_variables VALUES ('max_connections', 151.0, 100)",
+      "INSERT INTO slave_status VALUES ('seconds_behind_master', 0.0, 100)",
+      "INSERT INTO innodb_cmp VALUES ('compress_ops', 42.0, 100)",
+      "INSERT INTO innodb_cmp_mem VALUES ('pages_used', 9.0, 100)",
+      "INSERT INTO query_response_time VALUES ('queries_100ms', 17.0, 100)",
+      // present in the database but NOT in the enabled scraper set:
+      // rows here must never surface as series
+      "INSERT INTO processlist_summary VALUES ('executing', 3, 100)"))
     // postgres-shaped stats relation (stand-in for pg_stat_database)
     mkDb(s"$base/pg", Seq(
       "CREATE TABLE pg_stat_database (stat_name VARCHAR(64), stat_value DOUBLE, captured_sec BIGINT)",
@@ -222,21 +238,28 @@ class CollectorLoopSpec extends SparkTestBase {
 
     val manifest = CollectorLoop.runRound(spark, secrets, work, 1L)
       .collect().map(r => r.getAs[String]("source_id") -> r).toMap
-    // each engine ran ITS OWN scraper set: mysql = 2 scrapers × 2 rows,
-    // postgres = 1 scraper × 2 rows
+    // each engine ran ITS OWN scraper set: mysql = 6 scrapers → 7 rows
+    // (processlist's row does NOT count), postgres = 1 scraper × 2 rows
     assert(manifest("my1.example.com:1527").getAs[String]("engine") == "mysql")
-    assert(manifest("my1.example.com:1527").getAs[Long]("n_new") == 4)
+    assert(manifest("my1.example.com:1527").getAs[Long]("n_new") == 7)
     assert(manifest("pg1.example.com:1527").getAs[String]("engine") == "postgres")
     assert(manifest("pg1.example.com:1527").getAs[Long]("n_new") == 2)
 
     val bodies = spark.read.parquet(s"$work/bodies")
       .select("source_id", "engine", "metric_name", "n_series").collect()
     val byEngine = bodies.groupBy(_.getAs[String]("engine"))
-    // bodies label the engine, and the metric names carry the
-    // exporter-style engine prefix (mysql_global_status_* / pg_stat_*)
+    // bodies label the engine, the metric names carry mysqld_exporter's
+    // public prefixes for ALL SIX enabled scraper families, and no
+    // processlist series exists anywhere in the round's output
     assert(byEngine("mysql").map(_.getAs[String]("metric_name")).toSet ==
       Set("mysql_global_status_threads_running", "mysql_global_status_uptime",
-        "mysql_processlist_executing", "mysql_processlist_idle"))
+        "mysql_global_variables_max_connections",
+        "mysql_slave_status_seconds_behind_master",
+        "mysql_info_schema_innodb_cmp_compress_ops",
+        "mysql_info_schema_innodb_cmp_mem_pages_used",
+        "mysql_info_schema_query_response_time_queries_100ms"))
+    assert(!bodies.exists(_.getAs[String]("metric_name").contains("processlist")),
+      "the reference disables ScrapeProcesslist; the loop must not scrape it")
     assert(byEngine("postgres").map(_.getAs[String]("metric_name")).toSet ==
       Set("pg_stat_database_xact_commit", "pg_stat_database_blks_read"))
     // every body decodes to one WriteRequest TimeSeries per sample
@@ -282,6 +305,46 @@ class CollectorLoopSpec extends SparkTestBase {
     val m2 = spark.read.parquet(s"$work/manifest")
       .filter(col("round") === 2).head()
     assert(m2.getAs[Long]("old_watermark") == 100 && m2.getAs[Long]("n_new") == 0)
+  }
+
+  test("per-family watermarks: a lagging scraper family's late rows are not skipped by a faster family's advance") {
+    val base = java.nio.file.Files.createTempDirectory("graft_loop_wm").toString
+    val db = s"$base/my"
+    // round 1: global_status has captured up to 100, innodb_cmp only to
+    // 90 — the families of ONE source are at different capture points
+    mkDb(db, mysqlDdl ++ Seq(
+      "INSERT INTO global_status VALUES ('Uptime', 5000.0, 100)",
+      "INSERT INTO innodb_cmp VALUES ('compress_ops', 1.0, 90)"))
+    val secrets = Seq(engineSecret("wm1.example.com", "mysql", db))
+    val work = s"$base/work"
+    CollectorLoop.runRound(spark, secrets, work, 1L)
+
+    // the stored watermarks are per (source_id, scraper): 100 for
+    // global_status, 90 for innodb_cmp — NOT one shared max
+    val wms = spark.read.parquet(s"$work/watermarks")
+      .collect().map(r => r.getAs[String]("scraper") -> r.getAs[Long]("watermark")).toMap
+    assert(wms("global_status") == 100 && wms("innodb_cmp") == 90,
+      s"per-family watermarks expected, got $wms")
+
+    // between rounds the lagging family's sample at ts 95 arrives —
+    // INSIDE (90, 100]: a per-source watermark at max(100) would skip
+    // it forever; the per-family watermark at 90 must ship it
+    val c = java.sql.DriverManager.getConnection(s"jdbc:derby:$db", "u", "p")
+    try {
+      val st = c.createStatement()
+      st.executeUpdate("INSERT INTO innodb_cmp VALUES ('compress_ops_ok', 2.0, 95)")
+      st.close()
+    } finally c.close()
+    val m2 = CollectorLoop.runRound(spark, secrets, work, 2L).head()
+    assert(m2.getAs[Long]("n_new") == 1, "the late innodb_cmp sample ships in round 2")
+    val r2names = spark.read.parquet(s"$work/bodies")
+      .filter(col("round") === 2).select("metric_name")
+      .collect().map(_.getString(0)).toSet
+    assert(r2names == Set("mysql_info_schema_innodb_cmp_compress_ops_ok"))
+    // and the families' watermarks advanced independently again
+    val wms2 = spark.read.parquet(s"$work/watermarks")
+      .collect().map(r => r.getAs[String]("scraper") -> r.getAs[Long]("watermark")).toMap
+    assert(wms2("global_status") == 100 && wms2("innodb_cmp") == 95)
   }
 
   test("partitioned scrape: bounds-planned split read returns the same rows as the serial read") {

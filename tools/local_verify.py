@@ -57,8 +57,11 @@ def main():
         got = con.execute(f"SELECT * FROM read_parquet({files!r})").df() if files \
             else pd.DataFrame()
         if name not in oracle:
+            # informational only: a legitimately-empty result is not a
+            # failure, so record the row count rather than a pass/fail
+            # derived from non-emptiness
             print(f"  {name:34s} rows-only: {len(got)} rows")
-            record(name, len(got) > 0, None, None, "rows-only (no oracle)")
+            record(name, None, None, None, f"rows-only (no oracle): {len(got)} rows")
             continue
         try:
             exp = con.execute(oracle[name]).df()
