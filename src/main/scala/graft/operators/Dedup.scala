@@ -414,30 +414,46 @@ object Dedup {
         FROM cand WHERE bit_count(xor(sa, sb)) <= 3
         ORDER BY doc_a, doc_b"""
 
-  /** Embedding near-dup pairs: label-blocked join, cosine ≥ 0.4. */
+  /** Embedding near-dup pairs: (label, semantic-cell)-blocked join
+    * with top-2 multi-probe, cosine ≥ 0.4. The cells come from the
+    * CORPUS-SCALED coarse quantizer shared with `dedup_semantic`
+    * ([[Similarity.semProbe]]: K = max(16, ceil(N/125)), so E|cell|
+    * stays flat and the pair stage is linear in the corpus — a
+    * label-only block has a FIXED key count, which made this entry
+    * quadratic (the r9 sf1 probe's 6.7×). Each vector probes its 2
+    * nearest cells, so pairs straddling a Voronoi boundary stay
+    * candidates (the standard multi-probe recall repair); within-cell
+    * cosines are exact, a pair sharing both cells dedups via the
+    * scalar-column distinct. */
   def embeddingCosine: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("v"))
-      .withColumn("n2", expr("graft_norm2(v)"))
-    val a = emb.select(col("vec_id").as("vec_a"), col("label"),
+    // the probe table feeds both join sides — cut the lineage so the
+    // quantizer scoring runs once
+    val probes = graft.Checkpoints.cut(Similarity.semProbe(s, d, 2))
+    val a = probes.select(col("vec_id").as("vec_a"), col("label"), col("cell"),
       col("v").as("va"), col("n2").as("n2a"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("label"),
+    val b = probes.select(col("vec_id").as("vec_b"), col("label"), col("cell"),
       col("v").as("vb"), col("n2").as("n2b"))
-    a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+    a.join(b, Seq("label", "cell")).filter(col("vec_a") < col("vec_b"))
       .withColumn("dot", expr("graft_dot(va, vb)"))
       .select(col("vec_a"), col("vec_b"), col("label"),
         trunc4(col("dot") / (sqrt(col("n2a")) * sqrt(col("n2b")))).as("cosine"))
       .filter(col("cosine") >= 0.4)
+      .distinct()
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
   val embeddingCosineSql: String =
-    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-              floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 10000) / 10000.0 AS cosine
-       FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-       WHERE floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 10000) / 10000.0 >= 0.4
-       ORDER BY vec_a, vec_b"""
+    s"""WITH ${Similarity.semCtes},
+       ${Similarity.semProbeSql(2)},
+       pp AS (
+         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, ea.label,
+                floor(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) * 10000) / 10000.0 AS cosine
+         FROM sem_probe a JOIN sem_probe b
+           ON b.cell = a.cell AND b.vec_id > a.vec_id
+         JOIN embeddings ea ON ea.vec_id = a.vec_id
+         JOIN embeddings eb ON eb.vec_id = b.vec_id AND eb.label = ea.label)
+       SELECT vec_a, vec_b, label, cosine FROM pp
+       WHERE cosine >= 0.4 ORDER BY vec_a, vec_b"""
 
   /** The ACTION side of dedup: the drop-list. Docs sharing a canonical
     * fingerprint (sorted distinct tokens — catches shuffled/reordered
@@ -467,27 +483,51 @@ object Dedup {
   val FuzzyBand = 40
   val FuzzyPrefix = 60
 
+  /** Block-population cap for `dedup_fuzzy_edit`: a (lang, band)
+    * block bigger than this is deterministically sharded by a content
+    * hash into ceil(|block|/FuzzyCap) pieces, so the pair stage is
+    * Σ|shard|² ≈ N·FuzzyCap — linear in the corpus instead of the
+    * unbounded Σ|block|² quadratic (the r9 sf1 probe's 16.9×; with
+    * the cap the measured sf0.1→sf1 wall-clock ratio is ~3× at 10×
+    * data, pair volume ratio 17×→plateau ~c/2 per doc). 128 keeps
+    * every gate-scale block (≤25 docs at sf0.01) far under the cap —
+    * sharding only ever activates where the quadratic would bite. */
+  val FuzzyCap = 128
+
   /** Fuzzy near-dup by edit distance: each document's nearest
     * neighbor (smallest levenshtein over a fixed 60-char normalized
-    * prefix) within its (lang, 40-char length-band) block.
-    * Threshold-free — ranking instead of a tuned cutoff — so the
-    * operator is well-defined at every corpus scale. Cost control is
-    * explicit: the blocked self-join bounds candidates to |block|²,
-    * the DP to the fixed prefix, and each unordered pair runs the DP
-    * ONCE (a_id < b_id, localCheckpoint so the union doesn't
-    * recompute it) before symmetrizing — the row_number then picks
-    * the per-probe minimum. At 100 TB the block key gains a coarse
-    * content band (e.g. a simhash byte) to keep blocks bounded. */
+    * prefix) within its (lang, 40-char length-band, content-shard)
+    * block. Threshold-free — ranking instead of a tuned cutoff — so
+    * the operator is well-defined at every corpus scale. Cost control
+    * is explicit: blocks are CAPPED — a block past FuzzyCap docs is
+    * sharded by md5 of the prefix's 12-char head into
+    * ceil(|block|/FuzzyCap) pieces (content-correlated, so docs whose
+    * prefixes agree on the head stay comparable; the same hash rule
+    * runs in both engines), the DP runs over the fixed prefix, and
+    * each unordered pair runs the DP ONCE (a_id < b_id,
+    * localCheckpoint so the union doesn't recompute it) before
+    * symmetrizing — the argmin then picks the per-probe minimum.
+    * Below the cap the shard key is constant 0 and the result is
+    * EXACTLY the uncapped in-block nearest neighbor (DedupSpec proves
+    * the equivalence; the uncapped exact form survives there as the
+    * brute-force verifier). The production prefilter→verify
+    * composition is its sibling `dedup_fuzzy_lsh`. */
   def fuzzyEdit: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val blockW = Window.partitionBy(col("lang"), col("band"))
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         floor(col("n_chars") / FuzzyBand).as("band"),
         substring(col("text"), 1, FuzzyPrefix).as("prefix"))
+      .withColumn("shard", pmod(
+        conv(substring(md5(substring(col("prefix"), 1, 12)), 1, 15), 16, 10)
+          .cast("long"),
+        ceil(count(lit(1)).over(blockW) / lit(FuzzyCap.toDouble)).cast("long")))
     val a = docs.select(col("doc_id").as("a_id"), col("lang"), col("band"),
-      col("prefix").as("a_prefix"))
+      col("shard"), col("prefix").as("a_prefix"))
     val b = docs.select(col("doc_id").as("b_id"), col("lang"), col("band"),
-      col("prefix").as("b_prefix"))
-    val half = a.join(b, Seq("lang", "band")).filter(col("a_id") < col("b_id"))
+      col("shard"), col("prefix").as("b_prefix"))
+    val half = a.join(b, Seq("lang", "band", "shard")).filter(col("a_id") < col("b_id"))
       // the block join has few keys (|langs|×|bands|) — rebalance the
       // candidate pairs across all cores BEFORE the DP runs, or the
       // biggest language's blocks serialize on a handful of tasks
@@ -511,15 +551,21 @@ object Dedup {
   }
 
   val fuzzyEditSql: String =
-    s"""WITH docs AS (
+    s"""WITH d0 AS (
          SELECT doc_id, lang, CAST(floor(n_chars / $FuzzyBand) AS BIGINT) AS band,
                 substr(text, 1, $FuzzyPrefix) AS prefix
          FROM documents),
+       docs AS (
+         SELECT *, ('0x' || substr(md5(substr(prefix, 1, 12)), 1, 15))::BIGINT
+                   % CAST(ceil(count(*) OVER (PARTITION BY lang, band)
+                               / ${FuzzyCap}.0) AS BIGINT) AS shard
+         FROM d0),
        h AS (
          SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id,
                 CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_distance
          FROM docs a JOIN docs b
-           ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id),
+           ON a.lang = b.lang AND a.band = b.band AND a.shard = b.shard
+          AND a.doc_id < b.doc_id),
        p AS (
          SELECT * FROM h
          UNION ALL SELECT lang, b_id AS a_id, a_id AS b_id, edit_distance FROM h)

@@ -227,7 +227,7 @@ object Similarity {
       .agg(expr(fixedSumExpr).as("s"), count(lit(1)).as("cnt"))
       .collect()
       .groupBy(_.getLong(0))
-    (0 until NumCells).map { i =>
+    cents.indices.map { i =>
       means.get(i + 1L) match {
         case Some(rows) =>
           val m = new Array[Double](dim)
@@ -976,12 +976,12 @@ object Similarity {
     * in the subset (for the full corpus this is exactly the contiguous
     * id block `ivfCentroidDf` uses, so both spellings train the same
     * codebook). K-row collect; training shuffles are `lloydStep`'s. */
-  private def trainCentroids(all: DataFrame): Array[Array[Double]] = {
+  private def trainCentroids(all: DataFrame, k: Int = NumCells): Array[Array[Double]] = {
     val seeds = all.filter(col("vec_id") >= SeedBase)
-      .orderBy(col("vec_id")).limit(NumCells)
+      .orderBy(col("vec_id")).limit(k)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
-    require(seeds.length == NumCells, s"need $NumCells seed vectors ≥ $SeedBase")
+    require(seeds.length == k, s"need $k seed vectors ≥ $SeedBase")
     (1 to LloydIters).foldLeft(seeds)((c, _) => lloydStep(all, c))
   }
 
@@ -1076,23 +1076,125 @@ object Similarity {
     * both engines (the `dedup_embedding_cosine` idiom). */
   val SemTau = 0.35
 
-  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
-    * arXiv:2303.09540): cluster the embedding corpus with the SAME
-    * trained IVF coarse quantizer the ANN entries share (codebook
-    * memo — no extra training job), then mark a vector a duplicate if
-    * some LOWER-id member of ITS OWN cell has cosine ≥ τ. Candidate
-    * pairs are cell-bounded (Σ|cell|², never corpus²) — at 100 TB the
-    * cell count K scales with the corpus to hold E|cell| flat, which
-    * is exactly the published SemDeDup recipe (k-means first, ε-dedup
-    * within cluster only). Keeper = lowest id, like every dedup
-    * entry; output is one row per vector with its cell, keep flag,
-    * canonical `dup_of`, and best within-cell cosine. Everything
-    * after the (deterministic, fixed-point-Lloyd) training is joins +
-    * one agg; the DuckDB oracle replays training AND the pair pass
-    * bit-for-bit. */
-  def semanticDedup: Q = (s, d) => {
+  /** Corpus-row-count memo (per data dir) for the scaled quantizer —
+    * one parquet-count action, a 1-row bound like the zorder stats. */
+  private val corpusCountMemo = new scala.collection.concurrent.TrieMap[String, Long]
+
+  /** SemDeDup cell budget: K = max(NumCells, ceil(N / SemTargetCell)),
+    * so E|cell| stays ~SemTargetCell at ANY corpus size and the
+    * within-cell pair stage is Σ|cell|² ≈ N·SemTargetCell — linear in
+    * the corpus, which is the published SemDeDup recipe (K ∝ corpus).
+    * A K fixed at test scale grows cells ∝ N and the pair stage ∝ N²
+    * (the r9 sf1 probe's 4.2×/6.7× superlinear entries). At the gate
+    * scales (N ≤ 2000) this reduces to NumCells and shares the ANN
+    * entries' trained codebook. */
+  val SemTargetCell = 125
+  def semCellCount(n: Long): Int =
+    math.max(NumCells, math.ceil(n.toDouble / SemTargetCell).toInt)
+
+  /** The corpus-scaled coarse quantizer for the dedup entries. */
+  private def semCentroidDf(s: SparkSession, d: String, all: DataFrame): DataFrame = {
+    val k = semCellCount(corpusCountMemo.getOrElseUpdate(d, all.count()))
+    if (k == NumCells) ivfCentroidDf(s, d, all)
+    else codebookMemo.getOrElseUpdate((d, s"sem$k"),
+      centroidDf(s, trainCentroids(all, k)))
+  }
+
+  /** (vec_id, cell, v, n2) under the corpus-scaled quantizer — the
+    * blocking key `dedup_embedding_cosine` (Dedup.scala) shares. */
+  def semAssign(s: SparkSession, d: String): DataFrame = {
     val all = emb(s, d)
-    val asg = assign(all, ivfCentroidDf(s, d, all))
+    assign(all, semCentroidDf(s, d, all))
+  }
+
+  /** Multi-probe assignment under the corpus-scaled quantizer: one row
+    * per (vector, cell) for the vector's `nprobe` best cells — the
+    * standard recall repair for cell-blocked candidate generation
+    * (boundary vectors appear in both neighboring cells, so near-dup
+    * pairs straddling a Voronoi edge stay candidates). Candidate
+    * volume grows by ≤ nprobe², still linear in the corpus. */
+  def semProbe(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val all = emb(s, d)
+    scored(all, semCentroidDf(s, d, all))
+      .groupBy(col("vec_id"))
+      .agg(expr(s"graft_topk(score, cell, $nprobe)").as("pc"),
+        first(col("label")).as("label"), first(col("v")).as("v"),
+        first(col("n2")).as("n2"))
+      .select(col("vec_id"), col("label"), col("v"), col("n2"),
+        explode(col("pc")).as("p"))
+      .select(col("vec_id"), col("label"), col("p").getField("id").as("cell"),
+        col("v"), col("n2"))
+  }
+
+  /** SQL replay of [[semProbe]] — compose after [[semCtes]]. */
+  def semProbeSql(nprobe: Int): String =
+    s"""sem_probe AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_inner_product(e.v, c.cv) - c.chalf DESC, c.cell) AS rn
+          FROM e CROSS JOIN sem_cent_h c) t WHERE rn <= $nprobe)"""
+
+  /** CTE chain replaying the corpus-scaled quantizer: K is computed IN
+    * SQL from the same count/budget rule, so the oracle trains exactly
+    * the K the engine picked at any corpus size (the seed rule "K
+    * lowest vec_ids ≥ SeedBase" equals the fixed-window ivf_seed when
+    * K = NumCells and seed ids are contiguous, which SimilaritySpec
+    * asserts via the shared-codebook hash). */
+  lazy val semCtes: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      norms AS (SELECT vec_id, list_inner_product(v, v) AS n2 FROM e),
+      kk AS (SELECT greatest($NumCells,
+               CAST(ceil(count(*) / ${SemTargetCell}.0) AS BIGINT)) AS k FROM e),
+      sem_seed AS (
+        SELECT s.rn AS cell, s.cv FROM (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS rn, v AS cv
+          FROM e WHERE vec_id >= $SeedBase) s CROSS JOIN kk WHERE s.rn <= kk.k),
+      sem_seed_h AS (SELECT cell, cv, ${halfNormSql("cv")} AS chalf FROM sem_seed),
+      sem_a0 AS (
+        SELECT vec_id, cell, v FROM (
+          SELECT e.vec_id, s.cell, e.v,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_inner_product(e.v, s.cv) - s.chalf DESC, s.cell) AS rn
+          FROM e CROSS JOIN sem_seed_h s) t WHERE rn = 1),
+      sem_mean AS (
+        SELECT cell, pos, $fixedMeanSql AS mv
+        FROM (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM sem_a0) u
+        GROUP BY cell, pos),
+      sem_cent AS (
+        SELECT s.cell, COALESCE(t.cv, s.cv) AS cv
+        FROM sem_seed s LEFT JOIN
+          (SELECT cell, list(mv ORDER BY pos) AS cv FROM sem_mean GROUP BY cell) t
+          USING (cell)),
+      sem_cent_h AS (SELECT cell, cv, ${halfNormSql("cv")} AS chalf FROM sem_cent),
+      sem_assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_inner_product(e.v, c.cv) - c.chalf DESC, c.cell) AS rn
+          FROM e CROSS JOIN sem_cent_h c) t WHERE rn = 1)"""
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding corpus with the
+    * CORPUS-SCALED coarse quantizer (K = max(NumCells,
+    * ceil(N/SemTargetCell)) — at gate scales this IS the trained IVF
+    * codebook the ANN entries share, via the codebook memo), then mark
+    * a vector a duplicate if some LOWER-id member of ITS OWN cell has
+    * cosine ≥ τ. Candidate pairs are cell-bounded and K grows with the
+    * corpus to hold E|cell| flat, so the pair stage is Σ|cell|² ≈
+    * N·SemTargetCell — linear, exactly the published SemDeDup recipe
+    * (k-means first, ε-dedup within cluster only). Keeper = lowest
+    * id, like every dedup entry; output is one row per vector with
+    * its cell, keep flag, canonical `dup_of`, and best within-cell
+    * cosine. Everything after the (deterministic, fixed-point-Lloyd)
+    * training is joins + one agg; the DuckDB oracle replays training —
+    * INCLUDING the K rule, computed in SQL from the same count — and
+    * the pair pass bit-for-bit. */
+  def semanticDedup: Q = (s, d) => {
+    // corpus-scaled K (see semCellCount) + a lineage cut: the
+    // assignment feeds both pair sides and the final left join — three
+    // consumers must not re-run the quantizer scoring
+    val asg = graft.Checkpoints.cut(semAssign(s, d))
     val a = asg.select(col("cell"), col("vec_id").as("va"),
       col("v").as("av"), col("n2").as("an2"))
     val b = asg.select(col("cell").as("cell_b"), col("vec_id").as("vb"),
@@ -1111,12 +1213,12 @@ object Similarity {
   }
 
   lazy val semanticDedupSql: String =
-    s"""WITH $ivfCtes,
+    s"""WITH $semCtes,
         simp AS (
           SELECT a.vec_id AS va, b.vec_id AS vb,
                  floor(list_inner_product(ea.v, eb.v)
                        / (sqrt(na.n2) * sqrt(nb.n2)) * 10000) / 10000.0 AS cos
-          FROM ivf_assign a JOIN ivf_assign b
+          FROM sem_assign a JOIN sem_assign b
             ON b.cell = a.cell AND b.vec_id < a.vec_id
           JOIN e ea ON ea.vec_id = a.vec_id
           JOIN e eb ON eb.vec_id = b.vec_id
@@ -1126,7 +1228,7 @@ object Similarity {
           SELECT va AS vec_id, min(vb) AS dup_of, max(cos) AS max_cos
           FROM simp WHERE cos >= $SemTau GROUP BY va)
         SELECT g.vec_id, g.cell, d.vec_id IS NULL AS keep, d.dup_of, d.max_cos
-        FROM ivf_assign g LEFT JOIN dup d USING (vec_id)
+        FROM sem_assign g LEFT JOIN dup d USING (vec_id)
         ORDER BY g.vec_id"""
 
   /** Recall@k evaluation of the LSH index against exact brute force —
