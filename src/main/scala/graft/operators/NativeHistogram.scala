@@ -57,8 +57,9 @@ object NativeHistogram {
     java.lang.Double.toString(StrictMath.pow(2.0, i / 4.0))
 
   /** `CASE WHEN value <= base^i THEN i ...` — first match is the native
-    * bucket index (smallest i with v ≤ base^i). */
-  private val idxLadder: String = {
+    * bucket index (smallest i with v ≤ base^i). Shared with the wire
+    * encoder (`prom_native_histogram_wire`, PromWire.scala). */
+  val idxLadder: String = {
     val whens = (IdxLo to IdxHi)
       .map(i => s"WHEN value <= ${bound(i)} THEN $i").mkString(" ")
     s"(CASE $whens ELSE ${IdxHi + 1} END)"

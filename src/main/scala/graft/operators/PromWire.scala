@@ -262,7 +262,124 @@ object PromWire {
                TRUE AS roundtrip_ok
         FROM f GROUP BY family_type, metric_name ORDER BY metric_name"""
 
+  /** Zigzag (sint) encoding of a possibly-negative BIGINT expression —
+    * the same spelling evaluates in both engines. */
+  private def zz(x: String): String =
+    s"(CASE WHEN $x >= 0 THEN 2 * $x ELSE -2 * $x - 1 END)"
+
+  /** Native-histogram WIRE encoding — the `prompb.Histogram` sparse
+    * message a Prometheus 3.x remote write carries, completing the
+    * native-histogram story end-to-end beside the classic sample
+    * frames: `prom_native_histogram_quantile` READS the sparse schema-2
+    * histogram this engine builds; this entry ENCODES it byte-exactly.
+    * Public prompb shape (prompb/types.proto Histogram):
+    *   1: count_int (varint)            3: sum (fixed64 LE double)
+    *   4: schema (sint32 zigzag)       11: positive_spans (len-delim
+    *      BucketSpan{1: offset sint32 zigzag, 2: length varint}*)
+    *   12: positive_deltas (PACKED sint64 zigzag: first bucket count
+    *       absolute, then successive count differences)
+    * Span discipline: consecutive bucket indices form one span; the
+    * first span's offset is the absolute index of its first bucket,
+    * later offsets count the gap since the previous span's end. Fields
+    * whose proto3 zero-value rule drops them (zero_threshold = 0,
+    * zero_count = 0, no negative buckets, no timestamp) are omitted.
+    *
+    * Determinism: bucket assignment is the shared [[NativeHistogram
+    * .idxLadder]] (driver-computed pow-of-2^(1/4) literals, no runtime
+    * libm); `sum` is the exact integer cent total divided once by 100,
+    * so its IEEE bits are identical in both engines; spans/deltas are
+    * integer window arithmetic. The whole byte assembly is ONE
+    * generated SQL text evaluated by both engines (the `prom_wire_*`
+    * discipline), so the hex hash-matches bit-for-bit.
+    *
+    * Scale: one groupBy(series, idx) with map-side combine, then
+    * windows over ≤64-row per-series sparse bucket sets — nothing past
+    * the first aggregation grows with row volume. */
+  private def nhSql(dia: Dia, eventsRel: String,
+      orderAgg: (String, String) => String): String =
+    s"""WITH b AS (
+         SELECT event_type, ${NativeHistogram.idxLadder} AS idx,
+                CAST(count(*) AS BIGINT) AS cnt,
+                CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM $eventsRel GROUP BY 1, 2),
+       w AS (
+         SELECT event_type, idx, cnt, cents,
+                lag(idx) OVER (PARTITION BY event_type ORDER BY idx) AS pidx,
+                lag(cnt) OVER (PARTITION BY event_type ORDER BY idx) AS pcnt
+         FROM b),
+       sp AS (
+         SELECT event_type, idx, cnt, cents,
+                CASE WHEN pidx IS NULL THEN cnt ELSE cnt - pcnt END AS d,
+                SUM(CASE WHEN pidx IS NULL OR idx <> pidx + 1 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY event_type ORDER BY idx) AS span_id
+         FROM w),
+       dhex AS (
+         SELECT event_type, idx, span_id, cnt, cents,
+                ${varintHex(zz("d"), dia)} AS dh
+         FROM sp),
+       spans AS (
+         SELECT event_type, span_id, min(idx) AS lo, max(idx) AS hi,
+                CAST(count(*) AS BIGINT) AS len
+         FROM sp GROUP BY 1, 2),
+       spoff AS (
+         SELECT event_type, span_id, len,
+                CASE WHEN lag(hi) OVER (PARTITION BY event_type ORDER BY span_id) IS NULL
+                     THEN lo
+                     ELSE lo - lag(hi) OVER (PARTITION BY event_type ORDER BY span_id) - 1
+                END AS off
+         FROM spans),
+       sphex0 AS (
+         SELECT event_type, span_id,
+                concat('08', ${varintHex(zz("off"), dia)},
+                       '10', ${varintHex("len", dia)}) AS sp_inner
+         FROM spoff),
+       sphex AS (
+         SELECT event_type, span_id,
+                concat('5a', ${varintHex(dia.idiv("length(sp_inner)"), dia)}, sp_inner) AS sph
+         FROM sphex0),
+       agg1 AS (
+         SELECT event_type,
+                ${orderAgg("sph", "span_id")} AS spans_hex,
+                CAST(count(*) AS BIGINT) AS n_spans
+         FROM sphex GROUP BY event_type),
+       agg2 AS (
+         SELECT event_type,
+                ${orderAgg("dh", "idx")} AS deltas_hex,
+                CAST(count(*) AS BIGINT) AS n_buckets,
+                CAST(sum(cnt) AS BIGINT) AS total,
+                CAST(sum(cents) AS BIGINT) AS cents_total
+         FROM dhex GROUP BY event_type),
+       hist0 AS (
+         SELECT a2.event_type, a2.n_buckets, a1.n_spans, a2.total,
+                a2.cents_total / 100.0e0 AS vsum,
+                a1.spans_hex, a2.deltas_hex
+         FROM agg2 a2 JOIN agg1 a1 ON a1.event_type = a2.event_type),
+       hist1 AS (
+         SELECT *, ${doubleBitsExpr("abs(vsum)")} AS sbits FROM hist0),
+       hist AS (
+         SELECT event_type, n_buckets, n_spans, total,
+                concat('08', ${varintHex("total", dia)},
+                       '19', ${fixed64le("sbits", "vsum", dia)},
+                       '20', '04',
+                       spans_hex,
+                       '62', ${varintHex(dia.idiv("length(deltas_hex)"), dia)}, deltas_hex)
+                  AS hist_hex
+         FROM hist1)
+     SELECT event_type, n_buckets, n_spans, total,
+            ${dia.idiv("length(hist_hex)")} AS hist_len, hist_hex
+     FROM hist ORDER BY event_type"""
+
+  def nativeHistogramWire: Q = (s, d) => {
+    Tables.events(s, d).createOrReplaceTempView("graft_events_nhw")
+    s.sql(nhSql(sparkDia, "graft_events_nhw", (c, o) =>
+      s"array_join(transform(array_sort(collect_list(struct($o, $c))), x -> x.$c), '')"))
+  }
+
+  val nativeHistogramWireSql: String =
+    nhSql(duckDia, "events", (c, o) => s"string_agg($c, '' ORDER BY $o)")
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("prom_wire_frame", wireFrame, Some(wireFrameSql)),
-    ("prom_wire_snappy", wireSnappy, Some(wireSnappySql)))
+    ("prom_wire_snappy", wireSnappy, Some(wireSnappySql)),
+    ("prom_native_histogram_wire", nativeHistogramWire, Some(nativeHistogramWireSql)))
 }

@@ -213,6 +213,7 @@ object CollectorLoop {
         spark.read.parquet(wmPath).as[(String, String, Long)].collect()
           .map { case (id, fam, w) => (id, fam) -> w }.toMap
       else Map.empty
+    val failedScrapes = scala.collection.mutable.Set[(String, String)]()
     val scraped: Seq[DataFrame] = enrolled.toSeq.flatMap { r =>
       val id = r.getAs[String]("source_id")
       val engine = r.getAs[String]("engine")
@@ -220,35 +221,49 @@ object CollectorLoop {
         "password", "dbname", "jdbc_url", "partitions")
         .flatMap(k => Option(r.getAs[String](k)).map(k -> _)).toMap
       val nParts = baseConf.get("partitions").map(_.toInt).getOrElse(1)
-      scrapersFor(engine).map { case (family, sql) =>
+      scrapersFor(engine).flatMap { case (family, sql) =>
         val wm = storedWm.getOrElse((id, family), Long.MinValue)
         val isJdbc = baseConf.getOrElse("format", "jdbc") == "jdbc"
-        val rows =
-          if (!isJdbc) SourceRegistry.read(spark, baseConf + ("dbtable" -> ScrapeTable))
-          else if (nParts <= 1) SourceRegistry.read(spark, baseConf + ("query" -> sql))
-          else {
-            // planned split read (`source_partition_bounds` semantics):
-            // one 1-row bounds probe over the still-unscraped range,
-            // then the scrape itself fans out as nParts parallel range
-            // queries on ts_sec instead of one remote cursor
-            // (Long.MinValue renders as an out-of-range unary-minus
-            // literal in some SQL dialects — use a tautology instead)
-            val wmPred = if (wm == Long.MinValue) "1=1" else s"ts_sec > $wm"
-            val b = SourceRegistry.read(spark, baseConf + ("query" ->
-              s"SELECT MIN(ts_sec) AS lo, MAX(ts_sec) AS hi FROM ($sql) b WHERE $wmPred"))
-              .collect().head
-            if (b.isNullAt(0)) SourceRegistry.read(spark, baseConf + ("query" -> sql))
-            else SourceRegistry.read(spark, baseConf ++ Map(
-              "dbtable" -> s"($sql) scrape",
-              "numPartitions" -> nParts.toString,
-              "partitionColumn" -> "ts_sec",
-              "lowerBound" -> b.getLong(0).toString,
-              "upperBound" -> (b.getLong(1) + 1).toString))
-          }
-        rows.filter(col("ts_sec") > wm) // pushes into the JDBC WHERE / scan
-          .select(lit(id).as("source_id"), lit(engine).as("engine"),
-            lit(family).as("scraper"), col("name").cast("string").as("name"),
-            col("val").cast("double").as("val"), col("ts_sec").cast("long").as("ts_sec"))
+        // a down database must not fail the whole round (the reference
+        // daemon keeps collecting the healthy sources): the JDBC reader
+        // connects at construction to resolve the schema, so
+        // connection/auth/missing-relation failures surface HERE and
+        // the source is marked down (`up` 0 series + manifest counter)
+        // while every other source proceeds. Its watermark does not
+        // move, so the next round retries the full missed range.
+        val attempt = scala.util.Try {
+          val rows =
+            if (!isJdbc) SourceRegistry.read(spark, baseConf + ("dbtable" -> ScrapeTable))
+            else if (nParts <= 1) SourceRegistry.read(spark, baseConf + ("query" -> sql))
+            else {
+              // planned split read (`source_partition_bounds` semantics):
+              // one 1-row bounds probe over the still-unscraped range,
+              // then the scrape itself fans out as nParts parallel range
+              // queries on ts_sec instead of one remote cursor
+              // (Long.MinValue renders as an out-of-range unary-minus
+              // literal in some SQL dialects — use a tautology instead)
+              val wmPred = if (wm == Long.MinValue) "1=1" else s"ts_sec > $wm"
+              val b = SourceRegistry.read(spark, baseConf + ("query" ->
+                s"SELECT MIN(ts_sec) AS lo, MAX(ts_sec) AS hi FROM ($sql) b WHERE $wmPred"))
+                .collect().head
+              if (b.isNullAt(0)) SourceRegistry.read(spark, baseConf + ("query" -> sql))
+              else SourceRegistry.read(spark, baseConf ++ Map(
+                "dbtable" -> s"($sql) scrape",
+                "numPartitions" -> nParts.toString,
+                "partitionColumn" -> "ts_sec",
+                "lowerBound" -> b.getLong(0).toString,
+                "upperBound" -> (b.getLong(1) + 1).toString))
+            }
+          rows.filter(col("ts_sec") > wm) // pushes into the JDBC WHERE / scan
+            .select(lit(id).as("source_id"), lit(engine).as("engine"),
+              lit(family).as("scraper"), col("name").cast("string").as("name"),
+              col("val").cast("double").as("val"), col("ts_sec").cast("long").as("ts_sec"))
+        }
+        attempt.failed.foreach { e =>
+          failedScrapes += ((id, family))
+          System.err.println(s"[collector] scrape failed for $id/$family: ${e.getMessage}")
+        }
+        attempt.toOption
       }
     }
 
@@ -267,9 +282,35 @@ object CollectorLoop {
     scrapedRows.write.mode("overwrite").parquet(spool)
     val spooled = spark.read.parquet(spool)
 
-    // 4a. encode bodies from the spool; count groups for the audit
+    // per-(source, scraper) stats off the spool (|sources × families|-
+    // bounded): each family's count and max ts_sec feed ITS OWN
+    // watermark, the manifest summary, and the self-observability series
+    val famCounts: Map[(String, String), (Long, Long)] = spooled
+      .groupBy(col("source_id"), col("scraper"))
+      .agg(count(lit(1)).as("n"), max(col("ts_sec")).as("mx"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+
+    // 4a. encode bodies: spooled samples PLUS the collector's own
+    // self-observability family per enrolled source — `up` (1 iff every
+    // scraper family of the source constructed and read cleanly this
+    // round, the reserved Prometheus health series) and
+    // `scrape_samples_scraped` (rows this round). Their timestamp is
+    // the round number — the deterministic analog of scrape wall time.
+    val selfRows: Seq[(String, String, String, String, Double, Long)] =
+      status.toSeq.filter(_._2 != "removed").sortBy(_._1).flatMap { case (id, _) =>
+        val engine = cur.getOrElse(id, "unknown")
+        val up = if (scrapersFor(engine).exists(f => failedScrapes.contains((id, f._1))))
+          0.0 else 1.0
+        val n = famCounts.collect { case ((i, _), (c, _)) if i == id => c }.sum
+        Seq((id, engine, "self", "up", up, round),
+          (id, engine, "self", "scrape_samples_scraped", n.toDouble, round))
+      }
+    val encodeIn = spooled.unionByName(
+      selfRows.toDF("source_id", "engine", "scraper", "name", "val", "ts_sec"))
     val bodiesDf = graft.operators.PromWire.encodeSamples(
-      spooled.select(col("name").as("metric_name"),
+      encodeIn.select(col("name").as("metric_name"),
         col("source_id").as("event_type"), col("val").as("value"),
         (col("ts_sec") * 1000L).as("ts_ms")))
       .groupBy(col("event_type").as("source_id"), col("metric_name"))
@@ -281,20 +322,13 @@ object CollectorLoop {
       .selectExpr("source_id", "engine", "metric_name", "n_series",
         "length(body_hex) div 2 AS body_len",
         "graft_snappy(unhex(body_hex)) AS body_snappy")
-    val nBodies = spooled.select(col("source_id"), col("name")).distinct().count()
+    val nBodies = spooled.select(col("source_id"), col("name")).distinct().count() +
+      selfRows.map(r => (r._1, r._4)).distinct.size
     publishRound(spark, s"$workDir/bodies", round, bodiesDf, nBodies)
 
-    // 4b. manifest from the spool's per-(source, scraper) stats
-    // (|sources × families|-bounded): each family's count and max
-    // ts_sec feed ITS OWN watermark; the manifest row summarizes a
-    // source as (old = most-behind family's stored watermark, new =
-    // most-ahead family's post-round watermark, n = total new rows)
-    val famCounts: Map[(String, String), (Long, Long)] = spooled
-      .groupBy(col("source_id"), col("scraper"))
-      .agg(count(lit(1)).as("n"), max(col("ts_sec")).as("mx"))
-      .collect()
-      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
-      .toMap
+    // 4b. manifest: per-source summary (old = most-behind family's
+    // stored watermark, new = most-ahead family's post-round watermark,
+    // n = total new rows, plus how many scraper families failed)
     val manifestRows = status.toSeq.sortBy(_._1).map { case (id, st) =>
       val engine = cur.getOrElse(id, prev.getOrElse(id, "unknown"))
       val fams = scrapersFor(engine).map(_._1)
@@ -302,10 +336,12 @@ object CollectorLoop {
       val n = famCounts.collect { case ((i, _), (c, _)) if i == id => c }.sum
       val newWm = fams.map(f => famCounts.get((id, f)).map(_._2)
         .getOrElse(storedWm.getOrElse((id, f), Long.MinValue))).max
-      (id, engine, st, oldWm, n, newWm)
+      val nFailed = fams.count(f => failedScrapes.contains((id, f)))
+      (id, engine, st, oldWm, n, newWm, nFailed)
     }
     val manifestDf = manifestRows
-      .toDF("source_id", "engine", "status", "old_watermark", "n_new", "new_watermark")
+      .toDF("source_id", "engine", "status", "old_watermark", "n_new",
+        "new_watermark", "n_failed_scrapers")
     publishRound(spark, s"$workDir/manifest", round, manifestDf, manifestRows.size.toLong)
 
     if (failpoint == "before-advance")
@@ -324,7 +360,7 @@ object CollectorLoop {
 
     manifestDf.withColumn("round", lit(round))
       .select("round", "source_id", "engine", "status", "old_watermark",
-        "n_new", "new_watermark")
+        "n_new", "new_watermark", "n_failed_scrapers")
   }
 
   /** Wire the loop onto a trigger stream: each tick value is a round

@@ -50,7 +50,7 @@ class CollectorLoopSpec extends SparkTestBase {
       st.executeUpdate(
         s"CREATE TABLE ${CollectorLoop.ScrapeTable} (name VARCHAR(64), val DOUBLE, ts_sec BIGINT)")
       st.executeUpdate(s"INSERT INTO ${CollectorLoop.ScrapeTable} VALUES " +
-        "('up', 1.0, 100), ('threads_running', 7.0, 100), ('up', 1.0, 160)")
+        "('m_up', 1.0, 100), ('threads_running', 7.0, 100), ('m_up', 1.0, 160)")
       st.close()
     } finally conn.close()
 
@@ -77,7 +77,7 @@ class CollectorLoopSpec extends SparkTestBase {
       try {
         val st = c2.createStatement()
         st.executeUpdate(s"INSERT INTO ${CollectorLoop.ScrapeTable} VALUES " +
-          "('up', 1.0, 220), ('threads_running', 9.0, 220)")
+          "('m_up', 1.0, 220), ('threads_running', 9.0, 220)")
         st.close()
       } finally c2.close()
       val db2 = s"$base/src2"
@@ -86,7 +86,7 @@ class CollectorLoopSpec extends SparkTestBase {
         val st = cn.createStatement()
         st.executeUpdate(
           s"CREATE TABLE ${CollectorLoop.ScrapeTable} (name VARCHAR(64), val DOUBLE, ts_sec BIGINT)")
-        st.executeUpdate(s"INSERT INTO ${CollectorLoop.ScrapeTable} VALUES ('up', 1.0, 150)")
+        st.executeUpdate(s"INSERT INTO ${CollectorLoop.ScrapeTable} VALUES ('m_up', 1.0, 150)")
         st.close()
       } finally cn.close()
       secrets = Seq(secret("db1.example.com", db1), secret("db2.example.com", db2))
@@ -129,9 +129,9 @@ class CollectorLoopSpec extends SparkTestBase {
       // round-2 bodies carry only the incremental sample count for db1
       val r2up = spark.read.parquet(s"$work/bodies")
         .filter(col("round") === 2 && col("source_id") === "db1.example.com:1527" &&
-          col("metric_name") === "up")
+          col("metric_name") === "m_up")
         .head().getAs[Long]("n_series")
-      assert(r2up == 1, "only the post-round-1 'up' sample ships in round 2")
+      assert(r2up == 1, "only the post-round-1 'm_up' sample ships in round 2")
 
       // ---- round 3 with nothing new: watermark holds, zero rows
       ticks.addData(3L); q.processAllAvailable()
@@ -150,7 +150,7 @@ class CollectorLoopSpec extends SparkTestBase {
       val st = conn.createStatement()
       st.executeUpdate(
         s"CREATE TABLE ${CollectorLoop.ScrapeTable} (name VARCHAR(64), val DOUBLE, ts_sec BIGINT)")
-      st.executeUpdate(s"INSERT INTO ${CollectorLoop.ScrapeTable} VALUES ('up', 1.0, 50)")
+      st.executeUpdate(s"INSERT INTO ${CollectorLoop.ScrapeTable} VALUES ('m_up', 1.0, 50)")
       st.close()
     } finally conn.close()
     val secrets = Seq(secret("dbr.example.com", db))
@@ -168,7 +168,7 @@ class CollectorLoopSpec extends SparkTestBase {
     val c2 = java.sql.DriverManager.getConnection(s"jdbc:derby:$db", "u", "p")
     try {
       val st = c2.createStatement()
-      st.executeUpdate(s"INSERT INTO ${CollectorLoop.ScrapeTable} VALUES ('up', 2.0, 90)")
+      st.executeUpdate(s"INSERT INTO ${CollectorLoop.ScrapeTable} VALUES ('m_up', 2.0, 90)")
       st.close()
     } finally c2.close()
     val t2 = MemoryStream[Long]
@@ -257,11 +257,15 @@ class CollectorLoopSpec extends SparkTestBase {
         "mysql_slave_status_seconds_behind_master",
         "mysql_info_schema_innodb_cmp_compress_ops",
         "mysql_info_schema_innodb_cmp_mem_pages_used",
-        "mysql_info_schema_query_response_time_queries_100ms"))
+        "mysql_info_schema_query_response_time_queries_100ms",
+        "up", "scrape_samples_scraped"))
     assert(!bodies.exists(_.getAs[String]("metric_name").contains("processlist")),
       "the reference disables ScrapeProcesslist; the loop must not scrape it")
     assert(byEngine("postgres").map(_.getAs[String]("metric_name")).toSet ==
-      Set("pg_stat_database_xact_commit", "pg_stat_database_blks_read"))
+      Set("pg_stat_database_xact_commit", "pg_stat_database_blks_read",
+        "up", "scrape_samples_scraped"))
+    // every source is healthy: its up series carries value-bit-set frames
+    // (value 1.0 != 0 -> field 1 present) and scrape_samples counts rows
     // every body decodes to one WriteRequest TimeSeries per sample
     val dec = spark.read.parquet(s"$work/bodies")
       .selectExpr("metric_name", "n_series", "graft_unsnappy(body_snappy) AS body")
@@ -276,7 +280,7 @@ class CollectorLoopSpec extends SparkTestBase {
     val db = s"$base/src"
     mkDb(db, Seq(
       s"CREATE TABLE ${CollectorLoop.ScrapeTable} (name VARCHAR(64), val DOUBLE, ts_sec BIGINT)",
-      s"INSERT INTO ${CollectorLoop.ScrapeTable} VALUES ('up', 1.0, 100), ('lat', 2.0, 100)"))
+      s"INSERT INTO ${CollectorLoop.ScrapeTable} VALUES ('m_up', 1.0, 100), ('lat', 2.0, 100)"))
     val secrets = Seq(secret("dbx.example.com", db))
     val work = s"$base/work"
 
@@ -286,16 +290,18 @@ class CollectorLoopSpec extends SparkTestBase {
     intercept[RuntimeException] {
       CollectorLoop.runRound(spark, secrets, work, 1L, failpoint = "before-advance")
     }
-    assert(spark.read.parquet(s"$work/bodies").count() == 2,
-      "the crashed round's bodies were published")
+    assert(spark.read.parquet(s"$work/bodies").count() == 4,
+      "the crashed round's bodies were published (2 scraped + up + samples)")
     // "restart": the loop replays the SAME round (its tick was never
     // committed); outputs must REPLACE, not append
     CollectorLoop.runRound(spark, secrets, work, 1L)
     val bodies = spark.read.parquet(s"$work/bodies")
       .select("round", "source_id", "metric_name", "n_series").collect()
-    assert(bodies.length == 2, s"replayed round must not duplicate bodies: ${bodies.toSeq}")
-    assert(bodies.map(_.getAs[Long]("n_series")).sum == 2,
-      "each sample ships exactly once")
+    assert(bodies.length == 4, s"replayed round must not duplicate bodies: ${bodies.toSeq}")
+    val scrapedBodies = bodies.filterNot(b =>
+      Set("up", "scrape_samples_scraped")(b.getAs[String]("metric_name")))
+    assert(scrapedBodies.length == 2 && scrapedBodies.map(_.getAs[Long]("n_series")).sum == 2,
+      "each scraped sample ships exactly once")
     val manifest = spark.read.parquet(s"$work/manifest").collect()
     assert(manifest.length == 1, "one manifest row total: the replay replaced the crashed round's")
     assert(manifest.head.getAs[Long]("new_watermark") == 100)
@@ -340,11 +346,55 @@ class CollectorLoopSpec extends SparkTestBase {
     val r2names = spark.read.parquet(s"$work/bodies")
       .filter(col("round") === 2).select("metric_name")
       .collect().map(_.getString(0)).toSet
-    assert(r2names == Set("mysql_info_schema_innodb_cmp_compress_ops_ok"))
+    assert(r2names == Set("mysql_info_schema_innodb_cmp_compress_ops_ok",
+      "up", "scrape_samples_scraped"))
     // and the families' watermarks advanced independently again
     val wms2 = spark.read.parquet(s"$work/watermarks")
       .collect().map(r => r.getAs[String]("scraper") -> r.getAs[Long]("watermark")).toMap
     assert(wms2("global_status") == 100 && wms2("innodb_cmp") == 95)
+  }
+
+  test("a down source does not fail the round: up=0 for it, healthy sources ship, watermark holds for retry") {
+    val base = java.nio.file.Files.createTempDirectory("graft_loop_dn").toString
+    val good = s"$base/good"
+    mkDb(good, Seq(
+      s"CREATE TABLE ${CollectorLoop.ScrapeTable} (name VARCHAR(64), val DOUBLE, ts_sec BIGINT)",
+      s"INSERT INTO ${CollectorLoop.ScrapeTable} VALUES ('m1', 1.0, 100)"))
+    // the bad source points at a database that does not exist (and
+    // cannot be created: no ;create=true in the loop's DSN) — the JDBC
+    // construction fails, the daemon must keep going
+    val secrets = Seq(
+      secret("good.example.com", good),
+      secret("down.example.com", s"$base/nonexistent"))
+    val work = s"$base/work"
+    val manifest = CollectorLoop.runRound(spark, secrets, work, 1L)
+      .collect().map(r => r.getAs[String]("source_id") -> r).toMap
+    assert(manifest.size == 2, "both sources appear in the manifest")
+    assert(manifest("good.example.com:1527").getAs[Long]("n_new") == 1)
+    assert(manifest("good.example.com:1527").getAs[Int]("n_failed_scrapers") == 0)
+    assert(manifest("down.example.com:1527").getAs[Long]("n_new") == 0)
+    assert(manifest("down.example.com:1527").getAs[Int]("n_failed_scrapers") == 1)
+
+    // self-observability: up=1 for the healthy source, up=0 for the
+    // down one — both decodable frames in the round's bodies
+    val ups = spark.read.parquet(s"$work/bodies")
+      .filter(col("metric_name") === "up")
+      .selectExpr("source_id", "graft_unsnappy(body_snappy) AS body")
+      .collect().map { r =>
+        val ts = lenFields(r.getAs[Array[Byte]]("body"), 1).head
+        val sample = lenFields(ts, 2).head
+        // Sample field 1 (fixed64 value) omitted when 0 (proto3 rule)
+        val hasValue = sample.nonEmpty && (sample(0) & 0xff) == 0x09
+        r.getAs[String]("source_id") -> hasValue
+      }.toMap
+    assert(ups("good.example.com:1527"), "healthy source: up carries value 1")
+    assert(!ups("down.example.com:1527"), "down source: up value 0 (omitted field)")
+
+    // no watermark entry for the down source: the next round retries
+    // the full range once the database is back
+    val wmSrc = spark.read.parquet(s"$work/watermarks")
+      .select("source_id").collect().map(_.getString(0)).toSet
+    assert(wmSrc == Set("good.example.com:1527"))
   }
 
   test("partitioned scrape: bounds-planned split read returns the same rows as the serial read") {
@@ -373,6 +423,12 @@ class CollectorLoopSpec extends SparkTestBase {
     val manifest = CollectorLoop.runRound(spark, secrets, work, 1L).head()
     assert(manifest.getAs[Long]("n_new") == 40)
     assert(manifest.getAs[Long]("new_watermark") == 140)
-    assert(spark.read.parquet(s"$work/bodies").agg(sum("n_series")).head().getLong(0) == 40)
+    assert(spark.read.parquet(s"$work/bodies")
+      .filter(!col("metric_name").isin("up", "scrape_samples_scraped"))
+      .agg(sum("n_series")).head().getLong(0) == 40)
+    // self-observability: one healthy up=1 series and the row count
+    val self = spark.read.parquet(s"$work/bodies")
+      .filter(col("metric_name").isin("up", "scrape_samples_scraped"))
+    assert(self.count() == 2)
   }
 }

@@ -109,6 +109,80 @@ class Round10Spec extends SparkTestBase {
     assert(dd.count() == nv)
   }
 
+  test("native histogram wire: decoding spans+deltas reconstructs the exact sparse buckets") {
+    // independent protobuf decoder (public encoding spec, the
+    // CollectorLoopSpec/PromWireSpec approach)
+    def readVarint(b: Array[Byte], p: Int): (Long, Int) = {
+      var x = 0L; var shift = 0; var i = p
+      while ({ val c = b(i); x |= (c & 0x7fL) << shift; shift += 7; i += 1; (c & 0x80) != 0 }) ()
+      (x, i)
+    }
+    def unzig(x: Long): Long = (x >>> 1) ^ -(x & 1)
+    val rows = graft.operators.PromWire.nativeHistogramWire(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // expected sparse buckets straight from the shared ladder
+    val expected = graft.sources.Tables.events(spark, sf)
+      .selectExpr("event_type", s"${graft.operators.NativeHistogram.idxLadder} AS idx")
+      .groupBy("event_type", "idx").count().collect()
+      .groupBy(_.getString(0))
+      .map { case (et, rs) => et -> rs.map(r => r.getInt(1) -> r.getLong(2)).toMap }
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val b = r.getAs[String]("hist_hex").grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+      var p = 0
+      var total = -1L; var schema = -1L; var sum = 0.0
+      val spans = Seq.newBuilder[(Long, Long)]
+      var deltas: Seq[Long] = Nil
+      while (p < b.length) {
+        val (tag, p1) = readVarint(b, p)
+        ((tag >> 3).toInt, (tag & 7).toInt) match {
+          case (1, 0) => val (v, p2) = readVarint(b, p1); total = v; p = p2
+          case (3, 1) =>
+            val bits = (0 until 8).map(i => (b(p1 + i) & 0xffL) << (8 * i)).reduce(_ | _)
+            sum = java.lang.Double.longBitsToDouble(bits); p = p1 + 8
+          case (4, 0) => val (v, p2) = readVarint(b, p1); schema = unzig(v); p = p2
+          case (11, 2) =>
+            val (len, p2) = readVarint(b, p1)
+            var q = p2
+            val (ot, q1) = readVarint(b, q); assert((ot >> 3) == 1); // offset
+            val (ov, q2) = readVarint(b, q1)
+            val (lt, q3) = readVarint(b, q2); assert((lt >> 3) == 2); // length
+            val (lv, q4) = readVarint(b, q3)
+            assert(q4 - p2 == len)
+            spans += ((unzig(ov), lv)); p = q4
+          case (12, 2) =>
+            val (len, p2) = readVarint(b, p1)
+            var q = p2
+            val out = Seq.newBuilder[Long]
+            while (q < p2 + len) { val (v, q2) = readVarint(b, q); out += unzig(v); q = q2 }
+            deltas = out.result(); p = p2 + len.toInt
+          case (_, 2) => val (len, p2) = readVarint(b, p1); p = p2 + len.toInt
+          case (_, 0) => p = readVarint(b, p1)._2
+          case (_, 1) => p = p1 + 8
+        }
+      }
+      assert(schema == 2, "standard schema 2")
+      // spans → absolute indices; deltas → counts
+      val indices = {
+        var cur = 0L; val out = Seq.newBuilder[Long]
+        var first = true
+        spans.result().foreach { case (off, len) =>
+          cur = (if (first) off else cur + off); first = false
+          (0L until len).foreach { i => out += cur + i }
+          cur = cur + len
+        }
+        out.result()
+      }
+      val counts = deltas.scanLeft(0L)(_ + _).drop(1)
+      assert(indices.length == counts.length)
+      val got = indices.zip(counts).map { case (i, c) => i.toInt -> c }.toMap
+      assert(got == expected(et), s"$et: wire buckets $got != ladder ${expected(et)}")
+      assert(total == counts.sum, "count_int equals the bucket mass")
+      assert(math.abs(sum) > 0, "sum field carried")
+    }
+  }
+
   test("native histogram: a quantile covered by the overflow bucket raises, not NULL") {
     import spark.implicits._
     // every value far past bound(IdxHi)=1024 → all mass in the
