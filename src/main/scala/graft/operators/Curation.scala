@@ -570,6 +570,536 @@ object Curation {
                floor(sum_surprisal / n_bigrams * 1e4) / 1e4 <= 5.0 AS pass_filter
         FROM docs ORDER BY doc_id"""
 
+  // ----------------------------------------------- Kneser-Ney bigram LM
+
+  /** Absolute discount for the Kneser-Ney smoother — the standard 0.75
+    * (Chen & Goodman 1999). Rendered as the exact IEEE literal 0.75e0
+    * in the shared probability expression. */
+  val KnDiscount = "0.75e0"
+
+  /** The interpolated-KN probability expression, evaluated VERBATIM by
+    * both engines over identically-named count columns — the same
+    * generated-SQL parity discipline as the wire-encoding entries. All
+    * inputs are exact integers cast to double at the leaves; both
+    * engines then execute the identical IEEE op sequence, so the result
+    * (and its ln) is bit-identical. c12 ≥ 1 for every scored bigram
+    * (the model trains on the corpus it scores), so c12 − d > 0 and no
+    * max(·, 0) clamp is needed. */
+  private val knSurprisalExpr: String =
+    s"-ln(((CAST(c12 AS DOUBLE) - $KnDiscount) / CAST(c1 AS DOUBLE)) + " +
+      s"((($KnDiscount * CAST(n1f AS DOUBLE)) / CAST(c1 AS DOUBLE)) * " +
+      "(CAST(n1p AS DOUBLE) / CAST(nbb AS DOUBLE))))"
+
+  /** Bigram LM with interpolated Kneser-Ney smoothing — the n-gram
+    * smoother that held the pre-neural SOTA (Chen & Goodman 1999) and
+    * the natural upgrade to `text_bigram_lm`'s add-one: instead of one
+    * pseudo-count everywhere, KN discounts every seen bigram by a fixed
+    * d = 0.75 and redistributes the held-out mass through a CONTINUATION
+    * unigram — P_cont(w) = |distinct histories preceding w| / |distinct
+    * bigram types| — so "francisco" (frequent but only ever after "san")
+    * stops inflating unseen-context probabilities.
+    *
+    * P_KN(w₂|w₁) = (c(w₁,w₂) − d)/c(w₁) + (d·N₁₊(w₁,•)/c(w₁)) · P_cont(w₂)
+    *
+    * Scale shape is identical to the add-one sibling: tokens fold to
+    * the top-[[LmVocabK]]+OOV vocabulary BEFORE pairing, so every model
+    * table (c1/N₁₊(w₁,•) by history, N₁₊(•,w₂) by continuation, the
+    * 1-row bigram-type count) derives from the (K+1)²-bounded c2 table
+    * with NO extra corpus pass; history/continuation tables are ≤ K+1
+    * rows and broadcast; scoring joins the corpus bigrams to c2 with a
+    * shuffle join (c2 is (K+1)²-bounded but NOT broadcastable at
+    * K = 64Ki). Per-doc sum uses the order-fixed sorted fold. */
+  def textBigramLmKn: Q = textBigramLmKnAt(LmVocabK)
+
+  /** Cap-parameterized body — CurationSpec-style tiny-K exercises the
+    * OOV fold; at K ≥ |vocab| the model is the uncapped KN exactly. */
+  private[graft] def textBigramLmKnAt(k: Int): Q = (s, d) => {
+    import s.implicits._
+    val (_, topk, _) = lmVocabModel(s, d, k)
+    val vocabDf = topk.toSeq.map(_._1).toDF("t")
+    val rawBigrams = Tables.documents(s, d)
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) >= 2
+             THEN transform(sequence(0, size(toks) - 2),
+                            i -> struct(toks[i] AS w1, toks[i + 1] AS w2))
+             ELSE array() END""")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("rw1"), col("b.w2").as("rw2"))
+    val bigrams = rawBigrams
+      .join(broadcast(vocabDf.select(col("t").as("rw1"), lit(1).as("in1"))),
+        Seq("rw1"), "left")
+      .join(broadcast(vocabDf.select(col("t").as("rw2"), lit(1).as("in2"))),
+        Seq("rw2"), "left")
+      .select(col("doc_id"),
+        when(col("in1").isNotNull, col("rw1")).otherwise(lit(OovTerm)).as("w1"),
+        when(col("in2").isNotNull, col("rw2")).otherwise(lit(OovTerm)).as("w2"))
+    val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // history table: total count AND distinct-continuation count per w1
+    val c1 = c2.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+    // continuation table: distinct-history count per w2
+    val n1p = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1p"))
+    val nbb = c2.agg(count(lit(1)).as("nbb"))
+    val scored = c2
+      .join(broadcast(c1), Seq("w1"))
+      .join(broadcast(n1p), Seq("w2"))
+      .crossJoin(broadcast(nbb))
+      .select(col("w1"), col("w2"), expr(knSurprisalExpr).as("surprisal"))
+    bigrams.join(scored, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("aggregate(array_sort(collect_list(surprisal)), 0.0e0, (a, x) -> a + x)")
+          .as("sum_surprisal"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (floor(col("sum_surprisal") / col("n_bigrams") * 1e4) / 1e4).as("cross_entropy"))
+      .withColumn("pass_filter", col("cross_entropy") <= 4.5)
+      .orderBy(col("doc_id"))
+  }
+
+  val textBigramLmKnSql: String =
+    s"""WITH b0 AS (
+          SELECT doc_id, p.w1 AS rw1, p.w2 AS rw2
+          FROM (SELECT doc_id,
+                       unnest(list_transform(range(0, len(toks) - 1),
+                              i -> {'w1': toks[i + 1], 'w2': toks[i + 2]})) AS p
+                FROM (SELECT doc_id, $toksSqlExpr AS toks FROM documents))),
+        terms AS (SELECT unnest($toksSqlExpr) AS t FROM documents),
+        topk AS (SELECT t FROM (SELECT t, count(*) AS cnt FROM terms GROUP BY t)
+                 ORDER BY cnt DESC, t LIMIT $LmVocabK),
+        b AS (SELECT doc_id,
+                     CASE WHEN k1.t IS NOT NULL THEN rw1 ELSE '$OovTerm' END AS w1,
+                     CASE WHEN k2.t IS NOT NULL THEN rw2 ELSE '$OovTerm' END AS w2
+              FROM b0 LEFT JOIN topk k1 ON b0.rw1 = k1.t
+                      LEFT JOIN topk k2 ON b0.rw2 = k2.t),
+        c2 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+        c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1f
+               FROM c2 GROUP BY 1),
+        n1p AS (SELECT w2, count(*) AS n1p FROM c2 GROUP BY 1),
+        nbb AS (SELECT count(*) AS nbb FROM c2),
+        scored AS (
+          SELECT w1, w2, $knSurprisalExpr AS surprisal
+          FROM c2 JOIN c1 USING (w1) JOIN n1p USING (w2) CROSS JOIN nbb),
+        docs AS (
+          SELECT b.doc_id, count(*) AS n_bigrams,
+                 list_reduce(list_prepend(0.0e0, list_sort(list(s.surprisal))),
+                             (a, x) -> a + x) AS sum_surprisal
+          FROM b JOIN scored s USING (w1, w2)
+          GROUP BY b.doc_id)
+        SELECT doc_id, n_bigrams,
+               floor(sum_surprisal / n_bigrams * 1e4) / 1e4 AS cross_entropy,
+               floor(sum_surprisal / n_bigrams * 1e4) / 1e4 <= 4.5 AS pass_filter
+        FROM docs ORDER BY doc_id"""
+
+  // -------------------------------------------------- chunking w/ overlap
+
+  /** Chunk width and stride (overlap = [[ChunkW]] − [[ChunkStride]] =
+    * 16 tokens) — the sliding-window tokenizer discipline used to cut
+    * long documents into training sequences / RAG passages without
+    * losing cross-boundary context. */
+  val ChunkW = 64
+  val ChunkStride = 48
+
+  /** Sliding-window chunking with overlap: each document is cut into
+    * [[ChunkW]]-token windows starting every [[ChunkStride]] tokens;
+    * the last window starts at the smallest multiple of the stride
+    * that reaches the document's end (so nothing is dropped and no
+    * fully-redundant tail chunk is emitted). Emits one row per chunk
+    * with its offsets and an md5 fingerprint — the downstream
+    * dedup/packing key.
+    *
+    * Scale shape: a pure map-side explode — ZERO shuffles at any
+    * corpus size (the trailing orderBy exists for the deterministic
+    * gate dump only). Chunk count is start-arithmetic, computed
+    * identically by both engines in exact integers. */
+  def textChunkOverlap: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, CASE WHEN size(toks) <= $ChunkW THEN 0
+              ELSE CAST((size(toks) - $ChunkW + $ChunkStride - 1) DIV $ChunkStride AS INT) END),
+            i -> struct(i AS chunk_id, i * $ChunkStride AS start_tok,
+                        slice(toks, i * $ChunkStride + 1, $ChunkW) AS ctoks))""")).as("c"))
+      .select(col("doc_id"),
+        col("c.chunk_id").cast("long").as("chunk_id"),
+        col("c.start_tok").cast("long").as("start_tok"),
+        size(col("c.ctoks")).as("n_tok"),
+        md5(array_join(col("c.ctoks"), " ")).as("sig"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val textChunkOverlapSql: String =
+    s"""WITH docs AS (SELECT doc_id, $toksSqlExpr AS toks FROM documents),
+        c AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(0, 1 + CASE WHEN len(toks) <= $ChunkW THEN 0
+                        ELSE (len(toks) - $ChunkW + ${ChunkStride - 1}) // $ChunkStride END),
+                        i -> {'chunk_id': i, 'start_tok': i * $ChunkStride,
+                              'ctoks': toks[i * $ChunkStride + 1 : i * $ChunkStride + $ChunkW]})) AS u
+          FROM docs)
+        SELECT doc_id, u.chunk_id AS chunk_id, u.start_tok AS start_tok,
+               CAST(len(u.ctoks) AS INT) AS n_tok,
+               md5(array_to_string(u.ctoks, ' ')) AS sig
+        FROM c ORDER BY doc_id, chunk_id"""
+
+  // ------------------------------------------- CCNet perplexity buckets
+
+  /** CCNet-style quality bucketing (Wenzek et al. 2020): score every
+    * document by unigram-LM cross-entropy (the `text_perplexity`
+    * scorer), then split EACH LANGUAGE into head / middle / tail
+    * terciles by score — the published recipe keeps "head" (and
+    * sometimes "middle") per language so low-resource languages are
+    * never starved by a global threshold.
+    *
+    * The tercile boundaries are found WITHOUT any corpus sort: scores
+    * quantize to an integer 1e-4 grid (the same trunc4 the scorer
+    * already emits), one (lang, grid-cell) count aggregation builds a
+    * bounded histogram (≤ |grid| rows per language at ANY corpus
+    * size), prefix-sum windows over that histogram find the cut
+    * points, and a |languages|-row boundary table broadcasts back —
+    * the `q_weighted_percentile` two-pass discipline applied to
+    * curation. Cumulative counts are exact integers (`3·cum ≥ n`
+    * avoids division entirely), so bucket assignment is engine-exact. */
+  def textCcnetBuckets: Q = textCcnetBucketsAt(LmVocabK)
+
+  private[graft] def textCcnetBucketsAt(k: Int): Q = (s, d) => {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(expr(toksExpr)).as("term"))
+    val (total, topk, _) = lmVocabModel(s, d, k)
+    val kept = topk.map(_._2).sum
+    val vocab = topk.toSeq
+      .map { case (t, c) => (t, -math.log(c.toDouble / total.toDouble)) }
+      .toDF("term", "surprisal")
+    val oovSurprisal =
+      if (total > kept) -math.log((total - kept).toDouble / total.toDouble) else 0.0
+    val docCe = toks.join(broadcast(vocab), Seq("term"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("surprisal"), lit(oovSurprisal)).as("surprisal"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("aggregate(array_sort(collect_list(surprisal)), 0.0e0, (a, x) -> a + x)")
+          .as("ss"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        floor(col("ss") / col("n_tokens") * 1e4).cast("long").as("ce_q"))
+    val grid = docCe.groupBy(col("lang"), col("ce_q"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    // prefix sums over the BOUNDED per-language histogram, never the corpus
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("ce_q"))
+    val cum = grid
+      .withColumn("cum", sum(col("n_docs")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("n_lang", sum(col("n_docs")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
+    val bounds = cum.groupBy(col("lang")).agg(
+      min(when(col("cum") * 3 >= col("n_lang"), col("ce_q"))).as("b1"),
+      min(when(col("cum") * 3 >= col("n_lang") * 2, col("ce_q"))).as("b2"))
+    grid.join(broadcast(bounds), Seq("lang"))
+      .withColumn("bucket",
+        when(col("ce_q") <= col("b1"), "head")
+          .when(col("ce_q") <= col("b2"), "middle")
+          .otherwise("tail"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (min(col("ce_q")) / 1e4).as("ce_min"),
+        (max(col("ce_q")) / 1e4).as("ce_max"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  val textCcnetBucketsSql: String =
+    s"""WITH toks AS (
+          SELECT doc_id, lang, unnest($toksSqlExpr) AS term FROM documents),
+        counts AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+        topk AS (SELECT term, cnt FROM counts ORDER BY cnt DESC, term LIMIT $LmVocabK),
+        tot AS (SELECT sum(cnt) AS total FROM counts),
+        kept AS (SELECT sum(cnt) AS kept FROM topk),
+        vocab AS (
+          SELECT term, -ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) AS surprisal
+          FROM topk CROSS JOIN tot),
+        oov AS (
+          SELECT CASE WHEN total > kept
+                      THEN -ln(CAST(total - kept AS DOUBLE) / CAST(total AS DOUBLE))
+                      ELSE 0.0e0 END AS oov_surprisal
+          FROM tot CROSS JOIN kept),
+        doc_ce AS (
+          SELECT t.doc_id, t.lang, count(*) AS n_tokens,
+                 CAST(floor(list_reduce(list_prepend(0.0e0,
+                        list_sort(list(coalesce(v.surprisal, o.oov_surprisal)))),
+                        (a, x) -> a + x) / count(*) * 1e4) AS BIGINT) AS ce_q
+          FROM toks t LEFT JOIN vocab v USING (term) CROSS JOIN oov o
+          GROUP BY t.doc_id, t.lang),
+        grid AS (SELECT lang, ce_q, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+                 FROM doc_ce GROUP BY 1, 2),
+        cum AS (SELECT lang, ce_q, n_docs, n_tokens,
+                       sum(n_docs) OVER (PARTITION BY lang ORDER BY ce_q
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+                       sum(n_docs) OVER (PARTITION BY lang) AS n_lang
+                FROM grid),
+        bounds AS (SELECT lang,
+                          min(CASE WHEN cum * 3 >= n_lang THEN ce_q END) AS b1,
+                          min(CASE WHEN cum * 3 >= n_lang * 2 THEN ce_q END) AS b2
+                   FROM cum GROUP BY lang)
+        SELECT g.lang,
+               CASE WHEN g.ce_q <= b.b1 THEN 'head'
+                    WHEN g.ce_q <= b.b2 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               CAST(sum(g.n_docs) AS BIGINT) AS n_docs,
+               CAST(sum(g.n_tokens) AS BIGINT) AS n_tokens,
+               min(g.ce_q) / 1e4 AS ce_min, max(g.ce_q) / 1e4 AS ce_max
+        FROM grid g JOIN bounds b USING (lang)
+        GROUP BY 1, 2 ORDER BY lang, bucket"""
+
+  // ------------------------------------------------------- BPE training
+
+  /** Merge rounds for the BPE ledger. Each round = one count pass +
+    * one merge-apply pass over the word-TYPE table. */
+  val BpeRounds = 3
+
+  /** BPE vocabulary learning (Sennrich et al. 2016) — the tokenizer-
+    * induction step of a training-data pipeline, re-expressed on the
+    * classic discipline that makes it tractable at corpus scale: train
+    * on the WORD-FREQUENCY VOCABULARY, not on corpus positions. One
+    * corpus pass builds the (word type, count) table; every merge round
+    * then touches only that types table (types ≪ tokens at any corpus
+    * size). Per round: adjacent-pair counts weighted by word frequency
+    * (overlapping occurrences counted, as `get_stats` does), the top
+    * pair picked by (count desc, pair lexicographic) — a 1-row
+    * bounded collect, same audited class as the LM vocab model — and
+    * the merge applied greedily left-to-right. Greedy application is
+    * window-expressible: for x ≠ y two matches can never be adjacent
+    * (a match at i+1 would force y = x), and for x == y matches come in
+    * consecutive runs where greedy keeps the EVEN offsets — so islands
+    * of consecutive matches (gaps-and-islands) + offset parity replay
+    * the sequential scan exactly, with no recursion. Emits the merge
+    * ledger: (round, pair, weighted count, weighted symbol mass after).
+    *
+    * Scale shape: one corpus count shuffle, then [[BpeRounds]] rounds
+    * of types-table windows all partitioned by word (one partitioning
+    * reused across every window) — never a corpus-sized window, never
+    * an unbounded collect. */
+  def textBpeTrain: Q = (s, d) => {
+    import s.implicits._
+    val types = Tables.documents(s, d)
+      .select(explode(expr(toksExpr)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val t0 = types.select(col("word"), col("freq"),
+      posexplode(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
+      .withColumnRenamed("pos", "pos").withColumnRenamed("col", "sym")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("word")).orderBy(col("pos"))
+    def round(t: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, String, String, Long) = {
+      val top = t.withColumn("nxt", lead(col("sym"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("x"), col("nxt").as("y"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("x"), col("y"))
+        .limit(1).collect()(0)
+      val (x, y, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      val merged = t
+        .withColumn("nxt", lead(col("sym"), 1).over(w))
+        .withColumn("m", col("sym") === x && col("nxt") === y)
+        .withColumn("island", sum(when(col("m"), 0).otherwise(1)).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .withColumn("off", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("word"), col("island"), col("m")).orderBy(col("pos"))) - 1)
+        .withColumn("start", col("m") && col("off") % 2 === 0)
+        .withColumn("drop_me", coalesce(lag(col("start"), 1).over(w), lit(false)))
+        .filter(!col("drop_me"))
+        .select(col("word"), col("freq"),
+          row_number().over(w).as("pos"),
+          when(col("start"), lit(x + y)).otherwise(col("sym")).as("sym"))
+      (merged, x, y, cnt)
+    }
+    // lineage cut per round (the Pregel idiom): each round's top-pair
+    // collect and mass aggregate read the materialized previous state
+    // instead of re-executing every earlier round's windows
+    var t = graft.Checkpoints.cut(
+      t0.select(col("word"), col("freq"), (col("pos") + 1).as("pos"), col("sym")))
+    val rows = (1 to BpeRounds).map { r =>
+      val (merged, x, y, cnt) = round(t)
+      t = graft.Checkpoints.cut(merged)
+      val mass = t.agg(sum(col("freq"))).collect()(0).getLong(0)
+      (r, x, y, cnt, mass)
+    }
+    rows.toDF("round", "w1", "w2", "pair_freq", "n_symbols_after")
+      .orderBy(col("round"))
+  }
+
+  /** The DuckDB replay unrolls the same [[BpeRounds]] rounds as CTEs;
+    * each round's state table is referenced twice (top pick + next
+    * state), so inlining costs ≤ 2^rounds evaluations of the TYPES
+    * table — small at gate scale, and the Spark side reuses the
+    * shuffle instead. */
+  val textBpeTrainSql: String = {
+    def roundCtes(r: Int): String = {
+      val t = s"t$r"; val top = s"top$r"; val nt = s"t${r + 1}"
+      s"""$top AS (
+            SELECT sym AS x, nxt AS y, cnt, CAST($r AS INT) AS round
+            FROM (SELECT sym, nxt, CAST(sum(freq) AS BIGINT) AS cnt
+                  FROM (SELECT sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt, freq
+                        FROM $t)
+                  WHERE nxt IS NOT NULL GROUP BY 1, 2)
+            ORDER BY cnt DESC, x, y LIMIT 1),
+          $nt AS (
+            SELECT word, freq, row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+                   CASE WHEN start THEN x || y ELSE sym END AS sym
+            FROM (
+              SELECT word, freq, pos, sym, x, y, start,
+                     coalesce(lag(start) OVER (PARTITION BY word ORDER BY pos), false) AS drop_me
+              FROM (
+                SELECT word, freq, pos, sym, x, y,
+                       m AND (row_number() OVER (PARTITION BY word, island, m ORDER BY pos) - 1) % 2 = 0 AS start
+                FROM (
+                  SELECT word, freq, pos, sym, x, y, m,
+                         sum(CASE WHEN m THEN 0 ELSE 1 END)
+                           OVER (PARTITION BY word ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+                  FROM (SELECT word, freq, pos, sym, x, y,
+                               sym = x AND lead(sym) OVER (PARTITION BY word ORDER BY pos) = y AS m
+                        FROM $t CROSS JOIN $top))))
+            WHERE NOT drop_me)"""
+    }
+    val ctes = (1 to BpeRounds).map(roundCtes).mkString(",\n        ")
+    val outs = (1 to BpeRounds).map { r =>
+      s"""SELECT round, x AS w1, y AS w2, cnt AS pair_freq,
+             (SELECT CAST(sum(freq) AS BIGINT) FROM t${r + 1}) AS n_symbols_after
+          FROM top$r"""
+    }.mkString("\n        UNION ALL\n        ")
+    s"""WITH types AS (
+          SELECT word, count(*) AS freq
+          FROM (SELECT unnest($toksSqlExpr) AS word FROM documents)
+          GROUP BY word),
+        t1 AS (
+          SELECT word, freq, u.i AS pos, u.s AS sym
+          FROM (SELECT word, freq,
+                       unnest(list_transform(range(1, len(word) + 1),
+                              i -> {'i': i, 's': word[i:i]})) AS u
+                FROM types)),
+        $ctes
+        $outs
+        ORDER BY round"""
+  }
+
+  // ----------------------------------------------------------- DSIR
+
+  /** Feature-hash buckets for DSIR (2^11 — the published recipe hashes
+    * bigrams into a fixed bucket space so the model is bounded by
+    * construction, like the LM vocab cap). */
+  val DsirBuckets = 2048
+
+  /** Selected fraction: keep the top quarter by importance weight. */
+  val DsirKeepNum = 1
+  val DsirKeepDen = 4
+
+  /** DSIR — Data Selection with Importance Resampling (Xie et al.
+    * 2023): score every raw document by how much more likely its
+    * hashed-bigram features are under the TARGET distribution (the
+    * `src0` corpus, the same eval-suite convention `text_contamination`
+    * uses) than under the raw pool, then keep the top quarter.
+    * log-importance(doc) = Σ_features ln p̂_target(b) − ln p̂_raw(b)
+    * with add-one smoothing over the [[DsirBuckets]] bucket space.
+    *
+    * Scale shape: both feature models are ≤ 2048-row aggregates
+    * (broadcast); scoring is one narrow pass over raw-doc bigrams +
+    * a per-doc order-fixed sorted fold; the selection threshold comes
+    * from the `q_weighted_percentile` grid discipline — weights
+    * quantize to the 1e-4 integer grid, one histogram aggregation +
+    * a descending prefix sum find the smallest weight with ≥ 25% of
+    * docs above it (4·cum ≥ n, division-free), and a 1-row threshold
+    * broadcasts back. No corpus sort, no unbounded state; ties at the
+    * threshold are kept (deterministic over-selection). */
+  def mixDsir: Q = (s, d) => {
+    val bigrams = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), expr(toksExpr).as("toks"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        """CASE WHEN size(toks) >= 2
+             THEN transform(sequence(0, size(toks) - 2),
+                            i -> concat(toks[i], ' ', toks[i + 1]))
+             ELSE array() END""")).as("bg"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("dsir:"), col("bg"))), 1, 8), 16, 10)
+          .cast("long") % DsirBuckets)
+      .select(col("doc_id"), col("source"), col("bucket"))
+    def model(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+    val grid = s.range(DsirBuckets).select(col("id").as("bucket"))
+    val tgt = model(bigrams.filter(col("source") === "src0"))
+    val raw = model(bigrams.filter(col("source") =!= "src0"))
+    val nt = tgt.agg(sum(col("c")).as("nt"))
+    val nr = raw.agg(sum(col("c")).as("nr"))
+    val logratio = grid
+      .join(broadcast(tgt.withColumnRenamed("c", "ct")), Seq("bucket"), "left")
+      .join(broadcast(raw.withColumnRenamed("c", "cr")), Seq("bucket"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("bucket"), expr(
+        s"""ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(nt + $DsirBuckets AS DOUBLE)) -
+            ln(CAST(coalesce(cr, 0) + 1 AS DOUBLE) / CAST(nr + $DsirBuckets AS DOUBLE))""")
+        .as("lr"))
+    val docW = bigrams.filter(col("source") =!= "src0")
+      .join(broadcast(logratio), Seq("bucket"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_feats"),
+        expr("aggregate(array_sort(collect_list(lr)), 0.0e0, (a, x) -> a + x)").as("wsum"))
+      .select(col("doc_id"), col("source"), col("n_feats"),
+        floor(col("wsum") * 1e4).cast("long").as("wq"))
+    val hist = docW.groupBy(col("wq")).agg(count(lit(1)).as("n_docs"))
+    val wDesc = org.apache.spark.sql.expressions.Window.orderBy(col("wq").desc)
+    val thr = hist
+      .withColumn("cum", sum(col("n_docs")).over(
+        wDesc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("n_docs")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .agg(max(when(col("cum") * DsirKeepDen >= col("n") * DsirKeepNum, col("wq"))).as("thr"))
+    docW.crossJoin(broadcast(thr))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("wq") >= col("thr"), 1)).as("n_selected"),
+        coalesce(sum(when(col("wq") >= col("thr"), col("n_feats"))), lit(0L)).as("sel_feats"),
+        (max(col("thr")) / 1e4).as("w_threshold"))
+      .orderBy(col("source"))
+  }
+
+  val mixDsirSql: String =
+    s"""WITH bg AS (
+          SELECT doc_id, source,
+                 ('0x' || substring(md5('dsir:' || b), 1, 8))::BIGINT % $DsirBuckets AS bucket
+          FROM (SELECT doc_id, source,
+                       unnest(list_transform(range(0, len(toks) - 1),
+                              i -> toks[i + 1] || ' ' || toks[i + 2])) AS b
+                FROM (SELECT doc_id, source, $toksSqlExpr AS toks FROM documents))),
+        tgt AS (SELECT bucket, count(*) AS ct FROM bg WHERE source = 'src0' GROUP BY 1),
+        raw AS (SELECT bucket, count(*) AS cr FROM bg WHERE source <> 'src0' GROUP BY 1),
+        nt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM tgt),
+        nr AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM raw),
+        logratio AS (
+          SELECT g.bucket,
+                 ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(nt + $DsirBuckets AS DOUBLE)) -
+                 ln(CAST(coalesce(cr, 0) + 1 AS DOUBLE) / CAST(nr + $DsirBuckets AS DOUBLE)) AS lr
+          FROM (SELECT unnest(range(0, $DsirBuckets)) AS bucket) g
+          LEFT JOIN tgt ON g.bucket = tgt.bucket
+          LEFT JOIN raw ON g.bucket = raw.bucket
+          CROSS JOIN nt CROSS JOIN nr),
+        doc_w AS (
+          SELECT b.doc_id, b.source, count(*) AS n_feats,
+                 CAST(floor(list_reduce(list_prepend(0.0e0, list_sort(list(l.lr))),
+                            (a, x) -> a + x) * 1e4) AS BIGINT) AS wq
+          FROM bg b JOIN logratio l USING (bucket)
+          WHERE b.source <> 'src0'
+          GROUP BY b.doc_id, b.source),
+        hist AS (SELECT wq, count(*) AS n_docs FROM doc_w GROUP BY wq),
+        thr AS (
+          SELECT max(CASE WHEN cum * $DsirKeepDen >= n * $DsirKeepNum THEN wq END) AS thr
+          FROM (SELECT wq, sum(n_docs) OVER (ORDER BY wq DESC ROWS UNBOUNDED PRECEDING) AS cum,
+                       sum(n_docs) OVER () AS n
+                FROM hist))
+        SELECT source, count(*) AS n_docs,
+               count(*) FILTER (WHERE wq >= thr) AS n_selected,
+               CAST(coalesce(sum(n_feats) FILTER (WHERE wq >= thr), 0) AS BIGINT) AS sel_feats,
+               max(thr) / 1e4 AS w_threshold
+        FROM doc_w CROSS JOIN thr
+        GROUP BY source ORDER BY source"""
+
   // ------------------------------------------------- epoch upsampling
 
   /** Epoch cap for the smallest sources. */
@@ -624,6 +1154,11 @@ object Curation {
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
     ("text_bigram_lm", textBigramLm, Some(textBigramLmSql)),
+    ("text_bigram_lm_kn", textBigramLmKn, Some(textBigramLmKnSql)),
+    ("text_chunk_overlap", textChunkOverlap, Some(textChunkOverlapSql)),
+    ("text_ccnet_buckets", textCcnetBuckets, Some(textCcnetBucketsSql)),
+    ("text_bpe_train", textBpeTrain, Some(textBpeTrainSql)),
+    ("mix_dsir", mixDsir, Some(mixDsirSql)),
     ("mix_epoch_upsample", mixEpochUpsample, Some(mixEpochUpsampleSql)),
     ("text_novelty", textNovelty, Some(textNoveltySql)),
     ("text_perplexity", textPerplexity, Some(textPerplexitySql)),

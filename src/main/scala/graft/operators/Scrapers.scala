@@ -842,8 +842,76 @@ object Scrapers {
                     / CAST(sum(n_a + n_b) AS DOUBLE) * 1e4) / 1e4 AS dedup_ratio
        FROM w GROUP BY 1 ORDER BY 1"""
 
+  // ------------------------------------------------------- federation read
+
+  /** Staleness lookback for the federation read, in hours: a series
+    * whose freshest sample is older than this against the scrape
+    * horizon is considered stale and dropped (Prometheus' /federate
+    * applies the same staleness rule before exposing a series). */
+  val FederateLookbackH = 4L
+
+  /** The `/federate` read — the pull-side dual of the reference's
+    * remote-write push (prometheus.go:23-127): expose, for every
+    * selected series, its FRESHEST sample with `honor_labels` external
+    * label merging. Series spine: hourly event counts per
+    * (event_type, user_id%4 shard); shard-0 series carry their own
+    * `region` label (a target that already sets it), everyone else
+    * inherits the federating server's external label — coalesce(own,
+    * external) IS honor_labels=true. Stale series (freshest sample
+    * older than [[FederateLookbackH]] hours against the global scrape
+    * horizon) are dropped, as /federate does.
+    *
+    * Scale shape: one count shuffle to the hourly spine, one
+    * series-keyed max_by aggregation (map-side combining: each
+    * partition ships one candidate per series), and a 1-row horizon
+    * broadcast — no window over the corpus, no join-back. Ties are
+    * impossible (hour_sec is unique per series), so max_by is
+    * deterministic; everything is exact integers. */
+  def promFederate: Q = (s, d) => {
+    val base = Tables.events(s, d).select(col("event_type"),
+      (col("user_id") % 4).as("shard"),
+      unix_timestamp(date_trunc("hour", col("ts"))).as("hour_sec"))
+    val hourly = base.groupBy(col("event_type"), col("shard"), col("hour_sec"))
+      .agg(count(lit(1)).as("n"))
+    val latest = hourly.groupBy(col("event_type"), col("shard"))
+      .agg(max(col("hour_sec")).as("ts_sec"),
+        expr("max_by(n, hour_sec)").as("v"))
+    val horizon = hourly.agg(max(col("hour_sec")).as("max_sec"))
+    latest.crossJoin(broadcast(horizon))
+      .filter(col("ts_sec") >= col("max_sec") - FederateLookbackH * 3600L)
+      .withColumn("own_region",
+        when(col("shard") === 0, lit("eu-west-1")))
+      .select(lit("graft:events_per_hour:count").as("metric_name"),
+        col("event_type"), col("shard"),
+        coalesce(col("own_region"), lit("us-east-1")).as("region"),
+        col("own_region").isNotNull.as("honored"),
+        col("ts_sec"), col("v").cast("double").as("value"))
+      .orderBy(col("event_type"), col("shard"))
+  }
+
+  val promFederateSql: String =
+    s"""WITH base AS (
+          SELECT event_type, user_id % 4 AS shard,
+                 CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_sec
+          FROM events),
+        hourly AS (SELECT event_type, shard, hour_sec, count(*) AS n
+                   FROM base GROUP BY 1, 2, 3),
+        latest AS (SELECT event_type, shard, max(hour_sec) AS ts_sec,
+                          arg_max(n, hour_sec) AS v
+                   FROM hourly GROUP BY 1, 2),
+        horizon AS (SELECT max(hour_sec) AS max_sec FROM hourly)
+        SELECT 'graft:events_per_hour:count' AS metric_name, event_type,
+               CAST(shard AS BIGINT) AS shard,
+               coalesce(CASE WHEN shard = 0 THEN 'eu-west-1' END, 'us-east-1') AS region,
+               (CASE WHEN shard = 0 THEN 'eu-west-1' END) IS NOT NULL AS honored,
+               ts_sec, CAST(v AS DOUBLE) AS value
+        FROM latest CROSS JOIN horizon
+        WHERE ts_sec >= max_sec - $FederateLookbackH * 3600
+        ORDER BY event_type, shard"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("prom_ha_dedup", haDedup, Some(haDedupSql)),
+    ("prom_federate", promFederate, Some(promFederateSql)),
     ("prom_recording_rules", recordingRules, Some(recordingRulesSql)),
     ("metrics_histogram_stddev", histogramStddev, Some(histogramStddevSql)),
     ("prom_series_cardinality", seriesCardinality, Some(seriesCardinalitySql)),
