@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Checkpoints.cut
+import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -33,6 +34,16 @@ object Cluster {
     // references them twice, and an unmaterialized reference would
     // re-run the whole minhash pipeline per branch
     val pairs = cut(Dedup.minhashLsh(s, d).select(col("doc_a"), col("doc_b")))
+    ccLabels(pairs)
+      .select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The min-label-propagation loop over an already-materialized pair
+    * table — shared by `dedup_cluster` and `split_dedup_aware` so the
+    * LSH pipeline is never executed twice for one entry. Returns
+    * (doc, label) for every doc appearing in a pair. */
+  private[graft] def ccLabels(pairs: DataFrame): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
@@ -77,8 +88,7 @@ object Cluster {
       converged = changed == 0
       round += 1
     }
-    labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy(col("doc_id"))
+    labels
   }
 
   /** DuckDB oracle: transitive closure by recursive CTE over the same
@@ -95,6 +105,75 @@ object Cluster {
        SELECT doc_id, min(reach) AS cluster_id FROM (
          SELECT u AS doc_id, least(u, v) AS reach FROM walk) t
        GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  /** Dedup-aware split assignment — the FIX for what
+    * `split_leakage_audit` detects: near-duplicate documents routed to
+    * different train/val/test splits leak eval content into training.
+    * Here the split decision is a content-hash of the near-dup
+    * COMPONENT's canonical id (min doc_id reachable in the minhash-LSH
+    * pair graph; singletons are their own canonical), so every member
+    * of a component lands in the same split BY CONSTRUCTION — and the
+    * entry proves it, emitting the count of near-dup pairs that cross
+    * splits (always 0; the spec shows the naive per-doc hash split on
+    * the same corpus leaks).
+    *
+    * Scale shape: the LSH pair pipeline + the bounded-round label loop
+    * `dedup_cluster` already pays (shared via [[ccLabels]], pairs
+    * materialized once), one doc_id-keyed join back to the corpus, one
+    * groupBy — the membership rule stays a pure content-hash function
+    * (reproducible on any partitioning, the split family's contract). */
+  def splitDedupAware: Q = (s, d) => {
+    val pairs = cut(Dedup.minhashLsh(s, d).select(col("doc_a"), col("doc_b")))
+    val labels = ccLabels(pairs)
+    val assigned = cut(Tables.documents(s, d).select(col("doc_id"))
+      .join(labels.select(col("doc").as("doc_id"), col("label")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("canon"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("sdsplit:"), col("canon").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test")))
+    val cross = pairs
+      .join(assigned.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+      .join(assigned.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+      .agg(count(when(col("sa") =!= col("sb"), 1)).as("cross_split_pairs"))
+    assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canon")).as("n_components"))
+      .crossJoin(broadcast(cross))
+      .orderBy(col("split"))
+  }
+
+  val splitDedupAwareSql: String = {
+    val pairSql = Dedup.minhashLshSql
+    s"""WITH RECURSIVE pairs AS ($pairSql),
+         bi AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+         walk(u, v) AS (
+           SELECT u, v FROM bi
+           UNION
+           SELECT w.u, b.v FROM walk w JOIN bi b ON w.v = b.u),
+         labels AS (
+           SELECT doc_id, min(reach) AS label FROM (
+             SELECT u AS doc_id, least(u, v) AS reach FROM walk) t
+           GROUP BY doc_id),
+         assigned AS (
+           SELECT d.doc_id, coalesce(l.label, d.doc_id) AS canon,
+                  CASE WHEN ('0x' || substring(md5('sdsplit:' || CAST(coalesce(l.label, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                       WHEN ('0x' || substring(md5('sdsplit:' || CAST(coalesce(l.label, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM documents d LEFT JOIN labels l USING (doc_id)),
+         cross_cnt AS (
+           SELECT count(*) FILTER (WHERE a.split <> b.split) AS cross_split_pairs
+           FROM pairs p
+           JOIN assigned a ON p.doc_a = a.doc_id
+           JOIN assigned b ON p.doc_b = b.doc_id)
+       SELECT split, count(*) AS n_docs,
+              count(DISTINCT canon) AS n_components,
+              max(cross_split_pairs) AS cross_split_pairs
+       FROM assigned CROSS JOIN cross_cnt
+       GROUP BY split ORDER BY split"""
   }
 
   /** Soft dedup (the reweighting alternative to dropping — e.g.
@@ -172,5 +251,6 @@ object Cluster {
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("dedup_cluster", dedupCluster, Some(dedupClusterSql)),
+    ("split_dedup_aware", splitDedupAware, Some(splitDedupAwareSql)),
     ("dedup_soft_weight", softWeight, Some(softWeightSql)))
 }

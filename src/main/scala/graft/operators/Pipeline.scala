@@ -1214,7 +1214,96 @@ object Pipeline {
         ORDER BY layout"""
   }
 
+  // -------------------------------------------------------------- coreset
+
+  /** Centers selected by the farthest-point pass. */
+  val CoresetK = 8
+
+  /** Decision-key quantization for the maximin argmax: squared L2
+    * distances floor to a 1e-6 integer grid before ranking, so the
+    * ONLY float surface in the selection decision is a quantity both
+    * engines compute with the identical left-fold op sequence
+    * (graft_dot == a DuckDB list_reduce replay, 0.0-seeded ascending),
+    * then ties break on vec_id. */
+  private def coresetDq = "CAST(floor((graft_dot(v, v) + graft_dot(cv, cv) - " +
+    "2 * graft_dot(v, cv)) * 1e6) AS BIGINT)"
+
+  /** Diverse coreset selection — greedy farthest-point (k-center /
+    * Gonzalez) sampling over the embedding space: start from the min
+    * vec_id, then [[CoresetK]]−1 times pick the point FARTHEST from its
+    * nearest already-chosen center (maximin). The classic diverse-
+    * subset pass of a data-selection pipeline (coverage, not density —
+    * the complement of `sample_stratified`), and the 2-approximation to
+    * the optimal k-center cover. Emits the center ledger with each
+    * pick's maximin radius — the radius sequence is non-increasing and
+    * IS the k-center cost curve.
+    *
+    * Scale shape: each of the K−1 rounds is one narrow pass over the
+    * embeddings (crossJoin with a BROADCAST 1-row new-center frame, a
+    * running elementwise `least` against the materialized previous
+    * min-distance column, lineage cut per round) + one bounded
+    * TakeOrdered pick — K corpus passes total, no corpus×corpus
+    * distance matrix, no unbounded collect (the driver holds K
+    * vectors, the IVF-codebook bounded class). */
+  def sampleCoreset: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val first = emb.orderBy(col("vec_id")).limit(1).collect()(0)
+    var centers = Vector[(Int, Long, Seq[Double], Long)](
+      (1, first.getLong(0), first.getSeq[Double](1), 0L))
+    var mind: DataFrame = null
+    for (k <- 2 to CoresetK) {
+      val cDf = Seq(Tuple1(centers.last._3)).toDF("cv")
+      val dNew = emb.crossJoin(broadcast(cDf))
+        .select(col("vec_id"), expr(coresetDq).as("dnew"))
+      mind = graft.Checkpoints.cut(
+        if (mind == null) dNew.select(col("vec_id"), col("dnew").as("mind"))
+        else mind.join(dNew, "vec_id")
+          .select(col("vec_id"), least(col("mind"), col("dnew")).as("mind")))
+      val pick = mind.orderBy(col("mind").desc, col("vec_id")).limit(1).collect()(0)
+      val (pid, pd) = (pick.getLong(0), pick.getLong(1))
+      val pv = emb.filter(col("vec_id") === pid)
+        .select(col("v")).collect()(0).getSeq[Double](0)
+      centers :+= ((k, pid, pv, pd))
+    }
+    centers.map { case (k, id, _, dq) => (k, id, dq / 1e6) }
+      .toDF("k", "vec_id", "radius").orderBy(col("k"))
+  }
+
+  /** DuckDB replay: the same K−1 unrolled rounds; the dot product is a
+    * 0.0-seeded ascending list_reduce — the exact op sequence of the
+    * graft_dot loop, so the quantized decision keys are bit-equal. */
+  val sampleCoresetSql: String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0e0, list_transform(range(1, len($a) + 1), " +
+        s"i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+    def dq(ev: String, cv: String) =
+      s"CAST(floor((${dot(ev, ev)} + ${dot(cv, cv)} - 2 * ${dot(ev, cv)}) * 1e6) AS BIGINT)"
+    val rounds = (2 to CoresetK).map { k =>
+      val (p, c, dPrev, dCur) = (s"p$k", s"c$k", s"d${k - 1}", s"d$k")
+      val base =
+        s"""$p AS (SELECT vec_id, mind FROM $dPrev ORDER BY mind DESC, vec_id LIMIT 1),
+           $c AS (SELECT e.vec_id AS cid, e.v AS cv, q.mind FROM emb e JOIN $p q USING (vec_id))"""
+      if (k == CoresetK) base
+      else base + s""",
+           $dCur AS (SELECT x.vec_id, least(x.mind, ${dq("e.v", "c.cv")}) AS mind
+                     FROM $dPrev x JOIN emb e USING (vec_id) CROSS JOIN $c c)"""
+    }.mkString(",\n         ")
+    val outs = (2 to CoresetK)
+      .map(k => s"SELECT $k AS k, cid AS vec_id, mind / 1e6 AS radius FROM c$k")
+      .mkString("\n         UNION ALL ")
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         c1 AS (SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT 1),
+         d1 AS (SELECT e.vec_id, ${dq("e.v", "c.cv")} AS mind FROM emb e CROSS JOIN c1 c),
+         $rounds
+         SELECT 1 AS k, cid AS vec_id, 0.0e0 AS radius FROM c1
+         UNION ALL $outs
+         ORDER BY k"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("sample_coreset", sampleCoreset, Some(sampleCoresetSql)),
     ("pack_shuffle_quality", shuffleQuality, Some(shuffleQualitySql)),
     ("mix_kl_divergence", mixKlDivergence, Some(mixKlDivergenceSql)),
     ("split_grouped", splitGrouped, Some(splitGroupedSql)),

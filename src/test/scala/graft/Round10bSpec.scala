@@ -247,6 +247,69 @@ class Round10bSpec extends SparkTestBase {
     assert(got("srcA")._2 > got("srcB")._2)
   }
 
+  // ------------------------------------------------------------ coreset
+
+  test("sample_coreset equals a driver-side greedy farthest-point replay") {
+    import spark.implicits._
+    // 40 vectors in 4 well-separated blobs + jitter: farthest-point
+    // must visit all blobs before densifying any one of them
+    val vecs = (0 until 40).map { i =>
+      val blob = i % 4
+      val base = Array.fill(8)(0.0f)
+      base(blob * 2) = 10.0f * (blob + 1)
+      base(7) = (i / 4).toFloat * 0.01f
+      (i.toLong, base.toSeq, blob)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_coreset").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    def dq(e: Seq[Double], c: Seq[Double]): Long =
+      math.floor((dot(e, e) + dot(c, c) - 2 * dot(e, c)) * 1e6).toLong
+    val pts = vecs.map { case (id, v, _) => id -> v.map(_.toDouble) }
+    var centers = Vector((1, pts.head._1, 0L))  // min vec_id = 0
+    var mind = pts.map { case (id, v) => id -> dq(v, pts.head._2) }.toMap
+    for (k <- 2 to graft.operators.Pipeline.CoresetK) {
+      val (pid, pd) = mind.toSeq.maxBy { case (id, dd) => (dd, -id) }
+      centers :+= ((k, pid, pd))
+      val cv = pts.find(_._1 == pid).get._2
+      mind = mind.map { case (id, dd) => id -> math.min(dd, dq(pts.find(_._1 == id).get._2, cv)) }
+    }
+    val got = graft.operators.Pipeline.sampleCoreset(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val want = centers.map { case (k, id, dd) => (k, id, dd / 1e6) }
+    assert(got.toSeq == want, s"got=${got.toSeq} want=$want")
+    // radii non-increasing from k=2 on (the k-center cost curve)
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.drop(1)).forall { case (a, b) => a >= b })
+    // the first 4 picks cover all 4 blobs (diversity, not density)
+    assert(got.take(4).map(_._2 % 4).toSet.size == 4)
+  }
+
+  // --------------------------------------------------- dedup-aware split
+
+  test("split_dedup_aware emits zero cross-split near-dup pairs where the naive split leaks") {
+    val out = graft.operators.Cluster.splitDedupAware(spark, sf).collect()
+    assert(out.map(_.getLong(1)).sum == 500, "all docs assigned")
+    assert(out.forall(_.getLong(3) == 0L), "no near-dup pair may cross splits")
+    // the naive per-doc split on the same pair graph: count leaks
+    val pairs = graft.operators.Dedup.minhashLsh(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "test corpus must contain near-dup pairs")
+    def naiveSplit(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val b = java.lang.Long.parseLong(h, 16) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val naiveCross = pairs.count { case (a, b) => naiveSplit(a) != naiveSplit(b) }
+    assert(naiveCross > 0, "naive split should leak on this corpus (else the test is vacuous)")
+  }
+
   // ----------------------------------------------------------- federate
 
   test("prom_federate exposes the freshest sample per series, drops stale series, honors own labels") {
