@@ -7,7 +7,7 @@ import java.util.concurrent.{ConcurrentLinkedQueue, Executors, TimeUnit}
   *
   * The dump runs entries on N concurrent threads of ONE warm session
   * (local[32] schedules all their tasks side by side) — a serial dump of
-  * 368 small sf0.01 queries is latency-bound on per-query plan/launch
+  * hundreds of small sf0.01 queries is latency-bound on per-query plan/launch
   * overhead, not CPU, and had outgrown the driver's wall-clock budget
   * (two straight rounds of empty CORRECTNESS captures). Entries are
   * independent single-shot DataFrame programs; the only cross-entry

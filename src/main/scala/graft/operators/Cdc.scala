@@ -149,7 +149,65 @@ object Cdc {
         ORDER BY bucket"""
   }
 
+  /** Late-arriving change application — the hard case of incremental
+    * SCD2 maintenance: a second batch of changes whose timestamps fall
+    * BEFORE already-applied ones must retroactively splice existing
+    * validity intervals (an already-closed interval's valid_to moves
+    * earlier; an open one closes). The entry applies the log in two
+    * batches INCREMENTALLY — batch 1 builds interval state; batch 2
+    * touches only the entities it mentions (semi/anti joins on the
+    * entity key), replaying just their merged per-entity history —
+    * and the DuckDB oracle builds the intervals from the FULL log in
+    * one shot, so the hash match IS the proof that incremental
+    * maintenance with late data equals the rebuild.
+    *
+    * Scale shape: cost of the increment ∝ the affected entities'
+    * history + the delta (one semi + one anti join on the entity key),
+    * never a corpus rebuild; per-entity windows partition on the
+    * entity key. The batch split (event_id % 5) interleaves
+    * timestamps, so batch 2 is genuinely late, not merely appended. */
+  def cdcLateArriving: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val log = Tables.events(s, d)
+      .select(col("user_id").as("entity_key"),
+        unix_timestamp(col("ts")).as("ord_sec"), col("event_id"),
+        round(col("value"), 2).as("bal"))
+    val batch1 = log.filter(col("event_id") % 5 =!= 0)
+    val batch2 = log.filter(col("event_id") % 5 === 0)
+    def intervals(changes: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("entity_key"))
+        .orderBy(col("ord_sec"), col("event_id"))
+      changes.select(col("entity_key"), col("ord_sec"), col("event_id"), col("bal"),
+        lead(col("ord_sec"), 1).over(w).as("to_sec"))
+        .select(col("entity_key"), col("ord_sec").as("from_sec"),
+          col("event_id"), col("bal").as("balance"), col("to_sec"))
+    }
+    val state1 = graft.Checkpoints.cut(intervals(batch1))
+    val affected = batch2.select(col("entity_key")).distinct()
+    val unaffected = state1.join(affected, Seq("entity_key"), "left_anti")
+    val replay = state1.join(affected, Seq("entity_key"), "left_semi")
+      .select(col("entity_key"), col("from_sec").as("ord_sec"),
+        col("event_id"), col("balance").as("bal"))
+      .union(batch2.select(col("entity_key"), col("ord_sec"), col("event_id"), col("bal")))
+    unaffected.union(intervals(replay))
+      .orderBy(col("entity_key"), col("from_sec"), col("event_id"))
+  }
+
+  /** One-shot rebuild over the full log — incremental must equal this. */
+  val cdcLateArrivingSql: String =
+    """WITH log AS (
+         SELECT user_id AS entity_key,
+                CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ord_sec,
+                event_id, round(value, 2) AS bal
+         FROM events)
+       SELECT entity_key, ord_sec AS from_sec, event_id, bal AS balance,
+              lead(ord_sec) OVER (PARTITION BY entity_key
+                                  ORDER BY ord_sec, event_id) AS to_sec
+       FROM log
+       ORDER BY entity_key, from_sec, event_id"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("cdc_apply", cdcApply, Some(cdcApplySql)),
+    ("cdc_late_arriving", cdcLateArriving, Some(cdcLateArrivingSql)),
     ("cdc_reconcile", reconcile, Some(reconcileSql)))
 }
