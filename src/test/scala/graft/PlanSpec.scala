@@ -212,7 +212,12 @@ class PlanSweepSpec extends SparkTestBase {
     "source_partition_bounds", // 1-row min/max/total bounds broadcast
     "sessionize_otsu",     // 1-row histogram-total broadcast
     "mix_kl_divergence",   // 1-row mixture-total broadcast
-    "q_abc_classification") // 1-row revenue-total broadcast
+    "q_abc_classification", // 1-row revenue-total broadcast
+    // round-10 single-row broadcasts
+    "text_bigram_lm_kn",   // 1-row bigram-type-count (nbb) broadcast
+    "prom_federate",       // 1-row scrape-horizon broadcast
+    "mix_dsir",            // 1-row model totals + selection threshold broadcasts
+    "split_dedup_aware")   // 1-row cross-split pair-count broadcast
 
   // entries allowed a partitionless window over a NON-aggregate input,
   // each with its one-line justification — everything else must derive
