@@ -677,6 +677,101 @@ object Pipeline {
   private val TrainEndDay = "2024-01-20"
   private val TestStartDay = "2024-01-22"
 
+  /** Purged walk-forward CV geometry: fold k trains on days
+    * [0, 5k), purges 1 day, tests on the next 4 days (events span
+    * 2024-01, day 0 = 2024-01-01). */
+  val CvFolds = 4
+  val CvPurgeDays = 1
+  val CvTestDays = 4
+
+  /** Purged walk-forward (rolling-origin) cross-validation — the K-fold
+    * ladder a time-series model needs where plain `split_kfold` leaks
+    * future into past and a single `split_temporal` wastes data: fold k
+    * trains on everything before its cutoff, skips a purge day (labels
+    * computed over a horizon at train time can't peek into test —
+    * the purged-CV discipline of López de Prado 2018), and tests on
+    * the next window; successive folds reuse the history ladder-style.
+    * Per fold: event counts per role and how many users appear in both
+    * train and test (reported, not hidden — entity overlap is expected
+    * in walk-forward splits and belongs in the datasheet).
+    *
+    * Scale shape: fold membership is pure day arithmetic. Event counts
+    * come from the ≤|days|-row day histogram (one aggregation), NOT a
+    * corpus×folds explode; user overlap is ONE user-keyed aggregation
+    * computing all K train/test flags as conditional max's (the
+    * shuffle carries |users| rows once, independent of K), folded to a
+    * K-row ledger by a second tiny aggregation. All exact integers. */
+  def splitPurgedCv: Q = (s, d) => {
+    val base = Tables.events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("day"))
+    def trainEnd(k: Int) = k * (CvPurgeDays + CvTestDays)
+    // per-fold event counts over the bounded day histogram
+    val dayCounts = base.groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val foldCounts = dayCounts
+      .select(col("day"), col("n"), explode(expr(s"sequence(1, $CvFolds)")).as("fold"))
+      .withColumn("train_end", col("fold") * (CvPurgeDays + CvTestDays))
+      .groupBy(col("fold"))
+      .agg(max(col("train_end")).as("train_days"),
+        coalesce(sum(when(col("day") < col("train_end"), col("n"))), lit(0L)).as("n_train"),
+        coalesce(sum(when(col("day") >= col("train_end")
+          && col("day") < col("train_end") + CvPurgeDays, col("n"))), lit(0L)).as("n_purged"),
+        coalesce(sum(when(col("day") >= col("train_end") + CvPurgeDays
+          && col("day") < col("train_end") + CvPurgeDays + CvTestDays, col("n"))), lit(0L))
+          .as("n_test"))
+    // per-user train/test membership for ALL folds in one pass
+    val flagAggs = (1 to CvFolds).flatMap { k =>
+      val ts0 = trainEnd(k) + CvPurgeDays
+      Seq(
+        max(when(col("day") < trainEnd(k), 1).otherwise(0)).as(s"tr_$k"),
+        max(when(col("day") >= ts0 && col("day") < ts0 + CvTestDays, 1).otherwise(0))
+          .as(s"te_$k"))
+    }
+    val stackArgs = (1 to CvFolds).map(k => s"$k, ov_$k").mkString(", ")
+    val overlap = base.groupBy(col("user_id"))
+      .agg(flagAggs.head, flagAggs.tail: _*)
+      .agg((1 to CvFolds).map(k =>
+        sum(col(s"tr_$k") * col(s"te_$k")).as(s"ov_$k")).head,
+        (1 to CvFolds).map(k =>
+          sum(col(s"tr_$k") * col(s"te_$k")).as(s"ov_$k")).tail: _*)
+      .selectExpr(s"stack($CvFolds, $stackArgs) as (fold, n_users_overlap)")
+    foldCounts.join(broadcast(overlap), Seq("fold"))
+      .select(col("fold").cast("int").as("fold"), col("train_days").cast("int").as("train_days"),
+        col("n_train"), col("n_purged"), col("n_test"),
+        col("n_users_overlap").cast("long").as("n_users_overlap"))
+      .orderBy(col("fold"))
+  }
+
+  val splitPurgedCvSql: String = {
+    val w = CvPurgeDays + CvTestDays
+    s"""WITH base AS (
+          SELECT user_id,
+                 date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+          FROM events),
+        f AS (
+          SELECT CAST(fold AS INT) AS fold, CAST(fold * $w AS INT) AS train_end
+          FROM (SELECT unnest(range(1, ${CvFolds + 1})) AS fold)),
+        counts AS (
+          SELECT f.fold, max(f.train_end) AS train_days,
+                 count(*) FILTER (WHERE b.day < f.train_end) AS n_train,
+                 count(*) FILTER (WHERE b.day >= f.train_end
+                   AND b.day < f.train_end + $CvPurgeDays) AS n_purged,
+                 count(*) FILTER (WHERE b.day >= f.train_end + $CvPurgeDays
+                   AND b.day < f.train_end + $CvPurgeDays + $CvTestDays) AS n_test
+          FROM f, base b GROUP BY f.fold),
+        uo AS (
+          SELECT f.fold, b.user_id,
+                 max(CASE WHEN b.day < f.train_end THEN 1 ELSE 0 END) AS tr,
+                 max(CASE WHEN b.day >= f.train_end + $CvPurgeDays
+                      AND b.day < f.train_end + $CvPurgeDays + $CvTestDays
+                      THEN 1 ELSE 0 END) AS te
+          FROM f, base b GROUP BY 1, 2),
+        ov AS (SELECT fold, CAST(sum(tr * te) AS BIGINT) AS n_users_overlap
+               FROM uo GROUP BY fold)
+        SELECT c.fold, c.train_days, c.n_train, c.n_purged, c.n_test, o.n_users_overlap
+        FROM counts c JOIN ov o USING (fold) ORDER BY c.fold"""
+  }
+
   /** Leakage-safe TEMPORAL train/test split with an embargo gap — the
     * split a time-series / recommendation corpus needs where the hash
     * split (`split_train_test`) would leak future information into
@@ -1324,6 +1419,7 @@ object Pipeline {
     ("pipeline_dataset_card", datasetCard, Some(datasetCardSql)),
     ("mix_budget_apportion", budgetApportion, Some(budgetApportionSql)),
     ("split_kfold", splitKfold, Some(splitKfoldSql)),
+    ("split_purged_cv", splitPurgedCv, Some(splitPurgedCvSql)),
     ("text_tfidf_topk", tfidfTopk, Some(tfidfTopkSql)),
     ("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     ("sample_class_balanced", sampleClassBalanced, Some(sampleClassBalancedSql)),

@@ -1584,7 +1584,80 @@ object Similarity {
           ON k.query_id = r.query_id AND k.neighbor_id = r.neighbor_id
         WHERE r.rank <= $TopK ORDER BY r.query_id, r.rank"""
 
+  // ------------------------------------------- embedding-table QA
+
+  /** Quantization grid for dimension statistics: values land on the
+    * 1e-6 grid as exact BIGINTs, so corpus sums are commutative integer
+    * arithmetic — no summation-order float surface at any partitioning.
+    * Moments cross into decimal(38,0) (same discipline as
+    * `metrics_histogram_stddev`) so n·Σq² − (Σq)² can't overflow even
+    * at 10¹² vectors. */
+  private val EmbStatGrid = "1e6"
+
+  /** Per-dimension profile of the embeddings table — the QA read that
+    * runs BEFORE any ANN index is built: mean/stddev/min/max per
+    * dimension, plus the two defect flags that break downstream
+    * indexes: DEAD dimensions (zero variance — wasted quantizer bits,
+    * a truncated-export symptom) and dominant dimensions (|mean| >
+    * 2·stddev — an uncentered export that skews cosine toward one
+    * axis).
+    *
+    * Scale shape: one posexplode to (dim, q) pairs whose partial
+    * aggregation reduces every partition to ≤|dims| rows BEFORE the
+    * shuffle — the exchange carries |dims| × |partitions| rows, never
+    * vector volume. All moments are exact integers; each output makes
+    * one staged floored division/sqrt evaluated verbatim by both
+    * engines. */
+  def embDimStats: Q = (s, d) => {
+    val pairs = Tables.embeddings(s, d)
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).as("dim"),
+        expr(s"CAST(floor(x * $EmbStatGrid) AS BIGINT)").as("q"))
+    pairs.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("q")).as("sq"),
+        sum(expr("CAST(q AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0))")).as("sqq"),
+        min(col("q")).as("min_q"), max(col("q")).as("max_q"))
+      .withColumn("var_num", expr(
+        "CAST(n_vecs AS DECIMAL(38,0)) * sqq - CAST(sq AS DECIMAL(38,0)) * CAST(sq AS DECIMAL(38,0))"))
+      .select(col("dim").cast("int").as("dim"), col("n_vecs"),
+        expr(s"floor(CAST(sq AS DOUBLE) / CAST(n_vecs AS DOUBLE)) / $EmbStatGrid").as("mean"),
+        expr(s"floor(sqrt(CAST(var_num AS DOUBLE)) / CAST(n_vecs AS DOUBLE)) / $EmbStatGrid")
+          .as("stddev"),
+        expr(s"CAST(min_q AS DOUBLE) / $EmbStatGrid").as("min_v"),
+        expr(s"CAST(max_q AS DOUBLE) / $EmbStatGrid").as("max_v"),
+        expr("var_num = 0").as("dead"),
+        expr("abs(CAST(sq AS DOUBLE)) > 2 * sqrt(CAST(var_num AS DOUBLE))").as("dominant"))
+      .orderBy(col("dim"))
+  }
+
+  val embDimStatsSql: String =
+    s"""WITH pairs AS (
+          SELECT CAST(pos AS INT) AS dim,
+                 CAST(floor(x * $EmbStatGrid) AS BIGINT) AS q
+          FROM (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS pos
+                FROM embeddings)),
+        g AS (
+          SELECT dim, count(*) AS n_vecs, sum(q) AS sq,
+                 sum(CAST(q AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0))) AS sqq,
+                 min(q) AS min_q, max(q) AS max_q
+          FROM pairs GROUP BY dim),
+        v AS (
+          SELECT *, CAST(n_vecs AS DECIMAL(38,0)) * sqq
+                    - CAST(sq AS DECIMAL(38,0)) * CAST(sq AS DECIMAL(38,0)) AS var_num
+          FROM g)
+        SELECT dim, n_vecs,
+               floor(CAST(sq AS DOUBLE) / CAST(n_vecs AS DOUBLE)) / $EmbStatGrid AS mean,
+               floor(sqrt(CAST(var_num AS DOUBLE)) / CAST(n_vecs AS DOUBLE)) / $EmbStatGrid AS stddev,
+               CAST(min_q AS DOUBLE) / $EmbStatGrid AS min_v,
+               CAST(max_q AS DOUBLE) / $EmbStatGrid AS max_v,
+               var_num = 0 AS dead,
+               abs(CAST(sq AS DOUBLE)) > 2 * sqrt(CAST(var_num AS DOUBLE)) AS dominant
+        FROM v ORDER BY dim"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("emb_dim_stats", embDimStats, Some(embDimStatsSql)),
     ("ann_mips_topk", mipsTopK, Some(mipsTopKSql)),
     ("ann_sq8_topk", sq8TopK, Some(sq8TopKSql)),
     ("ann_ivf_tuning", ivfTuning, Some(ivfTuningSql)),

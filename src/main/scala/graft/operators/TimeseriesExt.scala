@@ -1217,7 +1217,101 @@ object TimeseriesExt {
         FROM v ORDER BY event_type, lag"""
   }
 
+  // ------------------------------------------------ SAX motif mining
+
+  /** SAX geometry: 24 hourly means per (series, day) → 6 four-hour PAA
+    * segments → alphabet {a,b,c,d} at the N(0,1) quartile breakpoints
+    * ±0.6745 (Lin et al. 2003, "A Symbolic Representation of Time
+    * Series"). Only full-coverage days (all 24 hours observed) are
+    * symbolized — a partial day would z-normalize against a different
+    * baseline and pollute the motif table. */
+  val SaxSegs = 6
+  private val SaxHoursPerSeg = 4
+
+  /** One segment's symbol, generated ONCE and evaluated verbatim by
+    * both engines: z = (segment mean − day mean)/day stddev reduces to
+    * the exact-integer ratio num_g / (c_g · √var_num) with
+    * num_g = seg_sum·n − day_sum·seg_n and var_num = n·Σx² − (Σx)² —
+    * so the only float ops are one sqrt and one division, in the same
+    * order everywhere. A zero-variance day symbolizes as all-'c'
+    * (z = 0 sits in the third quartile cell). */
+  private def saxSymExpr(g: Int): String = {
+    val z = s"CASE WHEN var_num <= 0 THEN 0.0e0 ELSE CAST(num_$g AS DOUBLE) " +
+      s"/ (CAST(c_$g AS DOUBLE) * sqrt(CAST(var_num AS DOUBLE))) END"
+    s"CASE WHEN ($z) < -0.6745 THEN 'a' WHEN ($z) < 0.0 THEN 'b' " +
+      s"WHEN ($z) < 0.6745 THEN 'c' ELSE 'd' END"
+  }
+
+  /** SAX symbolization + motif mining over the metric stream: each
+    * (series, day) becomes a 6-letter SAX word (PAA over hourly means,
+    * z-normalized per day, quartile alphabet); the motif table counts
+    * how many series-days share each shape — the "what does a normal
+    * day look like / which shape is rare" read that powers whole-fleet
+    * pattern triage (daily ramp = 'aabcdd', midday spike = 'bbdbbb'…).
+    *
+    * Scale shape: hourly rollup (one aggregation with map-side
+    * combine, the corpus' only shuffle) → per-day aggregation over
+    * ≤24 rows per key → word count over a ≤4^6-key motif space. Hourly
+    * means snap to the 1e-4 grid as exact BIGINTs, so every moment and
+    * PAA numerator is exact integer arithmetic; the z-score touches
+    * floats only in the shared generated expression above. */
+  def saxMotifs: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"), hour(col("ts")).as("h"))
+      .agg(expr("CAST(floor(round(sum(value), 2) / count(*) * 1e4) AS BIGINT)").as("vq"))
+    val segAggs = (0 until SaxSegs).flatMap { g =>
+      Seq(
+        coalesce(sum(when(expr(s"h div $SaxHoursPerSeg") === g, col("vq"))), lit(0L))
+          .as(s"s_$g"),
+        count(when(expr(s"h div $SaxHoursPerSeg") === g, lit(1))).as(s"c_$g"))
+    }
+    val dayFull = hourly.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_hours"), (sum(col("vq")).as("s") +:
+        sum(col("vq") * col("vq")).as("ss") +: segAggs): _*)
+      .where(col("n_hours") === 24)
+      .withColumn("var_num", col("n_hours") * col("ss") - col("s") * col("s"))
+    val withNums = (0 until SaxSegs).foldLeft(dayFull) { (df, g) =>
+      df.withColumn(s"num_$g",
+        col(s"s_$g") * col("n_hours") - col("s") * col(s"c_$g"))
+    }
+    val word = concat((0 until SaxSegs).map(g => expr(saxSymExpr(g))): _*)
+    withNums.select(col("event_type"), col("day"), word.as("sax_word"))
+      .groupBy(col("sax_word"))
+      .agg(count(lit(1)).as("n_windows"),
+        countDistinct(col("event_type")).as("n_series"))
+      .orderBy(col("n_windows").desc, col("sax_word"))
+  }
+
+  val saxMotifsSql: String = {
+    val segCols = (0 until SaxSegs).map { g =>
+      s"""coalesce(sum(CASE WHEN h // $SaxHoursPerSeg = $g THEN vq END), 0) AS s_$g,
+         count(*) FILTER (WHERE h // $SaxHoursPerSeg = $g) AS c_$g"""
+    }.mkString(",\n                 ")
+    val numCols = (0 until SaxSegs).map(g =>
+      s"s_$g * n_hours - s * c_$g AS num_$g").mkString(",\n                 ")
+    val syms = (0 until SaxSegs).map(saxSymExpr).mkString(" || ")
+    s"""WITH hourly AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, hour(ts) AS h,
+                 CAST(floor(round(sum(value), 2) / count(*) * 1e4) AS BIGINT) AS vq
+          FROM events GROUP BY 1, 2, 3),
+        dd AS (
+          SELECT event_type, day, count(*) AS n_hours,
+                 sum(vq) AS s, sum(vq * vq) AS ss,
+                 $segCols
+          FROM hourly GROUP BY 1, 2),
+        v AS (
+          SELECT *, n_hours * ss - s * s AS var_num,
+                 $numCols
+          FROM dd WHERE n_hours = 24),
+        words AS (SELECT event_type, day, $syms AS sax_word FROM v)
+        SELECT sax_word, count(*) AS n_windows,
+               count(DISTINCT event_type) AS n_series
+        FROM words GROUP BY sax_word
+        ORDER BY n_windows DESC, sax_word"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("metrics_sax_motifs", saxMotifs, Some(saxMotifsSql)),
     ("metrics_autocorr", autocorr, Some(autocorrSql)),
     ("metrics_rolling_corr", rollingCorr, Some(rollingCorrSql)),
     ("prom_scrape_health", scrapeHealth, Some(scrapeHealthSql)),
