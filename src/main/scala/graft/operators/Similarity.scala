@@ -1656,7 +1656,126 @@ object Similarity {
                abs(CAST(sq AS DOUBLE)) > 2 * sqrt(CAST(var_num AS DOUBLE)) AS dominant
         FROM v ORDER BY dim"""
 
+  // --------------------------------------------- PCA power iteration
+
+  /** Power-iteration rounds. Eight doublings of the eigengap are
+    * plenty for a dominant component; the per-round 1e-9 floor keeps
+    * the iterate on a shared grid so both engines walk the identical
+    * trajectory. */
+  val PcaIters = 8
+  private val PcaDim = SqDim // the embeddings table's width
+
+  /** Leading principal component of the embedding table by power
+    * iteration — the read behind PCA whitening, dominant-axis removal
+    * (uncentered/anisotropic exports break cosine ANN), and "how much
+    * of the table is one direction" triage. Emits the d loadings and
+    * PC1's share of total variance.
+    *
+    * Scale shape: the covariance moments are ONE corpus pass — each
+    * vector explodes to its d(d+1)/2 ordered coordinate pairs on the
+    * 1e-6 integer grid, and partial aggregation reduces every
+    * partition to ≤2,080 cells BEFORE the shuffle; n·Σqᵢqⱼ − ΣqᵢΣqⱼ
+    * stays exact in decimal(38,0). The d×d matrix is a BOUNDED MODEL
+    * (2,080 rows, corpus-independent — the `trainCentroids` collect
+    * class); the driver's power iteration is pure deterministic
+    * arithmetic mirrored op-for-op by the oracle's recursive CTE
+    * (ordered left-folds for every float sum — the `list_reduce ∘
+    * list_prepend` discipline). */
+  def embPcaPower: Q = (s, d) => {
+    import s.implicits._
+    val cells = Tables.embeddings(s, d)
+      .select(expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor(x * 1e6) AS BIGINT))").as("q"))
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, $PcaDim), i ->
+              transform(sequence(i, $PcaDim), j ->
+                named_struct('i', i, 'j', j, 'qi', q[i-1], 'qj', q[j-1],
+                             'p', q[i-1] * q[j-1]))))""")).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(c.p AS DECIMAL(38,0))")).as("sp"),
+        sum(col("c.qi")).as("si"), sum(col("c.qj")).as("sj"))
+      .select(col("i"), col("j"), expr(
+        """CAST(CAST(n AS DECIMAL(38,0)) * sp
+             - CAST(si AS DECIMAL(38,0)) * CAST(sj AS DECIMAL(38,0)) AS DOUBLE)""").as("cd"))
+      .collect() // bounded model: d(d+1)/2 = 2,080 rows, corpus-independent
+    val m = Array.ofDim[Double](PcaDim, PcaDim)
+    cells.foreach { r =>
+      val (i, j, cd) = (r.getInt(0) - 1, r.getInt(1) - 1, r.getDouble(2))
+      m(i)(j) = cd; m(j)(i) = cd
+    }
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(PcaDim)(i =>
+        (0 until PcaDim).foldLeft(0.0)((a, j) => a + m(i)(j) * v(j)))
+    var v = Array.fill(PcaDim)(1.0)
+    for (_ <- 1 to PcaIters) {
+      val w = matvec(v)
+      val norm = math.sqrt(w.indices.foldLeft(0.0)((a, i) => a + w(i) * w(i)))
+      v = w.map(x => math.floor(x / norm * 1e9) / 1e9)
+    }
+    val t = matvec(v)
+    val lam = v.indices.foldLeft(0.0)((a, i) => a + v(i) * t(i))
+    val vtv = v.indices.foldLeft(0.0)((a, i) => a + v(i) * v(i))
+    val trace = (0 until PcaDim).foldLeft(0.0)((a, i) => a + m(i)(i))
+    val share = math.floor(lam / vtv / trace * 1e6) / 1e6
+    (1 to PcaDim).map(i => (i, v(i - 1), share))
+      .toDF("dim", "loading", "pc1_var_share")
+      .orderBy(col("dim"))
+  }
+
+  val embPcaPowerSql: String = {
+    val D1 = PcaDim + 1
+    def foldSum(items: String) =
+      s"list_reduce(list_prepend(0.0e0, $items), (a, b) -> a + b)"
+    s"""WITH RECURSIVE qv AS (
+          SELECT list_transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT)) AS q
+          FROM embeddings),
+        cells AS (
+          SELECT u.i AS i, u.j AS j, count(*) AS n,
+                 sum(CAST(u.p AS DECIMAL(38,0))) AS sp,
+                 sum(u.qi) AS si, sum(u.qj) AS sj
+          FROM (SELECT unnest(flatten(list_transform(range(1, $D1), i ->
+                       list_transform(range(i, $D1), j ->
+                         {'i': i, 'j': j, 'qi': q[i], 'qj': q[j],
+                          'p': q[i] * q[j]})))) AS u
+                FROM qv)
+          GROUP BY 1, 2),
+        cov AS (
+          SELECT i, j, CAST(CAST(n AS DECIMAL(38,0)) * sp
+                   - CAST(si AS DECIMAL(38,0)) * CAST(sj AS DECIMAL(38,0)) AS DOUBLE) AS cd
+          FROM cells),
+        full_cov AS (
+          SELECT i, j, cd FROM cov
+          UNION ALL SELECT j, i, cd FROM cov WHERE i < j),
+        mrows AS (SELECT i, list(cd ORDER BY j) AS mr FROM full_cov GROUP BY i),
+        mcte AS (SELECT list(mr ORDER BY i) AS m FROM mrows),
+        pw AS (
+          SELECT 0 AS k, list_transform(range(1, $D1), x -> 1.0e0) AS v
+          UNION ALL
+          SELECT k + 1,
+                 list_transform(w, x -> floor(x / sqrt(${foldSum("list_transform(w, y -> y * y)")}) * 1e9) / 1e9)
+          FROM (SELECT k,
+                  list_transform(range(1, $D1), i ->
+                    ${foldSum(s"list_transform(range(1, $D1), j -> m[i][j] * v[j])")}) AS w
+                FROM pw, mcte WHERE k < $PcaIters)),
+        fin AS (SELECT v FROM pw WHERE k = $PcaIters),
+        tv AS (
+          SELECT v, list_transform(range(1, $D1), i ->
+                   ${foldSum(s"list_transform(range(1, $D1), j -> m[i][j] * v[j])")}) AS t
+          FROM fin, mcte),
+        sc AS (
+          SELECT v,
+                 ${foldSum(s"list_transform(range(1, $D1), i -> v[i] * t[i])")} AS lam,
+                 ${foldSum(s"list_transform(range(1, $D1), i -> v[i] * v[i])")} AS vtv,
+                 (SELECT ${foldSum(s"list_transform(range(1, $D1), i -> m[i][i])")} FROM mcte) AS tr
+          FROM tv)
+        SELECT CAST(i AS INT) AS dim, v[i] AS loading,
+               floor(lam / vtv / tr * 1e6) / 1e6 AS pc1_var_share
+        FROM sc, (SELECT unnest(range(1, $D1)) AS i)
+        ORDER BY dim"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("emb_pca_power", embPcaPower, Some(embPcaPowerSql)),
     ("emb_dim_stats", embDimStats, Some(embDimStatsSql)),
     ("ann_mips_topk", mipsTopK, Some(mipsTopKSql)),
     ("ann_sq8_topk", sq8TopK, Some(sq8TopKSql)),

@@ -1310,7 +1310,65 @@ object TimeseriesExt {
         ORDER BY n_windows DESC, sax_word"""
   }
 
+  // ----------------------------------------------- Theil–Sen trend
+
+  /** Theil–Sen robust daily trend per series — the median of all
+    * pairwise slopes over the day's 24 hourly means. The companion to
+    * `metrics_deriv`'s least squares: one flapping sample can swing an
+    * LSQ slope arbitrarily, while Theil–Sen tolerates up to ~29%
+    * outliers (its breakdown point) — the trend read you alert on when
+    * a series is known to glitch. Median = the LOWER median (element
+    * 138 of the 276 sorted slopes), a selection, not an average — the
+    * output is an EXISTING exact-integer-ratio double, so there is no
+    * accumulation float surface at all.
+    *
+    * Scale shape: hourly rollup (the corpus' only shuffle, map-side
+    * combine) → per-(series, day) the 24 grid values collect into ONE
+    * bounded in-row array (24 elements — retention-bounded, not
+    * volume-bounded) and the 276 pairwise slopes + sort happen inside
+    * the row, codegen'd, no explode and no second shuffle. Full-
+    * coverage days only (a partial day's pair set isn't comparable). */
+  def theilSen: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"), hour(col("ts")).as("h"))
+      .agg(expr("CAST(floor(round(sum(value), 2) / count(*) * 1e4) AS BIGINT)").as("vq"))
+    hourly.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_hours"),
+        sort_array(collect_list(struct(col("h"), col("vq")))).as("a"))
+      .where(col("n_hours") === 24)
+      .withColumn("slopes", expr(
+        """array_sort(flatten(transform(sequence(1, 23), i ->
+             transform(sequence(i + 1, 24), j ->
+               CAST(a[j - 1].vq - a[i - 1].vq AS DOUBLE)
+                 / CAST(a[j - 1].h - a[i - 1].h AS DOUBLE)))))"""))
+      .select(col("event_type"), col("day"),
+        expr("size(slopes)").cast("long").as("n_pairs"),
+        expr("floor(element_at(slopes, 138) * 100) / 1e6").as("ts_slope_per_hour"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val theilSenSql: String =
+    """WITH hourly AS (
+         SELECT event_type, CAST(ts AS DATE) AS day, hour(ts) AS h,
+                CAST(floor(round(sum(value), 2) / count(*) * 1e4) AS BIGINT) AS vq
+         FROM events GROUP BY 1, 2, 3),
+       days AS (
+         SELECT event_type, day, count(*) AS n_hours,
+                list(vq ORDER BY h) AS xs, list(h ORDER BY h) AS hs
+         FROM hourly GROUP BY 1, 2),
+       sl AS (
+         SELECT event_type, day,
+                list_sort(flatten(list_transform(range(1, 24), i ->
+                  list_transform(range(i + 1, 25), j ->
+                    CAST(xs[j] - xs[i] AS DOUBLE)
+                      / CAST(hs[j] - hs[i] AS DOUBLE))))) AS slopes
+         FROM days WHERE n_hours = 24)
+       SELECT event_type, day, CAST(len(slopes) AS BIGINT) AS n_pairs,
+              floor(slopes[138] * 100) / 1e6 AS ts_slope_per_hour
+       FROM sl ORDER BY event_type, day"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("metrics_theil_sen", theilSen, Some(theilSenSql)),
     ("metrics_sax_motifs", saxMotifs, Some(saxMotifsSql)),
     ("metrics_autocorr", autocorr, Some(autocorrSql)),
     ("metrics_rolling_corr", rollingCorr, Some(rollingCorrSql)),

@@ -23,6 +23,7 @@ class PlanSnapshotSpec extends SparkTestBase {
     "ann_pq_topk" -> "construction trains the PQ codebook (runs jobs); SimilaritySpec",
     "ann_pq_packed" -> "construction trains the PQ codebook (runs jobs); SimilaritySpec",
     "dedup_semantic" -> "construction checkpoints the scaled-K assignment (runs jobs); Round10Spec",
+    "emb_pca_power" -> "construction collects the bounded d-squared covariance model (runs jobs); Round10dSpec",
     "dedup_embedding_cosine" -> "construction checkpoints the probe table (runs jobs); Round10Spec",
     "dedup_cluster" -> "iterative label propagation checkpoints each round; DedupSpec",
     "dedup_fuzzy_lsh" -> "construction checkpoints the LSH candidate pairs; DedupSpec",

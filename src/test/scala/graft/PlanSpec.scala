@@ -164,6 +164,7 @@ class PlanSweepSpec extends SparkTestBase {
     "sink_zorder_scan", "sink_bucket_lookup", "sink_partition_overwrite", "source_schema_evolution", "sink_merge_on_read", "idx_secondary_lookup", "graph_pagerank", "graph_kcore", "ann_ivf_pq_topk", "sketch_set_ops",
     "ann_index_drift", // trains two codebooks at construction
     "dedup_semantic",  // trains the shared IVF quantizer at construction
+    "emb_pca_power",   // collects the bounded d² covariance model at construction
     "graph_hits",      // iterates with eager lineage cuts at construction
     "sink_write_audit_publish") // stages + audits + publishes at construction
 

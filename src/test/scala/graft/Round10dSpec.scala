@@ -117,6 +117,60 @@ class Round10dSpec extends SparkTestBase {
       s"midday spike word surprises in segments 2-3: $spike")
   }
 
+  // ---------------------------------------------- metrics_theil_sen
+
+  test("metrics_theil_sen shrugs off the outlier that swings least squares") {
+    // clean ramp value = h, except hour 12 glitches to 1000.
+    // LSQ slope over this day is ~> 2x the true slope; Theil-Sen's
+    // pairwise median stays ~1/hour.
+    val rows = (0 until 24).map { h =>
+      ((h + 1).toLong, h * 3600L + 30L, "g", if (h == 12) 1000.0 else 1.0 + h)
+    } ++ (0 until 24).map { h => ((100 + h).toLong, h * 3600L + 30L, "clean", 5.0 + 2.0 * h) }
+    val dir = writeEvents(rows)
+    val got = TimeseriesExt.theilSen(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got("clean")._1 == 276L)
+    assert(got("clean")._2 == 2.0, s"clean ramp slope: ${got("clean")}")
+    val g = got("g")._2
+    assert(g >= 0.9 && g <= 1.2, s"outlier swung the robust slope: $g")
+    // replay: lower median of all pairwise slopes on the exact grid
+    val vq = (0 until 24).map(h => math.floor(
+      math.round((if (h == 12) 1000.0 else 1.0 + h) * 100.0) / 100.0 * 1e4).toLong)
+    val slopes = (for {
+      i <- 0 until 23; j <- i + 1 until 24
+    } yield (vq(j) - vq(i)).toDouble / (j - i).toDouble).sorted
+    assert(g == math.floor(slopes(137) * 100) / 1e6, "entry != driver-side replay")
+  }
+
+  // ---------------------------------------------- emb_pca_power
+
+  test("emb_pca_power recovers a planted dominant axis") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r10d_pca").toString
+    // 40 vectors = t * axis + small deterministic off-axis wiggle;
+    // axis concentrated on dims 1-2, dims 3+ near-dead
+    val axis = Array.fill(64)(0.0f); axis(0) = 0.8f; axis(1) = 0.6f
+    val vecs = (1 to 40).map { r =>
+      val t = (r - 20) / 20.0f
+      val v = axis.map(_ * t)
+      v(2) = (if (r % 2 == 0) 0.01f else -0.01f)
+      (r.toLong, v.toSeq, r % 3)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.embPcaPower(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length == 64)
+    val v = got.sortBy(_._1).map(_._2)
+    val n2 = v.map(x => x * x).sum
+    assert(math.abs(n2 - 1.0) < 1e-6, s"loadings not unit-norm: $n2")
+    val cosAxis = math.abs(v(0) * 0.8 + v(1) * 0.6) / math.sqrt(n2)
+    assert(cosAxis > 0.999, s"planted axis not recovered: cos=$cosAxis, head=${v.take(3).toSeq}")
+    assert(v.drop(3).forall(x => math.abs(x) < 0.01), "dead dims carry loading")
+    val share = got.head._3
+    assert(share > 0.99, s"PC1 share should dominate this rank-1-ish table: $share")
+  }
+
   // ------------------------------------------------- emb_dim_stats
 
   test("emb_dim_stats finds dead and dominant dimensions exactly") {
