@@ -1683,25 +1683,65 @@ object Similarity {
     * list_prepend` discipline). */
   def embPcaPower: Q = (s, d) => {
     import s.implicits._
-    val cells = Tables.embeddings(s, d)
+    val D = PcaDim
+    val nCells = D * (D + 1) / 2
+    // One imperative pass per partition: a flat d(d+1)/2+d+1 long
+    // accumulator (pair sums, coordinate sums, row count) — 2,080
+    // multiply-adds per vector IS the arithmetic lower bound of a Gram
+    // matrix, and a JVM loop runs it at that bound where an explode
+    // materializes 2,080 structs per row (measured 4.0 s → see A/B in
+    // SURVEY). This is the documented legitimate mapPartitions case:
+    // genuine per-partition state, emitted as ≤2,145 partial rows per
+    // flush. Flushing every 4M rows keeps |acc| ≤ 4e18 < 2^63 even
+    // with |q| = 1e6 products; the decimal(38,0) re-aggregation of the
+    // partials is exact and commutative at any partitioning.
+    val partials = Tables.embeddings(s, d)
       .select(expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor(x * 1e6) AS BIGINT))").as("q"))
-      .select(explode(expr(
-        s"""flatten(transform(sequence(1, $PcaDim), i ->
-              transform(sequence(i, $PcaDim), j ->
-                named_struct('i', i, 'j', j, 'qi', q[i-1], 'qj', q[j-1],
-                             'p', q[i-1] * q[j-1]))))""")).as("c"))
-      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
-      .agg(count(lit(1)).as("n"),
-        sum(expr("CAST(c.p AS DECIMAL(38,0))")).as("sp"),
-        sum(col("c.qi")).as("si"), sum(col("c.qj")).as("sj"))
-      .select(col("i"), col("j"), expr(
-        """CAST(CAST(n AS DECIMAL(38,0)) * sp
-             - CAST(si AS DECIMAL(38,0)) * CAST(sj AS DECIMAL(38,0)) AS DOUBLE)""").as("cd"))
-      .collect() // bounded model: d(d+1)/2 = 2,080 rows, corpus-independent
+      .as[Seq[Long]]
+      .mapPartitions { it =>
+        val acc = Array.ofDim[Long](nCells + D + 1)
+        var rows = 0
+        val out = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+        def flush(): Unit = {
+          var c = 0
+          while (c < acc.length) { if (acc(c) != 0L) out += ((c, acc(c))); acc(c) = 0L; c += 1 }
+          rows = 0
+        }
+        while (it.hasNext) {
+          val q = it.next().toArray
+          var i = 0; var cell = 0
+          while (i < D) {
+            val qi = q(i)
+            var j = i
+            while (j < D) { acc(cell) += qi * q(j); cell += 1; j += 1 }
+            acc(nCells + i) += qi
+            i += 1
+          }
+          acc(nCells + D) += 1L
+          rows += 1
+          if (rows >= 4000000) flush()
+        }
+        flush()
+        out.iterator
+      }
+      .toDF("slot", "v")
+      .groupBy(col("slot"))
+      .agg(sum(col("v").cast("decimal(38,0)")).as("sv"))
+      .collect() // bounded model: ≤ d(d+1)/2 + d + 1 = 2,145 rows
+    val bySlot = partials.map(r => r.getInt(0) ->
+      r.getDecimal(1).toBigInteger).toMap
+    def slotVal(i: Int): BigInt =
+      bySlot.get(i).map(BigInt(_)).getOrElse(BigInt(0))
+    val n = slotVal(nCells + D)
+    val sums = Array.tabulate(D)(i => slotVal(nCells + i))
     val m = Array.ofDim[Double](PcaDim, PcaDim)
-    cells.foreach { r =>
-      val (i, j, cd) = (r.getInt(0) - 1, r.getInt(1) - 1, r.getDouble(2))
+    var cell = 0
+    for (i <- 0 until D; j <- i until D) {
+      // n·Σqᵢqⱼ − Σqᵢ·Σqⱼ, exact in BigInt, then ONE nearest-double
+      // cast — identical to the oracle's decimal(38,0)→DOUBLE cast
+      val cd = (n * slotVal(cell) - sums(i) * sums(j)).toDouble
       m(i)(j) = cd; m(j)(i) = cd
+      cell += 1
     }
     def matvec(v: Array[Double]): Array[Double] =
       Array.tabulate(PcaDim)(i =>
