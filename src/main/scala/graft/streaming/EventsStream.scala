@@ -37,6 +37,76 @@ object EventsStream {
               count(*) AS n_events, round(sum(value), 2) AS value_sum
        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
 
+  // ----------------------------------------- streaming query_range
+
+  /** Streaming range-query grid: 1 h steps, 30 min staleness lookback
+    * (`PromQl.queryRange`'s semantics at dashboard grain — the
+    * continuously-maintained instant-vector panel). */
+  val QrStepSec = 3600
+  val QrLookbackSec = 1800
+
+  private def qrStepExpr(tsCol: String) =
+    s"(($tsCol + ${QrStepSec - 1}) div $QrStepSec) * $QrStepSec"
+
+  /** Batch twin of the streaming range-query grid (entry
+    * `stream_query_range`): instant vector at each 1 h step = the
+    * series' latest sample within the 30 min lookback, steps with
+    * nothing in the window stay stale. Same map-side ceil assignment +
+    * one (series, step) max(struct) aggregation as `prom_query_range`;
+    * the streaming path below emits the identical rows as each step's
+    * watermark closes (StreamingSpec parity, chunked). */
+  def queryRangeBatch: Q = (s, d) => {
+    Tables.events(s, d)
+      .select(col("event_type"), unix_timestamp(col("ts")).as("ts_sec"),
+        col("event_id"), col("value"))
+      .withColumn("step_ts", timestamp_seconds(expr(qrStepExpr("ts_sec"))))
+      .where(expr(qrStepExpr("ts_sec")) - col("ts_sec") <= QrLookbackSec)
+      .groupBy(col("event_type"), col("step_ts"))
+      .agg(max(struct(col("ts_sec"), col("event_id"), col("value"))).as("last"))
+      .select(col("event_type"), col("step_ts"),
+        col("last.ts_sec").as("sample_ts_sec"), col("last.value").as("value"))
+      .orderBy(col("event_type"), col("step_ts"))
+  }
+
+  val queryRangeStreamSql: String =
+    s"""WITH s AS (
+          SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+                 event_id, value
+          FROM events),
+        a AS (
+          SELECT *, ((ts_sec + ${QrStepSec - 1}) // $QrStepSec) * $QrStepSec AS step_sec
+          FROM s WHERE ((ts_sec + ${QrStepSec - 1}) // $QrStepSec) * $QrStepSec - ts_sec <= $QrLookbackSec),
+        q AS (
+          SELECT event_type, step_sec, ts_sec AS sample_ts_sec, value,
+                 row_number() OVER (PARTITION BY event_type, step_sec
+                                    ORDER BY ts_sec DESC, event_id DESC) AS rn
+          FROM a)
+        SELECT event_type, epoch_ms(step_sec * 1000) AS step_ts,
+               sample_ts_sec, value
+        FROM q WHERE rn = 1 ORDER BY event_type, step_ts"""
+
+  case class QrSample(event_type: String, event_id: Long, tsSec: Long, value: Double)
+
+  /** Streaming stateful range-query grid — the continuously-updated
+    * dashboard panel: every sample maps to its next step boundary
+    * (ceil arithmetic, map-side), qualifies only within the lookback,
+    * and a (series, step) max(struct) aggregation holds ONE candidate
+    * per open step. Append mode + the 30 min watermark on step time
+    * emit each step's instant vector exactly once when it can no
+    * longer change; samples arriving later than the watermark slack
+    * are dropped, never double-emitted. State per key is a single
+    * struct — bounded by |series| × open steps, not sample volume. */
+  def queryRangeStream(samples: Dataset[QrSample]): DataFrame = {
+    samples
+      .withColumn("step_ts", timestamp_seconds(expr(qrStepExpr("tsSec"))))
+      .where(expr(qrStepExpr("tsSec")) - col("tsSec") <= QrLookbackSec)
+      .withWatermark("step_ts", "30 minutes")
+      .groupBy(col("event_type"), col("step_ts"))
+      .agg(max(struct(col("tsSec"), col("event_id"), col("value"))).as("last"))
+      .select(col("event_type"), col("step_ts"),
+        col("last.tsSec").as("sample_ts_sec"), col("last.value").as("value"))
+  }
+
   /** The events schema as the streaming reader needs it, in the two
     * driver testdata vintages (see `Tables.events`): ts as raw nanos
     * (TIMESTAMP(NANOS) + nanosAsLong) or as TIMESTAMP_NTZ micros. */
@@ -1750,6 +1820,7 @@ object EventsStream {
     ("ivm_minmax_delta", ivmMinmaxBatch, Some(ivmMinmaxSql)),
     ("ivm_topn_delta", ivmTopnBatch, Some(ivmTopnSql)),
     ("stream_counter_rate", counterRateHourlyBatch, Some(counterRateHourlySql)),
+    ("stream_query_range", queryRangeBatch, Some(queryRangeStreamSql)),
     ("stream_events_window", eventsWindowBatch, Some(eventsWindowSql)),
     ("stream_sessionize_state", sessionizeBatch, Some(AsOfSessionizeOracle.sql)),
     ("stream_dedup_exact", eventsDedupBatch, Some(eventsDedupSql)),

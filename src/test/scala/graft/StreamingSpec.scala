@@ -181,6 +181,56 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming query_range emits the batch grid once, and drops watermark-late samples") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val samples = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("tsSec"), col("value"))
+      .as[EventsStream.QrSample].collect()
+
+    val input = MemoryStream[EventsStream.QrSample]
+    val q = EventsStream.queryRangeStream(input.toDS())
+      .writeStream.format("memory").queryName("qr_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val sorted = samples.sortBy(s => (s.tsSec, s.event_id))
+      val (early, late) = sorted.splitAt(sorted.length / 2)
+      input.addData(early.toSeq)
+      q.processAllAvailable()
+      // a sample far older than the watermark at this point must be
+      // dropped, not double-emit an already-closed step
+      val closedProbe = EventsStream.QrSample("probe_late", 999999L,
+        sorted.head.tsSec, 123.45)
+      input.addData(closedProbe)
+      q.processAllAvailable()
+      input.addData(late.toSeq)
+      q.processAllAvailable()
+      // hour-ALIGNED sentinel: it must survive the lookback filter
+      // (which runs before the watermark node) to advance the clock
+      val maxSec = sorted.last.tsSec
+      input.addData(EventsStream.QrSample("__wm__", -1L, (maxSec / 3600L + 12L) * 3600L, 0.0))
+      q.processAllAvailable()
+
+      val gotRows = spark.table("qr_sink")
+        .filter(!col("event_type").isin("__wm__", "probe_late"))
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+          (r.getLong(2), r.getDouble(3)))
+      val dupes = gotRows.groupBy(_._1).filter(_._2.length > 1)
+      assert(dupes.isEmpty, s"steps emitted twice: ${dupes.keys.take(3)}")
+      assert(!spark.table("qr_sink").collect()
+        .exists(_.getString(0) == "probe_late"),
+        "a watermark-late sample must be dropped, not emitted")
+      val got = gotRows.toMap
+      val want = EventsStream.queryRangeBatch(spark, sf)
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      assert(got.keySet == want.keySet,
+        s"steps differ: missing=${(want.keySet diff got.keySet).take(3)} extra=${(got.keySet diff want.keySet).take(3)}")
+      want.foreach { case (k, v) => assert(got(k) == v, s"mismatch at $k: ${got(k)} vs $v") }
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins every event to its static dimension row") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
