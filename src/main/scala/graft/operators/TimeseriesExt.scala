@@ -1367,7 +1367,90 @@ object TimeseriesExt {
               floor(slopes[138] * 100) / 1e6 AS ts_slope_per_hour
        FROM sl ORDER BY event_type, day"""
 
+  // --------------------------------------- `for:` duration alerting
+
+  /** Prometheus alert-rule `for:` machine: condition must hold for 3
+    * consecutive evaluations before firing; threshold on the hourly
+    * mean. */
+  val ForThreshold = 60.0
+  val ForHours = 3
+
+  /** The Prometheus `ALERTS{alertstate=…}` series — the alert-rule
+    * `for:` duration machine, distinct from
+    * `metrics_alert_hysteresis`'s two-threshold hold-down: an alert
+    * whose condition (hourly mean > 60) just turned true is PENDING;
+    * it FIRES only once the condition has held for 3 consecutive
+    * evaluation hours; any below-threshold hour — or a MISSING hour,
+    * exactly as a failed rule evaluation resets Prometheus' pending
+    * clock — resets the run to inactive.
+    *
+    * Run counting is pure gaps-and-islands over the hourly rollup: a
+    * break flag (below / gap / first), its running sum as the island
+    * id, row_number inside the island as the pending clock — three
+    * series-keyed windows over the rollup-sized frame, exact integers
+    * and grid-snapped means everywhere; no recursion needed because
+    * the `for:` state is a pure function of the current run length. */
+  def alertForDuration: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("hour_sec"))
+      .agg(expr("floor(round(sum(value), 2) / count(*) * 1e4) / 1e4").as("m"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_sec"))
+    val t = hourly
+      .withColumn("ab", (col("m") > ForThreshold).cast("int"))
+      .withColumn("brk",
+        when(col("ab") === 0, 1)
+          .when(lag(col("hour_sec"), 1).over(w).isNull, 1)
+          .when(col("hour_sec") - lag(col("hour_sec"), 1).over(w) > 3600, 1)
+          .when(lag(col("ab"), 1).over(w) === 0, 1)
+          .otherwise(0))
+      .withColumn("isl",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val w2 = Window.partitionBy(col("event_type"), col("isl")).orderBy(col("hour_sec"))
+    t.withColumn("run_hours",
+        when(col("ab") === 1, row_number().over(w2)).otherwise(0))
+      .withColumn("alertstate",
+        when(col("ab") === 0, "inactive")
+          .when(col("run_hours") < ForHours, "pending")
+          .otherwise("firing"))
+      .select(col("event_type"), col("hour_sec"), col("m"),
+        col("run_hours"), col("alertstate"))
+      .orderBy(col("event_type"), col("hour_sec"))
+  }
+
+  val alertForDurationSql: String =
+    s"""WITH hourly AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_sec,
+                 floor(round(sum(value), 2) / count(*) * 1e4) / 1e4 AS m
+          FROM events GROUP BY 1, 2),
+        t AS (
+          SELECT *, CASE WHEN m > $ForThreshold THEN 1 ELSE 0 END AS ab
+          FROM hourly),
+        b AS (
+          SELECT *,
+                 CASE WHEN ab = 0 THEN 1
+                      WHEN lag(hour_sec) OVER w IS NULL THEN 1
+                      WHEN hour_sec - lag(hour_sec) OVER w > 3600 THEN 1
+                      WHEN lag(ab) OVER w = 0 THEN 1 ELSE 0 END AS brk
+          FROM t WINDOW w AS (PARTITION BY event_type ORDER BY hour_sec)),
+        i AS (
+          SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY hour_sec
+                                   ROWS UNBOUNDED PRECEDING) AS isl
+          FROM b),
+        r AS (
+          SELECT *, CASE WHEN ab = 1 THEN CAST(row_number() OVER (
+                   PARTITION BY event_type, isl ORDER BY hour_sec) AS INT)
+                 ELSE 0 END AS run_hours
+          FROM i)
+        SELECT event_type, hour_sec, m, run_hours,
+               CASE WHEN ab = 0 THEN 'inactive'
+                    WHEN run_hours < $ForHours THEN 'pending'
+                    ELSE 'firing' END AS alertstate
+        FROM r ORDER BY event_type, hour_sec"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("metrics_alert_for_duration", alertForDuration, Some(alertForDurationSql)),
     ("metrics_theil_sen", theilSen, Some(theilSenSql)),
     ("metrics_sax_motifs", saxMotifs, Some(saxMotifsSql)),
     ("metrics_autocorr", autocorr, Some(autocorrSql)),

@@ -142,6 +142,37 @@ class Round10dSpec extends SparkTestBase {
     assert(g == math.floor(slopes(137) * 100) / 1e6, "entry != driver-side replay")
   }
 
+  // -------------------------------------- metrics_alert_for_duration
+
+  test("alert for-duration: pending clock, firing, gap reset, below reset") {
+    // series "a": 2 hot hours (pending only) / below / 4 hot hours
+    // (pending, pending, firing, firing) / GAP at hour 11 / 2 hot
+    // hours after the gap must restart from pending
+    val hot = 100.0; val cold = 1.0
+    val hours = Seq(
+      0 -> hot, 1 -> hot,          // run of 2: never fires
+      2 -> cold,                   // below reset
+      3 -> hot, 4 -> hot, 5 -> hot, 6 -> hot, // pending x2 then firing x2
+      7 -> cold,
+      9 -> hot, 10 -> hot,         // run of 2...
+      // hour 11 MISSING (gap)
+      12 -> hot, 13 -> hot, 14 -> hot) // ...gap resets: pending x2, firing
+    val rows = hours.zipWithIndex.map { case ((h, v), i) =>
+      ((i + 1).toLong, h * 3600L + 120L, "a", v)
+    }
+    val dir = writeEvents(rows)
+    val got = TimeseriesExt.alertForDuration(spark, dir).collect()
+      .map(r => (r.getLong(1) / 3600).toInt -> (r.getInt(3), r.getString(4))).toMap
+    val want = Map(
+      0 -> (1, "pending"), 1 -> (2, "pending"),
+      2 -> (0, "inactive"),
+      3 -> (1, "pending"), 4 -> (2, "pending"), 5 -> (3, "firing"), 6 -> (4, "firing"),
+      7 -> (0, "inactive"),
+      9 -> (1, "pending"), 10 -> (2, "pending"),
+      12 -> (1, "pending"), 13 -> (2, "pending"), 14 -> (3, "firing"))
+    assert(got == want, s"got $got\nexpected $want")
+  }
+
   // ---------------------------------------------- emb_pca_power
 
   test("emb_pca_power recovers a planted dominant axis") {
