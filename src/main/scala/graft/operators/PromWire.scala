@@ -262,6 +262,56 @@ object PromWire {
                TRUE AS roundtrip_ok
         FROM f GROUP BY family_type, metric_name ORDER BY metric_name"""
 
+  /** The remote-READ dual of the WriteRequest framing: the byte-exact
+    * `prompb.ReadResponse` body a Prometheus remote-read endpoint
+    * returns for one query (public prompb/remote.proto:
+    * `ReadResponse{ repeated QueryResult results = 1 }`,
+    * `QueryResult{ repeated TimeSeries timeseries = 1 }`) — the
+    * protocol a Grafana/PromQL layer uses to pull the samples this
+    * engine stores back OUT. Both repeated fields are field 1
+    * (tag 0x0a), and the per-series frames this engine already emits
+    * ARE `0a <len> <TimeSeries>` — so one query's QueryResult is the
+    * deterministic concatenation of the selected series' frames, and
+    * the ReadResponse is one more `0a <varint len>` wrap. One
+    * generated byte-assembly evaluated verbatim by both engines.
+    *
+    * Scale shape: frames encode distributed (the `encodeSamples`
+    * projection); response assembly is the |selected series|-bounded
+    * gather at the query boundary — exactly where a remote-read
+    * server materializes its response — via one per-family
+    * aggregation, never a corpus concat. */
+  def remoteReadFrame: Q = (s, d) => {
+    import org.apache.spark.sql.functions._
+    wireFrame(s, d)
+      .groupBy(col("family_type"), col("metric_name"))
+      .agg(count(lit(1)).as("n_series"),
+        expr("""array_join(transform(
+                  array_sort(collect_list(struct(event_type, wire_hex))),
+                  x -> x.wire_hex), '')""").as("qr_hex"))
+      .selectExpr("family_type", "metric_name", "n_series",
+        s"concat('0a', ${varintHex(sparkDia.idiv("length(qr_hex)"), sparkDia)}, qr_hex) AS rr_hex")
+      .selectExpr("family_type", "metric_name", "n_series",
+        "CAST(length(rr_hex) div 2 AS BIGINT) AS body_len",
+        "md5(rr_hex) AS body_md5",
+        "substring(rr_hex, 1, 8) AS head_hex")
+      .orderBy(col("metric_name"))
+  }
+
+  val remoteReadFrameSql: String =
+    s"""WITH f AS ($wireFrameSql),
+        g AS (SELECT family_type, metric_name,
+                     CAST(count(*) AS BIGINT) AS n_series,
+                     string_agg(wire_hex, '' ORDER BY event_type) AS qr_hex
+              FROM f GROUP BY 1, 2),
+        r AS (SELECT *, concat('0a',
+                ${varintHex(duckDia.idiv("length(qr_hex)"), duckDia)}, qr_hex) AS rr_hex
+              FROM g)
+        SELECT family_type, metric_name, n_series,
+               CAST(length(rr_hex) // 2 AS BIGINT) AS body_len,
+               md5(rr_hex) AS body_md5,
+               substring(rr_hex, 1, 8) AS head_hex
+        FROM r ORDER BY metric_name"""
+
   /** Zigzag (sint) encoding of a possibly-negative BIGINT expression —
     * the same spelling evaluates in both engines. */
   private def zz(x: String): String =
@@ -381,5 +431,6 @@ object PromWire {
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("prom_wire_frame", wireFrame, Some(wireFrameSql)),
     ("prom_wire_snappy", wireSnappy, Some(wireSnappySql)),
+    ("prom_remote_read_frame", remoteReadFrame, Some(remoteReadFrameSql)),
     ("prom_native_histogram_wire", nativeHistogramWire, Some(nativeHistogramWireSql)))
 }

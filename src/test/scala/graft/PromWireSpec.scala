@@ -135,6 +135,42 @@ class PromWireSpec extends SparkTestBase {
     assert(out(3).getInt(2) < out(3).getInt(1) / 10)
   }
 
+  test("prom_remote_read_frame: independently rebuilt ReadResponse matches, and decodes") {
+    def writeVarint(x: Long): String = {
+      val out = new StringBuilder; var v = x
+      while ({ val b = (v & 0x7f) | (if ((v >> 7) != 0) 0x80 else 0)
+        out.append(f"$b%02x"); v >>= 7; v != 0 }) ()
+      out.toString
+    }
+    // rebuild each family's body from the WRITE-side frames: QueryResult
+    // = ordered TimeSeries frames, ReadResponse = one more 0a-len wrap
+    val frames = PromWire.wireFrame(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(6))) // metric, et, wire_hex
+      .groupBy(_._1)
+    val got = PromWire.remoteReadFrame(spark, sf).collect()
+      .map(r => r.getString(1) ->
+        (r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(got.keySet == frames.keySet)
+    frames.foreach { case (metric, fs) =>
+      val qr = fs.sortBy(_._2).map(_._3).mkString
+      val rr = "0a" + writeVarint(qr.length / 2) + qr
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(rr.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val (nSeries, bodyLen, bodyMd5, headHex) = got(metric)
+      assert(nSeries == fs.length.toLong, s"$metric series count")
+      assert(bodyLen == rr.length / 2, s"$metric body length")
+      assert(bodyMd5 == md5, s"$metric body md5 differs from independent rebuild")
+      assert(rr.startsWith(headHex), s"$metric head bytes")
+      // structural decode: one results field wrapping n_series timeseries
+      val outer = fields(unhex(rr))
+      assert(outer.size == 1 && outer.head.num == 1 && outer.head.wireType == 2,
+        s"$metric: ReadResponse must be one len-delimited results field")
+      val inner = fields(outer.head.bytes)
+      assert(inner.size == nSeries && inner.forall(f => f.num == 1 && f.wireType == 2),
+        s"$metric: QueryResult must hold exactly the series frames")
+    }
+  }
+
   test("frames concatenate into one WriteRequest regardless of row order") {
     val rows = PromWire.wireFrame(spark, sf).collect()
     val body = rows.reverse.flatMap(r => unhex(r.getString(6)))
