@@ -187,6 +187,32 @@ class KernelPropertySpec extends SparkTestBase {
     }
   }
 
+  // ------------------------------ graft_bloom_agg / graft_might_contain
+
+  test("bloom filter: zero false negatives ever; false-positive rate sane") {
+    import spark.implicits._
+    val genCase = for {
+      n <- Gen.chooseNum(1, 400)
+      xs <- Gen.listOfN(n, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    } yield xs.distinct
+    cases(genCase, 10, 8086L).zipWithIndex.foreach { case (xs, ci) =>
+      val bf = xs.toDF("x").repartition(3)
+        .agg(expr("graft_bloom_agg(xxhash64(x), 1024L, 65536L)"))
+        .collect()(0).getAs[Array[Byte]](0)
+      val inserted = xs.toDF("x")
+        .select(call_function("graft_might_contain", lit(bf), xxhash64(col("x"))).as("m"))
+        .collect().map(_.getBoolean(0))
+      assert(inserted.forall(identity),
+        s"case $ci: a bloom filter may NEVER false-negative an inserted key")
+      val absent = (1L to 2000L).map(i => i * 1000003L + 17L).filterNot(xs.toSet)
+      val fps = absent.toDF("x")
+        .select(call_function("graft_might_contain", lit(bf), xxhash64(col("x"))).as("m"))
+        .collect().count(_.getBoolean(0))
+      assert(fps < absent.size * 0.05,
+        s"case $ci: $fps/${absent.size} false positives at 64 bits/item")
+    }
+  }
+
   // ----------------------------------------- graft_dot / graft_norm2
 
   test("graft_dot and graft_norm2 equal the in-order driver fold exactly") {
