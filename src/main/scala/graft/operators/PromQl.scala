@@ -91,10 +91,11 @@ object PromQl {
 
   /** PromQL range query `query_range(fam, step=2h, lookback=30m)`: the
     * instant vector at each step timestamp t is each series' LATEST
-    * sample in [t − lookback, t]; a series with no sample in the window
-    * is stale and emits nothing at that step (Prometheus' staleness
-    * rule). Evaluated on second-truncated sample timestamps (scrape
-    * timestamps are second-aligned in practice).
+    * sample in (t − lookback, t] — the lookback window is LEFT-OPEN, as
+    * Prometheus 3.x made it (a sample exactly lookback seconds old is
+    * already stale); a series with no sample in the window is stale and
+    * emits nothing at that step. Evaluated on second-truncated sample
+    * timestamps (scrape timestamps are second-aligned in practice).
     *
     * Scale shape: because lookback ≤ step, each sample can serve at
     * most ONE step — the next boundary at/after it — so the whole grid
@@ -108,7 +109,7 @@ object PromQl {
         unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value"))
       .withColumn("step_sec",
         expr(s"((ts_sec + ${StepSec - 1}) div $StepSec) * $StepSec"))
-      .where(col("step_sec") - col("ts_sec") <= LookbackSec)
+      .where(col("step_sec") - col("ts_sec") < LookbackSec)
       .groupBy(col("event_type"), col("step_sec"))
       .agg(max(struct(col("ts_us"), col("event_id"), col("value"))).as("last"))
       .select(col("event_type"), col("step_sec"),
@@ -128,7 +129,7 @@ object PromQl {
           SELECT event_type, step_sec, ts_us AS sample_ts_us, value,
                  row_number() OVER (PARTITION BY event_type, step_sec
                                     ORDER BY ts_us DESC, event_id DESC) AS rn
-          FROM a WHERE step_sec - ts_sec <= $LookbackSec)
+          FROM a WHERE step_sec - ts_sec < $LookbackSec)
         SELECT event_type, step_sec, sample_ts_us, value
         FROM q WHERE rn = 1 ORDER BY event_type, step_sec"""
 
@@ -141,20 +142,24 @@ object PromQl {
     * verbatim by both engines over bit-identical inputs (integer
     * second bounds + 2-decimal-snapped increase), so every IEEE op runs
     * in the same order everywhere. Mirrors Prometheus'
-    * `extrapolatedRate` (promql/functions.go, public): extrapolate the
-    * in-window increase out to the window boundaries, unless the edge
-    * sample sits farther than 1.1× the average sample spacing from the
-    * boundary (then extend by half an average interval), and never
-    * extrapolate the start past the counter's zero crossing. */
+    * `extrapolatedRate` (promql/functions.go, current ≥v2.44 staging):
+    * extrapolate the in-window increase out to the window boundaries,
+    * unless the edge sample sits 1.1× the average sample spacing or
+    * farther from the boundary — then FIRST reduce the extension to
+    * half an average interval, and only THEN clamp the start extension
+    * against the counter's zero crossing (pre-2.44 Prometheus clamped
+    * before thresholding, which over-extends when the zero crossing
+    * lands between avg/2 and the threshold). */
   private val stagedExprs: Seq[(String, String)] = Seq(
     "samp" -> "CAST(last_t - first_t AS DOUBLE)",
     "avg_dur" -> "samp / CAST(n_samples - 1 AS DOUBLE)",
+    "dts_thr" -> ("CASE WHEN CAST(first_t - bucket_start AS DOUBLE) >= avg_dur * 1.1 " +
+      "THEN avg_dur / 2 ELSE CAST(first_t - bucket_start AS DOUBLE) END"),
     "dts" -> ("CASE WHEN sum_inc > 0 AND first_v >= 0 " +
-      "THEN least(samp * (first_v / sum_inc), CAST(first_t - bucket_start AS DOUBLE)) " +
-      "ELSE CAST(first_t - bucket_start AS DOUBLE) END"),
-    "dte" -> s"CAST(bucket_start + $RateWindowSec - last_t AS DOUBLE)",
-    "ext" -> ("samp + (CASE WHEN dts < avg_dur * 1.1 THEN dts ELSE avg_dur / 2 END)" +
-      " + (CASE WHEN dte < avg_dur * 1.1 THEN dte ELSE avg_dur / 2 END)"),
+      "THEN least(samp * (first_v / sum_inc), dts_thr) ELSE dts_thr END"),
+    "dte_raw" -> s"CAST(bucket_start + $RateWindowSec - last_t AS DOUBLE)",
+    "dte" -> "CASE WHEN dte_raw >= avg_dur * 1.1 THEN avg_dur / 2 ELSE dte_raw END",
+    "ext" -> "samp + dts + dte",
     "increase_extrapolated" -> "floor(sum_inc * (ext / samp) * 1e6) / 1e6",
     "rate_per_sec" -> s"floor(sum_inc * (ext / samp) / $RateWindowSec * 1e6) / 1e6")
 

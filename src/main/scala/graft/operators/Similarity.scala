@@ -1712,6 +1712,13 @@ object Similarity {
           var i = 0; var cell = 0
           while (i < D) {
             val qi = q(i)
+            // The 4M-row flush cadence sizes |acc| ≤ 4e18 < 2^63 ONLY
+            // under |q| ≤ 1e6 (|x| ≤ 1.0); an out-of-range embedding
+            // would silently wrap Long between flushes, so fail loudly.
+            if (qi > 1000000L || qi < -1000000L)
+              throw new IllegalArgumentException(
+                s"embPcaPower: |embedding value| > 1.0 at dim $i (q=$qi); " +
+                  "normalize the table or lower the quantization grid")
             var j = i
             while (j < D) { acc(cell) += qi * q(j); cell += 1; j += 1 }
             acc(nCells + i) += qi

@@ -50,8 +50,9 @@ object EventsStream {
 
   /** Batch twin of the streaming range-query grid (entry
     * `stream_query_range`): instant vector at each 1 h step = the
-    * series' latest sample within the 30 min lookback, steps with
-    * nothing in the window stay stale. Same map-side ceil assignment +
+    * series' latest sample within the LEFT-OPEN 30 min lookback
+    * (Prometheus 3.x staleness: a sample exactly lookback seconds old
+    * is stale), steps with nothing in the window stay stale. Same map-side ceil assignment +
     * one (series, step) max(struct) aggregation as `prom_query_range`;
     * the streaming path below emits the identical rows as each step's
     * watermark closes (StreamingSpec parity, chunked). */
@@ -60,7 +61,7 @@ object EventsStream {
       .select(col("event_type"), unix_timestamp(col("ts")).as("ts_sec"),
         col("event_id"), col("value"))
       .withColumn("step_ts", timestamp_seconds(expr(qrStepExpr("ts_sec"))))
-      .where(expr(qrStepExpr("ts_sec")) - col("ts_sec") <= QrLookbackSec)
+      .where(expr(qrStepExpr("ts_sec")) - col("ts_sec") < QrLookbackSec)
       .groupBy(col("event_type"), col("step_ts"))
       .agg(max(struct(col("ts_sec"), col("event_id"), col("value"))).as("last"))
       .select(col("event_type"), col("step_ts"),
@@ -75,7 +76,7 @@ object EventsStream {
           FROM events),
         a AS (
           SELECT *, ((ts_sec + ${QrStepSec - 1}) // $QrStepSec) * $QrStepSec AS step_sec
-          FROM s WHERE ((ts_sec + ${QrStepSec - 1}) // $QrStepSec) * $QrStepSec - ts_sec <= $QrLookbackSec),
+          FROM s WHERE ((ts_sec + ${QrStepSec - 1}) // $QrStepSec) * $QrStepSec - ts_sec < $QrLookbackSec),
         q AS (
           SELECT event_type, step_sec, ts_sec AS sample_ts_sec, value,
                  row_number() OVER (PARTITION BY event_type, step_sec
@@ -99,7 +100,7 @@ object EventsStream {
   def queryRangeStream(samples: Dataset[QrSample]): DataFrame = {
     samples
       .withColumn("step_ts", timestamp_seconds(expr(qrStepExpr("tsSec"))))
-      .where(expr(qrStepExpr("tsSec")) - col("tsSec") <= QrLookbackSec)
+      .where(expr(qrStepExpr("tsSec")) - col("tsSec") < QrLookbackSec)
       .withWatermark("step_ts", "30 minutes")
       .groupBy(col("event_type"), col("step_ts"))
       .agg(max(struct(col("tsSec"), col("event_id"), col("value"))).as("last"))

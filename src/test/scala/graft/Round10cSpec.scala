@@ -39,14 +39,15 @@ class Round10cSpec extends SparkTestBase {
       val n = ps.size
       val samp = (ps.last.tsSec - ps.head.tsSec).toDouble
       val avgDur = samp / (n - 1).toDouble
+      // ≥v2.44 staging: threshold reduction FIRST, then the zero clamp
       val dts0 = (ps.head.tsSec - bucketStart).toDouble
+      val dtsThr = if (dts0 >= avgDur * 1.1) avgDur / 2 else dts0
       val dts =
-        if (sumInc > 0 && ps.head.v >= 0) math.min(samp * (ps.head.v / sumInc), dts0)
-        else dts0
-      val dte = (bucketStart + PromQl.RateWindowSec - ps.last.tsSec).toDouble
-      val ext = samp +
-        (if (dts < avgDur * 1.1) dts else avgDur / 2) +
-        (if (dte < avgDur * 1.1) dte else avgDur / 2)
+        if (sumInc > 0 && ps.head.v >= 0) math.min(samp * (ps.head.v / sumInc), dtsThr)
+        else dtsThr
+      val dte0 = (bucketStart + PromQl.RateWindowSec - ps.last.tsSec).toDouble
+      val dte = if (dte0 >= avgDur * 1.1) avgDur / 2 else dte0
+      val ext = samp + dts + dte
       val incE = math.floor(sumInc * (ext / samp) * 1e6) / 1e6
       val rate = math.floor(sumInc * (ext / samp) / PromQl.RateWindowSec * 1e6) / 1e6
       Some((n.toLong, sumInc, incE, rate))
@@ -58,6 +59,9 @@ class Round10cSpec extends SparkTestBase {
     // b: counter-zero clamp (firstV/inc tiny, first sample 10 ks into the window)
     // c: both edges beyond 1.1×avg → extend by avg/2 each; reset inside
     // d: single sample → no rate defined
+    // e: the ≥v2.44 staging order case — zero crossing lands BETWEEN
+    //    avg/2 and the 1.1×avg threshold, so the threshold reduction
+    //    (→ avg/2) must win over the (larger) zero clamp
     // a2: second window for series a
     val rows = Seq(
       (1L, 100L, "a", 10.0), (2L, 5000L, "a", 11.0),
@@ -65,6 +69,7 @@ class Round10cSpec extends SparkTestBase {
       (10L, 10000L, "b", 1.0), (11L, 15000L, "b", 500.0), (12L, 20000L, "b", 999.0),
       (20L, 10000L, "c", 5.0), (21L, 11000L, "c", 3.0),
       (30L, 500L, "d", 42.0),
+      (40L, 10000L, "e", 400.0), (41L, 15000L, "e", 900.0), (42L, 20000L, "e", 1400.0),
       (5L, 21700L, "a", 14.0), (6L, 21800L, "a", 15.5))
     val dir = writeEvents(rows)
     val got = PromQl.rateExtrapolated(spark, dir).collect()
@@ -85,6 +90,11 @@ class Round10cSpec extends SparkTestBase {
     // c: reset handling (delta −2 → inc = fallen-to value 3)
     assert(got(("c", 0L))._2 == 3.0)
     assert(!got.contains(("d", 0L)), "single-sample window emits no rate")
+    // e: samp=10000, avg=5000 → threshold 5500, avg/2=2500; zero crossing
+    // at 10000·400/1000 = 4000 ∈ (2500, 5500). Current Prometheus takes
+    // min(4000, 2500) = 2500 (pre-2.44 would have taken 4000 → 1560.0)
+    assert(got(("e", 0L))._3 == 1410.0,
+      "threshold reduction must precede the zero-crossing clamp")
   }
 
   // ---------------------------------------------------- query_range
@@ -93,8 +103,8 @@ class Round10cSpec extends SparkTestBase {
     val step = PromQl.StepSec.toLong
     val rows = Seq(
       (1L, step, "x", 1.0),                 // exactly on the boundary: distance 0
-      (2L, step - 1800L, "y", 2.0),         // exactly at the lookback edge: kept
-      (3L, step - 1801L, "z", 3.0),         // one past the lookback: stale
+      (2L, step - 1799L, "y", 2.0),         // one inside the lookback: kept
+      (3L, step - 1800L, "z", 3.0),         // exactly lookback old: STALE (3.x left-open)
       (4L, 2 * step - 700L, "x", 4.0),      // two in one window:
       (5L, 2 * step - 200L, "x", 5.0),      //   the later one wins
       (6L, 3 * step - 100L, "x", 6.0),      // same second, higher id wins
@@ -104,14 +114,16 @@ class Round10cSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
     val expected = rows
       .map { case (id, ts, et, v) => (et, (ts + step - 1) / step * step, ts, id, v) }
-      .filter { case (_, k, ts, _, _) => k - ts <= PromQl.LookbackSec }
+      .filter { case (_, k, ts, _, _) => k - ts < PromQl.LookbackSec }
       .groupBy { case (et, k, _, _, _) => (et, k) }
       .map { case (key, g) =>
         val (_, _, ts, _, v) = g.maxBy { case (_, _, ts, id, _) => (ts, id) }
         key -> (ts * 1000000L, v)
       }
     assert(got == expected, s"got $got\nexpected $expected")
-    assert(!got.keySet.exists(_._1 == "z"), "sample 1801 s before the step is stale")
+    assert(!got.keySet.exists(_._1 == "z"),
+      "a sample exactly lookback seconds before the step is stale (left-open window)")
+    assert(got.keySet.exists(_._1 == "y"), "1799 s before the step is still live")
     assert(got(("x", 2 * step)) == ((2 * step - 200L) * 1000000L, 5.0))
     assert(got(("x", 3 * step))._2 == 7.0, "ties on the second break by event_id")
   }
@@ -154,7 +166,7 @@ class Round10cSpec extends SparkTestBase {
     assert(qr.nonEmpty)
     qr.foreach { r =>
       val dist = r.getLong(1) - r.getLong(2) / 1000000L
-      assert(dist >= 0 && dist <= PromQl.LookbackSec, s"stale sample emitted: $r")
+      assert(dist >= 0 && dist < PromQl.LookbackSec, s"stale sample emitted: $r")
     }
     // rate: extrapolated increase is bounded by the raw increase × window/sampled
     PromQl.rateExtrapolated(spark, sf).collect().foreach { r =>
