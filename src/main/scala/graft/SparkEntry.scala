@@ -8,7 +8,7 @@ object SparkEntry {
 
   /** All operator entries: (name, query, optional DuckDB oracle SQL). */
   private def all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    Tpch.entries ++ Tpch2.entries ++ Tpch3.entries ++ Scrapers.entries ++ PromWire.entries ++ graft.sources.SourceRegistry.entries ++
+    Tpch.entries ++ Tpch2.entries ++ Tpch3.entries ++ Scrapers.entries ++ PromWire.entries ++ PromPush.entries ++ graft.sources.SourceRegistry.entries ++
       graft.sources.Writers.entries ++
       TextAnalysis.entries ++ Dedup.entries ++ Cluster.entries ++ Similarity.entries ++ Multimodal.entries ++
       AsOf.entries ++ Skew.entries ++ Pipeline.entries ++ Reshape.entries ++ Timeseries.entries ++ TimeseriesExt.entries ++ Prune.entries ++

@@ -1378,9 +1378,108 @@ object Affinity {
                     / CAST(n AS DOUBLE) * 1e4) / 1e4 AS intercept
        FROM last"""
 
+  // -------------------------------------- audience overlap, sketched
+
+  /** MinHash seeds. 64 gives σ ≈ √(J(1−J)/64) ≤ 0.063 — segment-triage
+    * accuracy at 1/|audience| of the exact join's state. */
+  val AmhSeeds = 64
+
+  /** The SKETCH path for `events_audience_overlap`: estimate pairwise
+    * audience Jaccard from k=64 classic MinHash signatures instead of
+    * the exact distinct-user self-join. Per audience the state is 64
+    * longs REGARDLESS of corpus size — at 100 TB the exact path's
+    * user-level equi-join shuffles the whole distinct (type, user) set,
+    * while this shuffles |types| × 64 rows; signatures are mergeable
+    * (min is abelian), so map-side combine does almost all the work.
+    * The exact Jaccard rides along as the measured-error ledger (the
+    * `ann_recall_eval` discipline): at production scale you'd ship only
+    * the signature columns. Hash = md5-derived 60-bit integers shared
+    * textually with the oracle (the repo-wide cross-engine idiom). */
+  def audienceMinhash: Q = (s, d) => {
+    // high-value audiences (any event ≥ 150): partial overlaps, so the
+    // estimate has something real to estimate — unfiltered audiences
+    // are identical here (every user touches every type).
+    // localCheckpoint: the distinct audience set feeds FIVE consumers
+    // (two signature sides, two exact sides, sizes) — materialize the
+    // one filter-pushed scan + distinct once instead of 6 corpus reads
+    // (the dedup_lsh_tuning shared-table discipline).
+    val tu = Tables.events(s, d).filter(col("value") >= 150)
+      .select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint()
+    val sig = tu
+      .withColumn("seed", explode(sequence(lit(0), lit(AmhSeeds - 1))))
+      .withColumn("h", conv(substring(md5(concat(lit("amh:"),
+        col("seed").cast("string"), lit(":"), col("user_id").cast("string"))),
+        1, 15), 16, 10).cast("long"))
+      .groupBy(col("event_type"), col("seed"))
+      .agg(min(col("h")).as("mh"))
+    val est = sig.select(col("event_type").as("type_a"), col("seed"), col("mh").as("mh_a"))
+      .join(sig.select(col("event_type").as("type_b"), col("seed"), col("mh").as("mh_b")),
+        "seed")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L)).as("n_match"))
+      .withColumn("est_jaccard",
+        floor(col("n_match").cast("double") / AmhSeeds * 1e4) / 1e4)
+    val sizes = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val exact = tu.select(col("event_type").as("type_a"), col("user_id"))
+      .join(tu.select(col("event_type").as("type_b"), col("user_id")), "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_both"))
+      .join(broadcast(sizes.select(col("event_type").as("type_a"), col("n").as("n_a"))),
+        "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"), col("n").as("n_b"))),
+        "type_b")
+      .select(col("type_a"), col("type_b"),
+        (floor(col("n_both").cast("double")
+          / (col("n_a") + col("n_b") - col("n_both")).cast("double") * 1e4) / 1e4)
+          .as("jaccard_exact"))
+    est.join(exact, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("n_match"),
+        col("est_jaccard"), col("jaccard_exact"),
+        (floor(abs(col("est_jaccard") - col("jaccard_exact")) * 1e4) / 1e4)
+          .as("abs_err"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val audienceMinhashSql: String =
+    s"""WITH tu AS (SELECT DISTINCT event_type, user_id FROM events WHERE value >= 150),
+       seeds AS (SELECT unnest(range($AmhSeeds)) AS seed),
+       sig AS (
+         SELECT event_type, seed,
+                min(('0x' || substring(md5('amh:' || CAST(seed AS VARCHAR) || ':'
+                     || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) AS mh
+         FROM tu, seeds GROUP BY 1, 2),
+       est AS (
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+                CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+         FROM sig a JOIN sig b ON b.seed = a.seed AND a.event_type < b.event_type
+         GROUP BY 1, 2),
+       sizes AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1),
+       pairs AS (
+         SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+         FROM tu a JOIN tu b
+           ON b.user_id = a.user_id AND a.event_type < b.event_type
+         GROUP BY 1, 2),
+       ex AS (
+         SELECT type_a, type_b,
+                floor(CAST(n_both AS DOUBLE)
+                      / CAST(sa.n + sb.n - n_both AS DOUBLE) * 1e4) / 1e4 AS jaccard_exact
+         FROM pairs JOIN sizes sa ON sa.event_type = type_a
+                    JOIN sizes sb ON sb.event_type = type_b),
+       j AS (
+         SELECT est.type_a, est.type_b, n_match,
+                floor(CAST(n_match AS DOUBLE) / $AmhSeeds * 1e4) / 1e4 AS est_jaccard,
+                jaccard_exact
+         FROM est JOIN ex ON ex.type_a = est.type_a AND ex.type_b = est.type_b)
+       SELECT type_a, type_b, n_match, est_jaccard, jaccard_exact,
+              floor(abs(est_jaccard - jaccard_exact) * 1e4) / 1e4 AS abs_err
+       FROM j ORDER BY type_a, type_b"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("events_power_law_fit", powerLawFit, Some(powerLawFitSql)),
     ("events_audience_overlap", audienceOverlap, Some(audienceOverlapSql)),
+    ("events_audience_minhash", audienceMinhash, Some(audienceMinhashSql)),
     ("events_day_overlap", dayOverlap, Some(dayOverlapSql)),
     ("q_null_skew_join", nullSkewJoin, Some(nullSkewJoinSql)),
     ("q_chi2_independence", chi2Independence, Some(chi2IndependenceSql)),

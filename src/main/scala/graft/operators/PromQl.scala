@@ -234,8 +234,33 @@ object PromQl {
         FROM f ORDER BY event_type, bucket_start"""
   }
 
+  // ------------------------------------------------- count_values()
+
+  /** PromQL `count_values("bucket", floor(fam))`: the sample value
+    * itself becomes a label and the aggregate counts samples per
+    * distinct value — the distribution read behind "how many targets
+    * report version X" and integer-gauge histograms. Label cardinality
+    * is bounded by the VALUE DOMAIN, not the corpus (floor() compacts
+    * the float range exactly as real usage does), so the single groupBy
+    * combines map-side and shuffles ≤ |series| × |distinct values|
+    * rows regardless of sample volume. */
+  def countValues: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        format_string("%d", floor(col("value")).cast("long")).as("value_label"))
+      .groupBy(col("event_type"), col("value_label"))
+      .agg(count(lit(1)).as("n_samples"))
+      .orderBy(col("event_type"), col("value_label"))
+
+  val countValuesSql: String =
+    """SELECT event_type,
+              printf('%d', CAST(floor(value) AS BIGINT)) AS value_label,
+              count(*) AS n_samples
+       FROM events GROUP BY 1, 2 ORDER BY event_type, value_label"""
+
   def entries: Seq[(String, Q, Option[String])] = Seq(
     ("prom_vector_matching", vectorMatching, Some(vectorMatchingSql)),
     ("prom_query_range", queryRange, Some(queryRangeSql)),
+    ("prom_count_values", countValues, Some(countValuesSql)),
     ("metrics_rate_extrapolated", rateExtrapolated, Some(rateExtrapolatedSql)))
 }

@@ -108,6 +108,52 @@ object EventsStream {
         col("last.tsSec").as("sample_ts_sec"), col("last.value").as("value"))
   }
 
+  // --------------------------- streaming native-histogram buckets
+
+  /** Batch twin of the continuously-maintained NATIVE-histogram sparse
+    * buckets (entry `stream_native_histogram`): per (series, day), the
+    * schema-2 exponential bucket counts — the Prometheus 3.x ingest
+    * shape, maintained as data arrives instead of re-scanned. Bucket
+    * assignment is the SAME driver-computed boundary ladder the batch
+    * reads use (`NativeHistogram.idxLadder` — StrictMath.pow literals
+    * shared verbatim with the oracle, no runtime log()), so the
+    * streaming state is bit-compatible with every batch native-histogram
+    * entry. State per key = one count; keys = |series| × open days ×
+    * ≤64 non-empty buckets — bounded by the watermark, not sample
+    * volume. */
+  def nativeHistogramBatch: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        expr(graft.operators.NativeHistogram.idxLadder).as("idx"))
+      .groupBy(col("event_type"), col("day"), col("idx"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("event_type"), col("day"), col("idx"))
+
+  val nativeHistogramStreamSql: String =
+    s"""WITH b AS (
+          SELECT event_type, date_trunc('day', ts) AS day,
+                 ${graft.operators.NativeHistogram.idxLadder} AS idx
+          FROM events)
+        SELECT event_type, day, idx, count(*) AS cnt
+        FROM b GROUP BY 1, 2, 3 ORDER BY event_type, day, idx"""
+
+  case class NhSample(event_type: String, tsSec: Long, value: Double)
+
+  /** Streaming path: tumbling 1-day windows on event time, one count
+    * per (window, series, bucket idx); append mode + the 1-day
+    * watermark emit each day's sparse histogram exactly once when it
+    * can no longer change. Late samples beyond the watermark are
+    * dropped, never double-counted — the TSDB ingest contract. */
+  def nativeHistogramStream(samples: Dataset[NhSample]): DataFrame = {
+    samples
+      .withColumn("ts", timestamp_seconds(col("tsSec")))
+      .withColumn("idx", expr(graft.operators.NativeHistogram.idxLadder))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"), col("idx"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("w.start").as("day"), col("idx"), col("cnt"))
+  }
+
   /** The events schema as the streaming reader needs it, in the two
     * driver testdata vintages (see `Tables.events`): ts as raw nanos
     * (TIMESTAMP(NANOS) + nanosAsLong) or as TIMESTAMP_NTZ micros. */
@@ -1822,6 +1868,7 @@ object EventsStream {
     ("ivm_topn_delta", ivmTopnBatch, Some(ivmTopnSql)),
     ("stream_counter_rate", counterRateHourlyBatch, Some(counterRateHourlySql)),
     ("stream_query_range", queryRangeBatch, Some(queryRangeStreamSql)),
+    ("stream_native_histogram", nativeHistogramBatch, Some(nativeHistogramStreamSql)),
     ("stream_events_window", eventsWindowBatch, Some(eventsWindowSql)),
     ("stream_sessionize_state", sessionizeBatch, Some(AsOfSessionizeOracle.sql)),
     ("stream_dedup_exact", eventsDedupBatch, Some(eventsDedupSql)),

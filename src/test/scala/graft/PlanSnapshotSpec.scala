@@ -27,6 +27,7 @@ class PlanSnapshotSpec extends SparkTestBase {
     "dedup_embedding_cosine" -> "construction checkpoints the probe table (runs jobs); Round10Spec",
     "dedup_cluster" -> "iterative label propagation checkpoints each round; DedupSpec",
     "dedup_fuzzy_lsh" -> "construction checkpoints the LSH candidate pairs; DedupSpec",
+    "events_audience_minhash" -> "construction checkpoints the shared distinct audience set; Round11Spec",
     "q_exact_global_median" -> "construction runs the bucket-bounds pass; StatsSpec",
     "sketch_theta_distinct" -> "construction builds sketch aggregates (runs jobs); SketchSpec",
     "sketch_sample_quantile" -> "construction builds sketch aggregates (runs jobs); SketchSpec",

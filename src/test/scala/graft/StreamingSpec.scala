@@ -825,4 +825,52 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming native-histogram buckets emit the batch sparse grid exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val samples = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), unix_timestamp(col("ts")).as("tsSec"), col("value"))
+      .as[EventsStream.NhSample].collect()
+
+    val input = MemoryStream[EventsStream.NhSample]
+    val q = EventsStream.nativeHistogramStream(input.toDS())
+      .writeStream.format("memory").queryName("nh_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // chronological chunks: mid-stream watermark closes earlier days
+      val sorted = samples.sortBy(_.tsSec)
+      val (early, late) = sorted.splitAt(sorted.length / 2)
+      input.addData(early.toSeq)
+      q.processAllAvailable()
+      // a sample 3 days older than the watermark must be dropped, not
+      // re-open (and double-emit) an already-closed day
+      input.addData(EventsStream.NhSample("probe_late", sorted.head.tsSec, 1.0))
+      q.processAllAvailable()
+      input.addData(late.toSeq)
+      q.processAllAvailable()
+      val maxSec = sorted.last.tsSec
+      input.addData(EventsStream.NhSample("__wm__", maxSec + 3L * 86400L, 1.0))
+      q.processAllAvailable()
+
+      val gotRows = spark.table("nh_sink")
+        .filter(!col("event_type").isin("__wm__", "probe_late"))
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+          r.getInt(2)) -> r.getLong(3))
+      val dupes = gotRows.groupBy(_._1).filter(_._2.length > 1)
+      assert(dupes.isEmpty, s"buckets emitted twice: ${dupes.keys.take(3)}")
+      assert(!spark.table("nh_sink").collect().exists(_.getString(0) == "probe_late"),
+        "a watermark-late sample must be dropped, not emitted")
+      val got = gotRows.toMap
+      val want = EventsStream.nativeHistogramBatch(spark, sf)
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+          r.getInt(2)) -> r.getLong(3)).toMap
+      // the probe-dropped early day aside, the streaming grid IS the
+      // batch grid — same keys, same counts
+      assert(got.keySet == want.keySet,
+        s"buckets differ: missing=${(want.keySet diff got.keySet).take(3)} " +
+          s"extra=${(got.keySet diff want.keySet).take(3)}")
+      want.foreach { case (k, v) => assert(got(k) == v, s"mismatch at $k: ${got(k)} vs $v") }
+    } finally q.stop()
+  }
+
 }
