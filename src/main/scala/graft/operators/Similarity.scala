@@ -697,6 +697,60 @@ object Similarity {
           ON r.vec_id = e.neighbor_id AND r.neighbor_id = e.vec_id
         ORDER BY e.vec_id, e.rank"""
 
+  /** The SHIPPED scale path for `ann_knn_graph`: candidates come from
+    * the corpus-scaled IVF quantizer (nprobe=2 multi-probe — the
+    * `dedup_embedding_cosine` blocking), not the label block, so the
+    * pair fanout is Σ|cell∩label|² with per-cell population pinned at
+    * `SemTargetCell` BY CONSTRUCTION (K grows with the corpus): where
+    * the exact graph's label blocks grow 10× per 10× corpus (100× the
+    * pairs — the sf1 probe measures it at 6.3×, the suite's worst
+    * ratio), this stays linear. Multi-probe duplicate pairs are
+    * deduped by a (va, vb) max before the bounded `graft_topk`;
+    * Round11bSpec measures recall@k against the exact graph and pins
+    * the candidate discipline. Same scoring arithmetic as the exact
+    * entry, so shared edges carry identical cosines. */
+  def knnGraphIvf: Q = (s, d) => {
+    val probes = graft.Checkpoints.cut(semProbe(s, d, 2))
+    val a = probes.select(col("vec_id").as("va"), col("label"), col("cell"),
+      col("v").as("qv"), col("n2").as("qn2"))
+    val b = probes.select(col("vec_id").as("vb"), col("label").as("nb_label"),
+      col("cell"), col("v"), col("n2"))
+    a.join(b, Seq("cell"))
+      .filter(col("label") === col("nb_label") && col("va") =!= col("vb"))
+      .groupBy(col("va"), col("label"), col("vb"))
+      .agg(max(expr(dotExpr) / (sqrt(col("qn2")) * sqrt(col("n2")))).as("cos"))
+      .groupBy(col("va"), col("label"))
+      .agg(expr(s"graft_topk(cos, vb, $KnnGraphK)").as("top"))
+      .select(col("va").as("vec_id"), col("label"), posexplode(col("top")))
+      .select(col("vec_id"), col("label"), col("col.id").as("neighbor_id"),
+        trunc4(col("col.score")).as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  // lazy: forces semCtes, whose interpolands (fixedMeanSql et al.) are
+  // strict vals declared later in this object — a strict val here would
+  // snapshot them as "null" mid-initialization
+  lazy val knnGraphIvfSql: String =
+    s"""WITH $semCtes,
+        ${semProbeSql(2)},
+        cand AS (
+          SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+          FROM sem_probe a JOIN sem_probe b
+            ON b.cell = a.cell AND b.vec_id <> a.vec_id),
+        scored AS (
+          SELECT va AS vec_id, ea.label, vb AS neighbor_id,
+                 list_cosine_similarity(eb.embedding::DOUBLE[], ea.embedding::DOUBLE[]) AS cos
+          FROM cand JOIN embeddings ea ON ea.vec_id = va
+                    JOIN embeddings eb ON eb.vec_id = vb AND eb.label = ea.label),
+        r AS (
+          SELECT vec_id, label, neighbor_id,
+                 floor(cos * 10000) / 10000.0 AS cosine,
+                 CAST(row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+          FROM scored)
+        SELECT vec_id, label, neighbor_id, cosine, rank FROM r
+        WHERE rank <= $KnnGraphK ORDER BY vec_id, rank"""
+
   // ---- DuckDB replays of the trained-quantizer paths -----------------
   //
   // The IVF/PQ entries were rows-only until the training step became
@@ -1833,6 +1887,7 @@ object Similarity {
     ("ann_index_drift", indexDrift, Some(indexDriftSql)),
     ("ann_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     ("ann_knn_graph", knnGraph, Some(knnGraphSql)),
+    ("ann_knn_graph_ivf", knnGraphIvf, Some(knnGraphIvfSql)),
     ("ann_filtered_topk", filteredTopK, Some(filteredTopKSql)),
     ("ann_bruteforce_topk", bruteForceTopK, Some(bruteForceTopKSql)),
     ("ann_lsh_topk", lshTopK, Some(lshTopKSql)),
