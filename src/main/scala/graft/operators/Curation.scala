@@ -1151,7 +1151,86 @@ object Curation {
         GROUP BY d.source, e.epoch
         ORDER BY d.source, e.epoch"""
 
+  // ------------------------------------------- labeler agreement (κ)
+
+  /** The κ staging, generated once and evaluated verbatim by both
+    * engines over exact integer counts (the staged-expression
+    * discipline): observed agreement, chance agreement from the
+    * marginals, then Cohen's kappa. */
+  private val kappaStages: Seq[(String, String)] = Seq(
+    "po" -> "CAST(n_both + n_neither AS DOUBLE) / CAST(n_docs AS DOUBLE)",
+    "pe" -> ("(CAST(n_both + n_a_only AS DOUBLE) * CAST(n_both + n_b_only AS DOUBLE)" +
+      " + CAST(n_b_only + n_neither AS DOUBLE) * CAST(n_a_only + n_neither AS DOUBLE))" +
+      " / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))"),
+    "kappa" -> ("CASE WHEN pe = 1.0e0 THEN CAST(NULL AS DOUBLE)" +
+      " ELSE floor((po - pe) / (1.0e0 - pe) * 1e4) / 1e4 END"))
+
+  /** Inter-labeler agreement between the two heuristic quality
+    * labelers every curation pipeline runs in parallel — the Gopher
+    * rule battery (`text_gopher_rules`, keep = all 5 rules pass) and
+    * the per-language quality band (`curate_quality_band`, keep =
+    * percent_rank ∈ [0.25, 0.75]) — as the per-language confusion
+    * matrix + Cohen's κ. Low κ means the cheap filter and the scored
+    * band disagree systematically and the corpus needs a human look;
+    * it's the rater-agreement read (Landis–Koch scale) applied to
+    * automated labelers. Both labelers are one corpus pass each,
+    * joined on doc_id; the κ arithmetic runs on the ≤|langs|-row
+    * confusion table. */
+  def annotationAgreement: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val a = TextAnalysis.gopherRules(s, d).select(col("doc_id"), col("keep").as("keep_a"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("score"), col("doc_id"))
+    val b = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"),
+        expr(TextAnalysis.toksExpr).as("toks"))
+      .select(col("doc_id"), col("lang"), TextAnalysis.qualityScoreCol.as("score"))
+      .withColumn("pr", percent_rank().over(w))
+      .select(col("doc_id"), col("lang"),
+        (col("pr") >= 0.25 && col("pr") <= 0.75).as("keep_b"))
+    val g = b.join(a, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("keep_a") && col("keep_b"), 1)).as("n_both"),
+        count(when(col("keep_a") && !col("keep_b"), 1)).as("n_a_only"),
+        count(when(!col("keep_a") && col("keep_b"), 1)).as("n_b_only"),
+        count(when(!col("keep_a") && !col("keep_b"), 1)).as("n_neither"))
+    kappaStages.foldLeft(g) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+      .select(col("lang"), col("n_docs"), col("n_both"), col("n_a_only"),
+        col("n_b_only"), col("n_neither"),
+        expr("floor(po * 1e4) / 1e4").as("observed_agreement"), col("kappa"))
+      .orderBy(col("lang"))
+  }
+
+  val annotationAgreementSql: String = {
+    val staged = kappaStages.map { case (n, e) => s"$e AS $n" }.mkString(",\n               ")
+    s"""WITH a AS (
+          SELECT doc_id, n_failed = 0 AS keep_a
+          FROM (${TextAnalysis.gopherRulesSql.replace("ORDER BY doc_id", "")})),
+        b AS (
+          SELECT doc_id, lang,
+                 percent_rank() OVER (PARTITION BY lang ORDER BY score, doc_id) AS pr
+          FROM (SELECT doc_id, lang, ${TextAnalysis.qualityScoreSqlExpr} AS score
+                FROM documents) s),
+        j AS (
+          SELECT b.lang, a.keep_a, b.pr >= 0.25 AND b.pr <= 0.75 AS keep_b
+          FROM b JOIN a USING (doc_id)),
+        g AS (
+          SELECT lang, count(*) AS n_docs,
+                 count(*) FILTER (WHERE keep_a AND keep_b) AS n_both,
+                 count(*) FILTER (WHERE keep_a AND NOT keep_b) AS n_a_only,
+                 count(*) FILTER (WHERE NOT keep_a AND keep_b) AS n_b_only,
+                 count(*) FILTER (WHERE NOT keep_a AND NOT keep_b) AS n_neither
+          FROM j GROUP BY lang),
+        f AS (
+          SELECT *, $staged
+          FROM g)
+        SELECT lang, n_docs, n_both, n_a_only, n_b_only, n_neither,
+               floor(po * 1e4) / 1e4 AS observed_agreement, kappa
+        FROM f ORDER BY lang"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("text_annotation_agreement", annotationAgreement, Some(annotationAgreementSql)),
     ("dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
     ("text_bigram_lm", textBigramLm, Some(textBigramLmSql)),
     ("text_bigram_lm_kn", textBigramLmKn, Some(textBigramLmKnSql)),

@@ -131,6 +131,54 @@ object Pipeline {
               FROM documents) t
         GROUP BY lang, pack_id ORDER BY lang, pack_id"""
 
+  /** The attention-mask companion to `pack_token_budget`: per packed
+    * window, the token offset where each document STARTS inside the
+    * window — exactly what a trainer needs to build the block-diagonal
+    * attention mask (and position-id resets) for packed sequences, so
+    * cross-document attention never leaks. Offsets are the in-pack
+    * exclusive prefix sums of the same deterministic token estimate
+    * the packer used; emitted as a comma-joined string (engine-exact,
+    * ≤ docs-per-pack elements — bounded by the budget, not the
+    * corpus). Same single (lang-keyed) window pass as the packer: one
+    * shuffle, no joins. */
+  def packBoundaryOffsets: Q = (s, d) => {
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPack = Window.partitionBy(col("lang"), col("pack_id")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        ceil(col("n_chars") / 4.0).cast("long").as("tok_est"))
+      .withColumn("pack_id",
+        floor(coalesce(sum(col("tok_est")).over(wCum), lit(0L)) / PackBudget).cast("long"))
+      .withColumn("off", coalesce(sum(col("tok_est")).over(wPack), lit(0L)))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok_est")).as("pack_tokens"),
+        expr("array_join(transform(array_sort(collect_list(off)), x -> CAST(x AS STRING)), ',')")
+          .as("boundaries"))
+      .orderBy(col("lang"), col("pack_id"))
+  }
+
+  val packBoundaryOffsetsSql: String =
+    s"""WITH t AS (
+          SELECT doc_id, lang, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tok_est,
+                 CAST(floor(coalesce(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / $PackBudget) AS BIGINT) AS pack_id
+          FROM documents),
+        o AS (
+          SELECT lang, pack_id, doc_id, tok_est,
+                 coalesce(sum(tok_est) OVER (
+                   PARTITION BY lang, pack_id ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+          FROM t)
+        SELECT lang, pack_id, count(*) AS n_docs,
+               CAST(sum(tok_est) AS BIGINT) AS pack_tokens,
+               string_agg(CAST(off AS VARCHAR), ',' ORDER BY off) AS boundaries
+        FROM o GROUP BY lang, pack_id ORDER BY lang, pack_id"""
+
   // -------------------------------------------------------------- curate
 
   /** Quality-band curation: keep each language's middle half by
@@ -1414,6 +1462,7 @@ object Pipeline {
     ("split_train_test", splitTrainTest, Some(splitTrainTestSql)),
     ("mix_corpora", mixCorpora, Some(mixCorporaSql)),
     ("pack_token_budget", packTokenBudget, Some(packTokenBudgetSql)),
+    ("pack_boundary_offsets", packBoundaryOffsets, Some(packBoundaryOffsetsSql)),
     ("curate_quality_band", curateQualityBand, Some(curateQualityBandSql)),
     ("curate_domain_cap", curateDomainCap, Some(curateDomainCapSql)),
     ("pipeline_dataset_card", datasetCard, Some(datasetCardSql)),

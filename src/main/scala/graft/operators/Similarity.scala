@@ -751,6 +751,87 @@ object Similarity {
         SELECT vec_id, label, neighbor_id, cosine, rank FROM r
         WHERE rank <= $KnnGraphK ORDER BY vec_id, rank"""
 
+  /** Matryoshka (MRL) prefix dims to audit: 8, 16, 32, full (64). */
+  val MrlPrefixes = Seq(8, 16, 32, 64)
+
+  /** Matryoshka-truncation QA — the read behind shipping MRL prefix
+    * embeddings (Kusupati et al. 2022): for each prefix length, the
+    * recall@k of prefix-cosine top-k against the full-dimension top-k,
+    * over the fixed query set. The whole audit is ONE corpus pass: all
+    * four prefix cosines ride the same (query, candidate) row (no
+    * explode — `slice` + the shared dot arithmetic), four bounded
+    * `graft_topk` aggregates share one shuffle keyed by query, and the
+    * per-query overlap is driver-free array arithmetic on ≤k-element
+    * lists. Queries are bounded (NumQueries), so corpus cost is
+    * |queries| × N — linear, exactly the brute-force-baseline
+    * discipline (`ann_bruteforce_topk`). */
+  def matryoshkaTruncate: Q = (s, d) => {
+    val q = emb(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val c = emb(s, d).select(col("vec_id").as("cid"), col("v").as("cv"))
+    def cosP(p: Int) = expr(
+      s"graft_dot(slice(qv, 1, $p), slice(cv, 1, $p)) / " +
+        s"(sqrt(graft_dot(slice(qv, 1, $p), slice(qv, 1, $p))) * " +
+        s"sqrt(graft_dot(slice(cv, 1, $p), slice(cv, 1, $p))))").as(s"cos$p")
+    val tops = q.join(c, col("qid") =!= col("cid"))
+      .select(Seq(col("qid"), col("cid")) ++ MrlPrefixes.map(cosP): _*)
+      .groupBy(col("qid"))
+      .agg(expr(s"graft_topk(cos${MrlPrefixes.head}, cid, $TopK)")
+        .as(s"t${MrlPrefixes.head}"),
+        MrlPrefixes.tail.map(p =>
+          expr(s"graft_topk(cos$p, cid, $TopK)").as(s"t$p")): _*)
+      .select(Seq(col("qid")) ++ MrlPrefixes.map(p =>
+        expr(s"transform(t$p, x -> x.id)").as(s"i$p")): _*)
+    val stack = MrlPrefixes
+      .map(p => s"$p, size(array_intersect(i$p, i${MrlPrefixes.last}))")
+      .mkString(", ")
+    tops
+      .selectExpr("qid",
+        s"stack(${MrlPrefixes.size}, $stack) AS (dim_prefix, n_match)")
+      .groupBy(col("dim_prefix"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("n_match")).cast("long").as("n_matches"))
+      .withColumn("recall", expr(
+        s"floor(CAST(n_matches AS DOUBLE) / CAST(n_queries * $TopK AS DOUBLE) * 1e4) / 1e4"))
+      .select(col("dim_prefix").cast("int").as("dim_prefix"), col("n_queries"),
+        col("n_matches"), col("recall"))
+      .orderBy(col("dim_prefix"))
+  }
+
+  val matryoshkaTruncateSql: String = {
+    val cosCols = MrlPrefixes.map(p =>
+      s"list_cosine_similarity(q.v[1:$p], c.v[1:$p]) AS cos$p").mkString(",\n                 ")
+    val rankCols = MrlPrefixes.map(p =>
+      s"CAST(row_number() OVER (PARTITION BY qid ORDER BY cos$p DESC, cid) AS INT) AS r$p")
+      .mkString(",\n                 ")
+    val listCols = MrlPrefixes.map(p =>
+      s"list(cid ORDER BY r$p) FILTER (WHERE r$p <= $TopK) AS i$p").mkString(",\n                 ")
+    val unions = MrlPrefixes.map(p =>
+      s"SELECT $p AS dim_prefix, qid, len(list_intersect(i$p, i${MrlPrefixes.last})) AS n_match FROM t")
+      .mkString("\n          UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (
+          SELECT q.vec_id AS qid, c.vec_id AS cid,
+                 $cosCols
+          FROM e q JOIN e c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < $NumQueries),
+        r AS (
+          SELECT qid, cid,
+                 $rankCols
+          FROM p),
+        t AS (
+          SELECT qid,
+                 $listCols
+          FROM r GROUP BY qid),
+        u AS (
+          $unions)
+        SELECT dim_prefix, count(*) AS n_queries,
+               CAST(sum(n_match) AS BIGINT) AS n_matches,
+               floor(CAST(sum(n_match) AS DOUBLE)
+                     / CAST(count(*) * $TopK AS DOUBLE) * 1e4) / 1e4 AS recall
+        FROM u GROUP BY dim_prefix ORDER BY dim_prefix"""
+  }
+
   // ---- DuckDB replays of the trained-quantizer paths -----------------
   //
   // The IVF/PQ entries were rows-only until the training step became
@@ -1888,6 +1969,7 @@ object Similarity {
     ("ann_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     ("ann_knn_graph", knnGraph, Some(knnGraphSql)),
     ("ann_knn_graph_ivf", knnGraphIvf, Some(knnGraphIvfSql)),
+    ("emb_matryoshka_truncate", matryoshkaTruncate, Some(matryoshkaTruncateSql)),
     ("ann_filtered_topk", filteredTopK, Some(filteredTopKSql)),
     ("ann_bruteforce_topk", bruteForceTopK, Some(bruteForceTopKSql)),
     ("ann_lsh_topk", lshTopK, Some(lshTopKSql)),
