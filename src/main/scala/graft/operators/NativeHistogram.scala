@@ -137,6 +137,72 @@ object NativeHistogram {
                max(CASE WHEN q = 0.99e0 THEN est END) AS p99
         FROM e GROUP BY event_type ORDER BY event_type"""
 
+  /** Rate-quantile window width: 6 h, the `metrics_burn_rate` grain. */
+  val RateWinSec = 21600L
+
+  /** THE canonical PromQL latency read,
+    * `histogram_quantile(0.9, rate(native_histogram[6h]))`: per
+    * (series, 6 h window) the per-bucket count delta IS the rate
+    * numerator (each window's samples are that window's increments —
+    * the TSDB's cumulative-counter delta collapses to a windowed
+    * count), and the quantile estimator runs over the windowed sparse
+    * histogram exactly as `prom_native_histogram_quantile` runs over
+    * the corpus one: covering bucket by cumulative count, linear
+    * interpolation inside driver-literal exponential bounds, overflow
+    * bucket fails loudly. One groupBy(series, window, idx) with
+    * map-side combine; the per-window windows run over ≤64-row sparse
+    * bucket sets — nothing past the first aggregation grows with
+    * sample volume. */
+  def nativeRateQuantile: Q = (s, d) => {
+    val buckets = Tables.events(s, d)
+      .select(col("event_type"),
+        (floor(unix_timestamp(col("ts")) / RateWinSec) * RateWinSec).cast("long")
+          .as("win_sec"),
+        expr(idxLadder).as("idx"))
+      .groupBy(col("event_type"), col("win_sec"), col("idx"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("win_sec")).orderBy(col("idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("win_sec"))
+    buckets
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("total", sum(col("cnt")).over(wAll))
+      .withColumn("q", lit(0.9e0))
+      .withColumn("target", col("q") * col("total"))
+      .filter(col("cum") >= col("target") &&
+        (col("cum") - col("cnt")) < col("target"))
+      .withColumn("lo", expr(boundOf("idx", -1, "raise_error")))
+      .withColumn("hi", expr(boundOf("idx", 0, "raise_error")))
+      .select(col("event_type"), col("win_sec"), col("total").as("n_samples"),
+        expr("floor((lo + (hi - lo) * (target - (cum - cnt)) / cnt) * 1e4) / 1e4")
+          .as("p90"),
+        expr(s"floor(CAST(total AS DOUBLE) / $RateWinSec * 1e6) / 1e6")
+          .as("rate_per_sec"))
+      .orderBy(col("event_type"), col("win_sec"))
+  }
+
+  val nativeRateQuantileSql: String =
+    s"""WITH b AS (
+          SELECT event_type,
+                 CAST(floor(floor(epoch(ts)) / $RateWinSec) * $RateWinSec AS BIGINT) AS win_sec,
+                 $idxLadder AS idx, count(*) AS cnt
+          FROM events GROUP BY 1, 2, 3),
+        c AS (
+          SELECT event_type, win_sec, idx, cnt,
+                 sum(cnt) OVER (PARTITION BY event_type, win_sec ORDER BY idx) AS cum,
+                 sum(cnt) OVER (PARTITION BY event_type, win_sec) AS total
+          FROM b)
+        SELECT event_type, win_sec, CAST(total AS BIGINT) AS n_samples,
+               floor((${boundOf("idx", -1, "error")}
+                      + (${boundOf("idx", 0, "error")} - ${boundOf("idx", -1, "error")})
+                        * (0.9e0 * total - (cum - cnt)) / cnt) * 1e4) / 1e4 AS p90,
+               floor(CAST(total AS DOUBLE) / $RateWinSec * 1e6) / 1e6 AS rate_per_sec
+        FROM c
+        WHERE cum >= 0.9e0 * total AND cum - cnt < 0.9e0 * total
+        ORDER BY event_type, win_sec"""
+
   def nativeDownscale: Q = (s, d) => {
     Tables.events(s, d)
       .select(col("event_type"), expr(idxLadder).as("idx"))
@@ -158,5 +224,6 @@ object NativeHistogram {
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("prom_native_histogram_quantile", nativeQuantile, Some(nativeQuantileSql)),
+    ("prom_native_histogram_rate_quantile", nativeRateQuantile, Some(nativeRateQuantileSql)),
     ("prom_native_histogram_downscale", nativeDownscale, Some(nativeDownscaleSql)))
 }

@@ -38,6 +38,35 @@ class Round11cSpec extends SparkTestBase {
     }
   }
 
+  test("prom_native_histogram_rate_quantile: estimates live inside their buckets") {
+    val perWin = SparkEntry.queries("prom_native_histogram_rate_quantile")(spark, sf)
+      .collect()
+    assert(perWin.nonEmpty)
+    val values = graft.sources.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.expr(
+          s"(floor(unix_timestamp(ts) / ${graft.operators.NativeHistogram.RateWinSec}) " +
+            s"* ${graft.operators.NativeHistogram.RateWinSec})").cast("long").as("w"),
+        org.apache.spark.sql.functions.col("value"))
+      .collect().groupBy(r => (r.getString(0), r.getLong(1)))
+      .view.mapValues(_.map(_.getDouble(2))).toMap
+    perWin.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      val vs = values(key)
+      assert(r.getLong(2) == vs.length, s"window count mismatch at $key")
+      val p90 = r.getDouble(3)
+      // the interpolated estimate sits within the window's value hull
+      // stretched by one bucket width (base 2^1/4 → ≤ ~19% per side)
+      assert(p90 >= vs.min / 1.2 - 1e-9 && p90 <= vs.max * 1.2 + 1e-9,
+        s"p90 $p90 outside the window hull [${vs.min}, ${vs.max}] at $key")
+      // and at/above the exact median — it is a p90
+      val sorted = vs.sorted
+      assert(p90 >= sorted((vs.length - 1) / 2) / 1.2,
+        s"p90 below the window median at $key")
+      assert(r.getDouble(4) >= 0.0)
+    }
+  }
+
   test("text_annotation_agreement: confusion matrix partitions and κ replays") {
     val rows = SparkEntry.queries("text_annotation_agreement")(spark, sf).collect()
     assert(rows.nonEmpty)
