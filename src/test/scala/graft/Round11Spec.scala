@@ -35,6 +35,27 @@ class Round11Spec extends SparkTestBase {
       s"corpus re-scanned past the checkpoint:\n$p")
   }
 
+  test("emb_pca_power fails loudly on out-of-range embeddings instead of wrapping") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r11_pca_guard").toString
+    // one value beyond |1.0|: the 4M-row flush headroom proof no longer
+    // holds, so the kernel must refuse rather than risk silent Long wrap
+    val vecs = (1 to 8).map { r =>
+      val v = Array.fill(64)(0.1f)
+      if (r == 5) v(7) = 1.75f
+      (r.toLong, v.toSeq, r % 2)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.operators.Similarity.embPcaPower(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("normalize the table")),
+      s"expected the loud out-of-range error, got: ${messages(e).take(2)}")
+  }
+
   test("prom_count_values: counts partition the corpus and labels parse back") {
     val rows = PromQl.countValues(spark, sf).collect()
     val total = rows.map(_.getLong(2)).sum
