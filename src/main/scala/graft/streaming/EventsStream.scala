@@ -108,6 +108,99 @@ object EventsStream {
         col("last.tsSec").as("sample_ts_sec"), col("last.value").as("value"))
   }
 
+  // -------------------------------- streaming multiwindow burn rate
+
+  /** Error-budget target shared with `metrics_burn_rate`. */
+  private val SloBudget = graft.operators.Timeseries.SloBudget
+
+  /** Batch twin of the LIVE multiwindow burn-rate alert (entry
+    * `stream_burn_rate`) — the SRE paging rule evaluated continuously:
+    * per 6 h hop sliding every hour, the slow-window burn
+    * (errors/total/budget over the hop) AND the fast-window burn (same
+    * ratio over the hop's LAST hour) — page only when BOTH exceed 1
+    * (fast catches the spike, slow confirms it matters). The hopping
+    * window gives each event its ≤6 hops map-side; both windows'
+    * conditional counts ride ONE aggregation (the fast window is a
+    * `ts ≥ hop_end − 1h` predicate on the same rows), so the stream
+    * maintains exactly one count-vector per open hop. */
+  def burnRateBatch: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"), col("ts"))
+      // an event sits in the FAST (1 h) window of exactly one hop: the
+      // one ending at its own ceil-hour — computable before grouping,
+      // so both windows' counts ride one aggregation
+      .withColumn("own_end", timestamp_seconds(
+        expr("(unix_timestamp(ts) div 3600 + 1) * 3600")))
+      .select(col("event_type"), col("ts"), col("own_end"),
+        window(col("ts"), "6 hours", "1 hour").as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("total6"),
+        count(when(col("event_type") === "error", 1)).as("errors6"),
+        count(when(col("own_end") === col("w.end"), 1)).as("total1"),
+        count(when(col("own_end") === col("w.end")
+          && col("event_type") === "error", 1)).as("errors1"))
+      .filter(col("total1") > 0)
+      .select(col("w.end").as("hop_end"), col("total6"), col("errors6"),
+        col("total1"), col("errors1"),
+        expr(s"floor(CAST(errors6 AS DOUBLE) / CAST(total6 AS DOUBLE) / $SloBudget * 1e4) / 1e4")
+          .as("burn_6h"),
+        expr(s"floor(CAST(errors1 AS DOUBLE) / CAST(total1 AS DOUBLE) / $SloBudget * 1e4) / 1e4")
+          .as("burn_1h"))
+      .withColumn("page", col("burn_6h") > 1.0 && col("burn_1h") > 1.0)
+      .orderBy(col("hop_end"))
+
+  val burnRateStreamSql: String =
+    s"""WITH hops AS (
+          SELECT event_type, epoch(ts) AS ts_sec,
+                 (CAST(floor(epoch(ts) / 3600) AS BIGINT) + 1 + k) * 3600 AS hop_end
+          FROM events, (SELECT unnest(range(6)) AS k)),
+        g AS (
+          SELECT hop_end,
+                 count(*) AS total6,
+                 count(*) FILTER (WHERE event_type = 'error') AS errors6,
+                 count(*) FILTER (WHERE ts_sec >= hop_end - 3600) AS total1,
+                 count(*) FILTER (WHERE ts_sec >= hop_end - 3600
+                                    AND event_type = 'error') AS errors1
+          FROM hops GROUP BY hop_end)
+        SELECT epoch_ms(hop_end * 1000) AS hop_end, total6, errors6, total1, errors1,
+               floor(CAST(errors6 AS DOUBLE) / CAST(total6 AS DOUBLE) / $SloBudget * 1e4) / 1e4
+                 AS burn_6h,
+               floor(CAST(errors1 AS DOUBLE) / CAST(total1 AS DOUBLE) / $SloBudget * 1e4) / 1e4
+                 AS burn_1h,
+               floor(CAST(errors6 AS DOUBLE) / CAST(total6 AS DOUBLE) / $SloBudget * 1e4) / 1e4 > 1.0
+                 AND floor(CAST(errors1 AS DOUBLE) / CAST(total1 AS DOUBLE) / $SloBudget * 1e4) / 1e4 > 1.0
+                 AS page
+        FROM g WHERE total1 > 0 ORDER BY hop_end"""
+
+  case class BrSample(event_type: String, tsSec: Long)
+
+  /** Streaming path: the same one-aggregation hopping window under a
+    * 1 h watermark — each closed hop emits its page/no-page verdict
+    * exactly once; watermark-late events are dropped, never re-page. */
+  def burnRateStream(samples: Dataset[BrSample]): DataFrame = {
+    samples
+      .withColumn("ts", timestamp_seconds(col("tsSec")))
+      .withColumn("own_end", timestamp_seconds(
+        expr("(unix_timestamp(ts) div 3600 + 1) * 3600")))
+      .withWatermark("ts", "1 hour")
+      .select(col("event_type"), col("ts"), col("own_end"),
+        window(col("ts"), "6 hours", "1 hour").as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("total6"),
+        count(when(col("event_type") === "error", 1)).as("errors6"),
+        count(when(col("own_end") === col("w.end"), 1)).as("total1"),
+        count(when(col("own_end") === col("w.end")
+          && col("event_type") === "error", 1)).as("errors1"))
+      .filter(col("total1") > 0)
+      .select(col("w.end").as("hop_end"), col("total6"), col("errors6"),
+        col("total1"), col("errors1"),
+        expr(s"floor(CAST(errors6 AS DOUBLE) / CAST(total6 AS DOUBLE) / $SloBudget * 1e4) / 1e4")
+          .as("burn_6h"),
+        expr(s"floor(CAST(errors1 AS DOUBLE) / CAST(total1 AS DOUBLE) / $SloBudget * 1e4) / 1e4")
+          .as("burn_1h"))
+      .withColumn("page", col("burn_6h") > 1.0 && col("burn_1h") > 1.0)
+  }
+
   // --------------------------- streaming native-histogram buckets
 
   /** Batch twin of the continuously-maintained NATIVE-histogram sparse
@@ -1869,6 +1962,7 @@ object EventsStream {
     ("stream_counter_rate", counterRateHourlyBatch, Some(counterRateHourlySql)),
     ("stream_query_range", queryRangeBatch, Some(queryRangeStreamSql)),
     ("stream_native_histogram", nativeHistogramBatch, Some(nativeHistogramStreamSql)),
+    ("stream_burn_rate", burnRateBatch, Some(burnRateStreamSql)),
     ("stream_events_window", eventsWindowBatch, Some(eventsWindowSql)),
     ("stream_sessionize_state", sessionizeBatch, Some(AsOfSessionizeOracle.sql)),
     ("stream_dedup_exact", eventsDedupBatch, Some(eventsDedupSql)),

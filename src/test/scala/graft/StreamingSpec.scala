@@ -825,6 +825,53 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming multiwindow burn rate emits the batch page verdicts exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val samples = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), unix_timestamp(col("ts")).as("tsSec"))
+      .as[EventsStream.BrSample].collect()
+
+    val input = MemoryStream[EventsStream.BrSample]
+    val q = EventsStream.burnRateStream(input.toDS())
+      .writeStream.format("memory").queryName("br_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val sorted = samples.sortBy(_.tsSec)
+      val (early, late) = sorted.splitAt(sorted.length / 2)
+      input.addData(early.toSeq)
+      q.processAllAvailable()
+      input.addData(late.toSeq)
+      q.processAllAvailable()
+      // hour-aligned sentinel far past the data closes every hop
+      input.addData(EventsStream.BrSample("__wm__",
+        (sorted.last.tsSec / 3600L + 12L) * 3600L))
+      q.processAllAvailable()
+
+      val gotRows = spark.table("br_sink").collect()
+        .map(r => r.getTimestamp(0).getTime ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getDouble(5), r.getDouble(6), r.getBoolean(7)))
+      val dupes = gotRows.groupBy(_._1).filter(_._2.length > 1)
+      assert(dupes.isEmpty, s"hops emitted twice: ${dupes.keys.take(3)}")
+      val got = gotRows.toMap
+      // the sentinel contributes to its own trailing hops; exclude any
+      // hop at/after its hour from the comparison
+      val sentinelMs = (sorted.last.tsSec / 3600L + 12L) * 3600L * 1000L
+      val want = EventsStream.burnRateBatch(spark, sf)
+        .collect().map(r => r.getTimestamp(0).getTime ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getDouble(5), r.getDouble(6), r.getBoolean(7))).toMap
+      val gotReal = got.filter(_._1 < sentinelMs)
+      assert(gotReal.keySet == want.keySet,
+        s"hops differ: missing=${(want.keySet diff gotReal.keySet).take(3)} " +
+          s"extra=${(gotReal.keySet diff want.keySet).take(3)}")
+      want.foreach { case (k, v) =>
+        assert(gotReal(k) == v, s"mismatch at $k: ${gotReal(k)} vs $v")
+      }
+    } finally q.stop()
+  }
+
   test("streaming native-histogram buckets emit the batch sparse grid exactly once") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
