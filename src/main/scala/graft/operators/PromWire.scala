@@ -428,8 +428,178 @@ object PromWire {
   val nativeHistogramWireSql: String =
     nhSql(duckDia, "events", (c, o) => s"string_agg($c, '' ORDER BY $o)")
 
+  // --------------------------- Remote-Write 2.0 (symbol interning)
+
+  /** Compile-time symbol block for the v2 Request: label NAMES, the
+    * constant label values, and the (compile-time) metric family
+    * names. Refs are positions: "" is the spec-mandated ref 0; these
+    * follow at 1..n; data-driven event-type values append after. */
+  private val v2ConstSyms: Seq[String] =
+    (Seq("__name__", "accountId", "database-collector", "engine",
+      "event_type", "events", "graft", "identifier", "job", "region")
+      ++ families.map(_._2)).distinct
+  private def v2Ref(sym: String): Int = v2ConstSyms.indexOf(sym) + 1
+  private val v2EtRefBase: Int = v2ConstSyms.size // et ref = base + rn(1-based)
+
+  /** `22 <len> <bytes>` symbol entries for "" + the constant block,
+    * as one compile-time hex literal shared by both engines. */
+  private val v2ConstSymsHex: String = {
+    def hx(s: String) = s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+    def b(i: Int) = { require(i < 128); f"$i%02x" }
+    "2200" + v2ConstSyms.map(s => "22" + b(s.length) + hx(s)).mkString
+  }
+
+  /** Single-byte varint (all refs here are < 128 by construction —
+    * guarded at build time). */
+  private def v2RefHex(sym: String): String = {
+    val r = v2Ref(sym); require(r < 128, s"v2 ref overflow for $sym")
+    f"$r%02x"
+  }
+
+  /** Prometheus Remote-Write 2.0 request body (public spec,
+    * `io.prometheus.write.v2.Request`): strings are INTERNED once in a
+    * `symbols` table (field 4) and every label becomes a pair of
+    * uint32 refs (packed field 1 of TimeSeries, field 5) — the 2024
+    * successor to the v1 frames `prom_wire_frame` ships, cutting the
+    * dominant label-bytes cost of remote write. This entry emits ONE
+    * deterministic Request over the same per-(metric, series) samples
+    * as the v1 entry: symbols = "" (mandated ref 0) + a compile-time
+    * constant block (label names, constant values, family names —
+    * refs are Scala literals) + the data-driven event-type values
+    * (refs assigned by one row_number over the bounded distinct set),
+    * labels sorted by name as v2 REQUIRES (v1's reference emitter
+    * doesn't sort; v2 made it normative). Sample encoding (fixed64
+    * double + varint ms) is byte-identical to v1 and reuses its
+    * generated arithmetic. Scale shape: series frames encode
+    * distributed (projection over the aggregated family table); the
+    * symbol table is label-cardinality-bounded; the single-request
+    * gather at the end is the |series|-bounded string_agg a real
+    * sender does per request batch. Spec-side, Round11dSpec decodes
+    * the body structurally (symbols → refs → labels) and round-trips
+    * every series. */
+  def wireFrameV2: Q = (s, d) => {
+    import org.apache.spark.sql.functions._
+    val agg = Tables.events(s, d).groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        round(sum(col("value")), 2).as("vsum"),
+        expr("CAST(unix_seconds(date_trunc('second', max(ts))) AS BIGINT) * 1000").as("ts_ms"))
+      .withColumn("gavg", expr("floor(vsum / n * 1e4) / 1e4"))
+    val stackArgs = families
+      .map { case (f, m, v) => s"'$f', '$m', $v" }.mkString(", ")
+    val stacked = agg.selectExpr("event_type", "ts_ms",
+      s"stack(${families.size}, $stackArgs) AS (family_type, metric_name, value)")
+    // data-driven symbol refs: one row_number over the bounded
+    // distinct event-type set (post-aggregate ⇒ bounded input)
+    val etSyms = agg.select(col("event_type"))
+      .withColumn("et_ref",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("event_type"))) + v2EtRefBase).cast("long"))
+    val metricRefCase = families.map(_._2)
+      .map(m => s"WHEN metric_name = '$m' THEN ${v2Ref(m)}")
+      .mkString("CAST(CASE ", " ", " ELSE NULL END AS BIGINT)")
+    val withRefs = stacked
+      .join(broadcast(etSyms), Seq("event_type"))
+      .withColumn("metric_ref", expr(metricRefCase))
+    val dia = sparkDia
+    val sampleHex =
+      s"""concat(CASE WHEN value = 0e0 THEN '' ELSE concat('09', ${fixed64le("vbits", "value", dia)}) END,
+                 '10', ${varintHex("ts_ms", dia)})"""
+    // labels_refs pairs, sorted by label name (v2-normative):
+    // __name__, accountId(→""), engine(→events), event_type,
+    // identifier(→graft), job(→database-collector), region(→"")
+    val labelsHex =
+      s"""concat('${v2RefHex("__name__")}', ${varintHex("metric_ref", dia)},
+                 '${v2RefHex("accountId")}', '00',
+                 '${v2RefHex("engine")}', '${v2RefHex("events")}',
+                 '${v2RefHex("event_type")}', ${varintHex("et_ref", dia)},
+                 '${v2RefHex("identifier")}', '${v2RefHex("graft")}',
+                 '${v2RefHex("job")}', '${v2RefHex("database-collector")}',
+                 '${v2RefHex("region")}', '00')"""
+    val frames = withRefs
+      .selectExpr("*", s"${doubleBitsExpr("abs(value)")} AS vbits")
+      .selectExpr("metric_name", "event_type", s"$sampleHex AS sample_hex",
+        s"$labelsHex AS labels_hex")
+      .selectExpr("metric_name", "event_type",
+        s"""concat('0a', ${varintHex(dia.idiv("length(labels_hex)"), dia)}, labels_hex,
+                   '12', ${varintHex(dia.idiv("length(sample_hex)"), dia)}, sample_hex) AS ts_msg""")
+      .selectExpr("metric_name", "event_type",
+        s"concat('2a', ${varintHex(dia.idiv("length(ts_msg)"), dia)}, ts_msg) AS ts_frame")
+      .agg(count(lit(1)).as("n_series"),
+        expr("array_join(transform(array_sort(collect_list(struct(metric_name, event_type, ts_frame))), x -> x.ts_frame), '')")
+          .as("series_hex"))
+    val symTail = etSyms
+      .selectExpr("event_type",
+        s"concat('22', ${varintHex("length(event_type)", dia)}, ${strHex("event_type")}) AS sym_hex")
+      .agg(count(lit(1)).cast("long").as("n_et_syms"),
+        expr("array_join(transform(array_sort(collect_list(struct(event_type, sym_hex))), x -> x.sym_hex), '')")
+          .as("et_syms_hex"))
+    frames.crossJoin(symTail) // 1 row × 1 row
+      .selectExpr(
+        s"CAST(${1 + v2ConstSyms.size} + n_et_syms AS BIGINT) AS n_symbols",
+        "n_series",
+        s"concat('$v2ConstSymsHex', et_syms_hex, series_hex) AS body_hex")
+      .selectExpr("n_symbols", "n_series",
+        s"${dia.idiv("length(body_hex)")} AS body_len", "body_hex")
+  }
+
+  val wireFrameV2Sql: String = {
+    val dia = duckDia
+    val selects = families.map { case (f, m, v) =>
+      s"SELECT event_type, ts_ms, '$m' AS metric_name, ${v2Ref(m)} AS metric_ref, $v AS value FROM a"
+    }.mkString(" UNION ALL ")
+    val sampleHex =
+      s"""concat(CASE WHEN value = 0e0 THEN '' ELSE concat('09', ${fixed64le("vbits", "value", dia)}) END,
+                 '10', ${varintHex("ts_ms", dia)})"""
+    val labelsHex =
+      s"""concat('${v2RefHex("__name__")}', ${varintHex("metric_ref", dia)},
+                 '${v2RefHex("accountId")}', '00',
+                 '${v2RefHex("engine")}', '${v2RefHex("events")}',
+                 '${v2RefHex("event_type")}', ${varintHex("et_ref", dia)},
+                 '${v2RefHex("identifier")}', '${v2RefHex("graft")}',
+                 '${v2RefHex("job")}', '${v2RefHex("database-collector")}',
+                 '${v2RefHex("region")}', '00')"""
+    s"""WITH a0 AS (SELECT event_type,
+                      CAST(count(*) AS DOUBLE) AS n,
+                      round(sum(value), 2) AS vsum,
+                      CAST(epoch(date_trunc('second', max(ts))) AS BIGINT) * 1000 AS ts_ms
+                    FROM events GROUP BY event_type),
+          a AS (SELECT *, floor(vsum / n * 1e4) / 1e4 AS gavg FROM a0),
+          ets AS (SELECT event_type,
+                    CAST(row_number() OVER (ORDER BY event_type) + $v2EtRefBase AS BIGINT)
+                      AS et_ref
+                  FROM (SELECT DISTINCT event_type FROM a0) t),
+          r AS ($selects),
+          w AS (SELECT r.*, ets.et_ref FROM r JOIN ets USING (event_type)),
+          w2 AS (SELECT *, ${doubleBitsExpr("abs(value)")} AS vbits FROM w),
+          s1 AS (SELECT metric_name, event_type,
+                        $sampleHex AS sample_hex, $labelsHex AS labels_hex
+                 FROM w2),
+          s2 AS (SELECT metric_name, event_type,
+                        concat('0a', ${varintHex(dia.idiv("length(labels_hex)"), dia)}, labels_hex,
+                               '12', ${varintHex(dia.idiv("length(sample_hex)"), dia)}, sample_hex) AS ts_msg
+                 FROM s1),
+          s3 AS (SELECT metric_name, event_type,
+                        concat('2a', ${varintHex(dia.idiv("length(ts_msg)"), dia)}, ts_msg) AS ts_frame
+                 FROM s2),
+          fr AS (SELECT count(*) AS n_series,
+                        string_agg(ts_frame, '' ORDER BY metric_name, event_type) AS series_hex
+                 FROM s3),
+          st AS (SELECT CAST(count(*) AS BIGINT) AS n_et_syms,
+                        string_agg(concat('22', ${varintHex("length(event_type)", dia)},
+                                          ${strHex("event_type")}), '' ORDER BY event_type)
+                          AS et_syms_hex
+                 FROM ets)
+        SELECT CAST(${1 + v2ConstSyms.size} + n_et_syms AS BIGINT) AS n_symbols,
+               n_series,
+               ${dia.idiv(s"length(concat('$v2ConstSymsHex', et_syms_hex, series_hex))")} AS body_len,
+               concat('$v2ConstSymsHex', et_syms_hex, series_hex) AS body_hex
+        FROM fr, st"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("prom_wire_frame", wireFrame, Some(wireFrameSql)),
+    ("prom_wire_frame_v2", wireFrameV2, Some(wireFrameV2Sql)),
     ("prom_wire_snappy", wireSnappy, Some(wireSnappySql)),
     ("prom_remote_read_frame", remoteReadFrame, Some(remoteReadFrameSql)),
     ("prom_native_histogram_wire", nativeHistogramWire, Some(nativeHistogramWireSql)))

@@ -171,6 +171,7 @@ class PlanSweepSpec extends SparkTestBase {
   private val bnljAllowed = Set(
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_range_search", // query != candidate non-equi pairing
     "emb_matryoshka_truncate", // same bounded-query != candidate pairing (8-row broadcast)
+    "prom_wire_frame_v2", // 1-row series-frames × 1-row symbol-tail assembly
     "q_skew_salted_join",                  // salt-range replication broadcast
     "q15_top_supplier", "q22_idle_customers", "q17_small_qty_revenue",
     "metrics_slave_status", "metrics_gap_fill", // single-row global-bound broadcast
