@@ -1434,7 +1434,11 @@ object Affinity {
         (floor(col("n_both").cast("double")
           / (col("n_a") + col("n_b") - col("n_both")).cast("double") * 1e4) / 1e4)
           .as("jaccard_exact"))
-    est.join(exact, Seq("type_a", "type_b"))
+    // LEFT join: a pair with zero true overlap has no exact row — but
+    // that's exactly where MinHash false positives live, so the error
+    // ledger must keep it (exact Jaccard = 0)
+    est.join(exact, Seq("type_a", "type_b"), "left")
+      .withColumn("jaccard_exact", coalesce(col("jaccard_exact"), lit(0.0)))
       .select(col("type_a"), col("type_b"), col("n_match"),
         col("est_jaccard"), col("jaccard_exact"),
         (floor(abs(col("est_jaccard") - col("jaccard_exact")) * 1e4) / 1e4)
@@ -1470,8 +1474,8 @@ object Affinity {
        j AS (
          SELECT est.type_a, est.type_b, n_match,
                 floor(CAST(n_match AS DOUBLE) / $AmhSeeds * 1e4) / 1e4 AS est_jaccard,
-                jaccard_exact
-         FROM est JOIN ex ON ex.type_a = est.type_a AND ex.type_b = est.type_b)
+                COALESCE(jaccard_exact, 0.0) AS jaccard_exact
+         FROM est LEFT JOIN ex ON ex.type_a = est.type_a AND ex.type_b = est.type_b)
        SELECT type_a, type_b, n_match, est_jaccard, jaccard_exact,
               floor(abs(est_jaccard - jaccard_exact) * 1e4) / 1e4 AS abs_err
        FROM j ORDER BY type_a, type_b"""

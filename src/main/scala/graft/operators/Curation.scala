@@ -1177,16 +1177,12 @@ object Curation {
     * joined on doc_id; the κ arithmetic runs on the ≤|langs|-row
     * confusion table. */
   def annotationAgreement: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     val a = TextAnalysis.gopherRules(s, d).select(col("doc_id"), col("keep").as("keep_a"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("score"), col("doc_id"))
-    val b = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("text"),
-        expr(TextAnalysis.toksExpr).as("toks"))
-      .select(col("doc_id"), col("lang"), TextAnalysis.qualityScoreCol.as("score"))
-      .withColumn("pr", percent_rank().over(w))
-      .select(col("doc_id"), col("lang"),
-        (col("pr") >= 0.25 && col("pr") <= 0.75).as("keep_b"))
+    // labeler B IS curate_quality_band's shared per-doc band — one
+    // definition (Pipeline.qualityBandDocs), so the κ ledger can never
+    // drift from the shipped band
+    val b = Pipeline.qualityBandDocs(s, d)
+      .select(col("doc_id"), col("lang"), col("in_band").as("keep_b"))
     val g = b.join(a, Seq("doc_id"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1207,12 +1203,10 @@ object Curation {
           SELECT doc_id, n_failed = 0 AS keep_a
           FROM (${TextAnalysis.gopherRulesSql.replace("ORDER BY doc_id", "")})),
         b AS (
-          SELECT doc_id, lang,
-                 percent_rank() OVER (PARTITION BY lang ORDER BY score, doc_id) AS pr
-          FROM (SELECT doc_id, lang, ${TextAnalysis.qualityScoreSqlExpr} AS score
-                FROM documents) s),
+          SELECT doc_id, lang, in_band AS keep_b
+          FROM (${Pipeline.qualityBandDocsSql}) qb),
         j AS (
-          SELECT b.lang, a.keep_a, b.pr >= 0.25 AND b.pr <= 0.75 AS keep_b
+          SELECT b.lang, a.keep_a, b.keep_b
           FROM b JOIN a USING (doc_id)),
         g AS (
           SELECT lang, count(*) AS n_docs,

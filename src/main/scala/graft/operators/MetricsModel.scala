@@ -39,12 +39,25 @@ object MetricsModel {
       .withColumn("engine", lit(engine))
   }
 
+  /** The exposition line format — ONE definition for every renderer
+    * (exposition entry, parse round-trip, the signed-push payload). */
+  val LineFormat = """%s{engine="%s",identifier="%s",job="%s"} %.2f"""
+
+  /** Values are floor-snapped to the 2 dp grid BEFORE formatting: a
+    * double sitting ~1 ulp off an exact 2 dp decimal can never land on
+    * a %.2f rounding tie, so Java's HALF_UP and C printf's half-even
+    * render identical bytes. (Formatting an un-snapped >2 dp value is
+    * the one place the two engines' formatters can disagree.) */
+  def snappedValue: Column = floor(col("value") * 100) / 100
+
+  /** The identical snap as SQL, for the DuckDB-side renderers. */
+  val snappedValueSql = "floor(value * 100) / 100"
+
   /** Prometheus text-exposition rendering of enriched long rows:
     * `name{engine="…",identifier="…",job="…"} value`. */
   def exposition(df: DataFrame): DataFrame = {
-    df.select(format_string(
-      """%s{engine="%s",identifier="%s",job="%s"} %.2f""",
-      col("metric_name"), col("engine"), col("identifier"), col("job"), col("value")
+    df.select(format_string(LineFormat,
+      col("metric_name"), col("engine"), col("identifier"), col("job"), snappedValue
     ).as("line"))
   }
 }

@@ -188,14 +188,31 @@ object Pipeline {
     * where comparing against an interpolated quantile value is not.
     * (At 100 TB with unbounded groups the same band comes from
     * approx_percentile thresholds instead of a full per-group sort.) */
-  def curateQualityBand: Q = (s, d) => {
+  /** Per-doc quality-band membership — THE labeler `curate_quality_band`
+    * aggregates and `text_annotation_agreement` scores against; one
+    * definition so the band can never silently fork. */
+  def qualityBandDocs(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("score"), col("doc_id"))
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("text"),
         expr(TextAnalysis.toksExpr).as("toks"))
       .select(col("doc_id"), col("lang"), TextAnalysis.qualityScoreCol.as("score"))
       .withColumn("pr", percent_rank().over(w))
-      .filter(col("pr") >= 0.25 && col("pr") <= 0.75)
+      .select(col("doc_id"), col("lang"), col("score"),
+        (col("pr") >= 0.25 && col("pr") <= 0.75).as("in_band"))
+  }
+
+  /** The identical per-doc band as a composable SQL body. */
+  val qualityBandDocsSql: String =
+    s"""SELECT doc_id, lang, score, pr >= 0.25 AND pr <= 0.75 AS in_band
+        FROM (SELECT doc_id, lang, score,
+                percent_rank() OVER (PARTITION BY lang ORDER BY score, doc_id) AS pr
+              FROM (SELECT doc_id, lang, ${TextAnalysis.qualityScoreSqlExpr} AS score
+                    FROM documents) s) r"""
+
+  def curateQualityBand: Q = (s, d) => {
+    qualityBandDocs(s, d)
+      .filter(col("in_band"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"),
         min(col("score")).as("lo_score"), max(col("score")).as("hi_score"))
@@ -204,11 +221,8 @@ object Pipeline {
 
   val curateQualityBandSql: String =
     s"""SELECT lang, count(*) AS n_kept, min(score) AS lo_score, max(score) AS hi_score
-        FROM (SELECT doc_id, lang, score,
-                percent_rank() OVER (PARTITION BY lang ORDER BY score, doc_id) AS pr
-              FROM (SELECT doc_id, lang, ${TextAnalysis.qualityScoreSqlExpr} AS score
-                    FROM documents) s) r
-        WHERE pr >= 0.25 AND pr <= 0.75
+        FROM ($qualityBandDocsSql) b
+        WHERE in_band
         GROUP BY lang ORDER BY lang"""
 
   // --------------------------------------------------------------- tfidf

@@ -41,10 +41,9 @@ object PromPush {
     * exact string/hash arithmetic shared verbatim with the oracle. */
   def pushSigv4: Q = (s, d) => {
     Scrapers.remoteWrite(s, d)
-      .select(col("identifier"), format_string(
-        """%s{engine="%s",identifier="%s",job="%s"} %.2f""",
+      .select(col("identifier"), format_string(MetricsModel.LineFormat,
         col("metric_name"), col("engine"), col("identifier"), col("job"),
-        col("value")).as("line"))
+        MetricsModel.snappedValue).as("line"))
       .groupBy(col("identifier"))
       .agg(count(lit(1)).as("n_lines"),
         // bounded collect: metrics-per-host, not corpus rows
@@ -71,8 +70,9 @@ object PromPush {
     s"""WITH rw AS ($rw),
         lines AS (
           SELECT identifier,
-                 printf('%s{engine="%s",identifier="%s",job="%s"} %.2f',
-                        metric_name, engine, identifier, job, value) AS line
+                 printf('${MetricsModel.LineFormat}',
+                        metric_name, engine, identifier, job,
+                        ${MetricsModel.snappedValueSql}) AS line
           FROM rw),
         p AS (
           SELECT identifier, count(*) AS n_lines,

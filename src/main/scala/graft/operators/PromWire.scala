@@ -456,6 +456,24 @@ object PromWire {
     f"$r%02x"
   }
 
+  /** v2 Sample bytes — identical arithmetic to the v1 frames; ONE
+    * definition, instantiated per dialect (expects a staged `vbits`). */
+  private def v2SampleHex(dia: Dia): String =
+    s"""concat(CASE WHEN value = 0e0 THEN '' ELSE concat('09', ${fixed64le("vbits", "value", dia)}) END,
+               '10', ${varintHex("ts_ms", dia)})"""
+
+  /** v2 packed label-ref pairs, sorted by label name (normative):
+    * __name__, accountId(→""), engine(→events), event_type,
+    * identifier(→graft), job(→database-collector), region(→""). */
+  private def v2LabelsHex(dia: Dia): String =
+    s"""concat('${v2RefHex("__name__")}', ${varintHex("metric_ref", dia)},
+               '${v2RefHex("accountId")}', '00',
+               '${v2RefHex("engine")}', '${v2RefHex("events")}',
+               '${v2RefHex("event_type")}', ${varintHex("et_ref", dia)},
+               '${v2RefHex("identifier")}', '${v2RefHex("graft")}',
+               '${v2RefHex("job")}', '${v2RefHex("database-collector")}',
+               '${v2RefHex("region")}', '00')"""
+
   /** Prometheus Remote-Write 2.0 request body (public spec,
     * `io.prometheus.write.v2.Request`): strings are INTERNED once in a
     * `symbols` table (field 4) and every label becomes a pair of
@@ -479,43 +497,43 @@ object PromWire {
     * every series. */
   def wireFrameV2: Q = (s, d) => {
     import org.apache.spark.sql.functions._
+    // localCheckpoint: the |series|-row family aggregate feeds THREE
+    // consumers (frames, the symbol join, the symbol tail) — one
+    // corpus scan, not three (the shared-table discipline)
     val agg = Tables.events(s, d).groupBy(col("event_type"))
       .agg(
         count(lit(1)).cast("double").as("n"),
         round(sum(col("value")), 2).as("vsum"),
         expr("CAST(unix_seconds(date_trunc('second', max(ts))) AS BIGINT) * 1000").as("ts_ms"))
       .withColumn("gavg", expr("floor(vsum / n * 1e4) / 1e4"))
+      .localCheckpoint()
     val stackArgs = families
       .map { case (f, m, v) => s"'$f', '$m', $v" }.mkString(", ")
     val stacked = agg.selectExpr("event_type", "ts_ms",
       s"stack(${families.size}, $stackArgs) AS (family_type, metric_name, value)")
     // data-driven symbol refs: one row_number over the bounded
-    // distinct event-type set (post-aggregate ⇒ bounded input)
+    // distinct event-type set (post-aggregate ⇒ bounded input).
+    // Event types already present in the constant block are NOT
+    // re-interned — they resolve to their constant ref (symbols are
+    // interned exactly once, as the format exists to guarantee).
     val etSyms = agg.select(col("event_type"))
+      .filter(!col("event_type").isin(v2ConstSyms: _*))
       .withColumn("et_ref",
         (row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("event_type"))) + v2EtRefBase).cast("long"))
     val metricRefCase = families.map(_._2)
       .map(m => s"WHEN metric_name = '$m' THEN ${v2Ref(m)}")
       .mkString("CAST(CASE ", " ", " ELSE NULL END AS BIGINT)")
+    val etConstCase = v2ConstSyms
+      .map(sym => s"WHEN event_type = '$sym' THEN ${v2Ref(sym)}")
+      .mkString("CAST(CASE ", " ", " ELSE NULL END AS BIGINT)")
     val withRefs = stacked
-      .join(broadcast(etSyms), Seq("event_type"))
+      .join(broadcast(etSyms), Seq("event_type"), "left")
+      .withColumn("et_ref", coalesce(col("et_ref"), expr(etConstCase)))
       .withColumn("metric_ref", expr(metricRefCase))
     val dia = sparkDia
-    val sampleHex =
-      s"""concat(CASE WHEN value = 0e0 THEN '' ELSE concat('09', ${fixed64le("vbits", "value", dia)}) END,
-                 '10', ${varintHex("ts_ms", dia)})"""
-    // labels_refs pairs, sorted by label name (v2-normative):
-    // __name__, accountId(→""), engine(→events), event_type,
-    // identifier(→graft), job(→database-collector), region(→"")
-    val labelsHex =
-      s"""concat('${v2RefHex("__name__")}', ${varintHex("metric_ref", dia)},
-                 '${v2RefHex("accountId")}', '00',
-                 '${v2RefHex("engine")}', '${v2RefHex("events")}',
-                 '${v2RefHex("event_type")}', ${varintHex("et_ref", dia)},
-                 '${v2RefHex("identifier")}', '${v2RefHex("graft")}',
-                 '${v2RefHex("job")}', '${v2RefHex("database-collector")}',
-                 '${v2RefHex("region")}', '00')"""
+    val sampleHex = v2SampleHex(dia)
+    val labelsHex = v2LabelsHex(dia)
     val frames = withRefs
       .selectExpr("*", s"${doubleBitsExpr("abs(value)")} AS vbits")
       .selectExpr("metric_name", "event_type", s"$sampleHex AS sample_hex",
@@ -548,17 +566,8 @@ object PromWire {
     val selects = families.map { case (f, m, v) =>
       s"SELECT event_type, ts_ms, '$m' AS metric_name, ${v2Ref(m)} AS metric_ref, $v AS value FROM a"
     }.mkString(" UNION ALL ")
-    val sampleHex =
-      s"""concat(CASE WHEN value = 0e0 THEN '' ELSE concat('09', ${fixed64le("vbits", "value", dia)}) END,
-                 '10', ${varintHex("ts_ms", dia)})"""
-    val labelsHex =
-      s"""concat('${v2RefHex("__name__")}', ${varintHex("metric_ref", dia)},
-                 '${v2RefHex("accountId")}', '00',
-                 '${v2RefHex("engine")}', '${v2RefHex("events")}',
-                 '${v2RefHex("event_type")}', ${varintHex("et_ref", dia)},
-                 '${v2RefHex("identifier")}', '${v2RefHex("graft")}',
-                 '${v2RefHex("job")}', '${v2RefHex("database-collector")}',
-                 '${v2RefHex("region")}', '00')"""
+    val sampleHex = v2SampleHex(dia)
+    val labelsHex = v2LabelsHex(dia)
     s"""WITH a0 AS (SELECT event_type,
                       CAST(count(*) AS DOUBLE) AS n,
                       round(sum(value), 2) AS vsum,
@@ -568,9 +577,14 @@ object PromWire {
           ets AS (SELECT event_type,
                     CAST(row_number() OVER (ORDER BY event_type) + $v2EtRefBase AS BIGINT)
                       AS et_ref
-                  FROM (SELECT DISTINCT event_type FROM a0) t),
+                  FROM (SELECT DISTINCT event_type FROM a0
+                        WHERE event_type NOT IN (${v2ConstSyms.map(x => s"'$x'").mkString(", ")})) t),
           r AS ($selects),
-          w AS (SELECT r.*, ets.et_ref FROM r JOIN ets USING (event_type)),
+          w AS (SELECT r.*,
+                  COALESCE(ets.et_ref,
+                    CAST(CASE ${v2ConstSyms.map(x => s"WHEN r.event_type = '$x' THEN ${v2Ref(x)}").mkString(" ")}
+                         ELSE NULL END AS BIGINT)) AS et_ref
+                FROM r LEFT JOIN ets USING (event_type)),
           w2 AS (SELECT *, ${doubleBitsExpr("abs(value)")} AS vbits FROM w),
           s1 AS (SELECT metric_name, event_type,
                         $sampleHex AS sample_hex, $labelsHex AS labels_hex
@@ -586,8 +600,8 @@ object PromWire {
                         string_agg(ts_frame, '' ORDER BY metric_name, event_type) AS series_hex
                  FROM s3),
           st AS (SELECT CAST(count(*) AS BIGINT) AS n_et_syms,
-                        string_agg(concat('22', ${varintHex("length(event_type)", dia)},
-                                          ${strHex("event_type")}), '' ORDER BY event_type)
+                        COALESCE(string_agg(concat('22', ${varintHex("length(event_type)", dia)},
+                                          ${strHex("event_type")}), '' ORDER BY event_type), '')
                           AS et_syms_hex
                  FROM ets)
         SELECT CAST(${1 + v2ConstSyms.size} + n_et_syms AS BIGINT) AS n_symbols,

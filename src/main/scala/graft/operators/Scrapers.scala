@@ -300,7 +300,7 @@ object Scrapers {
        ORDER BY metric_name, event_type, quantile"""
 
   val expositionSql: String =
-    """WITH w AS (
+    s"""WITH w AS (
          SELECT lower(n_name) || '.rds.example.com' AS host,
                 CAST(count(*) AS DOUBLE) AS db_orders_total,
                 round(sum(o_totalprice),2) AS db_orders_price_sum,
@@ -312,9 +312,9 @@ object Scrapers {
          SELECT host, 'db_orders_total' AS metric_name, db_orders_total AS value FROM w
          UNION ALL SELECT host, 'db_orders_price_sum', db_orders_price_sum FROM w
          UNION ALL SELECT host, 'db_orders_price_avg', db_orders_price_avg FROM w)
-       SELECT printf('%s{engine="%s",identifier="%s",job="%s"} %.2f',
+       SELECT printf('${MetricsModel.LineFormat}',
                 metric_name, 'postgres', split_part(host, '.', 1),
-                'database-collector', value) AS line
+                'database-collector', ${MetricsModel.snappedValueSql}) AS line
        FROM l ORDER BY line"""
 
   /** PromQL `label_replace()` + `label_join()` over the remote-write

@@ -769,10 +769,15 @@ object Similarity {
     val q = emb(s, d).filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val c = emb(s, d).select(col("vec_id").as("cid"), col("v").as("cv"))
+    // zero-norm prefix guard: 0/0 would be NaN, which graft_topk drops
+    // but SQL row_number ranks FIRST — the sentinel −2 (< any cosine)
+    // ranks such candidates LAST identically in both engines
     def cosP(p: Int) = expr(
-      s"graft_dot(slice(qv, 1, $p), slice(cv, 1, $p)) / " +
+      s"CASE WHEN graft_dot(slice(qv, 1, $p), slice(qv, 1, $p)) * " +
+        s"graft_dot(slice(cv, 1, $p), slice(cv, 1, $p)) = 0e0 THEN -2.0e0 " +
+        s"ELSE graft_dot(slice(qv, 1, $p), slice(cv, 1, $p)) / " +
         s"(sqrt(graft_dot(slice(qv, 1, $p), slice(qv, 1, $p))) * " +
-        s"sqrt(graft_dot(slice(cv, 1, $p), slice(cv, 1, $p))))").as(s"cos$p")
+        s"sqrt(graft_dot(slice(cv, 1, $p), slice(cv, 1, $p)))) END").as(s"cos$p")
     val tops = q.join(c, col("qid") =!= col("cid"))
       .select(Seq(col("qid"), col("cid")) ++ MrlPrefixes.map(cosP): _*)
       .groupBy(col("qid"))
@@ -800,7 +805,10 @@ object Similarity {
 
   val matryoshkaTruncateSql: String = {
     val cosCols = MrlPrefixes.map(p =>
-      s"list_cosine_similarity(q.v[1:$p], c.v[1:$p]) AS cos$p").mkString(",\n                 ")
+      s"CASE WHEN list_inner_product(q.v[1:$p], q.v[1:$p]) * " +
+        s"list_inner_product(c.v[1:$p], c.v[1:$p]) = 0 THEN -2.0 " +
+        s"ELSE list_cosine_similarity(q.v[1:$p], c.v[1:$p]) END AS cos$p")
+      .mkString(",\n                 ")
     val rankCols = MrlPrefixes.map(p =>
       s"CAST(row_number() OVER (PARTITION BY qid ORDER BY cos$p DESC, cid) AS INT) AS r$p")
       .mkString(",\n                 ")

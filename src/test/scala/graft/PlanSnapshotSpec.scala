@@ -26,6 +26,7 @@ class PlanSnapshotSpec extends SparkTestBase {
     "emb_pca_power" -> "construction collects the bounded d-squared covariance model (runs jobs); Round10dSpec",
     "dedup_embedding_cosine" -> "construction checkpoints the probe table (runs jobs); Round10Spec",
     "ann_knn_graph_ivf" -> "construction checkpoints the IVF probe table (runs jobs); Round11bSpec",
+    "prom_wire_frame_v2" -> "construction checkpoints the shared family aggregate (runs jobs); Round11dSpec",
     "dedup_cluster" -> "iterative label propagation checkpoints each round; DedupSpec",
     "dedup_fuzzy_lsh" -> "construction checkpoints the LSH candidate pairs; DedupSpec",
     "events_audience_minhash" -> "construction checkpoints the shared distinct audience set; Round11Spec",

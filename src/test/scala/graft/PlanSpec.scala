@@ -229,7 +229,10 @@ class PlanSweepSpec extends SparkTestBase {
   // burns a cluster
   private val globalWindowAllowed = Map(
     "pack_shuffle_quality" -> ("run-length segmentation over the permuted corpus order is " +
-      "inherently a total-order lag; declared presentation-sort cost class in its Scaladoc"))
+      "inherently a total-order lag; declared presentation-sort cost class in its Scaladoc"),
+    "prom_wire_frame_v2" -> ("the symbol-ref row_number runs over the localCheckpoint of the " +
+      "|event_types|-row family aggregate — bounded by construction, but the checkpoint " +
+      "RDD scan hides the aggregate barrier from unboundedBelow"))
 
   /** true iff some root→leaf path under `p` reaches a source scan with
     * no bounded barrier (aggregate, generated spine, local/broadcast

@@ -7,10 +7,6 @@ import graft.operators.Similarity
   * bounded-candidate discipline. */
 class Round11bSpec extends SparkTestBase {
 
-  private def edges(name: String): Map[(Long, Int), Long] =
-    SparkEntry.queries(name)(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getInt(4)) -> r.getLong(2)).toMap
-
   test("ann_knn_graph_ivf recalls most exact neighbors and never invents cosines") {
     val exact = SparkEntry.queries("ann_knn_graph")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
