@@ -43,15 +43,17 @@ object MetricsModel {
     * (exposition entry, parse round-trip, the signed-push payload). */
   val LineFormat = """%s{engine="%s",identifier="%s",job="%s"} %.2f"""
 
-  /** Values are floor-snapped to the 2 dp grid BEFORE formatting: a
-    * double sitting ~1 ulp off an exact 2 dp decimal can never land on
-    * a %.2f rounding tie, so Java's HALF_UP and C printf's half-even
-    * render identical bytes. (Formatting an un-snapped >2 dp value is
-    * the one place the two engines' formatters can disagree.) */
-  def snappedValue: Column = floor(col("value") * 100) / 100
+  /** Values are snapped to the 2 dp grid BEFORE formatting, with an
+    * explicit binary half-up (`floor(x·100 + 0.5)/100` — identical
+    * IEEE arithmetic in both engines): the snapped double sits ~1 ulp
+    * off an exact 2 dp decimal, so %.2f can never land on a rounding
+    * tie and Java's HALF_UP vs C printf's half-even render identical
+    * bytes. (Formatting an un-snapped >2 dp value is the one place the
+    * two engines' formatters can disagree.) */
+  def snappedValue: Column = floor(col("value") * 100 + 0.5) / 100
 
   /** The identical snap as SQL, for the DuckDB-side renderers. */
-  val snappedValueSql = "floor(value * 100) / 100"
+  val snappedValueSql = "floor(value * 100 + 0.5) / 100"
 
   /** Prometheus text-exposition rendering of enriched long rows:
     * `name{engine="…",identifier="…",job="…"} value`. */

@@ -70,8 +70,9 @@ class ScrapersSpec extends SparkTestBase {
     val parsed = graft.operators.Scrapers.expositionParse(spark, sf).cache()
     val rw = graft.operators.Scrapers.remoteWrite(spark, sf)
       .select(col("metric_name"), col("engine"), col("identifier"), col("job"),
-        // the wire carries %.2f text, so compare at that precision
-        round(col("value"), 2).as("value"))
+        // the wire carries the renderer's binary half-up 2 dp snap
+        // (MetricsModel.snappedValue), so compare at exactly that grid
+        (floor(col("value") * 100 + 0.5) / 100).as("value"))
       .collect().map(_.toSeq).toSet
     assert(parsed.collect().map(_.toSeq).toSet == rw,
       "parsing our own exposition must recover the source rows")
