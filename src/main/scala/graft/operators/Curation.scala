@@ -1005,7 +1005,10 @@ object Curation {
     * a per-doc order-fixed sorted fold; the selection threshold comes
     * from the `q_weighted_percentile` grid discipline — weights
     * quantize to the 1e-4 integer grid, one histogram aggregation +
-    * a descending prefix sum find the smallest weight with ≥ 25% of
+    * a descending TWO-LEVEL prefix sum (per-cell running sums on a
+    * ≤4096-cell grid, cross-cell carry over the per-cell totals — the
+    * distinct-weight histogram grows with the pool, so it never meets
+    * an unpartitioned window) find the smallest weight with ≥ 25% of
     * docs above it (4·cum ≥ n, division-free), and a 1-row threshold
     * broadcasts back. No corpus sort, no unbounded state; ties at the
     * threshold are kept (deterministic over-selection). */
@@ -1043,14 +1046,29 @@ object Curation {
         expr("aggregate(array_sort(collect_list(lr)), 0.0e0, (a, x) -> a + x)").as("wsum"))
       .select(col("doc_id"), col("source"), col("n_feats"),
         floor(col("wsum") * 1e4).cast("long").as("wq"))
+    // descending prefix sum over the weight histogram via the two-level
+    // decomposition (`q_concurrency` discipline): a (lo,hi,n) aggregate
+    // fixes a ≤4096-cell grid over the quantized-weight range, per-cell
+    // running sums shuffle-partition by cell, and the cross-cell carry is
+    // one window over the ≤4097-row per-cell totals — the histogram is
+    // corpus-derived (distinct quantized weights grow with the pool), so
+    // no unpartitioned window may see it whole.
+    val W = org.apache.spark.sql.expressions.Window
     val hist = docW.groupBy(col("wq")).agg(count(lit(1)).as("n_docs"))
-    val wDesc = org.apache.spark.sql.expressions.Window.orderBy(col("wq").desc)
-    val thr = hist
-      .withColumn("cum", sum(col("n_docs")).over(
-        wDesc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      .withColumn("n", sum(col("n_docs")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
-      .agg(max(when(col("cum") * DsirKeepDen >= col("n") * DsirKeepNum, col("wq"))).as("thr"))
+    val bounds = hist.agg(min(col("wq")).as("lo"), max(col("wq")).as("hi"),
+      sum(col("n_docs")).as("n"))
+    val cells = hist.crossJoin(broadcast(bounds))
+      .withColumn("cell", expr("(wq - lo) div greatest(1L, (hi - lo) div 4096 + 1)"))
+    val inCell = cells.withColumn("wcum", sum(col("n_docs")).over(
+      W.partitionBy(col("cell")).orderBy(col("wq").desc)
+        .rowsBetween(W.unboundedPreceding, 0)))
+    val carry = cells.groupBy(col("cell")).agg(sum(col("n_docs")).as("cdocs"))
+      .withColumn("carry", coalesce(sum(col("cdocs")).over(
+        W.orderBy(col("cell").desc).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("cell"), col("carry"))
+    val thr = inCell.join(broadcast(carry), Seq("cell"))
+      .agg(max(when((col("carry") + col("wcum")) * DsirKeepDen >= col("n") * DsirKeepNum,
+        col("wq"))).as("thr"))
     docW.crossJoin(broadcast(thr))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),

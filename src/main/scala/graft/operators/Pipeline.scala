@@ -1327,26 +1327,45 @@ object Pipeline {
     * MEASURES the fix: same-source run lengths under the hash order
     * vs the source-sorted baseline (n_runs, max_run, mean_run — the
     * sorted arm degenerates to one run per source, the shuffled arm
-    * should sit near mean_run ≈ 1/(1−Σp²)). Run segmentation is a
-    * global lag over the permuted order — measuring adjacency is
-    * inherently a total-order pass (range-partitioned sort, the
-    * presentation-sort cost class); the verdict it produces is
-    * bounded rows. */
+    * should sit near mean_run ≈ 1/(1−Σp²)). Run segmentation is
+    * adjacency in a TOTAL order, but a PREFIX of the order key is a
+    * valid partition of that order: breaks inside a prefix bucket come
+    * from a bucket-partitioned lag (balanced — md5-prefix buckets
+    * don't skew, source buckets are the sorted arm's natural runs),
+    * and breaks at bucket seams from one lag over the per-bucket
+    * (first,last)-source endpoints — |buckets| rows, KBs at any
+    * corpus size. No unpartitioned corpus window; the sum of inner
+    * and seam breaks is exactly the global lag's count. */
   def shuffleQuality: Q = (s, d) => {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
       .withColumn("h", md5(concat(lit("ep0:"), col("doc_id").cast("string"))))
-    def arm(layout: String, w: org.apache.spark.sql.expressions.WindowSpec) =
-      docs.withColumn("brk",
-          when(lag(col("source"), 1).over(w).isNull ||
+    def arm(layout: String, bkt: Column, order: Seq[Column]) = {
+      val b = docs.withColumn("bkt", bkt)
+      val w = Window.partitionBy(col("bkt")).orderBy(order: _*)
+      val inner = b.withColumn("brk",
+          when(lag(col("source"), 1).over(w).isNotNull &&
             lag(col("source"), 1).over(w) =!= col("source"), 1L).otherwise(0L))
-        .agg(count(lit(1)).as("n_docs"), sum(col("brk")).as("n_runs"))
-        .select(lit(layout).as("layout"), col("n_docs"), col("n_runs"),
+        .agg(count(lit(1)).as("n_docs"), sum(col("brk")).as("inner_runs"))
+      val ends = b.groupBy(col("bkt")).agg(
+        min(struct(order :+ col("source").as("src"): _*)).getField("src")
+          .as("first_src"),
+        max(struct(order :+ col("source").as("src"): _*)).getField("src")
+          .as("last_src"))
+      val wB = Window.orderBy(col("bkt"))
+      val seam = ends.withColumn("brk",
+          when(lag(col("last_src"), 1).over(wB).isNull ||
+            lag(col("last_src"), 1).over(wB) =!= col("first_src"), 1L).otherwise(0L))
+        .agg(sum(col("brk")).as("seam_runs"))
+      inner.crossJoin(seam)
+        .select(lit(layout).as("layout"), col("n_docs"),
+          (col("inner_runs") + col("seam_runs")).as("n_runs"))
+        .select(col("layout"), col("n_docs"), col("n_runs"),
           (floor(col("n_docs").cast("double") / col("n_runs").cast("double") * 1e4)
             / 1e4).as("mean_run"))
-    val sorted = arm("source_sorted",
-      Window.orderBy(col("source"), col("doc_id")))
-    val shuffled = arm("hash_shuffled",
-      Window.orderBy(col("h"), col("doc_id")))
+    }
+    val sorted = arm("source_sorted", col("source"), Seq(col("doc_id")))
+    val shuffled = arm("hash_shuffled", substring(col("h"), 1, 2),
+      Seq(col("h"), col("doc_id")))
     sorted.unionByName(shuffled).orderBy(col("layout"))
   }
 

@@ -907,18 +907,37 @@ object Stats {
     * share stays ≤80%, B to 95%, C after. Kin to `q_lorenz_curve` /
     * `q_gini_revenue`, but the output is the operational bucket
     * ledger. No corpus-row sort: parts collapse to their revenue
-    * VALUE (distinct cents), the cumulative runs over that bounded
-    * value domain descending (same-revenue parts share a class by
-    * construction — the deterministic tie rule), and the 80/95 cuts
-    * are exact integer comparisons cum·100 ≤ pct·total. */
+    * VALUE (distinct cents), and the descending cumulative over that
+    * domain is the two-level prefix-sum decomposition (`q_concurrency`
+    * discipline): a (lo,hi) aggregate fixes a ≤4096-cell integer grid
+    * over the value range, per-cell running sums shuffle-partition by
+    * cell, and the cross-cell carry is one cumulative window over the
+    * ≤4097-row per-cell totals — no unpartitioned window ever sees a
+    * corpus-sized frame. Same-revenue parts share a class by
+    * construction (the deterministic tie rule), the 80/95 cuts are
+    * exact integer comparisons cum·100 ≤ pct·total, and the integer
+    * decomposition is exact — the oracle keeps the one-window form. */
   def abcClassification: Q = (s, d) => {
     val per = Tables.lineitem(s, d)
       .select(col("l_partkey"), floor(col("l_extendedprice") * 100).cast("long").as("c"))
       .groupBy(col("l_partkey")).agg(sum(col("c")).as("cents"))
     val byVal = per.groupBy(col("cents")).agg(count(lit(1)).as("n_parts_v"))
     val tot = byVal.agg(sum(col("cents") * col("n_parts_v")).as("tot"))
-    val w = Window.orderBy(col("cents").desc)
-    byVal.withColumn("cum", sum(col("cents") * col("n_parts_v")).over(w))
+    val bounds = byVal.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    val cells = byVal.crossJoin(broadcast(bounds))
+      .withColumn("cell", expr("(cents - lo) div greatest(1L, (hi - lo) div 4096 + 1)"))
+      .drop("lo", "hi")
+      .withColumn("mass", col("cents") * col("n_parts_v"))
+    val wCell = Window.partitionBy(col("cell")).orderBy(col("cents").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inCell = cells.withColumn("wcum", sum(col("mass")).over(wCell))
+    val carry = cells.groupBy(col("cell")).agg(sum(col("mass")).as("cmass"))
+      .withColumn("carry", coalesce(sum(col("cmass")).over(
+        Window.orderBy(col("cell").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("cell"), col("carry"))
+    inCell.join(broadcast(carry), Seq("cell"))
+      .withColumn("cum", col("carry") + col("wcum"))
       .crossJoin(broadcast(tot))
       .withColumn("cls",
         when(col("cum") * 100 <= col("tot") * 80, "A")

@@ -55,6 +55,13 @@ class PlanSnapshotSpec extends SparkTestBase {
 
   private val snapFile = new java.io.File("src/test/resources/plan_signatures.txt")
 
+  /** One analyzed+optimized QueryExecution per non-skip entry, shared by
+    * the signature snapshot and the window lint (planning 350+ entries
+    * twice would double the suite's dominant cost). */
+  private lazy val qes: Map[String, org.apache.spark.sql.execution.QueryExecution] =
+    SparkEntry.queries.keys.toSeq.sorted.filterNot(skip.contains)
+      .map(n => n -> SparkEntry.queries(n)(spark, sf).queryExecution).toMap
+
   /** Count physical nodes via the formatted plan's detail section,
     * where each node appears exactly once as "(n) NodeName". */
   private def sig(p: String): String = {
@@ -78,7 +85,8 @@ class PlanSnapshotSpec extends SparkTestBase {
     SparkEntry.queries.keys.toSeq.sorted.map { name =>
       skip.get(name) match {
         case Some(reason) => name -> s"EXEMPT: $reason"
-        case None => name -> sig(plan(name))
+        case None => name -> sig(qes(name).explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       }
     }
 
@@ -105,5 +113,74 @@ class PlanSnapshotSpec extends SparkTestBase {
         .toSeq.sorted.map(n => s"$n: entry removed (regenerate snapshot)")
       assert(diffs.isEmpty, diffs.mkString("\n"))
     }
+  }
+
+  // ------------------------------------------------ window-partition lint
+
+  /** Entries ALLOWED an unpartitioned Window whose subtree reaches a
+    * table scan, each with the boundedness argument: the window's input
+    * is a structurally capped frame (fixed grid carry, per-bucket seam
+    * endpoints, domain-bounded aggregate), never corpus rows. An entry
+    * appearing here without such an argument — or a new entry sorting
+    * the corpus through one partition — is a scale bug; fix it with the
+    * two-level prefix-sum idiom (`q_concurrency`, `q_abc_classification`)
+    * before declaring it. Stale declarations fail too. */
+  private val declaredBounded: Map[String, String] = Map(
+    "cohort_lifecycle" -> "lag over the per-week actives aggregate — |weeks| rows (time domain)",
+    "cohort_survival_km" -> "KM product chain over the per-tenure-day event table — ≤ observation-span days",
+    "dq_benford" -> "share window over the 9-leading-digit aggregate",
+    "dq_drift_psi" -> "total windows over the |PsiBuckets| decile histogram",
+    "events_pareto_share" -> "cumulative over the |ParetoBuckets| decile aggregate",
+    "events_stickiness" -> "day-spine prefix sum (interval decomposition) — |days| rows",
+    "metrics_burn_rate" -> "6h rolling sums over the hourly rollup — |hours| rows (time domain)",
+    "metrics_slo_attainment" -> "windows over the per-day attainment aggregate — |days| rows",
+    "mix_budget_apportion" -> "largest-remainder rank over the |sources| quota table",
+    "mix_dsir" -> "cross-cell carry over the ≤4097-cell weight-histogram grid (two-level prefix sum)",
+    "mix_epoch_upsample" -> "max window over the |sources| rate table",
+    "mix_temperature" -> "min window over the |languages| rate table",
+    "pack_curriculum" -> "token-share window over the 3-phase aggregate",
+    "pack_shuffle_quality" -> "seam lag over per-bucket order endpoints — ≤256 md5-prefix buckets / |sources|",
+    "prom_recording_rules" -> "6h rolling max over the hourly rollup — |hours| rows (time domain)",
+    "q_abc_classification" -> "cross-cell carry over the ≤4097-cell revenue grid (two-level prefix sum)",
+    "q_bootstrap_ci" -> "rank over the B=64 bootstrap replicate aggregate",
+    "q_chi2_independence" -> "margin windows over the |types|×|dows| cell table",
+    "q_concurrency" -> "cross-hour carry + spine fill over per-hour totals — |hours| rows (time domain)",
+    "q_cumulative_users" -> "cumulative over per-day first-seen counts — |days| rows (time domain)",
+    "q_decile_lift" -> "cumulative gains over the |LiftBuckets| decile aggregate",
+    "q_ks_test" -> "two-level CDF: bucket-offset carry over the price-grid cells (value-domain bounded)",
+    "q_mutual_info" -> "margin windows over the |types|×7 dow cell table",
+    "q_skyline_2d" -> "strict-past min over per-price minima (value domain; range-partition merge at larger domains)",
+    "q_sliding_distinct_users" -> "day-spine prefix sum (interval decomposition) — |days| rows",
+    "q_sprt_abtest" -> "cumulative LLR over the per-day aggregate — |days| rows (time domain)",
+    "sessionize_otsu" -> "Otsu sweep over the ≤64-row bit-length gap histogram",
+    "stream_late_data" -> "256 hash-bucket rank offsets + watermark running max over the micro-batch chunk timeline",
+    "stream_state_metrics" -> "256 hash-bucket rank offsets + watermark running max over the micro-batch chunk timeline",
+    "text_length_survival" -> "suffix sum over the ≤64-row bit-length bucket table",
+    "text_vocab_growth" -> "cumulative over the |VocabGrowthBuckets| bucket aggregate")
+
+  test("unpartitioned windows run only over declared-bounded frames") {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def corpusLeafBeneath(x: LogicalPlan): Boolean = x match {
+      case _: GlobalLimit | _: LocalLimit => false
+      case _: Range | _: LocalRelation | _: OneRowRelation => false
+      case a: Aggregate if a.groupingExpressions.isEmpty => false // 1 row
+      case l: LeafNode => true
+      case other => other.children.exists(corpusLeafBeneath)
+    }
+    val found = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip.contains)
+      .flatMap { name =>
+        val n = qes(name).optimizedPlan.collect {
+          case w: Window if w.partitionSpec.isEmpty && corpusLeafBeneath(w.child) => w
+        }.size
+        if (n > 0) Some(name -> n) else None
+      }.toMap
+    val undeclared = (found.keySet -- declaredBounded.keySet).toSeq.sorted
+    val stale = (declaredBounded.keySet -- found.keySet).toSeq.sorted
+    assert(undeclared.isEmpty,
+      s"unpartitioned Window over a scan-reaching frame in: " +
+        undeclared.map(n => s"$n(${found(n)})").mkString(", ") +
+        " — decompose with the two-level prefix-sum idiom or declare the bound")
+    assert(stale.isEmpty,
+      s"declaredBounded entries with no unpartitioned window left: ${stale.mkString(", ")}")
   }
 }
