@@ -1340,26 +1340,27 @@ object Pipeline {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
       .withColumn("h", md5(concat(lit("ep0:"), col("doc_id").cast("string"))))
     def arm(layout: String, bkt: Column, order: Seq[Column]) = {
-      val b = docs.withColumn("bkt", bkt)
       val w = Window.partitionBy(col("bkt")).orderBy(order: _*)
-      val inner = b.withColumn("brk",
+      // ONE corpus pass per arm: the break lag and the per-bucket order
+      // endpoints share the same bucket-hash exchange (the groupBy(bkt)
+      // directly after a bkt-partitioned window adds no shuffle)
+      val perB = docs.withColumn("bkt", bkt)
+        .withColumn("brk",
           when(lag(col("source"), 1).over(w).isNotNull &&
             lag(col("source"), 1).over(w) =!= col("source"), 1L).otherwise(0L))
-        .agg(count(lit(1)).as("n_docs"), sum(col("brk")).as("inner_runs"))
-      val ends = b.groupBy(col("bkt")).agg(
-        min(struct(order :+ col("source").as("src"): _*)).getField("src")
-          .as("first_src"),
-        max(struct(order :+ col("source").as("src"): _*)).getField("src")
-          .as("last_src"))
+        .groupBy(col("bkt")).agg(
+          count(lit(1)).as("n_docs_b"), sum(col("brk")).as("inner_b"),
+          min(struct(order :+ col("source").as("src"): _*)).getField("src")
+            .as("first_src"),
+          max(struct(order :+ col("source").as("src"): _*)).getField("src")
+            .as("last_src"))
       val wB = Window.orderBy(col("bkt"))
-      val seam = ends.withColumn("brk",
+      perB.withColumn("sbrk",
           when(lag(col("last_src"), 1).over(wB).isNull ||
             lag(col("last_src"), 1).over(wB) =!= col("first_src"), 1L).otherwise(0L))
-        .agg(sum(col("brk")).as("seam_runs"))
-      inner.crossJoin(seam)
-        .select(lit(layout).as("layout"), col("n_docs"),
-          (col("inner_runs") + col("seam_runs")).as("n_runs"))
-        .select(col("layout"), col("n_docs"), col("n_runs"),
+        .agg(sum(col("n_docs_b")).as("n_docs"),
+          (sum(col("inner_b")) + sum(col("sbrk"))).as("n_runs"))
+        .select(lit(layout).as("layout"), col("n_docs"), col("n_runs"),
           (floor(col("n_docs").cast("double") / col("n_runs").cast("double") * 1e4)
             / 1e4).as("mean_run"))
     }

@@ -922,8 +922,11 @@ object Stats {
       .select(col("l_partkey"), floor(col("l_extendedprice") * 100).cast("long").as("c"))
       .groupBy(col("l_partkey")).agg(sum(col("c")).as("cents"))
     val byVal = per.groupBy(col("cents")).agg(count(lit(1)).as("n_parts_v"))
-    val tot = byVal.agg(sum(col("cents") * col("n_parts_v")).as("tot"))
-    val bounds = byVal.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    // ONE pass over the value table yields the grid bounds AND the grand
+    // total; the broadcast row then rides the cell assignment so `tot`
+    // needs no second crossJoin downstream.
+    val bounds = byVal.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"),
+      sum(col("cents") * col("n_parts_v")).as("tot"))
     val cells = byVal.crossJoin(broadcast(bounds))
       .withColumn("cell", expr("(cents - lo) div greatest(1L, (hi - lo) div 4096 + 1)"))
       .drop("lo", "hi")
@@ -938,7 +941,6 @@ object Stats {
       .select(col("cell"), col("carry"))
     inCell.join(broadcast(carry), Seq("cell"))
       .withColumn("cum", col("carry") + col("wcum"))
-      .crossJoin(broadcast(tot))
       .withColumn("cls",
         when(col("cum") * 100 <= col("tot") * 80, "A")
           .when(col("cum") * 100 <= col("tot") * 95, "B").otherwise("C"))
