@@ -1218,8 +1218,8 @@ object Curation {
   val annotationAgreementSql: String = {
     val staged = kappaStages.map { case (n, e) => s"$e AS $n" }.mkString(",\n               ")
     s"""WITH a AS (
-          SELECT doc_id, n_failed = 0 AS keep_a
-          FROM (${TextAnalysis.gopherRulesSql.replace("ORDER BY doc_id", "")})),
+          SELECT doc_id, keep AS keep_a
+          FROM (${TextAnalysis.gopherRulesBodySql})),
         b AS (
           SELECT doc_id, lang, in_band AS keep_b
           FROM (${Pipeline.qualityBandDocsSql}) qb),

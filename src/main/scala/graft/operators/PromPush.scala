@@ -15,6 +15,16 @@ import org.apache.spark.sql.functions._
   * example vector in Sigv4Spec (the oracle's sha256 is VARCHAR-only,
   * so binary HMAC intermediates are spec-verified, not oracle-checked).
   *
+  * MODELED VARIANT, not the reference's exact signed request: the
+  * reference signs the snappy-compressed protobuf body and sets
+  * Content-Type `application/x-protobuf` AFTER signing (content-type is
+  * therefore NOT among its signed headers), while this entry signs a
+  * text-exposition payload with content-type in SignedHeaders — a
+  * documentation-style canonical request chosen so every byte of the
+  * signed surface is oracle-checkable string arithmetic. The SigV4
+  * algorithm (canonicalization → string-to-sign → HMAC chain) is
+  * identical either way; only the payload/header choices differ.
+  *
   * Scale shape: one request batch per scraped host — the grouped
   * collect is bounded at |metrics per host| (3 here, ≤ a few hundred in
   * any real exporter), so a 1000-executor run signs each host's batch

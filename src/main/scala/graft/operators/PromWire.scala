@@ -105,6 +105,17 @@ object PromWire {
 
   private def strHex(col: String): String = s"lower(hex($col))"
 
+  /** UTF-8 BYTE length of a string expression, engine-portable: hex()
+    * is bytewise in both engines and emits pure ASCII, so half its
+    * character length IS the byte count. A bare `length(col)` counts
+    * CHARACTERS and would under-state the protobuf length prefix of a
+    * non-ASCII value in both engines identically — a wire-invalid body
+    * the oracle could never catch — so every DATA-string length prefix
+    * goes through here (constant labels are hex-precomputed on the
+    * driver from getBytes("UTF-8") and don't need it). */
+  private def strByteLen(col: String, dia: Dia): String =
+    dia.idiv(s"length(${strHex(col)})")
+
   /** Constant label frame (TimeSeries field-1 entry), precomputed to a
     * hex literal. Empty values are omitted (proto3 zero-value rule). */
   private def constLabelFrame(name: String, value: String): String = {
@@ -149,13 +160,13 @@ object PromWire {
       s"""concat(CASE WHEN value = 0e0 THEN '' ELSE concat('09', ${fixed64le("vbits", "value", dia)}) END,
                  '10', ${varintHex("ts_ms", dia)})"""
     val nameFrame =
-      s"""concat('0a', ${hexByte("12 + length(metric_name)")},
+      s"""concat('0a', ${hexByte(s"12 + ${strByteLen("metric_name", dia)}")},
                  '0a', '08', '$nameLabelHex',
-                 '12', ${hexByte("length(metric_name)")}, ${strHex("metric_name")})"""
+                 '12', ${hexByte(strByteLen("metric_name", dia))}, ${strHex("metric_name")})"""
     val etFrame =
-      s"""concat('0a', ${hexByte("14 + length(event_type)")},
+      s"""concat('0a', ${hexByte(s"14 + ${strByteLen("event_type", dia)}")},
                  '0a', '0a', '$etLabelHex',
-                 '12', ${hexByte("length(event_type)")}, ${strHex("event_type")})"""
+                 '12', ${hexByte(strByteLen("event_type", dia))}, ${strHex("event_type")})"""
     val s2 = Seq(s"$sampleHex AS sample_hex", s"$nameFrame AS name_frame",
       s"$etFrame AS et_frame")
     val tsMsg =
@@ -548,7 +559,7 @@ object PromWire {
           .as("series_hex"))
     val symTail = etSyms
       .selectExpr("event_type",
-        s"concat('22', ${varintHex("length(event_type)", dia)}, ${strHex("event_type")}) AS sym_hex")
+        s"concat('22', ${varintHex(strByteLen("event_type", dia), dia)}, ${strHex("event_type")}) AS sym_hex")
       .agg(count(lit(1)).cast("long").as("n_et_syms"),
         expr("array_join(transform(array_sort(collect_list(struct(event_type, sym_hex))), x -> x.sym_hex), '')")
           .as("et_syms_hex"))
@@ -600,7 +611,7 @@ object PromWire {
                         string_agg(ts_frame, '' ORDER BY metric_name, event_type) AS series_hex
                  FROM s3),
           st AS (SELECT CAST(count(*) AS BIGINT) AS n_et_syms,
-                        COALESCE(string_agg(concat('22', ${varintHex("length(event_type)", dia)},
+                        COALESCE(string_agg(concat('22', ${varintHex(strByteLen("event_type", dia), dia)},
                                           ${strHex("event_type")}), '' ORDER BY event_type), '')
                           AS et_syms_hex
                  FROM ets)

@@ -608,7 +608,12 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  val gopherRulesSql: String = {
+  /** Order-free body of `gopherRulesSql`, exposed so dependent oracles
+    * (Curation.annotationAgreementSql) can embed it as a subquery and
+    * SELECT the existing `keep` column — never re-derive the verdict or
+    * strip the ORDER BY by string surgery, which would silently fork
+    * the oracle from the Spark labeler if either ever changed. */
+  val gopherRulesBodySql: String = {
     val stopList = "[" + stop("en").map("'" + _ + "'").mkString(", ") + "]"
     s"""WITH t AS (SELECT doc_id, text, $toksSqlExpr AS toks FROM documents),
         m AS (SELECT doc_id,
@@ -639,8 +644,10 @@ object TextAnalysis {
                  + (CASE WHEN r_alpha THEN 0 ELSE 1 END)
                  + (CASE WHEN r_stop THEN 0 ELSE 1 END)
                  + (CASE WHEN r_sym THEN 0 ELSE 1 END) = 0 AS keep
-        FROM r ORDER BY doc_id"""
+        FROM r"""
   }
+
+  val gopherRulesSql: String = s"$gopherRulesBodySql ORDER BY doc_id"
 
   /** Tokenizer fertility per language — the metric that decides a
     * tokenizer (how many subword tokens per word, how many bytes per
