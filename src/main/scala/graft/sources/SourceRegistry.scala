@@ -68,6 +68,20 @@ object SourceRegistry {
           concat(col("host"), lit(":"), col("port"), lit("/"), col("dbname")))
         .otherwise(lit(null)))
 
+  /** Effective JDBC URL of a parsed config: explicit `jdbc_url`, else
+    * the engine-standard URL shape. Shared by [[read]] and the
+    * collector loop's SQL-dialect dispatch (the URL's subprotocol IS
+    * the execution dialect — a mysql-enrolled source backed by the
+    * embedded Derby sandbox must be spoken to in ANSI). */
+  def jdbcUrlOf(config: Map[String, String]): String =
+    config.getOrElse("jdbc_url", config("engine") match {
+      case "mysql" => s"jdbc:mysql://${config("host")}:${config("port")}/${config.getOrElse("dbname", "")}"
+      case "postgres" => s"jdbc:postgresql://${config("host")}:${config("port")}/${config.getOrElse("dbname", "")}"
+      case "derby" => s"jdbc:derby:${config("path")}"
+      case e if e.startsWith("oracle") => s"jdbc:oracle:thin:@//${config("host")}:${config("port")}/${config("dbname")}"
+      case other => sys.error(s"unsupported engine: $other")
+    })
+
   /** Resolve one parsed config row to a DataFrame. File formats read
     * `path`; engine configs go through Spark's JDBC source with the
     * engine-appropriate URL. */
@@ -78,14 +92,7 @@ object SourceRegistry {
         .csv(config("path"))
       case "json" => spark.read.json(config("path"))
       case "jdbc" =>
-        val url = config.getOrElse("jdbc_url", config("engine") match {
-          case "mysql" => s"jdbc:mysql://${config("host")}:${config("port")}/${config.getOrElse("dbname", "")}"
-          case "postgres" => s"jdbc:postgresql://${config("host")}:${config("port")}/${config.getOrElse("dbname", "")}"
-          case "derby" => s"jdbc:derby:${config("path")}"
-          case e if e.startsWith("oracle") => s"jdbc:oracle:thin:@//${config("host")}:${config("port")}/${config("dbname")}"
-          case other => sys.error(s"unsupported engine: $other")
-        })
-        val base = spark.read.format("jdbc").option("url", url)
+        val base = spark.read.format("jdbc").option("url", jdbcUrlOf(config))
         // split read: when the caller has planned partition bounds
         // (`source_partition_bounds` semantics) the scan fans out over
         // numPartitions parallel range queries instead of one cursor —

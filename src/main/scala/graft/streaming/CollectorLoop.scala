@@ -68,6 +68,56 @@ object CollectorLoop {
     * embedded-Derby sandbox engine). */
   val ScrapeTable = "metrics"
 
+  // ------------------------------------------------------ SQL dialects
+
+  /** SQL spelling per EXECUTION dialect, resolved from the JDBC URL's
+    * subprotocol — the enrollment `engine` picks WHAT to scrape (the
+    * scraper list + metric prefixes), the connection picks HOW to spell
+    * it. The reference gets this separation for free (each exporter
+    * binary embeds its own driver and dialect); one loop scraping every
+    * engine must let the spelling travel with the connection: a
+    * mysql-enrolled source whose jdbc_url points at the embedded Derby
+    * sandbox runs the ANSI spelling, a real jdbc:mysql connection gets
+    * CONCAT() (`||` is logical OR on MySQL unless PIPES_AS_CONCAT).
+    * Only the spelling hooks differ; the scraper LOGIC is defined once
+    * in [[scraperDefs]] and rendered per dialect, so dialects can never
+    * drift semantically. */
+  sealed abstract class SqlDialect(val name: String) {
+    /** string concatenation of scalar expressions */
+    def concat(parts: Seq[String]): String
+    def lower(e: String): String = s"LOWER($e)"
+  }
+  /** Derby / PostgreSQL / Oracle / ANSI: the `||` operator. */
+  case object AnsiDialect extends SqlDialect("ansi") {
+    def concat(parts: Seq[String]): String = parts.mkString(" || ")
+  }
+  /** MySQL: CONCAT() — always concatenation regardless of sql_mode. */
+  case object MySqlDialect extends SqlDialect("mysql") {
+    def concat(parts: Seq[String]): String = parts.mkString("CONCAT(", ", ", ")")
+  }
+  object SqlDialect {
+    /** Execution dialect from the JDBC URL (null/absent → ANSI). */
+    def forUrl(jdbcUrl: String): SqlDialect =
+      if (jdbcUrl != null && jdbcUrl.startsWith("jdbc:mysql")) MySqlDialect
+      else AnsiDialect
+  }
+
+  /** One scraper family as DATA: exporter metric prefix + the stats
+    * relation and columns it normalizes to `(name, val, ts_sec)`.
+    * An empty prefix means the relation already carries final metric
+    * names (the Derby sandbox table). */
+  final case class ScraperDef(family: String, prefix: String,
+      nameCol: String, valCol: String, table: String)
+
+  /** Render one scraper in one dialect. The SELECT shape is fixed;
+    * only [[SqlDialect]] spelling hooks vary. */
+  def renderScraper(sd: ScraperDef, dialect: SqlDialect): String =
+    if (sd.prefix.isEmpty)
+      s"SELECT ${sd.nameCol} AS name, ${sd.valCol} AS val, ts_sec FROM ${sd.table}"
+    else
+      s"SELECT ${dialect.concat(Seq(s"'${sd.prefix}'", dialect.lower(sd.nameCol)))} AS name, " +
+        s"${sd.valCol} AS val, captured_sec AS ts_sec FROM ${sd.table}"
+
   /** Per-engine scrape-query templates, keyed by the parsed secret's
     * `engine` — the Spark-side analog of the reference's hardcoded
     * per-engine scraper lists. Each template is an ANSI SELECT over the
@@ -88,43 +138,48 @@ object CollectorLoop {
     * public naming (`mysql_global_status_*`, `mysql_global_variables_*`,
     * `mysql_slave_status_*`, `mysql_info_schema_innodb_cmp[_mem]_*`,
     * `mysql_info_schema_query_response_time_*`). */
-  val scrapeQueries: Map[String, Seq[(String, String)]] = Map(
+  val scraperDefs: Map[String, Seq[ScraperDef]] = Map(
     "mysql" -> Seq(
-      "global_status" ->
-        ("SELECT 'mysql_global_status_' || LOWER(variable_name) AS name, " +
-          "variable_value AS val, captured_sec AS ts_sec FROM global_status"),
-      "global_variables" ->
-        ("SELECT 'mysql_global_variables_' || LOWER(variable_name) AS name, " +
-          "variable_value AS val, captured_sec AS ts_sec FROM global_variables"),
-      "slave_status" ->
-        ("SELECT 'mysql_slave_status_' || LOWER(stat_name) AS name, " +
-          "stat_value AS val, captured_sec AS ts_sec FROM slave_status"),
-      "innodb_cmp" ->
-        ("SELECT 'mysql_info_schema_innodb_cmp_' || LOWER(stat_name) AS name, " +
-          "stat_value AS val, captured_sec AS ts_sec FROM innodb_cmp"),
-      "innodb_cmp_mem" ->
-        ("SELECT 'mysql_info_schema_innodb_cmp_mem_' || LOWER(stat_name) AS name, " +
-          "stat_value AS val, captured_sec AS ts_sec FROM innodb_cmp_mem"),
-      "query_response_time" ->
-        ("SELECT 'mysql_info_schema_query_response_time_' || LOWER(stat_name) AS name, " +
-          "stat_value AS val, captured_sec AS ts_sec FROM query_response_time")),
+      ScraperDef("global_status", "mysql_global_status_",
+        "variable_name", "variable_value", "global_status"),
+      ScraperDef("global_variables", "mysql_global_variables_",
+        "variable_name", "variable_value", "global_variables"),
+      ScraperDef("slave_status", "mysql_slave_status_",
+        "stat_name", "stat_value", "slave_status"),
+      ScraperDef("innodb_cmp", "mysql_info_schema_innodb_cmp_",
+        "stat_name", "stat_value", "innodb_cmp"),
+      ScraperDef("innodb_cmp_mem", "mysql_info_schema_innodb_cmp_mem_",
+        "stat_name", "stat_value", "innodb_cmp_mem"),
+      ScraperDef("query_response_time", "mysql_info_schema_query_response_time_",
+        "stat_name", "stat_value", "query_response_time")),
     "postgres" -> Seq(
-      "pg_stat_database" ->
-        ("SELECT 'pg_stat_database_' || LOWER(stat_name) AS name, " +
-          "stat_value AS val, captured_sec AS ts_sec FROM pg_stat_database")),
+      ScraperDef("pg_stat_database", "pg_stat_database_",
+        "stat_name", "stat_value", "pg_stat_database")),
     "oracle" -> Seq(
-      "v_sysstat" ->
-        ("SELECT 'oracledb_' || LOWER(stat_name) AS name, " +
-          "stat_value AS val, captured_sec AS ts_sec FROM v_sysstat")),
+      ScraperDef("v_sysstat", "oracledb_", "stat_name", "stat_value", "v_sysstat")),
     "derby" -> Seq(
-      ScrapeTable -> s"SELECT name, val, ts_sec FROM $ScrapeTable"))
+      ScraperDef(ScrapeTable, "", "name", "val", ScrapeTable)))
 
-  /** Engine → its scraper list; `oracle-ee`/`custom-oracle-ee` route to
-    * the oracle set (same normalization the DSN builder applies). */
-  def scrapersFor(engine: String): Seq[(String, String)] = {
+  /** ANSI rendering of every template — the historical map shape, kept
+    * for entries/specs that read the registry directly. */
+  val scrapeQueries: Map[String, Seq[(String, String)]] =
+    scraperDefs.map { case (eng, defs) =>
+      eng -> defs.map(sd => sd.family -> renderScraper(sd, AnsiDialect))
+    }
+
+  /** Engine → its scraper list rendered for the connection's dialect;
+    * `oracle-ee`/`custom-oracle-ee` route to the oracle set (same
+    * normalization the DSN builder applies). */
+  def scrapersFor(engine: String, jdbcUrl: String): Seq[(String, String)] = {
     val key = if (engine != null && engine.startsWith("oracle")) "oracle" else engine
-    scrapeQueries.getOrElse(key, scrapeQueries("derby"))
+    val dialect = SqlDialect.forUrl(jdbcUrl)
+    scraperDefs.getOrElse(key, scraperDefs("derby"))
+      .map(sd => sd.family -> renderScraper(sd, dialect))
   }
+
+  /** ANSI-dialect scraper list (historical signature). */
+  def scrapersFor(engine: String): Seq[(String, String)] =
+    scrapersFor(engine, null)
 
   private def exists(spark: SparkSession, path: String): Boolean =
     try {
@@ -221,7 +276,13 @@ object CollectorLoop {
         "password", "dbname", "jdbc_url", "partitions")
         .flatMap(k => Option(r.getAs[String](k)).map(k -> _)).toMap
       val nParts = baseConf.get("partitions").map(_.toInt).getOrElse(1)
-      scrapersFor(engine).flatMap { case (family, sql) =>
+      // dialect dispatch: the scraper list comes from the enrollment
+      // engine, the SQL spelling from the CONNECTION's subprotocol
+      val dialectUrl =
+        if (baseConf.getOrElse("format", "jdbc") == "jdbc")
+          scala.util.Try(SourceRegistry.jdbcUrlOf(baseConf)).getOrElse(null)
+        else null
+      scrapersFor(engine, dialectUrl).flatMap { case (family, sql) =>
         val wm = storedWm.getOrElse((id, family), Long.MinValue)
         val isJdbc = baseConf.getOrElse("format", "jdbc") == "jdbc"
         // a down database must not fail the whole round (the reference
@@ -368,6 +429,29 @@ object CollectorLoop {
     * RefreshSecrets goroutine). Production: `spark.readStream
     * .format("rate")` with a processing-time trigger; specs: a
     * MemoryStream of round numbers. */
+  /** LAMBDA one-shot mode — the reference's other deployment shape
+    * (database-collector.go:233-268 runs one collect per invocation and
+    * exits; the CDK wires it to a schedule). Executes exactly ONE
+    * enumerate → diff → scrape → publish → advance round with no
+    * trigger stream: the round number is recovered from the published
+    * manifest (max(round) + 1, 1 on a fresh workDir), so consecutive
+    * invocations are incremental exactly like consecutive stream ticks
+    * — watermarks advance, already-pushed rows never re-push, and a
+    * cron/Lambda deployment IS a sequence of runOnce calls over the
+    * same workDir. Returns the round's manifest. */
+  def runOnce(spark: SparkSession, secrets: Seq[String], workDir: String): DataFrame = {
+    val manifestPath = s"$workDir/manifest"
+    val next =
+      if (!exists(spark, manifestPath)) 1L
+      else spark.read.parquet(manifestPath)
+        .agg(org.apache.spark.sql.functions.max(col("round").cast("long")))
+        .head() match {
+          case r if r.isNullAt(0) => 1L
+          case r => r.getLong(0) + 1L
+        }
+    runRound(spark, secrets, workDir, next)
+  }
+
   def stream(ticks: Dataset[Long], secrets: () => Seq[String],
       workDir: String, trigger: Trigger = Trigger.ProcessingTime(0)): DataStreamWriter[Long] =
     ticks.writeStream

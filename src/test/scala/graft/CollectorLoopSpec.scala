@@ -431,4 +431,93 @@ class CollectorLoopSpec extends SparkTestBase {
       .filter(col("metric_name").isin("up", "scrape_samples_scraped"))
     assert(self.count() == 2)
   }
+
+  // ------------------------------------------------------ SQL dialects
+
+  test("dialect rendering: MySQL spells CONCAT, ANSI spells ||, dispatch follows the connection") {
+    import CollectorLoop._
+    // exact pinned strings for the flagship scraper in both dialects
+    val gs = scraperDefs("mysql").head
+    assert(renderScraper(gs, AnsiDialect) ==
+      "SELECT 'mysql_global_status_' || LOWER(variable_name) AS name, " +
+        "variable_value AS val, captured_sec AS ts_sec FROM global_status")
+    assert(renderScraper(gs, MySqlDialect) ==
+      "SELECT CONCAT('mysql_global_status_', LOWER(variable_name)) AS name, " +
+        "variable_value AS val, captured_sec AS ts_sec FROM global_status")
+    // dialect comes from the CONNECTION's subprotocol, never the engine:
+    // a mysql-enrolled source backed by embedded Derby speaks ANSI, a
+    // real jdbc:mysql connection gets CONCAT
+    assert(SqlDialect.forUrl("jdbc:mysql://db1.example.com:3306/prod") == MySqlDialect)
+    assert(SqlDialect.forUrl("jdbc:derby:/tmp/sandbox") == AnsiDialect)
+    assert(SqlDialect.forUrl("jdbc:postgresql://db2.example.com:5432/appdb") == AnsiDialect)
+    assert(SqlDialect.forUrl(null) == AnsiDialect)
+    assert(scrapersFor("mysql", "jdbc:mysql://h:3306/d").forall(_._2.startsWith("SELECT CONCAT(")))
+    assert(scrapersFor("mysql", "jdbc:derby:/tmp/x").forall(_._2.contains(" || ")))
+    // every prefixed scraper of every engine renders to the exact
+    // per-dialect shape — the defs are the single source of truth
+    for ((_, defs) <- scraperDefs; sd <- defs if sd.prefix.nonEmpty) {
+      assert(renderScraper(sd, MySqlDialect) ==
+        s"SELECT CONCAT('${sd.prefix}', LOWER(${sd.nameCol})) AS name, " +
+          s"${sd.valCol} AS val, captured_sec AS ts_sec FROM ${sd.table}")
+      assert(renderScraper(sd, AnsiDialect) ==
+        s"SELECT '${sd.prefix}' || LOWER(${sd.nameCol}) AS name, " +
+          s"${sd.valCol} AS val, captured_sec AS ts_sec FROM ${sd.table}")
+    }
+  }
+
+  // -------------------------------------------------- one-shot (Lambda)
+
+  test("runOnce: one-shot artifacts equal one loop tick; a second invocation is incremental") {
+    val base = java.nio.file.Files.createTempDirectory("graft_loop_once").toString
+    val db = s"$base/src"
+    mkDb(db, Seq(
+      s"CREATE TABLE ${CollectorLoop.ScrapeTable} (name VARCHAR(64), val DOUBLE, ts_sec BIGINT)",
+      s"INSERT INTO ${CollectorLoop.ScrapeTable} VALUES ('m_up', 1.0, 100), ('threads', 7.0, 100)"))
+    val secrets = Seq(secret("one.example.com", db))
+
+    // arm A: one stream tick into workA; arm B: one runOnce into workB
+    val workA = s"$base/workA"; val workB = s"$base/workB"
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ticks = MemoryStream[Long]
+    val q = CollectorLoop.stream(ticks.toDS(), () => secrets, workA)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try { ticks.addData(1L); q.processAllAvailable() } finally q.stop()
+    val once1 = CollectorLoop.runOnce(spark, secrets, workB).collect()
+    assert(once1.length == 1 && once1.head.getAs[Long]("n_new") == 2)
+
+    def manifestKey(dir: String) = spark.read.parquet(s"$dir/manifest")
+      .selectExpr("CAST(round AS BIGINT) AS round", "source_id", "engine",
+        "status", "old_watermark", "new_watermark", "n_new")
+      .collect().map(_.toString).sorted.toSeq
+    assert(manifestKey(workA) == manifestKey(workB),
+      "one runOnce publishes the same manifest as one stream tick")
+    def bodyKey(dir: String) = spark.read.parquet(s"$dir/bodies")
+      .selectExpr("CAST(round AS BIGINT)", "source_id", "metric_name", "n_series",
+        "md5(CAST(body_snappy AS STRING))")
+      .collect().map(_.toString).sorted.toSeq
+    assert(bodyKey(workA) == bodyKey(workB),
+      "one runOnce pushes byte-identical bodies to one stream tick")
+
+    // the source grows; runOnce again on workB → round 2, incremental
+    val c = java.sql.DriverManager.getConnection(s"jdbc:derby:$db", "u", "p")
+    try {
+      val st = c.createStatement()
+      st.executeUpdate(s"INSERT INTO ${CollectorLoop.ScrapeTable} VALUES ('m_up', 2.0, 220)")
+      st.close()
+    } finally c.close()
+    val once2 = CollectorLoop.runOnce(spark, secrets, workB).head()
+    assert(once2.getAs[String]("status") == "kept")
+    assert(once2.getAs[Long]("old_watermark") == 100,
+      "second invocation resumes from the stored watermark")
+    assert(once2.getAs[Long]("n_new") == 1, "only the post-round-1 row ships")
+    assert(once2.getAs[Long]("new_watermark") == 220)
+    val rounds = spark.read.parquet(s"$workB/manifest")
+      .selectExpr("CAST(round AS BIGINT) AS r").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rounds == Seq(1L, 2L), "runOnce numbers rounds from the stored manifest")
+
+    // third invocation with nothing new: watermark holds, zero rows
+    val once3 = CollectorLoop.runOnce(spark, secrets, workB).head()
+    assert(once3.getAs[Long]("n_new") == 0 && once3.getAs[Long]("new_watermark") == 220)
+  }
 }
