@@ -30,4 +30,21 @@ object Checkpoints {
       ss.sparkContext.getCheckpointDir.isDefined
     if (reliable) df.checkpoint() else df.localCheckpoint()
   }
+
+  /** LAZY lineage cut for in-loop frontiers: the Catalyst plan is cut
+    * immediately (each round plans against a LogicalRDD, so per-round
+    * analysis cost stays flat no matter the iteration count) but
+    * materialization rides the next action instead of one eager
+    * blocking job per cut — on a busy scheduler those per-round jobs
+    * ARE the latency (graph_pagerank at the r11 sf1 probe: 34 s,
+    * scheduler-bound, data volume seconds). Shuffle boundaries inside
+    * the deferred chain still bound recomputation the usual way. Under
+    * the reliable-checkpoint flag this stays the eager reliable
+    * checkpoint — mid-loop recoverability beats job-count there. */
+  def cutLazy(df: DataFrame): DataFrame = {
+    val ss = df.sparkSession
+    val reliable = ss.conf.get(Flag, "false").toBoolean &&
+      ss.sparkContext.getCheckpointDir.isDefined
+    if (reliable) df.checkpoint() else df.localCheckpoint(eager = false)
+  }
 }

@@ -39,6 +39,12 @@ object Graph {
   private val Base = 1000000000000L // 1e12 rank micro-units
   private val Iters = 10
 
+  /** Node-count ceiling for broadcasting the rank/frontier table into
+    * the per-round edge join (~50 bytes/row → ≤ ~100 MB broadcast).
+    * Above it the loop reverts to the shuffle join on the
+    * co-partitioned key — the right plan for cluster-scale graphs. */
+  private val RankBroadcastMax = 2000000L
+
   /** Distinct directed trade edges, both directions (c→s and s→c),
     * with string node ids namespaced by side. */
   private def edges(s: SparkSession, d: String): DataFrame = {
@@ -52,7 +58,19 @@ object Graph {
   }
 
   def pagerank: Q = (sp, d) => {
-    val e = cut(edges(sp, d))
+    // Loop state is keyed by LONG node ids (customer c → 2·custkey,
+    // supplier s → 2·suppkey+1), rendered to the public string ids only
+    // at output: 10 rounds of joins and aggregations over integer keys
+    // hash, compare and shuffle several times cheaper than 10-char
+    // string keys, and the rendered set is identical (the id map is a
+    // bijection), so the unrolled-SQL oracle keeps its string form.
+    val pairsL = cut(Tables.lineitem(sp, d)
+      .join(Tables.orders(sp, d), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey").cast("long") * 2).as("c"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("sup"))
+      .distinct())
+    val e = pairsL.select(col("c").as("src"), col("sup").as("dst"))
+      .unionByName(pairsL.select(col("sup").as("src"), col("c").as("dst")))
     // distinct column names end-to-end: deg derives from e, so reusing
     // `src` would make the deg join self-referential (ambiguous refs)
     val deg = cut(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -70,14 +88,29 @@ object Graph {
       .select(col("src"), col("dst"), col("outdeg"))
       .repartition(col("src")))
     // Per-round wall time is scheduler latency (eager checkpoint job +
-    // two small shuffles), not data volume, and under a loaded
-    // scheduler (the driver's full-suite run) each eager job queues —
-    // so materialize every SECOND round: 5 blocking jobs instead of
-    // 10, two-round plans stay shallow. At cluster scale each round
-    // is still one shuffle join + one aggregation on the (node) key.
-    var ranks = deg.select(col("dnode").as("node")).withColumn("r", lit(r0))
+    // two small shuffles), not data volume — so every round's frontier
+    // gets a LAZY plan cut (Checkpoints.cutLazy: per-round Catalyst
+    // plans stay flat, but materialization rides the one final action
+    // instead of a blocking job per round; r11 measured the eager
+    // cadence at 34 s on the sf1 probe, all scheduler). At cluster
+    // scale each round is still one shuffle join + one aggregation on
+    // the (node) key, and the reliable-checkpoint flag restores eager
+    // mid-loop recoverability.
+    // The rank table is NODE-sized and the edge table stays partitioned
+    // in place — when the node count fits a broadcast (known exactly:
+    // n was just counted), ship ranks to the edges each round instead
+    // of shuffling the edges to the ranks. localCheckpoint erases
+    // stats, so AQE can never discover this on its own (the LogicalRDD
+    // defaults to "huge"); without the hint every round re-shuffles the
+    // edge-sized join input. Past the threshold (cluster-scale node
+    // counts) the hint drops away and the round is the classic
+    // shuffle-join on the co-partitioned key.
+    val nodes = cut(deg.select(col("dnode").as("node")))
+    def small(df: DataFrame): DataFrame =
+      if (n <= RankBroadcastMax) broadcast(df) else df
+    var ranks = nodes.withColumn("r", lit(r0))
     for (i <- 1 to Iters) {
-      val contrib = ranks
+      val contrib = small(ranks)
         .join(eDeg, col("node") === col("src"))
         .select(col("dst"), expr("r DIV outdeg").as("cb")) // integer div: Spark DIV == DuckDB //
         .groupBy(col("dst"))
@@ -85,13 +118,18 @@ object Graph {
       // every node keeps receiving (bipartite trade graph: in-edges
       // mirror out-edges, so the left join is belt-and-braces for
       // generality, not needed by this graph's shape)
-      ranks = ranks.select(col("node"))
-        .join(contrib, col("node") === col("dst"), "left")
+      ranks = nodes
+        .join(small(contrib), col("node") === col("dst"), "left")
         .select(col("node"),
           expr(s"$teleport + ((85 * coalesce(s, 0)) DIV 100)").as("r"))
-      if (i % 2 == 0 || i == Iters) ranks = cut(ranks)
+      ranks = graft.Checkpoints.cutLazy(ranks)
     }
-    ranks.orderBy(col("node"))
+    ranks
+      .select(expr(
+        "CASE WHEN node % 2 = 0 THEN concat('c', CAST(node DIV 2 AS STRING)) " +
+          "ELSE concat('s', CAST(node DIV 2 AS STRING)) END").as("node"),
+        col("r"))
+      .orderBy(col("node"))
   }
 
   /** The same computation as plain SQL: 10 unrolled CTE iterations. */
@@ -603,20 +641,29 @@ object Graph {
         .select(col(node).as("node"),
           expr(s"cast(cast(raw as decimal(38,0)) * ${Base}L div t as bigint)").as("r"))
     }
+    // score tables are node-sized and edge-partitioning is static: when
+    // the node count fits a broadcast (known exactly), ship the scores
+    // to the edges each round — the cuts erase stats, so AQE cannot
+    // discover this on its own (same reasoning as pagerank's hint)
+    def small(df: DataFrame): DataFrame =
+      if (nHubs <= RankBroadcastMax) broadcast(df) else df
     var h = pairs.select(col("hub")).distinct()
       .select(col("hub").as("node"), lit(Base / nHubs).as("r"))
     var a: DataFrame = null
     for (_ <- 1 to HitsIters) {
-      // cut() each RAW aggregate before rescaling: the rescale reads it
-      // twice (once for the 1-row total broadcast, once in the main
-      // plan) — without the materialization both reads re-derive the
+      // cutLazy() each RAW aggregate before rescaling: the rescale reads
+      // it twice (once for the 1-row total broadcast, once in the main
+      // plan) — the first read materializes the checkpoint blocks, the
+      // second hits them, and without the cut both reads re-derive the
       // whole chain back to the previous checkpoint, compounding per
       // round (measured ~2× wall-clock at 4 rounds)
-      val aRaw = cut(pairs.join(h, col("hub") === col("node"))
-        .groupBy(col("auth")).agg(sum(col("r")).as("raw")))
+      val aRaw = graft.Checkpoints.cutLazy(
+        pairs.join(small(h), col("hub") === col("node"))
+          .groupBy(col("auth")).agg(sum(col("r")).as("raw")))
       a = rescale(aRaw, "auth")
-      val hRaw = cut(pairs.join(a, col("auth") === col("node"))
-        .groupBy(col("hub")).agg(sum(col("r")).as("raw")))
+      val hRaw = graft.Checkpoints.cutLazy(
+        pairs.join(small(a), col("auth") === col("node"))
+          .groupBy(col("hub")).agg(sum(col("r")).as("raw")))
       h = rescale(hRaw, "hub")
     }
     def top(df: DataFrame, side: String) = df

@@ -648,22 +648,43 @@ object Similarity {
 
   val KnnGraphK = 3
 
+  /** Block-population cap for `ann_knn_graph` — the FuzzyCap discipline
+    * (Dedup.fuzzyEdit): a label block past this many vectors is
+    * deterministically sharded by a vec_id content hash into
+    * ceil(|block|/KnnGraphCap) pieces, so the pair stage is Σ|shard|² ≈
+    * N·Cap — LINEAR in the corpus where the uncapped block join grows
+    * Σ|block|² (the r11 sf1 probe's 5.6×, the suite's worst grower).
+    * 256 keeps every shipped SF single-shard (max label block: 63 at
+    * sf0.001, 59 at sf0.01, 218 at sf0.1), so below the cap the result
+    * is EXACTLY the uncapped in-block kNN — the same graph
+    * Round11bSpec's IVF-recall measurement uses as truth — and the
+    * DuckDB oracle applies the identical hash rule at every scale. */
+  val KnnGraphCap = 256
+
   /** Blocked kNN-graph construction — the similarity graph ANN-based
     * dedup/clustering pipelines consume (every vector's k nearest
     * in-block neighbors + edge mutuality). Candidate generation is an
     * EQUI-join on the block key (here the `label` partition; at 100 TB
     * the trained IVF cell from `ann_ivf_topk` plays this role), so the
     * pair fanout is Σ|block|², never corpus² — a global exact kNN graph
-    * is quadratic and does not exist at scale. In-block scoring is the
-    * same bounded `graft_topk` aggregate as brute force (≤ k rows per
-    * partition over the shuffle); mutuality is one self-join of the
-    * k·|V|-row edge list on the reversed key. */
+    * is quadratic and does not exist at scale — and blocks themselves
+    * are population-capped ([[KnnGraphCap]]) so even a growing block
+    * key stays linear. In-block scoring is the same bounded
+    * `graft_topk` aggregate as brute force (≤ k rows per partition over
+    * the shuffle); mutuality is one self-join of the k·|V|-row edge
+    * list on the reversed key. */
   def knnGraph: Q = (s, d) => {
-    val all = emb(s, d)
-    val right = emb(s, d).select(col("label").as("nb_label"),
+    import org.apache.spark.sql.expressions.Window
+    val blockW = Window.partitionBy(col("label"))
+    val sharded = emb(s, d).withColumn("shard", pmod(
+      conv(substring(md5(concat(lit("knn:"), col("vec_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long"),
+      ceil(count(lit(1)).over(blockW) / lit(KnnGraphCap.toDouble)).cast("long")))
+    val right = sharded.select(col("label").as("nb_label"), col("shard").as("nb_shard"),
       col("vec_id").as("nb_id"), col("v").as("qv"), col("n2").as("qn2"))
-    val edges = all.join(right,
-        col("label") === col("nb_label") && col("vec_id") =!= col("nb_id"))
+    val edges = sharded.join(right,
+        col("label") === col("nb_label") && col("shard") === col("nb_shard") &&
+          col("vec_id") =!= col("nb_id"))
       .withColumn("cos", expr(dotExpr) / (sqrt(col("qn2")) * sqrt(col("n2"))))
       .groupBy(col("vec_id"), col("label"))
       .agg(expr(s"graft_topk(cos, nb_id, $KnnGraphK)").as("top"))
@@ -679,7 +700,12 @@ object Similarity {
   }
 
   val knnGraphSql: String =
-    s"""WITH edges AS (
+    s"""WITH sh AS (
+          SELECT *, ('0x' || substr(md5('knn:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+                    % CAST(ceil(count(*) OVER (PARTITION BY label)
+                                / ${KnnGraphCap}.0) AS BIGINT) AS shard
+          FROM embeddings),
+        edges AS (
           SELECT vec_id, label, neighbor_id,
                  floor(cos * 10000) / 10000.0 AS cosine, rank
           FROM (
@@ -688,8 +714,8 @@ object Similarity {
                    CAST(row_number() OVER (PARTITION BY a.vec_id
                      ORDER BY list_cosine_similarity(b.embedding::DOUBLE[], a.embedding::DOUBLE[]) DESC,
                               b.vec_id) AS INT) AS rank
-            FROM embeddings a JOIN embeddings b
-              ON b.label = a.label AND b.vec_id <> a.vec_id) t
+            FROM sh a JOIN sh b
+              ON b.label = a.label AND b.shard = a.shard AND b.vec_id <> a.vec_id) t
           WHERE rank <= $KnnGraphK)
         SELECT e.vec_id, e.label, e.neighbor_id, e.cosine, e.rank,
                r.vec_id IS NOT NULL AS mutual

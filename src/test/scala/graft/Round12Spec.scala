@@ -75,6 +75,52 @@ class Round12Spec extends SparkTestBase {
     }
   }
 
+  test("ann_knn_graph cap: shipped SFs stay single-shard, and a sampled brute force confirms exactness") {
+    import graft.operators.Similarity
+    val raw = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+    // claim pinned in the scaladoc: every shipped SF's label blocks fit
+    // under KnnGraphCap, so shard = x % 1 = 0 and the capped graph IS
+    // the uncapped exact in-block kNN (the truth Round11bSpec's IVF
+    // recall is measured against). If a testdata vintage ever exceeds
+    // the cap, this fails and the exactness claims must be revisited.
+    val maxBlock = raw.groupBy("label").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(maxBlock <= Similarity.KnnGraphCap,
+      s"label block $maxBlock exceeds KnnGraphCap ${Similarity.KnnGraphCap}")
+
+    // sampled brute-force verifier: for 5 vectors, every reported
+    // neighbor's cosine recomputes to the reported value and no
+    // in-block vector beats the reported k-th neighbor
+    val vecs = raw.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val byLabel = vecs.groupBy(_._2)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val graph = SparkEntry.queries("ann_knn_graph")(spark, sf)
+      .collect().groupBy(_.getLong(0))
+    val sample = vecs.sortBy(_._1).take(5)
+    sample.foreach { case (id, label, v) =>
+      val reported = graph(id).sortBy(_.getInt(4)) // by rank
+      assert(reported.length == Similarity.KnnGraphK)
+      val block = byLabel(label).filter(_._1 != id)
+      val exact = block.map { case (nid, _, nv) => (nid, cos(v, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }
+      reported.zip(exact).foreach { case (rep, (eid, ecos)) =>
+        val repCos = rep.getDouble(3) // trunc4'd
+        assert(math.abs(math.floor(ecos * 1e4) / 1e4 - repCos) <= 1e-4 + 1e-9,
+          s"vec $id: reported ${rep.getLong(2)}@$repCos vs exact $eid@$ecos")
+      }
+      // no in-block vector beats the k-th reported neighbor materially
+      val kth = reported.last.getDouble(3)
+      val beat = exact.drop(Similarity.KnnGraphK).headOption.map(_._2).getOrElse(-2.0)
+      assert(beat <= kth + 1e-3, s"vec $id: unreported neighbor at $beat beats k-th $kth")
+    }
+  }
+
   test("v2 symbol entries carry byte-length prefixes for non-ASCII symbols") {
     // drive the generated SQL fragment directly: the same strByteLen
     // arithmetic the v2 symbol table uses, over a literal row
