@@ -105,8 +105,21 @@ object Verify {
           "--json", artifact, "--jobs", "8", sfDir, outDir)
         pb.redirectErrorStream(true)
         val p = pb.start()
-        val out = new String(p.getInputStream.readAllBytes, "UTF-8")
-        val rc = p.waitFor()
+        // hard cap: the mirror must never hold the driver's Verify step
+        // hostage — the dumps and oracle_sql.json are already on disk,
+        // so a driver-side compare can still proceed without it
+        val drain = new Thread(() => {
+          try Files.writeString(Paths.get(s"$outDir/mirror.log"),
+            new String(p.getInputStream.readAllBytes, "UTF-8"))
+          catch { case _: Throwable => () }
+        })
+        drain.start()
+        val done = p.waitFor(15, TimeUnit.MINUTES)
+        if (!done) p.destroyForcibly()
+        drain.join(10000)
+        val out = scala.util.Try(
+          Files.readString(Paths.get(s"$outDir/mirror.log"))).getOrElse("")
+        val rc = if (done) p.exitValue() else -1
         System.err.println(s"[verify] oracle mirror rc=$rc: " +
           out.linesIterator.filter(_.nonEmpty).toSeq.takeRight(2).mkString(" | "))
         if (new java.io.File(artifact).exists)

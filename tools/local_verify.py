@@ -33,8 +33,13 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
-def connect(sfdir):
+def connect(sfdir, threads=None):
     con = duckdb.connect()
+    # DuckDB defaults to ALL cores per connection — under --jobs the
+    # workers would just fight for the same CPUs (measured: 8 workers
+    # x 32 threads ~ sequential wall). Split the cores across workers.
+    if threads:
+        con.execute(f"SET threads={threads}")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.exists(p):
@@ -95,8 +100,8 @@ def check_one(con, oracle, outdir, name):
 
 def run_chunk(args):
     """Worker for --jobs: fresh connection per process, check a slice."""
-    sfdir, outdir, oracle, names = args
-    con = connect(sfdir)
+    sfdir, outdir, oracle, names, threads = args
+    con = connect(sfdir, threads)
     return [check_one(con, oracle, outdir, n) for n in names]
 
 def main():
@@ -116,7 +121,9 @@ def main():
                    if os.path.isdir(os.path.join(outdir, n)) and (not only or n in only))
     if jobs > 1 and len(names) > 1:
         from concurrent.futures import ProcessPoolExecutor
-        chunks = [(sfdir, outdir, oracle, names[i::jobs]) for i in range(jobs)]
+        per_worker = max(1, (os.cpu_count() or 8) // jobs)
+        chunks = [(sfdir, outdir, oracle, names[i::jobs], per_worker)
+                  for i in range(jobs)]
         with ProcessPoolExecutor(max_workers=jobs) as ex:
             results = [r for part in ex.map(run_chunk, chunks) for r in part]
         results.sort(key=lambda r: r[0])
