@@ -13,7 +13,7 @@ object SparkEntry {
       TextAnalysis.entries ++ Dedup.entries ++ Cluster.entries ++ Similarity.entries ++ Multimodal.entries ++
       AsOf.entries ++ Skew.entries ++ Pipeline.entries ++ Reshape.entries ++ Timeseries.entries ++ TimeseriesExt.entries ++ Prune.entries ++
       Sketch.entries ++ Cdc.entries ++ RangeJoin.entries ++ Quality.entries ++ Graph.entries ++ Funnel.entries ++ Cohort.entries ++
-      Curation.entries ++ Models.entries ++ Affinity.entries ++ Stats.entries ++ NativeHistogram.entries ++ PromQl.entries ++
+      Curation.entries ++ Models.entries ++ Affinity.entries ++ Stats.entries ++ NativeHistogram.entries ++ PromQl.entries ++ Federation.entries ++
       graft.streaming.EventsStream.entries ++ graft.streaming.LateData.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1169,6 +1169,115 @@ object Curation {
         GROUP BY d.source, e.epoch
         ORDER BY d.source, e.epoch"""
 
+  // --------------------------------------------------- anneal schedule
+
+  /** Total token budget; the final 1/5 is the anneal phase. */
+  val AnnealBudget = 1000000L
+  val AnnealPhase2Den = 5L
+  /** Up-weight applied to top-half-quality sources in the anneal. */
+  val AnnealUpWeight = 2L
+
+  /** Two-phase data-mixing schedule — the published mid-training
+    * "anneal" practice (spend the last slice of the token budget
+    * re-weighted toward the highest-quality sources): phase 1 (4/5 of
+    * [[AnnealBudget]]) apportions tokens proportional to each source's
+    * volume; phase 2 (the last 1/5) multiplies the top half of sources
+    * BY QUALITY by [[AnnealUpWeight]] before apportioning. Quality
+    * ranking needs no float mean: per-doc scores are already on the
+    * 1e-4 grid (the shared `curate_quality_band` labeler), so sources
+    * rank by the integer quotient (Σ quantized score ·1e6) DIV n_docs,
+    * ties by source name. Both phases use the exact largest-remainder
+    * integer apportionment (`mix_budget_apportion` discipline, same
+    * budget·weight < 2^63 headroom contract). One corpus pass; every
+    * window runs over the |sources|-row (or 2·|sources|-row) quota
+    * table. */
+  def mixAnneal: Q = (s, d) => {
+    val W = org.apache.spark.sql.expressions.Window
+    val per = Tables.documents(s, d)
+      .select(col("source"), col("text"), expr(TextAnalysis.toksExpr).as("toks"))
+      .select(col("source"), expr("size(toks)").cast("long").as("nt"),
+        TextAnalysis.qualityScoreCol.as("score"))
+      .select(col("source"), col("nt"),
+        // the score is already on the 1e-4 grid (trunc4'd) — round()
+        // recovers the exact integer against the ±ulp of k/1e4·1e4
+        expr("CAST(round(score * 10000) AS BIGINT)").as("sq"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tok"),
+        sum(col("sq")).as("sqsum"))
+    val tiered = per
+      .withColumn("q_rank", row_number().over(
+        W.orderBy(expr("(sqsum * 1000000) DIV n_docs").desc, col("source"))))
+      .withColumn("n_src", count(lit(1)).over(W.partitionBy()))
+      .withColumn("weight",
+        when(col("q_rank") * 2 <= col("n_src"), lit(AnnealUpWeight)).otherwise(lit(1L)))
+    val p2Budget = AnnealBudget / AnnealPhase2Den
+    val phases = tiered
+      .select(lit(1).as("phase"), col("source"), col("weight"), col("tok").as("wtok"))
+      .unionByName(tiered.select(lit(2).as("phase"), col("source"), col("weight"),
+        (col("tok") * col("weight")).as("wtok")))
+      .withColumn("budget",
+        when(col("phase") === 1, lit(AnnealBudget - p2Budget)).otherwise(lit(p2Budget)))
+    val wP = W.partitionBy(col("phase"))
+    phases
+      .withColumn("tw", sum(col("wtok")).over(wP))
+      .withColumn("base", expr("(budget * wtok) DIV tw"))
+      .withColumn("rem", expr("(budget * wtok) % tw"))
+      .withColumn("leftover", col("budget") - sum(col("base")).over(wP))
+      .withColumn("rk", row_number().over(
+        wP.orderBy(col("rem").desc, col("source"))))
+      .withColumn("alloc", col("base") + (col("rk") <= col("leftover")).cast("long"))
+      .select(col("phase").cast("int").as("phase"), col("source"),
+        col("weight"), col("alloc"),
+        (floor(col("alloc") * lit(1000000) / col("budget")) / 1e6).as("phase_share"))
+      .orderBy(col("phase"), col("source"))
+  }
+
+  val mixAnnealSql: String = {
+    val p2 = AnnealBudget / AnnealPhase2Den
+    val p1 = AnnealBudget - p2
+    s"""WITH per AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(nt) AS BIGINT) AS tok,
+                 CAST(sum(sq) AS BIGINT) AS sqsum
+          FROM (SELECT source,
+                       CAST(len(${TextAnalysis.toksSqlExpr}) AS BIGINT) AS nt,
+                       CAST(round((${TextAnalysis.qualityScoreSqlExpr}) * 10000) AS BIGINT) AS sq
+                FROM documents) t
+          GROUP BY source),
+        tiered AS (
+          SELECT *,
+                 row_number() OVER (ORDER BY (sqsum * 1000000) // n_docs DESC, source)
+                   AS q_rank,
+                 count(*) OVER () AS n_src
+          FROM per),
+        tw AS (
+          SELECT CASE WHEN q_rank * 2 <= n_src THEN ${AnnealUpWeight}::BIGINT
+                      ELSE 1::BIGINT END AS weight, *
+          FROM tiered),
+        phases AS (
+          SELECT 1 AS phase, source, weight, tok AS wtok, ${p1}::BIGINT AS budget FROM tw
+          UNION ALL
+          SELECT 2 AS phase, source, weight, tok * weight AS wtok, ${p2}::BIGINT FROM tw),
+        sized AS (
+          SELECT *, CAST(sum(wtok) OVER (PARTITION BY phase) AS BIGINT) AS twsum
+          FROM phases),
+        based AS (
+          SELECT *, (budget * wtok) // twsum AS base
+          FROM sized),
+        ranked AS (
+          SELECT *,
+                 CAST(sum(base) OVER (PARTITION BY phase) AS BIGINT) AS basesum,
+                 row_number() OVER (PARTITION BY phase
+                   ORDER BY (budget * wtok) % twsum DESC, source) AS rk
+          FROM based)
+        SELECT CAST(phase AS INT) AS phase, source, weight,
+               CAST(base + (CASE WHEN rk <= budget - basesum THEN 1 ELSE 0 END) AS BIGINT)
+                 AS alloc,
+               floor((base + (CASE WHEN rk <= budget - basesum THEN 1 ELSE 0 END))
+                     * 1000000 / budget) / 1e6 AS phase_share
+        FROM ranked ORDER BY phase, source"""
+  }
+
   // ------------------------------------------- labeler agreement (κ)
 
   /** The κ staging, generated once and evaluated verbatim by both
@@ -1256,5 +1365,6 @@ object Curation {
     ("dedup_boilerplate", dedupBoilerplate, Some(dedupBoilerplateSql)),
     ("text_contamination", textContamination, Some(textContaminationSql)),
     ("text_repetition", textRepetition, Some(textRepetitionSql)),
-    ("mix_temperature", mixTemperature, Some(mixTemperatureSql)))
+    ("mix_temperature", mixTemperature, Some(mixTemperatureSql)),
+    ("mix_anneal_schedule", mixAnneal, Some(mixAnnealSql)))
 }

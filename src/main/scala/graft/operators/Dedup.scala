@@ -67,6 +67,43 @@ object Dedup {
     """SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
        FROM documents GROUP BY md5(text) ORDER BY keep_doc_id"""
 
+  /** Normalization-impact audit — the C4-style "soft exact" pass that
+    * runs BEFORE near-dup: casefold, strip sentence punctuation,
+    * collapse whitespace runs, trim, THEN hash. Per source, compares
+    * the byte-exact group count with the normalized group count: the
+    * difference is exactly how many groups only the normalized pass can
+    * merge (formatting-only duplicates — trailing spaces, case drift,
+    * punctuation variants). A per-source summary rather than a group
+    * list, so the read is non-empty on ANY corpus — including one like
+    * this, whose generated texts are already canonical (n_merged = 0
+    * everywhere is the AUDIT RESULT, not an empty frame). Same
+    * one-shuffle cost class as `dedup_exact`. Regex parity note:
+    * Spark's regexp_replace is global by default, DuckDB's needs the
+    * 'g' flag — the two spellings below are semantically identical. */
+  def normalizedExact: Q = (s, d) => {
+    val canon = expr(
+      "md5(trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', ''), '\\\\s+', ' ')))")
+    Tables.documents(s, d)
+      .select(col("source"), canon.as("canon_hash"), md5(col("text")).as("raw_hash"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_hash")).as("n_raw_groups"),
+        countDistinct(col("canon_hash")).as("n_canon_groups"))
+      .withColumn("n_merged_by_normalization",
+        col("n_raw_groups") - col("n_canon_groups"))
+      .orderBy(col("source"))
+  }
+
+  val normalizedExactSql: String =
+    """SELECT source, count(*) AS n_docs,
+              count(DISTINCT md5(text)) AS n_raw_groups,
+              count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+                '[.,;:!?]', '', 'g'), '\s+', ' ', 'g')))) AS n_canon_groups,
+              count(DISTINCT md5(text))
+                - count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+                    '[.,;:!?]', '', 'g'), '\s+', ' ', 'g')))) AS n_merged_by_normalization
+       FROM documents GROUP BY source ORDER BY source"""
+
   /** Shared-shingle pair intersections: (da < db, |A∩B|, |A|, |B|) —
     * the base both overlap measures (Jaccard, containment) rank from.
     * The candidate join runs on a 60-bit integer hash of the shingle,
@@ -1057,6 +1094,7 @@ object Dedup {
     ("dedup_lsh_recall", lshRecall, Some(lshRecallSql)),
     ("dedup_fuzzy_edit", fuzzyEdit, Some(fuzzyEditSql)),
     ("dedup_exact", exact, Some(exactSql)),
+    ("dedup_normalized_exact", normalizedExact, Some(normalizedExactSql)),
     ("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     ("dedup_containment", containment, Some(containmentSql)),
     ("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),

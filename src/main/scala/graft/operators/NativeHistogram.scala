@@ -222,8 +222,54 @@ object NativeHistogram {
                CAST(sum(cnt) AS BIGINT) AS cnt, count(*) AS n_merged
         FROM b GROUP BY 1, 2 ORDER BY event_type, bucket_idx"""
 
+  /** PromQL `sum(native_histogram)` — the cross-series AGGREGATION the
+    * native format was designed to make cheap: histograms with the same
+    * schema merge by bucket-INDEX union with counts added (no
+    * re-bucketing, no interpolation — the exponential grid is shared),
+    * which is how a fleet-wide latency histogram is assembled from
+    * per-instance ones before `histogram_quantile` runs on it. Emits
+    * the merged sparse histogram as a ledger: per index the summed
+    * count, how many series contribute a non-empty bucket, the
+    * cumulative count and its share of total mass. Pure integers plus
+    * one display share; the cumulative runs over the ≤${IdxHi - IdxLo + 2}
+    * fixed ladder indices (structurally bounded by the schema, never by
+    * data — the same bound the quantile estimator rides). */
+  def nativeSum: Q = (s, d) => {
+    val buckets = Tables.events(s, d)
+      .select(col("event_type"), expr(idxLadder).as("idx"))
+      .groupBy(col("event_type"), col("idx"))
+      .agg(count(lit(1)).as("cnt"))
+    val merged = buckets.groupBy(col("idx"))
+      .agg(count(lit(1)).as("n_series"), sum(col("cnt")).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    merged
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(merged.agg(sum(col("cnt")).as("total"))))
+      .select(col("idx"), col("n_series"), col("cnt"), col("cum"),
+        (floor(col("cum") * lit(10000) / col("total")) / 1e4).as("mass_share"))
+      .orderBy(col("idx"))
+  }
+
+  val nativeSumSql: String =
+    s"""WITH b AS (
+          SELECT event_type, $idxLadder AS idx, count(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        m AS (
+          SELECT idx, count(*) AS n_series, CAST(sum(cnt) AS BIGINT) AS cnt
+          FROM b GROUP BY 1),
+        c AS (
+          SELECT idx, n_series, cnt,
+                 CAST(sum(cnt) OVER (ORDER BY idx
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM m)
+        SELECT idx, n_series, cnt, cum,
+               floor(cum * 10000 / (SELECT sum(cnt) FROM m)) / 1e4 AS mass_share
+        FROM c ORDER BY idx"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("prom_native_histogram_quantile", nativeQuantile, Some(nativeQuantileSql)),
     ("prom_native_histogram_rate_quantile", nativeRateQuantile, Some(nativeRateQuantileSql)),
+    ("prom_native_histogram_sum", nativeSum, Some(nativeSumSql)),
     ("prom_native_histogram_downscale", nativeDownscale, Some(nativeDownscaleSql)))
 }

@@ -258,9 +258,87 @@ object PromQl {
               count(*) AS n_samples
        FROM events GROUP BY 1, 2 ORDER BY event_type, value_label"""
 
+  // --------------------------------------------------------- subquery
+
+  /** Subquery step: 30 min; outer range: 12 steps = 6 h. */
+  val SubStepSec = 1800L
+  val SubWinSteps = 12
+
+  /** PromQL SUBQUERY semantics —
+    * `max_over_time(rate(metric[30m])[6h:30m])`: the inner expression
+    * is evaluated on its own 30-minute step grid (each step's rate is
+    * the sample count in the LEFT-OPEN window (t−30m, t] over the step
+    * width — the same samples-are-increments convention as
+    * `prom_native_histogram_rate_quantile`), and the outer
+    * `max_over_time` ranges over the trailing 12 inner steps. Steps
+    * with no samples yield NO inner point (PromQL emits nothing for an
+    * empty rate window), and an outer step whose whole 6 h trail is
+    * empty emits nothing — both "absent point" rules ride the dense
+    * step spine with nulls, exactly like `prom_query_range`'s
+    * staleness handling.
+    *
+    * Engine parity: max commutes with the ÷width rescale (width is a
+    * positive constant), so the maximum is taken over INTEGER counts
+    * and only the one final division touches floats — evaluated
+    * verbatim by both engines, then display-floored at 1e-6.
+    *
+    * Scale shape: one map-side integer step assignment + one
+    * (series, step) count aggregation (≤ |series|×|steps| keys at any
+    * sample volume); the spine is |series|×|steps| rows generated from
+    * one 1-row bounds aggregate, and the outer max is a
+    * series-PARTITIONED 12-row window. No corpus window, no explode
+    * over samples. */
+  def subqueryMaxRate: Q = (s, d) => {
+    val samp = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_timestamp(date_trunc('second', ts))").as("sec"))
+      .withColumn("step_sec",
+        expr(s"((sec + ${SubStepSec - 1}) DIV $SubStepSec) * $SubStepSec"))
+    val counts = samp.groupBy(col("event_type"), col("step_sec"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = samp.agg(min(col("step_sec")).as("mn"), max(col("step_sec")).as("mx"))
+    val spine = samp.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr(s"sequence(mn, mx, $SubStepSec)")).as("step_sec"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("step_sec"))
+      .rowsBetween(-(SubWinSteps - 1), 0)
+    spine.join(counts, Seq("event_type", "step_sec"), "left")
+      .withColumn("n_max", max(col("n")).over(w))
+      .filter(col("n_max").isNotNull)
+      .select(col("event_type"), col("step_sec"), col("n_max"),
+        (floor(col("n_max").cast("double") / lit(SubStepSec.toDouble) * 1e6) / 1e6)
+          .as("max_rate"))
+      .orderBy(col("event_type"), col("step_sec"))
+  }
+
+  val subqueryMaxRateSql: String =
+    s"""WITH samp AS (
+          SELECT event_type,
+                 ((CAST(epoch(date_trunc('second', ts)) AS BIGINT) + ${SubStepSec - 1})
+                    // $SubStepSec) * $SubStepSec AS step_sec
+          FROM events),
+        counts AS (SELECT event_type, step_sec, count(*) AS n FROM samp GROUP BY 1, 2),
+        bounds AS (SELECT min(step_sec) AS mn, max(step_sec) AS mx FROM samp),
+        spine AS (
+          SELECT s.event_type, g.step_sec
+          FROM (SELECT DISTINCT event_type FROM samp) s,
+               (SELECT unnest(generate_series((SELECT mn FROM bounds),
+                                              (SELECT mx FROM bounds),
+                                              $SubStepSec)) AS step_sec) g),
+        m AS (
+          SELECT sp.event_type, sp.step_sec,
+                 max(c.n) OVER (PARTITION BY sp.event_type ORDER BY sp.step_sec
+                   ROWS BETWEEN ${SubWinSteps - 1} PRECEDING AND CURRENT ROW) AS n_max
+          FROM spine sp LEFT JOIN counts c USING (event_type, step_sec))
+        SELECT event_type, step_sec, CAST(n_max AS BIGINT) AS n_max,
+               floor(CAST(n_max AS DOUBLE) / ${SubStepSec}.0 * 1e6) / 1e6 AS max_rate
+        FROM m WHERE n_max IS NOT NULL ORDER BY event_type, step_sec"""
+
   def entries: Seq[(String, Q, Option[String])] = Seq(
     ("prom_vector_matching", vectorMatching, Some(vectorMatchingSql)),
     ("prom_query_range", queryRange, Some(queryRangeSql)),
     ("prom_count_values", countValues, Some(countValuesSql)),
+    ("prom_subquery_max_rate", subqueryMaxRate, Some(subqueryMaxRateSql)),
     ("metrics_rate_extrapolated", rateExtrapolated, Some(rateExtrapolatedSql)))
 }

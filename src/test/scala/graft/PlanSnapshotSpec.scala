@@ -134,7 +134,9 @@ class PlanSnapshotSpec extends SparkTestBase {
     "events_stickiness" -> "day-spine prefix sum (interval decomposition) — |days| rows",
     "metrics_burn_rate" -> "6h rolling sums over the hourly rollup — |hours| rows (time domain)",
     "metrics_slo_attainment" -> "windows over the per-day attainment aggregate — |days| rows",
+    "mix_anneal_schedule" -> "quality rank + largest-remainder windows over the |sources| / 2·|sources| quota table",
     "mix_budget_apportion" -> "largest-remainder rank over the |sources| quota table",
+    "prom_native_histogram_sum" -> "cumulative over the ≤70 fixed exponential-ladder indices (schema-bounded)",
     "mix_dsir" -> "cross-cell carry over the ≤4097-cell weight-histogram grid (two-level prefix sum)",
     "mix_epoch_upsample" -> "max window over the |sources| rate table",
     "mix_temperature" -> "min window over the |languages| rate table",

@@ -121,6 +121,119 @@ class Round12Spec extends SparkTestBase {
     }
   }
 
+  // ------------------------------------------------ round-12 operators
+
+  test("metrics_ha_dedup: election keeps the majority replica, ties prefer replica 0, counts conserve") {
+    val rows = SparkEntry.queries("metrics_ha_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n0, n1) = (r.getAs[Long]("n_r0"), r.getAs[Long]("n_r1"))
+      val el = r.getAs[Int]("elected_replica")
+      assert(el == (if (n1 > n0) 1 else 0), s"election broke majority/tie rule: $r")
+      assert(r.getAs[Long]("n_kept") == (if (el == 0) n0 else n1))
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") == n0 + n1)
+      assert(r.getAs[Long]("n_kept") >= r.getAs[Long]("n_dropped"))
+    }
+  }
+
+  test("metrics_scrape_jitter: median is an observed interval, share in [0,1], gap >= median") {
+    val rows = SparkEntry.queries("metrics_scrape_jitter")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val share = r.getAs[Double]("jitter_share")
+      assert(share >= 0.0 && share <= 1.0)
+      assert(r.getAs[Long]("max_gap_sec") >= r.getAs[Long]("median_iv_sec"))
+      assert(r.getAs[Long]("n_jitter") <= r.getAs[Long]("n_intervals"))
+    }
+  }
+
+  test("prom_subquery_max_rate: outer max equals the trailing-12-step max of inner counts") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("prom_subquery_max_rate")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Long]("n_max")).toMap
+    // independent recompute of the inner step counts
+    val step = graft.operators.PromQl.SubStepSec
+    val counts = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr(s"((unix_timestamp(date_trunc('second', ts)) + ${step - 1}) DIV $step) * $step")
+          .as("t"))
+      .groupBy(col("event_type"), col("t")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sample = out.keys.toSeq.sortBy(k => (k._1, k._2)).grouped(97).map(_.head).toSeq
+    sample.foreach { case (et, t) =>
+      val window = (0 until graft.operators.PromQl.SubWinSteps)
+        .flatMap(i => counts.get((et, t - i * step)))
+      assert(window.nonEmpty && window.max == out((et, t)),
+        s"($et, $t): reported ${out((et, t))} vs recomputed ${window.maxOption}")
+    }
+    // absence rule: a grid point with an all-empty 6h trail emits nothing
+    out.keys.foreach { case (et, t) =>
+      assert((0 until graft.operators.PromQl.SubWinSteps)
+        .exists(i => counts.contains((et, t - i * step))))
+    }
+  }
+
+  test("prom_native_histogram_sum: merged histogram conserves mass and matches per-series buckets") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("prom_native_histogram_sum")(spark, sf)
+      .orderBy(col("idx")).collect()
+    val total = graft.sources.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("cnt")).sum == total, "mass not conserved")
+    assert(rows.last.getAs[Long]("cum") == total)
+    assert(math.abs(rows.last.getAs[Double]("mass_share") - 1.0) < 1e-9)
+    val nSeries = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type")).distinct().count()
+    assert(rows.forall(r => r.getAs[Long]("n_series") >= 1 &&
+      r.getAs[Long]("n_series") <= nSeries))
+  }
+
+  test("dedup_normalized_exact: canonical groups never exceed raw groups; the rule itself merges formatting variants") {
+    val rows = SparkEntry.queries("dedup_normalized_exact")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_canon_groups") <= r.getAs[Long]("n_raw_groups"))
+      assert(r.getAs[Long]("n_raw_groups") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_merged_by_normalization") ==
+        r.getAs[Long]("n_raw_groups") - r.getAs[Long]("n_canon_groups"))
+    }
+    // the canonicalization rule on literal formatting variants: case,
+    // punctuation and whitespace-run differences hash identically
+    val c = spark.sql(
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(x), '[.,;:!?]', ''), '\\s+', ' ')))
+           AS h
+         FROM VALUES ('The  quick, fox!'), ('the quick fox'), ('THE QUICK  FOX.') v(x)""")
+      .collect().map(_.getString(0)).distinct
+    assert(c.length == 1, s"formatting variants must canonicalize to one hash, got $c")
+  }
+
+  test("mix_anneal_schedule: each phase apportions its exact budget; anneal up-weights the top quality half") {
+    import graft.operators.Curation._
+    val rows = SparkEntry.queries("mix_anneal_schedule")(spark, sf).collect()
+    val byPhase = rows.groupBy(_.getAs[Int]("phase"))
+    assert(byPhase.keySet == Set(1, 2))
+    val p2 = AnnealBudget / AnnealPhase2Den
+    assert(byPhase(1).map(_.getAs[Long]("alloc")).sum == AnnealBudget - p2,
+      "phase-1 allocations must sum exactly to the phase budget")
+    assert(byPhase(2).map(_.getAs[Long]("alloc")).sum == p2)
+    val weights = byPhase(2).map(r => r.getAs[Long]("weight")).sorted
+    val nSrc = byPhase(2).length
+    assert(weights.count(_ == AnnealUpWeight) == nSrc / 2,
+      "exactly the top half (floor) of sources carries the anneal up-weight")
+    assert(weights.forall(w => w == 1L || w == AnnealUpWeight))
+    // phase 1 ignores the weight: allocations are volume-proportional
+    // (largest remainder => off by at most 1 from the real quota)
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .selectExpr("source", s"size(${graft.operators.TextAnalysis.toksExpr}) AS nt")
+      .groupBy("source").sum("nt").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tw = toks.values.sum
+    byPhase(1).foreach { r =>
+      val exact = (AnnealBudget - p2).toDouble * toks(r.getAs[String]("source")) / tw
+      assert(math.abs(r.getAs[Long]("alloc") - exact) <= 1.0,
+        s"phase-1 alloc drifted from the volume quota: $r vs $exact")
+    }
+  }
+
   test("v2 symbol entries carry byte-length prefixes for non-ASCII symbols") {
     // drive the generated SQL fragment directly: the same strByteLen
     // arithmetic the v2 symbol table uses, over a literal row
