@@ -201,6 +201,63 @@ object EventsStream {
       .withColumn("page", col("burn_6h") > 1.0 && col("burn_1h") > 1.0)
   }
 
+  // ----------------------------- streaming HA replica deduplication
+
+  /** Batch twin of the LIVE HA replica election (entry
+    * `stream_ha_dedup`) — where `metrics_ha_dedup` audits the election
+    * after the fact, a real Cortex/Mimir-style HA tracker decides it AT
+    * INGEST: per (series, 1 h tumbling window) the replica that
+    * delivered more samples wins (tie → replica 0, the prefer-incumbent
+    * rule), and the stream emits each window's verdict exactly once
+    * when the watermark closes it. State per open key is two counts;
+    * keys = |series| × open windows — bounded by the watermark, never
+    * by sample volume. Same integer election arithmetic as the batch
+    * audit, so the two entries can never disagree on a closed window. */
+  def haDedupBatch: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"), col("ts"), (col("event_id") % 2).as("replica"))
+      .select(col("event_type"), col("replica"), window(col("ts"), "1 hour").as("w"))
+      .groupBy(col("w"), col("event_type"))
+      .agg(count(when(col("replica") === 0, 1)).as("n_r0"),
+        count(when(col("replica") === 1, 1)).as("n_r1"))
+      .select(col("w.end").as("win_end"), col("event_type"), col("n_r0"), col("n_r1"),
+        when(col("n_r1") > col("n_r0"), 1).otherwise(0).cast("int").as("elected_replica"),
+        when(col("n_r1") > col("n_r0"), col("n_r1")).otherwise(col("n_r0")).as("n_kept"),
+        when(col("n_r1") > col("n_r0"), col("n_r0")).otherwise(col("n_r1")).as("n_dropped"))
+      .orderBy(col("event_type"), col("win_end"))
+
+  val haDedupStreamSql: String =
+    """WITH per AS (
+         SELECT event_type,
+                (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 + 1) * 3600
+                  AS end_sec,
+                count(*) FILTER (WHERE event_id % 2 = 0) AS n_r0,
+                count(*) FILTER (WHERE event_id % 2 = 1) AS n_r1
+         FROM events GROUP BY 1, 2)
+       SELECT epoch_ms(end_sec * 1000) AS win_end, event_type, n_r0, n_r1,
+              CAST(CASE WHEN n_r1 > n_r0 THEN 1 ELSE 0 END AS INT) AS elected_replica,
+              CASE WHEN n_r1 > n_r0 THEN n_r1 ELSE n_r0 END AS n_kept,
+              CASE WHEN n_r1 > n_r0 THEN n_r0 ELSE n_r1 END AS n_dropped
+       FROM per ORDER BY event_type, win_end"""
+
+  case class HaSample(event_type: String, tsSec: Long, replica: Int)
+
+  /** Streaming path: the same two-count windowed aggregation under a
+    * 1 h watermark — each closed (series, window) emits its election
+    * exactly once; watermark-late samples are dropped, never
+    * re-elected. */
+  def haDedupStream(samples: Dataset[HaSample]): DataFrame =
+    samples
+      .withColumn("ts", timestamp_seconds(col("tsSec")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(when(col("replica") === 0, 1)).as("n_r0"),
+        count(when(col("replica") === 1, 1)).as("n_r1"))
+      .select(col("w.end").as("win_end"), col("event_type"), col("n_r0"), col("n_r1"),
+        when(col("n_r1") > col("n_r0"), 1).otherwise(0).cast("int").as("elected_replica"),
+        when(col("n_r1") > col("n_r0"), col("n_r1")).otherwise(col("n_r0")).as("n_kept"),
+        when(col("n_r1") > col("n_r0"), col("n_r0")).otherwise(col("n_r1")).as("n_dropped"))
+
   // --------------------------- streaming native-histogram buckets
 
   /** Batch twin of the continuously-maintained NATIVE-histogram sparse
@@ -1963,6 +2020,7 @@ object EventsStream {
     ("stream_query_range", queryRangeBatch, Some(queryRangeStreamSql)),
     ("stream_native_histogram", nativeHistogramBatch, Some(nativeHistogramStreamSql)),
     ("stream_burn_rate", burnRateBatch, Some(burnRateStreamSql)),
+    ("stream_ha_dedup", haDedupBatch, Some(haDedupStreamSql)),
     ("stream_events_window", eventsWindowBatch, Some(eventsWindowSql)),
     ("stream_sessionize_state", sessionizeBatch, Some(AsOfSessionizeOracle.sql)),
     ("stream_dedup_exact", eventsDedupBatch, Some(eventsDedupSql)),

@@ -234,6 +234,44 @@ class Round12Spec extends SparkTestBase {
     }
   }
 
+  test("stream_ha_dedup: a real MemoryStream run elects exactly the batch twin's replicas") {
+    import graft.streaming.EventsStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val samples = graft.sources.Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_timestamp(date_trunc('second', ts)) AS tsSec",
+        "CAST(event_id % 2 AS INT) AS replica")
+      .as[EventsStream.HaSample].collect()
+    val input = MemoryStream[EventsStream.HaSample]
+    val q = EventsStream.haDedupStream(input.toDS())
+      .writeStream.format("memory").queryName("ha_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val sorted = samples.sortBy(_.tsSec)
+      val (early, late) = sorted.splitAt(sorted.length / 2)
+      input.addData(early.toSeq); q.processAllAvailable()
+      input.addData(late.toSeq); q.processAllAvailable()
+      // hour-aligned sentinel far past the data closes every window
+      val sentinelSec = (sorted.last.tsSec / 3600L + 4L) * 3600L
+      input.addData(EventsStream.HaSample("__wm__", sentinelSec, 0))
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getTimestamp(0).getTime, r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getInt(4), r.getLong(5), r.getLong(6))
+      val got = spark.table("ha_sink").collect()
+        .filter(_.getString(1) != "__wm__").map(key).toMap
+      val dupes = spark.table("ha_sink").collect().groupBy(r =>
+        (r.getTimestamp(0).getTime, r.getString(1))).filter(_._2.length > 1)
+      assert(dupes.isEmpty, "a window's election emitted twice")
+      val want = EventsStream.haDedupBatch(spark, sf).collect().map(key).toMap
+      assert(got == want,
+        s"stream/batch fork: ${ (want.toSet -- got.toSet).take(2) } / ${ (got.toSet -- want.toSet).take(2) }")
+    } finally q.stop()
+  }
+
   test("v2 symbol entries carry byte-length prefixes for non-ASCII symbols") {
     // drive the generated SQL fragment directly: the same strByteLen
     // arithmetic the v2 symbol table uses, over a literal row
