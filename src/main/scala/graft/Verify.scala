@@ -101,21 +101,33 @@ object Verify {
         sys.env.getOrElse("SPARK_GRAFT_ORACLE", "1") != "0") {
       val artifact = s"$outDir/CORRECTNESS.json"
       try {
+        // a STALE artifact from a previous run in a reused outDir must
+        // never masquerade as this run's attestation: only a file the
+        // mirror writes NOW may be published
+        Files.deleteIfExists(Paths.get(artifact))
         val pb = new ProcessBuilder("python3", script.getPath,
           "--json", artifact, "--jobs", "8", sfDir, outDir)
         pb.redirectErrorStream(true)
         val p = pb.start()
         // hard cap: the mirror must never hold the driver's Verify step
         // hostage — the dumps and oracle_sql.json are already on disk,
-        // so a driver-side compare can still proceed without it
+        // so a driver-side compare can still proceed without it. The
+        // drain is a DAEMON (orphaned compare workers can keep the pipe
+        // open past the kill — a blocked read must not pin the JVM),
+        // and the kill takes the whole process tree, not just the
+        // python parent.
         val drain = new Thread(() => {
           try Files.writeString(Paths.get(s"$outDir/mirror.log"),
             new String(p.getInputStream.readAllBytes, "UTF-8"))
           catch { case _: Throwable => () }
         })
+        drain.setDaemon(true)
         drain.start()
         val done = p.waitFor(15, TimeUnit.MINUTES)
-        if (!done) p.destroyForcibly()
+        if (!done) {
+          p.descendants().forEach(h => { h.destroyForcibly(); () })
+          p.destroyForcibly()
+        }
         drain.join(10000)
         val out = scala.util.Try(
           Files.readString(Paths.get(s"$outDir/mirror.log"))).getOrElse("")

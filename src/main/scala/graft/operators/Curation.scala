@@ -1054,7 +1054,13 @@ object Curation {
     // corpus-derived (distinct quantized weights grow with the pool), so
     // no unpartitioned window may see it whole.
     val W = org.apache.spark.sql.expressions.Window
-    val hist = docW.groupBy(col("wq")).agg(count(lit(1)).as("n_docs"))
+    // one corpus pass: docW (the expensive bigram/log-ratio pipeline)
+    // feeds the histogram chain AND the final per-source aggregation —
+    // a lazy plan cut makes every consumer read the same materialized
+    // blocks instead of re-deriving the pipeline per Catalyst branch
+    val docWCut = graft.Checkpoints.cutLazy(docW)
+    val hist = graft.Checkpoints.cutLazy(
+      docWCut.groupBy(col("wq")).agg(count(lit(1)).as("n_docs")))
     val bounds = hist.agg(min(col("wq")).as("lo"), max(col("wq")).as("hi"),
       sum(col("n_docs")).as("n"))
     val cells = hist.crossJoin(broadcast(bounds))
@@ -1069,7 +1075,7 @@ object Curation {
     val thr = inCell.join(broadcast(carry), Seq("cell"))
       .agg(max(when((col("carry") + col("wcum")) * DsirKeepDen >= col("n") * DsirKeepNum,
         col("wq"))).as("thr"))
-    docW.crossJoin(broadcast(thr))
+    docWCut.crossJoin(broadcast(thr))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         count(when(col("wq") >= col("thr"), 1)).as("n_selected"),

@@ -81,8 +81,9 @@ object Dedup {
     * Spark's regexp_replace is global by default, DuckDB's needs the
     * 'g' flag — the two spellings below are semantically identical. */
   def normalizedExact: Q = (s, d) => {
+    // explicit whitespace class: Java \s matches \x0B, RE2's does not
     val canon = expr(
-      "md5(trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', ''), '\\\\s+', ' ')))")
+      "md5(trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', ''), '[ \\\\t\\\\n\\\\r\\\\f]+', ' ')))")
     Tables.documents(s, d)
       .select(col("source"), canon.as("canon_hash"), md5(col("text")).as("raw_hash"))
       .groupBy(col("source"))
@@ -98,10 +99,10 @@ object Dedup {
     """SELECT source, count(*) AS n_docs,
               count(DISTINCT md5(text)) AS n_raw_groups,
               count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
-                '[.,;:!?]', '', 'g'), '\s+', ' ', 'g')))) AS n_canon_groups,
+                '[.,;:!?]', '', 'g'), '[ \t\n\r\f]+', ' ', 'g')))) AS n_canon_groups,
               count(DISTINCT md5(text))
                 - count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
-                    '[.,;:!?]', '', 'g'), '\s+', ' ', 'g')))) AS n_merged_by_normalization
+                    '[.,;:!?]', '', 'g'), '[ \t\n\r\f]+', ' ', 'g')))) AS n_merged_by_normalization
        FROM documents GROUP BY source ORDER BY source"""
 
   /** Shared-shingle pair intersections: (da < db, |A∩B|, |A|, |B|) —

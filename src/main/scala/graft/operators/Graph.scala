@@ -642,11 +642,14 @@ object Graph {
           expr(s"cast(cast(raw as decimal(38,0)) * ${Base}L div t as bigint)").as("r"))
     }
     // score tables are node-sized and edge-partitioning is static: when
-    // the node count fits a broadcast (known exactly), ship the scores
-    // to the edges each round — the cuts erase stats, so AQE cannot
-    // discover this on its own (same reasoning as pagerank's hint)
-    def small(df: DataFrame): DataFrame =
-      if (nHubs <= RankBroadcastMax) broadcast(df) else df
+    // a SIDE'S node count fits a broadcast (each counted exactly — hub
+    // and authority cardinalities are independent; nothing ties them
+    // outside this graph's shape), ship that side's scores to the edges
+    // each round — the cuts erase stats, so AQE cannot discover this on
+    // its own (same reasoning as pagerank's hint)
+    val nAuths = pairs.select(col("auth")).distinct().count()
+    def small(df: DataFrame, n: Long): DataFrame =
+      if (n <= RankBroadcastMax) broadcast(df) else df
     var h = pairs.select(col("hub")).distinct()
       .select(col("hub").as("node"), lit(Base / nHubs).as("r"))
     var a: DataFrame = null
@@ -658,11 +661,11 @@ object Graph {
       // whole chain back to the previous checkpoint, compounding per
       // round (measured ~2× wall-clock at 4 rounds)
       val aRaw = graft.Checkpoints.cutLazy(
-        pairs.join(small(h), col("hub") === col("node"))
+        pairs.join(small(h, nHubs), col("hub") === col("node"))
           .groupBy(col("auth")).agg(sum(col("r")).as("raw")))
       a = rescale(aRaw, "auth")
       val hRaw = graft.Checkpoints.cutLazy(
-        pairs.join(small(a), col("auth") === col("node"))
+        pairs.join(small(a, nAuths), col("auth") === col("node"))
           .groupBy(col("hub")).agg(sum(col("r")).as("raw")))
       h = rescale(hRaw, "hub")
     }

@@ -1042,7 +1042,7 @@ object Pipeline {
   val reproLedgerSql: String = {
     val h = "('0x' || substr(md5('led:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT"
     s"""WITH kept AS (
-          SELECT doc_id FROM (${TextAnalysis.gopherRulesSql.replace("ORDER BY doc_id", "")})
+          SELECT doc_id FROM (${TextAnalysis.gopherRulesBodySql})
           WHERE keep),
         survivors AS (
           SELECT CAST(min(doc_id) AS BIGINT) AS doc_id

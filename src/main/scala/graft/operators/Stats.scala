@@ -921,7 +921,12 @@ object Stats {
     val per = Tables.lineitem(s, d)
       .select(col("l_partkey"), floor(col("l_extendedprice") * 100).cast("long").as("c"))
       .groupBy(col("l_partkey")).agg(sum(col("c")).as("cents"))
-    val byVal = per.groupBy(col("cents")).agg(count(lit(1)).as("n_parts_v"))
+    // lazy plan cut: the value table feeds the bounds aggregate AND the
+    // cell assignment (whose two consumers fan out again) — one
+    // materialization serves every Catalyst branch instead of
+    // re-aggregating lineitem per branch
+    val byVal = graft.Checkpoints.cutLazy(
+      per.groupBy(col("cents")).agg(count(lit(1)).as("n_parts_v")))
     // ONE pass over the value table yields the grid bounds AND the grand
     // total; the broadcast row then rides the cell assignment so `tot`
     // needs no second crossJoin downstream.

@@ -23,10 +23,15 @@ object TextAnalysis {
 
   def trunc4(c: Column): Column = floor(c * 10000) / 10000.0
 
-  /** Non-empty lowercase whitespace tokens as a SQL expr string. */
-  val toksExpr = "filter(split(lower(trim(text)), '\\\\s+'), t -> t != '')"
+  /** Non-empty lowercase whitespace tokens as a SQL expr string.
+    * The whitespace class is spelled EXPLICITLY — Java's `\s` matches
+    * vertical tab (\x0B) where RE2/DuckDB's does not, so a bare `\s+`
+    * would tokenize a \x0B-bearing document differently per engine (a
+    * silent oracle fork on correct code). `[ \t\n\r\f]+` is the RE2
+    * set, identical in both. */
+  val toksExpr = "filter(split(lower(trim(text)), '[ \\\\t\\\\n\\\\r\\\\f]+'), t -> t != '')"
   /** Same tokenization in DuckDB. */
-  val toksSqlExpr = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')"
+  val toksSqlExpr = "list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+'), t -> t <> '')"
 
   private[operators] val stop = Map(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),

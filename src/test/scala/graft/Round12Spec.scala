@@ -197,13 +197,23 @@ class Round12Spec extends SparkTestBase {
         r.getAs[Long]("n_raw_groups") - r.getAs[Long]("n_canon_groups"))
     }
     // the canonicalization rule on literal formatting variants: case,
-    // punctuation and whitespace-run differences hash identically
+    // punctuation and whitespace-run differences hash identically —
+    // with the EXPLICIT whitespace class (Java \s matches \x0B where
+    // RE2 does not; the explicit class behaves like RE2 in both)
     val c = spark.sql(
-      """SELECT md5(trim(regexp_replace(regexp_replace(lower(x), '[.,;:!?]', ''), '\\s+', ' ')))
-           AS h
-         FROM VALUES ('The  quick, fox!'), ('the quick fox'), ('THE QUICK  FOX.') v(x)""")
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(x), '[.,;:!?]', ''),
+                                        '[ \\t\\n\\r\\f]+', ' '))) AS h
+         FROM VALUES ('The  quick, fox!'), ('the quick fox'), ('THE QUICK\tFOX.') v(x)""")
       .collect().map(_.getString(0)).distinct
     assert(c.length == 1, s"formatting variants must canonicalize to one hash, got $c")
+    // vertical tab is NOT whitespace under the explicit class (the
+    // RE2-compatible choice): a \x0B-joined variant must NOT merge
+    val v = spark.sql(
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(x), '[.,;:!?]', ''),
+                                        '[ \\t\\n\\r\\f]+', ' '))) AS h
+         FROM VALUES ('a b'), (concat('a', char(11), 'b')) v(x)""")
+      .collect().map(_.getString(0)).distinct
+    assert(v.length == 2, "vertical tab must not collapse — RE2 parity")
   }
 
   test("mix_anneal_schedule: each phase apportions its exact budget; anneal up-weights the top quality half") {
