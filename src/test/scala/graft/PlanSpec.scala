@@ -212,6 +212,9 @@ class PlanSweepSpec extends SparkTestBase {
     "split_grouped",      // 1-row leaked-source-count broadcast
     "sink_manifest_prune", // 1-row predicate-bounds broadcast
     "ann_mips_topk",       // query≠candidate non-equi pairing (bruteforce shape)
+    // round-12 single-row broadcasts
+    "prom_native_histogram_sum", // 1-row merged-mass total broadcast
+    "prom_subquery_max_rate",    // 1-row step-grid bounds broadcast (gap_fill shape)
     "source_partition_bounds", // 1-row min/max/total bounds broadcast
     "sessionize_otsu",     // 1-row histogram-total broadcast
     "mix_kl_divergence",   // 1-row mixture-total broadcast
