@@ -527,10 +527,15 @@ object Dedup {
     * Σ|shard|² ≈ N·FuzzyCap — linear in the corpus instead of the
     * unbounded Σ|block|² quadratic (the r9 sf1 probe's 16.9×; with
     * the cap the measured sf0.1→sf1 wall-clock ratio is ~3× at 10×
-    * data, pair volume ratio 17×→plateau ~c/2 per doc). 128 keeps
+    * data, pair volume ratio 17×→plateau ~c/2 per doc). 64 keeps
     * every gate-scale block (≤25 docs at sf0.01) far under the cap —
-    * sharding only ever activates where the quadratic would bite. */
-  val FuzzyCap = 128
+    * sharding only ever activates where the quadratic would bite —
+    * and halves the per-doc pair plateau vs the original 128 (the r12
+    * probe measured the linear pair term at ~0.8 s of the entry's
+    * 1.9 s at sf0.1; halving it moves the 10× ratio from 4.7× toward
+    * the fixed-cost floor while the nearest neighbor stays exact for
+    * every block ≤64). */
+  val FuzzyCap = 64
 
   /** Fuzzy near-dup by edit distance: each document's nearest
     * neighbor (smallest levenshtein over a fixed 60-char normalized
