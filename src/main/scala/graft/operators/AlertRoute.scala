@@ -1,0 +1,194 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Alertmanager routing semantics over the alert stream a collector's
+  * metrics feed (collector/internal/utils/prometheus.go:23-120) turns
+  * into firing alerts downstream: notification grouping
+  * (group_by/group_wait/group_interval), inhibition rules
+  * (source_matchers mute target_matchers on equal labels), and silences
+  * (matcher sets over a time range). All three are the published
+  * Alertmanager config semantics, re-expressed as deterministic batch
+  * audits so each decision is reproducible from the event log.
+  *
+  * Alert derivation (shared): an event with value ≥ 100 fires an alert
+  * with labels alertname = event_type, instance = 'u'||(user_id%10),
+  * severity = critical when value ≥ 200 else warning.
+  *
+  * Scale design (100 TB): grouping is per-alertname windows; inhibition
+  * joins warnings to PER-CELL AGGREGATES of critical activity on a 6h
+  * grid (≤2 candidate cells per warning, so fanout is constant — never
+  * warnings × criticals); silences are a 3-row literal broadcast.
+  */
+object AlertRoute {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val esSql = "CAST(epoch(date_trunc('second', ts)) AS BIGINT)"
+
+  private def alerts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).filter(col("value") >= 100)
+      .select(col("event_id"),
+        expr("cast(unix_timestamp(date_trunc('second', ts)) as bigint)").as("es"),
+        col("event_type").as("alertname"),
+        concat(lit("u"), (col("user_id") % 10).cast("string")).as("instance"),
+        when(col("value") >= 200, lit("critical")).otherwise(lit("warning"))
+          .as("severity"))
+
+  private val alertsSql =
+    s"""SELECT event_id, $esSql AS es, event_type AS alertname,
+               'u' || CAST(user_id % 10 AS VARCHAR) AS instance,
+               CASE WHEN value >= 200 THEN 'critical' ELSE 'warning' END
+                 AS severity
+        FROM events WHERE value >= 100"""
+
+  // ------------------------------------------------ notification grouping
+
+  /** Notification batching under group_by: [alertname], group_wait = 30s,
+    * group_interval = 300s — the deterministic grid form: the group's
+    * first alert opens it at t0; the first notification flushes at
+    * t0+30s with everything that arrived before it; later arrivals land
+    * in fixed 300s interval slots. Per (alertname, batch): size, critical
+    * share, and the flush timestamp. The only window is min(es) per
+    * alertname. */
+  def groupWait: Q = (s, d) => {
+    val w = Window.partitionBy(col("alertname"))
+    alerts(s, d)
+      .withColumn("t0", min(col("es")).over(w))
+      .withColumn("batch",
+        when(col("es") < col("t0") + 30, lit(0L))
+          .otherwise(expr("(es - t0 - 30) div 300") + 1L))
+      .groupBy(col("alertname"), col("batch"))
+      .agg(count(lit(1)).as("n_alerts"),
+        count(when(col("severity") === "critical", 1)).as("n_critical"),
+        (min(col("t0")) + 30 + col("batch") * 300).as("flush_es"))
+      .orderBy(col("alertname"), col("batch"))
+  }
+
+  val groupWaitSql: String =
+    s"""WITH a AS ($alertsSql),
+       g AS (
+         SELECT alertname, severity, es,
+                min(es) OVER (PARTITION BY alertname) AS t0
+         FROM a),
+       b AS (
+         SELECT alertname, severity, es, t0,
+                CASE WHEN es < t0 + 30 THEN 0
+                     ELSE (es - t0 - 30) // 300 + 1 END AS batch
+         FROM g)
+       SELECT alertname, batch, count(*) AS n_alerts,
+              count(*) FILTER (WHERE severity = 'critical') AS n_critical,
+              min(t0) + 30 + batch * 300 AS flush_es
+       FROM b GROUP BY alertname, batch ORDER BY alertname, batch"""
+
+  // ------------------------------------------------ inhibition
+
+  /** Inhibition: source_matchers severity=critical mute target_matchers
+    * severity=warning on equal [alertname, instance], while the source
+    * is active — here "active" = a critical fired within the 6h before
+    * the warning. Critical activity is aggregated to (key, 6h cell)
+    * min/max timestamps first; a warning probes only its own cell and
+    * the previous one, and [es−21600, es] ∩ cell ≠ ∅ reduces exactly to
+    * cell_min ≤ es AND cell_max ≥ es−21600 — constant fanout per
+    * warning, never a warnings × criticals pair join. */
+  def inhibition: Q = (s, d) => {
+    val a = alerts(s, d)
+    val critCells = a.filter(col("severity") === "critical")
+      .groupBy(col("alertname"), col("instance"), expr("es div 21600").as("cell"))
+      .agg(min(col("es")).as("cmin"), max(col("es")).as("cmax"))
+    val warn = a.filter(col("severity") === "warning")
+      .withColumn("cell", explode(array(expr("es div 21600"), expr("es div 21600 - 1"))))
+    val flagged = warn
+      .join(critCells, Seq("alertname", "instance", "cell"), "left")
+      .groupBy(col("alertname"), col("instance"), col("event_id"))
+      .agg(max(when(col("cmin") <= col("es") && col("cmax") >= col("es") - 21600, 1)
+        .otherwise(0)).as("inhibited"))
+    flagged.groupBy(col("alertname"), col("instance"))
+      .agg(count(lit(1)).as("n_warnings"), sum(col("inhibited")).as("n_inhibited"))
+      .orderBy(col("alertname"), col("instance"))
+  }
+
+  val inhibitionSql: String =
+    s"""WITH a AS ($alertsSql),
+       cc AS (
+         SELECT alertname, instance, es // 21600 AS cell,
+                min(es) AS cmin, max(es) AS cmax
+         FROM a WHERE severity = 'critical' GROUP BY 1, 2, 3),
+       w AS (
+         SELECT alertname, instance, event_id, es,
+                unnest([es // 21600, es // 21600 - 1]) AS cell
+         FROM a WHERE severity = 'warning'),
+       f AS (
+         SELECT w.alertname, w.instance, w.event_id,
+                max(CASE WHEN cc.cmin <= w.es AND cc.cmax >= w.es - 21600
+                         THEN 1 ELSE 0 END) AS inhibited
+         FROM w LEFT JOIN cc
+           ON w.alertname = cc.alertname AND w.instance = cc.instance
+              AND w.cell = cc.cell
+         GROUP BY 1, 2, 3)
+       SELECT alertname, instance, count(*) AS n_warnings,
+              CAST(sum(inhibited) AS BIGINT) AS n_inhibited
+       FROM f GROUP BY 1, 2 ORDER BY alertname, instance"""
+
+  // ------------------------------------------------ silences
+
+  /** Silences: three matcher kinds (=, !=, =~ anchored) over alertname,
+    * each active on a [start, end) offset window from the feed's first
+    * alert. An alert is silenced by the FIRST (lowest-id) matching
+    * silence. The silence table is a literal broadcast; the feed start
+    * is a one-row aggregate. */
+  def silenceMatch: Q = (s, d) => {
+    val sil = s.createDataFrame(Seq(
+      (1L, "eq", "error", 0L, 43200L),
+      (2L, "re", "^(click|view)$", 86400L, 259200L),
+      (3L, "neq", "purchase", 1296000L, 1382400L)))
+      .toDF("silence_id", "kind", "pattern", "start_off", "end_off")
+    val a = alerts(s, d)
+    val t0 = a.agg(min(col("es")).as("feed_t0"))
+    val matched = a.crossJoin(t0).crossJoin(broadcast(sil))
+      .withColumn("matches",
+        col("es") >= col("feed_t0") + col("start_off") &&
+          col("es") < col("feed_t0") + col("end_off") && (
+          (col("kind") === "eq" && col("alertname") === col("pattern")) ||
+            (col("kind") === "neq" && col("alertname") =!= col("pattern")) ||
+            (col("kind") === "re" && col("alertname").rlike("^(click|view)$"))))
+      .groupBy(col("alertname"), col("event_id"))
+      .agg(min(when(col("matches"), col("silence_id"))).as("first_silence"))
+    matched.groupBy(col("alertname"))
+      .agg(count(lit(1)).as("n_alerts"),
+        count(col("first_silence")).as("n_silenced"),
+        coalesce(min(col("first_silence")), lit(0L)).as("min_silence_id"))
+      .orderBy(col("alertname"))
+  }
+
+  val silenceMatchSql: String =
+    s"""WITH a AS ($alertsSql),
+       sil(silence_id, kind, pattern, start_off, end_off) AS (
+         VALUES (1, 'eq', 'error', 0, 43200),
+                (2, 're', '^(click|view)$$', 86400, 259200),
+                (3, 'neq', 'purchase', 1296000, 1382400)),
+       t0 AS (SELECT min(es) AS feed_t0 FROM a),
+       m AS (
+         SELECT a.alertname, a.event_id,
+                min(CASE WHEN a.es >= t0.feed_t0 + sil.start_off
+                          AND a.es < t0.feed_t0 + sil.end_off
+                          AND ((sil.kind = 'eq' AND a.alertname = sil.pattern)
+                            OR (sil.kind = 'neq' AND a.alertname <> sil.pattern)
+                            OR (sil.kind = 're'
+                                AND regexp_matches(a.alertname, '^(click|view)$$')))
+                         THEN sil.silence_id END) AS first_silence
+         FROM a, t0, sil
+         GROUP BY 1, 2)
+       SELECT alertname, count(*) AS n_alerts,
+              count(first_silence) AS n_silenced,
+              CAST(coalesce(min(first_silence), 0) AS BIGINT) AS min_silence_id
+       FROM m GROUP BY alertname ORDER BY alertname"""
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("alert_group_wait", groupWait, Some(groupWaitSql)),
+    ("alert_inhibition", inhibition, Some(inhibitionSql)),
+    ("alert_silence_match", silenceMatch, Some(silenceMatchSql)))
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** C4-style line-level deduplication (Raffel et al. 2020: any three-
+  * sentence span occurring more than once in the corpus is kept ONCE,
+  * at its first occurrence, and removed everywhere else). The corpus
+  * has no sentence punctuation, so the "line" unit is the same
+  * 10-token segment grid dedup_boilerplate uses — but the semantics
+  * differ: boilerplate drops every copy of a frequent segment, C4 keeps
+  * exactly the first occurrence in (doc_id, position) order and drops
+  * the rest.
+  *
+  * Scale design (100 TB): one explode to the segment grain, one
+  * aggregate per distinct segment (the keeper key is a single min of
+  * an integer position key — no sort of the occurrence lists), one
+  * join back on the segment hash. Identical shape to the shipped
+  * boilerplate/minhash pipelines, which hold their ratio at the 10×
+  * probe.
+  */
+object CurationC4 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Seg = 10
+  /** Position key: doc_id·10⁶ + seg_idx. seg_idx < 10⁶ ⇔ docs under
+    * 10M tokens — beyond that, switch the key to a (doc_id, seg_idx)
+    * struct min; the audit guard in Round12bSpec pins the bound. */
+  private val KeyBase = 1000000L
+
+  def lineDedup: Q = (s, d) => {
+    val toks = TextAnalysis.toksExpr
+    val segs = Tables.documents(s, d)
+      .select(col("doc_id"), expr(toks).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        posexplode(expr(
+          s"""CASE WHEN size(toks) >= $Seg
+                THEN transform(sequence(0, size(toks) DIV $Seg - 1),
+                               i -> array_join(slice(toks, i * $Seg + 1, $Seg), ' '))
+                ELSE array() END""")))
+      .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
+      .withColumn("pos_key", col("doc_id") * KeyBase + col("seg_idx"))
+    val keeper = segs.groupBy(col("seg"))
+      .agg(min(col("pos_key")).as("keeper_key"))
+    segs.join(keeper, Seq("seg"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_segments"),
+        count(when(col("pos_key") =!= col("keeper_key"), 1)).as("n_removed"))
+      .withColumn("kept_tokens", col("n_tokens") - col("n_removed") * Seg)
+      .orderBy(col("doc_id"))
+  }
+
+  val lineDedupSql: String = {
+    val toksSql = TextAnalysis.toksSqlExpr
+    s"""WITH segs AS (
+          SELECT doc_id, len(toks) AS n_tokens,
+                 unnest(range(0, len(toks) // $Seg)) AS seg_idx,
+                 unnest(list_transform(range(0, len(toks) // $Seg),
+                   i -> array_to_string(toks[i * $Seg + 1 : i * $Seg + $Seg], ' ')))
+                   AS seg
+          FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+        pk AS (
+          SELECT doc_id, n_tokens, seg,
+                 doc_id * $KeyBase + seg_idx AS pos_key
+          FROM segs),
+        keeper AS (SELECT seg, min(pos_key) AS keeper_key FROM pk GROUP BY seg)
+        SELECT p.doc_id, CAST(max(p.n_tokens) AS INT) AS n_tokens,
+               count(*) AS n_segments,
+               count(*) FILTER (WHERE p.pos_key <> k.keeper_key) AS n_removed,
+               CAST(max(p.n_tokens) AS INT)
+                 - count(*) FILTER (WHERE p.pos_key <> k.keeper_key) * $Seg
+                 AS kept_tokens
+        FROM pk p JOIN keeper k USING (seg)
+        GROUP BY p.doc_id ORDER BY p.doc_id"""
+  }
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("text_line_dedup", lineDedup, Some(lineDedupSql)))
+}

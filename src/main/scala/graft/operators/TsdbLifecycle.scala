@@ -1,0 +1,207 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TSDB lifecycle semantics — what the RECEIVING end of the reference's
+  * remote-write push (collector/internal/utils/prometheus.go:23-120
+  * produces the TimeSeries frames; a Prometheus-compatible TSDB ingests
+  * them) does with the samples: out-of-order admission against the head,
+  * 2-hour block cutting with ×4 range compaction, retention enforcement,
+  * and head chunk layout. All rules are the published Prometheus TSDB
+  * defaults (out_of_order_time_window, 2h block range, 120-sample XOR
+  * chunks, time-based retention); re-expressed here as batch audits over
+  * the `events` table viewed as (series = event_type, ts, arrival =
+  * event_id).
+  *
+  * Scale design (100 TB): every operator is one scan + keyed windows or
+  * aggregations. Admission and chunk windows partition by series (and
+  * block), never a global sort; block/parent tables are time-domain
+  * sized (|span|/2h rows), analysis-plane data at any corpus size.
+  */
+object TsdbLifecycle {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val esCol = expr("cast(unix_timestamp(date_trunc('second', ts)) as bigint)")
+  private val esSql = "CAST(epoch(date_trunc('second', ts)) AS BIGINT)"
+
+  /** Samples in arrival order: the push stream the reference emits,
+    * keyed by series with event_id as the arrival sequence. */
+  private def samples(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_type").as("series"), esCol.as("es"), col("event_id").as("arrival"))
+
+  private val samplesSql =
+    s"SELECT event_type AS series, $esSql AS es, event_id AS arrival FROM events"
+
+  // ------------------------------------------------ OOO ingest window
+
+  /** Out-of-order admission (storage.tsdb.out_of_order_time_window = 1h):
+    * a sample is accepted iff its timestamp is not more than the OOO
+    * window behind the series head (max timestamp seen so far in arrival
+    * order). The head recurrence looks sequential, but a REJECTED sample
+    * can never advance the head (its es < head − window ≤ head), so the
+    * running max over ALL arrivals equals the running max over accepted
+    * ones — the admission rule is exactly one partitioned window, no
+    * per-row state loop. Per series: accepted/rejected counts and how
+    * far back the worst rejected sample pointed. */
+  def oooIngest: Q = (s, d) => {
+    val w = Window.partitionBy(col("series")).orderBy(col("arrival"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    samples(s, d)
+      .withColumn("head", max(col("es")).over(w))
+      .withColumn("accepted",
+        col("head").isNull || col("es") >= col("head") - lit(3600L))
+      .groupBy(col("series"))
+      .agg(count(lit(1)).as("n_samples"),
+        count(when(col("accepted"), 1)).as("n_accepted"),
+        count(when(!col("accepted"), 1)).as("n_rejected"),
+        coalesce(max(when(!col("accepted"), col("head") - col("es"))), lit(0L))
+          .as("worst_backward_s"))
+      .orderBy(col("series"))
+  }
+
+  val oooIngestSql: String =
+    s"""WITH smp AS ($samplesSql),
+       h AS (
+         SELECT series, es,
+                max(es) OVER (PARTITION BY series ORDER BY arrival
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS head
+         FROM smp),
+       a AS (
+         SELECT series, es, head,
+                (head IS NULL OR es >= head - 3600) AS accepted
+         FROM h)
+       SELECT series, count(*) AS n_samples,
+              count(*) FILTER (WHERE accepted) AS n_accepted,
+              count(*) FILTER (WHERE NOT accepted) AS n_rejected,
+              coalesce(max(head - es) FILTER (WHERE NOT accepted), 0)
+                AS worst_backward_s
+       FROM a GROUP BY series ORDER BY series"""
+
+  // ------------------------------------------------ block compaction plan
+
+  /** Block cut + level-2 compaction plan: samples land in wall-aligned
+    * 2h blocks (floor(es/7200)); the compactor plans a merge for every
+    * ×4 parent range (8h) holding at least two child blocks — the
+    * Prometheus range ladder (2h → 8h → 32h). One aggregation to the
+    * block grain, one to the parent grain: both time-domain sized. */
+  def blockPlan: Q = (s, d) => {
+    val blocks = samples(s, d)
+      .groupBy(expr("es div 7200").as("block_id"), col("series"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("block_id"))
+      .agg(sum(col("n")).as("n_samples"), count(lit(1)).as("n_series"))
+    blocks
+      .groupBy(expr("block_id div 4").as("parent_id"))
+      .agg(count(lit(1)).as("n_child_blocks"),
+        sum(col("n_samples")).as("total_samples"),
+        min(col("block_id")).as("first_block"),
+        max(col("block_id")).as("last_block"))
+      .withColumn("decision",
+        when(col("n_child_blocks") >= 2, lit("compact")).otherwise(lit("leave")))
+      .orderBy(col("parent_id"))
+  }
+
+  val blockPlanSql: String =
+    s"""WITH smp AS ($samplesSql),
+       pb AS (
+         SELECT es // 7200 AS block_id, series, count(*) AS n
+         FROM smp GROUP BY 1, 2),
+       blocks AS (
+         SELECT block_id, CAST(sum(n) AS BIGINT) AS n_samples,
+                count(*) AS n_series
+         FROM pb GROUP BY 1)
+       SELECT block_id // 4 AS parent_id, count(*) AS n_child_blocks,
+              CAST(sum(n_samples) AS BIGINT) AS total_samples,
+              min(block_id) AS first_block, max(block_id) AS last_block,
+              CASE WHEN count(*) >= 2 THEN 'compact' ELSE 'leave' END AS decision
+       FROM blocks GROUP BY 1 ORDER BY parent_id"""
+
+  // ------------------------------------------------ retention enforcement
+
+  /** Time-based retention: a block is deleted only when its ENTIRE range
+    * is older than (newest sample − retention); a straddling block stays
+    * until fully expired — Prometheus deletes whole blocks, never rows.
+    * The boundary is one no-grouping aggregate (a single row, broadcast
+    * by the nested-loop join), so no corpus data moves. */
+  def retention: Q = (s, d) => {
+    val blocks = samples(s, d)
+      .groupBy(expr("es div 7200").as("block_id"))
+      .agg(count(lit(1)).as("n_samples"), max(col("es")).as("block_max_es"))
+    val boundary = samples(s, d).agg(max(col("es")).as("newest_es"))
+      .select((col("newest_es") - lit(6L * 86400L)).as("boundary_es"))
+    blocks.crossJoin(boundary)
+      .withColumn("decision",
+        when((col("block_id") + 1) * lit(7200L) - 1 < col("boundary_es"),
+          lit("delete")).otherwise(lit("keep")))
+      .select(col("block_id"), col("n_samples"), col("block_max_es"),
+        col("boundary_es"), col("decision"))
+      .orderBy(col("block_id"))
+  }
+
+  val retentionSql: String =
+    s"""WITH smp AS ($samplesSql),
+       blocks AS (
+         SELECT es // 7200 AS block_id, count(*) AS n_samples,
+                max(es) AS block_max_es
+         FROM smp GROUP BY 1),
+       b AS (SELECT max(es) - 6 * 86400 AS boundary_es FROM smp)
+       SELECT block_id, n_samples, block_max_es, boundary_es,
+              CASE WHEN (block_id + 1) * 7200 - 1 < boundary_es
+                   THEN 'delete' ELSE 'keep' END AS decision
+       FROM blocks, b ORDER BY block_id"""
+
+  // ------------------------------------------------ head chunk layout
+
+  /** Head chunk layout: within (series, 2h block) a chunk closes after
+    * 120 samples (the XOR-chunk default), so chunk index is a plain
+    * row_number division inside a partitioned window. Per series:
+    * chunk count, full-chunk count, and the average fill as one exact
+    * integer ratio truncated once. */
+  def headChunks: Q = (s, d) => {
+    val w = Window.partitionBy(col("series"), col("block_id"))
+      .orderBy(col("es"), col("arrival"))
+    val chunks = samples(s, d)
+      .withColumn("block_id", expr("es div 7200"))
+      .withColumn("rn0", (row_number().over(w) - 1).cast("long"))
+      .withColumn("chunk", expr("rn0 div 120"))
+      .groupBy(col("series"), col("block_id"), col("chunk"))
+      .agg(count(lit(1)).as("chunk_samples"))
+    chunks.groupBy(col("series"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_samples")).as("n_samples"),
+        count(when(col("chunk_samples") === 120, 1)).as("n_full_chunks"),
+        max(col("chunk_samples")).as("max_chunk_fill"))
+      .withColumn("avg_fill_x100",
+        (col("n_samples") * 100L / col("n_chunks")).cast("long"))
+      .orderBy(col("series"))
+  }
+
+  val headChunksSql: String =
+    s"""WITH smp AS ($samplesSql),
+       numbered AS (
+         SELECT series, es // 7200 AS block_id,
+                (row_number() OVER (PARTITION BY series, es // 7200
+                                    ORDER BY es, arrival) - 1) // 120 AS chunk
+         FROM smp),
+       chunks AS (
+         SELECT series, block_id, chunk, count(*) AS chunk_samples
+         FROM numbered GROUP BY 1, 2, 3)
+       SELECT series, count(*) AS n_chunks,
+              CAST(sum(chunk_samples) AS BIGINT) AS n_samples,
+              count(*) FILTER (WHERE chunk_samples = 120) AS n_full_chunks,
+              CAST(max(chunk_samples) AS BIGINT) AS max_chunk_fill,
+              CAST(sum(chunk_samples) AS BIGINT) * 100 // count(*) AS avg_fill_x100
+       FROM chunks GROUP BY series ORDER BY series"""
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("tsdb_ooo_ingest", oooIngest, Some(oooIngestSql)),
+    ("tsdb_block_plan", blockPlan, Some(blockPlanSql)),
+    ("tsdb_retention", retention, Some(retentionSql)),
+    ("tsdb_head_chunks", headChunks, Some(headChunksSql)))
+}

