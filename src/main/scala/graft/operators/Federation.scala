@@ -129,7 +129,61 @@ object Federation {
        FROM nn n JOIN med m USING (event_type)
        GROUP BY n.event_type ORDER BY n.event_type"""
 
+  // ------------------------------------------------ query sharding
+
+  /** Query-frontend sharding (the Mimir/Thanos `sum by` split): a
+    * shardable aggregation `sum by (event_type)` is rewritten into 4
+    * leg queries, each reading only the series whose label-set hash
+    * lands in its shard, plus a trivial merge of the partials. The
+    * entry emits BOTH the per-shard partials and the merged totals
+    * (shard = −1), so "the shard legs sum exactly to the unsharded
+    * answer" is data, not a comment (spec-asserted). Series hashing
+    * uses the suite's engine-portable md5 idiom; sums are exact cents.
+    *
+    * Scale: this is the pattern that lets a PromQL frontend fan a
+    * 100 TB aggregation over executors — each leg is an independent
+    * partial aggregate over a hash-disjoint series subset. */
+  def queryShard: Q = (s, d) => {
+    val series = Tables.events(s, d)
+      .select(col("event_type"),
+        concat(col("event_type"), lit("|u"), (col("user_id") % 10).cast("string"))
+          .as("series_key"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .withColumn("shard",
+        expr("cast(conv(substr(md5(series_key), 1, 4), 16, 10) as bigint) % 4"))
+    val partials = series.groupBy(col("event_type"), col("shard"))
+      .agg(count(lit(1)).as("n_samples"), sum(col("cents")).as("sum_cents"))
+    val totals = partials.groupBy(col("event_type"))
+      .agg(lit(-1L).as("shard"), sum(col("n_samples")).as("n_samples"),
+        sum(col("sum_cents")).as("sum_cents"))
+    partials.unionByName(totals)
+      .orderBy(col("event_type"), col("shard"))
+  }
+
+  val queryShardSql: String =
+    """WITH series AS (
+         SELECT event_type,
+                event_type || '|u' || CAST(user_id % 10 AS VARCHAR) AS series_key,
+                CAST(floor(value * 100) AS BIGINT) AS cents
+         FROM events),
+       sh AS (
+         SELECT event_type,
+                ('0x' || substr(md5(series_key), 1, 4))::BIGINT % 4 AS shard,
+                cents
+         FROM series),
+       partials AS (
+         SELECT event_type, shard, count(*) AS n_samples,
+                CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM sh GROUP BY 1, 2)
+       SELECT event_type, shard, n_samples, sum_cents FROM partials
+       UNION ALL
+       SELECT event_type, CAST(-1 AS BIGINT), CAST(sum(n_samples) AS BIGINT),
+              CAST(sum(sum_cents) AS BIGINT)
+       FROM partials GROUP BY 1
+       ORDER BY event_type, shard"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("metrics_ha_dedup", haDedup, Some(haDedupSql)),
-    ("metrics_scrape_jitter", scrapeJitter, Some(scrapeJitterSql)))
+    ("metrics_scrape_jitter", scrapeJitter, Some(scrapeJitterSql)),
+    ("prom_query_sharding", queryShard, Some(queryShardSql)))
 }

@@ -199,8 +199,57 @@ object TsdbLifecycle {
               CAST(sum(chunk_samples) AS BIGINT) * 100 // count(*) AS avg_fill_x100
        FROM chunks GROUP BY series ORDER BY series"""
 
+  // ------------------------------------------------ tombstones
+
+  /** Deletion tombstones: a delete request marks (series, interval)
+    * ranges; reads skip tombstoned samples immediately, but storage is
+    * reclaimed only when compaction rewrites the block — so the audit
+    * is per 2h block: tombstoned vs remaining samples, and whether the
+    * block is now fully deletable. The three-request fixture (one
+    * bounded range, one whole-span series kill, one narrow window) is
+    * inlined as ONE projection over the scan — offsets anchor to the
+    * corpus start (a one-row aggregate), no per-sample join or
+    * re-aggregation. */
+  def tombstones: Q = (s, d) => {
+    val t0 = samples(s, d).agg(min(col("es")).as("t0"))
+    samples(s, d).crossJoin(t0)
+      .withColumn("block_id", expr("es div 7200"))
+      .withColumn("tombstoned",
+        (col("series") === "error" &&
+          col("es") >= col("t0") + lit(5L * 86400) &&
+          col("es") < col("t0") + lit(12L * 86400)) ||
+          col("series") === "click" ||
+          (col("series") === "view" &&
+            col("es") >= col("t0") + lit(20L * 86400) &&
+            col("es") < col("t0") + lit(22L * 86400)))
+      .groupBy(col("block_id"))
+      .agg(count(lit(1)).as("n_samples"),
+        count(when(col("tombstoned"), 1)).as("n_tombstoned"))
+      .withColumn("n_remaining", col("n_samples") - col("n_tombstoned"))
+      .withColumn("fully_deletable", col("n_remaining") === 0L)
+      .orderBy(col("block_id"))
+  }
+
+  val tombstonesSql: String =
+    s"""WITH smp AS ($samplesSql),
+       t0 AS (SELECT min(es) AS t0 FROM smp),
+       f AS (
+         SELECT es // 7200 AS block_id,
+                ((series = 'error' AND es >= t0 + 5 * 86400
+                                   AND es < t0 + 12 * 86400)
+                 OR series = 'click'
+                 OR (series = 'view' AND es >= t0 + 20 * 86400
+                                     AND es < t0 + 22 * 86400)) AS tombstoned
+         FROM smp, t0)
+       SELECT block_id, count(*) AS n_samples,
+              count(*) FILTER (WHERE tombstoned) AS n_tombstoned,
+              count(*) - count(*) FILTER (WHERE tombstoned) AS n_remaining,
+              (count(*) = count(*) FILTER (WHERE tombstoned)) AS fully_deletable
+       FROM f GROUP BY block_id ORDER BY block_id"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("tsdb_ooo_ingest", oooIngest, Some(oooIngestSql)),
+    ("tsdb_tombstones", tombstones, Some(tombstonesSql)),
     ("tsdb_block_plan", blockPlan, Some(blockPlanSql)),
     ("tsdb_retention", retention, Some(retentionSql)),
     ("tsdb_head_chunks", headChunks, Some(headChunksSql)))

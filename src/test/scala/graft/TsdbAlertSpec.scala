@@ -175,6 +175,53 @@ class TsdbAlertSpec extends SparkTestBase {
       s"honor_true ${byMode("honor_true")} must be <= honor_false ${byMode("honor_false")}")
   }
 
+  // ------------------------------------------------ query sharding
+
+  test("prom_query_sharding: shard legs sum exactly to the unsharded answer") {
+    val rows = SparkEntry.queries("prom_query_sharding")(spark, sf).collect()
+    val (totals, partials) = rows.partition(_.getAs[Long]("shard") == -1L)
+    totals.foreach { t =>
+      val legs = partials.filter(_.getString(0) == t.getString(0))
+      assert(legs.map(_.getAs[Long]("n_samples")).sum == t.getAs[Long]("n_samples"))
+      assert(legs.map(_.getAs[Long]("sum_cents")).sum == t.getAs[Long]("sum_cents"))
+      assert(legs.map(_.getAs[Long]("shard")).forall(s => s >= 0 && s < 4))
+    }
+    assert(totals.nonEmpty && partials.nonEmpty)
+  }
+
+  // ------------------------------------------------ tombstones
+
+  test("tsdb_tombstones: click dies whole-span, conservation holds per block") {
+    val rows = SparkEntry.queries("tsdb_tombstones")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_samples") ==
+        r.getAs[Long]("n_tombstoned") + r.getAs[Long]("n_remaining"))
+      assert(r.getAs[Boolean]("fully_deletable") ==
+        (r.getAs[Long]("n_remaining") == 0L))
+    }
+    // the whole-span request tombstones EVERY click sample
+    val nClick = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    assert(rows.map(_.getAs[Long]("n_tombstoned")).sum >= nClick)
+  }
+
+  // ------------------------------------------------ bloom prefilter
+
+  test("dedup_bloom_prefilter: no false negatives, positives decompose exactly") {
+    val rows = SparkEntry.queries("dedup_bloom_prefilter")(spark, sf).collect()
+    rows.foreach { r =>
+      // a bloom filter can only over-approximate: every exact match is positive
+      assert(r.getAs[Long]("n_bloom_pos") >=
+        r.getAs[Long]("n_true_dup"),
+        s"${r.getString(0)}: false negative — bloom missed an exact match")
+      assert(r.getAs[Long]("n_bloom_pos") ==
+        r.getAs[Long]("n_true_dup") + r.getAs[Long]("n_false_pos"))
+      assert(r.getAs[Long]("n_docs") >= r.getAs[Long]("n_bloom_pos"))
+    }
+    assert(rows.map(_.getAs[Long]("n_true_dup")).sum > 0,
+      "fixture degenerate: no exact cross-corpus matches at this SF")
+  }
+
   // ------------------------------------------------ line dedup
 
   test("text_line_dedup: keep-first removes exactly (occurrences - distinct) segments") {
