@@ -1,0 +1,229 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** PromQL function-surface completion — the remaining instant-vector
+  * functions and aggregators a reference user reaches for daily:
+  * cross-series `topk()` on an evaluation grid, the `clamp()` family,
+  * `label_join()` (with its overwrite and empty-source rules), and the
+  * `group()` / `stdvar()` / `stddev()` aggregators. Complements
+  * `prom_query_range` (range selector + staleness), `prom_vector_matching`
+  * (binary-op matching), `metrics_topk_over_time` (per-series top-k over
+  * time — a DIFFERENT read than cross-series top-k per instant).
+  *
+  * Series model (shared): job = event_type, instance = 'u'||user%10 —
+  * the label pair the reference's enrichment attaches
+  * (collector/internal/utils/prometheus.go:63-88); values in exact
+  * cents.
+  *
+  * Scale shape: every entry is one map-side step/label assignment + one
+  * (series[, step]) aggregation; ranking windows partition by
+  * (step, job) — bounded by label cardinality, never sample volume.
+  */
+object PromQlFns {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val secExpr = "cast(unix_timestamp(date_trunc('second', ts)) as bigint)"
+  private val secSql = "CAST(epoch(date_trunc('second', ts)) AS BIGINT)"
+
+  /** The instant vector at the feed's newest timestamp, 7-day lookback:
+    * per series the latest sample by (sec, event_id) — the same
+    * deterministic last-sample rule as `prom_query_range`. */
+  private def instantVector(s: SparkSession, d: String): DataFrame = {
+    val samp = Tables.events(s, d).select(
+      col("event_type").as("job"),
+      concat(lit("u"), (col("user_id") % 10).cast("string")).as("instance"),
+      expr(secExpr).as("sec"), col("event_id"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    val now = samp.agg(max(col("sec")).as("now_sec"))
+    samp.crossJoin(broadcast(now))
+      .filter(col("sec") > col("now_sec") - lit(7L * 86400))
+      .groupBy(col("job"), col("instance"))
+      .agg(max(struct(col("sec"), col("event_id"), col("cents"))).as("last"))
+      .select(col("job"), col("instance"),
+        col("last.sec").as("sample_sec"), col("last.cents").as("cents"))
+  }
+
+  private val instantVectorSql =
+    s"""samp AS (
+         SELECT event_type AS job,
+                'u' || CAST(user_id % 10 AS VARCHAR) AS instance,
+                $secSql AS sec, event_id,
+                CAST(floor(value * 100) AS BIGINT) AS cents
+         FROM events),
+       nowt AS (SELECT max(sec) AS now_sec FROM samp),
+       iv AS (
+         SELECT job, instance, sec AS sample_sec, cents
+         FROM (SELECT s.*, row_number() OVER (
+                 PARTITION BY job, instance
+                 ORDER BY sec DESC, event_id DESC) AS rn
+               FROM samp s, nowt WHERE s.sec > nowt.now_sec - 7 * 86400) t
+         WHERE rn = 1)"""
+
+  // ------------------------------------------------ topk (cross-series)
+
+  /** Evaluation step for the cross-series topk grid: 6 h. */
+  val TopkStepSec = 21600L
+
+  /** `topk(2, gauge)` evaluated on a 6h step grid: at each step, the
+    * top-2 instances per job by the step's last sample. Lookback equals
+    * the step width (left-open window), so every sample belongs to
+    * exactly ONE step — a map-side assignment, no spine join. PromQL
+    * leaves topk ties unspecified; this engine pins them to
+    * (value desc, instance asc), the deterministic refinement.
+    * Ranking windows partition by (step, job). */
+  def topkInstant: Q = (s, d) => {
+    val samp = Tables.events(s, d).select(
+      col("event_type").as("job"),
+      concat(lit("u"), (col("user_id") % 10).cast("string")).as("instance"),
+      expr(secExpr).as("sec"), col("event_id"),
+      floor(col("value") * 100).cast("long").as("cents"))
+      .withColumn("step_sec",
+        expr(s"((sec + ${TopkStepSec - 1}) div $TopkStepSec) * $TopkStepSec"))
+    val last = samp.groupBy(col("step_sec"), col("job"), col("instance"))
+      .agg(max(struct(col("sec"), col("event_id"), col("cents"))).as("l"))
+      .select(col("step_sec"), col("job"), col("instance"), col("l.cents").as("cents"))
+    last
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("step_sec"), col("job"))
+          .orderBy(col("cents").desc, col("instance"))).cast("long"))
+      .filter(col("rank") <= 2)
+      .orderBy(col("step_sec"), col("job"), col("rank"))
+  }
+
+  val topkInstantSql: String =
+    s"""WITH samp AS (
+         SELECT event_type AS job,
+                'u' || CAST(user_id % 10 AS VARCHAR) AS instance,
+                $secSql AS sec, event_id,
+                CAST(floor(value * 100) AS BIGINT) AS cents
+         FROM events),
+       st AS (
+         SELECT *, ((sec + ${TopkStepSec - 1}) // $TopkStepSec) * $TopkStepSec
+                     AS step_sec
+         FROM samp),
+       last AS (
+         SELECT step_sec, job, instance, cents
+         FROM (SELECT *, row_number() OVER (
+                 PARTITION BY step_sec, job, instance
+                 ORDER BY sec DESC, event_id DESC) AS rn FROM st) t
+         WHERE rn = 1),
+       ranked AS (
+         SELECT step_sec, job, instance, cents,
+                row_number() OVER (PARTITION BY step_sec, job
+                                   ORDER BY cents DESC, instance) AS rank
+         FROM last)
+       SELECT step_sec, job, instance, cents, rank
+       FROM ranked WHERE rank <= 2 ORDER BY step_sec, job, rank"""
+
+  // ------------------------------------------------ clamp family
+
+  /** `clamp(v, 50, 200)` / `clamp_min(v, 50)` / `clamp_max(v, 200)` on
+    * the instant vector, in cents. The v2.x edge rule — clamp with
+    * min > max returns an EMPTY vector, not a crossed clamp — is pinned
+    * in the spec (the inverted-bounds variant must yield zero rows). */
+  def clampFamily: Q = (s, d) =>
+    instantVector(s, d)
+      .select(col("job"), col("instance"), col("cents"),
+        least(greatest(col("cents"), lit(5000L)), lit(20000L)).as("clamp_cents"),
+        greatest(col("cents"), lit(5000L)).as("clamp_min_cents"),
+        least(col("cents"), lit(20000L)).as("clamp_max_cents"))
+      .orderBy(col("job"), col("instance"))
+
+  /** The inverted-bounds edge: PromQL returns the empty vector when
+    * min > max (never a crossed clamp). Exposed for the spec. */
+  def clampInverted: Q = (s, d) =>
+    instantVector(s, d)
+      .filter(lit(20000L) <= lit(5000L)) // min=200 > max=50 -> empty
+      .select(col("job"), col("instance"), col("cents"))
+
+  val clampFamilySql: String =
+    s"""WITH $instantVectorSql
+       SELECT job, instance, cents,
+              least(greatest(cents, 5000), 20000) AS clamp_cents,
+              greatest(cents, 5000) AS clamp_min_cents,
+              least(cents, 20000) AS clamp_max_cents
+       FROM iv ORDER BY job, instance"""
+
+  // ------------------------------------------------ label_join
+
+  /** `label_join(v, "zone", "-", "job", "instance")`: dst is REPLACED
+    * (the pre-existing zone label is overwritten), source labels join
+    * with the separator even when empty (instance '' for the u0 bucket
+    * models PromQL's missing-label-is-empty-string rule, leaving a
+    * trailing separator — faithful, not prettified). Emits the before
+    * and after label sets per series. */
+  def labelJoin: Q = (s, d) =>
+    instantVector(s, d)
+      .withColumn("instance_eff",
+        when(col("instance") === "u0", lit("")).otherwise(col("instance")))
+      .withColumn("zone_before",
+        concat(lit("z"), (length(col("job")) % 3).cast("string")))
+      .withColumn("zone_after",
+        concat(col("job"), lit("-"), col("instance_eff")))
+      .select(col("job"), col("instance"), col("instance_eff"),
+        col("zone_before"), col("zone_after"), col("cents"))
+      .orderBy(col("job"), col("instance"))
+
+  val labelJoinSql: String =
+    s"""WITH $instantVectorSql
+       SELECT job, instance,
+              CASE WHEN instance = 'u0' THEN '' ELSE instance END AS instance_eff,
+              'z' || CAST(length(job) % 3 AS VARCHAR) AS zone_before,
+              job || '-' || CASE WHEN instance = 'u0' THEN '' ELSE instance END
+                AS zone_after,
+              cents
+       FROM iv ORDER BY job, instance"""
+
+  // ------------------------------------------------ group / stdvar / stddev
+
+  /** The remaining v2.20+ aggregators over the instant vector, by job:
+    * `group()` (constant 1 — the presence aggregator), `stdvar()` and
+    * `stddev()` via the exact-moment identity (n·Σx² − (Σx)²)/n² on
+    * cents (DECIMAL(38,0)/HUGEINT until the one final division; /1e4
+    * converts cents² to value units). */
+  def groupStdvar: Q = (s, d) =>
+    instantVector(s, d)
+      .groupBy(col("job"))
+      .agg(count(lit(1)).as("n_series"),
+        sum(col("cents").cast("decimal(38,0)")).as("sx"),
+        sum(col("cents").cast("decimal(38,0)") * col("cents")).as("sx2"))
+      .select(col("job"), lit(1L).as("group_value"), col("n_series"), {
+        val n = col("n_series").cast("double")
+        val num = (col("n_series").cast("decimal(38,0)") * col("sx2")
+          - col("sx") * col("sx")).cast("double")
+        (floor(num / (n * n) / 1e4 * 1e4) / 1e4).as("stdvar")
+      }, {
+        val n = col("n_series").cast("double")
+        val num = (col("n_series").cast("decimal(38,0)") * col("sx2")
+          - col("sx") * col("sx")).cast("double")
+        (floor(sqrt(num / (n * n) / 1e4) * 1e4) / 1e4).as("stddev")
+      })
+      .orderBy(col("job"))
+
+  val groupStdvarSql: String =
+    s"""WITH $instantVectorSql,
+       agg AS (
+         SELECT job, count(*) AS n_series,
+                sum(CAST(cents AS HUGEINT)) AS sx,
+                sum(CAST(cents AS HUGEINT) * cents) AS sx2
+         FROM iv GROUP BY job)
+       SELECT job, CAST(1 AS BIGINT) AS group_value, n_series,
+              floor(CAST(n_series * sx2 - sx * sx AS DOUBLE)
+                    / (CAST(n_series AS DOUBLE) * CAST(n_series AS DOUBLE))
+                    / 1e4 * 1e4) / 1e4 AS stdvar,
+              floor(sqrt(CAST(n_series * sx2 - sx * sx AS DOUBLE)
+                         / (CAST(n_series AS DOUBLE) * CAST(n_series AS DOUBLE))
+                         / 1e4) * 1e4) / 1e4 AS stddev
+       FROM agg ORDER BY job"""
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("prom_topk_instant", topkInstant, Some(topkInstantSql)),
+    ("prom_clamp", clampFamily, Some(clampFamilySql)),
+    ("prom_label_join", labelJoin, Some(labelJoinSql)),
+    ("prom_group_stdvar", groupStdvar, Some(groupStdvarSql)))
+}

@@ -222,6 +222,57 @@ class TsdbAlertSpec extends SparkTestBase {
       "fixture degenerate: no exact cross-corpus matches at this SF")
   }
 
+  // ------------------------------------------------ PromQL functions
+
+  test("prom_topk_instant: exactly <=2 per (step, job), rank order matches values") {
+    val rows = SparkEntry.queries("prom_topk_instant")(spark, sf).collect()
+    rows.groupBy(r => (r.getAs[Long]("step_sec"), r.getString(1))).foreach {
+      case (_, g) =>
+        assert(g.length <= 2)
+        val sorted = g.sortBy(_.getAs[Long]("rank"))
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            val (ca, cb) = (a.getAs[Long]("cents"), b.getAs[Long]("cents"))
+            assert(ca > cb || (ca == cb && a.getString(2) < b.getString(2)),
+              "rank must follow (value desc, instance asc)")
+          case _ =>
+        }
+    }
+  }
+
+  test("prom_clamp: clamp == clamp_min . clamp_max, inverted bounds yield the empty vector") {
+    SparkEntry.queries("prom_clamp")(spark, sf).collect().foreach { r =>
+      val (v, c, cmin, cmax) = (r.getAs[Long]("cents"), r.getAs[Long]("clamp_cents"),
+        r.getAs[Long]("clamp_min_cents"), r.getAs[Long]("clamp_max_cents"))
+      assert(c == math.min(math.max(v, 5000L), 20000L))
+      assert(cmin == math.max(v, 5000L) && cmax == math.min(v, 20000L))
+      assert(c == math.min(cmin, 20000L))
+    }
+    assert(graft.operators.PromQlFns.clampInverted(spark, sf).count() == 0L,
+      "clamp(v, min, max) with min > max must return the EMPTY vector")
+  }
+
+  test("prom_label_join: dst overwritten, empty source leaves the bare separator") {
+    val rows = SparkEntry.queries("prom_label_join")(spark, sf).collect()
+    rows.foreach { r =>
+      val (job, ieff, za) = (r.getString(0), r.getString(2), r.getString(4))
+      assert(za == s"$job-$ieff", "zone must be the joined source labels")
+      assert(r.getString(3).startsWith("z"), "pre-join zone existed and was replaced")
+      if (r.getString(1) == "u0") assert(za == s"$job-",
+        "empty source label joins as empty string (trailing separator kept)")
+    }
+  }
+
+  test("prom_group_stdvar: group()==1 and stdvar == stddev^2 within the floor grid") {
+    SparkEntry.queries("prom_group_stdvar")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("group_value") == 1L)
+      val (sv, sd) = (r.getAs[Double]("stdvar"), r.getAs[Double]("stddev"))
+      assert(sv >= 0 && sd >= 0)
+      assert(math.abs(sd * sd - sv) <= 2 * sd * 1e-4 + 1e-4,
+        s"stddev^2 ${sd * sd} must match stdvar $sv up to the 1e-4 display floor")
+    }
+  }
+
   // ------------------------------------------------ line dedup
 
   test("text_line_dedup: keep-first removes exactly (occurrences - distinct) segments") {

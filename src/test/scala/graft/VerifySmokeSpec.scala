@@ -35,7 +35,11 @@ class VerifySmokeSpec extends SparkTestBase {
     "q_skyline_2d",                 // dominance filter
     "sessionize_otsu",              // histogram-derived split
     "events_counter",               // length==1 -> 'none' rule
-    "stream_late_data")             // watermark drop rule
+    "stream_late_data",             // watermark drop rule
+    "alert_inhibition",             // value>=100/200 severity cutoffs
+    "prom_scrape_limits",           // per-target sample_limit verdicts
+    "dedup_bloom_prefilter",        // cross-corpus key-overlap fixture
+    "tsdb_ooo_ingest")              // 1h OOO admission window
 
   test("threshold-sensitive sample is non-empty with one schema at sf0.001 AND sf0.01") {
     val missing = sample.filterNot(SparkEntry.queries.contains)
