@@ -154,7 +154,10 @@ object AlertRoute {
           col("es") < col("feed_t0") + col("end_off") && (
           (col("kind") === "eq" && col("alertname") === col("pattern")) ||
             (col("kind") === "neq" && col("alertname") =!= col("pattern")) ||
-            (col("kind") === "re" && col("alertname").rlike("^(click|view)$"))))
+            // the regexp comes from the pattern COLUMN (non-constant
+            // rlike), so the silence table is the single source of
+            // truth — a literal spelled twice is a drift hazard
+            (col("kind") === "re" && expr("alertname rlike pattern"))))
       .groupBy(col("alertname"), col("event_id"))
       .agg(min(when(col("matches"), col("silence_id"))).as("first_silence"))
     matched.groupBy(col("alertname"))
@@ -178,7 +181,7 @@ object AlertRoute {
                           AND ((sil.kind = 'eq' AND a.alertname = sil.pattern)
                             OR (sil.kind = 'neq' AND a.alertname <> sil.pattern)
                             OR (sil.kind = 're'
-                                AND regexp_matches(a.alertname, '^(click|view)$$')))
+                                AND regexp_matches(a.alertname, sil.pattern)))
                          THEN sil.silence_id END) AS first_silence
          FROM a, t0, sil
          GROUP BY 1, 2)
