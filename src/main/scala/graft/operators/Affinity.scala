@@ -1180,51 +1180,69 @@ object Affinity {
 
   // ------------------------------------------------ chi-square test
 
-  /** Chi-square independence test (event type × day of week) — "is
-    * traffic mix stable across weekdays": per-cell terms
-    * (o·t − r·c)²/(r·c·t) with every factor cast to double BEFORE any
-    * product — o·t alone exceeds BIGINT range once t ≳ 1e10 (Spark
-    * would wrap silently where DuckDB raises), so no intermediate may
-    * stay integer. Below 2⁵³ the double products are exact, so both
-    * engines agree bit-for-bit at any test scale; above it the terms
-    * degrade gracefully instead of wrapping. Marginals come from
-    * windows over the |types|×|dows| aggregate — KBs at any scale.
-    * Per-cell output, no cross-cell float sum to order. */
-  def chi2Independence: Q = (s, d) => {
+  /** Shared contingency frame for the χ² family (this module's
+    * chi2Independence AND RankStats.bhFdr): per (event_type, dow) cell
+    * the observed count, the three margins, and m = |cells| — one
+    * definition so the overflow discipline below can never fork. */
+  def chi2CellMargins(s: SparkSession, d: String): DataFrame = {
     val cells = Tables.events(s, d)
       .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
       .agg(count(lit(1)).as("o"))
     val wAll = Window.partitionBy()
-    val wRow = Window.partitionBy(col("event_type"))
-    val wCol = Window.partitionBy(col("dow"))
     cells
       .withColumn("t", sum(col("o")).over(wAll))
-      .withColumn("r", sum(col("o")).over(wRow))
-      .withColumn("c", sum(col("o")).over(wCol))
-      .select(col("event_type"), col("dow"), col("o"), {
-        val num = col("o").cast("double") * col("t").cast("double") -
-          col("r").cast("double") * col("c").cast("double")
-        val den = col("r").cast("double") * col("c").cast("double") * col("t").cast("double")
-        (floor(num * num / den * 1e6) / 1e6).as("chi2_term")
-      })
-      .orderBy(col("event_type"), col("dow"))
+      .withColumn("r", sum(col("o")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("c", sum(col("o")).over(Window.partitionBy(col("dow"))))
+      .withColumn("m", count(lit(1)).over(wAll))
   }
 
-  val chi2IndependenceSql: String =
-    """WITH cells AS (
+  /** The per-cell χ² term (o·t − r·c)²/(r·c·t) as ONE double sequence,
+    * every factor cast to double BEFORE any product — o·t alone exceeds
+    * BIGINT range once t ≳ 1e10 (Spark would wrap silently where DuckDB
+    * raises), so no intermediate may stay integer. Below 2⁵³ the double
+    * products are exact, so both engines agree bit-for-bit at any test
+    * scale; above it the terms degrade gracefully instead of wrapping. */
+  val chi2TermCol: org.apache.spark.sql.Column = {
+    val num = col("o").cast("double") * col("t").cast("double") -
+      col("r").cast("double") * col("c").cast("double")
+    val den = col("r").cast("double") * col("c").cast("double") * col("t").cast("double")
+    num * num / den
+  }
+
+  /** Oracle twin of chi2CellMargins: a CTE chain ending in `margins`. */
+  val chi2CellMarginsSql: String =
+    """cells AS (
          SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow, count(*) AS o
          FROM events GROUP BY 1, 2),
-       m AS (
+       margins AS (
          SELECT event_type, dow, o,
                 CAST(sum(o) OVER () AS BIGINT) AS t,
                 CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
-                CAST(sum(o) OVER (PARTITION BY dow) AS BIGINT) AS c
-         FROM cells)
+                CAST(sum(o) OVER (PARTITION BY dow) AS BIGINT) AS c,
+                count(*) OVER () AS m
+         FROM cells)"""
+
+  /** Oracle twin of chi2TermCol. */
+  val chi2TermSqlExpr: String =
+    """(o::DOUBLE * t::DOUBLE - r::DOUBLE * c::DOUBLE)
+       * (o::DOUBLE * t::DOUBLE - r::DOUBLE * c::DOUBLE)
+       / (r::DOUBLE * c::DOUBLE * t::DOUBLE)"""
+
+  /** Chi-square independence test (event type × day of week) — "is
+    * traffic mix stable across weekdays". Per-cell output, no
+    * cross-cell float sum to order; margins come from windows over the
+    * |types|×|dows| aggregate — KBs at any scale. */
+  def chi2Independence: Q = (s, d) =>
+    chi2CellMargins(s, d)
+      .select(col("event_type"), col("dow"), col("o"),
+        (floor(chi2TermCol * 1e6) / 1e6).as("chi2_term"))
+      .orderBy(col("event_type"), col("dow"))
+
+  val chi2IndependenceSql: String =
+    s"""WITH $chi2CellMarginsSql
        SELECT event_type, dow, o,
-              floor((o::DOUBLE * t::DOUBLE - r::DOUBLE * c::DOUBLE)
-                    * (o::DOUBLE * t::DOUBLE - r::DOUBLE * c::DOUBLE)
-                    / (r::DOUBLE * c::DOUBLE * t::DOUBLE) * 1e6) / 1e6 AS chi2_term
-       FROM m ORDER BY event_type, dow"""
+              floor($chi2TermSqlExpr * 1e6) / 1e6 AS chi2_term
+       FROM margins ORDER BY event_type, dow"""
 
   /** Pairwise day-overlap matrix — the return-visit structure behind
     * every retention curve (J(day_a, day_b) = |users active both| /

@@ -26,9 +26,20 @@ object CurationC4 {
 
   private val Seg = 10
   /** Position key: doc_id·10⁶ + seg_idx. seg_idx < 10⁶ ⇔ docs under
-    * 10M tokens — beyond that, switch the key to a (doc_id, seg_idx)
-    * struct min; the audit guard in Round12bSpec pins the bound. */
-  private val KeyBase = 1000000L
+    * 10M tokens — beyond that the key would bleed into the next
+    * doc_id's key space and keep-first could pick a keeper from the
+    * WRONG document, so the key expression fails loudly instead of
+    * mis-keying (the embPcaPower guard discipline; TsdbAlertSpec
+    * drives the guard expression over and under the bound). Past the
+    * bound, switch the key to a (doc_id, seg_idx) struct min. */
+  val KeyBase = 1000000L
+
+  /** Guarded position key over columns (doc_id, seg_idx). */
+  val posKeyExpr: String =
+    s"""CASE WHEN seg_idx >= ${KeyBase}L THEN
+          raise_error(concat('text_line_dedup: seg_idx ', CAST(seg_idx AS STRING),
+            ' >= KeyBase $KeyBase - switch the keeper key to a (doc_id, seg_idx) struct'))
+        ELSE doc_id * ${KeyBase}L + seg_idx END"""
 
   def lineDedup: Q = (s, d) => {
     val toks = TextAnalysis.toksExpr
@@ -41,7 +52,7 @@ object CurationC4 {
                                i -> array_join(slice(toks, i * $Seg + 1, $Seg), ' '))
                 ELSE array() END""")))
       .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
-      .withColumn("pos_key", col("doc_id") * KeyBase + col("seg_idx"))
+      .withColumn("pos_key", expr(posKeyExpr))
     val keeper = segs.groupBy(col("seg"))
       .agg(min(col("pos_key")).as("keeper_key"))
     segs.join(keeper, Seq("seg"))

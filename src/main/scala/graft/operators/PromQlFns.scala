@@ -192,17 +192,16 @@ object PromQlFns {
       .agg(count(lit(1)).as("n_series"),
         sum(col("cents").cast("decimal(38,0)")).as("sx"),
         sum(col("cents").cast("decimal(38,0)") * col("cents")).as("sx2"))
-      .select(col("job"), lit(1L).as("group_value"), col("n_series"), {
+      // the raw variance (num/n² in cents², pre-floor) is computed ONCE
+      // so stdvar and stddev can never fork on the moment identity
+      .withColumn("var_raw", {
         val n = col("n_series").cast("double")
-        val num = (col("n_series").cast("decimal(38,0)") * col("sx2")
-          - col("sx") * col("sx")).cast("double")
-        (floor(num / (n * n) / 1e4 * 1e4) / 1e4).as("stdvar")
-      }, {
-        val n = col("n_series").cast("double")
-        val num = (col("n_series").cast("decimal(38,0)") * col("sx2")
-          - col("sx") * col("sx")).cast("double")
-        (floor(sqrt(num / (n * n) / 1e4) * 1e4) / 1e4).as("stddev")
+        (col("n_series").cast("decimal(38,0)") * col("sx2")
+          - col("sx") * col("sx")).cast("double") / (n * n) / 1e4
       })
+      .select(col("job"), lit(1L).as("group_value"), col("n_series"),
+        (floor(col("var_raw") * 1e4) / 1e4).as("stdvar"),
+        (floor(sqrt(col("var_raw")) * 1e4) / 1e4).as("stddev"))
       .orderBy(col("job"))
 
   val groupStdvarSql: String =

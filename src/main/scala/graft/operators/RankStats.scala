@@ -215,23 +215,12 @@ object RankStats {
     * rejects every rank ≤ max{i : p₍ᵢ₎ ≤ i·α/m}. Both rank windows run
     * over the cell table — dozens of rows at any scale. */
   def bhFdr: Q = (s, d) => {
-    val cells = Tables.events(s, d)
-      .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
-      .agg(count(lit(1)).as("o"))
-    val wAll = Window.partitionBy()
-    val wRow = Window.partitionBy(col("event_type"))
-    val wCol = Window.partitionBy(col("dow"))
-    val terms = cells
-      .withColumn("t", sum(col("o")).over(wAll))
-      .withColumn("r", sum(col("o")).over(wRow))
-      .withColumn("c", sum(col("o")).over(wCol))
-      .withColumn("m", count(lit(1)).over(wAll))
-      .select(col("event_type"), col("dow"), col("m"), {
-        val num = col("o").cast("double") * col("t").cast("double") -
-          col("r").cast("double") * col("c").cast("double")
-        val den = col("r").cast("double") * col("c").cast("double") * col("t").cast("double")
-        (lit(1.0) / (lit(1.0) + num * num / den)).as("p")
-      })
+    // the cells/margins frame and the χ² term are Affinity's ONE shared
+    // definition (chi2CellMargins / chi2TermCol) — spelled once so the
+    // cast-before-multiply overflow discipline can never fork
+    val terms = Affinity.chi2CellMargins(s, d)
+      .select(col("event_type"), col("dow"), col("m"),
+        (lit(1.0) / (lit(1.0) + Affinity.chi2TermCol)).as("p"))
     val ranked = terms.withColumn("rank",
       row_number().over(Window.orderBy(col("p"), col("event_type"), col("dow")))
         .cast("long"))
@@ -246,22 +235,11 @@ object RankStats {
   }
 
   val bhFdrSql: String =
-    """WITH cells AS (
-         SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow, count(*) AS o
-         FROM events GROUP BY 1, 2),
-       m AS (
-         SELECT event_type, dow, o,
-                CAST(sum(o) OVER () AS BIGINT) AS t,
-                CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
-                CAST(sum(o) OVER (PARTITION BY dow) AS BIGINT) AS c,
-                count(*) OVER () AS m
-         FROM cells),
+    s"""WITH ${Affinity.chi2CellMarginsSql},
        p AS (
          SELECT event_type, dow, m,
-                1.0 / (1.0 + (o::DOUBLE * t::DOUBLE - r::DOUBLE * c::DOUBLE)
-                             * (o::DOUBLE * t::DOUBLE - r::DOUBLE * c::DOUBLE)
-                             / (r::DOUBLE * c::DOUBLE * t::DOUBLE)) AS p
-         FROM m),
+                1.0 / (1.0 + ${Affinity.chi2TermSqlExpr}) AS p
+         FROM margins),
        ranked AS (
          SELECT *, row_number() OVER (ORDER BY p, event_type, dow) AS rank
          FROM p),

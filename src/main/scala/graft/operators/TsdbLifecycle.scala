@@ -177,8 +177,7 @@ object TsdbLifecycle {
         sum(col("chunk_samples")).as("n_samples"),
         count(when(col("chunk_samples") === 120, 1)).as("n_full_chunks"),
         max(col("chunk_samples")).as("max_chunk_fill"))
-      .withColumn("avg_fill_x100",
-        (col("n_samples") * 100L / col("n_chunks")).cast("long"))
+      .withColumn("avg_fill_x100", expr("n_samples * 100 div n_chunks"))
       .orderBy(col("series"))
   }
 

@@ -24,8 +24,9 @@ class Round10Spec extends SparkTestBase {
 
   test("fuzzy-edit cap: an oversize block shards deterministically and NN is exact within each shard") {
     import spark.implicits._
-    // ONE (lang, band) block of 300 docs — far past FuzzyCap=128, so
-    // the entry must shard it into ceil(300/128)=3 content pieces
+    // ONE (lang, band) block of 300 docs — far past FuzzyCap, so the
+    // entry must shard it into ceil(300/FuzzyCap) content pieces
+    // (cap-derived below, so a retuned cap can't strand this test)
     val n = 300
     val rows = (0 until n).map { i =>
       val txt = f"doc$i%03d opening words diverge here ${"abcdefg".drop(i % 5)} then a shared tail $i"

@@ -290,4 +290,17 @@ class TsdbAlertSpec extends SparkTestBase {
       s"removed $totalRemoved vs occurrences $totalSegs - distinct $distinctSegs")
     rows.foreach(r => assert(r.getAs[Long]("kept_tokens") >= 0L))
   }
+
+  test("text_line_dedup: position key fails loudly past the KeyBase bound") {
+    import graft.operators.CurationC4
+    val under = spark.sql(
+      s"SELECT ${CurationC4.posKeyExpr} AS k FROM (SELECT 7L AS doc_id, " +
+        s"${CurationC4.KeyBase - 1}L AS seg_idx)").collect().head.getLong(0)
+    assert(under == 7L * CurationC4.KeyBase + (CurationC4.KeyBase - 1))
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT ${CurationC4.posKeyExpr} AS k FROM (SELECT 7L AS doc_id, " +
+        s"${CurationC4.KeyBase}L AS seg_idx)").collect()
+    }
+    assert(e.getMessage.contains("seg_idx"), s"guard must name the bound: ${e.getMessage}")
+  }
 }
