@@ -172,7 +172,87 @@ object Models {
         FROM w ORDER BY decile"""
   }
 
+  // ------------------------------------------------ calibration / ECE
+
+  /** Reliability diagram + Expected Calibration Error for a
+    * walk-forward propensity model: per user cohort (user_id mod 50),
+    * the purchase rate over the first 14 days is the predicted
+    * probability applied to everything after day 14 (no leakage — the
+    * same split discipline as registryScore). Per predicted-probability
+    * bin: event count, realized purchases, mean confidence and accuracy
+    * — ALL on the 1e6 integer grid (per-cohort p̂ is an exact floored
+    * ratio, the bin index an integer cross-multiplication, ECE an
+    * integer Σ n_b·|acc−conf| div N), so there is no float summation
+    * anywhere, in either engine.
+    *
+    * Scale: train and score are each one aggregation; the 50-row cohort
+    * registry broadcasts onto the scoring scan — the registryScore
+    * shape, so scoring stays a narrow map at any fact size. */
+  def calibration: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select((col("user_id") % 50).as("cohort"),
+        expr("cast(unix_timestamp(date_trunc('second', ts)) div 86400 as bigint)").as("day"),
+        (col("event_type") === "purchase").cast("long").as("purch"))
+    val d0 = ev.agg(min(col("day")).as("d0"))
+    val withSplit = ev.crossJoin(broadcast(d0))
+    val registry = withSplit.filter(col("day") < col("d0") + 14)
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("ev_t"), sum(col("purch")).as("purch_t"))
+      .select(col("cohort"),
+        expr("purch_t * 1000000 div ev_t").as("phat6"),
+        least(expr("purch_t * 10 div ev_t"), lit(9L)).as("bin"))
+    val scored = withSplit.filter(col("day") >= col("d0") + 14)
+      .join(broadcast(registry), Seq("cohort"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_events"), sum(col("purch")).as("n_purchases"),
+        sum(col("phat6")).as("sum_phat6"))
+      .withColumn("conf_x1e6", expr("sum_phat6 div n_events"))
+      .withColumn("acc_x1e6", expr("n_purchases * 1000000 div n_events"))
+      .withColumn("gap_x1e6", abs(col("acc_x1e6") - col("conf_x1e6")))
+    val ece = scored.agg(
+      expr("sum(n_events * gap_x1e6) div sum(n_events)").as("ece_x1e6"))
+    scored.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n_events"), col("n_purchases"),
+        col("conf_x1e6"), col("acc_x1e6"), col("gap_x1e6"), col("ece_x1e6"))
+      .orderBy(col("bin"))
+  }
+
+  val calibrationSql: String =
+    """WITH ev AS (
+         SELECT user_id % 50 AS cohort,
+                CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+                CAST(event_type = 'purchase' AS BIGINT) AS purch
+         FROM events),
+       d0 AS (SELECT min(day) AS d0 FROM ev),
+       registry AS (
+         SELECT cohort,
+                CAST(sum(purch) AS BIGINT) * 1000000 // count(*) AS phat6,
+                least(CAST(sum(purch) AS BIGINT) * 10 // count(*), 9) AS bin
+         FROM ev, d0 WHERE day < d0 + 14 GROUP BY cohort),
+       scored AS (
+         SELECT r.bin, count(*) AS n_events,
+                CAST(sum(e.purch) AS BIGINT) AS n_purchases,
+                CAST(sum(r.phat6) AS BIGINT) AS sum_phat6
+         FROM ev e JOIN registry r USING (cohort), d0
+         WHERE e.day >= d0.d0 + 14
+         GROUP BY r.bin),
+       g AS (
+         SELECT bin, n_events, n_purchases,
+                sum_phat6 // n_events AS conf_x1e6,
+                n_purchases * 1000000 // n_events AS acc_x1e6,
+                abs(n_purchases * 1000000 // n_events
+                    - sum_phat6 // n_events) AS gap_x1e6
+         FROM scored),
+       ece AS (
+         SELECT CAST(sum(n_events * gap_x1e6) // sum(n_events) AS BIGINT)
+                  AS ece_x1e6
+         FROM g)
+       SELECT bin, n_events, n_purchases, conf_x1e6, acc_x1e6, gap_x1e6,
+              ece_x1e6
+       FROM g, ece ORDER BY bin"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("model_registry_score", registryScore, Some(registryScoreSql)),
+    ("model_calibration", calibration, Some(calibrationSql)),
     ("q_decile_lift", decileLift, Some(decileLiftSql)))
 }

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** LIVE Alertmanager notification grouping — the timer-driven flush
+  * whose after-the-fact audit is `alert_group_wait` (AlertRoute.scala):
+  * the first alert of a group opens it at t0, a notification fires at
+  * t0+group_wait with everything that arrived before the timer, and
+  * later arrivals flush on the group_interval grid. The streaming shape
+  * is `flatMapGroupsWithState` with EVENT-TIME TIMERS: a batch (group,
+  * slot) is emitted exactly when the watermark passes its flush
+  * timestamp — the state is t0 plus one (count, critical-count) pair
+  * per OPEN slot, bounded by the interval grid, never by alert volume.
+  *
+  * Ordering contract (same as the batch twin): t0 is the group's global
+  * first-alert time, so the feed must deliver each group's first alert
+  * before its others — true of any in-order or watermark-bounded feed;
+  * a pre-t0 straggler lands in slot 0 (es < t0+wait), which is also
+  * where the batch twin puts it, so the two can only disagree if the
+  * straggler precedes the OBSERVED t0 by more than the watermark —
+  * exactly the case Structured Streaming already drops. */
+object AlertStream {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val GroupWaitSec = 30L
+  val GroupIntervalSec = 300L
+
+  case class AlertSample(alertname: String, es: Long, critical: Boolean)
+  case class GwState(t0: Long, open: Map[Long, (Long, Long)])
+  case class GwBatch(alertname: String, batch: Long, n_alerts: Long,
+      n_critical: Long, flush_es: Long)
+
+  private def flushEs(t0: Long, batch: Long): Long =
+    t0 + GroupWaitSec + batch * GroupIntervalSec
+
+  def groupWaitStream(samples: Dataset[AlertSample]): Dataset[GwBatch] = {
+    import samples.sparkSession.implicits._
+    samples
+      .withColumn("ts", timestamp_seconds(col("es")))
+      .withWatermark("ts", "1 hour")
+      .as[AlertSample]
+      .groupByKey(_.alertname)
+      .flatMapGroupsWithState[GwState, GwBatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (name: String, chunk: Iterator[AlertSample], state: GroupState[GwState]) =>
+          val incoming = chunk.toSeq
+          var st = state.getOption.getOrElse(GwState(Long.MaxValue, Map.empty))
+          if (incoming.nonEmpty) {
+            val t0 = math.min(st.t0, incoming.map(_.es).min)
+            var open = st.open
+            incoming.foreach { a =>
+              val batch =
+                if (a.es < t0 + GroupWaitSec) 0L
+                else (a.es - t0 - GroupWaitSec) / GroupIntervalSec + 1L
+              val (n, c) = open.getOrElse(batch, (0L, 0L))
+              open = open.updated(batch, (n + 1, c + (if (a.critical) 1L else 0L)))
+            }
+            st = GwState(t0, open)
+          }
+          // flush every slot the watermark has passed
+          val wmSec = state.getCurrentWatermarkMs() / 1000L
+          val (due, still) = st.open.partition {
+            case (b, _) => flushEs(st.t0, b) <= wmSec
+          }
+          st = GwState(st.t0, still)
+          // t0 is the GROUP-LIFETIME anchor (the batch twin's global
+          // min): the state is never removed, or a later alert would
+          // re-pin t0 and re-emit slot 0 under a shifted grid. Cost is
+          // one (t0, empty-map) row per group — |groups|-bounded.
+          state.update(st)
+          // arm the timer for the earliest unflushed slot
+          still.keys.toSeq.sorted.headOption
+            .map(b => flushEs(st.t0, b) * 1000L)
+            .filter(_ > state.getCurrentWatermarkMs())
+            .foreach(state.setTimeoutTimestamp)
+          due.toSeq.sortBy(_._1).iterator.map { case (b, (n, c)) =>
+            GwBatch(name, b, n, c, flushEs(st.t0, b))
+          }
+      }
+  }
+
+  /** Driver-contract entry: the batch twin (same frame, same oracle). */
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("stream_group_wait", graft.operators.AlertRoute.groupWait,
+      Some(graft.operators.AlertRoute.groupWaitSql)))
+}

@@ -209,6 +209,12 @@ class PlanSweepSpec extends SparkTestBase {
     "q_welch_ttest",      // |types|² pair join on a groups-sized aggregate
     "sample_neyman",      // 1-row budget-total broadcast
     "prom_scrape_health", // 1-row global-hour-bounds broadcast (gap_fill shape)
+    // round-12 session 2: 1-row bounds broadcasts — feed start (silences),
+    // newest-sample boundary (retention), corpus start (tombstones),
+    // now-instant (the PromQlFns instant vector × 3 consumers)
+    "alert_silence_match", "tsdb_retention", "tsdb_tombstones",
+    "prom_clamp", "prom_label_join", "prom_group_stdvar",
+    "model_calibration", // 1-row split-day + 1-row ECE broadcast
     "split_grouped",      // 1-row leaked-source-count broadcast
     "sink_manifest_prune", // 1-row predicate-bounds broadcast
     "ann_mips_topk",       // query≠candidate non-equi pairing (bruteforce shape)

@@ -291,6 +291,22 @@ class TsdbAlertSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getAs[Long]("kept_tokens") >= 0L))
   }
 
+  test("model_calibration: ECE is the exact event-weighted gap mean, bins decompose") {
+    val rows = SparkEntry.queries("model_calibration")(spark, sf).collect()
+    val n = rows.map(_.getAs[Long]("n_events")).sum
+    val wgap = rows.map(r => r.getAs[Long]("n_events") * r.getAs[Long]("gap_x1e6")).sum
+    val ece = rows.map(_.getAs[Long]("ece_x1e6")).distinct
+    assert(ece.length == 1 && ece.head == wgap / n,
+      s"ece ${ece.toList} must equal the integer weighted-gap mean ${wgap / n}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("gap_x1e6") ==
+        math.abs(r.getAs[Long]("acc_x1e6") - r.getAs[Long]("conf_x1e6")))
+      assert(r.getAs[Long]("acc_x1e6") ==
+        r.getAs[Long]("n_purchases") * 1000000L / r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("bin") >= 0 && r.getAs[Long]("bin") <= 9)
+    }
+  }
+
   test("text_line_dedup: position key fails loudly past the KeyBase bound") {
     import graft.operators.CurationC4
     val under = spark.sql(
