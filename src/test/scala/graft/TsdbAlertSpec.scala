@@ -291,6 +291,53 @@ class TsdbAlertSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getAs[Long]("kept_tokens") >= 0L))
   }
 
+  test("dq_schema_contract: both planted violations surface, everything else is ok") {
+    val v = SparkEntry.queries("dq_schema_contract")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[String]("verdict")).toMap
+    assert(v("value") == "type_mismatch")
+    assert(v("region") == "missing_optional")
+    assert(Seq("event_id", "ts", "user_id", "event_type", "props")
+      .forall(c => v(c) == "ok"), s"unexpected verdicts: $v")
+    assert(!v.values.exists(_ == "missing_required"))
+  }
+
+  test("prom_queue_shards: a series never splits across shards, batches drain full-then-tail") {
+    val rows = SparkEntry.queries("prom_queue_shards")(spark, sf).collect()
+    val nEvents = graft.sources.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_samples")).sum == nEvents)
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, batches) =>
+      val sorted = batches.sortBy(_.getAs[Long]("batch"))
+      sorted.init.foreach(b => assert(b.getAs[Long]("n_samples") == 500L,
+        "only the tail batch may be partial"))
+      assert(sorted.last.getAs[Long]("n_samples") <= 500L)
+    }
+    // single-shard property: recompute each series' shard and check 1:1
+    import org.apache.spark.sql.functions._
+    val nSplit = graft.sources.Tables.events(spark, sf)
+      .select(concat(col("event_type"), lit("|u"), (col("user_id") % 10).cast("string"))
+        .as("series_key"))
+      .withColumn("shard",
+        expr("cast(conv(substr(md5(series_key), 1, 4), 16, 10) as bigint) % 4"))
+      .groupBy(col("series_key"))
+      .agg(countDistinct(col("shard")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(nSplit == 0L, "series-hash sharding must keep each series on one shard")
+  }
+
+  test("tsdb_postings_index: intersections tile the series universe") {
+    val rows = SparkEntry.queries("tsdb_postings_index")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_intersect") <= r.getAs[Long]("n_job"))
+      assert(r.getAs[Long]("n_intersect") <= r.getAs[Long]("n_instance"))
+      assert(r.getAs[Long]("selectivity_x1e4") >= 0
+        && r.getAs[Long]("selectivity_x1e4") <= 10000)
+    }
+    // every (job, instance) pair partition sums back to each job's posting
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("n_intersect")).sum == g.head.getAs[Long]("n_job"))
+    }
+  }
+
   test("model_calibration: ECE is the exact event-weighted gap mean, bins decompose") {
     val rows = SparkEntry.queries("model_calibration")(spark, sf).collect()
     val n = rows.map(_.getAs[Long]("n_events")).sum
