@@ -190,8 +190,68 @@ object AlertRoute {
               CAST(coalesce(min(first_silence), 0) AS BIGINT) AS min_silence_id
        FROM m GROUP BY alertname ORDER BY alertname"""
 
+  // ------------------------------------------------ routing tree
+
+  /** Routing-tree dispatch — the config block between grouping and
+    * notification: top-level routes evaluate IN ORDER, the first match
+    * wins unless the matched route sets continue=true (then siblings
+    * keep evaluating); a matched route's children refine the receiver
+    * (deepest match wins); nothing matched falls to the root receiver.
+    * The tree here is a fixed two-level fixture exercising all four
+    * rules:
+    *   A  severity=critical            → pager        (continue=false)
+    *   A1   └ alertname=error          → pager-db     (child override)
+    *   B  alertname=~^(click|view)$    → clicks-team  (continue=TRUE)
+    *   C  instance=u3                  → u3-watch
+    * An alert can therefore carry MULTIPLE receivers (B then C), and a
+    * critical alert stops at A. Unrolled as one projection (the tree is
+    * config, not data); per (receiver, alertname) counts. */
+  def routingTree: Q = (s, d) => {
+    val a = alerts(s, d)
+      .withColumn("m_a", col("severity") === "critical")
+      .withColumn("m_a1", col("severity") === "critical" && col("alertname") === "error")
+      .withColumn("m_b", col("alertname").rlike("^(click|view)$"))
+      .withColumn("m_c", col("instance") === "u3")
+    val routed = a.withColumn("receivers", expr(
+      """CASE WHEN m_a THEN array(CASE WHEN m_a1 THEN 'pager-db' ELSE 'pager' END)
+              ELSE
+                CASE WHEN NOT m_b AND NOT m_c THEN array('default')
+                     WHEN m_b AND m_c THEN array('clicks-team', 'u3-watch')
+                     WHEN m_b THEN array('clicks-team')
+                     ELSE array('u3-watch') END
+         END"""))
+    routed.select(col("alertname"), explode(col("receivers")).as("receiver"))
+      .groupBy(col("receiver"), col("alertname"))
+      .agg(count(lit(1)).as("n_alerts"))
+      .orderBy(col("receiver"), col("alertname"))
+  }
+
+  val routingTreeSql: String =
+    s"""WITH a AS ($alertsSql),
+       m AS (
+         SELECT alertname,
+                severity = 'critical' AS m_a,
+                severity = 'critical' AND alertname = 'error' AS m_a1,
+                regexp_matches(alertname, '^(click|view)$$') AS m_b,
+                instance = 'u3' AS m_c
+         FROM a),
+       routed AS (
+         SELECT alertname,
+                unnest(CASE WHEN m_a THEN
+                         [CASE WHEN m_a1 THEN 'pager-db' ELSE 'pager' END]
+                       ELSE
+                         CASE WHEN NOT m_b AND NOT m_c THEN ['default']
+                              WHEN m_b AND m_c THEN ['clicks-team', 'u3-watch']
+                              WHEN m_b THEN ['clicks-team']
+                              ELSE ['u3-watch'] END
+                       END) AS receiver
+         FROM m)
+       SELECT receiver, alertname, count(*) AS n_alerts
+       FROM routed GROUP BY 1, 2 ORDER BY receiver, alertname"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("alert_group_wait", groupWait, Some(groupWaitSql)),
     ("alert_inhibition", inhibition, Some(inhibitionSql)),
-    ("alert_silence_match", silenceMatch, Some(silenceMatchSql)))
+    ("alert_silence_match", silenceMatch, Some(silenceMatchSql)),
+    ("alert_routing_tree", routingTree, Some(routingTreeSql)))
 }

@@ -105,6 +105,31 @@ class TsdbAlertSpec extends SparkTestBase {
       graft.sources.Tables.events(spark, sf).filter(col("value") >= 100).count())
   }
 
+  test("alert_routing_tree: critical stops at A, continue fans out, totals reconcile") {
+    val rows = SparkEntry.queries("alert_routing_tree")(spark, sf).collect()
+    val byRecv = rows.groupBy(_.getString(0))
+      .map { case (r, g) => r -> g.map(_.getAs[Long]("n_alerts")).sum }
+    val a = graft.sources.Tables.events(spark, sf).filter(col("value") >= 100)
+    val nCrit = a.filter(col("value") >= 200).count()
+    val nWarn = a.count() - nCrit
+    // route A swallows every critical exactly once (pager + pager-db)
+    assert(byRecv.getOrElse("pager", 0L) + byRecv.getOrElse("pager-db", 0L) == nCrit)
+    // pager-db only ever sees 'error' criticals
+    rows.filter(_.getString(0) == "pager-db")
+      .foreach(r => assert(r.getString(1) == "error"))
+    // warnings route to B/C/default; continue=true lets one alert carry
+    // clicks-team AND u3-watch, so receiver rows can exceed nWarn but
+    // the default bucket plus distinct-covered alerts must tile nWarn
+    val warnRows = byRecv.filterKeys(k => k != "pager" && k != "pager-db")
+    assert(warnRows.values.sum >= nWarn)
+    assert(byRecv.contains("default") && byRecv.contains("clicks-team"))
+    // clicks-team is exactly the warning click+view population (B matches
+    // every warning of those names, continue cannot suppress it)
+    val nClickView = a.filter(col("value") < 200 &&
+      col("event_type").isin("click", "view")).count()
+    assert(byRecv("clicks-team") == nClickView)
+  }
+
   // ------------------------------------------------ rank statistics
 
   test("q_mann_whitney_u: rank-sum identity R1 + R2 == N(N+1)/2 on the x2 scale") {
