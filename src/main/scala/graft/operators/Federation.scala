@@ -145,12 +145,9 @@ object Federation {
     * partial aggregate over a hash-disjoint series subset. */
   def queryShard: Q = (s, d) => {
     val series = Tables.events(s, d)
-      .select(col("event_type"),
-        concat(col("event_type"), lit("|u"), (col("user_id") % 10).cast("string"))
-          .as("series_key"),
+      .select(col("event_type"), SeriesHash.keyExpr.as("series_key"),
         floor(col("value") * 100).cast("long").as("cents"))
-      .withColumn("shard",
-        expr("cast(conv(substr(md5(series_key), 1, 4), 16, 10) as bigint) % 4"))
+      .withColumn("shard", expr(SeriesHash.shardExpr("series_key", 4)))
     val partials = series.groupBy(col("event_type"), col("shard"))
       .agg(count(lit(1)).as("n_samples"), sum(col("cents")).as("sum_cents"))
     val totals = partials.groupBy(col("event_type"))
@@ -161,14 +158,14 @@ object Federation {
   }
 
   val queryShardSql: String =
-    """WITH series AS (
+    s"""WITH series AS (
          SELECT event_type,
-                event_type || '|u' || CAST(user_id % 10 AS VARCHAR) AS series_key,
+                ${SeriesHash.keySql} AS series_key,
                 CAST(floor(value * 100) AS BIGINT) AS cents
          FROM events),
        sh AS (
          SELECT event_type,
-                ('0x' || substr(md5(series_key), 1, 4))::BIGINT % 4 AS shard,
+                ${SeriesHash.shardSql("series_key", 4)} AS shard,
                 cents
          FROM series),
        partials AS (

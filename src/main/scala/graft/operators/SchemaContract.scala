@@ -37,12 +37,14 @@ object SchemaContract {
     ("props", "string", false),
     ("region", "string", false)) // planted: not in the table
 
-  /** Spark typeName → the shared canonical vocabulary. */
+  /** Spark typeName → the shared canonical vocabulary. The oracle's
+    * CASE below must stay the exact mirror of this mapping. */
   private def canon(t: String): String = t.toLowerCase match {
     case "long" => "bigint"
     case "integer" => "int"
     case "varchar" => "string"
-    case "timestamp_ntz" | "timestamp_ns" => "timestamp"
+    case "timestamp_ntz" | "timestamp_ns" | "timestamp with time zone" =>
+      "timestamp"
     case other => other
   }
 
@@ -70,9 +72,14 @@ object SchemaContract {
     s"""WITH contract(column_name, expected_type, required) AS (VALUES $rows),
        actual AS (
          SELECT column_name,
+                -- MUST stay the exact mirror of Scala `canon` above:
+                -- every vocabulary the other engine can emit is mapped
                 CASE lower(column_type)
                   WHEN 'varchar' THEN 'string'
+                  WHEN 'long' THEN 'bigint'
+                  WHEN 'integer' THEN 'int'
                   WHEN 'timestamp_ns' THEN 'timestamp'
+                  WHEN 'timestamp with time zone' THEN 'timestamp'
                   ELSE lower(column_type) END AS actual_type
          FROM (DESCRIBE SELECT * FROM events))
        SELECT coalesce(c.column_name, a.column_name) AS "column",

@@ -34,11 +34,9 @@ object WritePath {
     * count, arrival range, distinct series. */
   def queueShards: Q = (s, d) => {
     val samp = Tables.events(s, d).select(
-      concat(col("event_type"), lit("|u"), (col("user_id") % 10).cast("string"))
-        .as("series_key"),
+      SeriesHash.keyExpr.as("series_key"),
       col("event_id").as("arrival"))
-      .withColumn("shard",
-        expr(s"cast(conv(substr(md5(series_key), 1, 4), 16, 10) as bigint) % $QueueShards"))
+      .withColumn("shard", expr(SeriesHash.shardExpr("series_key", QueueShards)))
     samp
       .withColumn("rn0", (row_number().over(
         Window.partitionBy(col("shard")).orderBy(col("arrival"))) - 1).cast("long"))
@@ -53,11 +51,9 @@ object WritePath {
 
   val queueShardsSql: String =
     s"""WITH samp AS (
-         SELECT event_type || '|u' || CAST(user_id % 10 AS VARCHAR) AS series_key,
+         SELECT ${SeriesHash.keySql} AS series_key,
                 event_id AS arrival,
-                ('0x' || substr(md5(event_type || '|u'
-                   || CAST(user_id % 10 AS VARCHAR)), 1, 4))::BIGINT % $QueueShards
-                  AS shard
+                ${SeriesHash.shardSql(SeriesHash.keySql, QueueShards)} AS shard
          FROM events),
        numbered AS (
          SELECT *, (row_number() OVER (PARTITION BY shard ORDER BY arrival) - 1)

@@ -14,13 +14,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * timestamp — the state is t0 plus one (count, critical-count) pair
   * per OPEN slot, bounded by the interval grid, never by alert volume.
   *
-  * Ordering contract (same as the batch twin): t0 is the group's global
-  * first-alert time, so the feed must deliver each group's first alert
-  * before its others — true of any in-order or watermark-bounded feed;
-  * a pre-t0 straggler lands in slot 0 (es < t0+wait), which is also
-  * where the batch twin puts it, so the two can only disagree if the
-  * straggler precedes the OBSERVED t0 by more than the watermark —
-  * exactly the case Structured Streaming already drops. */
+  * Ordering contract (stricter than it looks, stated exactly): t0 PINS
+  * at the group's first-ARRIVING alert and never moves — re-anchoring
+  * on a later, earlier-timestamped straggler would shift the slot grid
+  * under already-accumulated slots and fork from the batch twin (whose
+  * t0 is the global min) in a way no re-bucketing of aggregated counts
+  * can repair. The stream therefore equals the batch audit exactly
+  * when each group's first alert arrives before its others (any
+  * in-order feed; AlertStreamSpec's chunked ordered feed); a straggler
+  * that precedes the PINNED t0 lands in slot 0 — the twin agrees only
+  * under that same contract. Real Alertmanager sidesteps the question
+  * by running on ARRIVAL time; this entry keeps event time and states
+  * the contract instead. */
 object AlertStream {
 
   type Q = (SparkSession, String) => DataFrame
@@ -49,7 +54,10 @@ object AlertStream {
           val incoming = chunk.toSeq
           var st = state.getOption.getOrElse(GwState(Long.MaxValue, Map.empty))
           if (incoming.nonEmpty) {
-            val t0 = math.min(st.t0, incoming.map(_.es).min)
+            // t0 pins at the first-arriving alert (see the ordering
+            // contract above) — NEVER re-anchored by a straggler
+            val t0 =
+              if (st.t0 == Long.MaxValue) incoming.map(_.es).min else st.t0
             var open = st.open
             incoming.foreach { a =>
               val batch =

@@ -117,11 +117,15 @@ class TsdbAlertSpec extends SparkTestBase {
     // pager-db only ever sees 'error' criticals
     rows.filter(_.getString(0) == "pager-db")
       .foreach(r => assert(r.getString(1) == "error"))
-    // warnings route to B/C/default; continue=true lets one alert carry
-    // clicks-team AND u3-watch, so receiver rows can exceed nWarn but
-    // the default bucket plus distinct-covered alerts must tile nWarn
+    // warnings route to B/C/default; continue=true duplicates exactly
+    // the alerts matching BOTH B and C, so the receiver-row total is an
+    // EXACT tiling: nWarn + |warnings matching B and C|
     val warnRows = byRecv.filterKeys(k => k != "pager" && k != "pager-db")
-    assert(warnRows.values.sum >= nWarn)
+    val nBoth = a.filter(col("value") < 200 &&
+      col("event_type").isin("click", "view") &&
+      (col("user_id") % 10) === 3).count()
+    assert(warnRows.values.sum == nWarn + nBoth,
+      s"receiver rows ${warnRows.values.sum} must tile nWarn $nWarn + both-match $nBoth")
     assert(byRecv.contains("default") && byRecv.contains("clicks-team"))
     // clicks-team is exactly the warning click+view population (B matches
     // every warning of those names, continue cannot suppress it)
@@ -332,17 +336,22 @@ class TsdbAlertSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_samples")).sum == nEvents)
     rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, batches) =>
       val sorted = batches.sortBy(_.getAs[Long]("batch"))
-      sorted.init.foreach(b => assert(b.getAs[Long]("n_samples") == 500L,
+      sorted.init.foreach(b => assert(
+        b.getAs[Long]("n_samples") == graft.operators.WritePath.BatchSize.toLong,
         "only the tail batch may be partial"))
-      assert(sorted.last.getAs[Long]("n_samples") <= 500L)
+      assert(sorted.last.getAs[Long]("n_samples") <=
+        graft.operators.WritePath.BatchSize.toLong)
     }
-    // single-shard property: recompute each series' shard and check 1:1
+    // single-shard property: recompute each series' shard from the ONE
+    // shared derivation (SeriesHash) at the operator's own constants
     import org.apache.spark.sql.functions._
+    import graft.operators.{SeriesHash, WritePath}
+    assert(rows.forall(r => r.getAs[Long]("shard") >= 0 &&
+      r.getAs[Long]("shard") < WritePath.QueueShards))
     val nSplit = graft.sources.Tables.events(spark, sf)
-      .select(concat(col("event_type"), lit("|u"), (col("user_id") % 10).cast("string"))
-        .as("series_key"))
+      .select(SeriesHash.keyExpr.as("series_key"))
       .withColumn("shard",
-        expr("cast(conv(substr(md5(series_key), 1, 4), 16, 10) as bigint) % 4"))
+        expr(SeriesHash.shardExpr("series_key", WritePath.QueueShards)))
       .groupBy(col("series_key"))
       .agg(countDistinct(col("shard")).as("n"))
       .filter(col("n") > 1).count()
