@@ -215,6 +215,8 @@ class PlanSweepSpec extends SparkTestBase {
     "alert_silence_match", "tsdb_retention", "tsdb_tombstones",
     "prom_clamp", "prom_label_join", "prom_group_stdvar",
     "model_calibration", // 1-row split-day + 1-row ECE broadcast
+    "tsdb_postings_index", // 1-row series-universe total broadcast
+    "mix_doremi_step", // 1-row loss-bounds + 1-row term-total broadcast
     "split_grouped",      // 1-row leaked-source-count broadcast
     "sink_manifest_prune", // 1-row predicate-bounds broadcast
     "ann_mips_topk",       // query≠candidate non-equi pairing (bruteforce shape)

@@ -302,6 +302,52 @@ class TsdbAlertSpec extends SparkTestBase {
     }
   }
 
+  // ------------------------------------------------ training prep
+
+  test("ann_binary_quant_recall: k rows per query, overlap bounded, hamming in [0,64]") {
+    val rows = SparkEntry.queries("ann_binary_quant_recall")(spark, sf).collect()
+    assert(rows.length == graft.operators.BinaryQuant.NumQueries)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("k") == graft.operators.BinaryQuant.K.toLong)
+      assert(r.getAs[Long]("n_overlap") <= r.getAs[Long]("k"))
+      assert(r.getAs[Long]("best_hamming") >= 0
+        && r.getAs[Long]("worst_top_hamming") <= 64)
+      assert(r.getAs[Long]("best_hamming") <= r.getAs[Long]("worst_top_hamming"))
+    }
+    assert(rows.map(_.getAs[Long]("n_overlap")).sum > 0,
+      "sign-bit Hamming must recover SOME exact-cosine neighbors")
+  }
+
+  test("mix_doremi_step: weights monotone in loss, floor deficit bounded") {
+    val rows = SparkEntry.queries("mix_doremi_step")(spark, sf).collect()
+    val m = rows.length
+    // exp is monotone: a higher-loss domain can never get a lower weight
+    rows.sortBy(_.getAs[Long]("loss")).sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("w_new_x1e6") <= b.getAs[Long]("w_new_x1e6"))
+      case _ =>
+    }
+    val total = rows.map(_.getAs[Long]("w_new_x1e6")).sum
+    assert(total <= 1000000L && total > 1000000L - m,
+      s"floored weights must sum into (1e6 - m, 1e6]: $total")
+    rows.foreach(r => assert(r.getAs[Long]("term_u") >= 1000000L,
+      "exp(x>=0) >= 1 so every term is at least the 1e6 unit"))
+  }
+
+  test("pack_fim_transform: the PSM split loses nothing") {
+    val rows = SparkEntry.queries("pack_fim_transform")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("prefix_tokens") + r.getAs[Long]("middle_tokens")
+        + r.getAs[Long]("suffix_tokens") == r.getAs[Long]("fim_tokens"),
+        s"${r.getString(0)}: split must conserve tokens")
+      assert(r.getAs[Long]("n_fim") <= r.getAs[Long]("n_docs"))
+      if (r.getAs[Long]("n_fim") > 0)
+        assert(r.getAs[Long]("prefix_tokens") >= r.getAs[Long]("n_fim"),
+          "c1 >= 1 per transformed doc")
+    }
+    assert(rows.map(_.getAs[Long]("n_fim")).sum > 0, "the md5 gate selects ~half")
+  }
+
   // ------------------------------------------------ line dedup
 
   test("text_line_dedup: keep-first removes exactly (occurrences - distinct) segments") {
