@@ -251,8 +251,67 @@ object Models {
               ece_x1e6
        FROM g, ece ORDER BY bin"""
 
+  // ------------------------------------------------ Bradley–Terry step
+
+  /** One Bradley–Terry minorization step from uniform weights — the
+    * pairwise-preference fit behind every LLM eval leaderboard, run on
+    * the deterministic tournament "series A vs series B, one game per
+    * day, higher daily count wins" (ties split on the ×2 point scale).
+    * From w ≡ 1 the MM update wᵢ' = Pᵢ / Σⱼ nᵢⱼ/(wᵢ+wⱼ) collapses to
+    * the EXACT integer ratio 2·Pᵢ/Nᵢ = points_x2/n_games — one BT step
+    * with zero float surface; later steps would need the float chain,
+    * the first one doesn't, and the first step already reorders the
+    * uniform prior by strength of schedule. All frames are
+    * |types|²-or-smaller aggregates. */
+  def bradleyTerry: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("cast(unix_timestamp(date_trunc('second', ts)) div 86400 as bigint)").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val a = daily.select(col("event_type").as("ta"), col("day"), col("cnt").as("ca"))
+    val b = daily.select(col("event_type").as("tb"), col("day"), col("cnt").as("cb"))
+    val games = a.join(b, Seq("day")).filter(col("ta") < col("tb"))
+      .select(col("ta"), col("tb"),
+        when(col("ca") > col("cb"), 2L).when(col("ca") < col("cb"), 0L)
+          .otherwise(1L).as("pts_a"))
+    val perA = games.groupBy(col("ta").as("t"))
+      .agg(count(lit(1)).as("g"), sum(col("pts_a")).as("p2"))
+    val perB = games.groupBy(col("tb").as("t"))
+      .agg(count(lit(1)).as("g"), sum(lit(2L) - col("pts_a")).as("p2"))
+    perA.unionByName(perB)
+      .groupBy(col("t").as("event_type"))
+      .agg(sum(col("g")).as("n_games"), sum(col("p2")).as("points_x2"))
+      .withColumn("bt_x1e6", expr("points_x2 * 1000000 div n_games"))
+      .orderBy(col("event_type"))
+  }
+
+  val bradleyTerrySql: String =
+    """WITH daily AS (
+         SELECT event_type,
+                CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+                count(*) AS cnt
+         FROM events GROUP BY 1, 2),
+       games AS (
+         SELECT a.event_type AS ta, b.event_type AS tb,
+                CASE WHEN a.cnt > b.cnt THEN 2
+                     WHEN a.cnt < b.cnt THEN 0 ELSE 1 END AS pts_a
+         FROM daily a JOIN daily b
+           ON a.day = b.day AND a.event_type < b.event_type),
+       per AS (
+         SELECT ta AS t, count(*) AS g, CAST(sum(pts_a) AS BIGINT) AS p2
+         FROM games GROUP BY 1
+         UNION ALL
+         SELECT tb, count(*), CAST(sum(2 - pts_a) AS BIGINT)
+         FROM games GROUP BY tb)
+       SELECT t AS event_type, CAST(sum(g) AS BIGINT) AS n_games,
+              CAST(sum(p2) AS BIGINT) AS points_x2,
+              CAST(sum(p2) AS BIGINT) * 1000000
+                // CAST(sum(g) AS BIGINT) AS bt_x1e6
+       FROM per GROUP BY 1 ORDER BY event_type"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("model_registry_score", registryScore, Some(registryScoreSql)),
     ("model_calibration", calibration, Some(calibrationSql)),
+    ("model_bradley_terry", bradleyTerry, Some(bradleyTerrySql)),
     ("q_decile_lift", decileLift, Some(decileLiftSql)))
 }

@@ -33,7 +33,7 @@ object PromQlFns {
   /** The instant vector at the feed's newest timestamp, 7-day lookback:
     * per series the latest sample by (sec, event_id) — the same
     * deterministic last-sample rule as `prom_query_range`. */
-  private def instantVector(s: SparkSession, d: String): DataFrame = {
+  private[operators] def instantVector(s: SparkSession, d: String): DataFrame = {
     val samp = Tables.events(s, d).select(
       col("event_type").as("job"),
       concat(lit("u"), (col("user_id") % 10).cast("string")).as("instance"),
@@ -48,7 +48,7 @@ object PromQlFns {
         col("last.sec").as("sample_sec"), col("last.cents").as("cents"))
   }
 
-  private val instantVectorSql =
+  private[operators] val instantVectorSql =
     s"""samp AS (
          SELECT event_type AS job,
                 'u' || CAST(user_id % 10 AS VARCHAR) AS instance,
@@ -220,9 +220,69 @@ object PromQlFns {
                          / 1e4) * 1e4) / 1e4 AS stddev
        FROM agg ORDER BY job"""
 
+  // ------------------------------------------------ quantile aggregator
+
+  /** `quantile(0.9, v)` by job — the CROSS-SERIES φ-quantile at an
+    * instant (quantile_over_time is the per-series read; this is the
+    * other axis): PromQL's exact rule is linear interpolation at rank
+    * φ·(n−1) over the sorted instance values. Ranks and bracket
+    * indices are integers; the interpolation is one fixed double
+    * sequence over exact cents, floored at 1e-4. Windows partition by
+    * job — |instances| rows each. */
+  def quantileAggregator: Q = (s, d) => {
+    val phi = 0.9
+    val ranked = instantVector(s, d)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("job")).orderBy(col("cents"), col("instance")))
+        .cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("job"))))
+    // bracket indices (1-based): lo = floor(phi*(n-1)) + 1, hi = min(lo+1, n)
+    val withIdx = ranked
+      .withColumn("lo_idx", (floor(lit(phi) * (col("n") - 1).cast("double")) + 1).cast("long"))
+      .withColumn("hi_idx", least(col("lo_idx") + 1, col("n")))
+      .withColumn("frac",
+        lit(phi) * (col("n") - 1).cast("double") - floor(lit(phi) * (col("n") - 1).cast("double")))
+    withIdx.groupBy(col("job"))
+      .agg(max(col("n")).as("n_series"),
+        max(when(col("rank") === col("lo_idx"), col("cents"))).as("lo_cents"),
+        max(when(col("rank") === col("hi_idx"), col("cents"))).as("hi_cents"),
+        max(col("frac")).as("frac"))
+      .select(col("job"), col("n_series"), col("lo_cents"), col("hi_cents"),
+        (floor((col("lo_cents").cast("double") +
+          (col("hi_cents") - col("lo_cents")).cast("double") * col("frac")) * 1e4) / 1e4)
+          .as("quantile_cents"))
+      .orderBy(col("job"))
+  }
+
+  val quantileAggregatorSql: String =
+    s"""WITH $instantVectorSql,
+       ranked AS (
+         SELECT job, cents,
+                row_number() OVER (PARTITION BY job
+                                   ORDER BY cents, instance) AS rank,
+                count(*) OVER (PARTITION BY job) AS n
+         FROM iv),
+       idx AS (
+         SELECT *,
+                CAST(floor(0.9 * CAST(n - 1 AS DOUBLE)) + 1 AS BIGINT) AS lo_idx,
+                least(CAST(floor(0.9 * CAST(n - 1 AS DOUBLE)) + 1 AS BIGINT) + 1,
+                      n) AS hi_idx,
+                0.9 * CAST(n - 1 AS DOUBLE)
+                  - floor(0.9 * CAST(n - 1 AS DOUBLE)) AS frac
+         FROM ranked)
+       SELECT job, CAST(max(n) AS BIGINT) AS n_series,
+              max(CASE WHEN rank = lo_idx THEN cents END) AS lo_cents,
+              max(CASE WHEN rank = hi_idx THEN cents END) AS hi_cents,
+              floor((CAST(max(CASE WHEN rank = lo_idx THEN cents END) AS DOUBLE)
+                     + CAST(max(CASE WHEN rank = hi_idx THEN cents END)
+                            - max(CASE WHEN rank = lo_idx THEN cents END) AS DOUBLE)
+                       * max(frac)) * 1e4) / 1e4 AS quantile_cents
+       FROM idx GROUP BY job ORDER BY job"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("prom_topk_instant", topkInstant, Some(topkInstantSql)),
     ("prom_clamp", clampFamily, Some(clampFamilySql)),
     ("prom_label_join", labelJoin, Some(labelJoinSql)),
-    ("prom_group_stdvar", groupStdvar, Some(groupStdvarSql)))
+    ("prom_group_stdvar", groupStdvar, Some(groupStdvarSql)),
+    ("prom_quantile_aggregator", quantileAggregator, Some(quantileAggregatorSql)))
 }

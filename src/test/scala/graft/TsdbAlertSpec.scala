@@ -302,6 +302,30 @@ class TsdbAlertSpec extends SparkTestBase {
     }
   }
 
+  test("prom_quantile_aggregator: bracket holds the quantile, interpolation inside it") {
+    SparkEntry.queries("prom_quantile_aggregator")(spark, sf).collect().foreach { r =>
+      val (lo, hi, q) = (r.getAs[Long]("lo_cents"), r.getAs[Long]("hi_cents"),
+        r.getAs[Double]("quantile_cents"))
+      assert(lo <= hi, "sorted bracket")
+      assert(q >= lo.toDouble - 1e-4 && q <= hi.toDouble,
+        s"interpolated q $q must land in [$lo, $hi]")
+      assert(r.getAs[Long]("n_series") >= 1)
+    }
+  }
+
+  test("model_bradley_terry: points conserve across the tournament, bt averages 1e6") {
+    val rows = SparkEntry.queries("model_bradley_terry")(spark, sf).collect()
+    // every game hands out exactly 2 points across its two players
+    val totPts = rows.map(_.getAs[Long]("points_x2")).sum
+    val totGames = rows.map(_.getAs[Long]("n_games")).sum // each game counted twice
+    assert(totPts == totGames,
+      s"sum points_x2 $totPts must equal games-with-multiplicity $totGames")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bt_x1e6") ==
+        r.getAs[Long]("points_x2") * 1000000L / r.getAs[Long]("n_games"))
+    }
+  }
+
   // ------------------------------------------------ training prep
 
   test("ann_binary_quant_recall: k rows per query, overlap bounded, hamming in [0,64]") {
