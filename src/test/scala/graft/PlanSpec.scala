@@ -217,6 +217,8 @@ class PlanSweepSpec extends SparkTestBase {
     "model_calibration", // 1-row split-day + 1-row ECE broadcast
     "tsdb_postings_index", // 1-row series-universe total broadcast
     "mix_doremi_step", // 1-row loss-bounds + 1-row term-total broadcast
+    "ann_binary_quant_recall", // 8-query != candidate non-equi pairing (bruteforce shape)
+    "prom_quantile_aggregator", // instant vector's 1-row now-bound broadcast
     "split_grouped",      // 1-row leaked-source-count broadcast
     "sink_manifest_prune", // 1-row predicate-bounds broadcast
     "ann_mips_topk",       // query≠candidate non-equi pairing (bruteforce shape)
