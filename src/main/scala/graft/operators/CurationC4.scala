@@ -64,7 +64,10 @@ object CurationC4 {
       .orderBy(col("doc_id"))
   }
 
-  val lineDedupSql: String = {
+  /** Order-free body (composable as a CTE); the entry's oracle adds
+    * the presentation sort, consumers like dedupMixShift use the body
+    * directly — no string surgery on ORDER BY anywhere. */
+  val lineDedupBodySql: String = {
     val toksSql = TextAnalysis.toksSqlExpr
     s"""WITH segs AS (
           SELECT doc_id, len(toks) AS n_tokens,
@@ -85,9 +88,62 @@ object CurationC4 {
                  - count(*) FILTER (WHERE p.pos_key <> k.keeper_key) * $Seg
                  AS kept_tokens
         FROM pk p JOIN keeper k USING (seg)
-        GROUP BY p.doc_id ORDER BY p.doc_id"""
+        GROUP BY p.doc_id"""
   }
 
+  val lineDedupSql: String = s"$lineDedupBodySql ORDER BY doc_id"
+
+  // ------------------------------------------------ mix shift
+
+  /** What line-dedup does to the DOMAIN MIX — the question a data lead
+    * actually asks after any dedup pass ("which sources lose share?"):
+    * per source, total tokens before vs kept after the keep-first pass,
+    * and the corpus-share movement on the exact 1e6 grid. Sources whose
+    * content repeats across the corpus (boilerplate-heavy domains) lose
+    * share; pristine sources gain it without changing a byte. Reuses
+    * the lineDedup frame joined back to the source label — one extra
+    * broadcast join and two one-row totals. */
+  def dedupMixShift: Q = (s, d) => {
+    val perDoc = lineDedup(s, d)
+    val withSrc = perDoc.join(
+      broadcast(Tables.documents(s, d).select(col("doc_id"), col("source"))),
+      Seq("doc_id"))
+    val perSrc = withSrc.groupBy(col("source"))
+      .agg(sum(col("n_tokens").cast("long")).as("orig_tokens"),
+        sum(col("kept_tokens")).as("kept_tokens"))
+    val totals = perSrc.agg(sum(col("orig_tokens")).as("tot_orig"),
+      sum(col("kept_tokens")).as("tot_kept"))
+    perSrc.crossJoin(broadcast(totals))
+      .select(col("source"), col("orig_tokens"), col("kept_tokens"),
+        expr("orig_tokens * 1000000 div tot_orig").as("share_before_x1e6"),
+        expr("kept_tokens * 1000000 div tot_kept").as("share_after_x1e6"),
+        (expr("kept_tokens * 1000000 div tot_kept")
+          - expr("orig_tokens * 1000000 div tot_orig")).as("shift_x1e6"))
+      .orderBy(col("source"))
+  }
+
+  val dedupMixShiftSql: String =
+    s"""WITH perdoc AS ($lineDedupBodySql),
+       src AS (
+         SELECT p.*, d.source
+         FROM perdoc p JOIN documents d USING (doc_id)),
+       persrc AS (
+         SELECT source,
+                CAST(sum(n_tokens) AS BIGINT) AS orig_tokens,
+                CAST(sum(kept_tokens) AS BIGINT) AS kept_tokens
+         FROM src GROUP BY 1),
+       totals AS (
+         SELECT CAST(sum(orig_tokens) AS BIGINT) AS tot_orig,
+                CAST(sum(kept_tokens) AS BIGINT) AS tot_kept
+         FROM persrc)
+       SELECT source, orig_tokens, kept_tokens,
+              orig_tokens * 1000000 // tot_orig AS share_before_x1e6,
+              kept_tokens * 1000000 // tot_kept AS share_after_x1e6,
+              kept_tokens * 1000000 // tot_kept
+                - orig_tokens * 1000000 // tot_orig AS shift_x1e6
+       FROM persrc, totals ORDER BY source"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
-    ("text_line_dedup", lineDedup, Some(lineDedupSql)))
+    ("text_line_dedup", lineDedup, Some(lineDedupSql)),
+    ("curate_dedup_mix_shift", dedupMixShift, Some(dedupMixShiftSql)))
 }

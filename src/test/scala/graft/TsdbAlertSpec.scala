@@ -326,6 +326,48 @@ class TsdbAlertSpec extends SparkTestBase {
     }
   }
 
+  test("ivm_quantile_delta: chunked refcount merge recomputes the same medians") {
+    import org.apache.spark.sql.functions._
+    // abelian property: refcount histograms from two halves of the feed
+    // merge additively to the full histogram, so the derived median is
+    // chunking-independent — recompute per series on the driver
+    val raw = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), floor(col("value") * 100).cast("long").as("cents"),
+        when(get_json_object(col("props"), "$.k").cast("int") % 10 === 0, -1L)
+          .otherwise(1L).as("op"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (h1, h2) = raw.sortBy(_._4).splitAt(raw.length / 2)
+    def hist(rows: Array[(String, Long, Long, Long)]) =
+      rows.groupBy(r => (r._1, r._2)).map { case (k, g) => k -> g.map(_._3).sum }
+    val merged = (hist(h1).toSeq ++ hist(h2).toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+      .filter(_._2 > 0)
+    val medians = merged.groupBy(_._1._1).map { case (t, cells) =>
+      val sorted = cells.toSeq.map { case ((_, c), rc) => (c, rc) }.sortBy(_._1)
+      val tot = sorted.map(_._2).sum
+      val rank = (tot + 1) / 2
+      var cum = 0L
+      t -> sorted.collectFirst { case (c, rc) if { cum += rc; cum >= rank } => c }.get
+    }
+    val got = SparkEntry.queries("ivm_quantile_delta")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("median_cents")).toMap
+    assert(got == medians, s"operator $got vs chunk-merged recompute $medians")
+  }
+
+  test("curate_dedup_mix_shift: shares tile 1e6 within floor deficit, shifts sum ~0") {
+    val rows = SparkEntry.queries("curate_dedup_mix_shift")(spark, sf).collect()
+    val m = rows.length
+    val before = rows.map(_.getAs[Long]("share_before_x1e6")).sum
+    val after = rows.map(_.getAs[Long]("share_after_x1e6")).sum
+    assert(before > 1000000L - m && before <= 1000000L)
+    assert(after > 1000000L - m && after <= 1000000L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("orig_tokens"))
+      assert(r.getAs[Long]("shift_x1e6") ==
+        r.getAs[Long]("share_after_x1e6") - r.getAs[Long]("share_before_x1e6"))
+    }
+  }
+
   // ------------------------------------------------ training prep
 
   test("ann_binary_quant_recall: k rows per query, overlap bounded, hamming in [0,64]") {
