@@ -26,8 +26,12 @@ object BinaryQuant {
 
   type Q = (SparkSession, String) => DataFrame
 
-  val NumQueries = 8
-  val K = 5
+  /** Same probe set and depth as the rest of the ANN family — the
+    * recall audit must score against the SAME truth convention
+    * (Similarity.bruteForceTopK), so the constants are references,
+    * not parallel definitions. */
+  val NumQueries: Int = Similarity.NumQueries
+  val K: Int = Similarity.TopK
 
   /** sign words over a double[] column `v`: bits j..j+31 (1-based list
     * index i = j+1). */

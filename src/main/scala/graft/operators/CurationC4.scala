@@ -101,12 +101,14 @@ object CurationC4 {
     * and the corpus-share movement on the exact 1e6 grid. Sources whose
     * content repeats across the corpus (boilerplate-heavy domains) lose
     * share; pristine sources gain it without changing a byte. Reuses
-    * the lineDedup frame joined back to the source label — one extra
-    * broadcast join and two one-row totals. */
+    * the lineDedup frame joined back to the source label — a plain
+    * equi-join on doc_id (BOTH sides are |docs|-sized, so a forced
+    * broadcast would ship the corpus to every executor for nothing;
+    * the only broadcast here is the one-row totals). */
   def dedupMixShift: Q = (s, d) => {
     val perDoc = lineDedup(s, d)
     val withSrc = perDoc.join(
-      broadcast(Tables.documents(s, d).select(col("doc_id"), col("source"))),
+      Tables.documents(s, d).select(col("doc_id"), col("source")),
       Seq("doc_id"))
     val perSrc = withSrc.groupBy(col("source"))
       .agg(sum(col("n_tokens").cast("long")).as("orig_tokens"),

@@ -10,12 +10,16 @@ import org.apache.spark.sql.functions._
   *   - `mix_doremi_step` — one DoReMi reweighting step (Xie et al.
   *     2023): domain weights move as wᵢ' ∝ wᵢ·exp(η·excess-lossᵢ) from
   *     a uniform prior. The loss proxy is each domain's exact mean
-  *     char count; the exp argument is span-normalized to [0,1]; each
-  *     exp term floors to the 1e-6 grid BEFORE the cross-domain sum
-  *     (the q_cramers_v discipline — the total is an exact integer in
-  *     both engines, no float-order hazard, and the one transcendental
-  *     rides the mutual-info ln precedent: identical double in, floor
-  *     absorbs any last-ulp libm skew).
+  *     char count; the exp argument is span-normalized to [0,1]. The
+  *     exponential is evaluated as the FIXED-PRECISION approximant
+  *     1 + x + x²/2 + x³/6 — basic IEEE ops only, bit-identical in
+  *     both engines (a native exp would be libm-vs-JVM and only
+  *     ulp-accurate: flooring to an exact integer column could fork at
+  *     a grid boundary; the approximant keeps DoReMi's monotone
+  *     positive multiplicative update and removes the transcendental
+  *     from the output path entirely). Each term floors to the 1e-6
+  *     grid BEFORE the cross-domain sum (the q_cramers_v discipline —
+  *     the total is an exact integer, no float-order hazard).
   *   - `pack_fim_transform` — fill-in-the-middle splits (Bavarian et
   *     al. 2022): a deterministic md5 gate FIM-transforms half the
   *     docs; two md5-derived cut points split each into
@@ -43,7 +47,9 @@ object TrainPrep {
         when(col("hi") === col("lo"), lit(0.0))
           .otherwise((col("loss") - col("lo")).cast("double") /
             (col("hi") - col("lo")).cast("double")))
-      .withColumn("term_u", floor(exp(col("x")) * 1e6).cast("long"))
+      .withColumn("term_u",
+        floor((lit(1.0) + col("x") + col("x") * col("x") / 2.0
+          + col("x") * col("x") * col("x") / 6.0) * 1e6).cast("long"))
     val total = terms.agg(sum(col("term_u")).as("sum_u"))
     terms.crossJoin(broadcast(total))
       .select(col("source"), col("n_docs"), col("loss"), col("term_u"),
@@ -57,13 +63,17 @@ object TrainPrep {
                 CAST(sum(n_chars) AS BIGINT) // count(*) AS loss
          FROM documents GROUP BY 1),
        bounds AS (SELECT min(loss) AS lo, max(loss) AS hi FROM dom),
+       xs AS (
+         SELECT source, n_docs, loss,
+                CASE WHEN hi = lo THEN 0.0
+                     ELSE CAST(loss - lo AS DOUBLE)
+                          / CAST(hi - lo AS DOUBLE) END AS x
+         FROM dom, bounds),
        terms AS (
          SELECT source, n_docs, loss,
-                CAST(floor(exp(CASE WHEN hi = lo THEN 0.0
-                                    ELSE CAST(loss - lo AS DOUBLE)
-                                         / CAST(hi - lo AS DOUBLE) END)
-                           * 1e6) AS BIGINT) AS term_u
-         FROM dom, bounds),
+                CAST(floor((1.0 + x + x * x / 2.0 + x * x * x / 6.0) * 1e6)
+                     AS BIGINT) AS term_u
+         FROM xs),
        total AS (SELECT CAST(sum(term_u) AS BIGINT) AS sum_u FROM terms)
        SELECT source, n_docs, loss, term_u,
               term_u * 1000000 // sum_u AS w_new_x1e6
