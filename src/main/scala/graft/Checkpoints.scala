@@ -24,11 +24,50 @@ import org.apache.spark.sql.DataFrame
 object Checkpoints {
   val Flag = "spark.graft.reliableCheckpoints"
 
+  /** RDD ids of checkpoint cuts whose INPUT plan was provably bounded
+    * (every root→leaf path passes an aggregate / range spine / local
+    * data / another bounded cut). A checkpoint erases lineage — the
+    * scan it leaves behind looks corpus-sized to any plan audit — so
+    * the cut records boundedness HERE and PlanSpec's global-window
+    * sweep consults it instead of carrying per-entry exemptions for
+    * checkpoint-hidden aggregate barriers. Ints only; growth is one
+    * entry per cut of a bounded frame. */
+  private val boundedRdds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** Is this RDD the materialization of a provably bounded frame? */
+  def isBoundedRdd(id: Int): Boolean = boundedRdds.contains(id)
+
+  private def boundedLogical(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case _: Aggregate => true
+      case _: Range => true
+      case _: LocalRelation => true
+      case _: GlobalLimit => true
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        boundedRdds.contains(lr.rdd.id)
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.forall(boundedLogical)
+    }
+  }
+
+  private def recordIfBounded(in: DataFrame, out: DataFrame): DataFrame = {
+    if (boundedLogical(in.queryExecution.analyzed))
+      out.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          boundedRdds.add(lr.rdd.id); ()
+        case _ => ()
+      }
+    out
+  }
+
   def cut(df: DataFrame): DataFrame = {
     val ss = df.sparkSession
     val reliable = ss.conf.get(Flag, "false").toBoolean &&
       ss.sparkContext.getCheckpointDir.isDefined
-    if (reliable) df.checkpoint() else df.localCheckpoint()
+    recordIfBounded(df, if (reliable) df.checkpoint() else df.localCheckpoint())
   }
 
   /** LAZY lineage cut for in-loop frontiers: the Catalyst plan is cut
@@ -45,6 +84,7 @@ object Checkpoints {
     val ss = df.sparkSession
     val reliable = ss.conf.get(Flag, "false").toBoolean &&
       ss.sparkContext.getCheckpointDir.isDefined
-    if (reliable) df.checkpoint() else df.localCheckpoint(eager = false)
+    recordIfBounded(df,
+      if (reliable) df.checkpoint() else df.localCheckpoint(eager = false))
   }
 }

@@ -105,8 +105,11 @@ object Verify {
         // never masquerade as this run's attestation: only a file the
         // mirror writes NOW may be published
         Files.deleteIfExists(Paths.get(artifact))
+        // 16 compare workers (32 cores available): headroom against the
+        // 15-min hard cap as the surface grows ~40 entries/round — r12
+        // ran ~6 min at 8 jobs/442 entries, r13 targets ≤8 min at 480+
         val pb = new ProcessBuilder("python3", script.getPath,
-          "--json", artifact, "--jobs", "8", sfDir, outDir)
+          "--json", artifact, "--jobs", "16", sfDir, outDir)
         pb.redirectErrorStream(true)
         val p = pb.start()
         // hard cap: the mirror must never hold the driver's Verify step
@@ -134,10 +137,20 @@ object Verify {
         val rc = if (done) p.exitValue() else -1
         System.err.println(s"[verify] oracle mirror rc=$rc: " +
           out.linesIterator.filter(_.nonEmpty).toSeq.takeRight(2).mkString(" | "))
-        if (new java.io.File(artifact).exists)
+        if (new java.io.File(artifact).exists) {
           Files.copy(Paths.get(artifact),
             Paths.get("CORRECTNESS_LOCAL_latest.json"),
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // r12 verdict item 4: the driver's stdout capture produced an
+          // empty CORRECTNESS_r8–r12 even though the file artifacts
+          // land. In case the driver scrapes STDOUT rather than files,
+          // ALSO emit the driver-shaped JSON as the final stdout line —
+          // single line, no prefix (everything else this program prints
+          // goes to stderr, so this is the only stdout content).
+          val attested = Files.readString(Paths.get(artifact))
+            .replaceAll("\\s*\\n\\s*", " ").trim
+          println(attested)
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[verify] oracle mirror skipped: ${e.getMessage}")
       }

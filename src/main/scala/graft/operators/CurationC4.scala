@@ -77,8 +77,15 @@ object CurationC4 {
                    AS seg
           FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
         pk AS (
+          -- the Spark posKeyExpr guard, mirrored: past KeyBase the key
+          -- would bleed into the next doc_id's space and keep-first
+          -- could mis-key, so BOTH engines fail loudly instead — safe
+          -- for standalone reuse of this body (dedupMixShift does)
           SELECT doc_id, n_tokens, seg,
-                 doc_id * $KeyBase + seg_idx AS pos_key
+                 CASE WHEN seg_idx >= $KeyBase THEN
+                        error('text_line_dedup: seg_idx ' || CAST(seg_idx AS VARCHAR)
+                          || ' >= KeyBase $KeyBase - switch the keeper key to a (doc_id, seg_idx) struct')
+                      ELSE doc_id * $KeyBase + seg_idx END AS pos_key
           FROM segs),
         keeper AS (SELECT seg, min(pos_key) AS keeper_key FROM pk GROUP BY seg)
         SELECT p.doc_id, CAST(max(p.n_tokens) AS INT) AS n_tokens,
@@ -115,12 +122,19 @@ object CurationC4 {
         sum(col("kept_tokens")).as("kept_tokens"))
     val totals = perSrc.agg(sum(col("orig_tokens")).as("tot_orig"),
       sum(col("kept_tokens")).as("tot_kept"))
+    // share cross-multiplication in decimal(38,0) (DuckDB: HUGEINT):
+    // a source past ~9.2e12 tokens — plausible at the 100 TB design
+    // point — would wrap the plain-BIGINT ×1e6 silently on Spark where
+    // DuckDB raises (the model_calibration widening discipline)
     perSrc.crossJoin(broadcast(totals))
       .select(col("source"), col("orig_tokens"), col("kept_tokens"),
-        expr("orig_tokens * 1000000 div tot_orig").as("share_before_x1e6"),
-        expr("kept_tokens * 1000000 div tot_kept").as("share_after_x1e6"),
-        (expr("kept_tokens * 1000000 div tot_kept")
-          - expr("orig_tokens * 1000000 div tot_orig")).as("shift_x1e6"))
+        expr("cast(cast(orig_tokens as decimal(38,0)) * 1000000 div tot_orig as bigint)")
+          .as("share_before_x1e6"),
+        expr("cast(cast(kept_tokens as decimal(38,0)) * 1000000 div tot_kept as bigint)")
+          .as("share_after_x1e6"),
+        (expr("cast(cast(kept_tokens as decimal(38,0)) * 1000000 div tot_kept as bigint)")
+          - expr("cast(cast(orig_tokens as decimal(38,0)) * 1000000 div tot_orig as bigint)"))
+          .as("shift_x1e6"))
       .orderBy(col("source"))
   }
 
@@ -135,14 +149,16 @@ object CurationC4 {
                 CAST(sum(kept_tokens) AS BIGINT) AS kept_tokens
          FROM src GROUP BY 1),
        totals AS (
-         SELECT CAST(sum(orig_tokens) AS BIGINT) AS tot_orig,
-                CAST(sum(kept_tokens) AS BIGINT) AS tot_kept
+         SELECT sum(orig_tokens) AS tot_orig, sum(kept_tokens) AS tot_kept
          FROM persrc)
        SELECT source, orig_tokens, kept_tokens,
-              orig_tokens * 1000000 // tot_orig AS share_before_x1e6,
-              kept_tokens * 1000000 // tot_kept AS share_after_x1e6,
-              kept_tokens * 1000000 // tot_kept
-                - orig_tokens * 1000000 // tot_orig AS shift_x1e6
+              CAST(CAST(orig_tokens AS HUGEINT) * 1000000 // tot_orig AS BIGINT)
+                AS share_before_x1e6,
+              CAST(CAST(kept_tokens AS HUGEINT) * 1000000 // tot_kept AS BIGINT)
+                AS share_after_x1e6,
+              CAST(CAST(kept_tokens AS HUGEINT) * 1000000 // tot_kept
+                - CAST(orig_tokens AS HUGEINT) * 1000000 // tot_orig AS BIGINT)
+                AS shift_x1e6
        FROM persrc, totals ORDER BY source"""
 
   val entries: Seq[(String, Q, Option[String])] = Seq(

@@ -195,22 +195,30 @@ object Models {
         (col("event_type") === "purchase").cast("long").as("purch"))
     val d0 = ev.agg(min(col("day")).as("d0"))
     val withSplit = ev.crossJoin(broadcast(d0))
+    // ×1e6 cross-multiplications and the phat6/gap accumulations run in
+    // decimal(38,0) (DuckDB: HUGEINT) — at the 100 TB design point a bin
+    // holding >9.2e12 events would silently wrap in 64-bit on Spark
+    // where DuckDB raises; the chi2/Mann–Whitney widening discipline.
     val registry = withSplit.filter(col("day") < col("d0") + 14)
       .groupBy(col("cohort"))
       .agg(count(lit(1)).as("ev_t"), sum(col("purch")).as("purch_t"))
       .select(col("cohort"),
-        expr("purch_t * 1000000 div ev_t").as("phat6"),
-        least(expr("purch_t * 10 div ev_t"), lit(9L)).as("bin"))
+        expr("cast(cast(purch_t as decimal(38,0)) * 1000000 div ev_t as bigint)")
+          .as("phat6"),
+        least(expr("cast(cast(purch_t as decimal(38,0)) * 10 div ev_t as bigint)"),
+          lit(9L)).as("bin"))
     val scored = withSplit.filter(col("day") >= col("d0") + 14)
       .join(broadcast(registry), Seq("cohort"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_events"), sum(col("purch")).as("n_purchases"),
-        sum(col("phat6")).as("sum_phat6"))
-      .withColumn("conf_x1e6", expr("sum_phat6 div n_events"))
-      .withColumn("acc_x1e6", expr("n_purchases * 1000000 div n_events"))
+        sum(col("phat6").cast("decimal(38,0)")).as("sum_phat6"))
+      .withColumn("conf_x1e6", expr("cast(sum_phat6 div n_events as bigint)"))
+      .withColumn("acc_x1e6",
+        expr("cast(cast(n_purchases as decimal(38,0)) * 1000000 div n_events as bigint)"))
       .withColumn("gap_x1e6", abs(col("acc_x1e6") - col("conf_x1e6")))
     val ece = scored.agg(
-      expr("sum(n_events * gap_x1e6) div sum(n_events)").as("ece_x1e6"))
+      expr("cast(sum(cast(n_events as decimal(38,0)) * gap_x1e6) div sum(n_events) as bigint)")
+        .as("ece_x1e6"))
     scored.crossJoin(broadcast(ece))
       .select(col("bin"), col("n_events"), col("n_purchases"),
         col("conf_x1e6"), col("acc_x1e6"), col("gap_x1e6"), col("ece_x1e6"))
@@ -225,27 +233,30 @@ object Models {
          FROM events),
        d0 AS (SELECT min(day) AS d0 FROM ev),
        registry AS (
+         -- sums stay HUGEINT through the *1e6 cross-multiplication
+         -- (Spark: decimal(38,0)) — no 64-bit wrap at any event volume
          SELECT cohort,
-                CAST(sum(purch) AS BIGINT) * 1000000 // count(*) AS phat6,
-                least(CAST(sum(purch) AS BIGINT) * 10 // count(*), 9) AS bin
+                CAST(sum(purch) * 1000000 // count(*) AS BIGINT) AS phat6,
+                CAST(least(sum(purch) * 10 // count(*), 9) AS BIGINT) AS bin
          FROM ev, d0 WHERE day < d0 + 14 GROUP BY cohort),
        scored AS (
          SELECT r.bin, count(*) AS n_events,
-                CAST(sum(e.purch) AS BIGINT) AS n_purchases,
-                CAST(sum(r.phat6) AS BIGINT) AS sum_phat6
+                sum(e.purch) AS n_purchases_h,
+                sum(r.phat6) AS sum_phat6
          FROM ev e JOIN registry r USING (cohort), d0
          WHERE e.day >= d0.d0 + 14
          GROUP BY r.bin),
        g AS (
-         SELECT bin, n_events, n_purchases,
-                sum_phat6 // n_events AS conf_x1e6,
-                n_purchases * 1000000 // n_events AS acc_x1e6,
-                abs(n_purchases * 1000000 // n_events
-                    - sum_phat6 // n_events) AS gap_x1e6
+         SELECT bin, n_events,
+                CAST(n_purchases_h AS BIGINT) AS n_purchases,
+                CAST(sum_phat6 // n_events AS BIGINT) AS conf_x1e6,
+                CAST(n_purchases_h * 1000000 // n_events AS BIGINT) AS acc_x1e6,
+                CAST(abs(n_purchases_h * 1000000 // n_events
+                    - sum_phat6 // n_events) AS BIGINT) AS gap_x1e6
          FROM scored),
        ece AS (
-         SELECT CAST(sum(n_events * gap_x1e6) // sum(n_events) AS BIGINT)
-                  AS ece_x1e6
+         SELECT CAST(sum(CAST(n_events AS HUGEINT) * gap_x1e6) // sum(n_events)
+                  AS BIGINT) AS ece_x1e6
          FROM g)
        SELECT bin, n_events, n_purchases, conf_x1e6, acc_x1e6, gap_x1e6,
               ece_x1e6

@@ -1449,23 +1449,46 @@ object Similarity {
     * expand-neighbors → score → keep the BEAM best per query. Each
     * round is one equi-join of the (queries × beam)-row frontier
     * against the edge list plus one bounded `graft_topk` aggregate —
-    * at 100 TB the frontier stays Q×B rows regardless of corpus size,
-    * and the edge list is the ann_knn_graph artifact the pipeline
-    * already maintains. The oracle unrolls the hops as CTEs with the
-    * identical expand/score/row_number discipline, so the hash
+    * at 100 TB the frontier stays Q×B rows regardless of corpus size.
+    * The edge build is the ann_knn_graph shape at degree [[GsK]], and
+    * uses the SAME [[KnnGraphCap]] (label, shard) population cap: a
+    * label block past the cap is content-hash-sharded so the pair
+    * stage stays Σ|shard|² ≈ N·Cap — LINEAR — where the uncapped
+    * label-only self-join grows Σ|block|² (the r12 verdict's one
+    * remaining quadratic; every shipped SF is single-shard below the
+    * cap, so the graph — and the oracle hash — is EXACTLY the uncapped
+    * in-block kNN there, and the oracle applies the identical hash
+    * rule at every scale). The oracle unrolls the hops as CTEs with
+    * the identical expand/score/row_number discipline, so the hash
     * certifies the whole search trajectory, not just the end state. */
+  /** ann_graph_search's edge build, PRE-cut (src → dst at degree
+    * [[GsK]]): the ann_knn_graph construction sharing knnGraph's cap
+    * key (same "knn:" salt → same shards). Exposed so Round13Spec can
+    * assert the (label, shard) equi-key on the edge plan — the eager
+    * checkpoint cut inside [[graphSearch]] hides it from the entry's
+    * own plan. */
+  def gsEdges(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blockW = Window.partitionBy(col("label"))
+    val sharded = emb(s, d).withColumn("shard", pmod(
+      conv(substring(md5(concat(lit("knn:"), col("vec_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long"),
+      ceil(count(lit(1)).over(blockW) / lit(KnnGraphCap.toDouble)).cast("long")))
+    val right = sharded.select(col("label").as("nb_label"), col("shard").as("nb_shard"),
+      col("vec_id").as("nb_id"), col("v").as("qv"), col("n2").as("qn2"))
+    sharded.join(right,
+        col("label") === col("nb_label") && col("shard") === col("nb_shard") &&
+          col("vec_id") =!= col("nb_id"))
+      .withColumn("cos", expr(dotExpr) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .groupBy(col("vec_id"))
+      .agg(expr(s"graft_topk(cos, nb_id, $GsK)").as("top"))
+      .select(col("vec_id").as("src"), posexplode(col("top")))
+      .select(col("src"), col("col.id").as("dst"))
+  }
+
   def graphSearch: Q = (s, d) => {
     val all = emb(s, d)
-    // the ann_knn_graph edge construction, pre-mutuality (src → dst)
-    val right = emb(s, d).select(col("label").as("nb_label"),
-      col("vec_id").as("nb_id"), col("v").as("qv"), col("n2").as("qn2"))
-    val edges = graft.Checkpoints.cut(
-      all.join(right, col("label") === col("nb_label") && col("vec_id") =!= col("nb_id"))
-        .withColumn("cos", expr(dotExpr) / (sqrt(col("qn2")) * sqrt(col("n2"))))
-        .groupBy(col("vec_id"))
-        .agg(expr(s"graft_topk(cos, nb_id, $GsK)").as("top"))
-        .select(col("vec_id").as("src"), posexplode(col("top")))
-        .select(col("src"), col("col.id").as("dst")))
+    val edges = graft.Checkpoints.cut(gsEdges(s, d))
     val qp = all.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
         col("v").as("pv"), col("n2").as("pn2"))
@@ -1519,13 +1542,19 @@ object Similarity {
                              JOIN q USING (query_id)) t),
           f$h AS (SELECT query_id, node FROM s$h WHERE rk <= $GsBeam)"""
     }.mkString(",\n")
-    s"""WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e0 AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                 ('0x' || substr(md5('knn:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+                   % CAST(ceil(count(*) OVER (PARTITION BY label)
+                               / ${KnnGraphCap}.0) AS BIGINT) AS shard
+          FROM embeddings),
         eg AS (
           SELECT vec_id AS src, nb AS dst FROM (
             SELECT a.vec_id, b.vec_id AS nb,
                    row_number() OVER (PARTITION BY a.vec_id
                      ORDER BY list_cosine_similarity(b.v, a.v) DESC, b.vec_id) AS rank
-            FROM e0 a JOIN e0 b ON b.label = a.label AND b.vec_id <> a.vec_id) t
+            FROM e0 a JOIN e0 b ON b.label = a.label AND b.shard = a.shard
+                               AND b.vec_id <> a.vec_id) t
           WHERE rank <= $GsK),
         q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
               FROM e0 WHERE vec_id < $NumQueries),

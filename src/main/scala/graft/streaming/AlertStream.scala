@@ -25,7 +25,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * that precedes the PINNED t0 lands in slot 0 — the twin agrees only
   * under that same contract. Real Alertmanager sidesteps the question
   * by running on ARRIVAL time; this entry keeps event time and states
-  * the contract instead. */
+  * the contract instead — and DETECTS violations: pre-t0 stragglers
+  * are counted in state and surfaced on every emitted batch
+  * (`n_pre_t0`), so a violating feed is observable, not silent
+  * (AlertStreamSpec asserts 0 on its contract-conforming feed). */
 object AlertStream {
 
   type Q = (SparkSession, String) => DataFrame
@@ -34,9 +37,14 @@ object AlertStream {
   val GroupIntervalSec = 300L
 
   case class AlertSample(alertname: String, es: Long, critical: Boolean)
-  case class GwState(t0: Long, open: Map[Long, (Long, Long)])
+  /** `stragglers` counts alerts that arrived with es < the PINNED t0 —
+    * under the ordering contract it stays 0; a non-zero value means the
+    * feed violated the contract and the slot grid is shifted relative
+    * to the batch twin, made OBSERVABLE here instead of silent. */
+  case class GwState(t0: Long, open: Map[Long, (Long, Long)],
+      stragglers: Long = 0L)
   case class GwBatch(alertname: String, batch: Long, n_alerts: Long,
-      n_critical: Long, flush_es: Long)
+      n_critical: Long, flush_es: Long, n_pre_t0: Long = 0L)
 
   private def flushEs(t0: Long, batch: Long): Long =
     t0 + GroupWaitSec + batch * GroupIntervalSec
@@ -59,21 +67,26 @@ object AlertStream {
             val t0 =
               if (st.t0 == Long.MaxValue) incoming.map(_.es).min else st.t0
             var open = st.open
+            var stragglers = st.stragglers
             incoming.foreach { a =>
+              // contract violation detector: a straggler earlier than
+              // the pinned anchor lands in slot 0 under a SHIFTED grid
+              // — count it so the fork from the batch twin is visible
+              if (a.es < t0) stragglers += 1
               val batch =
                 if (a.es < t0 + GroupWaitSec) 0L
                 else (a.es - t0 - GroupWaitSec) / GroupIntervalSec + 1L
               val (n, c) = open.getOrElse(batch, (0L, 0L))
               open = open.updated(batch, (n + 1, c + (if (a.critical) 1L else 0L)))
             }
-            st = GwState(t0, open)
+            st = GwState(t0, open, stragglers)
           }
           // flush every slot the watermark has passed
           val wmSec = state.getCurrentWatermarkMs() / 1000L
           val (due, still) = st.open.partition {
             case (b, _) => flushEs(st.t0, b) <= wmSec
           }
-          st = GwState(st.t0, still)
+          st = GwState(st.t0, still, st.stragglers)
           // t0 is the GROUP-LIFETIME anchor (the batch twin's global
           // min): the state is never removed, or a later alert would
           // re-pin t0 and re-emit slot 0 under a shifted grid. Cost is
@@ -85,7 +98,7 @@ object AlertStream {
             .filter(_ > state.getCurrentWatermarkMs())
             .foreach(state.setTimeoutTimestamp)
           due.toSeq.sortBy(_._1).iterator.map { case (b, (n, c)) =>
-            GwBatch(name, b, n, c, flushEs(st.t0, b))
+            GwBatch(name, b, n, c, flushEs(st.t0, b), st.stragglers)
           }
       }
   }

@@ -44,6 +44,12 @@ class AlertStreamSpec extends SparkTestBase {
       val dupes = emitted.groupBy(r => (r.getString(0), r.getLong(1)))
         .filter(_._2.length > 1)
       assert(dupes.isEmpty, s"a (group, slot) emitted twice: ${dupes.keys.take(3)}")
+      // the ordering-contract detector: this feed is chunk-ordered, so
+      // no alert precedes its group's pinned t0 — n_pre_t0 must be 0
+      // on every emission (a violating feed would surface here)
+      assert(emitted.forall(_.getLong(5) == 0L),
+        s"pre-t0 stragglers reported on an ordered feed: " +
+          s"${emitted.filter(_.getLong(5) != 0L).take(3).mkString(",")}")
       val got = emitted.map(r => (r.getString(0), r.getLong(1)) ->
         (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
       val want = SparkEntry.queries("alert_group_wait")(spark, sf).collect()

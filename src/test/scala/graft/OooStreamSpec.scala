@@ -45,6 +45,13 @@ class OooStreamSpec extends SparkTestBase {
         .map(r => r.getString(0) ->
           (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
       assert(got == want, s"stream/batch fork: got=$got want=$want")
+      // cross-batch ordering detector: the feed is arrival-ordered
+      // across chunks, so n_disorder must be 0 everywhere — a feed
+      // that re-delivered a lower arrival later would surface here
+      val disordered = spark.table("ooo_sink").collect()
+        .filter(_.getLong(5) != 0L)
+      assert(disordered.isEmpty,
+        s"cross-batch disorder reported on an ordered feed: ${disordered.take(3).mkString(",")}")
       // per-batch snapshots are monotone: counts never decrease
       spark.table("ooo_sink").collect().groupBy(_.getString(0)).foreach {
         case (_, rows) =>

@@ -241,22 +241,26 @@ class PlanSweepSpec extends SparkTestBase {
   // a global window from a bounded barrier (aggregate / range spine /
   // broadcast), or the sweep fails before a corpus-sized global window
   // burns a cluster
-  private val globalWindowAllowed = Map(
-    "pack_shuffle_quality" -> ("run-length segmentation over the permuted corpus order is " +
-      "inherently a total-order lag; declared presentation-sort cost class in its Scaladoc"),
-    "prom_wire_frame_v2" -> ("the symbol-ref row_number runs over the localCheckpoint of the " +
-      "|event_types|-row family aggregate — bounded by construction, but the checkpoint " +
-      "RDD scan hides the aggregate barrier from unboundedBelow"))
+  // r13: the former two-entry exemption map (pack_shuffle_quality,
+  // prom_wire_frame_v2) is GONE — the lint now sees through checkpoint
+  // cuts via Checkpoints.isBoundedRdd (a cut of a bounded frame records
+  // its RDD id at cut time), so a checkpoint-hidden aggregate barrier
+  // no longer needs grandfathering and a future REAL corpus-sized
+  // global window cannot hide behind stale justification text.
+  private val globalWindowAllowed = Map.empty[String, String]
 
   /** true iff some root→leaf path under `p` reaches a source scan with
     * no bounded barrier (aggregate, generated spine, local/broadcast
-    * data) in between — i.e. the node sees corpus-sized input. */
+    * data, or a checkpoint cut of a provably bounded frame) in between
+    * — i.e. the node sees corpus-sized input. */
   private def unboundedBelow(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
     p match {
       case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => false
       case _: org.apache.spark.sql.execution.RangeExec => false
       case _: org.apache.spark.sql.execution.LocalTableScanExec => false
       case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => false
+      case r: org.apache.spark.sql.execution.RDDScanExec
+          if graft.Checkpoints.isBoundedRdd(r.rdd.id) => false
       case leaf if leaf.children.isEmpty => true // file/rdd/memory scan
       case other => other.children.exists(unboundedBelow)
     }
