@@ -249,7 +249,89 @@ object AlertRoute {
        SELECT receiver, alertname, count(*) AS n_alerts
        FROM routed GROUP BY 1, 2 ORDER BY receiver, alertname"""
 
+  // ------------------------------------------------------ flap detection
+
+  /** Flap-evaluation cell width (one state evaluation per 6 h cell). */
+  val FlapCellSec = 21600L
+  /** Transition share (×1e6) at or above which an identity flaps. */
+  val FlapThresholdX1e6 = 250000L
+
+  /** Alert flapping detection — the state-change-rate read every
+    * on-call rotation runs before muting a noisy alert (Nagios' flap
+    * detection formalized it; Alertmanager users express it as "how
+    * often does this identity cross firing↔resolved"). Per alert
+    * identity (alertname, instance): evaluate a firing/resolved state
+    * on the [[FlapCellSec]] grid spanning the feed (firing iff ≥1
+    * qualifying event in the cell), count state TRANSITIONS between
+    * consecutive cells, and flag identities whose transition share of
+    * eval steps reaches [[FlapThresholdX1e6]] on the exact 1e6 grid.
+    *
+    * Scale shape: one per-(identity, cell) aggregation of the alert
+    * feed; the full state series comes from a |cells|-row generated
+    * spine (time-domain sized) cross-joined with the ≤|identities|
+    * distinct set — both analysis-plane frames, broadcast-small next
+    * to the corpus — and the transition count is a lag window
+    * partitioned BY IDENTITY, never global. */
+  def flapDetect: Q = (s, d) => {
+    val al = alerts(s, d).withColumn("cell", expr(s"es div $FlapCellSec"))
+    val firing = al.groupBy(col("alertname"), col("instance"), col("cell"))
+      .agg(count(lit(1)).as("n_alerts"))
+    val bounds = al.agg(min(col("cell")).as("lo"), max(col("cell")).as("hi"))
+    val cells = bounds.select(explode(expr("sequence(lo, hi)")).as("cell"))
+    val idents = al.select(col("alertname"), col("instance")).distinct()
+    val w = Window.partitionBy(col("alertname"), col("instance"))
+      .orderBy(col("cell"))
+    idents.crossJoin(cells)
+      .join(firing, Seq("alertname", "instance", "cell"), "left")
+      .withColumn("firing", col("n_alerts").isNotNull)
+      .withColumn("prev", lag(col("firing"), 1).over(w))
+      .withColumn("trans",
+        when(col("prev").isNotNull && col("prev") =!= col("firing"), 1L)
+          .otherwise(0L))
+      .groupBy(col("alertname"), col("instance"))
+      .agg(count(lit(1)).as("n_cells"),
+        count(when(col("firing"), 1)).as("n_firing_cells"),
+        sum(col("trans")).as("n_transitions"))
+      .withColumn("flap_rate_x1e6",
+        expr("n_transitions * 1000000 div (n_cells - 1)"))
+      .withColumn("flapping", col("flap_rate_x1e6") >= FlapThresholdX1e6)
+      .orderBy(col("alertname"), col("instance"))
+  }
+
+  val flapDetectSql: String =
+    s"""WITH al AS (SELECT t.*, es // $FlapCellSec AS cell FROM ($alertsSql) t),
+       firing AS (
+         SELECT alertname, instance, cell, count(*) AS n_alerts
+         FROM al GROUP BY 1, 2, 3),
+       bounds AS (SELECT min(cell) AS lo, max(cell) AS hi FROM al),
+       cells AS (SELECT unnest(generate_series(lo, hi)) AS cell FROM bounds),
+       idents AS (SELECT DISTINCT alertname, instance FROM al),
+       grid AS (
+         SELECT i.alertname, i.instance, c.cell,
+                f.n_alerts IS NOT NULL AS firing
+         FROM idents i CROSS JOIN cells c
+         LEFT JOIN firing f ON f.alertname = i.alertname
+           AND f.instance = i.instance AND f.cell = c.cell),
+       tr AS (
+         SELECT alertname, instance, firing,
+                CASE WHEN lag(firing) OVER (PARTITION BY alertname, instance
+                       ORDER BY cell) IS NOT NULL
+                     AND lag(firing) OVER (PARTITION BY alertname, instance
+                       ORDER BY cell) <> firing
+                     THEN 1 ELSE 0 END AS trans
+         FROM grid)
+       SELECT alertname, instance, count(*) AS n_cells,
+              count(*) FILTER (WHERE firing) AS n_firing_cells,
+              CAST(sum(trans) AS BIGINT) AS n_transitions,
+              CAST(sum(trans) * 1000000 // (count(*) - 1) AS BIGINT)
+                AS flap_rate_x1e6,
+              sum(trans) * 1000000 // (count(*) - 1) >= $FlapThresholdX1e6
+                AS flapping
+       FROM tr GROUP BY alertname, instance
+       ORDER BY alertname, instance"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("alert_flap_detect", flapDetect, Some(flapDetectSql)),
     ("alert_group_wait", groupWait, Some(groupWaitSql)),
     ("alert_inhibition", inhibition, Some(inhibitionSql)),
     ("alert_silence_match", silenceMatch, Some(silenceMatchSql)),

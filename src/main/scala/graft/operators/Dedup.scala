@@ -81,13 +81,23 @@ object Dedup {
     * Spark's regexp_replace is global by default, DuckDB's needs the
     * 'g' flag — the two spellings below are semantically identical. */
   def normalizedExact: Q = (s, d) => {
-    // explicit whitespace class: Java \s matches \x0B, RE2's does not
+    // punctuation deletion via translate (a codegen char-map pass, no
+    // regex engine) — the r12 10× probe flagged this entry as the
+    // suite's worst grower (6.8×, CPU-bound on full-text regex); the
+    // one remaining regex is the whitespace collapse, with an explicit
+    // class because Java \s matches \x0B where RE2's does not
     val canon = expr(
-      "md5(trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', ''), '[ \\\\t\\\\n\\\\r\\\\f]+', ' ')))")
-    Tables.documents(s, d)
+      "md5(trim(regexp_replace(translate(lower(text), '.,;:!?', ''), '[ \\\\t\\\\n\\\\r\\\\f]+', ' ')))")
+    // two-level aggregation: the double count-distinct EXPAND (3× row
+    // multiplication) runs over the pre-deduped (source, raw, canon)
+    // triples, not the full corpus — at 100 TB the triple table is
+    // |distinct docs|-sized, the corpus pass a plain hash aggregate
+    val per = Tables.documents(s, d)
       .select(col("source"), canon.as("canon_hash"), md5(col("text")).as("raw_hash"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
+      .groupBy(col("source"), col("raw_hash"), col("canon_hash"))
+      .agg(count(lit(1)).as("n"))
+    per.groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"),
         countDistinct(col("raw_hash")).as("n_raw_groups"),
         countDistinct(col("canon_hash")).as("n_canon_groups"))
       .withColumn("n_merged_by_normalization",
@@ -96,14 +106,18 @@ object Dedup {
   }
 
   val normalizedExactSql: String =
-    """SELECT source, count(*) AS n_docs,
-              count(DISTINCT md5(text)) AS n_raw_groups,
-              count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
-                '[.,;:!?]', '', 'g'), '[ \t\n\r\f]+', ' ', 'g')))) AS n_canon_groups,
-              count(DISTINCT md5(text))
-                - count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
-                    '[.,;:!?]', '', 'g'), '[ \t\n\r\f]+', ' ', 'g')))) AS n_merged_by_normalization
-       FROM documents GROUP BY source ORDER BY source"""
+    """WITH per AS (
+         SELECT source, md5(text) AS raw_hash,
+                md5(trim(regexp_replace(translate(lower(text), '.,;:!?', ''),
+                  '[ \t\n\r\f]+', ' ', 'g'))) AS canon_hash,
+                count(*) AS n
+         FROM documents GROUP BY 1, 2, 3)
+       SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+              count(DISTINCT raw_hash) AS n_raw_groups,
+              count(DISTINCT canon_hash) AS n_canon_groups,
+              count(DISTINCT raw_hash) - count(DISTINCT canon_hash)
+                AS n_merged_by_normalization
+       FROM per GROUP BY source ORDER BY source"""
 
   /** Shared-shingle pair intersections: (da < db, |A∩B|, |A|, |B|) —
     * the base both overlap measures (Jaccard, containment) rank from.

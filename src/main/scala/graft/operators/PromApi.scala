@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The Prometheus HTTP API v1 READ-side response envelopes — the last
+  * deterministic read-surface seam between this engine and a real
+  * Prometheus client (r12 verdict item 8). The reference ships samples
+  * into Amazon Managed Prometheus (collector/internal/utils/
+  * prometheus.go:129-167); everything a user then READS comes back
+  * through `/api/v1/{query,query_range,series,label/<n>/values}` in the
+  * published envelope shape (`{"status":"success","data":{...}}`,
+  * prometheus.io/docs/prometheus/latest/querying/api). These entries
+  * render the engine's own instant/range vectors into that envelope
+  * BYTE-exactly, so a Prometheus client library would parse the body
+  * unchanged:
+  *
+  *   - JSON object keys appear in Go `encoding/json` map-marshal order
+  *     (alphabetical: `__name__` < `instance` < `job`), compact form —
+  *     no whitespace, exactly as Prometheus emits.
+  *   - Sample values render as STRINGS (the API contract) from the
+  *     integer cents grid — `"12.30"` keeps both engines byte-equal
+  *     with zero float formatting (Go renders shortest-round-trip; on
+  *     the 2-decimal grid the spellings coincide).
+  *   - Timestamps are second-aligned, and Go's
+  *     `strconv.FormatFloat(sec, 'f', -1, 64)` renders whole seconds
+  *     with no decimal point — so a bare integer render is faithful.
+  *   - Prometheus does not guarantee result order; these entries pin
+  *     the deterministic refinement (lexicographic element sort) so
+  *     the body is reproducible — a legal server response.
+  *
+  * Scale: every entry aggregates the |series|-bounded instant/range
+  * vector (never the sample corpus) into one body row; the final
+  * collect is a single-group aggregate over ≤ |series| JSON fragments.
+  * The envelope is presentation — the heavy lifting stays in the
+  * underlying vector entries.
+  */
+object PromApi {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Integer-cents → API value string ("12.30"): zero float formatting. */
+  private val centsStr =
+    "concat(cast(cents div 100 as string), '.', lpad(cast(cents % 100 as string), 2, '0'))"
+  private val centsStrSql =
+    "(cents // 100)::VARCHAR || '.' || lpad((cents % 100)::VARCHAR, 2, '0')"
+
+  // ----------------------------------------------- /api/v1/query
+
+  /** `/api/v1/query?query=graft_gauge` — the instant-vector envelope
+    * over [[PromQlFns.instantVector]] (newest-timestamp evaluation,
+    * 7-day lookback, deterministic last-sample rule). One `body` row. */
+  def queryJson: Q = (s, d) => {
+    val el = PromQlFns.instantVector(s, d)
+      .select(concat(
+        lit("{\"metric\":{\"__name__\":\"graft_gauge\",\"instance\":\""),
+        col("instance"), lit("\",\"job\":\""), col("job"),
+        lit("\"},\"value\":["), col("sample_sec").cast("string"),
+        lit(",\""), expr(centsStr), lit("\"]}")).as("el"))
+    el.agg(concat(
+        lit("{\"status\":\"success\",\"data\":{\"resultType\":\"vector\",\"result\":["),
+        array_join(sort_array(collect_list(col("el"))), ","),
+        lit("]}}")).as("body"))
+  }
+
+  val queryJsonSql: String =
+    s"""WITH ${PromQlFns.instantVectorSql},
+        els AS (
+          SELECT '{"metric":{"__name__":"graft_gauge","instance":"' || instance
+                 || '","job":"' || job || '"},"value":[' || sample_sec::VARCHAR
+                 || ',"' || $centsStrSql || '"]}' AS el
+          FROM iv)
+        SELECT '{"status":"success","data":{"resultType":"vector","result":['
+               || string_agg(el, ',' ORDER BY el) || ']}}' AS body
+        FROM els"""
+
+  // ----------------------------------------- /api/v1/query_range
+
+  /** `/api/v1/query_range?query=graft_gauge&step=2h` — the matrix
+    * envelope over `prom_query_range`'s step grid (left-open lookback,
+    * staleness omits the step): per series a `"values"` list in step
+    * order, series elements sorted by job label. */
+  def queryRangeJson: Q = (s, d) => {
+    val grid = Tables.events(s, d)
+      .select(col("event_type").as("job"),
+        expr("cast(unix_timestamp(date_trunc('second', ts)) as bigint)").as("ts_sec"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("step_sec",
+        expr(s"((ts_sec + ${PromQl.StepSec - 1}) div ${PromQl.StepSec}) * ${PromQl.StepSec}"))
+      .where(col("step_sec") - col("ts_sec") < PromQl.LookbackSec)
+      .groupBy(col("job"), col("step_sec"))
+      .agg(max(struct(col("ts_us"), col("event_id"), col("cents"))).as("last"))
+      .select(col("job"), col("step_sec"), col("last.cents").as("cents"))
+    val series = grid
+      .select(col("job"), col("step_sec"),
+        concat(lit("["), col("step_sec").cast("string"), lit(",\""),
+          expr(centsStr), lit("\"]")).as("pair"))
+      .groupBy(col("job"))
+      .agg(concat(
+        lit("{\"metric\":{\"__name__\":\"graft_gauge\",\"job\":\""), col("job"),
+        lit("\"},\"values\":["),
+        array_join(expr("transform(array_sort(collect_list(struct(step_sec, pair))), x -> x.pair)"), ","),
+        lit("]}")).as("el"))
+    series.agg(concat(
+        lit("{\"status\":\"success\",\"data\":{\"resultType\":\"matrix\",\"result\":["),
+        array_join(sort_array(collect_list(col("el"))), ","),
+        lit("]}}")).as("body"))
+  }
+
+  val queryRangeJsonSql: String =
+    s"""WITH samp AS (
+          SELECT event_type AS job,
+                 CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec,
+                 epoch_us(ts) AS ts_us, event_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events),
+        grid AS (
+          SELECT job, step_sec, cents FROM (
+            SELECT s.*, ((ts_sec + ${PromQl.StepSec - 1}) // ${PromQl.StepSec})
+                          * ${PromQl.StepSec} AS step_sec,
+                   row_number() OVER (
+                     PARTITION BY job, ((ts_sec + ${PromQl.StepSec - 1}) // ${PromQl.StepSec})
+                     ORDER BY ts_us DESC, event_id DESC) AS rn
+            FROM samp s
+            WHERE ((ts_sec + ${PromQl.StepSec - 1}) // ${PromQl.StepSec}) * ${PromQl.StepSec}
+                    - ts_sec < ${PromQl.LookbackSec}) t
+          WHERE rn = 1),
+        series AS (
+          SELECT '{"metric":{"__name__":"graft_gauge","job":"' || job
+                 || '"},"values":['
+                 || string_agg('[' || step_sec::VARCHAR || ',"' || $centsStrSql || '"]',
+                      ',' ORDER BY step_sec)
+                 || ']}' AS el
+          FROM grid GROUP BY job)
+        SELECT '{"status":"success","data":{"resultType":"matrix","result":['
+               || string_agg(el, ',' ORDER BY el) || ']}}' AS body
+        FROM series"""
+
+  // ---------------------------------------------- /api/v1/series
+
+  /** `/api/v1/series?match[]=graft_gauge` — the label-set listing:
+    * `data` is a flat array of metric objects, one per live series in
+    * the instant vector's lookback. */
+  def seriesJson: Q = (s, d) => {
+    val el = PromQlFns.instantVector(s, d)
+      .select(concat(
+        lit("{\"__name__\":\"graft_gauge\",\"instance\":\""), col("instance"),
+        lit("\",\"job\":\""), col("job"), lit("\"}")).as("el"))
+    el.agg(concat(lit("{\"status\":\"success\",\"data\":["),
+        array_join(sort_array(collect_list(col("el"))), ","),
+        lit("]}")).as("body"))
+  }
+
+  val seriesJsonSql: String =
+    s"""WITH ${PromQlFns.instantVectorSql},
+        els AS (
+          SELECT '{"__name__":"graft_gauge","instance":"' || instance
+                 || '","job":"' || job || '"}' AS el
+          FROM iv)
+        SELECT '{"status":"success","data":['
+               || string_agg(el, ',' ORDER BY el) || ']}' AS body
+        FROM els"""
+
+  // ------------------------------------- /api/v1/label/job/values
+
+  /** `/api/v1/label/job/values` — sorted distinct values of the `job`
+    * label across the live series set (Prometheus DOES sort this one). */
+  def labelValuesJson: Q = (s, d) => {
+    PromQlFns.instantVector(s, d)
+      .select(col("job")).distinct()
+      .agg(concat(lit("{\"status\":\"success\",\"data\":[\""),
+        array_join(sort_array(collect_list(col("job"))), "\",\""),
+        lit("\"]}")).as("body"))
+  }
+
+  val labelValuesJsonSql: String =
+    s"""WITH ${PromQlFns.instantVectorSql}
+        SELECT '{"status":"success","data":["'
+               || string_agg(DISTINCT job, '","' ORDER BY job) || '"]}' AS body
+        FROM iv"""
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("prom_api_query_json", queryJson, Some(queryJsonSql)),
+    ("prom_api_query_range_json", queryRangeJson, Some(queryRangeJsonSql)),
+    ("prom_api_series_json", seriesJson, Some(seriesJsonSql)),
+    ("prom_api_label_values_json", labelValuesJson, Some(labelValuesJsonSql)))
+}

@@ -316,7 +316,329 @@ object RankStats {
                                    AS DOUBLE))) * 1e4) / 1e4 AS cramers_v
        FROM terms, lv"""
 
+  // ------------------------------------------------ Spearman rho
+
+  /** Spearman rank correlation between l_quantity and l_discount per
+    * return flag — the monotone-association read (does bigger volume
+    * buy deeper discount?) free of either marginal's shape. Both
+    * variables live on BOUNDED value domains (50 quantity levels, 11
+    * discount cents levels), so the whole test runs on the ≤550-cell
+    * paired histogram: average ranks of ties on the exact ×2 scale
+    * from each marginal's cumulative counts, the five moment sums
+    * (Σw·rx, Σw·ry, Σw·rx², Σw·ry², Σw·rx·ry) accumulated in
+    * DECIMAL(38,0)/HUGEINT, and rho = ONE fixed double sequence over
+    * their casts (the ×2 scale cancels), floored at 1e-4. */
+  def spearman: Q = (s, d) => {
+    val cells = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("int").as("qty"),
+        floor(col("l_discount") * 100 + 0.5).cast("int").as("disc"))
+      .agg(count(lit(1)).as("cnt"))
+    val wq = Window.partitionBy(col("flag")).orderBy(col("qty"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wd = Window.partitionBy(col("flag")).orderBy(col("disc"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val mq = cells.groupBy(col("flag"), col("qty"))
+      .agg(sum(col("cnt")).as("cq"))
+      .withColumn("rx2", lit(2L) * coalesce(sum(col("cq")).over(wq), lit(0L))
+        + col("cq") + 1L)
+    val md = cells.groupBy(col("flag"), col("disc"))
+      .agg(sum(col("cnt")).as("cd"))
+      .withColumn("ry2", lit(2L) * coalesce(sum(col("cd")).over(wd), lit(0L))
+        + col("cd") + 1L)
+    cells.join(mq.select(col("flag"), col("qty"), col("rx2")), Seq("flag", "qty"))
+      .join(md.select(col("flag"), col("disc"), col("ry2")), Seq("flag", "disc"))
+      .groupBy(col("flag"))
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("cnt").cast("decimal(38,0)") * col("rx2")).as("sx"),
+        sum(col("cnt").cast("decimal(38,0)") * col("ry2")).as("sy"),
+        sum(col("cnt").cast("decimal(38,0)") * col("rx2") * col("rx2")).as("sxx"),
+        sum(col("cnt").cast("decimal(38,0)") * col("ry2") * col("ry2")).as("syy"),
+        sum(col("cnt").cast("decimal(38,0)") * col("rx2") * col("ry2")).as("sxy"))
+      .select(col("flag"), col("n"), {
+        val n = col("n").cast("double")
+        val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+        val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
+        val sxy = col("sxy").cast("double")
+        (floor((n * sxy - sx * sy)
+          / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e4) / 1e4)
+          .as("rho")
+      })
+      .orderBy(col("flag"))
+  }
+
+  val spearmanSql: String =
+    """WITH cells AS (
+         SELECT l_returnflag AS flag, CAST(l_quantity AS INT) AS qty,
+                CAST(floor(l_discount * 100 + 0.5) AS INT) AS disc, count(*) AS cnt
+         FROM lineitem GROUP BY 1, 2, 3),
+       mq AS (
+         SELECT flag, qty,
+                2 * coalesce(sum(cq) OVER (PARTITION BY flag ORDER BY qty
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + cq + 1 AS rx2
+         FROM (SELECT flag, qty, CAST(sum(cnt) AS BIGINT) AS cq
+               FROM cells GROUP BY 1, 2) t),
+       md AS (
+         SELECT flag, disc,
+                2 * coalesce(sum(cd) OVER (PARTITION BY flag ORDER BY disc
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + cd + 1 AS ry2
+         FROM (SELECT flag, disc, CAST(sum(cnt) AS BIGINT) AS cd
+               FROM cells GROUP BY 1, 2) t),
+       agg AS (
+         SELECT c.flag, CAST(sum(cnt) AS BIGINT) AS n,
+                sum(CAST(cnt AS HUGEINT) * rx2) AS sx,
+                sum(CAST(cnt AS HUGEINT) * ry2) AS sy,
+                sum(CAST(cnt AS HUGEINT) * rx2 * rx2) AS sxx,
+                sum(CAST(cnt AS HUGEINT) * ry2 * ry2) AS syy,
+                sum(CAST(cnt AS HUGEINT) * rx2 * ry2) AS sxy
+         FROM cells c
+         JOIN mq ON mq.flag = c.flag AND mq.qty = c.qty
+         JOIN md ON md.flag = c.flag AND md.disc = c.disc
+         GROUP BY c.flag)
+       SELECT flag, n,
+              floor((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                     * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+                * 1e4) / 1e4 AS rho
+       FROM agg ORDER BY flag"""
+
+  // ------------------------------------------------ Friedman test
+
+  /** Friedman test — k correlated treatments ranked WITHIN each block
+    * (the repeated-measures sibling of Kruskal–Wallis): treatments =
+    * the 5 event types, blocks = days, observations = the day's total
+    * value cents. With average ranks on the ×2 scale the tie-corrected
+    * statistic is a ratio of two EXACT integers:
+    *   Q = (k−1)·Σ_j (S2_j − n(k+1))² / (Σ_ij r2_ij² − n·k·(k+1)²)
+    * (both sides carry the ×4; it cancels). One |days|×k rank window,
+    * integer sums, a single double division floored at 1e-4. */
+  def friedman: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+    val wlt = Window.partitionBy(col("day")).orderBy(col("cents"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val weq = Window.partitionBy(col("day"), col("cents"))
+    val ranked = daily
+      .withColumn("nlt", coalesce(count(lit(1)).over(wlt), lit(0L)))
+      .withColumn("neq", count(lit(1)).over(weq))
+      .withColumn("r2", lit(2L) * col("nlt") + col("neq") + 1L)
+    val perT = ranked.groupBy(col("event_type"))
+      .agg(sum(col("r2")).as("s2"), count(lit(1)).as("n_blocks"),
+        sum(col("r2").cast("decimal(38,0)") * col("r2")).as("sr2sq"))
+      // k = |treatments| = the row count of this k-row aggregate — a
+      // partitionless window over a bounded frame, no driver action
+      .withColumn("k", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    perT.groupBy(col("k"))
+      .agg(max(col("n_blocks")).as("n_blocks"),
+        sum((col("s2").cast("decimal(38,0)") - col("n_blocks") * (col("k") + 1))
+          * (col("s2").cast("decimal(38,0)") - col("n_blocks") * (col("k") + 1)))
+          .as("num_sum"),
+        sum(col("sr2sq")).as("den_a"),
+        sum(col("n_blocks")).as("n_total"))
+      .select(col("n_blocks"), col("k"), {
+        val num = (col("k").cast("double") - 1.0) * col("num_sum").cast("double")
+        val den = col("den_a").cast("double") -
+          col("n_total").cast("double") * (col("k") + 1) * (col("k") + 1)
+        (floor(num / den * 1e4) / 1e4).as("q_stat")
+      }, (col("k") - 1).as("df"))
+  }
+
+  val friedmanSql: String =
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                  AS cents
+         FROM events GROUP BY 1, 2),
+       ranked AS (
+         SELECT event_type, day, cents,
+                2 * coalesce(count(*) OVER (PARTITION BY day ORDER BY cents
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + count(*) OVER (PARTITION BY day, cents) + 1 AS r2
+         FROM daily),
+       kk AS (SELECT count(DISTINCT event_type) AS k FROM ranked),
+       pert AS (
+         SELECT event_type, CAST(sum(r2) AS BIGINT) AS s2,
+                count(*) AS n_blocks,
+                sum(CAST(r2 AS HUGEINT) * r2) AS sr2sq
+         FROM ranked GROUP BY 1)
+       SELECT CAST(max(n_blocks) AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
+              floor((k - 1)::DOUBLE
+                * sum((CAST(s2 AS HUGEINT) - n_blocks * (k + 1))
+                    * (CAST(s2 AS HUGEINT) - n_blocks * (k + 1)))::DOUBLE
+                / (sum(sr2sq)::DOUBLE
+                   - CAST(sum(n_blocks) AS HUGEINT)::DOUBLE * (k + 1) * (k + 1))
+                * 1e4) / 1e4 AS q_stat,
+              CAST(k - 1 AS BIGINT) AS df
+       FROM pert, kk GROUP BY k"""
+
+  // --------------------------------------------- Mann–Kendall trend
+
+  /** Mann–Kendall trend test over each event type's daily total-cents
+    * series — the standard nonparametric "is this metric drifting"
+    * monitor read. S = Σ_{i<j} sign(x_j − x_i) over the |days|-bounded
+    * series (the pair join is time-domain sized at ANY corpus scale),
+    * tie-corrected variance
+    *   Var = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18,
+    * and the continuity-corrected z = (S∓1)/√Var floored at 1e-4 with
+    * the 5%-level verdict. S, both variance terms, and the tie sum are
+    * exact integers. */
+  def mannKendall: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+    val a = daily.select(col("event_type"), col("day").as("di"), col("cents").as("xi"))
+    val b = daily.select(col("event_type"), col("day").as("dj"), col("cents").as("xj"))
+    val sStat = a.join(b, Seq("event_type")).filter(col("di") < col("dj"))
+      .groupBy(col("event_type"))
+      .agg(sum(signum(col("xj") - col("xi")).cast("long")).as("s_stat"))
+    val ties = daily.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("t")).as("n_days"),
+        sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)).as("tie_sum"))
+    sStat.join(ties, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("s_stat"), {
+        val n = col("n_days").cast("double")
+        val varS = (n * (n - 1.0) * (lit(2.0) * n + 5.0)
+          - col("tie_sum").cast("double")) / 18.0
+        val z = when(col("s_stat") > 0,
+            (col("s_stat").cast("double") - 1.0) / sqrt(varS))
+          .when(col("s_stat") < 0,
+            (col("s_stat").cast("double") + 1.0) / sqrt(varS))
+          .otherwise(lit(0.0))
+        (floor(z * 1e4) / 1e4).as("z")
+      })
+      .withColumn("trend",
+        when(col("z") >= 1.96, lit("increasing"))
+          .when(col("z") <= -1.96, lit("decreasing"))
+          .otherwise(lit("none")))
+      .orderBy(col("event_type"))
+  }
+
+  val mannKendallSql: String =
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                  AS cents
+         FROM events GROUP BY 1, 2),
+       s AS (
+         SELECT a.event_type,
+                CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                              WHEN b.cents < a.cents THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s_stat
+         FROM daily a JOIN daily b
+           ON b.event_type = a.event_type AND a.day < b.day
+         GROUP BY 1),
+       ties AS (
+         SELECT event_type, CAST(sum(t) AS BIGINT) AS n_days,
+                CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum
+         FROM (SELECT event_type, cents, count(*) AS t
+               FROM daily GROUP BY 1, 2) g
+         GROUP BY 1),
+       z AS (
+         SELECT s.event_type, n_days, s_stat,
+                floor(CASE
+                  WHEN s_stat > 0 THEN (s_stat - 1)::DOUBLE
+                    / sqrt((n_days::DOUBLE * (n_days - 1) * (2 * n_days + 5)
+                            - tie_sum::DOUBLE) / 18.0)
+                  WHEN s_stat < 0 THEN (s_stat + 1)::DOUBLE
+                    / sqrt((n_days::DOUBLE * (n_days - 1) * (2 * n_days + 5)
+                            - tie_sum::DOUBLE) / 18.0)
+                  ELSE 0.0 END * 1e4) / 1e4 AS z
+         FROM s JOIN ties ON ties.event_type = s.event_type)
+       SELECT event_type, n_days, s_stat, z,
+              CASE WHEN z >= 1.96 THEN 'increasing'
+                   WHEN z <= -1.96 THEN 'decreasing'
+                   ELSE 'none' END AS trend
+       FROM z ORDER BY event_type"""
+
+  // -------------------------------------------- Page–Hinkley test
+
+  /** Baseline window (days) whose mean anchors the PH drift test. */
+  val PhBaselineDays = 14
+  /** Drift allowance δ and alarm threshold λ, in cents (×baseline n). */
+  val PhDeltaCents = 50L
+  val PhLambdaCents = 5000L
+
+  /** Page–Hinkley change detection over each event type's daily MEAN
+    * cents — the sequential drift alarm a monitoring engine runs on a
+    * metric stream. This is the baseline-anchored variant: the
+    * reference mean is the first [[PhBaselineDays]] days' mean (the
+    * classical running-mean form needs a per-step rational with
+    * denominator t — not exactly representable; anchoring at a FIXED
+    * baseline keeps every quantity integral). Multiplying through by
+    * the baseline count B: m_t·B = Σ_{i≤t}(B·x_i) − t·S_B − B·δ·t is
+    * an exact integer; PH_t = m_t − min_{i≤t} m_i is a running-min
+    * window over integers; the alarm fires when PH_t·B ≥ B·λ. Per
+    * series: the alarm day (if any), the PH max, both on the exact
+    * cents×B grid. Day means use cents div n (floored) to stay
+    * integral. */
+  def pageHinkley: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr("sum(cast(floor(value * 100 + 0.5) as bigint)) div count(*)")
+        .as("mean_cents"))
+    val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val idx = daily.withColumn("t", row_number().over(wd).cast("long"))
+    val base = idx.filter(col("t") <= PhBaselineDays)
+      .groupBy(col("event_type"))
+      .agg(sum(col("mean_cents")).as("s_base"), count(lit(1)).as("b"))
+    val wrun = Window.partitionBy(col("event_type")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ph = idx.join(base, Seq("event_type"))
+      .withColumn("m_b", sum(col("b") * col("mean_cents")).over(wrun)
+        - col("t") * col("s_base") - col("b") * lit(PhDeltaCents) * col("t"))
+      .withColumn("ph_b", col("m_b") - min(col("m_b")).over(wrun))
+    ph.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("ph_b")).as("ph_max_xb"),
+        min(when(col("ph_b") >= col("b") * lit(PhLambdaCents), col("t")))
+          .as("alarm_day"))
+      .withColumn("alarmed", col("alarm_day").isNotNull)
+      .orderBy(col("event_type"))
+  }
+
+  val pageHinkleySql: String =
+    s"""WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) // count(*)
+                  AS BIGINT) AS mean_cents
+         FROM events GROUP BY 1, 2),
+       idx AS (
+         SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+                     ORDER BY day) AS BIGINT) AS t
+         FROM daily),
+       base AS (
+         SELECT event_type, CAST(sum(mean_cents) AS BIGINT) AS s_base,
+                count(*) AS b
+         FROM idx WHERE t <= $PhBaselineDays GROUP BY 1),
+       ph AS (
+         SELECT i.event_type, i.t, b.b,
+                CAST(sum(b.b * i.mean_cents) OVER (PARTITION BY i.event_type
+                  ORDER BY i.t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  - i.t * b.s_base - b.b * $PhDeltaCents * i.t AS m_b
+         FROM idx i JOIN base b ON b.event_type = i.event_type),
+       ph2 AS (
+         SELECT *, m_b - min(m_b) OVER (PARTITION BY event_type ORDER BY t
+                  ROWS UNBOUNDED PRECEDING) AS ph_b
+         FROM ph)
+       SELECT event_type, count(*) AS n_days,
+              CAST(max(ph_b) AS BIGINT) AS ph_max_xb,
+              CAST(min(CASE WHEN ph_b >= b * $PhLambdaCents THEN t END)
+                AS BIGINT) AS alarm_day,
+              min(CASE WHEN ph_b >= b * $PhLambdaCents THEN t END) IS NOT NULL
+                AS alarmed
+       FROM ph2 GROUP BY event_type ORDER BY event_type"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_spearman", spearman, Some(spearmanSql)),
+    ("q_friedman", friedman, Some(friedmanSql)),
+    ("q_mann_kendall", mannKendall, Some(mannKendallSql)),
+    ("q_page_hinkley", pageHinkley, Some(pageHinkleySql)),
     ("q_mann_whitney_u", mannWhitneyU, Some(mannWhitneyUSql)),
     ("q_kruskal_wallis", kruskalWallis, Some(kruskalWallisSql)),
     ("q_bh_fdr", bhFdr, Some(bhFdrSql)),

@@ -246,7 +246,144 @@ object TsdbLifecycle {
               (count(*) = count(*) FILTER (WHERE tombstoned)) AS fully_deletable
        FROM f GROUP BY block_id ORDER BY block_id"""
 
+  // --------------------------------------- timestamp DoD encoding
+
+  /** Delta-of-delta varbit timestamp encoding — the Prometheus chunk
+    * format's timestamp half (tsdb/chunkenc/xor.go, the Gorilla paper's
+    * §4.1.1): within a chunk, sample 1 stores the full timestamp,
+    * sample 2 the delta, and every later sample the delta-of-delta in
+    * the smallest of four varbit classes:
+    *   dod = 0                    → 1 bit ('0')
+    *   dod ∈ [−8191, 8192]        → 2+14 bits ('10')
+    *   dod ∈ [−65535, 65536]      → 3+17 bits ('110')
+    *   dod ∈ [−524287, 524288]    → 4+20 bits ('1110')
+    *   else                       → 4+64 bits ('1111')
+    * A perfectly regular scrape encodes every sample after the second
+    * in ONE bit — the jitter distribution decides the real footprint.
+    * This audit tabulates the class histogram and bits-per-sample per
+    * series (first/second samples modeled at the fixed 64-bit width;
+    * the varint header is ≤64 and constant per chunk — documented
+    * simplification). All arithmetic is integer; the ledger is what a
+    * capacity planner reads to size a 100 TB store's chunk footprint.
+    * Samples order by (es, arrival) per series — the time-sorted chunk
+    * layout, one partitioned window, no state loop. */
+  def dodTimestamps: Q = (s, d) => {
+    val w = Window.partitionBy(col("series")).orderBy(col("es"), col("arrival"))
+    val cls = samples(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("delta", col("es") - lag(col("es"), 1).over(w))
+      .withColumn("dod", col("delta") - lag(col("delta"), 1).over(w))
+      .withColumn("bits", expr(
+        """CASE WHEN rn <= 2 THEN 64
+                WHEN dod = 0 THEN 1
+                WHEN dod BETWEEN -8191 AND 8192 THEN 16
+                WHEN dod BETWEEN -65535 AND 65536 THEN 20
+                WHEN dod BETWEEN -524287 AND 524288 THEN 24
+                ELSE 68 END"""))
+    cls.groupBy(col("series"))
+      .agg(count(lit(1)).as("n_samples"),
+        count(when(col("rn") > 2 && col("dod") === 0, 1)).as("n_dod0"),
+        count(when(col("rn") > 2 && col("bits") === 16, 1)).as("n_bits14"),
+        count(when(col("rn") > 2 && col("bits") === 20, 1)).as("n_bits17"),
+        count(when(col("rn") > 2 && col("bits") === 24, 1)).as("n_bits20"),
+        count(when(col("rn") > 2 && col("bits") === 68, 1)).as("n_bits64"),
+        sum(col("bits")).as("total_bits"))
+      .withColumn("bits_per_sample_x100",
+        expr("total_bits * 100 div n_samples"))
+      .withColumn("compression_x100",
+        expr("n_samples * 64 * 100 div total_bits"))
+      .orderBy(col("series"))
+  }
+
+  val dodTimestampsSql: String =
+    s"""WITH smp AS ($samplesSql),
+        cls AS (
+          SELECT series,
+                 row_number() OVER (PARTITION BY series ORDER BY es, arrival) AS rn,
+                 es - lag(es) OVER (PARTITION BY series ORDER BY es, arrival) AS delta
+          FROM smp),
+        dd AS (
+          SELECT series, rn,
+                 delta - lag(delta) OVER (PARTITION BY series ORDER BY rn) AS dod
+          FROM cls),
+        b AS (
+          SELECT series, rn, dod,
+                 CASE WHEN rn <= 2 THEN 64
+                      WHEN dod = 0 THEN 1
+                      WHEN dod BETWEEN -8191 AND 8192 THEN 16
+                      WHEN dod BETWEEN -65535 AND 65536 THEN 20
+                      WHEN dod BETWEEN -524287 AND 524288 THEN 24
+                      ELSE 68 END AS bits
+          FROM dd)
+        SELECT series, count(*) AS n_samples,
+               count(*) FILTER (WHERE rn > 2 AND dod = 0) AS n_dod0,
+               count(*) FILTER (WHERE rn > 2 AND bits = 16) AS n_bits14,
+               count(*) FILTER (WHERE rn > 2 AND bits = 20) AS n_bits17,
+               count(*) FILTER (WHERE rn > 2 AND bits = 24) AS n_bits20,
+               count(*) FILTER (WHERE rn > 2 AND bits = 68) AS n_bits64,
+               CAST(sum(bits) AS BIGINT) AS total_bits,
+               CAST(sum(bits) * 100 // count(*) AS BIGINT) AS bits_per_sample_x100,
+               CAST(count(*) * 64 * 100 // sum(bits) AS BIGINT) AS compression_x100
+        FROM b GROUP BY series ORDER BY series"""
+
+  // ----------------------------------------------------- WAL replay
+
+  /** WAL segment size for the replay audit (records per segment). */
+  val WalSegRecords = 1000L
+  /** Prometheus keeps the last 3 WAL segments out of every checkpoint. */
+  val WalKeepSegments = 3L
+
+  /** WAL replay accounting — what `tsdb.Open` does on restart (tsdb/
+    * wal/watcher + head replay): walk segments in order, re-create each
+    * series at its FIRST record, append samples. Per segment: record
+    * count, series created there (the series-record write), the running
+    * series total a replayer holds after the segment, and whether a
+    * checkpoint would have folded the segment (all but the newest
+    * [[WalKeepSegments]]). Segmentation is `arrival div 1000` — the
+    * append-order record grid, no density assumption on ids. The
+    * series→first-segment map is one aggregation; per-segment rollup a
+    * second; the running total a window over the |segments|-row frame. */
+  def walReplay: Q = (s, d) => {
+    val smp = samples(s, d).withColumn("seg", expr(s"arrival div $WalSegRecords"))
+    val firstSeg = smp.groupBy(col("series"))
+      .agg(min(col("seg")).as("first_seg"))
+      .groupBy(col("first_seg")).agg(count(lit(1)).as("n_series_created"))
+    val perSeg = smp.groupBy(col("seg")).agg(count(lit(1)).as("n_records"))
+      .join(firstSeg, col("seg") === col("first_seg"), "left")
+      .select(col("seg"), col("n_records"),
+        coalesce(col("n_series_created"), lit(0L)).as("n_series_created"))
+    val w = Window.orderBy(col("seg"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perSeg
+      .withColumn("series_after_replay", sum(col("n_series_created")).over(w))
+      .withColumn("max_seg", max(col("seg")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("seg"), col("n_records"), col("n_series_created"),
+        col("series_after_replay"),
+        (col("seg") <= col("max_seg") - lit(WalKeepSegments)).as("checkpointed"))
+      .orderBy(col("seg"))
+  }
+
+  val walReplaySql: String =
+    s"""WITH smp AS (SELECT t.*, arrival // $WalSegRecords AS seg FROM ($samplesSql) t),
+        fs AS (
+          SELECT first_seg, count(*) AS n_series_created FROM (
+            SELECT series, min(seg) AS first_seg FROM smp GROUP BY series) f
+          GROUP BY first_seg),
+        per AS (
+          SELECT p.seg, p.n_records,
+                 COALESCE(fs.n_series_created, 0) AS n_series_created
+          FROM (SELECT seg, count(*) AS n_records FROM smp GROUP BY seg) p
+          LEFT JOIN fs ON fs.first_seg = p.seg)
+        SELECT seg, n_records, n_series_created,
+               CAST(sum(n_series_created) OVER (ORDER BY seg
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS series_after_replay,
+               seg <= max(seg) OVER () - $WalKeepSegments AS checkpointed
+        FROM per ORDER BY seg"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("tsdb_dod_timestamps", dodTimestamps, Some(dodTimestampsSql)),
+    ("tsdb_wal_replay", walReplay, Some(walReplaySql)),
     ("tsdb_ooo_ingest", oooIngest, Some(oooIngestSql)),
     ("tsdb_tombstones", tombstones, Some(tombstonesSql)),
     ("tsdb_block_plan", blockPlan, Some(blockPlanSql)),

@@ -219,6 +219,9 @@ class PlanSweepSpec extends SparkTestBase {
     "mix_doremi_step", // 1-row loss-bounds + 1-row term-total broadcast
     "ann_binary_quant_recall", // 8-query != candidate non-equi pairing (bruteforce shape)
     "prom_quantile_aggregator", // instant vector's 1-row now-bound broadcast
+    // round-13: API envelope family rides the same instant vector
+    "prom_api_query_json", "prom_api_series_json", "prom_api_label_values_json",
+    "alert_flap_detect", // |identities| × |cells| analysis-plane spine cross
     "curate_dedup_mix_shift", // 1-row corpus-totals broadcast
     "split_grouped",      // 1-row leaked-source-count broadcast
     "sink_manifest_prune", // 1-row predicate-bounds broadcast
