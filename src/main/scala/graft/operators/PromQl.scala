@@ -335,7 +335,124 @@ object PromQl {
                floor(CAST(n_max AS DOUBLE) / ${SubStepSec}.0 * 1e6) / 1e6 AS max_rate
         FROM m WHERE n_max IS NOT NULL ORDER BY event_type, step_sec"""
 
+  // ------------------------------------------------- delta() (gauge)
+
+  /** The gauge-delta staged pipeline: rateExtrapolated's boundary
+    * extrapolation WITHOUT the counter-only pieces — no reset
+    * adjustment (the raw difference may be negative) and no
+    * counter-zero start clamp (`dts` is the plain 1.1-rule threshold;
+    * functions.go applies the zero crossing only when isCounter). */
+  private val deltaStagedExprs: Seq[(String, String)] = Seq(
+    "samp" -> "CAST(last_t - first_t AS DOUBLE)",
+    "avg_dur" -> "samp / CAST(n_samples - 1 AS DOUBLE)",
+    "dts" -> ("CASE WHEN CAST(first_t - bucket_start AS DOUBLE) >= avg_dur * 1.1 " +
+      "THEN avg_dur / 2 ELSE CAST(first_t - bucket_start AS DOUBLE) END"),
+    "dte_raw" -> s"CAST(bucket_start + $RateWindowSec - last_t AS DOUBLE)",
+    "dte" -> "CASE WHEN dte_raw >= avg_dur * 1.1 THEN avg_dur / 2 ELSE dte_raw END",
+    "ext" -> "samp + dts + dte",
+    "delta_extrapolated" -> "floor(raw_delta * (ext / samp) * 1e6) / 1e6")
+
+  /** PromQL `delta(gauge[6h])` — the GAUGE sibling of
+    * `metrics_rate_extrapolated`: per (series, window) the raw change
+    * is simply last − first (it may be negative; no reset logic, a
+    * gauge going down IS the signal), then the same boundary
+    * extrapolation scales it to the full window — except the counter-
+    * zero start clamp does not apply (Prometheus runs that branch only
+    * for counters). Both differences are exactly the published
+    * functions.go split between delta() and increase().
+    *
+    * Scale shape: one (series, window) aggregation — first/last via
+    * min/max(struct), no lag chain at all (the raw delta needs only
+    * the endpoints), so delta() is CHEAPER than rate() at any scale. */
+  def deltaGauge: Q = (s, d) => {
+    val g = Tables.events(s, d)
+      .select(col("event_type"), unix_timestamp(col("ts")).as("ts_sec"),
+        col("event_id"), col("value"))
+      .withColumn("bucket_start",
+        (floor(col("ts_sec") / RateWindowSec) * RateWindowSec).cast("long"))
+      .groupBy(col("event_type"), col("bucket_start"))
+      .agg(count(lit(1)).as("n_samples"),
+        min(struct(col("ts_sec"), col("event_id"), col("value"))).as("fst"),
+        max(struct(col("ts_sec"), col("event_id"), col("value"))).as("lst"))
+      .where(col("n_samples") >= 2 && col("lst.ts_sec") > col("fst.ts_sec"))
+      .select(col("event_type"), col("bucket_start"), col("n_samples"),
+        col("fst.ts_sec").as("first_t"), col("lst.ts_sec").as("last_t"),
+        round(col("lst.value") - col("fst.value"), 2).as("raw_delta"))
+    deltaStagedExprs.foldLeft(g) { case (df, (name, e)) => df.withColumn(name, expr(e)) }
+      .select(col("event_type"), col("bucket_start"), col("n_samples"),
+        col("raw_delta"), col("delta_extrapolated"))
+      .orderBy(col("event_type"), col("bucket_start"))
+  }
+
+  val deltaGaugeSql: String = {
+    val staged = deltaStagedExprs.map { case (n, e) => s"$e AS $n" }.mkString(",\n                 ")
+    s"""WITH s AS (
+          SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_id, value,
+                 CAST(floor(floor(epoch(ts)) / $RateWindowSec) * $RateWindowSec AS BIGINT) AS bucket_start
+          FROM events),
+        l AS (
+          SELECT *, row_number() OVER (PARTITION BY event_type, bucket_start
+                                       ORDER BY ts_sec, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY event_type, bucket_start
+                                    ORDER BY ts_sec DESC, event_id DESC) AS rn_d
+          FROM s),
+        g AS (
+          SELECT event_type, bucket_start, count(*) AS n_samples,
+                 max(CASE WHEN rn_a = 1 THEN ts_sec END) AS first_t,
+                 max(CASE WHEN rn_d = 1 THEN ts_sec END) AS last_t,
+                 round(max(CASE WHEN rn_d = 1 THEN value END)
+                   - max(CASE WHEN rn_a = 1 THEN value END), 2) AS raw_delta
+          FROM l GROUP BY 1, 2),
+        f AS (
+          SELECT *, $staged
+          FROM g WHERE n_samples >= 2 AND last_t > first_t)
+        SELECT event_type, bucket_start, n_samples, raw_delta,
+               delta_extrapolated
+        FROM f ORDER BY event_type, bucket_start"""
+  }
+
+  // --------------------------------------------- timestamp functions
+
+  /** PromQL's calendar function family — `minute() hour()
+    * day_of_week() day_of_month() days_in_month()` — evaluated over
+    * each series' newest sample timestamp (the instant-vector read;
+    * all in UTC exactly as Prometheus defines them, day_of_week 0 =
+    * Sunday). minute/hour/dow are pure epoch integer arithmetic
+    * (epoch day 0 was a Thursday → +4 mod 7); day-of-month and
+    * days-in-month go through the calendar (UTC session, both
+    * engines). One |series|-bounded aggregate, integer outputs. */
+  def timestampFns: Q = (s, d) => {
+    Tables.events(s, d)
+      .select(col("event_type"),
+        expr("cast(unix_timestamp(date_trunc('second', ts)) as bigint)").as("es"))
+      .groupBy(col("event_type")).agg(max(col("es")).as("es"))
+      .select(col("event_type"), col("es"),
+        expr("(es div 60) % 60").as("minute"),
+        expr("(es div 3600) % 24").as("hour"),
+        expr("((es div 86400) + 4) % 7").as("day_of_week"),
+        expr("cast(day(to_date(timestamp_seconds(es))) as bigint)").as("day_of_month"),
+        expr("cast(day(last_day(to_date(timestamp_seconds(es)))) as bigint)")
+          .as("days_in_month"))
+      .orderBy(col("event_type"))
+  }
+
+  val timestampFnsSql: String =
+    """WITH m AS (
+         SELECT event_type,
+                max(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS es
+         FROM events GROUP BY 1)
+       SELECT event_type, es,
+              (es // 60) % 60 AS minute,
+              (es // 3600) % 24 AS hour,
+              ((es // 86400) + 4) % 7 AS day_of_week,
+              CAST(day(to_timestamp(es)::DATE) AS BIGINT) AS day_of_month,
+              CAST(day(last_day(to_timestamp(es)::DATE)) AS BIGINT)
+                AS days_in_month
+       FROM m ORDER BY event_type"""
+
   def entries: Seq[(String, Q, Option[String])] = Seq(
+    ("prom_delta_gauge", deltaGauge, Some(deltaGaugeSql)),
+    ("prom_timestamp_fns", timestampFns, Some(timestampFnsSql)),
     ("prom_vector_matching", vectorMatching, Some(vectorMatchingSql)),
     ("prom_query_range", queryRange, Some(queryRangeSql)),
     ("prom_count_values", countValues, Some(countValuesSql)),

@@ -486,7 +486,7 @@ object RankStats {
     * and the continuity-corrected z = (S∓1)/√Var floored at 1e-4 with
     * the 5%-level verdict. S, both variance terms, and the tie sum are
     * exact integers. */
-  def mannKendall: Q = (s, d) => {
+  def mannKendallZ: Q = (s, d) => {
     val daily = Tables.events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
@@ -519,7 +519,7 @@ object RankStats {
       .orderBy(col("event_type"))
   }
 
-  val mannKendallSql: String =
+  val mannKendallZSql: String =
     """WITH daily AS (
          SELECT event_type, CAST(ts AS DATE) AS day,
                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
@@ -637,7 +637,7 @@ object RankStats {
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_spearman", spearman, Some(spearmanSql)),
     ("q_friedman", friedman, Some(friedmanSql)),
-    ("q_mann_kendall", mannKendall, Some(mannKendallSql)),
+    ("q_mann_kendall_z", mannKendallZ, Some(mannKendallZSql)),
     ("q_page_hinkley", pageHinkley, Some(pageHinkleySql)),
     ("q_mann_whitney_u", mannWhitneyU, Some(mannWhitneyUSql)),
     ("q_kruskal_wallis", kruskalWallis, Some(kruskalWallisSql)),

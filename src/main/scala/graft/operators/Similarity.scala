@@ -2019,7 +2019,65 @@ object Similarity {
         ORDER BY dim"""
   }
 
+  // ------------------------------------------------ HNSW level assign
+
+  /** HNSW layer branching factor (P(level ≥ l) = M^−l). */
+  val HnswM = 4
+  /** Level cap (content-hash nibbles consumed; P(cap) = 4^−8 ≈ 1.5e-5). */
+  val HnswMaxLevel = 8
+
+  /** HNSW level assignment — the hierarchy half of the graph-index ANN
+    * family (`ann_graph_search` walks the base layer; THIS is how the
+    * upper layers get their population). HNSW draws each node's max
+    * level from a geometric distribution (Malkov & Yashunin 2016,
+    * `l = ⌊−ln(u)·mL⌋`); a distributed engine cannot use RNG state and
+    * doesn't need to — the level is a pure CONTENT-HASH function:
+    * level = max l ≤ [[HnswMaxLevel]] with h ≡ 0 (mod [[HnswM]]^l),
+    * which is geometric with ratio 1/M, deterministic, partitioning-
+    * independent, and identically computable by the oracle. Emits the
+    * per-level census a graph-index planner sizes memory with: node
+    * count, the ≥-level layer population (each node appears in every
+    * layer up to its level), and the layer's entry node (min vec_id
+    * among its members — the deterministic tiebreak of the max-level
+    * entry-point rule). One scan + one |levels|-row aggregate. */
+  def hnswLevels: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val lvls = (HnswMaxLevel to 1 by -1).map(l =>
+      s"WHEN h % ${math.pow(HnswM, l).toLong}L = 0 THEN $l").mkString(" ")
+    val assigned = emb(s, d)
+      .withColumn("h", conv(
+        substring(md5(concat(lit("hnsw:"), col("vec_id").cast("string"))), 1, 15),
+        16, 10).cast("long"))
+      .withColumn("level", expr(s"CASE $lvls ELSE 0 END").cast("long"))
+    val w = Window.orderBy(col("level").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    assigned.groupBy(col("level"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("vec_id")).as("entry_vec_id"))
+      .withColumn("layer_population", sum(col("n_nodes")).over(w))
+      .orderBy(col("level").desc)
+  }
+
+  val hnswLevelsSql: String = {
+    val lvls = (HnswMaxLevel to 1 by -1).map(l =>
+      s"WHEN h % ${math.pow(HnswM, l).toLong} = 0 THEN $l").mkString(" ")
+    s"""WITH a AS (
+          SELECT vec_id,
+                 ('0x' || substr(md5('hnsw:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM embeddings),
+        lv AS (
+          SELECT vec_id, CAST(CASE $lvls ELSE 0 END AS BIGINT) AS level FROM a),
+        g AS (
+          SELECT level, count(*) AS n_nodes,
+                 CAST(min(vec_id) AS BIGINT) AS entry_vec_id
+          FROM lv GROUP BY level)
+        SELECT level, n_nodes, entry_vec_id,
+               CAST(sum(n_nodes) OVER (ORDER BY level DESC
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS layer_population
+        FROM g ORDER BY level DESC"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("ann_hnsw_levels", hnswLevels, Some(hnswLevelsSql)),
     ("emb_pca_power", embPcaPower, Some(embPcaPowerSql)),
     ("emb_dim_stats", embDimStats, Some(embDimStatsSql)),
     ("ann_mips_topk", mipsTopK, Some(mipsTopKSql)),

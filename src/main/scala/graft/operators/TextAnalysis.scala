@@ -755,7 +755,100 @@ object TextAnalysis {
         FROM t ORDER BY doc_id"""
   }
 
+  // ------------------------------------------- segmental type-token
+
+  /** STTR segment width (tokens). */
+  val SttrSeg = 50
+
+  /** Segmental type-token ratio (STTR) — the lexical-diversity score
+    * corpus linguists use INSTEAD of raw TTR because TTR falls with
+    * document length (Herdan); fixing the window at [[SttrSeg]] tokens
+    * makes documents comparable. Per doc: distinct-count each FULL
+    * 50-token segment (a narrow `transform` over the token array — no
+    * explode, no shuffle), mean the segment TTRs on the exact 1e6 grid
+    * (Σdistinct·1e6 div (50·nseg) — one floored division); per source:
+    * the doc-mean and the band counts a curation gate would threshold
+    * on. Docs under one full segment carry no STTR and are counted
+    * separately (the standard STTR treatment). */
+  def sttr: Q = (s, d) => {
+    val per = Tables.documents(s, d)
+      .select(col("source"), expr(toksExpr).as("toks"))
+      .withColumn("nseg", expr(s"size(toks) DIV $SttrSeg"))
+      .withColumn("dsum", expr(
+        s"""aggregate(transform(sequence(0, nseg - 1),
+              i -> size(array_distinct(slice(toks, i * $SttrSeg + 1, $SttrSeg)))),
+            0L, (acc, x) -> acc + x)"""))
+      .select(col("source"), col("nseg"),
+        when(col("nseg") > 0,
+          expr(s"dsum * 1000000 div (nseg * $SttrSeg)")).as("sttr_x1e6"))
+    per.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("sttr_x1e6")).as("n_scored"),
+        sum(coalesce(col("sttr_x1e6"), lit(0L))).as("sttr_sum"))
+      .select(col("source"), col("n_docs"), col("n_scored"),
+        expr("sttr_sum div nullif(n_scored, 0)").as("mean_sttr_x1e6"))
+      .orderBy(col("source"))
+  }
+
+  val sttrSql: String =
+    s"""WITH per AS (
+          SELECT source, len(toks) // $SttrSeg AS nseg,
+                 CASE WHEN len(toks) // $SttrSeg > 0 THEN
+                   list_sum(list_transform(range(0, len(toks) // $SttrSeg),
+                     i -> len(list_distinct(toks[i * $SttrSeg + 1 : i * $SttrSeg + $SttrSeg]))))
+                   * 1000000 // ((len(toks) // $SttrSeg) * $SttrSeg)
+                 END AS sttr_x1e6
+          FROM (SELECT source, $toksSqlExpr AS toks FROM documents) t)
+        SELECT source, count(*) AS n_docs,
+               count(sttr_x1e6) AS n_scored,
+               CAST(sum(coalesce(sttr_x1e6, 0)) // nullif(count(sttr_x1e6), 0)
+                 AS BIGINT) AS mean_sttr_x1e6
+        FROM per GROUP BY source ORDER BY source"""
+
+  // ------------------------------------------------ hapax richness
+
+  /** Hapax legomena profile — the OTHER lexical-richness axis (how
+    * much of the vocabulary occurs exactly once), the classic
+    * complement to `text_zipf_profile`'s rank-frequency fit and a
+    * quick OCR/boilerplate tell (garbage inflates hapax share;
+    * templated text deflates it). Per source: vocabulary size, hapax
+    * count, token total, and both shares on the 1e6 grid. One token
+    * explode (the langid cost class — corpus-token-sized but linear
+    * and perfectly parallel) + two hash aggregations keyed by
+    * (source, token) then source. */
+  def hapax: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("source"), explode(expr(toksExpr)).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("freq"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        count(when(col("freq") === 1, 1)).as("n_hapax"),
+        sum(col("freq")).as("n_tokens"))
+      .select(col("source"), col("vocab"), col("n_hapax"), col("n_tokens"),
+        expr("n_hapax * 1000000 div vocab").as("hapax_vocab_share_x1e6"),
+        expr("n_hapax * 1000000 div n_tokens").as("hapax_token_share_x1e6"))
+      .orderBy(col("source"))
+  }
+
+  val hapaxSql: String =
+    s"""WITH tf AS (
+          SELECT source, tok, count(*) AS freq
+          FROM (SELECT source, unnest($toksSqlExpr) AS tok FROM documents) t
+          GROUP BY 1, 2),
+        g AS (
+          SELECT source, count(*) AS vocab,
+                 count(*) FILTER (WHERE freq = 1) AS n_hapax,
+                 CAST(sum(freq) AS BIGINT) AS n_tokens
+          FROM tf GROUP BY source)
+        SELECT source, vocab, n_hapax, n_tokens,
+               n_hapax * 1000000 // vocab AS hapax_vocab_share_x1e6,
+               n_hapax * 1000000 // n_tokens AS hapax_token_share_x1e6
+        FROM g ORDER BY source"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("text_sttr", sttr, Some(sttrSql)),
+    ("text_hapax", hapax, Some(hapaxSql)),
     ("text_char_entropy", charEntropy, Some(charEntropySql)),
     ("text_tokenizer_fertility", tokenizerFertility, Some(tokenizerFertilitySql)),
     ("text_gopher_rules", gopherRules, Some(gopherRulesSql)),

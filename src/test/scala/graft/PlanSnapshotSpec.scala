@@ -147,6 +147,9 @@ class PlanSnapshotSpec extends SparkTestBase {
     "q_bootstrap_ci" -> "rank over the B=64 bootstrap replicate aggregate",
     "q_bh_fdr" -> "rank + step-up windows over the |types|×|dows| cell table",
     "q_chi2_independence" -> "margin windows over the |types|×|dows| cell table",
+    "ann_hnsw_levels" -> "layer-population cumsum over the ≤9-row level census aggregate",
+    "q_friedman" -> "treatment-count window over the |event types|-row per-treatment rank aggregate",
+    "tsdb_wal_replay" -> "running series total + max-segment over the |segments|-row aggregate (append-order domain)",
     "q_cramers_v" -> "margin windows over the |priorities|×|statuses| cell table",
     "q_kruskal_wallis" -> "rank prefix sum over the ≤50-level quantity value domain",
     "q_mann_whitney_u" -> "rank prefix sum over the ≤50-level quantity value domain",
