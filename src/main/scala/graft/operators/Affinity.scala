@@ -1498,7 +1498,72 @@ object Affinity {
               floor(abs(est_jaccard - jaccard_exact) * 1e4) / 1e4 AS abs_err
        FROM j ORDER BY type_a, type_b"""
 
+  // ------------------------------------------------ Markov entropy rate
+
+  /** Entropy rate of the user-journey Markov chain — how PREDICTABLE
+    * the next event is (the information-theoretic summary a
+    * personalization team reads off the `events_transition_matrix`):
+    * per from-state the conditional entropy H_i = −Σⱼ p_ij·ln p_ij,
+    * then the chain rate as the empirical-frequency-weighted mean.
+    * Float discipline (the Cramér/mix_kl contract): every ln is one
+    * IEEE op over an exact integer ratio, each (i,j) term floors to
+    * the 1e-6 grid FIRST, so per-state sums and the weighted rate are
+    * exact integer arithmetic (decimal-widened) — no cross-cell float
+    * summation order to diverge on. Cell table is |types|² — value
+    * domain, not corpus. */
+  def entropyRate: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val perI = steps
+      .withColumn("row_total", sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .withColumn("term_x1e6",
+        floor(col("n").cast("double") / col("row_total").cast("double")
+          * log(col("row_total").cast("double") / col("n").cast("double")) * 1e6)
+          .cast("long"))
+      .groupBy(col("from_type"))
+      .agg(max(col("row_total")).as("n_from"), sum(col("term_x1e6")).as("h_x1e6"))
+    perI
+      .withColumn("entropy_rate_x1e6",
+        expr("cast(sum(cast(n_from as decimal(38,0)) * h_x1e6) over () div sum(n_from) over () as bigint)"))
+      .select(col("from_type"), col("n_from"), col("h_x1e6"),
+        col("entropy_rate_x1e6"))
+      .orderBy(col("from_type"))
+  }
+
+  val entropyRateSql: String =
+    """WITH steps AS (
+         SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS from_type,
+                event_type AS to_type
+         FROM events),
+       c AS (SELECT from_type, to_type, count(*) AS n FROM steps
+             WHERE from_type IS NOT NULL GROUP BY 1, 2),
+       t AS (
+         SELECT from_type, n,
+                sum(n) OVER (PARTITION BY from_type) AS row_total
+         FROM c),
+       terms AS (
+         SELECT from_type, row_total,
+                CAST(floor(n::DOUBLE / row_total::DOUBLE
+                  * ln(row_total::DOUBLE / n::DOUBLE) * 1e6) AS BIGINT)
+                  AS term_x1e6
+         FROM t),
+       peri AS (
+         SELECT from_type, CAST(max(row_total) AS BIGINT) AS n_from,
+                CAST(sum(term_x1e6) AS BIGINT) AS h_x1e6
+         FROM terms GROUP BY from_type)
+       SELECT from_type, n_from, h_x1e6,
+              CAST(sum(CAST(n_from AS HUGEINT) * h_x1e6) OVER ()
+                // sum(n_from) OVER () AS BIGINT) AS entropy_rate_x1e6
+       FROM peri ORDER BY from_type"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("events_entropy_rate", entropyRate, Some(entropyRateSql)),
     ("events_power_law_fit", powerLawFit, Some(powerLawFitSql)),
     ("events_audience_overlap", audienceOverlap, Some(audienceOverlapSql)),
     ("events_audience_minhash", audienceMinhash, Some(audienceMinhashSql)),

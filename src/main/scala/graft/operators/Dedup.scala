@@ -1103,7 +1103,82 @@ object Dedup {
          FROM sym) t
        WHERE rn = 1 ORDER BY doc_id"""
 
+  /** MinHash-estimator CALIBRATION against exact Jaccard — the
+    * measurement a dedup rollout runs before trusting signature
+    * agreement as a similarity proxy: over every candidate pair that
+    * shares ≥1 (df-capped) shingle, bucket by the number of agreeing
+    * signature slots (0..16, the one-permutation estimator's raw
+    * statistic) and report the exact-Jaccard distribution per bucket.
+    * The estimator column est_x1e4 = slots·1e4/16 next to the measured
+    * mean makes the bias of the empty-slot densification VISIBLE as a
+    * number (both-empty slots agree spuriously on short docs — the
+    * known one-permutation caveat). Everything is integer (exact
+    * Jaccard on the 1e4 grid via ONE floored division per pair); the
+    * pair stage is the shared df≤500-capped shingle join — linear, the
+    * ngram_jaccard cost class. */
+  def minhashCalibration: Q = (s, d) => {
+    val sets = shingleSets(s, d)
+    val sig = sigTable(sets).select(col("doc_id"),
+      array((0 until NumHashes).map(i => col(s"s$i")): _*).as("sig"))
+    pairIntersections(s, d)
+      .join(sig.select(col("doc_id").as("da"), col("sig").as("sig_a")), "da")
+      .join(sig.select(col("doc_id").as("db"), col("sig").as("sig_b")), "db")
+      .withColumn("n_match",
+        expr("cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) as bigint)"))
+      .withColumn("exact_x1e4", expr("inter * 10000 div (na + nb - inter)"))
+      .groupBy(col("n_match"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(exact_x1e4) div count(1)").as("mean_exact_x1e4"),
+        min(col("exact_x1e4")).as("min_exact_x1e4"),
+        max(col("exact_x1e4")).as("max_exact_x1e4"))
+      .withColumn("est_x1e4", expr(s"n_match * 10000 div $NumHashes"))
+      .select(col("n_match"), col("n_pairs"), col("est_x1e4"),
+        col("mean_exact_x1e4"), col("min_exact_x1e4"), col("max_exact_x1e4"))
+      .orderBy(col("n_match"))
+  }
+
+  val minhashCalibrationSql: String = {
+    val slotCols = (0 until NumHashes).map { i =>
+      val hx = Integer.toHexString(i)
+      s"coalesce(min(CASE WHEN substr(h, 1, 1) = '$hx' THEN h END), 'e$hx') AS s$i"
+    }.mkString(",\n                 ")
+    val matchSum = (0 until NumHashes)
+      .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH sets AS (
+          SELECT doc_id, shingles, len(shingles) AS n_sh FROM (
+            SELECT doc_id, $shinglesSqlExpr AS shingles FROM documents)
+          WHERE len(shingles) > 0),
+        e AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS sh FROM sets),
+        cap AS (SELECT sh FROM e GROUP BY sh HAVING count(*) <= 500),
+        ec AS (SELECT e.doc_id, e.sh FROM e JOIN cap USING (sh)),
+        inter AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          FROM ec a JOIN ec b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        eh AS (SELECT doc_id, md5(unnest(shingles)) AS h FROM sets),
+        slots AS (
+          SELECT doc_id,
+                 $slotCols
+          FROM eh GROUP BY doc_id),
+        pj AS (
+          SELECT CAST($matchSum AS BIGINT) AS n_match,
+                 CAST(i * 10000 // (sa2.n_sh + sb2.n_sh - i) AS BIGINT) AS exact_x1e4
+          FROM inter
+          JOIN slots sa ON inter.da = sa.doc_id
+          JOIN slots sb ON inter.db = sb.doc_id
+          JOIN sets sa2 ON inter.da = sa2.doc_id
+          JOIN sets sb2 ON inter.db = sb2.doc_id)
+        SELECT n_match, count(*) AS n_pairs,
+               n_match * 10000 // $NumHashes AS est_x1e4,
+               CAST(sum(exact_x1e4) // count(*) AS BIGINT) AS mean_exact_x1e4,
+               min(exact_x1e4) AS min_exact_x1e4,
+               max(exact_x1e4) AS max_exact_x1e4
+        FROM pj GROUP BY n_match ORDER BY n_match"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("dedup_minhash_calibration", minhashCalibration, Some(minhashCalibrationSql)),
     ("dedup_fuzzy_lsh", fuzzyLsh, Some(fuzzyLshSql)),
     ("dedup_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
     ("dedup_lsh_tuning", lshTuning, Some(lshTuningSql)),

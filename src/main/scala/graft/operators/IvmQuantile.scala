@@ -72,6 +72,51 @@ object IvmQuantile {
        FROM c WHERE cum >= (tot + 1) // 2
        GROUP BY event_type ORDER BY event_type"""
 
+  /** Top-k read maintained under the SAME signed refcount state — the
+    * other classically "unmaintainable" read beside the median: a heap
+    * breaks on retraction (an evicted element may need to re-enter;
+    * the heap no longer has it), but the value-histogram state answers
+    * top-k exactly at read time — a retraction that zeroes a top cell
+    * promotes the next cell with no special casing, because the read
+    * derives from the full positive-refcount histogram, not a bounded
+    * summary. Per series: the top-3 cents cells by value with their
+    * net counts and ranks. Same state as `ivm_quantile_delta` (one
+    * maintained histogram serves BOTH reads — the point of the
+    * histogram-state design); the ranking window partitions by series
+    * over the value-domain-bounded cell table. */
+  def topkDelta: Q = (s, d) => {
+    val rc = Tables.events(s, d)
+      .select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"),
+        when(get_json_object(col("props"), "$.k").cast("int") % 10 === 0, lit(-1L))
+          .otherwise(lit(1L)).as("op"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(sum(col("op")).as("rc"))
+      .filter(col("rc") > 0)
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents").desc)
+    rc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("event_type"), col("rank"), col("cents"), col("rc"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
+  val topkDeltaSql: String =
+    """WITH rc AS (
+         SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+                CAST(sum(CASE WHEN json_extract(props, '$.k')::INT % 10 = 0
+                              THEN -1 ELSE 1 END) AS BIGINT) AS rc
+         FROM events GROUP BY 1, 2),
+       pos AS (SELECT * FROM rc WHERE rc > 0),
+       r AS (
+         SELECT event_type, cents, rc,
+                CAST(row_number() OVER (PARTITION BY event_type
+                  ORDER BY cents DESC) AS BIGINT) AS rank
+         FROM pos)
+       SELECT event_type, rank, cents, rc
+       FROM r WHERE rank <= 3 ORDER BY event_type, rank"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
-    ("ivm_quantile_delta", quantileDelta, Some(quantileDeltaSql)))
+    ("ivm_quantile_delta", quantileDelta, Some(quantileDeltaSql)),
+    ("ivm_topk_delta", topkDelta, Some(topkDeltaSql)))
 }

@@ -461,6 +461,53 @@ object Multimodal {
   def audioEnergy: Q = (s, d) =>
     audioStub(s, d).toDF().orderBy(col("doc_id"))
 
+  /** Rational resample 44.1 kHz → 16 kHz reduced to lowest terms. */
+  val ResampleL = 160
+  val ResampleM = 441
+
+  /** Rational-resampler ACCOUNTING for the 44.1 kHz → 16 kHz pipeline
+    * every speech-model corpus runs (L/M = 160/441 polyphase): per
+    * audio payload the input sample count (16-bit mono view of the
+    * binary), the exact output length n_out = ⌊(n_in−1)·L/M⌋ + 1, the
+    * filter-phase count the polyphase bank actually cycles through
+    * (min(n_out, M) — the bank has M phases, short clips touch fewer),
+    * and the length ratio on the 1e6 grid. The DSP kernel itself stays
+    * behind the partition-batched stub boundary like all mm_ decode;
+    * THIS ledger is the part a 100 TB pipeline plans batch shapes and
+    * storage with, and it is pure integer arithmetic — fully
+    * oracle-checkable. Decimal-widened: n_in·160 would wrap 64-bit
+    * only past 5.8e16 samples, but the widening is free. */
+  def audioResample: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        expr("cast(octet_length(encode(text, 'UTF-8')) div 2 as bigint)").as("n_in"))
+      .filter((conv(substring(col("h"), 9, 4), 16, 10).cast("int") % 3) + 1 === 2)
+      .filter(col("n_in") >= 1)
+      .select(col("doc_id"), col("n_in"),
+        expr(s"cast(cast(n_in - 1 as decimal(38,0)) * $ResampleL div $ResampleM as bigint) + 1")
+          .as("n_out"))
+      .withColumn("n_phases", least(col("n_out"), lit(ResampleM.toLong)))
+      .withColumn("ratio_x1e6",
+        expr("cast(cast(n_out as decimal(38,0)) * 1000000 div n_in as bigint)"))
+      .orderBy(col("doc_id"))
+  }
+
+  val audioResampleSql: String =
+    s"""WITH a AS (
+          SELECT doc_id, octet_length(encode(text)) // 2 AS n_in
+          FROM documents
+          WHERE (('0x' || substr(md5(text), 9, 4))::INT % 3) + 1 = 2
+            AND octet_length(encode(text)) // 2 >= 1),
+        r AS (
+          SELECT doc_id, CAST(n_in AS BIGINT) AS n_in,
+                 CAST((n_in - 1) * $ResampleL // $ResampleM + 1 AS BIGINT) AS n_out
+          FROM a)
+        SELECT doc_id, n_in, n_out,
+               least(n_out, $ResampleM) AS n_phases,
+               CAST(CAST(n_out AS HUGEINT) * 1000000 // n_in AS BIGINT)
+                 AS ratio_x1e6
+        FROM r ORDER BY doc_id"""
+
   /** One analysis window of one audio document. */
   case class AudioWindowRow(doc_id: Long, widx: Int, energy: Long)
 
@@ -808,6 +855,7 @@ object Multimodal {
     ("mm_exposure_histogram", exposureHistogram, Some(exposureHistogramSql)),
     ("mm_aspect_bucket", aspectBucket, Some(aspectBucketSql)),
     ("mm_audio_energy", audioEnergy, Some(audioEnergySql)),
+    ("mm_audio_resample", audioResample, Some(audioResampleSql)),
     ("mm_audio_vad", audioVad, Some(audioVadSql)),
     ("mm_binary_meta", meta, Some(metaSql)),
     ("mm_video_scenes", videoScenes, Some(videoScenesSql)),

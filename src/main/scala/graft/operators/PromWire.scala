@@ -517,7 +517,7 @@ object PromWire {
         round(sum(col("value")), 2).as("vsum"),
         expr("CAST(unix_seconds(date_trunc('second', max(ts))) AS BIGINT) * 1000").as("ts_ms"))
       .withColumn("gavg", expr("floor(vsum / n * 1e4) / 1e4"))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.cut)
     val stackArgs = families
       .map { case (f, m, v) => s"'$f', '$m', $v" }.mkString(", ")
     val stacked = agg.selectExpr("event_type", "ts_ms",

@@ -316,6 +316,51 @@ object Quality {
         FROM t ORDER BY digit"""
   }
 
+  /** Benford SECOND-digit expectations Σ_{d1=1..9} log10(1+1/(10·d1+d2))
+    * — same literal-embedding trick as [[benfordExpected]]: computed
+    * once in Scala, identical double literals in both plans. */
+  private val benford2Expected: Seq[(Int, Double)] =
+    (0 to 9).map(d2 => d2 ->
+      (1 to 9).map(d1 => math.log(1.0 + 1.0 / (10 * d1 + d2)) / math.log(10.0)).sum)
+
+  /** Benford second-digit conformance — the test auditors run AFTER
+    * the first digit passes, because fabricated numbers that fake the
+    * first-digit curve rarely fake the (much flatter) second-digit
+    * law P(d₂)=Σ_{d₁} log10(1+1/(10d₁+d₂)). Same digit-from-exact-
+    * cent-string extraction (no float log10 in either engine's hot
+    * path), same one-scan one-10-group shape as `dq_benford`. */
+  def dqBenfordDigit2: Q = (s, d) => {
+    val expectedCase = benford2Expected
+      .map { case (dd, v) => s"WHEN $dd THEN ${v}e0" }.mkString(" ")
+    Tables.orders(s, d)
+      .select(expr("CAST(substring(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS STRING), 2, 1) AS INT)")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+      .withColumn("total", sum(col("n_orders")).over())
+      .select(col("digit"), col("n_orders"),
+        trunc4(col("n_orders").cast("double") / col("total").cast("double")).as("share"),
+        expr(s"CASE digit $expectedCase END").as("expected_share"),
+        trunc4(abs(col("n_orders").cast("double") / col("total").cast("double")
+          - expr(s"CASE digit $expectedCase END"))).as("abs_gap"))
+      .orderBy(col("digit"))
+  }
+
+  val dqBenfordDigit2Sql: String = {
+    val expectedCase = benford2Expected
+      .map { case (dd, v) => s"WHEN $dd THEN ${v}e0" }.mkString(" ")
+    s"""WITH dg AS (
+          SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR), 2, 1) AS INT) AS digit
+          FROM orders),
+        c AS (SELECT digit, count(*) AS n_orders FROM dg GROUP BY digit),
+        t AS (SELECT digit, n_orders, sum(n_orders) OVER () AS total FROM c)
+        SELECT digit, n_orders,
+               floor(CAST(n_orders AS DOUBLE) / CAST(total AS DOUBLE) * 10000) / 10000.0 AS share,
+               CASE digit $expectedCase END AS expected_share,
+               floor(abs(CAST(n_orders AS DOUBLE) / CAST(total AS DOUBLE)
+                 - CASE digit $expectedCase END) * 10000) / 10000.0 AS abs_gap
+        FROM t ORDER BY digit"""
+  }
+
   /** Tukey-fence outlier accounting per customer segment: exact Q1/Q3
     * (bounded group count → exact percentile is fine; rounded to cents
     * like `q_percentiles`, which pins the percentile↔quantile_cont
@@ -618,6 +663,7 @@ object Quality {
     ("q_corr_matrix", corrMatrix, Some(corrMatrixSql)),
     ("q_duplicate_payments", duplicatePayments, Some(duplicatePaymentsSql)),
     ("dq_benford", dqBenford, Some(dqBenfordSql)),
+    ("dq_benford_digit2", dqBenfordDigit2, Some(dqBenfordDigit2Sql)),
     ("dq_outlier_iqr", dqOutlierIqr, Some(dqOutlierIqrSql)),
     ("dq_drift_psi", driftPsi, Some(driftPsiSql)),
     ("dq_rules", dqRules, Some(dqRulesSql)),

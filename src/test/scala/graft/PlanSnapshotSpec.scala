@@ -148,6 +148,8 @@ class PlanSnapshotSpec extends SparkTestBase {
     "q_bh_fdr" -> "rank + step-up windows over the |types|×|dows| cell table",
     "q_chi2_independence" -> "margin windows over the |types|×|dows| cell table",
     "ann_hnsw_levels" -> "layer-population cumsum over the ≤9-row level census aggregate",
+    "dq_benford_digit2" -> "share total over the ≤10-row digit census aggregate (dq_benford shape)",
+    "events_entropy_rate" -> "rate weighting over the |types|-row per-state entropy aggregate",
     "q_friedman" -> "treatment-count window over the |event types|-row per-treatment rank aggregate",
     "tsdb_wal_replay" -> "running series total + max-segment over the |segments|-row aggregate (append-order domain)",
     "q_cramers_v" -> "margin windows over the |priorities|×|statuses| cell table",
