@@ -461,6 +461,54 @@ object Multimodal {
   def audioEnergy: Q = (s, d) =>
     audioStub(s, d).toDF().orderBy(col("doc_id"))
 
+  /** Fixed GOP pattern for the structure ledger: I every 12, P every 4. */
+  val GopSize = 12
+  /** Relative bit budget per frame type (typical H.264 planning ratios). */
+  val BitsI = 10L; val BitsP = 4L; val BitsB = 1L
+
+  /** GOP-structure ledger over the video payloads — the frame-type
+    * census (closed GOP-12, IBBP: I at i≡0 mod 12, P at i≡0 mod 4
+    * otherwise, B elsewhere) with the planning bit budget a transcode
+    * tier sizes itself with. The counts are CLOSED FORMS of n_frames
+    * (nI = ⌊(n−1)/12⌋+1, nIP = ⌊(n−1)/4⌋+1), so the whole ledger is a
+    * narrow integer map — no frame explode at any corpus size; the
+    * keyframe-sampling pipelines (`mm_video_scenes`, `mm_frame_dedup`)
+    * read exactly these I-frame positions. */
+  def gopStructure: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        expr("cast(1 + octet_length(encode(text, 'UTF-8')) div 256 as bigint)")
+          .as("n_frames"))
+      .filter((conv(substring(col("h"), 9, 4), 16, 10).cast("int") % 3) + 1 === 3)
+      .withColumn("n_i", expr(s"(n_frames - 1) div $GopSize + 1"))
+      .withColumn("n_ip", expr("(n_frames - 1) div 4 + 1"))
+      .select(col("doc_id"), col("n_frames"), col("n_i"),
+        (col("n_ip") - col("n_i")).as("n_p"),
+        (col("n_frames") - col("n_ip")).as("n_b"))
+      .withColumn("bit_units",
+        col("n_i") * BitsI + col("n_p") * BitsP + col("n_b") * BitsB)
+      .withColumn("avg_units_x100", expr("bit_units * 100 div n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  val gopStructureSql: String =
+    s"""WITH v AS (
+          SELECT doc_id,
+                 CAST(1 + octet_length(encode(text)) // 256 AS BIGINT) AS n_frames
+          FROM documents
+          WHERE (('0x' || substr(md5(text), 9, 4))::INT % 3) + 1 = 3),
+        g AS (
+          SELECT doc_id, n_frames,
+                 (n_frames - 1) // $GopSize + 1 AS n_i,
+                 (n_frames - 1) // 4 + 1 - ((n_frames - 1) // $GopSize + 1) AS n_p,
+                 n_frames - ((n_frames - 1) // 4 + 1) AS n_b
+          FROM v)
+        SELECT doc_id, n_frames, n_i, n_p, n_b,
+               n_i * $BitsI + n_p * $BitsP + n_b * $BitsB AS bit_units,
+               (n_i * $BitsI + n_p * $BitsP + n_b * $BitsB) * 100 // n_frames
+                 AS avg_units_x100
+        FROM g ORDER BY doc_id"""
+
   /** Rational resample 44.1 kHz → 16 kHz reduced to lowest terms. */
   val ResampleL = 160
   val ResampleM = 441
@@ -856,6 +904,7 @@ object Multimodal {
     ("mm_aspect_bucket", aspectBucket, Some(aspectBucketSql)),
     ("mm_audio_energy", audioEnergy, Some(audioEnergySql)),
     ("mm_audio_resample", audioResample, Some(audioResampleSql)),
+    ("mm_gop_structure", gopStructure, Some(gopStructureSql)),
     ("mm_audio_vad", audioVad, Some(audioVadSql)),
     ("mm_binary_meta", meta, Some(metaSql)),
     ("mm_video_scenes", videoScenes, Some(videoScenesSql)),

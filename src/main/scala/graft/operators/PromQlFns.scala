@@ -95,6 +95,53 @@ object PromQlFns {
       .orderBy(col("step_sec"), col("job"), col("rank"))
   }
 
+  /** PromQL `absent_over_time(fam[6h])` on the step grid — the
+    * alerting primitive for "this target stopped reporting": at each
+    * step a series emits 1 iff it had NO sample in the left-open
+    * lookback (= step width, so presence is one map-side assignment —
+    * the `prom_topk_instant` grid discipline), and like Prometheus the
+    * result vector contains ONLY the absent steps. The step spine is
+    * the |steps|-row generated range crossed with the ≤|series|
+    * distinct set (analysis-plane; the `alert_flap_detect` shape) —
+    * presence aggregates once, the anti-join is on the spine side. */
+  def absentOverTime: Q = (s, d) => {
+    val samp = Tables.events(s, d).select(
+      col("event_type").as("job"),
+      concat(lit("u"), (col("user_id") % 10).cast("string")).as("instance"),
+      expr(secExpr).as("sec"))
+      .withColumn("step_sec",
+        expr(s"((sec + ${TopkStepSec - 1}) div $TopkStepSec) * $TopkStepSec"))
+    val present = samp.groupBy(col("job"), col("instance"), col("step_sec"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = samp.agg(min(col("step_sec")).as("lo"), max(col("step_sec")).as("hi"))
+    val steps = bounds.select(explode(
+      expr(s"sequence(lo, hi, $TopkStepSec)")).as("step_sec"))
+    val series = samp.select(col("job"), col("instance")).distinct()
+    series.crossJoin(steps)
+      .join(present, Seq("job", "instance", "step_sec"), "left_anti")
+      .select(col("job"), col("instance"), col("step_sec"), lit(1L).as("absent"))
+      .orderBy(col("job"), col("instance"), col("step_sec"))
+  }
+
+  val absentOverTimeSql: String =
+    s"""WITH samp AS (
+          SELECT event_type AS job,
+                 'u' || CAST(user_id % 10 AS VARCHAR) AS instance,
+                 ((($secSql) + ${TopkStepSec - 1}) // $TopkStepSec) * $TopkStepSec
+                   AS step_sec
+          FROM events),
+        present AS (SELECT job, instance, step_sec FROM samp GROUP BY 1, 2, 3),
+        bounds AS (SELECT min(step_sec) AS lo, max(step_sec) AS hi FROM samp),
+        steps AS (
+          SELECT unnest(generate_series(lo, hi, $TopkStepSec)) AS step_sec
+          FROM bounds),
+        series AS (SELECT DISTINCT job, instance FROM samp)
+        SELECT j.job, j.instance, s.step_sec, CAST(1 AS BIGINT) AS absent
+        FROM series j CROSS JOIN steps s
+        ANTI JOIN present p ON p.job = j.job AND p.instance = j.instance
+          AND p.step_sec = s.step_sec
+        ORDER BY j.job, j.instance, s.step_sec"""
+
   val topkInstantSql: String =
     s"""WITH samp AS (
          SELECT event_type AS job,
@@ -280,6 +327,7 @@ object PromQlFns {
        FROM idx GROUP BY job ORDER BY job"""
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("prom_absent_over_time", absentOverTime, Some(absentOverTimeSql)),
     ("prom_topk_instant", topkInstant, Some(topkInstantSql)),
     ("prom_clamp", clampFamily, Some(clampFamilySql)),
     ("prom_label_join", labelJoin, Some(labelJoinSql)),

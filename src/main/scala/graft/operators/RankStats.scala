@@ -634,7 +634,139 @@ object RankStats {
                 AS alarmed
        FROM ph2 GROUP BY event_type ORDER BY event_type"""
 
+  // ------------------------------------- Brown–Forsythe (Levene) test
+
+  /** Brown–Forsythe variance-homogeneity test (the robust Levene
+    * variant — deviations from group MEDIANS, the form every modern
+    * stats package defaults to) across the three return flags'
+    * quantity distributions — the gate a pipeline runs before trusting
+    * a pooled-variance comparison (q_welch_ttest's complement: Welch
+    * drops the equal-variance assumption, B–F TESTS it). Entirely on
+    * the ≤50-level value-domain histogram: per-group medians on the
+    * exact ×2 scale from cumulative counts (lower+upper median sum —
+    * integral for both parities), deviations z2 = |2x − med2| integral,
+    * all moment sums in DECIMAL(38,0)/HUGEINT, and F as one fixed
+    * double sequence with the three group terms added in explicit
+    * A+N+R order (the kruskalWallis discipline), floored at 1e-4. */
+  def levene: Q = (s, d) => {
+    val byQty = qtyHist(s, d)
+      .groupBy(col("qty"))
+      .agg(sum(when(col("flag") === "A", col("cnt")).otherwise(0L)).as("cnt_a"),
+        sum(when(col("flag") === "N", col("cnt")).otherwise(0L)).as("cnt_n"),
+        sum(when(col("flag") === "R", col("cnt")).otherwise(0L)).as("cnt_r"))
+    val w = Window.orderBy(col("qty")).rowsBetween(Window.unboundedPreceding, -1)
+    // medians via a self-contained cumulative pass: for each group the
+    // lower median is the first qty whose cumulative count reaches
+    // ceil(n/2), the upper the first reaching floor(n/2)+1
+    val cum = byQty
+      .withColumn("cum_a", coalesce(sum(col("cnt_a")).over(w), lit(0L)) + col("cnt_a"))
+      .withColumn("cum_n", coalesce(sum(col("cnt_n")).over(w), lit(0L)) + col("cnt_n"))
+      .withColumn("cum_r", coalesce(sum(col("cnt_r")).over(w), lit(0L)) + col("cnt_r"))
+      .withColumn("tot_a", sum(col("cnt_a")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("tot_n", sum(col("cnt_n")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("tot_r", sum(col("cnt_r")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val meds = cum.agg(
+      (min(when(col("cum_a") >= expr("(tot_a + 1) div 2"), col("qty")))
+        + min(when(col("cum_a") >= expr("tot_a div 2 + 1"), col("qty")))).as("med2_a"),
+      (min(when(col("cum_n") >= expr("(tot_n + 1) div 2"), col("qty")))
+        + min(when(col("cum_n") >= expr("tot_n div 2 + 1"), col("qty")))).as("med2_n"),
+      (min(when(col("cum_r") >= expr("(tot_r + 1) div 2"), col("qty")))
+        + min(when(col("cum_r") >= expr("tot_r div 2 + 1"), col("qty")))).as("med2_r"))
+    val z = byQty.crossJoin(broadcast(meds))
+      .select(col("qty"), col("cnt_a"), col("cnt_n"), col("cnt_r"),
+        abs(lit(2) * col("qty") - col("med2_a")).cast("long").as("z2_a"),
+        abs(lit(2) * col("qty") - col("med2_n")).cast("long").as("z2_n"),
+        abs(lit(2) * col("qty") - col("med2_r")).cast("long").as("z2_r"))
+    z.agg(
+        sum(col("cnt_a")).as("n_a"), sum(col("cnt_n")).as("n_n"),
+        sum(col("cnt_r")).as("n_r"),
+        sum(col("cnt_a").cast("decimal(38,0)") * col("z2_a")).as("sa"),
+        sum(col("cnt_n").cast("decimal(38,0)") * col("z2_n")).as("sn"),
+        sum(col("cnt_r").cast("decimal(38,0)") * col("z2_r")).as("sr"),
+        sum(col("cnt_a").cast("decimal(38,0)") * col("z2_a") * col("z2_a")).as("qa"),
+        sum(col("cnt_n").cast("decimal(38,0)") * col("z2_n") * col("z2_n")).as("qn"),
+        sum(col("cnt_r").cast("decimal(38,0)") * col("z2_r") * col("z2_r")).as("qr"))
+      .select(col("n_a"), col("n_n"), col("n_r"), {
+        val na = col("n_a").cast("double"); val nn = col("n_n").cast("double")
+        val nr = col("n_r").cast("double")
+        val sa = col("sa").cast("double"); val sn = col("sn").cast("double")
+        val sr = col("sr").cast("double")
+        val n = na + nn + nr
+        val sAll = sa + sn + sr
+        // NB: keep the subtraction on the same expression — a leading
+        // "- x" continuation line is a discarded unary statement under
+        // semicolon inference (the bug the first draft shipped)
+        val between = (sa * sa / na + sn * sn / nn + sr * sr / nr) -
+          sAll * sAll / n
+        val within = (col("qa").cast("double") + col("qn").cast("double")
+          + col("qr").cast("double")) - (sa * sa / na + sn * sn / nn + sr * sr / nr)
+        (floor((n - 3.0) / 2.0 * between / within * 1e4) / 1e4).as("f_stat")
+      }, lit(2L).as("df1"), (col("n_a") + col("n_n") + col("n_r") - 3).as("df2"))
+  }
+
+  val leveneSql: String =
+    s"""WITH h AS ($qtyHistSql),
+       byqty AS (
+         SELECT qty,
+                CAST(sum(CASE WHEN flag = 'A' THEN cnt ELSE 0 END) AS BIGINT) AS cnt_a,
+                CAST(sum(CASE WHEN flag = 'N' THEN cnt ELSE 0 END) AS BIGINT) AS cnt_n,
+                CAST(sum(CASE WHEN flag = 'R' THEN cnt ELSE 0 END) AS BIGINT) AS cnt_r
+         FROM h GROUP BY 1),
+       cum AS (
+         SELECT qty, cnt_a, cnt_n, cnt_r,
+                sum(cnt_a) OVER (ORDER BY qty ROWS UNBOUNDED PRECEDING) AS cum_a,
+                sum(cnt_n) OVER (ORDER BY qty ROWS UNBOUNDED PRECEDING) AS cum_n,
+                sum(cnt_r) OVER (ORDER BY qty ROWS UNBOUNDED PRECEDING) AS cum_r,
+                sum(cnt_a) OVER () AS tot_a, sum(cnt_n) OVER () AS tot_n,
+                sum(cnt_r) OVER () AS tot_r
+         FROM byqty),
+       meds AS (
+         SELECT CAST(min(CASE WHEN cum_a >= (tot_a + 1) // 2 THEN qty END)
+                  + min(CASE WHEN cum_a >= tot_a // 2 + 1 THEN qty END) AS BIGINT) AS med2_a,
+                CAST(min(CASE WHEN cum_n >= (tot_n + 1) // 2 THEN qty END)
+                  + min(CASE WHEN cum_n >= tot_n // 2 + 1 THEN qty END) AS BIGINT) AS med2_n,
+                CAST(min(CASE WHEN cum_r >= (tot_r + 1) // 2 THEN qty END)
+                  + min(CASE WHEN cum_r >= tot_r // 2 + 1 THEN qty END) AS BIGINT) AS med2_r
+         FROM cum),
+       z AS (
+         SELECT qty, cnt_a, cnt_n, cnt_r,
+                abs(2 * qty - med2_a) AS z2_a,
+                abs(2 * qty - med2_n) AS z2_n,
+                abs(2 * qty - med2_r) AS z2_r
+         FROM byqty, meds),
+       agg AS (
+         SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+                CAST(sum(cnt_n) AS BIGINT) AS n_n,
+                CAST(sum(cnt_r) AS BIGINT) AS n_r,
+                sum(CAST(cnt_a AS HUGEINT) * z2_a) AS sa,
+                sum(CAST(cnt_n AS HUGEINT) * z2_n) AS sn,
+                sum(CAST(cnt_r AS HUGEINT) * z2_r) AS sr,
+                sum(CAST(cnt_a AS HUGEINT) * z2_a * z2_a) AS qa,
+                sum(CAST(cnt_n AS HUGEINT) * z2_n * z2_n) AS qn,
+                sum(CAST(cnt_r AS HUGEINT) * z2_r * z2_r) AS qr
+         FROM z)
+       SELECT n_a, n_n, n_r,
+              floor((n_a::DOUBLE + n_n::DOUBLE + n_r::DOUBLE - 3.0) / 2.0
+                * (sa::DOUBLE * sa::DOUBLE / n_a::DOUBLE
+                   + sn::DOUBLE * sn::DOUBLE / n_n::DOUBLE
+                   + sr::DOUBLE * sr::DOUBLE / n_r::DOUBLE
+                   - (sa::DOUBLE + sn::DOUBLE + sr::DOUBLE)
+                     * (sa::DOUBLE + sn::DOUBLE + sr::DOUBLE)
+                     / (n_a::DOUBLE + n_n::DOUBLE + n_r::DOUBLE))
+                / ((qa::DOUBLE + qn::DOUBLE + qr::DOUBLE)
+                   - (sa::DOUBLE * sa::DOUBLE / n_a::DOUBLE
+                      + sn::DOUBLE * sn::DOUBLE / n_n::DOUBLE
+                      + sr::DOUBLE * sr::DOUBLE / n_r::DOUBLE))
+                * 1e4) / 1e4 AS f_stat,
+              CAST(2 AS BIGINT) AS df1,
+              n_a + n_n + n_r - 3 AS df2
+       FROM agg"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_levene_bf", levene, Some(leveneSql)),
     ("q_spearman", spearman, Some(spearmanSql)),
     ("q_friedman", friedman, Some(friedmanSql)),
     ("q_mann_kendall_z", mannKendallZ, Some(mannKendallZSql)),

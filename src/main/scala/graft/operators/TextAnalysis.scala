@@ -846,7 +846,56 @@ object TextAnalysis {
                n_hapax * 1000000 // n_tokens AS hapax_token_share_x1e6
         FROM g ORDER BY source"""
 
+  // ------------------------------------------------ term burstiness
+
+  /** Terms reported by the burstiness ledger. */
+  val BurstTopK = 20
+
+  /** Term burstiness (Church & Gale's overdispersion read): for the
+    * top-[[BurstTopK]] document-frequency terms, the variance-to-mean
+    * ratio of per-document counts INCLUDING zeros — VMR = 1 for a
+    * Poisson (topic-neutral) term, ≫1 for bursty content terms that
+    * pile into few documents. The whole statistic is one exact integer
+    * ratio: VMR = (N·Σc² − T²)/(N·T) on the 1e4 grid (population
+    * variance over mean, zeros contributing only through N), so no
+    * float accumulates anywhere. Term selection is a TakeOrdered head
+    * (df desc, term asc — bounded, no global window); N is a one-row
+    * corpus-count broadcast. */
+  def termBurstiness: Q = (s, d) => {
+    val perDocTerm = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
+      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("c"))
+    val perTerm = perDocTerm.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("t_total"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("sum_c2"))
+      .orderBy(col("df").desc, col("tok")).limit(BurstTopK)
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    perTerm.crossJoin(broadcast(nDocs))
+      .select(col("tok").as("term"), col("df"), col("t_total"), col("n_docs"),
+        expr("cast((cast(n_docs as decimal(38,0)) * sum_c2 - cast(t_total as decimal(38,0)) * t_total) * 10000 div (cast(n_docs as decimal(38,0)) * t_total) as bigint)")
+          .as("vmr_x1e4"))
+      .orderBy(col("df").desc, col("term"))
+  }
+
+  val termBurstinessSql: String =
+    s"""WITH pdt AS (
+          SELECT tok, doc_id, count(*) AS c
+          FROM (SELECT doc_id, unnest($toksSqlExpr) AS tok FROM documents) t
+          GROUP BY 1, 2),
+        pt AS (
+          SELECT tok, count(*) AS df, CAST(sum(c) AS BIGINT) AS t_total,
+                 sum(CAST(c AS HUGEINT) * c) AS sum_c2
+          FROM pdt GROUP BY tok
+          ORDER BY df DESC, tok LIMIT $BurstTopK),
+        nd AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT tok AS term, df, t_total, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST((CAST(n_docs AS HUGEINT) * sum_c2
+                     - CAST(t_total AS HUGEINT) * t_total) * 10000
+                 // (CAST(n_docs AS HUGEINT) * t_total) AS BIGINT) AS vmr_x1e4
+        FROM pt, nd ORDER BY df DESC, term"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("text_term_burstiness", termBurstiness, Some(termBurstinessSql)),
     ("text_sttr", sttr, Some(sttrSql)),
     ("text_hapax", hapax, Some(hapaxSql)),
     ("text_char_entropy", charEntropy, Some(charEntropySql)),

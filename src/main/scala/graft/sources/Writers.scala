@@ -590,7 +590,64 @@ object Writers {
          UNION ALL SELECT 'published', n_rows, digest FROM a) t
        ORDER BY side"""
 
+  /** Partition-skew audit of the layout `sink_partitioned_scan`'s
+    * writer produces (partitionBy(source)) — the pre-write planning
+    * read that decides whether a 100 TB write needs salting or AQE
+    * coalescing BEFORE paying for it: per partition rows and bytes
+    * (the text payload is what lands in parquet), 1e6-grid share, the
+    * skew ratio vs the mean partition, and the Gini coefficient of
+    * partition byte sizes appended on every row (exact trapezoid form
+    * G = (2·Σᵢ i·wᵢ − (n+1)·Σwᵢ)·1e6 div (n·Σwᵢ) over size-ranked
+    * partitions — pure integers; the q_gini_revenue arithmetic on the
+    * |partitions|-row aggregate). */
+  def partitionSkew: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val per = graft.sources.Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(octet_length(col("text")).cast("long")).as("bytes"))
+    val wRank = Window.orderBy(col("bytes"), col("source"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per
+      .withColumn("i", row_number().over(wRank).cast("long"))
+      .withColumn("n_parts", count(lit(1)).over(wAll))
+      .withColumn("tot_bytes", sum(col("bytes")).over(wAll))
+      .withColumn("share_x1e6",
+        expr("cast(cast(bytes as decimal(38,0)) * 1000000 div tot_bytes as bigint)"))
+      .withColumn("skew_x100",
+        expr("cast(cast(bytes as decimal(38,0)) * n_parts * 100 div tot_bytes as bigint)"))
+      .withColumn("gini_x1e6", expr(
+        """cast((2 * sum(cast(i as decimal(38,0)) * bytes) over ()
+             - (n_parts + 1) * cast(tot_bytes as decimal(38,0)) )
+           * 1000000 div (cast(n_parts as decimal(38,0)) * tot_bytes) as bigint)"""))
+      .select(col("source"), col("n_rows"), col("bytes"), col("share_x1e6"),
+        col("skew_x100"), col("gini_x1e6"))
+      .orderBy(col("source"))
+  }
+
+  val partitionSkewSql: String =
+    """WITH per AS (
+         SELECT source, count(*) AS n_rows,
+                CAST(sum(strlen(text)) AS BIGINT) AS bytes
+         FROM documents GROUP BY source),
+       r AS (
+         SELECT *, CAST(row_number() OVER (ORDER BY bytes, source) AS BIGINT) AS i,
+                count(*) OVER () AS n_parts,
+                CAST(sum(bytes) OVER () AS BIGINT) AS tot_bytes
+         FROM per)
+       SELECT source, n_rows, bytes,
+              CAST(CAST(bytes AS HUGEINT) * 1000000 // tot_bytes AS BIGINT)
+                AS share_x1e6,
+              CAST(CAST(bytes AS HUGEINT) * n_parts * 100 // tot_bytes AS BIGINT)
+                AS skew_x100,
+              CAST((2 * sum(CAST(i AS HUGEINT) * bytes) OVER ()
+                    - (n_parts + 1) * CAST(tot_bytes AS HUGEINT))
+                * 1000000 // (CAST(n_parts AS HUGEINT) * tot_bytes) AS BIGINT)
+                AS gini_x1e6
+       FROM r ORDER BY source"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("sink_partition_skew", partitionSkew, Some(partitionSkewSql)),
     ("sink_write_audit_publish", writeAuditPublish, Some(writeAuditPublishSql)),
     ("sink_merge_on_read", mergeOnRead, Some(mergeOnReadSql)),
     ("source_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),

@@ -222,6 +222,9 @@ class PlanSweepSpec extends SparkTestBase {
     // round-13: API envelope family rides the same instant vector
     "prom_api_query_json", "prom_api_series_json", "prom_api_label_values_json",
     "alert_flap_detect", // |identities| × |cells| analysis-plane spine cross
+    "prom_absent_over_time", // |series| × |steps| spine cross (flap_detect shape)
+    "q_levene_bf",           // 1-row per-group-medians broadcast
+    "text_term_burstiness",  // 1-row corpus-doc-count broadcast onto the top-20 head
     "curate_dedup_mix_shift", // 1-row corpus-totals broadcast
     "split_grouped",      // 1-row leaked-source-count broadcast
     "sink_manifest_prune", // 1-row predicate-bounds broadcast
