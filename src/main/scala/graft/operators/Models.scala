@@ -320,7 +320,120 @@ object Models {
                 // CAST(sum(g) AS BIGINT) AS bt_x1e6
        FROM per GROUP BY 1 ORDER BY event_type"""
 
+  // ------------------------------------------------------- ROC AUC
+
+  /** ROC AUC of "value predicts purchase" — the Mann–Whitney identity
+    * AUC = (U + ties/2)/(P·N) evaluated EXACTLY on the cents
+    * value-domain histogram (score = the event's cents value, positive
+    * class = purchase events): per distinct score the positive/negative
+    * counts, negatives-below from one cumulative window over the
+    * |distinct cents| table (value-domain bounded — ~25k cells at ANY
+    * event volume), and AUC on the ×2 integer scale
+    * AUC2 = Σ_v pos(v)·(2·neg<(v) + neg=(v)), emitted as ONE floored
+    * division of DECIMAL(38,0)/HUGEINT totals. The classifier-eval
+    * read that shares its machinery with `q_mann_whitney_u` — AUC IS
+    * the rescaled U statistic, and computing it this way keeps the
+    * whole curve exact with zero sorting of corpus rows. */
+  def aucRoc: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.events(s, d)
+      .select(floor(col("value") * 100).cast("long").as("cents"),
+        (col("event_type") === "purchase").as("pos"))
+      .groupBy(col("cents"))
+      .agg(count(when(col("pos"), 1)).as("p"),
+        count(when(!col("pos"), 1)).as("ng"))
+    val w = Window.orderBy(col("cents")).rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("neg_lt", coalesce(sum(col("ng")).over(w), lit(0L)))
+      .agg(sum(col("p")).as("n_pos"), sum(col("ng")).as("n_neg"),
+        sum(col("p").cast("decimal(38,0)")
+          * (lit(2L) * col("neg_lt") + col("ng"))).as("auc2"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("cast(auc2 * 1000000 div (2 * cast(n_pos as decimal(38,0)) * n_neg) as bigint)")
+          .as("auc_x1e6"))
+  }
+
+  val aucRocSql: String =
+    """WITH h AS (
+         SELECT CAST(floor(value * 100) AS BIGINT) AS cents,
+                count(*) FILTER (WHERE event_type = 'purchase') AS p,
+                count(*) FILTER (WHERE event_type <> 'purchase') AS ng
+         FROM events GROUP BY 1),
+       c AS (
+         SELECT *, coalesce(sum(ng) OVER (ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_lt
+         FROM h),
+       agg AS (
+         SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(ng) AS BIGINT) AS n_neg,
+                sum(CAST(p AS HUGEINT) * (2 * neg_lt + ng)) AS auc2
+         FROM c)
+       SELECT n_pos, n_neg,
+              CAST(auc2 * 1000000 // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+                AS auc_x1e6
+       FROM agg"""
+
+  // --------------------------------------------- precision / recall
+
+  /** Decision thresholds (cents) the PR ledger evaluates. */
+  val PrThresholds: Seq[Long] = Seq(2500L, 5000L, 7500L, 10000L, 12500L,
+    15000L, 17500L, 20000L, 22500L)
+
+  /** The precision/recall operating-point ledger for the same
+    * "value ≥ t ⇒ purchase" rule — the table a threshold review reads
+    * next to `model_auc_roc`'s one-number summary: per threshold the
+    * exact confusion counts (TP/FP/FN from cumulative suffix sums of
+    * the shared cents histogram) and precision/recall/F1 on the 1e6
+    * integer grid. The 9-row threshold spine joins the ≤|distinct
+    * cents| histogram — analysis-plane at any event volume. */
+  def precisionRecall: Q = (s, d) => {
+    val h = Tables.events(s, d)
+      .select(floor(col("value") * 100).cast("long").as("cents"),
+        (col("event_type") === "purchase").as("pos"))
+      .groupBy(col("cents"))
+      .agg(count(when(col("pos"), 1)).as("p"),
+        count(when(!col("pos"), 1)).as("ng"))
+    val thr = Tables.events(s, d).sparkSession
+      .range(0, PrThresholds.size.toLong).toDF("i")
+      .select(element_at(
+        array(PrThresholds.map(lit): _*), col("i").cast("int") + 1).as("t"))
+    thr.crossJoin(broadcast(h.agg(sum(col("p")).as("tot_p")).select(col("tot_p"))))
+      .join(h, col("cents") >= col("t"), "left")
+      .groupBy(col("t"), col("tot_p"))
+      .agg(coalesce(sum(col("p")), lit(0L)).as("tp"),
+        coalesce(sum(col("ng")), lit(0L)).as("fp"))
+      .select(col("t").as("threshold_cents"), col("tp"), col("fp"),
+        (col("tot_p") - col("tp")).as("fn"),
+        expr("tp * 1000000 div nullif(tp + fp, 0)").as("precision_x1e6"),
+        expr("tp * 1000000 div tot_p").as("recall_x1e6"),
+        expr("2 * tp * 1000000 div nullif(2 * tp + fp + (tot_p - tp), 0)")
+          .as("f1_x1e6"))
+      .orderBy(col("threshold_cents"))
+  }
+
+  val precisionRecallSql: String = {
+    val thrList = PrThresholds.mkString(", ")
+    s"""WITH h AS (
+          SELECT CAST(floor(value * 100) AS BIGINT) AS cents,
+                 count(*) FILTER (WHERE event_type = 'purchase') AS p,
+                 count(*) FILTER (WHERE event_type <> 'purchase') AS ng
+          FROM events GROUP BY 1),
+        tot AS (SELECT CAST(sum(p) AS BIGINT) AS tot_p FROM h),
+        thr AS (SELECT unnest([$thrList]) AS t),
+        g AS (
+          SELECT t, tot_p,
+                 CAST(coalesce(sum(CASE WHEN cents >= t THEN p END), 0) AS BIGINT) AS tp,
+                 CAST(coalesce(sum(CASE WHEN cents >= t THEN ng END), 0) AS BIGINT) AS fp
+          FROM thr CROSS JOIN tot LEFT JOIN h ON h.cents >= thr.t
+          GROUP BY t, tot_p)
+        SELECT CAST(t AS BIGINT) AS threshold_cents, tp, fp, tot_p - tp AS fn,
+               tp * 1000000 // nullif(tp + fp, 0) AS precision_x1e6,
+               tp * 1000000 // tot_p AS recall_x1e6,
+               2 * tp * 1000000 // nullif(2 * tp + fp + (tot_p - tp), 0) AS f1_x1e6
+        FROM g ORDER BY threshold_cents"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("model_auc_roc", aucRoc, Some(aucRocSql)),
+    ("model_precision_recall", precisionRecall, Some(precisionRecallSql)),
     ("model_registry_score", registryScore, Some(registryScoreSql)),
     ("model_calibration", calibration, Some(calibrationSql)),
     ("model_bradley_terry", bradleyTerry, Some(bradleyTerrySql)),

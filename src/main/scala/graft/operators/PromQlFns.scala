@@ -95,6 +95,49 @@ object PromQlFns {
       .orderBy(col("step_sec"), col("job"), col("rank"))
   }
 
+  /** The `*_over_time` aggregation family — `min_over_time
+    * max_over_time sum_over_time count_over_time avg_over_time
+    * last_over_time` evaluated together on the 6h step grid (lookback
+    * = step, so membership is one map-side assignment): six reads, ONE
+    * (job, step) aggregation with map-side combine — the same pass a
+    * 1000-executor range query would make, never six scans. Values on
+    * the exact cents grid; avg is the floored integer division; last
+    * is the deterministic (sec, event_id) max-struct rule shared with
+    * `prom_query_range`. */
+  def overTimeFamily: Q = (s, d) => {
+    val samp = Tables.events(s, d).select(
+      col("event_type").as("job"), expr(secExpr).as("sec"), col("event_id"),
+      floor(col("value") * 100).cast("long").as("cents"))
+      .withColumn("step_sec",
+        expr(s"((sec + ${TopkStepSec - 1}) div $TopkStepSec) * $TopkStepSec"))
+    samp.groupBy(col("job"), col("step_sec"))
+      .agg(count(lit(1)).as("n"),
+        min(col("cents")).as("min_c"), max(col("cents")).as("max_c"),
+        sum(col("cents")).as("sum_c"),
+        max(struct(col("sec"), col("event_id"), col("cents"))).as("l"))
+      .select(col("job"), col("step_sec"), col("n"), col("min_c"), col("max_c"),
+        col("sum_c"), expr("sum_c div n").as("avg_c"), col("l.cents").as("last_c"))
+      .orderBy(col("job"), col("step_sec"))
+  }
+
+  val overTimeFamilySql: String =
+    s"""WITH samp AS (
+          SELECT event_type AS job, $secSql AS sec, event_id,
+                 CAST(floor(value * 100) AS BIGINT) AS cents,
+                 ((($secSql) + ${TopkStepSec - 1}) // $TopkStepSec) * $TopkStepSec
+                   AS step_sec
+          FROM events),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY job, step_sec
+                      ORDER BY sec DESC, event_id DESC) AS rn
+          FROM samp)
+        SELECT job, step_sec, count(*) AS n,
+               min(cents) AS min_c, max(cents) AS max_c,
+               CAST(sum(cents) AS BIGINT) AS sum_c,
+               CAST(sum(cents) // count(*) AS BIGINT) AS avg_c,
+               CAST(max(CASE WHEN rn = 1 THEN cents END) AS BIGINT) AS last_c
+        FROM r GROUP BY 1, 2 ORDER BY job, step_sec"""
+
   /** PromQL `absent_over_time(fam[6h])` on the step grid — the
     * alerting primitive for "this target stopped reporting": at each
     * step a series emits 1 iff it had NO sample in the left-open
@@ -328,6 +371,7 @@ object PromQlFns {
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("prom_absent_over_time", absentOverTime, Some(absentOverTimeSql)),
+    ("prom_over_time_family", overTimeFamily, Some(overTimeFamilySql)),
     ("prom_topk_instant", topkInstant, Some(topkInstantSql)),
     ("prom_clamp", clampFamily, Some(clampFamilySql)),
     ("prom_label_join", labelJoin, Some(labelJoinSql)),

@@ -1449,7 +1449,77 @@ object TimeseriesExt {
                     ELSE 'firing' END AS alertstate
         FROM r ORDER BY event_type, hour_sec"""
 
+  /** Seasonality / trend STRENGTH (Hyndman's STL-feature pair:
+    * F_seas = max(0, 1 − Var(R)/Var(S+R)), F_trend = max(0, 1 −
+    * Var(R)/Var(T+R))) computed over `metrics_seasonal_decompose`'s
+    * own integer components — the one-number-per-series summary that
+    * decides whether the dow/hod baseline model is even worth running.
+    * Variances are the exact population moment identity n·Σx²−(Σx)²
+    * on DECIMAL(38,0)/HUGEINT (components are integers on the cents
+    * grid), each strength ONE double division floored at 1e-4; the
+    * oracle composes the decompose SQL verbatim, so the hash certifies
+    * the feature arithmetic on top of an already-verified frame. */
+  def seasonalStrength: Q = (s, d) => {
+    val base = seasonalDecompose(s, d)
+      .select(col("event_type"), col("residual_c").as("r"),
+        (col("seasonal_c") + col("residual_c")).as("sr"),
+        (col("trend_c") + col("residual_c")).as("tr"))
+    base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r").cast("decimal(38,0)")).as("s_r"),
+        sum(col("r").cast("decimal(38,0)") * col("r")).as("q_r"),
+        sum(col("sr").cast("decimal(38,0)")).as("s_sr"),
+        sum(col("sr").cast("decimal(38,0)") * col("sr")).as("q_sr"),
+        sum(col("tr").cast("decimal(38,0)")).as("s_tr"),
+        sum(col("tr").cast("decimal(38,0)") * col("tr")).as("q_tr"))
+      .select(col("event_type"), col("n"), {
+        val n = col("n").cast("double")
+        val vr = n * col("q_r").cast("double") -
+          col("s_r").cast("double") * col("s_r").cast("double")
+        val vsr = n * col("q_sr").cast("double") -
+          col("s_sr").cast("double") * col("s_sr").cast("double")
+        (floor(greatest(lit(0.0), lit(1.0) - vr / vsr) * 1e4) / 1e4)
+          .as("f_seasonal")
+      }, {
+        val n = col("n").cast("double")
+        val vr = n * col("q_r").cast("double") -
+          col("s_r").cast("double") * col("s_r").cast("double")
+        val vtr = n * col("q_tr").cast("double") -
+          col("s_tr").cast("double") * col("s_tr").cast("double")
+        (floor(greatest(lit(0.0), lit(1.0) - vr / vtr) * 1e4) / 1e4)
+          .as("f_trend")
+      })
+      .orderBy(col("event_type"))
+  }
+
+  lazy val seasonalStrengthSql: String =
+    s"""WITH base AS (
+          SELECT event_type, residual_c AS r,
+                 seasonal_c + residual_c AS sr,
+                 trend_c + residual_c AS tr
+          FROM ($seasonalDecomposeSql) t),
+        agg AS (
+          SELECT event_type, count(*) AS n,
+                 sum(CAST(r AS HUGEINT)) AS s_r,
+                 sum(CAST(r AS HUGEINT) * r) AS q_r,
+                 sum(CAST(sr AS HUGEINT)) AS s_sr,
+                 sum(CAST(sr AS HUGEINT) * sr) AS q_sr,
+                 sum(CAST(tr AS HUGEINT)) AS s_tr,
+                 sum(CAST(tr AS HUGEINT) * tr) AS q_tr
+          FROM base GROUP BY event_type)
+        SELECT event_type, n,
+               floor(greatest(0.0, 1.0
+                 - (n::DOUBLE * q_r::DOUBLE - s_r::DOUBLE * s_r::DOUBLE)
+                   / (n::DOUBLE * q_sr::DOUBLE - s_sr::DOUBLE * s_sr::DOUBLE))
+                 * 1e4) / 1e4 AS f_seasonal,
+               floor(greatest(0.0, 1.0
+                 - (n::DOUBLE * q_r::DOUBLE - s_r::DOUBLE * s_r::DOUBLE)
+                   / (n::DOUBLE * q_tr::DOUBLE - s_tr::DOUBLE * s_tr::DOUBLE))
+                 * 1e4) / 1e4 AS f_trend
+        FROM agg ORDER BY event_type"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("metrics_seasonal_strength", seasonalStrength, Some(seasonalStrengthSql)),
     ("metrics_alert_for_duration", alertForDuration, Some(alertForDurationSql)),
     ("metrics_theil_sen", theilSen, Some(theilSenSql)),
     ("metrics_sax_motifs", saxMotifs, Some(saxMotifsSql)),

@@ -383,7 +383,55 @@ object SourceRegistry {
                      / CAST(total AS DOUBLE) * 1e4) / 1e4 AS skew_ratio
         FROM g ORDER BY part_id"""
 
+  /** Backfill chunk count for the balanced-split plan. */
+  val BackfillChunks = 8L
+
+  /** Balanced BACKFILL planning over the watermark range — the chunked
+    * historical-read plan a JDBC backfill runs instead of one giant
+    * `WHERE ts BETWEEN min AND max` query (which holds a server-side
+    * cursor for hours and cannot parallelize): the per-day row
+    * histogram assigns each day to one of [[BackfillChunks]] chunks by
+    * cumulative ROW share (chunk = (cum−1)·K div total — days are kept
+    * contiguous, chunk row counts balance to the day granularity, all
+    * integer), and the plan emits each chunk's day range and row
+    * count. Equal-width DAY ranges would skew with traffic; equal-ROW
+    * chunks are what keeps 8 parallel readers finishing together at
+    * any volume. Cumulative runs over the |days|-row aggregate — time
+    * domain, never corpus. */
+  def backfillChunks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    daily
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .withColumn("chunk", expr(s"(cum - 1) * $BackfillChunks div total"))
+      .groupBy(col("chunk"))
+      .agg(min(col("day")).as("day_lo"), max(col("day")).as("day_hi"),
+        count(lit(1)).as("n_days"), sum(col("n")).as("n_rows"))
+      .orderBy(col("chunk"))
+  }
+
+  val backfillChunksSql: String =
+    s"""WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, count(*) AS n
+          FROM events GROUP BY 1),
+        c AS (
+          SELECT day, n,
+                 sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(n) OVER () AS total
+          FROM daily)
+        SELECT CAST((cum - 1) * $BackfillChunks // total AS BIGINT) AS chunk,
+               min(day) AS day_lo, max(day) AS day_hi,
+               count(*) AS n_days, CAST(sum(n) AS BIGINT) AS n_rows
+        FROM c GROUP BY 1 ORDER BY chunk"""
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("source_backfill_chunks", backfillChunks _, Some(backfillChunksSql)),
     ("source_partition_bounds", partitionBounds _, Some(partitionBoundsSql)),
     ("source_incremental_read", incrementalRead _, Some(incrementalReadSql)),
     ("source_config_dsn", configDsn _, Some(configDsnSql)),

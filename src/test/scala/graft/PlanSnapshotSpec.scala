@@ -150,6 +150,8 @@ class PlanSnapshotSpec extends SparkTestBase {
     "ann_hnsw_levels" -> "layer-population cumsum over the ≤9-row level census aggregate",
     "dq_benford_digit2" -> "share total over the ≤10-row digit census aggregate (dq_benford shape)",
     "q_levene_bf" -> "median cumulative + totals over the ≤50-level quantity value domain (mann_whitney shape)",
+    "model_auc_roc" -> "negatives-below cumulative over the |distinct cents| value-domain histogram",
+    "source_backfill_chunks" -> "row-share cumulative + total over the |days|-row aggregate (time domain)",
     "sink_partition_skew" -> "size-rank + Gini windows over the |sources|-row partition aggregate",
     "events_entropy_rate" -> "rate weighting over the |types|-row per-state entropy aggregate",
     "q_friedman" -> "treatment-count window over the |event types|-row per-treatment rank aggregate",

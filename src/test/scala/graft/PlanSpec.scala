@@ -225,6 +225,7 @@ class PlanSweepSpec extends SparkTestBase {
     "prom_absent_over_time", // |series| × |steps| spine cross (flap_detect shape)
     "q_levene_bf",           // 1-row per-group-medians broadcast
     "text_term_burstiness",  // 1-row corpus-doc-count broadcast onto the top-20 head
+    "model_precision_recall", // 9-threshold spine >= probe of the cents histogram
     "curate_dedup_mix_shift", // 1-row corpus-totals broadcast
     "split_grouped",      // 1-row leaked-source-count broadcast
     "sink_manifest_prune", // 1-row predicate-bounds broadcast
