@@ -161,7 +161,66 @@ object CurationC4 {
                 AS shift_x1e6
        FROM persrc, totals ORDER BY source"""
 
+  /** A segment this many distinct docs share is boilerplate. */
+  val BoilerDf = 5L
+
+  /** Corpus-level BOILERPLATE detection — the cross-document question
+    * `text_line_dedup` (positional keep-first) does not answer: which
+    * segment CONTENT recurs across ≥ [[BoilerDf]] distinct documents
+    * (navigation chrome, cookie banners, license footers), and what
+    * share of each source's segment mass that contamination is. The
+    * C4/RefinedWeb "frequent-line removal" pass as a measured ledger:
+    * segment df from one (segment → distinct-doc) aggregation, the
+    * flag joined back by segment hash, per-source shares on the exact
+    * 1e6 grid. Same segment grid and cost class as line_dedup — two
+    * hash aggregations and one equi-join, linear at any corpus size. */
+  def boilerplateShare: Q = (s, d) => {
+    val toks = TextAnalysis.toksExpr
+    val segs = graft.sources.Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), expr(toks).as("toks"))
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          s"""CASE WHEN size(toks) >= $Seg
+                THEN transform(sequence(0, size(toks) DIV $Seg - 1),
+                               i -> array_join(slice(toks, i * $Seg + 1, $Seg), ' '))
+                ELSE array() END""")).as("seg"))
+    val df = segs.select(col("seg"), col("doc_id")).distinct()
+      .groupBy(col("seg")).agg(count(lit(1)).as("seg_df"))
+    segs.join(df, Seq("seg"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_segments"),
+        count(when(col("seg_df") >= BoilerDf, 1)).as("n_boiler_segments"),
+        expr(s"count(distinct CASE WHEN seg_df >= $BoilerDf THEN seg END)")
+          .as("n_boiler_distinct"))
+      .withColumn("boiler_share_x1e6",
+        expr("n_boiler_segments * 1000000 div n_segments"))
+      .orderBy(col("source"))
+  }
+
+  val boilerplateShareSql: String = {
+    val toksSql = TextAnalysis.toksSqlExpr
+    s"""WITH segs AS (
+          SELECT doc_id, source,
+                 unnest(list_transform(range(0, len(toks) // $Seg),
+                   i -> array_to_string(toks[i * $Seg + 1 : i * $Seg + $Seg], ' ')))
+                   AS seg
+          FROM (SELECT doc_id, source, $toksSql AS toks FROM documents)),
+        df AS (
+          SELECT seg, count(*) AS seg_df FROM (
+            SELECT DISTINCT seg, doc_id FROM segs) t
+          GROUP BY seg)
+        SELECT source, count(*) AS n_segments,
+               count(*) FILTER (WHERE seg_df >= $BoilerDf) AS n_boiler_segments,
+               count(DISTINCT CASE WHEN seg_df >= $BoilerDf THEN s2.seg END)
+                 AS n_boiler_distinct,
+               count(*) FILTER (WHERE seg_df >= $BoilerDf) * 1000000 // count(*)
+                 AS boiler_share_x1e6
+        FROM segs s2 JOIN df USING (seg)
+        GROUP BY source ORDER BY source"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("text_line_dedup", lineDedup, Some(lineDedupSql)),
-    ("curate_dedup_mix_shift", dedupMixShift, Some(dedupMixShiftSql)))
+    ("curate_dedup_mix_shift", dedupMixShift, Some(dedupMixShiftSql)),
+    ("curate_boilerplate_share", boilerplateShare, Some(boilerplateShareSql)))
 }

@@ -81,6 +81,71 @@ object NativeHistogram {
 
   private val qLits = Seq("0.5e0" -> "p50", "0.9e0" -> "p90", "0.99e0" -> "p99")
 
+  /** `histogram_fraction()` upper bounds, with their bucket indices and
+    * exponential bounds resolved AT BUILD TIME through the same
+    * StrictMath ladder (the threshold is a literal, so its covering
+    * bucket is a compile-time fact — no runtime ladder walk at all). */
+  private val FractionThresholds: Seq[Double] = Seq(1.0, 10.0, 100.0)
+  private def idxOfLiteral(x: Double): Int =
+    (IdxLo to IdxHi).find(i => x <= StrictMath.pow(2.0, i / 4.0))
+      .getOrElse(IdxHi + 1)
+
+  /** PromQL `histogram_fraction(-Inf, x, h)` — the v2.40+ native-
+    * histogram read that answers "what share of observations fell at
+    * or under x" WITHOUT choosing quantiles up front (SLO burn math
+    * wants P(latency ≤ threshold), not a quantile): observations in
+    * buckets wholly below x count fully, and the covering bucket
+    * contributes linearly interpolated mass ((x − lo)/(hi − lo), the
+    * spec's in-bucket uniformity assumption — the exact mirror of the
+    * quantile estimator's interpolation). Each threshold's covering
+    * bucket index and bounds are DRIVER-computed literals through the
+    * shared StrictMath ladder, so the per-(series, threshold) read is
+    * two conditional sums over the ≤64-row sparse bucket set and one
+    * IEEE interpolation, floored to the 1e-6 grid. */
+  def nativeFraction: Q = (s, d) => {
+    val buckets = Tables.events(s, d)
+      .select(col("event_type"), expr(idxLadder).as("idx"))
+      .groupBy(col("event_type"), col("idx"))
+      .agg(count(lit(1)).as("cnt"))
+    val per = FractionThresholds.map { x =>
+      val ti = idxOfLiteral(x)
+      val lo = bound(ti - 1); val hi = bound(ti)
+      buckets.groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("total"),
+          coalesce(sum(when(col("idx") < ti, col("cnt"))), lit(0L)).as("below"),
+          coalesce(sum(when(col("idx") === ti, col("cnt"))), lit(0L)).as("inb"))
+        .select(col("event_type"),
+          lit(x).as("x"), col("total"), col("below"), col("inb"),
+          expr(s"""cast(floor((cast(below as double)
+                     + cast(inb as double) * (cast($x as double) - $lo) / ($hi - $lo))
+                   / cast(total as double) * 1e6) as bigint)""").as("frac_x1e6"))
+    }
+    per.reduce(_ unionByName _).orderBy(col("event_type"), col("x"))
+  }
+
+  val nativeFractionSql: String = {
+    val arms = FractionThresholds.map { x =>
+      val ti = idxOfLiteral(x)
+      val lo = bound(ti - 1); val hi = bound(ti)
+      s"""SELECT event_type, CAST($x AS DOUBLE) AS x,
+                 CAST(sum(cnt) AS BIGINT) AS total,
+                 CAST(coalesce(sum(CASE WHEN idx < $ti THEN cnt END), 0) AS BIGINT)
+                   AS below,
+                 CAST(coalesce(sum(CASE WHEN idx = $ti THEN cnt END), 0) AS BIGINT)
+                   AS inb,
+                 CAST(floor((CAST(coalesce(sum(CASE WHEN idx < $ti THEN cnt END), 0) AS DOUBLE)
+                        + CAST(coalesce(sum(CASE WHEN idx = $ti THEN cnt END), 0) AS DOUBLE)
+                          * (CAST($x AS DOUBLE) - $lo) / ($hi - $lo))
+                      / CAST(sum(cnt) AS DOUBLE) * 1e6) AS BIGINT) AS frac_x1e6
+          FROM b GROUP BY event_type"""
+    }.mkString("\n        UNION ALL\n        ")
+    s"""WITH b AS (
+          SELECT event_type, $idxLadder AS idx, count(*) AS cnt
+          FROM events GROUP BY 1, 2)
+        $arms
+        ORDER BY event_type, x"""
+  }
+
   def nativeQuantile: Q = (s, d) => {
     val buckets = Tables.events(s, d)
       .select(col("event_type"), expr(idxLadder).as("idx"))
@@ -268,6 +333,7 @@ object NativeHistogram {
         FROM c ORDER BY idx"""
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("prom_native_histogram_fraction", nativeFraction, Some(nativeFractionSql)),
     ("prom_native_histogram_quantile", nativeQuantile, Some(nativeQuantileSql)),
     ("prom_native_histogram_rate_quantile", nativeRateQuantile, Some(nativeRateQuantileSql)),
     ("prom_native_histogram_sum", nativeSum, Some(nativeSumSql)),
