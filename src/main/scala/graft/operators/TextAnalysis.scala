@@ -894,7 +894,69 @@ object TextAnalysis {
                  // (CAST(n_docs AS HUGEINT) * t_total) AS BIGINT) AS vmr_x1e4
         FROM pt, nd ORDER BY df DESC, term"""
 
+  // ------------------------------------------------ Flesch readability
+
+  /** Flesch reading-ease per source — the readability feature every
+    * web-corpus quality model carries (C4's successors filter on it):
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    * sentences counted as terminal-punctuation runs (min 1) and
+    * syllables as vowel-group runs per token (min 1/word — the
+    * standard heuristic; no dictionary). All three counts are exact
+    * integers from narrow array/regex passes (`regexp_extract_all` is
+    * codegen'd in both engines), the per-doc score ONE fixed double
+    * sequence floored to the 1e-2 grid, and the per-source mean an
+    * integer division — so the whole feature is hash-verifiable. */
+  def readabilityFlesch: Q = (s, d) => {
+    val per = Tables.documents(s, d)
+      .select(col("source"), col("text"), expr(toksExpr).as("toks"))
+      .select(col("source"),
+        size(col("toks")).cast("long").as("w"),
+        greatest(lit(1L),
+          expr("cast(size(regexp_extract_all(text, '[.!?]+', 0)) as bigint)"))
+          .as("sent"),
+        expr("""cast(aggregate(transform(toks,
+                 t -> greatest(1, size(regexp_extract_all(t, '[aeiouy]+', 0)))),
+               0L, (acc, x) -> acc + x) as bigint)""").as("syl"))
+      .filter(col("w") > 0)
+      .withColumn("score_x100", expr(
+        """cast(floor((206.835
+             - 1.015 * (cast(w as double) / cast(sent as double))
+             - 84.6 * (cast(syl as double) / cast(w as double))) * 100)
+           as bigint)"""))
+    per.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(score_x100) div count(1)").as("mean_flesch_x100"),
+        min(col("score_x100")).as("min_flesch_x100"),
+        max(col("score_x100")).as("max_flesch_x100"))
+      .orderBy(col("source"))
+  }
+
+  val readabilityFleschSql: String =
+    s"""WITH per AS (
+          SELECT source,
+                 CAST(len(toks) AS BIGINT) AS w,
+                 greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+                   AS sent,
+                 CAST(list_sum(list_transform(toks,
+                     t -> greatest(1, len(regexp_extract_all(t, '[aeiouy]+')))))
+                   AS BIGINT) AS syl
+          FROM (SELECT source, text, $toksSqlExpr AS toks FROM documents) t0
+          WHERE len(toks) > 0),
+        sc AS (
+          SELECT source,
+                 CAST(floor((206.835
+                     - 1.015 * (CAST(w AS DOUBLE) / CAST(sent AS DOUBLE))
+                     - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))) * 100)
+                   AS BIGINT) AS score_x100
+          FROM per)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(score_x100) // count(*) AS BIGINT) AS mean_flesch_x100,
+               min(score_x100) AS min_flesch_x100,
+               max(score_x100) AS max_flesch_x100
+        FROM sc GROUP BY source ORDER BY source"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("text_readability_flesch", readabilityFlesch, Some(readabilityFleschSql)),
     ("text_term_burstiness", termBurstiness, Some(termBurstinessSql)),
     ("text_sttr", sttr, Some(sttrSql)),
     ("text_hapax", hapax, Some(hapaxSql)),
