@@ -46,6 +46,76 @@ class Round13Spec extends SparkTestBase {
     assert(shards == 1L, s"expected single-shard blocks at $sf, got $shards")
   }
 
+  test("model_precision_recall: recall is non-increasing and precision well-formed across thresholds") {
+    val rows = SparkEntry.queries("model_precision_recall")(spark, sf).collect()
+    assert(rows.length == graft.operators.Models.PrThresholds.size)
+    val recalls = rows.map(_.getAs[Long]("recall_x1e6")).toSeq
+    assert(recalls == recalls.sorted.reverse,
+      s"recall must fall as the threshold rises: $recalls")
+    rows.foreach { r =>
+      val p = r.getAs[Any]("precision_x1e6")
+      if (p != null) {
+        val pv = p.asInstanceOf[Long]
+        assert(pv >= 0L && pv <= 1000000L, s"precision out of range: $r")
+      }
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") ==
+        rows.head.getAs[Long]("tp") + rows.head.getAs[Long]("fn"),
+        "tp + fn must equal the positive total at every threshold")
+    }
+  }
+
+  test("model_auc_roc agrees with a brute-force pair count on a sample") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("model_auc_roc")(spark, sf).head()
+    val auc = r.getAs[Long]("auc_x1e6")
+    assert(auc > 0L && auc < 1000000L)
+    // brute force on the small sf0.001 feed: P(pos > neg) + P(=)/2
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(floor(col("value") * 100).cast("long").as("c"),
+        (col("event_type") === "purchase").as("pos")).collect()
+    val pos = ev.filter(_.getBoolean(1)).map(_.getLong(0))
+    val neg = ev.filterNot(_.getBoolean(1)).map(_.getLong(0))
+    val negSorted = neg.sorted
+    def countLt(v: Long): Long = {
+      var lo = 0; var hi = negSorted.length
+      while (lo < hi) { val m = (lo + hi) >>> 1
+        if (negSorted(m) < v) lo = m + 1 else hi = m }
+      lo.toLong
+    }
+    def countLe(v: Long): Long = {
+      var lo = 0; var hi = negSorted.length
+      while (lo < hi) { val m = (lo + hi) >>> 1
+        if (negSorted(m) <= v) lo = m + 1 else hi = m }
+      lo.toLong
+    }
+    val auc2 = pos.map(v => countLt(v) + countLe(v)).sum // 2·lt + eq
+    val expect = auc2 * 1000000L / (2L * pos.length * neg.length)
+    assert(auc == expect, s"AUC mismatch: entry $auc vs brute force $expect")
+  }
+
+  test("sketch_hll_distinct: measured error stays inside 3x the published 1.04/sqrt(m) bound") {
+    val rows = SparkEntry.queries("sketch_hll_distinct")(spark, sf).collect()
+    val bound = (3.0 * 1.04 / math.sqrt(graft.operators.Sketch.HllM) * 1e4).toLong
+    rows.foreach { r =>
+      assert(r.getAs[Long]("err_x1e4") <= bound,
+        s"HLL error past 3 sigma: $r (bound $bound)")
+    }
+  }
+
+  test("tsdb_dod_timestamps: class histogram tiles the post-header samples; bits reconcile") {
+    val rows = SparkEntry.queries("tsdb_dod_timestamps")(spark, sf).collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_samples")
+      val classes = Seq("n_dod0", "n_bits14", "n_bits17", "n_bits20", "n_bits64")
+        .map(r.getAs[Long])
+      assert(classes.sum == math.max(n - 2, 0L),
+        s"classes must tile samples 3..n: $r")
+      val bits = 64L * math.min(n, 2L) + classes(0) * 1L + classes(1) * 16L +
+        classes(2) * 20L + classes(3) * 24L + classes(4) * 68L
+      assert(bits == r.getAs[Long]("total_bits"), s"bit ledger mismatch: $r")
+    }
+  }
+
   test("stream_group_wait: the pre-t0 straggler detector fires on a violating feed") {
     import graft.streaming.AlertStream
     implicit val sqlCtx = spark.sqlContext
