@@ -30,13 +30,23 @@ object Checkpoints {
     * scan it leaves behind looks corpus-sized to any plan audit — so
     * the cut records boundedness HERE and PlanSpec's global-window
     * sweep consults it instead of carrying per-entry exemptions for
-    * checkpoint-hidden aggregate barriers. Ints only; growth is one
-    * entry per cut of a bounded frame. */
+    * checkpoint-hidden aggregate barriers. Keyed by (applicationId,
+    * rddId), not the bare int: RDD ids are only unique per
+    * SparkContext, so after a context restart in the same JVM a stale
+    * bare id could mark an unbounded scan of the NEW context as
+    * bounded and silently weaken the plan lint. Growth is one entry
+    * per cut of a bounded frame. */
   private val boundedRdds =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
 
-  /** Is this RDD the materialization of a provably bounded frame? */
-  def isBoundedRdd(id: Int): Boolean = boundedRdds.contains(id)
+  private def appId: String =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.applicationId).getOrElse("")
+
+  /** Is this RDD (of the ACTIVE SparkContext) the materialization of a
+    * provably bounded frame? */
+  def isBoundedRdd(id: Int): Boolean = boundedRdds.contains((appId, id))
 
   private def boundedLogical(
       p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
@@ -47,7 +57,7 @@ object Checkpoints {
       case _: LocalRelation => true
       case _: GlobalLimit => true
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        boundedRdds.contains(lr.rdd.id)
+        boundedRdds.contains((appId, lr.rdd.id))
       case leaf if leaf.children.isEmpty => false
       case other => other.children.forall(boundedLogical)
     }
@@ -57,7 +67,7 @@ object Checkpoints {
     if (boundedLogical(in.queryExecution.analyzed))
       out.queryExecution.analyzed.foreach {
         case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          boundedRdds.add(lr.rdd.id); ()
+          boundedRdds.add((in.sparkSession.sparkContext.applicationId, lr.rdd.id)); ()
         case _ => ()
       }
     out

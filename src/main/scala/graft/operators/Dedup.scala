@@ -119,6 +119,52 @@ object Dedup {
                 AS n_merged_by_normalization
        FROM per GROUP BY source ORDER BY source"""
 
+  /** Hard budget on candidate-pair OCCURRENCES scored by the pair-
+    * scoring family (`dedup_ngram_jaccard`, `dedup_containment`,
+    * `dedup_minhash_calibration`, `dedup_lsh_tuning`). The r13 three-
+    * decade probe measured e(1→3) = 2.19 on `dedup_containment`: per-
+    * pair cost is flat, but candidate-pair VOLUME is density-dependent
+    * (a corpus where every doc has r near-copies generates ∝ r²·N
+    * shared-shingle pairs — 33.6M at sf1 → 257.4M at sf3 on the
+    * synthetic replicas), so any entry that scores every candidate is
+    * unbounded in duplicate density no matter how the pairs are found.
+    * The fix is a deterministic content-hash pair SAMPLE with a volume-
+    * adaptive rate: measure the exact candidate volume V from bucket
+    * sizes (one cheap aggregate — Σ C(n,2), never materializing a
+    * pair), derive keep_ppm = min(1e6, ceil(1e6·PairBudget/V)), and
+    * keep a pair iff md5("da:db") lands under keep_ppm on the ppm
+    * grid. Scored volume is then ≤ ~PairBudget at ANY corpus size or
+    * duplicate density, while V ≤ PairBudget (both driver gate scales,
+    * measured 14–15k occurrences) keeps the rate at 100% — results
+    * byte-identical to the unsampled semantics. The rule hashes pair
+    * CONTENT, so the oracle replays the sample exactly, and every
+    * consumer publishes the rate as a `sample_ppm` column (1000000 =
+    * exhaustive) so a reader can tell a census from an estimate. */
+  val PairBudget = 2000000L
+
+  /** Deterministic per-pair keep statistic on the parts-per-million
+    * grid: md5 is bit-identical in every engine and the 15-hex-digit
+    * prefix is a uniform 60-bit integer, so `% 1e6` is an unbiased ppm
+    * coordinate the DuckDB oracle reproduces exactly. */
+  private def pairPpm(da: Column, db: Column): Column =
+    conv(substring(md5(concat(da.cast("string"), lit(":"), db.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % lit(1000000L)
+
+  def pairPpmSql(da: String, db: String): String =
+    s"('0x' || substr(md5($da || ':' || $db), 1, 15))::BIGINT % 1000000"
+
+  /** 1-row (v) → 1-row (keep_ppm): ceil(1e6·budget/v) clamped to
+    * [1, 1e6]; v ≤ budget saturates at 1e6 (exhaustive — and exactly
+    * what both gate SFs hit, so their hashes are unchanged). */
+  private def keepPpmFromVolume(vol: DataFrame): DataFrame =
+    vol.select(
+      when(col("v") <= PairBudget, lit(1000000L))
+        .otherwise(expr(s"(${1000000L * PairBudget} + v - 1) div v"))
+        .as("keep_ppm"))
+
+  def keepPpmSqlCase(v: String): String =
+    s"CAST(CASE WHEN $v <= $PairBudget THEN 1000000 ELSE (${1000000L * PairBudget} + $v - 1) // $v END AS BIGINT)"
+
   /** Shared-shingle pair intersections: (da < db, |A∩B|, |A|, |B|) —
     * the base both overlap measures (Jaccard, containment) rank from.
     * The candidate join runs on a 60-bit integer hash of the shingle,
@@ -130,28 +176,60 @@ object Dedup {
     * shuffles total (by shingle, by pair) vs four for the df-cap +
     * self-join formulation. The 500-doc frequency cap doubles as the
     * skew guard: heavy-hitter shingles (the LSH skew bomb at corpus
-    * scale) are dropped before any pair explosion. */
+    * scale) are dropped before any pair explosion. The bucket table is
+    * lineage-cut once (it feeds both the volume measurement and the
+    * pair stream), the volume-adaptive [[PairBudget]] keep rule runs
+    * BEFORE the pair shuffle, and the surviving rate rides along as
+    * `sample_ppm`. */
   private def pairIntersections(s: SparkSession, d: String): DataFrame = {
     val sets = shingleSets(s, d)
     val e = sets.select(col("doc_id"), explode(col("shingles")).as("raw"))
       .select(col("doc_id"),
         conv(substring(md5(col("raw")), 1, 15), 16, 10).cast("long").as("sh"))
-    val bySh = e.groupBy(col("sh")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")).between(2, 500))
+    val bySh = graft.Checkpoints.cutLazy(
+      e.groupBy(col("sh")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, 500)))
+    val vol = bySh.agg(coalesce(sum(expr("size(ds) * (size(ds) - 1) div 2")), lit(0L)).as("v"))
+    val cut = keepPpmFromVolume(vol)
     bySh
       .select(explode(graft.functions.TextUdfs.pairCombos(col("ds"))).as("p"))
+      .crossJoin(broadcast(cut))
+      .filter(pairPpm(col("p._1"), col("p._2")) < col("keep_ppm"))
       .groupBy(col("p._1").as("da"), col("p._2").as("db"))
-      .agg(count(lit(1)).as("inter"))
+      .agg(count(lit(1)).as("inter"), max(col("keep_ppm")).as("sample_ppm"))
       .join(sets.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
       .join(sets.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
   }
 
+  /** The pair-stage CTE chain every budget-sampled SQL mirror shares:
+    * sets → hashed occurrences → df-capped buckets → measured volume →
+    * keep_ppm cutoff → sampled (da, db, i) intersections. */
+  private def pairCtesSql: String =
+    s"""sets AS (
+          SELECT doc_id, shingles, len(shingles) AS n_sh FROM (
+            SELECT doc_id, $shinglesSqlExpr AS shingles FROM documents)
+          WHERE len(shingles) > 0),
+        e AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS sh FROM sets),
+        df AS (SELECT sh, count(*) AS n FROM e GROUP BY sh HAVING count(*) BETWEEN 2 AND 500),
+        vol AS (SELECT coalesce(sum(n * (n - 1) // 2), 0) AS v FROM df),
+        cut AS (SELECT ${keepPpmSqlCase("v")} AS keep_ppm FROM vol),
+        ec AS (SELECT e.doc_id, e.sh FROM e JOIN df USING (sh)),
+        inter AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          FROM ec a JOIN ec b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           AND ${pairPpmSql("a.doc_id", "b.doc_id")} < (SELECT keep_ppm FROM cut)
+          GROUP BY 1, 2)"""
+
   /** n-gram Jaccard near-dup pairs: shared-shingle candidate join
-    * (df-capped), exact Jaccard ≥ 0.5. */
+    * (df-capped), exact Jaccard ≥ 0.5, candidate volume bounded by the
+    * [[PairBudget]] keep rule (`sample_ppm` = 1e6 ⇒ exhaustive — both
+    * gate SFs; above budget the output is the exact result restricted
+    * to the deterministic content-hash pair sample). */
   def ngramJaccard: Q = (s, d) => {
     pairIntersections(s, d)
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        trunc4(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+        trunc4(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter"))).as("jaccard"),
+        col("sample_ppm"))
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -161,51 +239,40 @@ object Dedup {
     * contained in a long one scores high containment but low Jaccard,
     * because the union is dominated by the long side). Same two-
     * shuffle candidate pipeline as the Jaccard entry; only the final
-    * ranking expression differs. */
+    * ranking expression differs. The r13 probe's worst super-linear
+    * tail (e(1→3) = 2.19, pure pair-volume growth) — now bounded by
+    * the [[PairBudget]] volume-adaptive keep rule: exhaustive
+    * (`sample_ppm` = 1e6) at both gate SFs, a deterministic content-
+    * hash pair sample of the exact ≥-threshold result above budget. */
   def containment: Q = (s, d) => {
     pairIntersections(s, d)
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         trunc4(col("inter") * lit(1.0) / col("na")).as("containment_a_in_b"),
-        trunc4(col("inter") * lit(1.0) / col("nb")).as("containment_b_in_a"))
+        trunc4(col("inter") * lit(1.0) / col("nb")).as("containment_b_in_a"),
+        col("sample_ppm"))
       .filter(greatest(col("containment_a_in_b"), col("containment_b_in_a")) >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val containmentSql: String =
-    s"""WITH sets AS (
-          SELECT doc_id, shingles, len(shingles) AS n_sh FROM (
-            SELECT doc_id, $shinglesSqlExpr AS shingles FROM documents)
-          WHERE len(shingles) > 0),
-        e AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS sh FROM sets),
-        cap AS (SELECT sh FROM e GROUP BY sh HAVING count(*) <= 500),
-        ec AS (SELECT e.doc_id, e.sh FROM e JOIN cap USING (sh)),
-        inter AS (
-          SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-          FROM ec a JOIN ec b ON a.sh = b.sh AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
+    s"""WITH $pairCtesSql
         SELECT da AS doc_a, db AS doc_b,
                floor((i * 1.0 / sa.n_sh) * 10000) / 10000.0 AS containment_a_in_b,
-               floor((i * 1.0 / sb.n_sh) * 10000) / 10000.0 AS containment_b_in_a
+               floor((i * 1.0 / sb.n_sh) * 10000) / 10000.0 AS containment_b_in_a,
+               c.keep_ppm AS sample_ppm
         FROM inter JOIN sets sa ON da = sa.doc_id JOIN sets sb ON db = sb.doc_id
+             CROSS JOIN cut c
         WHERE greatest(floor((i * 1.0 / sa.n_sh) * 10000) / 10000.0,
                        floor((i * 1.0 / sb.n_sh) * 10000) / 10000.0) >= 0.5
         ORDER BY doc_a, doc_b"""
 
   val ngramJaccardSql: String =
-    s"""WITH sets AS (
-          SELECT doc_id, shingles, len(shingles) AS n_sh FROM (
-            SELECT doc_id, $shinglesSqlExpr AS shingles FROM documents)
-          WHERE len(shingles) > 0),
-        e AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS sh FROM sets),
-        cap AS (SELECT sh FROM e GROUP BY sh HAVING count(*) <= 500),
-        ec AS (SELECT e.doc_id, e.sh FROM e JOIN cap USING (sh)),
-        inter AS (
-          SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-          FROM ec a JOIN ec b ON a.sh = b.sh AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
+    s"""WITH $pairCtesSql
         SELECT da AS doc_a, db AS doc_b,
-               floor((i * 1.0 / (sa.n_sh + sb.n_sh - i)) * 10000) / 10000.0 AS jaccard
+               floor((i * 1.0 / (sa.n_sh + sb.n_sh - i)) * 10000) / 10000.0 AS jaccard,
+               c.keep_ppm AS sample_ppm
         FROM inter JOIN sets sa ON da = sa.doc_id JOIN sets sb ON db = sb.doc_id
+             CROSS JOIN cut c
         WHERE floor((i * 1.0 / (sa.n_sh + sb.n_sh - i)) * 10000) / 10000.0 >= 0.5
         ORDER BY doc_a, doc_b"""
 
@@ -902,31 +969,69 @@ object Dedup {
     * bands → higher recall, more candidates to verify; the ledger
     * makes the S-curve tradeoff a measured number instead of a
     * formula guess. Signature and truth build once (lineage cut);
-    * each config is one band equi-join + three bounded aggregates. */
+    * each config is one band equi-join + three bounded aggregates.
+    *
+    * The r13 probe measured e(1→3) = 1.68 here (80 s at sf3) — all-
+    * candidate scoring across three band configs. Tuning needs the
+    * recall/precision CURVE, not every pair, so all four pair
+    * universes (truth + the three configs) now share ONE volume-
+    * adaptive [[PairBudget]] cutoff, derived from the LARGEST measured
+    * universe and applied as the identical per-pair content-hash
+    * predicate everywhere. One shared rule means a sampled candidate
+    * set is compared against the identically-sampled truth set —
+    * recall and precision stay unbiased estimates of the exhaustive
+    * ledger (which both gate SFs still compute exactly: their volumes
+    * sit far under budget, `sample_ppm` = 1e6). The keep rule rides
+    * the band equi-join condition, so above-budget pairs are dropped
+    * during the streaming probe, never materialized. */
   def lshTuning: Q = (s, d) => {
     val sets = shingleSets(s, d)
-    val sig = graft.Checkpoints.cut(sigTable(sets))
-    val truth = graft.Checkpoints.cut(
-      pairIntersections(s, d)
-        .select(col("da"), col("db"),
-          trunc4(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")))
-            .as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
+    val sig = graft.Checkpoints.cutLazy(sigTable(sets))
+    val e = sets.select(col("doc_id"), explode(col("shingles")).as("raw"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("raw")), 1, 15), 16, 10).cast("long").as("sh"))
+    val bySh = graft.Checkpoints.cutLazy(
+      e.groupBy(col("sh")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, 500)))
+    val bls = TuneRows.map(r => r -> graft.Checkpoints.cutLazy(bandListFor(sig, r))).toMap
+    val volTruth = bySh
+      .agg(coalesce(sum(expr("size(ds) * (size(ds) - 1) div 2")), lit(0L)).as("v"))
+    val volConfigs = TuneRows.map { r =>
+      bls(r).groupBy(col("band_idx"), col("bh")).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("v"))
+    }
+    val cstar = keepPpmFromVolume(
+      (volTruth +: volConfigs).reduce(_ unionByName _).agg(max(col("v")).as("v")))
+    val truth = graft.Checkpoints.cutLazy(
+      bySh.select(explode(graft.functions.TextUdfs.pairCombos(col("ds"))).as("p"))
+        .crossJoin(broadcast(cstar))
+        .filter(pairPpm(col("p._1"), col("p._2")) < col("keep_ppm"))
+        .groupBy(col("p._1").as("da"), col("p._2").as("db"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sets.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
+        .join(sets.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
+        .filter(trunc4(col("inter") * lit(1.0) /
+          (col("na") + col("nb") - col("inter"))) >= 0.5)
         .select(col("da"), col("db")))
     val perConfig = TuneRows.map { r =>
-      val bl = bandListFor(sig, r)
-      val cand = bl.select(col("doc_id").as("da"), col("band_idx"), col("bh"))
-        .join(bl.select(col("doc_id").as("db"), col("band_idx"), col("bh")),
-          Seq("band_idx", "bh"))
-        .filter(col("da") < col("db"))
-        .select("da", "db").distinct()
+      val bl = bls(r)
+      val cand = graft.Checkpoints.cutLazy(
+        bl.select(col("doc_id").as("da"), col("band_idx").as("bi"), col("bh").as("ba"))
+          .crossJoin(broadcast(cstar))
+          .join(bl.select(col("doc_id").as("db"), col("band_idx"), col("bh")),
+            col("bi") === col("band_idx") && col("ba") === col("bh") &&
+              col("da") < col("db") &&
+              pairPpm(col("da"), col("db")) < col("keep_ppm"))
+          .select("da", "db").distinct())
       cand.agg(count(lit(1)).as("n_candidates"))
         .crossJoin(broadcast(
           cand.join(truth, Seq("da", "db"), "left_semi")
             .agg(count(lit(1)).as("n_caught"))))
         .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+        .crossJoin(broadcast(cstar))
         .select(lit(NumHashes / r).as("bands"), lit(r).as("rows_per_band"),
-          col("n_candidates"), col("n_caught"), col("n_truth"))
+          col("n_candidates"), col("n_caught"), col("n_truth"),
+          col("keep_ppm").as("sample_ppm"))
     }
     perConfig.reduce(_ unionByName _)
       .withColumn("recall",
@@ -947,7 +1052,9 @@ object Dedup {
         val slot = Integer.toHexString(i)
         s"coalesce(min(CASE WHEN substr(h, 1, 1) = '$slot' THEN h END), 'e$slot') AS s$i"
       }.mkString(", ")
-    val configs = TuneRows.map { r =>
+    // band lists + per-config pair volumes come BEFORE the shared
+    // cutoff; candidates and the stat rows come after it
+    val bandCtes = TuneRows.map { r =>
       val bands = NumHashes / r
       val bandExprs = (0 until bands)
         .map(b => s"md5(${(b * r until (b + 1) * r).map(i => s"s$i").mkString(" || ")}) AS band$b")
@@ -957,16 +1064,25 @@ object Dedup {
         .mkString(" UNION ALL ")
       s"""banded_$r AS (SELECT doc_id, $bandExprs FROM sig),
           bl_$r AS ($blSelects),
-          cand_$r AS (
+          vol_$r AS (SELECT coalesce(sum(n * (n - 1) // 2), 0) AS v FROM (
+            SELECT count(*) AS n FROM bl_$r GROUP BY band_idx, bh) x)"""
+    }.mkString(",\n")
+    val volUnion = (Seq("SELECT v FROM vol_truth") ++
+      TuneRows.map(r => s"SELECT v FROM vol_$r")).mkString(" UNION ALL ")
+    val candCtes = TuneRows.map { r =>
+      val bands = NumHashes / r
+      s"""cand_$r AS (
             SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
             FROM bl_$r a JOIN bl_$r b ON a.band_idx = b.band_idx AND a.bh = b.bh
-              AND a.doc_id < b.doc_id),
+              AND a.doc_id < b.doc_id
+              AND ${pairPpmSql("a.doc_id", "b.doc_id")} < (SELECT keep_ppm FROM cut)),
           st_$r AS (
             SELECT CAST($bands AS INT) AS bands, CAST($r AS INT) AS rows_per_band,
                    (SELECT count(*) FROM cand_$r) AS n_candidates,
                    (SELECT count(*) FROM cand_$r c SEMI JOIN truth t
                       ON c.da = t.da AND c.db = t.db) AS n_caught,
-                   (SELECT count(*) FROM truth) AS n_truth)"""
+                   (SELECT count(*) FROM truth) AS n_truth,
+                   (SELECT keep_ppm FROM cut) AS sample_ppm)"""
     }.mkString(",\n")
     val union = TuneRows.map(r => s"SELECT * FROM st_$r").mkString(" UNION ALL ")
     s"""WITH sets AS (
@@ -975,11 +1091,24 @@ object Dedup {
           WHERE len(shingles) > 0),
         e AS (SELECT doc_id, md5(unnest(shingles)) AS h FROM sets),
         sig AS (SELECT doc_id, $sigExprs FROM e GROUP BY doc_id),
+        esh AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS sh FROM sets),
+        dfx AS (SELECT sh, count(*) AS n FROM esh GROUP BY sh HAVING count(*) BETWEEN 2 AND 500),
+        vol_truth AS (SELECT coalesce(sum(n * (n - 1) // 2), 0) AS v FROM dfx),
+        $bandCtes,
+        vmax AS (SELECT max(v) AS v FROM ($volUnion) u),
+        cut AS (SELECT ${keepPpmSqlCase("v")} AS keep_ppm FROM vmax),
+        ec AS (SELECT esh.doc_id, esh.sh FROM esh JOIN dfx USING (sh)),
+        interx AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          FROM ec a JOIN ec b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           AND ${pairPpmSql("a.doc_id", "b.doc_id")} < (SELECT keep_ppm FROM cut)
+          GROUP BY 1, 2),
         truth AS (
-          SELECT doc_a AS da, doc_b AS db
-          FROM (${ngramJaccardSql.replace("ORDER BY doc_a, doc_b", "")})),
-        $configs
-        SELECT bands, rows_per_band, n_candidates, n_caught, n_truth,
+          SELECT da, db
+          FROM interx JOIN sets sa ON da = sa.doc_id JOIN sets sb ON db = sb.doc_id
+          WHERE floor((i * 1.0 / (sa.n_sh + sb.n_sh - i)) * 10000) / 10000.0 >= 0.5),
+        $candCtes
+        SELECT bands, rows_per_band, n_candidates, n_caught, n_truth, sample_ppm,
                CASE WHEN n_truth > 0
                     THEN floor(CAST(n_caught AS DOUBLE) / CAST(n_truth AS DOUBLE) * 1e4) / 1e4
                     ELSE 0.0 END AS recall,
@@ -1114,8 +1243,11 @@ object Dedup {
     * number (both-empty slots agree spuriously on short docs — the
     * known one-permutation caveat). Everything is integer (exact
     * Jaccard on the 1e4 grid via ONE floored division per pair); the
-    * pair stage is the shared df≤500-capped shingle join — linear, the
-    * ngram_jaccard cost class. */
+    * pair stage is the shared df≤500-capped shingle join under the
+    * [[PairBudget]] volume-adaptive keep rule — at 100 TB you
+    * calibrate an estimator on a sample, and the deterministic
+    * content-hash rule makes that sample replayable (and exhaustive,
+    * `sample_ppm` = 1e6, at both gate SFs). */
   def minhashCalibration: Q = (s, d) => {
     val sets = shingleSets(s, d)
     val sig = sigTable(sets).select(col("doc_id"),
@@ -1130,10 +1262,12 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"),
         expr("sum(exact_x1e4) div count(1)").as("mean_exact_x1e4"),
         min(col("exact_x1e4")).as("min_exact_x1e4"),
-        max(col("exact_x1e4")).as("max_exact_x1e4"))
+        max(col("exact_x1e4")).as("max_exact_x1e4"),
+        max(col("sample_ppm")).as("sample_ppm"))
       .withColumn("est_x1e4", expr(s"n_match * 10000 div $NumHashes"))
       .select(col("n_match"), col("n_pairs"), col("est_x1e4"),
-        col("mean_exact_x1e4"), col("min_exact_x1e4"), col("max_exact_x1e4"))
+        col("mean_exact_x1e4"), col("min_exact_x1e4"), col("max_exact_x1e4"),
+        col("sample_ppm"))
       .orderBy(col("n_match"))
   }
 
@@ -1145,17 +1279,7 @@ object Dedup {
     val matchSum = (0 until NumHashes)
       .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""WITH sets AS (
-          SELECT doc_id, shingles, len(shingles) AS n_sh FROM (
-            SELECT doc_id, $shinglesSqlExpr AS shingles FROM documents)
-          WHERE len(shingles) > 0),
-        e AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS sh FROM sets),
-        cap AS (SELECT sh FROM e GROUP BY sh HAVING count(*) <= 500),
-        ec AS (SELECT e.doc_id, e.sh FROM e JOIN cap USING (sh)),
-        inter AS (
-          SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-          FROM ec a JOIN ec b ON a.sh = b.sh AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
+    s"""WITH $pairCtesSql,
         eh AS (SELECT doc_id, md5(unnest(shingles)) AS h FROM sets),
         slots AS (
           SELECT doc_id,
@@ -1173,8 +1297,10 @@ object Dedup {
                n_match * 10000 // $NumHashes AS est_x1e4,
                CAST(sum(exact_x1e4) // count(*) AS BIGINT) AS mean_exact_x1e4,
                min(exact_x1e4) AS min_exact_x1e4,
-               max(exact_x1e4) AS max_exact_x1e4
-        FROM pj GROUP BY n_match ORDER BY n_match"""
+               max(exact_x1e4) AS max_exact_x1e4,
+               c.keep_ppm AS sample_ppm
+        FROM pj CROSS JOIN cut c
+        GROUP BY n_match, c.keep_ppm ORDER BY n_match"""
   }
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
