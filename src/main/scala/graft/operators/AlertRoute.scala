@@ -292,8 +292,12 @@ object AlertRoute {
       .agg(count(lit(1)).as("n_cells"),
         count(when(col("firing"), 1)).as("n_firing_cells"),
         sum(col("trans")).as("n_transitions"))
+      // single-cell feed guard: one eval step has zero transitions over
+      // zero steps — report rate 0 / flapping false explicitly rather
+      // than NULL-ing the verdict columns through a 0-divisor
       .withColumn("flap_rate_x1e6",
-        expr("n_transitions * 1000000 div (n_cells - 1)"))
+        when(col("n_cells") > 1,
+          expr("n_transitions * 1000000 div (n_cells - 1)")).otherwise(lit(0L)))
       .withColumn("flapping", col("flap_rate_x1e6") >= FlapThresholdX1e6)
       .orderBy(col("alertname"), col("instance"))
   }
@@ -323,10 +327,12 @@ object AlertRoute {
        SELECT alertname, instance, count(*) AS n_cells,
               count(*) FILTER (WHERE firing) AS n_firing_cells,
               CAST(sum(trans) AS BIGINT) AS n_transitions,
-              CAST(sum(trans) * 1000000 // (count(*) - 1) AS BIGINT)
-                AS flap_rate_x1e6,
-              sum(trans) * 1000000 // (count(*) - 1) >= $FlapThresholdX1e6
-                AS flapping
+              CAST(CASE WHEN count(*) > 1
+                   THEN sum(trans) * 1000000 // (count(*) - 1)
+                   ELSE 0 END AS BIGINT) AS flap_rate_x1e6,
+              CASE WHEN count(*) > 1
+                   THEN sum(trans) * 1000000 // (count(*) - 1)
+                   ELSE 0 END >= $FlapThresholdX1e6 AS flapping
        FROM tr GROUP BY alertname, instance
        ORDER BY alertname, instance"""
 

@@ -26,6 +26,19 @@ import org.apache.spark.sql.functions._
   *   - Timestamps are second-aligned, and Go's
   *     `strconv.FormatFloat(sec, 'f', -1, 64)` renders whole seconds
   *     with no decimal point — so a bare integer render is faithful.
+  *   - PRECONDITION (label charset): label values are concatenated
+  *     into the envelope without JSON string escaping, which is byte-
+  *     exact iff no label value contains a quote, backslash, or
+  *     control character. That holds by construction here — `instance`
+  *     / `job` derive from the events table's `event_type` enum and
+  *     the literal job name — and it is the ingestion layer's contract
+  *     to keep it true (Prometheus itself rejects label values that
+  *     are not valid UTF-8, and exporters escape at scrape time). A
+  *     label value that violated it would render IDENTICALLY-invalid
+  *     JSON in both engines, so the oracle cannot catch it — hence a
+  *     documented precondition rather than a silent assumption. At a
+  *     general-purpose ingestion seam, escape at WRITE time (one
+  *     regexp_replace per label, both engines) rather than per-render.
   *   - Prometheus does not guarantee result order; these entries pin
   *     the deterministic refinement (lexicographic element sort) so
   *     the body is reproducible — a legal server response.
@@ -181,9 +194,91 @@ object PromApi {
                || string_agg(DISTINCT job, '","' ORDER BY job) || '"]}' AS body
         FROM iv"""
 
+  // --------------------------------------------- /api/v1/labels
+
+  /** `/api/v1/labels` — sorted distinct label NAMES across the live
+    * series set (the companion of `/api/v1/label/<n>/values`;
+    * Prometheus sorts this array). Names are DERIVED, not hardcoded: a
+    * label name appears iff some matched series carries a non-empty
+    * value for it — the real endpoint's semantics (a label absent from
+    * every matched series is absent from the response). Analysis-plane
+    * cost: three |series|-bounded projections of the instant vector. */
+  def labelsJson: Q = (s, d) => {
+    val iv = PromQlFns.instantVector(s, d)
+    val nv = iv.select(lit("__name__").as("name"), lit("graft_gauge").as("v"))
+      .unionByName(iv.select(lit("instance").as("name"), col("instance").as("v")))
+      .unionByName(iv.select(lit("job").as("name"), col("job").as("v")))
+      .filter(col("v").isNotNull && col("v") =!= "")
+      .select(col("name")).distinct()
+    nv.agg(concat(lit("{\"status\":\"success\",\"data\":[\""),
+      array_join(sort_array(collect_list(col("name"))), "\",\""),
+      lit("\"]}")).as("body"))
+  }
+
+  val labelsJsonSql: String =
+    s"""WITH ${PromQlFns.instantVectorSql},
+        names AS (
+          SELECT DISTINCT name FROM (
+            SELECT '__name__' AS name, 'graft_gauge' AS v FROM iv
+            UNION ALL SELECT 'instance' AS name, instance AS v FROM iv
+            UNION ALL SELECT 'job' AS name, job AS v FROM iv) t
+          WHERE v IS NOT NULL AND v <> '')
+        SELECT '{"status":"success","data":["'
+               || string_agg(name, '","' ORDER BY name) || '"]}' AS body
+        FROM names"""
+
+  // ----------------------------------------- /api/v1 error envelope
+
+  /** The invalid-selector fixture: '#' inside the brace matcher hits
+    * promql's `lexInsideBraces` default case — the one lexer error
+    * whose message is a stable published string
+    * (`unexpected character inside braces: '#'`). */
+  val BadSelector = """graft_gauge{job="api"#}"""
+
+  /** The api/v1-wide ERROR envelope (public Prometheus API spec: on a
+    * 400 the body is `{"status":"error","errorType":"bad_data",
+    * "error":...}` — the `response` struct's field order, status <
+    * data < errorType < error, with data omitted via `omitempty`).
+    * One row per fixture selector: the valid one returns 200 with the
+    * instant-vector success body, the invalid one 400 with the parse
+    * error a real Prometheus emits for this fixture —
+    * `invalid parameter "query": 1:<col>: parse error: unexpected
+    * character inside braces: '#'` (the api.go "invalid parameter %q"
+    * wrap around the positioned promql error). The column is COMPUTED
+    * from the selector (position of the offending byte), not
+    * hardcoded, so the oracle certifies the position arithmetic. */
+  def errorJson: Q = (s, d) => {
+    val ok = queryJson(s, d)
+      .select(lit("graft_gauge").as("selector"), lit(200).as("http_status"),
+        col("body"))
+    val bad = ok.sparkSession.range(1)
+      .select(lit(BadSelector).as("selector"), lit(400).as("http_status"),
+        concat(lit("{\"status\":\"error\",\"errorType\":\"bad_data\"," +
+          "\"error\":\"invalid parameter \\\"query\\\": 1:"),
+          expr(s"cast(instr('${BadSelector.replace("'", "''")}', '#') as string)"),
+          lit(": parse error: unexpected character inside braces: '#'\"}"))
+          .as("body"))
+    ok.unionByName(bad).orderBy(col("http_status"))
+  }
+
+  val errorJsonSql: String = {
+    val q = BadSelector.replace("'", "''")
+    s"""WITH okbody AS ($queryJsonSql)
+        SELECT 'graft_gauge' AS selector, 200 AS http_status, body FROM okbody
+        UNION ALL
+        SELECT '$q' AS selector, 400 AS http_status,
+               '{"status":"error","errorType":"bad_data","error":"invalid parameter \\"query\\": 1:'
+               || strpos('$q', '#')::VARCHAR
+               || ': parse error: unexpected character inside braces: ''#''"}'
+                 AS body
+        ORDER BY http_status"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("prom_api_query_json", queryJson, Some(queryJsonSql)),
     ("prom_api_query_range_json", queryRangeJson, Some(queryRangeJsonSql)),
     ("prom_api_series_json", seriesJson, Some(seriesJsonSql)),
-    ("prom_api_label_values_json", labelValuesJson, Some(labelValuesJsonSql)))
+    ("prom_api_label_values_json", labelValuesJson, Some(labelValuesJsonSql)),
+    ("prom_api_labels_json", labelsJson, Some(labelsJsonSql)),
+    ("prom_api_error_json", errorJson, Some(errorJsonSql)))
 }

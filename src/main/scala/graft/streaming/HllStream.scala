@@ -65,12 +65,23 @@ object HllStream {
     else math.floor(raw).toLong
   }
 
+  /** Hard ceiling on the audit-mode exact set: a per-series truth set
+    * past this size means someone turned the audit flag on against
+    * production cardinalities — fail loudly instead of OOMing the
+    * state store row by row. */
+  val AuditExactCap = 2000000
+
   /** One ledger snapshot per (series, micro-batch); the last row per
-    * series is the final sketch state. The exact-distinct set is
-    * carried ONLY for the ledger's error column (the audit needs
-    * truth); a production sketch would drop it — the HLL registers
-    * never consult it. */
-  def hllStream(samples: Dataset[HllInput]): Dataset[HllSnapshot] = {
+    * series is the final sketch state. The exact-distinct set exists
+    * ONLY under `auditExact = true` (default OFF): the audit ledger
+    * needs truth for its error column, but carrying the full
+    * Set[Long] makes state O(distinct users) — the opposite of the
+    * O(m)-registers property that is HLL's whole point — so production
+    * reuse must opt in explicitly, is capped at [[AuditExactCap]]
+    * (loud failure, not a silent OOM), and the default path keeps the
+    * advertised O(m) state with `exact_distinct`/`err_x1e4` = -1. */
+  def hllStream(samples: Dataset[HllInput],
+      auditExact: Boolean = false): Dataset[HllSnapshot] = {
     import samples.sparkSession.implicits._
     samples.groupByKey(_.series)
       .flatMapGroupsWithState[HllState, HllSnapshot](
@@ -85,14 +96,21 @@ object HllStream {
             val reg = (h / 4503599627370496L).toInt // 2^52
             val r = rank(h % 4503599627370496L)
             if (r > regs(reg)) regs(reg) = r
-            exact += s.user_id
+            if (auditExact) {
+              exact += s.user_id
+              require(exact.size <= AuditExactCap,
+                s"hllStream auditExact truth set for series '$series' " +
+                  s"exceeded $AuditExactCap distinct ids — the audit mode " +
+                  "is for bounded test feeds; run with auditExact=false")
+            }
           }
           state.update(HllState(regs, exact))
           val hit = regs.count(_ > 0).toLong
           val est = estimate(regs)
           val ex = exact.size.toLong
-          Iterator(HllSnapshot(series, hit, M - hit, est, ex,
-            math.abs(est - ex) * 10000L / ex))
+          Iterator(HllSnapshot(series, hit, M - hit, est,
+            if (auditExact) ex else -1L,
+            if (auditExact && ex > 0) math.abs(est - ex) * 10000L / ex else -1L))
       }
   }
 

@@ -34,7 +34,7 @@ class HllStreamSpec extends SparkTestBase {
       .as[HllStream.HllInput].collect()
 
     val input = MemoryStream[HllStream.HllInput]
-    val q = HllStream.hllStream(input.toDS())
+    val q = HllStream.hllStream(input.toDS(), auditExact = true)
       .writeStream.format("memory").queryName("hll_sink")
       .outputMode(OutputMode.Update).start()
     try {

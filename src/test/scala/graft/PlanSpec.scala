@@ -223,6 +223,8 @@ class PlanSweepSpec extends SparkTestBase {
     "prom_quantile_aggregator", // instant vector's 1-row now-bound broadcast
     // round-13: API envelope family rides the same instant vector
     "prom_api_query_json", "prom_api_series_json", "prom_api_label_values_json",
+    // round-14: labels + error envelope ride the same instant vector
+    "prom_api_labels_json", "prom_api_error_json",
     "alert_flap_detect", // |identities| × |cells| analysis-plane spine cross
     "prom_absent_over_time", // |series| × |steps| spine cross (flap_detect shape)
     "q_levene_bf",           // 1-row per-group-medians broadcast
