@@ -220,6 +220,51 @@ object Dedup {
            AND ${pairPpmSql("a.doc_id", "b.doc_id")} < (SELECT keep_ppm FROM cut)
           GROUP BY 1, 2)"""
 
+  /** The pair-budget mechanism's own audit row — what a 100 TB dedup
+    * rollout publishes next to its results so a reader can tell a
+    * census from an estimate without re-deriving the math: the
+    * measured candidate volume, the cutoff the volume produced, and
+    * the occurrences/pairs that actually got scored under it. The
+    * oracle hash certifies the mechanism end-to-end: at gate scale
+    * `keep_ppm` = 1e6 forces `n_scored_occurrences == candidate_volume`
+    * (exhaustive ⇒ nothing dropped — an equality the DuckDB replay
+    * must reproduce exactly), and above budget it certifies the
+    * deterministic sample. Costs one volume aggregate plus the sampled
+    * pair stream — the same bounded work as any budget consumer. */
+  def pairBudgetAudit: Q = (s, d) => {
+    val sets = shingleSets(s, d)
+    val e = sets.select(col("doc_id"), explode(col("shingles")).as("raw"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("raw")), 1, 15), 16, 10).cast("long").as("sh"))
+    val bySh = graft.Checkpoints.cutLazy(
+      e.groupBy(col("sh")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, 500)))
+    val vol = bySh.agg(coalesce(sum(expr("size(ds) * (size(ds) - 1) div 2")), lit(0L)).as("v"))
+    val cut = keepPpmFromVolume(vol)
+    val scored = bySh
+      .select(explode(graft.functions.TextUdfs.pairCombos(col("ds"))).as("p"))
+      .crossJoin(broadcast(cut))
+      .filter(pairPpm(col("p._1"), col("p._2")) < col("keep_ppm"))
+      .agg(count(lit(1)).as("n_scored_occurrences"),
+        countDistinct(col("p._1"), col("p._2")).as("n_scored_pairs"))
+    vol.select(col("v").as("candidate_volume"))
+      .crossJoin(broadcast(cut))
+      .crossJoin(broadcast(scored))
+      .select(col("candidate_volume"), col("keep_ppm"),
+        col("n_scored_pairs"), col("n_scored_occurrences"),
+        (col("keep_ppm") === 1000000L).as("exhaustive"))
+  }
+
+  val pairBudgetAuditSql: String =
+    s"""WITH $pairCtesSql,
+        scored AS (
+          SELECT coalesce(sum(i), 0) AS occ, count(*) AS prs FROM inter)
+        SELECT CAST(v AS BIGINT) AS candidate_volume, c.keep_ppm,
+               CAST(prs AS BIGINT) AS n_scored_pairs,
+               CAST(occ AS BIGINT) AS n_scored_occurrences,
+               c.keep_ppm = 1000000 AS exhaustive
+        FROM vol CROSS JOIN cut c CROSS JOIN scored"""
+
   /** n-gram Jaccard near-dup pairs: shared-shingle candidate join
     * (df-capped), exact Jaccard ≥ 0.5, candidate volume bounded by the
     * [[PairBudget]] keep rule (`sample_ppm` = 1e6 ⇒ exhaustive — both
@@ -1305,6 +1350,7 @@ object Dedup {
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("dedup_minhash_calibration", minhashCalibration, Some(minhashCalibrationSql)),
+    ("dedup_pair_budget_audit", pairBudgetAudit, Some(pairBudgetAuditSql)),
     ("dedup_fuzzy_lsh", fuzzyLsh, Some(fuzzyLshSql)),
     ("dedup_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
     ("dedup_lsh_tuning", lshTuning, Some(lshTuningSql)),

@@ -160,6 +160,49 @@ object Pipeline {
       .orderBy(col("lang"), col("pack_id"))
   }
 
+  /** Block-diagonal attention-mask DENSITY per pack — the cost read a
+    * trainer does before choosing packed vs padded batches: with
+    * per-document masking, only Σ dᵢ² of the L² attention matrix is
+    * valid, so `mask_valid_x1e6 = Σdᵢ²·1e6 div L²` is the fraction of
+    * full-attention FLOPs a block-diagonal kernel actually needs (and
+    * 1e6 − it is what naive full attention would waste on cross-doc
+    * pairs the mask zeroes anyway). Exact integers on the 1e6 grid;
+    * same single lang-keyed window pass as the packer — one shuffle,
+    * no joins, mirrors `pack_token_budget`'s pack assignment so the
+    * three pack ledgers (packs, boundaries, density) describe the SAME
+    * batches. */
+  def packMaskDensity: Q = (s, d) => {
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        ceil(col("n_chars") / 4.0).cast("long").as("tok_est"))
+      .withColumn("pack_id",
+        floor(coalesce(sum(col("tok_est")).over(wCum), lit(0L)) / PackBudget).cast("long"))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok_est")).as("pack_tokens"),
+        sum(col("tok_est") * col("tok_est")).as("sum_sq_tokens"))
+      .withColumn("mask_valid_x1e6",
+        expr("sum_sq_tokens * 1000000 div (pack_tokens * pack_tokens)"))
+      .orderBy(col("lang"), col("pack_id"))
+  }
+
+  val packMaskDensitySql: String =
+    s"""WITH t AS (
+          SELECT doc_id, lang, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tok_est,
+                 CAST(floor(coalesce(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / $PackBudget) AS BIGINT) AS pack_id
+          FROM documents)
+        SELECT lang, pack_id, count(*) AS n_docs,
+               CAST(sum(tok_est) AS BIGINT) AS pack_tokens,
+               CAST(sum(tok_est * tok_est) AS BIGINT) AS sum_sq_tokens,
+               CAST(sum(tok_est * tok_est) * 1000000
+                    // (sum(tok_est) * sum(tok_est)) AS BIGINT) AS mask_valid_x1e6
+        FROM t GROUP BY lang, pack_id ORDER BY lang, pack_id"""
+
   val packBoundaryOffsetsSql: String =
     s"""WITH t AS (
           SELECT doc_id, lang, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tok_est,
@@ -1497,6 +1540,7 @@ object Pipeline {
     ("mix_corpora", mixCorpora, Some(mixCorporaSql)),
     ("pack_token_budget", packTokenBudget, Some(packTokenBudgetSql)),
     ("pack_boundary_offsets", packBoundaryOffsets, Some(packBoundaryOffsetsSql)),
+    ("pack_mask_density", packMaskDensity, Some(packMaskDensitySql)),
     ("curate_quality_band", curateQualityBand, Some(curateQualityBandSql)),
     ("curate_domain_cap", curateDomainCap, Some(curateDomainCapSql)),
     ("pipeline_dataset_card", datasetCard, Some(datasetCardSql)),

@@ -470,8 +470,95 @@ object Sketch {
         FROM e3 JOIN ex ON ex.event_type = e3.event_type
         ORDER BY e3.event_type"""
 
+  val BloomM = 65536L
+  val BloomK = 4
+
+  /** Bloom-filter false-positive-rate CALIBRATION — the measurement a
+    * rollout runs before trusting a bloom prefilter's miss rate (the
+    * same discipline `dedup_minhash_calibration` applies to MinHash):
+    * build an m-bit, k-hash bloom from one content-hash half of the
+    * distinct user set, probe it with the DISJOINT other half (so
+    * every full-hit probe is a certain false positive), and report the
+    * measured FPP next to the standard fill-fraction theory
+    * ((set_bits/m)^k). Everything is deterministic integer hashing —
+    * bit positions are md5-prefix mod m, the same 60-bit idiom the
+    * theta sketch uses — so the DuckDB oracle replays filter
+    * construction, probe, and both rates exactly. Scale shape: the bit
+    * set is bounded by m (config, never corpus), broadcast to the
+    * probe join; build and probe are one distinct + one explode each. */
+  def bloomFpp: Q = (s, d) => {
+    def posExpr(i: Int) =
+      s"CAST(conv(substring(md5(concat('bf$i:', CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % $BloomM"
+    val users = Tables.events(s, d).select(col("user_id")).distinct()
+      .withColumn("is_build",
+        expr("substring(md5(concat('bf:', CAST(user_id AS STRING))), 1, 1) < '8'"))
+    val withPos = users.select(col("user_id"), col("is_build"),
+      explode(array((1 to BloomK).map(i => expr(posExpr(i))): _*)).as("pos"))
+    val bits = graft.Checkpoints.cutLazy(
+      withPos.filter(col("is_build")).select("pos").distinct())
+    val nBits = bits.agg(count(lit(1)).as("n_bits_set"))
+    val probe = withPos.filter(!col("is_build"))
+      .select(col("user_id"), col("pos")).distinct()
+    val perUser = probe
+      .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("pos"), "left")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pos"), count(col("hit")).as("n_hit"))
+    val fp = perUser.agg(coalesce(
+      sum(when(col("n_hit") === col("n_pos"), 1L).otherwise(0L)), lit(0L))
+      .as("n_false_positives"))
+    val counts = users.agg(
+      sum(when(col("is_build"), 1L).otherwise(0L)).as("n_build"),
+      sum(when(!col("is_build"), 1L).otherwise(0L)).as("n_probe"))
+    counts.crossJoin(broadcast(nBits)).crossJoin(broadcast(fp))
+      .select(col("n_build"), col("n_probe"), col("n_bits_set"),
+        expr(s"n_bits_set * 1000000 div $BloomM").as("fill_x1e6"),
+        col("n_false_positives"),
+        expr("CASE WHEN n_probe > 0 THEN n_false_positives * 1000000 div n_probe ELSE 0 END")
+          .as("fpp_measured_x1e6"),
+        expr(s"""CAST(floor((CAST(n_bits_set AS DOUBLE) / $BloomM)
+                 * (CAST(n_bits_set AS DOUBLE) / $BloomM)
+                 * (CAST(n_bits_set AS DOUBLE) / $BloomM)
+                 * (CAST(n_bits_set AS DOUBLE) / $BloomM) * 1000000) AS BIGINT)""")
+          .as("fpp_theory_x1e6"))
+  }
+
+  val bloomFppSql: String = {
+    def posExpr(i: Int) =
+      s"('0x' || substr(md5('bf$i:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % $BloomM"
+    val posList = (1 to BloomK).map(posExpr).mkString("[", ", ", "]")
+    s"""WITH users AS (SELECT DISTINCT user_id FROM events),
+        u2 AS (SELECT user_id,
+                 substr(md5('bf:' || CAST(user_id AS VARCHAR)), 1, 1) < '8' AS is_build
+               FROM users),
+        pos AS (SELECT user_id, is_build, unnest($posList) AS pos FROM u2),
+        bits AS (SELECT DISTINCT pos FROM pos WHERE is_build),
+        nb AS (SELECT count(*) AS n_bits_set FROM bits),
+        probe AS (SELECT DISTINCT user_id, pos FROM pos WHERE NOT is_build),
+        pu AS (SELECT p.user_id, count(*) AS n_pos, count(b.pos) AS n_hit
+               FROM probe p LEFT JOIN bits b ON p.pos = b.pos
+               GROUP BY p.user_id),
+        fp AS (SELECT coalesce(sum(CASE WHEN n_hit = n_pos THEN 1 ELSE 0 END), 0)
+                 AS n_false_positives FROM pu),
+        c AS (SELECT CAST(sum(CASE WHEN is_build THEN 1 ELSE 0 END) AS BIGINT) AS n_build,
+                     CAST(sum(CASE WHEN is_build THEN 0 ELSE 1 END) AS BIGINT) AS n_probe
+              FROM u2)
+        SELECT n_build, n_probe, CAST(n_bits_set AS BIGINT) AS n_bits_set,
+               CAST(n_bits_set * 1000000 // $BloomM AS BIGINT) AS fill_x1e6,
+               CAST(n_false_positives AS BIGINT) AS n_false_positives,
+               CAST(CASE WHEN n_probe > 0
+                    THEN n_false_positives * 1000000 // n_probe
+                    ELSE 0 END AS BIGINT) AS fpp_measured_x1e6,
+               CAST(floor((CAST(n_bits_set AS DOUBLE) / $BloomM)
+                    * (CAST(n_bits_set AS DOUBLE) / $BloomM)
+                    * (CAST(n_bits_set AS DOUBLE) / $BloomM)
+                    * (CAST(n_bits_set AS DOUBLE) / $BloomM) * 1000000) AS BIGINT)
+                 AS fpp_theory_x1e6
+        FROM c CROSS JOIN nb CROSS JOIN fp"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("sketch_hll_distinct", hllDistinct, Some(hllDistinctSql)),
+    ("sketch_bloom_fpp", bloomFpp, Some(bloomFppSql)),
     ("q_bitmap_distinct", bitmapDistinct, Some(bitmapDistinctSql)),
     ("sketch_set_ops", setOps, Some(setOpsSql)),
     ("sketch_theta_distinct", thetaDistinct, Some(thetaDistinctSql)),

@@ -180,6 +180,8 @@ class PlanSweepSpec extends SparkTestBase {
     "dedup_embedding_cosine", "dedup_simhash", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     // r14 pair-budget family: 1-row volume-adaptive keep_ppm cutoff broadcast
     "dedup_containment", "dedup_minhash_calibration", "dedup_lsh_recall",
+    "dedup_pair_budget_audit", // the audit row IS three 1-row broadcasts
+    "sketch_bloom_fpp", // 1-row bits-count + fp-count broadcasts
     // single-row broadcast crossJoins: percentile bounds / totals /
     // split midpoints / n_min rate tables — 1 row × fact, never fact²
     "q_rfm_segments", "q_equidepth_histogram", "q_basket_pairs", "q_time_to_convert",
