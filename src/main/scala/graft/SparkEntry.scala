@@ -15,7 +15,7 @@ object SparkEntry {
       Sketch.entries ++ Cdc.entries ++ RangeJoin.entries ++ Quality.entries ++ Graph.entries ++ Funnel.entries ++ Cohort.entries ++
       Curation.entries ++ Models.entries ++ Affinity.entries ++ Stats.entries ++ NativeHistogram.entries ++ PromQl.entries ++ Federation.entries ++
       TsdbLifecycle.entries ++ AlertRoute.entries ++ RankStats.entries ++ ScrapePolicy.entries ++ PromApi.entries ++ CurationC4.entries ++ BloomDedup.entries ++ PromQlFns.entries ++ SchemaContract.entries ++ WritePath.entries ++ BinaryQuant.entries ++ TrainPrep.entries ++ IvmQuantile.entries ++
-      graft.streaming.EventsStream.entries ++ graft.streaming.LateData.entries ++ graft.streaming.OooStream.entries ++ graft.streaming.AlertStream.entries ++ graft.streaming.DodStream.entries ++ graft.streaming.HllStream.entries
+      graft.streaming.EventsStream.entries ++ graft.streaming.LateData.entries ++ graft.streaming.OooStream.entries ++ graft.streaming.AlertStream.entries ++ graft.streaming.DodStream.entries ++ graft.streaming.HllStream.entries ++ graft.streaming.BloomStream.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
