@@ -180,7 +180,12 @@ object Dedup {
     * lineage-cut once (it feeds both the volume measurement and the
     * pair stream), the volume-adaptive [[PairBudget]] keep rule runs
     * BEFORE the pair shuffle, and the surviving rate rides along as
-    * `sample_ppm`. */
+    * `sample_ppm`. Set sizes come from a lineage-cut (doc_id, n_sh)
+    * aggregate of the SAME exploded hash table — `shingles` is
+    * list_distinct, so rows-per-doc IS the set size — rather than
+    * re-joining `sets`, which would re-run the regex tokenizer over
+    * the full corpus once per join side (tokenize is the dominant
+    * linear cost of this family). */
   private def pairIntersections(s: SparkSession, d: String): DataFrame = {
     val sets = shingleSets(s, d)
     val e = sets.select(col("doc_id"), explode(col("shingles")).as("raw"))
@@ -189,6 +194,8 @@ object Dedup {
     val bySh = graft.Checkpoints.cutLazy(
       e.groupBy(col("sh")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
         .filter(size(col("ds")).between(2, 500)))
+    val nsh = graft.Checkpoints.cutLazy(
+      e.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")))
     val vol = bySh.agg(coalesce(sum(expr("size(ds) * (size(ds) - 1) div 2")), lit(0L)).as("v"))
     val cut = keepPpmFromVolume(vol)
     bySh
@@ -197,8 +204,8 @@ object Dedup {
       .filter(pairPpm(col("p._1"), col("p._2")) < col("keep_ppm"))
       .groupBy(col("p._1").as("da"), col("p._2").as("db"))
       .agg(count(lit(1)).as("inter"), max(col("keep_ppm")).as("sample_ppm"))
-      .join(sets.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
-      .join(sets.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
+      .join(nsh.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
+      .join(nsh.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
   }
 
   /** The pair-stage CTE chain every budget-sampled SQL mirror shares:
@@ -1038,6 +1045,11 @@ object Dedup {
     val bySh = graft.Checkpoints.cutLazy(
       e.groupBy(col("sh")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
         .filter(size(col("ds")).between(2, 500)))
+    // set sizes from the exploded hash table (rows-per-doc == |set|,
+    // shingles are distinct) — not a `sets` re-join, which would
+    // re-tokenize the corpus once per join side
+    val nsh = graft.Checkpoints.cutLazy(
+      e.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")))
     val bls = TuneRows.map(r => r -> graft.Checkpoints.cutLazy(bandListFor(sig, r))).toMap
     val volTruth = bySh
       .agg(coalesce(sum(expr("size(ds) * (size(ds) - 1) div 2")), lit(0L)).as("v"))
@@ -1053,8 +1065,8 @@ object Dedup {
         .filter(pairPpm(col("p._1"), col("p._2")) < col("keep_ppm"))
         .groupBy(col("p._1").as("da"), col("p._2").as("db"))
         .agg(count(lit(1)).as("inter"))
-        .join(sets.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
-        .join(sets.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
+        .join(nsh.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
+        .join(nsh.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
         .filter(trunc4(col("inter") * lit(1.0) /
           (col("na") + col("nb") - col("inter"))) >= 0.5)
         .select(col("da"), col("db")))
