@@ -424,7 +424,59 @@ object Funnel {
         FROM re, s ORDER BY channel"""
   }
 
+  /** Wilson 95% score interval for a stage conversion — shared
+    * EXPRESSION TEXT between engines so the double op sequence is
+    * identical (z = 1.96 enters only as the pre-folded literals
+    * z² = 3.8416, z²/2 = 1.9208, z²/4 = 0.9604); floor-pinned at 6dp. */
+  private def wilsonExpr(k: String, n: String, sign: String): String =
+    s"""CASE WHEN $n > 0 THEN floor((
+          ((CAST($k AS DOUBLE) / $n) + 1.9208 / $n $sign
+           1.96 * sqrt((CAST($k AS DOUBLE) / $n) * (1.0 - CAST($k AS DOUBLE) / $n) / $n
+                       + 0.9604 / (CAST($n AS DOUBLE) * $n)))
+          / (1.0 + 3.8416 / $n)) * 1e6) / 1e6 END"""
+
+  /** Funnel conversion rates WITH uncertainty — the Wilson 95% score
+    * interval per stage transition (view→click, click→purchase,
+    * view→purchase), the read that stops a team shipping a "conversion
+    * moved 2%" conclusion off 40 users. Wilson beats the normal
+    * approximation at small n and never leaves [0,1] — exactly the
+    * regime funnel tails live in. One pass over `funnel_stages`'
+    * per-user stage (the monotone stage counts n₁ ≥ n₂ ≥ n₃ are three
+    * conditional sums of ONE aggregate), three output rows via stack —
+    * no joins, no windows beyond the funnel's own. */
+  def conversionCi: Q = (s, d) => {
+    funnelStages(s, d)
+      .agg(sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("n3"))
+      .selectExpr("stack(3, 'click_to_purchase', n2, n3, " +
+        "'view_to_click', n1, n2, 'view_to_purchase', n1, n3) as (transition, n, k)")
+      .selectExpr("transition", "n", "k",
+        "CASE WHEN n > 0 THEN floor(CAST(k AS DOUBLE) / n * 1e6) / 1e6 END AS p_hat",
+        s"${wilsonExpr("k", "n", "-")} AS wilson_lo",
+        s"${wilsonExpr("k", "n", "+")} AS wilson_hi")
+      .orderBy(col("transition"))
+  }
+
+  lazy val conversionCiSql: String =
+    s"""WITH fs AS ($funnelStagesSql),
+        c AS (
+          SELECT CAST(sum(CASE WHEN stage >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN stage >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                 CAST(sum(CASE WHEN stage >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+          FROM fs),
+        t AS (
+          SELECT 'click_to_purchase' AS transition, n2 AS n, n3 AS k FROM c
+          UNION ALL SELECT 'view_to_click', n1, n2 FROM c
+          UNION ALL SELECT 'view_to_purchase', n1, n3 FROM c)
+        SELECT transition, n, k,
+               CASE WHEN n > 0 THEN floor(CAST(k AS DOUBLE) / n * 1e6) / 1e6 END AS p_hat,
+               ${wilsonExpr("k", "n", "-")} AS wilson_lo,
+               ${wilsonExpr("k", "n", "+")} AS wilson_hi
+        FROM t ORDER BY transition"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("funnel_conversion_ci", conversionCi, Some(conversionCiSql)),
     ("attribution_markov", attributionMarkov, Some(attributionMarkovSql)),
     ("events_sequence_match", sequenceMatch, Some(sequenceMatchSql)),
     ("attribution_position", attributionPosition, Some(attributionPositionSql)),

@@ -274,7 +274,107 @@ object PromApi {
         ORDER BY http_status"""
   }
 
+  // ------------------------------------ /api/v1/query_exemplars
+
+  /** `/api/v1/query_exemplars?query=graft_gauge` — the exemplar
+    * envelope over the `metrics_exemplars` ledger (bottom-K md5 draw
+    * per bucket, K = 3): per series the LAST bucket's exemplars as
+    * `{"labels":{...},"value":"...","timestamp":...}` objects (the
+    * published Exemplar field order), wrapped in
+    * `{"seriesLabels":{...},"exemplars":[...]}` — restricting to the
+    * newest bucket keeps the body ≤ |series|·K elements (the real
+    * endpoint takes a time range; this models the "current" read).
+    * Values render as strings from the ledger's integer cents. */
+  def queryExemplarsJson: Q = (s, d) => {
+    val ex = TimeseriesExt.exemplars(s, d)
+    val last = ex.groupBy(col("event_type")).agg(max(col("bucket_start")).as("bucket_start"))
+    val els = ex.join(broadcast(last), Seq("event_type", "bucket_start"))
+      .withColumn("cents", col("value_cents"))
+      .select(col("event_type"), col("exemplar_rank"),
+        concat(lit("{\"labels\":{\"event_id\":\""), col("event_id").cast("string"),
+          lit("\"},\"value\":\""), expr(centsStr),
+          lit("\",\"timestamp\":"), col("bucket_start").cast("string"), lit("}")).as("el"))
+    val series = els.groupBy(col("event_type"))
+      .agg(concat(lit("{\"seriesLabels\":{\"__name__\":\"graft_gauge\",\"job\":\""),
+        col("event_type"), lit("\"},\"exemplars\":["),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(exemplar_rank, el))), x -> x.el)"), ","),
+        lit("]}")).as("sel"))
+    series.agg(concat(lit("{\"status\":\"success\",\"data\":["),
+      array_join(sort_array(collect_list(col("sel"))), ","), lit("]}")).as("body"))
+  }
+
+  val queryExemplarsJsonSql: String =
+    s"""WITH ex AS (${TimeseriesExt.exemplarsSql}),
+        lastb AS (SELECT event_type, max(bucket_start) AS bucket_start FROM ex GROUP BY 1),
+        els AS (
+          SELECT e.event_type, e.exemplar_rank,
+                 '{"labels":{"event_id":"' || CAST(e.event_id AS VARCHAR)
+                 || '"},"value":"' || (e.value_cents // 100)::VARCHAR || '.'
+                 || lpad((e.value_cents % 100)::VARCHAR, 2, '0')
+                 || '","timestamp":' || CAST(e.bucket_start AS VARCHAR) || '}' AS el
+          FROM ex e JOIN lastb l
+            ON e.event_type = l.event_type AND e.bucket_start = l.bucket_start),
+        ser AS (
+          SELECT '{"seriesLabels":{"__name__":"graft_gauge","job":"' || event_type
+                 || '"},"exemplars":[' || string_agg(el, ',' ORDER BY exemplar_rank)
+                 || ']}' AS sel
+          FROM els GROUP BY event_type)
+        SELECT '{"status":"success","data":['
+               || string_agg(sel, ',' ORDER BY sel) || ']}' AS body
+        FROM ser"""
+
+  // -------------------------------------------- /api/v1/targets
+
+  /** `/api/v1/targets` — the scrape-target health listing (the
+    * collector IS a scrape loop; this is ITS operational read): one
+    * activeTargets element per series with the published field order
+    * (labels < scrapePool < lastError < lastScrape < health — a
+    * subset of Go's Target marshal; the URL fields are omitted, there
+    * is no network identity offline). `health` = "up" iff the
+    * target's newest sample is within one scrape interval (1 h) of
+    * the global newest — the staleness rule the metrics family uses.
+    * One per-series max aggregate + a 1-row newest-bound broadcast. */
+  def targetsJson: Q = (s, d) => {
+    val h = Tables.events(s, d).groupBy(col("event_type"))
+      .agg(max(expr("cast(unix_timestamp(date_trunc('second', ts)) as bigint)"))
+        .as("last_scrape_sec"))
+    val bounds = h.agg(max(col("last_scrape_sec")).as("newest"))
+    val els = h.crossJoin(broadcast(bounds))
+      .select(concat(
+        lit("{\"labels\":{\"instance\":\""), col("event_type"),
+        lit("\",\"job\":\"graft_gauge\"},\"scrapePool\":\"graft\"," +
+          "\"lastError\":\"\",\"lastScrape\":"),
+        col("last_scrape_sec").cast("string"),
+        lit(",\"health\":\""),
+        when(col("newest") - col("last_scrape_sec") <= 3600L, lit("up"))
+          .otherwise(lit("down")),
+        lit("\"}")).as("el"))
+    els.agg(concat(lit("{\"status\":\"success\",\"data\":{\"activeTargets\":["),
+      array_join(sort_array(collect_list(col("el"))), ","),
+      lit("],\"droppedTargets\":[]}}")).as("body"))
+  }
+
+  val targetsJsonSql: String =
+    """WITH h AS (
+         SELECT event_type,
+                max(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS last_scrape_sec
+         FROM events GROUP BY 1),
+       b AS (SELECT max(last_scrape_sec) AS newest FROM h),
+       els AS (
+         SELECT '{"labels":{"instance":"' || event_type
+                || '","job":"graft_gauge"},"scrapePool":"graft","lastError":"","lastScrape":'
+                || CAST(last_scrape_sec AS VARCHAR) || ',"health":"'
+                || CASE WHEN b.newest - last_scrape_sec <= 3600 THEN 'up' ELSE 'down' END
+                || '"}' AS el
+         FROM h CROSS JOIN b)
+       SELECT '{"status":"success","data":{"activeTargets":['
+              || string_agg(el, ',' ORDER BY el) || '],"droppedTargets":[]}}' AS body
+       FROM els"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("prom_api_query_exemplars_json", queryExemplarsJson, Some(queryExemplarsJsonSql)),
+    ("prom_api_targets_json", targetsJson, Some(targetsJsonSql)),
     ("prom_api_query_json", queryJson, Some(queryJsonSql)),
     ("prom_api_query_range_json", queryRangeJson, Some(queryRangeJsonSql)),
     ("prom_api_series_json", seriesJson, Some(seriesJsonSql)),

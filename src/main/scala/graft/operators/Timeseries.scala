@@ -496,6 +496,47 @@ object Timeseries {
               END AS irate_per_sec
        FROM r WHERE rn = 1 ORDER BY event_type, hour_sec"""
 
+  /** PromQL `idelta()`: the GAUGE twin of `irate()` — the signed
+    * difference of the last two samples at each hour boundary, no
+    * reset rule and no time division (deltas of a gauge are
+    * meaningful as-is; a drop is a real decrease, not a counter
+    * restart). Same one-lag + bounded per-hour rank shape as `irate`;
+    * the subtraction runs on raw stored doubles (one identical IEEE
+    * op in both engines), floor-truncated at 6dp. */
+  def idelta: Q = (s, d) => {
+    val ws = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val wh = Window.partitionBy(col("event_type"), col("hour_sec"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .withColumn("prev_v", lag(col("value"), 1).over(ws))
+      .withColumn("hour_sec", (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long"))
+      .withColumn("rn", row_number().over(wh))
+      .filter(col("rn") === 1)
+      .withColumn("idelta",
+        when(col("prev_v").isNotNull,
+          floor((col("value") - col("prev_v")) * 1e6) / 1e6))
+      .select(col("event_type"), col("hour_sec"), col("idelta"))
+      .orderBy(col("event_type"), col("hour_sec"))
+  }
+
+  val ideltaSql: String =
+    """WITH s AS (
+         SELECT event_type, ts, event_id, value,
+                lag(value) OVER w AS prev_v,
+                CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hour_sec
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+       r AS (
+         SELECT *, row_number() OVER (PARTITION BY event_type, hour_sec
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+         FROM s)
+       SELECT event_type, hour_sec,
+              CASE WHEN prev_v IS NOT NULL
+                   THEN floor((value - prev_v) * 1e6) / 1e6
+              END AS idelta
+       FROM r WHERE rn = 1 ORDER BY event_type, hour_sec"""
+
   /** PromQL `predict_linear(m[24h], 24h)`: where will each series be
     * 24 hours from now, by least-squares extrapolation over the
     * trailing 24 hourly points. Shares `deriv`'s exact-integer moment
@@ -1301,6 +1342,7 @@ object Timeseries {
     ("tsdb_end_to_end", tsdbEndToEnd, Some(tsdbEndToEndSql)),
     ("metrics_smooth_ewma", smoothEwma, Some(smoothEwmaSql)),
     ("metrics_irate", irate, Some(irateSql)),
+    ("metrics_idelta", idelta, Some(ideltaSql)),
     ("metrics_predict_linear", predictLinear, Some(predictLinearSql)),
     ("metrics_anomaly_zscore", anomalyZscore, Some(anomalyZscoreSql)),
     ("metrics_topk_over_time", topkOverTime, Some(topkOverTimeSql)),

@@ -227,6 +227,7 @@ class PlanSweepSpec extends SparkTestBase {
     "prom_api_query_json", "prom_api_series_json", "prom_api_label_values_json",
     // round-14: labels + error envelope ride the same instant vector
     "prom_api_labels_json", "prom_api_error_json",
+    "prom_api_targets_json", // 1-row newest-bound broadcast (staleness rule)
     "alert_flap_detect", // |identities| × |cells| analysis-plane spine cross
     "prom_absent_over_time", // |series| × |steps| spine cross (flap_detect shape)
     "q_levene_bf",           // 1-row per-group-medians broadcast

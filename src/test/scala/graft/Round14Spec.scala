@@ -99,6 +99,43 @@ class Round14Spec extends SparkTestBase {
     assert(r.getLong(6) >= 0 && r.getLong(6) <= 1000000L)
   }
 
+  test("funnel_conversion_ci: Wilson interval brackets p-hat and stays in [0,1]") {
+    val rows = SparkEntry.queries("funnel_conversion_ci")(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      val (p, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(lo >= 0.0 && hi <= 1.0, s"interval escaped [0,1]: [$lo, $hi]")
+      assert(lo <= p && p <= hi, s"p=$p outside [$lo, $hi]")
+      assert(r.getLong(2) <= r.getLong(1), "k bounded by n (monotone stages)")
+    }
+  }
+
+  test("api/v1 exemplars + targets bodies parse as JSON with the published shapes") {
+    import org.json4s._
+    val ex = jackson.JsonMethods.parse(
+      SparkEntry.queries("prom_api_query_exemplars_json")(spark, sf).head().getString(0))
+    val series = (ex \ "data").asInstanceOf[JArray].arr
+    assert(series.nonEmpty)
+    series.map(_.asInstanceOf[JObject]).foreach { s0 =>
+      assert(s0.obj.map(_._1) == List("seriesLabels", "exemplars"))
+      val els = (s0 \ "exemplars").asInstanceOf[JArray].arr
+      assert(els.nonEmpty && els.size <= graft.operators.TimeseriesExt.ExemplarK)
+      els.map(_.asInstanceOf[JObject]).foreach(e =>
+        assert(e.obj.map(_._1) == List("labels", "value", "timestamp")))
+    }
+    val tg = jackson.JsonMethods.parse(
+      SparkEntry.queries("prom_api_targets_json")(spark, sf).head().getString(0))
+    val active = (tg \ "data" \ "activeTargets").asInstanceOf[JArray].arr
+    assert(active.nonEmpty)
+    active.map(_.asInstanceOf[JObject]).foreach { t =>
+      assert(t.obj.map(_._1) ==
+        List("labels", "scrapePool", "lastError", "lastScrape", "health"))
+      val h = (t \ "health").asInstanceOf[JString].s
+      assert(h == "up" || h == "down")
+    }
+    assert((tg \ "data" \ "droppedTargets") == JArray(Nil))
+  }
+
   test("hllStream default mode carries no exact truth set (O(registers) state)") {
     import graft.streaming.HllStream
     implicit val sqlCtx = spark.sqlContext
