@@ -283,6 +283,66 @@ object AsOf {
     * sweep runs on the bounded histogram (at extreme corpus sizes the
     * squared moment outgrows DECIMAL(38,0) — run the identical sweep
     * on the down-scaled histogram shares). */
+  /** Gap thresholds the sweep evaluates (15 m / 30 m / 1 h / 2 h). */
+  val GapSweepSec: Seq[Long] = Seq(900L, 1800L, 3600L, 7200L)
+
+  /** Session-gap threshold SWEEP — the tuning ledger beside
+    * `sessionize_otsu`'s automatic pick (the same discipline
+    * `dedup_lsh_tuning` applies to band configs): for each candidate
+    * timeout, how many session boundaries and sessions the corpus
+    * yields, plus mean events per session on the 1e4 grid. ONE lag
+    * window computes every inter-event gap; each threshold is a
+    * conditional sum over it (no per-threshold re-scan), so the sweep
+    * costs one shuffle regardless of how many thresholds it prices.
+    * sessions(t) = active users + boundaries(t) — exact, since each
+    * user's first event opens a session unconditionally. */
+  def sessionizeGapSweep: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val gaps = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+    val aggs =
+      Seq(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events")) ++
+        GapSweepSec.map(t =>
+          count(when(col("gap") > t, 1)).as(s"b$t"))
+    val stackArgs = GapSweepSec.map(t => s"${t}L, b$t").mkString(", ")
+    gaps.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_users", "n_events",
+        s"stack(${GapSweepSec.size}, $stackArgs) as (gap_sec, n_boundaries)")
+      .select(col("gap_sec"), col("n_boundaries"),
+        (col("n_users") + col("n_boundaries")).as("n_sessions"),
+        expr("n_events * 10000 div (n_users + n_boundaries)")
+          .as("mean_events_per_session_x1e4"))
+      .orderBy(col("gap_sec"))
+  }
+
+  val sessionizeGapSweepSql: String = {
+    val bCols = GapSweepSec
+      .map(t => s"count(CASE WHEN gap > $t THEN 1 END) AS b$t").mkString(", ")
+    val rows = GapSweepSec
+      .map(t => s"SELECT CAST($t AS BIGINT) AS gap_sec, b$t AS n_boundaries FROM c")
+      .mkString(" UNION ALL ")
+    s"""WITH g AS (
+          SELECT user_id, event_id,
+                 CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+                 CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                   - lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY
+                           epoch(date_trunc('second', ts)), event_id) AS gap
+          FROM events),
+        c AS (SELECT count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+                     $bCols
+              FROM g),
+        t AS ($rows)
+        SELECT gap_sec, CAST(n_boundaries AS BIGINT) AS n_boundaries,
+               CAST(c.n_users + n_boundaries AS BIGINT) AS n_sessions,
+               CAST(c.n_events * 10000 // (c.n_users + n_boundaries) AS BIGINT)
+                 AS mean_events_per_session_x1e4
+        FROM t CROSS JOIN c ORDER BY gap_sec"""
+  }
+
   def sessionizeOtsu: Q = (s, d) => {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val hist = Tables.events(s, d)
@@ -347,6 +407,7 @@ object AsOf {
        FROM sc ORDER BY bucket"""
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("sessionize_gap_sweep", sessionizeGapSweep, Some(sessionizeGapSweepSql)),
     ("sessionize_otsu", sessionizeOtsu, Some(sessionizeOtsuSql)),
     ("asof_nearest", asofNearest, Some(asofNearestSql)),
     ("asof_join", asofJoin, Some(asofJoinSql)),

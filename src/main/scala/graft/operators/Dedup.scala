@@ -272,6 +272,58 @@ object Dedup {
                c.keep_ppm = 1000000 AS exhaustive
         FROM vol CROSS JOIN cut c CROSS JOIN scored"""
 
+  /** Corpus fractions the saturation curve evaluates (percent). */
+  val SaturationPcts: Seq[Int] = Seq(25, 50, 75, 100)
+
+  /** Dedup SATURATION curve — the forecast a pilot runs before
+    * committing to dedup at full scale: exact-duplicate share on
+    * nested content-hash fractions of the corpus (25/50/75/100% by a
+    * doc_id-hash bucket — content-INDEPENDENT, so each fraction is an
+    * unbiased subsample, and nested, so the curve is monotone in
+    * coverage, not resample noise). A rising curve means duplicate
+    * share grows with corpus size (cross-document duplication — the
+    * 100 TB yield will EXCEED the pilot's); a flat one means
+    * within-batch duplication only. ONE aggregate computes every
+    * fraction (conditional distinct counts over the same hash pass);
+    * no joins, no windows. */
+  def saturationCurve: Q = (s, d) => {
+    val h = Tables.documents(s, d).select(
+      expr("cast(conv(substring(md5(concat('sat:', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 100")
+        .as("bucket"),
+      md5(col("text")).as("th"))
+    val aggs = SaturationPcts.flatMap(p => Seq(
+      count(when(col("bucket") < p, 1)).as(s"n$p"),
+      countDistinct(when(col("bucket") < p, col("th"))).as(s"u$p")))
+    val stackArgs = SaturationPcts.map(p => s"$p, n$p, u$p").mkString(", ")
+    h.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${SaturationPcts.size}, $stackArgs) as (pct, n_docs, n_unique)")
+      .withColumn("dup_share_x1e6",
+        expr("CASE WHEN n_docs > 0 THEN (n_docs - n_unique) * 1000000 div n_docs ELSE 0 END"))
+      .orderBy(col("pct"))
+  }
+
+  val saturationCurveSql: String = {
+    val cols = SaturationPcts.flatMap(p => Seq(
+      s"count(CASE WHEN bucket < $p THEN 1 END) AS n$p",
+      s"count(DISTINCT CASE WHEN bucket < $p THEN th END) AS u$p")).mkString(", ")
+    val rows = SaturationPcts
+      .map(p => s"SELECT $p AS pct, n$p AS n_docs, u$p AS n_unique FROM c")
+      .mkString(" UNION ALL ")
+    s"""WITH h AS (
+          SELECT ('0x' || substring(md5('sat:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+                   AS bucket,
+                 md5(text) AS th
+          FROM documents),
+        c AS (SELECT $cols FROM h),
+        t AS ($rows)
+        SELECT CAST(pct AS INT) AS pct, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_unique AS BIGINT) AS n_unique,
+               CAST(CASE WHEN n_docs > 0
+                    THEN (n_docs - n_unique) * 1000000 // n_docs
+                    ELSE 0 END AS BIGINT) AS dup_share_x1e6
+        FROM t ORDER BY pct"""
+  }
+
   /** n-gram Jaccard near-dup pairs: shared-shingle candidate join
     * (df-capped), exact Jaccard ≥ 0.5, candidate volume bounded by the
     * [[PairBudget]] keep rule (`sample_ppm` = 1e6 ⇒ exhaustive — both
@@ -1363,6 +1415,7 @@ object Dedup {
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("dedup_minhash_calibration", minhashCalibration, Some(minhashCalibrationSql)),
     ("dedup_pair_budget_audit", pairBudgetAudit, Some(pairBudgetAuditSql)),
+    ("dedup_saturation_curve", saturationCurve, Some(saturationCurveSql)),
     ("dedup_fuzzy_lsh", fuzzyLsh, Some(fuzzyLshSql)),
     ("dedup_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
     ("dedup_lsh_tuning", lshTuning, Some(lshTuningSql)),

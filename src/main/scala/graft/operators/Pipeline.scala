@@ -203,6 +203,43 @@ object Pipeline {
                     // (sum(tok_est) * sum(tok_est)) AS BIGINT) AS mask_valid_x1e6
         FROM t GROUP BY lang, pack_id ORDER BY lang, pack_id"""
 
+  /** Padded-batch WASTE per language — the other half of the
+    * packed-vs-padded decision `pack_mask_density` prices: without
+    * packing, every document occupies its own max-length sequence and
+    * the padding share is (n·L − Σ min(dᵢ, L)) / (n·L); with packing
+    * the same tokens need only ⌈Σ/L⌉ sequences. Emits both numbers
+    * plus the sequence-count ratio on the 1e6 grid — the FLOPs-budget
+    * argument for packing as one measured row per language. One
+    * aggregate, exact integers. */
+  def packPaddingWaste: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("lang"),
+        least(ceil(col("n_chars") / 4.0).cast("long"), lit(PackBudget.toLong)).as("tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tokens"))
+      .select(col("lang"), col("n_docs"), col("sum_tokens"),
+        expr(s"(n_docs * $PackBudget - sum_tokens) * 1000000 div (n_docs * $PackBudget)")
+          .as("padding_waste_x1e6"),
+        expr(s"cast(ceil(sum_tokens / $PackBudget.0) as bigint)").as("n_packed_seqs"),
+        expr(s"cast(ceil(sum_tokens / $PackBudget.0) as bigint) * 1000000 div n_docs")
+          .as("packed_to_padded_x1e6"))
+      .orderBy(col("lang"))
+  }
+
+  val packPaddingWasteSql: String =
+    s"""WITH t AS (
+          SELECT lang, least(CAST(ceil(n_chars / 4.0) AS BIGINT), $PackBudget) AS tok
+          FROM documents),
+        c AS (SELECT lang, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS sum_tokens
+              FROM t GROUP BY lang)
+        SELECT lang, n_docs, sum_tokens,
+               CAST((n_docs * $PackBudget - sum_tokens) * 1000000
+                    // (n_docs * $PackBudget) AS BIGINT) AS padding_waste_x1e6,
+               CAST(ceil(sum_tokens / $PackBudget.0) AS BIGINT) AS n_packed_seqs,
+               CAST(CAST(ceil(sum_tokens / $PackBudget.0) AS BIGINT) * 1000000
+                    // n_docs AS BIGINT) AS packed_to_padded_x1e6
+        FROM c ORDER BY lang"""
+
   val packBoundaryOffsetsSql: String =
     s"""WITH t AS (
           SELECT doc_id, lang, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tok_est,
@@ -1541,6 +1578,7 @@ object Pipeline {
     ("pack_token_budget", packTokenBudget, Some(packTokenBudgetSql)),
     ("pack_boundary_offsets", packBoundaryOffsets, Some(packBoundaryOffsetsSql)),
     ("pack_mask_density", packMaskDensity, Some(packMaskDensitySql)),
+    ("pack_padding_waste", packPaddingWaste, Some(packPaddingWasteSql)),
     ("curate_quality_band", curateQualityBand, Some(curateQualityBandSql)),
     ("curate_domain_cap", curateDomainCap, Some(curateDomainCapSql)),
     ("pipeline_dataset_card", datasetCard, Some(datasetCardSql)),
