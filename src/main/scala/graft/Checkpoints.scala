@@ -39,14 +39,14 @@ object Checkpoints {
   private val boundedRdds =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
 
-  private def appId: String =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .map(_.sparkContext.applicationId).getOrElse("")
-
-  /** Is this RDD (of the ACTIVE SparkContext) the materialization of a
-    * provably bounded frame? */
-  def isBoundedRdd(id: Int): Boolean = boundedRdds.contains((appId, id))
+  /** Is this RDD the materialization of a provably bounded frame? The
+    * application id comes from the RDD's OWN SparkContext — never from
+    * a thread-local active/default-session lookup, which is unset on
+    * pool threads (the r14 ADVICE finding: a "" key there silently
+    * missed recorded cuts and produced a conservative-but-confusing
+    * false lint failure). */
+  def isBoundedRdd(rdd: org.apache.spark.rdd.RDD[_]): Boolean =
+    boundedRdds.contains((rdd.context.applicationId, rdd.id))
 
   private def boundedLogical(
       p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
@@ -56,8 +56,7 @@ object Checkpoints {
       case _: Range => true
       case _: LocalRelation => true
       case _: GlobalLimit => true
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        boundedRdds.contains((appId, lr.rdd.id))
+      case lr: org.apache.spark.sql.execution.LogicalRDD => isBoundedRdd(lr.rdd)
       case leaf if leaf.children.isEmpty => false
       case other => other.children.forall(boundedLogical)
     }

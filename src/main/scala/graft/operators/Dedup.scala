@@ -165,6 +165,24 @@ object Dedup {
   def keepPpmSqlCase(v: String): String =
     s"CAST(CASE WHEN $v <= $PairBudget THEN 1000000 ELSE (${1000000L * PairBudget} + $v - 1) // $v END AS BIGINT)"
 
+  /** The keep predicate with the SATURATED case short-circuited: when
+    * `keep_ppm` = 1e6 the filter is provably a no-op (`pairPpm` lives
+    * on [0, 1e6)), yet evaluating it still costs one md5 per candidate
+    * occurrence — and BOTH driver gate SFs sit below budget, so at
+    * gate scale every md5 was pure overhead (the r14 sf0.1 readings of
+    * the five budget consumers ran ~2× their r13 values on exactly
+    * this). `Or` codegen evaluates the cheap equality first and skips
+    * the md5 RHS when exhaustive; above budget the RHS runs and the
+    * semantics are bit-identical to the unshortened predicate. */
+  private def keepPair(da: Column, db: Column): Column =
+    (col("keep_ppm") === 1000000L) || (pairPpm(da, db) < col("keep_ppm"))
+
+  /** SQL mirror of [[keepPair]] — same short-circuit shape (semantics
+    * identical either way; the OR keeps the two engines' predicates
+    * textually parallel). */
+  def keepPairSql(da: String, db: String): String =
+    s"((SELECT keep_ppm FROM cut) = 1000000 OR ${pairPpmSql(da, db)} < (SELECT keep_ppm FROM cut))"
+
   /** Shared-shingle pair intersections: (da < db, |A∩B|, |A|, |B|) —
     * the base both overlap measures (Jaccard, containment) rank from.
     * The candidate join runs on a 60-bit integer hash of the shingle,
@@ -201,7 +219,7 @@ object Dedup {
     bySh
       .select(explode(graft.functions.TextUdfs.pairCombos(col("ds"))).as("p"))
       .crossJoin(broadcast(cut))
-      .filter(pairPpm(col("p._1"), col("p._2")) < col("keep_ppm"))
+      .filter(keepPair(col("p._1"), col("p._2")))
       .groupBy(col("p._1").as("da"), col("p._2").as("db"))
       .agg(count(lit(1)).as("inter"), max(col("keep_ppm")).as("sample_ppm"))
       .join(nsh.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
@@ -224,7 +242,7 @@ object Dedup {
         inter AS (
           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
           FROM ec a JOIN ec b ON a.sh = b.sh AND a.doc_id < b.doc_id
-           AND ${pairPpmSql("a.doc_id", "b.doc_id")} < (SELECT keep_ppm FROM cut)
+           AND ${keepPairSql("a.doc_id", "b.doc_id")}
           GROUP BY 1, 2)"""
 
   /** The pair-budget mechanism's own audit row — what a 100 TB dedup
@@ -251,7 +269,7 @@ object Dedup {
     val scored = bySh
       .select(explode(graft.functions.TextUdfs.pairCombos(col("ds"))).as("p"))
       .crossJoin(broadcast(cut))
-      .filter(pairPpm(col("p._1"), col("p._2")) < col("keep_ppm"))
+      .filter(keepPair(col("p._1"), col("p._2")))
       .agg(count(lit(1)).as("n_scored_occurrences"),
         countDistinct(col("p._1"), col("p._2")).as("n_scored_pairs"))
     vol.select(col("v").as("candidate_volume"))
@@ -1114,7 +1132,7 @@ object Dedup {
     val truth = graft.Checkpoints.cutLazy(
       bySh.select(explode(graft.functions.TextUdfs.pairCombos(col("ds"))).as("p"))
         .crossJoin(broadcast(cstar))
-        .filter(pairPpm(col("p._1"), col("p._2")) < col("keep_ppm"))
+        .filter(keepPair(col("p._1"), col("p._2")))
         .groupBy(col("p._1").as("da"), col("p._2").as("db"))
         .agg(count(lit(1)).as("inter"))
         .join(nsh.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
@@ -1130,7 +1148,7 @@ object Dedup {
           .join(bl.select(col("doc_id").as("db"), col("band_idx"), col("bh")),
             col("bi") === col("band_idx") && col("ba") === col("bh") &&
               col("da") < col("db") &&
-              pairPpm(col("da"), col("db")) < col("keep_ppm"))
+              keepPair(col("da"), col("db")))
           .select("da", "db").distinct())
       cand.agg(count(lit(1)).as("n_candidates"))
         .crossJoin(broadcast(
@@ -1184,7 +1202,7 @@ object Dedup {
             SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
             FROM bl_$r a JOIN bl_$r b ON a.band_idx = b.band_idx AND a.bh = b.bh
               AND a.doc_id < b.doc_id
-              AND ${pairPpmSql("a.doc_id", "b.doc_id")} < (SELECT keep_ppm FROM cut)),
+              AND ${keepPairSql("a.doc_id", "b.doc_id")}),
           st_$r AS (
             SELECT CAST($bands AS INT) AS bands, CAST($r AS INT) AS rows_per_band,
                    (SELECT count(*) FROM cand_$r) AS n_candidates,
@@ -1210,7 +1228,7 @@ object Dedup {
         interx AS (
           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
           FROM ec a JOIN ec b ON a.sh = b.sh AND a.doc_id < b.doc_id
-           AND ${pairPpmSql("a.doc_id", "b.doc_id")} < (SELECT keep_ppm FROM cut)
+           AND ${keepPairSql("a.doc_id", "b.doc_id")}
           GROUP BY 1, 2),
         truth AS (
           SELECT da, db

@@ -274,7 +274,7 @@ class PlanSweepSpec extends SparkTestBase {
       case _: org.apache.spark.sql.execution.LocalTableScanExec => false
       case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => false
       case r: org.apache.spark.sql.execution.RDDScanExec
-          if graft.Checkpoints.isBoundedRdd(r.rdd.id) => false
+          if graft.Checkpoints.isBoundedRdd(r.rdd) => false
       case leaf if leaf.children.isEmpty => true // file/rdd/memory scan
       case other => other.children.exists(unboundedBelow)
     }
