@@ -181,17 +181,22 @@ object PromApi {
   /** `/api/v1/label/job/values` — sorted distinct values of the `job`
     * label across the live series set (Prometheus DOES sort this one). */
   def labelValuesJson: Q = (s, d) => {
+    // same empty-set guard as labelsJson: data:[] when no series match
     PromQlFns.instantVector(s, d)
       .select(col("job")).distinct()
-      .agg(concat(lit("{\"status\":\"success\",\"data\":[\""),
-        array_join(sort_array(collect_list(col("job"))), "\",\""),
-        lit("\"]}")).as("body"))
+      .agg(
+        when(count(col("job")) > 0,
+          concat(lit("{\"status\":\"success\",\"data\":[\""),
+            array_join(sort_array(collect_list(col("job"))), "\",\""),
+            lit("\"]}")))
+          .otherwise(lit("{\"status\":\"success\",\"data\":[]}")).as("body"))
   }
 
   val labelValuesJsonSql: String =
     s"""WITH ${PromQlFns.instantVectorSql}
-        SELECT '{"status":"success","data":["'
-               || string_agg(DISTINCT job, '","' ORDER BY job) || '"]}' AS body
+        SELECT coalesce('{"status":"success","data":["'
+               || string_agg(DISTINCT job, '","' ORDER BY job) || '"]}',
+               '{"status":"success","data":[]}') AS body
         FROM iv"""
 
   // --------------------------------------------- /api/v1/labels
@@ -210,9 +215,17 @@ object PromApi {
       .unionByName(iv.select(lit("job").as("name"), col("job").as("v")))
       .filter(col("v").isNotNull && col("v") =!= "")
       .select(col("name")).distinct()
-    nv.agg(concat(lit("{\"status\":\"success\",\"data\":[\""),
-      array_join(sort_array(collect_list(col("name"))), "\",\""),
-      lit("\"]}")).as("body"))
+    // empty-set guard (r14 ADVICE): concat over an empty collect_list
+    // yields "" between the literals — an INVALID body with one
+    // empty-string label name — while the SQL mirror's string_agg over
+    // zero rows is NULL (engine fork). Both sides now emit data:[] for
+    // the empty vector, matching the real endpoint.
+    nv.agg(
+      when(count(col("name")) > 0,
+        concat(lit("{\"status\":\"success\",\"data\":[\""),
+          array_join(sort_array(collect_list(col("name"))), "\",\""),
+          lit("\"]}")))
+        .otherwise(lit("{\"status\":\"success\",\"data\":[]}")).as("body"))
   }
 
   val labelsJsonSql: String =
@@ -223,8 +236,9 @@ object PromApi {
             UNION ALL SELECT 'instance' AS name, instance AS v FROM iv
             UNION ALL SELECT 'job' AS name, job AS v FROM iv) t
           WHERE v IS NOT NULL AND v <> '')
-        SELECT '{"status":"success","data":["'
-               || string_agg(name, '","' ORDER BY name) || '"]}' AS body
+        SELECT coalesce('{"status":"success","data":["'
+               || string_agg(name, '","' ORDER BY name) || '"]}',
+               '{"status":"success","data":[]}') AS body
         FROM names"""
 
   // ----------------------------------------- /api/v1 error envelope
@@ -255,7 +269,12 @@ object PromApi {
       .select(lit(BadSelector).as("selector"), lit(400).as("http_status"),
         concat(lit("{\"status\":\"error\",\"errorType\":\"bad_data\"," +
           "\"error\":\"invalid parameter \\\"query\\\": 1:"),
-          expr(s"cast(instr('${BadSelector.replace("'", "''")}', '#') as string)"),
+          // Spark escapes string literals with BACKSLASH, not SQL-style
+          // quote doubling — '' inside a Spark literal is two adjacent
+          // literals concatenated, which would silently mangle a future
+          // selector containing a quote (r14 ADVICE; harmless today:
+          // the fixture has none)
+          expr(s"cast(instr('${BadSelector.replace("'", "\\'")}', '#') as string)"),
           lit(": parse error: unexpected character inside braces: '#'\"}"))
           .as("body"))
     ok.unionByName(bad).orderBy(col("http_status"))

@@ -515,12 +515,17 @@ object Sketch {
         col("n_false_positives"),
         expr("CASE WHEN n_probe > 0 THEN n_false_positives * 1000000 div n_probe ELSE 0 END")
           .as("fpp_measured_x1e6"),
-        expr(s"""CAST(floor((CAST(n_bits_set AS DOUBLE) / $BloomM)
-                 * (CAST(n_bits_set AS DOUBLE) / $BloomM)
-                 * (CAST(n_bits_set AS DOUBLE) / $BloomM)
-                 * (CAST(n_bits_set AS DOUBLE) / $BloomM) * 1000000) AS BIGINT)""")
+        expr(s"CAST(floor($fillPowKExpr * 1000000) AS BIGINT)")
           .as("fpp_theory_x1e6"))
   }
+
+  /** (set_bits/m)^k as a product GENERATED from [[BloomK]] — the k
+    * factors were hardcoded ×4 before, so changing BloomK would have
+    * silently desynchronized the theory column from the measured
+    * filter (r14 ADVICE). Shared verbatim by the Spark expr and the
+    * DuckDB mirror (the fragment is engine-neutral SQL). */
+  private def fillPowKExpr: String =
+    Seq.fill(BloomK)(s"(CAST(n_bits_set AS DOUBLE) / $BloomM)").mkString("(", " * ", ")")
 
   val bloomFppSql: String = {
     def posExpr(i: Int) =
@@ -548,10 +553,7 @@ object Sketch {
                CAST(CASE WHEN n_probe > 0
                     THEN n_false_positives * 1000000 // n_probe
                     ELSE 0 END AS BIGINT) AS fpp_measured_x1e6,
-               CAST(floor((CAST(n_bits_set AS DOUBLE) / $BloomM)
-                    * (CAST(n_bits_set AS DOUBLE) / $BloomM)
-                    * (CAST(n_bits_set AS DOUBLE) / $BloomM)
-                    * (CAST(n_bits_set AS DOUBLE) / $BloomM) * 1000000) AS BIGINT)
+               CAST(floor($fillPowKExpr * 1000000) AS BIGINT)
                  AS fpp_theory_x1e6
         FROM c CROSS JOIN nb CROSS JOIN fp"""
   }

@@ -38,14 +38,22 @@ cp /tmp/graft_bench_sf3.json "BENCH_SF3_r${RND}.json"
 python3 tools/scale_fit.py BENCH_FULL_latest.json "$SF1" "BENCH_SF3_r${RND}.json" \
   | tee "SCALE_FIT_r${RND}.txt"
 
-# gate: any e(1-3) > 1.3 must be adjudicated by name in SURVEY.md
-BAD=$(python3 - "SCALE_FIT_r${RND}.txt" <<'EOF'
+# gate: any e(1-3) > 1.3 must carry a STRUCTURED, ROUND-SCOPED
+# adjudication marker in SURVEY.md: a line containing the literal
+# token "ADJUDICATED r<round>: <entry>". The r14 loose match (entry
+# name + any 'e(1'/'super-linear' substring on a SURVEY line) was
+# permanently satisfied by SURVEY's own r13/r14 history for exactly
+# the entries the gate was built to watch, so a future regression
+# would have passed silently (r14 ADVICE, medium). Each round's
+# overage now needs a FRESH adjudication line naming that round.
+BAD=$(python3 - "SCALE_FIT_r${RND}.txt" "$RND" <<'EOF'
 import re, sys
 txt = open(sys.argv[1]).read()
+rnd = sys.argv[2]
 names = re.findall(r"^(\S+).*<-- super-linear tail", txt, re.M)
 survey = open("SURVEY.md").read()
 missing = [n for n in names
-           if not re.search(rf"{re.escape(n)}.*(adjudicat|super-linear|e\(1)", survey)]
+           if not re.search(rf"ADJUDICATED r{re.escape(rnd)}: {re.escape(n)}\b", survey)]
 print(" ".join(missing))
 EOF
 )
