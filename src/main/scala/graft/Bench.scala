@@ -14,6 +14,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Engine.session(master = s"local[$cpus]", shufflePartitions = cpus)
+    Engine.quietBoundedWindowWarnings()
 
     // untimed warmup: JIT/codegen spin-up + parquet footer reads, so the
     // alphabetically-first query doesn't absorb session start-up cost

@@ -33,4 +33,16 @@ object Engine {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Drop the `WindowExec: No Partition Defined` warning category for
+    * the driver surfaces (Verify/Bench): the unpartitioned frames in
+    * this library are registry/model-sized BY DESIGN and each one is
+    * certified bounded by PlanSweepSpec's global-window lint — but a
+    * full Verify run emitted hundreds of these lines, burying the real
+    * `[verify] … failed` signal (r14 verdict nit). Scoped to the one
+    * logger category; every other WARN still prints. */
+  def quietBoundedWindowWarnings(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 }

@@ -39,6 +39,7 @@ object Verify {
     // queueing whole jobs behind one long straggler.
     val spark = Engine.session(master = s"local[$cpus]", shufflePartitions = cpus,
       extraConf = Map("spark.scheduler.mode" -> "FAIR"))
+    Engine.quietBoundedWindowWarnings()
     new java.io.File(outDir).mkdirs()
 
     val t0 = System.nanoTime()
