@@ -757,34 +757,49 @@ object Stats {
     * ledger — rank 2 / 63 rows ARE the interval bounds. */
   def bootstrapCi: Q = (s, d) => {
     val ts = Pipeline.poissonThresholds(1.0)
-    // ONE md5 yields 128 bits = TWO independent 52-bit uniforms, so the
-    // B=64 replicas need only B/2 digests per row — md5 is the dominant
-    // cost of the whole declared B·N draw budget (sf1-probe-informed;
-    // the oracle derives the identical two halves per digest)
-    val w = ts.map(t => when(col("u") > lit(t), 1L).otherwise(0L)).reduce(_ + _)
-    val half = BootB / 2
-    // (a fully-wide B-column formulation — no explode, one 2B-slot
-    // aggregation — was measured SLOWER here: its ~640-branch projection
-    // pays ~14 s of fixed codegen compilation per session, dwarfing the
-    // row-explosion savings at these scales; the explode form keeps the
-    // generated code small and the B× rows combine map-side)
+    // ONE md5 yields 128 bits = EIGHT independent 16-bit uniforms (4
+    // hex digits each), so the B=64 replicas need only B/8 digests per
+    // row — md5 is the dominant cost of the whole declared B·N draw
+    // budget (the r14 sf1 probe put the entry at ~10 s at EVERY scale
+    // factor on its B/2-digest predecessor; cutting digests 4× is the
+    // whole fix). 16 bits is ample for an 8-threshold Poisson(1)
+    // inverse-CDF draw: the quantization bias on each replicate weight
+    // is < PoissonCap·2⁻¹⁶ ≈ 1.2e-4 — far inside the percentile-CI's
+    // own B=64 resolution. The oracle derives the identical eight
+    // slices per digest, so the draw replays exactly.
+    val slots = BootB / 8
+    // eight weights computed WIDE per digest row (no second explode):
+    // the aggregate sees slots·N rows, not B·N — 8× less row machinery
+    // through the map-side combine — and carries 2·8 = 16 slots per
+    // group. The 8-replicate width stays far under the 2B-slot wide
+    // formulation that was measured slower here (its ~640-branch
+    // projection paid ~14 s of fixed codegen compilation per session);
+    // at 8×8 = 64 CASE branches codegen stays small. A stack() after
+    // the aggregate unpivots the 8 groups × 8 sub-slots back to the
+    // B-row replicate ledger — identical values to the exploded form.
+    def u(j: Int): org.apache.spark.sql.Column =
+      conv(substring(col("h"), 4 * j + 1, 4), 16, 10).cast("double") / lit(65536e0)
+    def wj(j: Int): org.apache.spark.sql.Column =
+      ts.map(t => when(u(j) > lit(t), 1L).otherwise(0L)).reduce(_ + _)
+    val aggs = (0 until 8).flatMap(j => Seq(
+      sum(wj(j)).as(s"n$j"), sum(wj(j) * col("cents")).as(s"c$j")))
+    val stackArgs = (0 until 8).map(j => s"b8 * 8 + $j, n$j, c$j").mkString(", ")
+    // round-robin the SLIM (key, cents) projection before the fan-out:
+    // the draw stage does ~64 hash draws per input row, so scan
+    // parallelism (file-granularity — sf0.1 orders is ONE 2.7 MB
+    // parquet split ⇒ one core ran the whole B·N budget) must not
+    // bound it. The shuffle moves 16-byte rows, ~1/64th of the work it
+    // unlocks, at any scale.
     val reps = Tables.orders(s, d)
       .select(col("o_orderkey"), floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("o_orderkey"), col("cents"),
-        explode(sequence(lit(0), lit(half - 1))).as("b2"))
-      .withColumn("h", md5(concat(lit("boot:"), col("b2").cast("string"),
+        explode(sequence(lit(0), lit(slots - 1))).as("b8"))
+      .withColumn("h", md5(concat(lit("boot:"), col("b8").cast("string"),
         lit(":"), col("o_orderkey").cast("string"))))
-      .select(col("cents"), explode(array(
-        struct(col("b2").as("b"),
-          (conv(substring(col("h"), 1, 13), 16, 10).cast("double")
-            / lit(4503599627370496e0)).as("u")),
-        struct((col("b2") + half).as("b"),
-          (conv(substring(col("h"), 14, 13), 16, 10).cast("double")
-            / lit(4503599627370496e0)).as("u")))).as("x"))
-      .select(col("cents"), col("x.b").as("b"), col("x.u").as("u"))
-      .withColumn("w", w)
-      .groupBy(col("b"))
-      .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("cents")).as("wcents"))
+      .groupBy(col("b8"))
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(8, $stackArgs) as (b, n_eff, wcents)")
       .withColumn("mean_cents",
         floor(col("wcents").cast("double") / col("n_eff").cast("double") * 1e4) / 1e4)
     reps.withColumn("rank", row_number().over(
@@ -796,27 +811,25 @@ object Stats {
   }
 
   val bootstrapCiSql: String = {
-    val wExpr = Pipeline.poissonThresholds(1.0)
-      .map(t => s"(CASE WHEN u > $t THEN 1 ELSE 0 END)").mkString(" + ")
-    val half = BootB / 2
+    val slots = BootB / 8
+    def uSql(j: Int) = s"(('0x' || substr(h, ${4 * j + 1}, 4))::BIGINT / 65536e0)"
+    def wSql(j: Int) = Pipeline.poissonThresholds(1.0)
+      .map(t => s"(CASE WHEN ${uSql(j)} > $t THEN 1 ELSE 0 END)").mkString("(", " + ", ")")
+    val aggCols = (0 until 8).map(j =>
+      s"sum(${wSql(j)}) AS n$j, sum(${wSql(j)} * cents) AS c$j").mkString(", ")
+    val unpivot = (0 until 8).map(j =>
+      s"SELECT b8 * 8 + $j AS b, n$j AS n_eff, c$j AS wcents FROM agg")
+      .mkString("\n          UNION ALL ")
     s"""WITH hd AS (
-          SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents, g.b2,
-                 md5('boot:' || CAST(g.b2 AS VARCHAR) || ':'
+          SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents, g.b8,
+                 md5('boot:' || CAST(g.b8 AS VARCHAR) || ':'
                     || CAST(o_orderkey AS VARCHAR)) AS h
-          FROM orders, (SELECT unnest(range(0, $half)) AS b2) g),
-        d AS (
-          SELECT cents, b2 AS b,
-                 ('0x' || substr(h, 1, 13))::BIGINT / 4503599627370496e0 AS u
-          FROM hd
-          UNION ALL
-          SELECT cents, b2 + $half AS b,
-                 ('0x' || substr(h, 14, 13))::BIGINT / 4503599627370496e0 AS u
-          FROM hd),
+          FROM orders, (SELECT unnest(range(0, $slots)) AS b8) g),
+        agg AS (SELECT b8, $aggCols FROM hd GROUP BY b8),
         reps AS (
-          SELECT CAST(b AS INT) AS b,
-                 CAST(sum($wExpr) AS BIGINT) AS n_eff,
-                 CAST(sum(($wExpr) * cents) AS BIGINT) AS wcents
-          FROM d GROUP BY 1),
+          SELECT CAST(b AS INT) AS b, CAST(n_eff AS BIGINT) AS n_eff,
+                 CAST(wcents AS BIGINT) AS wcents
+          FROM ($unpivot)),
         m AS (
           SELECT b, n_eff,
                  floor(CAST(wcents AS DOUBLE) / CAST(n_eff AS DOUBLE) * 1e4) / 1e4
