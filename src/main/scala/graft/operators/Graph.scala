@@ -57,6 +57,15 @@ object Graph {
       .unionByName(pairs.select(col("sup").as("src"), col("c").as("dst")))
   }
 
+  /** Row-count ceiling for broadcasting the slim (orderkey, custkey)
+    * projection into the edge build (~16 bytes/row → ≤ ~160 MB). The
+    * alternative is shuffling/sorting the MUCH larger lineitem side:
+    * the r15 sf3 probe measured the edge build at 14.8 s shuffle-join
+    * vs 8.6 s with the dimension broadcast. Past the ceiling
+    * (cluster-scale order counts) the build reverts to the shuffle
+    * equi-join. */
+  private val OrdersBroadcastMax = 10000000L
+
   def pagerank: Q = (sp, d) => {
     // Loop state is keyed by LONG node ids (customer c → 2·custkey,
     // supplier s → 2·suppkey+1), rendered to the public string ids only
@@ -64,8 +73,12 @@ object Graph {
     // hash, compare and shuffle several times cheaper than 10-char
     // string keys, and the rendered set is identical (the id map is a
     // bijection), so the unrolled-SQL oracle keeps its string form.
+    val ordKeys = Tables.orders(sp, d).select(col("o_orderkey"), col("o_custkey"))
+    val nOrders = ordKeys.count() // parquet-stats count, one cheap job
+    val ordSide = if (nOrders <= OrdersBroadcastMax) broadcast(ordKeys) else ordKeys
     val pairsL = cut(Tables.lineitem(sp, d)
-      .join(Tables.orders(sp, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(ordSide, col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey").cast("long") * 2).as("c"),
         (col("l_suppkey").cast("long") * 2 + 1).as("sup"))
       .distinct())
@@ -78,51 +91,47 @@ object Graph {
     val n = deg.count() // every node in this graph has an out-edge
     val r0 = Base / n
     val teleport = (15L * r0) / 100L
-    // the degree is static: attach it to the edge list ONCE, outside
-    // the loop — each round then runs a single join + single agg. The
-    // edge list is also hash-PARTITIONED on the join key once here:
-    // localCheckpoint preserves outputPartitioning, so every round's
-    // rank⋈edge join shuffles only the node-sized rank side — the
-    // edge-sized exchange happens once, not once per round
-    val eDeg = cut(e.join(deg, col("src") === col("dnode"))
-      .select(col("src"), col("dst"), col("outdeg"))
-      .repartition(col("src")))
-    // Per-round wall time is scheduler latency (eager checkpoint job +
-    // two small shuffles), not data volume — so every round's frontier
-    // gets a LAZY plan cut (Checkpoints.cutLazy: per-round Catalyst
-    // plans stay flat, but materialization rides the one final action
-    // instead of a blocking job per round; r11 measured the eager
-    // cadence at 34 s on the sf1 probe, all scheduler). At cluster
-    // scale each round is still one shuffle join + one aggregation on
-    // the (node) key, and the reliable-checkpoint flag restores eager
-    // mid-loop recoverability.
-    // The rank table is NODE-sized and the edge table stays partitioned
-    // in place — when the node count fits a broadcast (known exactly:
-    // n was just counted), ship ranks to the edges each round instead
-    // of shuffling the edges to the ranks. localCheckpoint erases
-    // stats, so AQE can never discover this on its own (the LogicalRDD
-    // defaults to "huge"); without the hint every round re-shuffles the
-    // edge-sized join input. Past the threshold (cluster-scale node
-    // counts) the hint drops away and the round is the classic
-    // shuffle-join on the co-partitioned key.
-    val nodes = cut(deg.select(col("dnode").as("node")))
-    def small(df: DataFrame): DataFrame =
-      if (n <= RankBroadcastMax) broadcast(df) else df
-    var ranks = nodes.withColumn("r", lit(r0))
+    // Round shape (the r15 rework of the r14 38.8 s sf3 reading —
+    // measured phase-by-phase: the old pre-joined eDeg table cost
+    // 10.7 s of 35M-row materialization that the loop never needed):
+    //  - outdeg rides IN the rank state (node-sized), so the edge list
+    //    is the raw (src, dst) union straight off the pairsL
+    //    checkpoint blocks — no second edge-sized build, no
+    //    degree-widened shuffle;
+    //  - every node's zero row is UNIONed into the contribution
+    //    aggregate instead of left-joining a nodes table afterwards —
+    //    one shuffle per round, no second per-round broadcast, and the
+    //    union row carries the dst's outdeg into the next round's
+    //    state (max() picks it up; contributions carry null);
+    //  - the rank table broadcasts into the edge scan when the node
+    //    count fits (known exactly: n was just counted — the cuts
+    //    erase stats, so AQE can never discover this on its own). Past
+    //    the threshold the loop reverts to a shuffle join against an
+    //    edge list hash-partitioned ONCE on the join key
+    //    (localCheckpoint preserves outputPartitioning, so only the
+    //    node-sized rank side moves per round).
+    // Per-round wall time is scheduler latency, not data volume — so
+    // every round's frontier gets a LAZY plan cut (per-round Catalyst
+    // plans stay flat, materialization rides the one final action; the
+    // reliable-checkpoint flag restores eager mid-loop recoverability).
+    val useBroadcast = n <= RankBroadcastMax
+    val edgeTab =
+      if (useBroadcast) e
+      else cut(e.repartition(col("src")))
+    def small(df: DataFrame): DataFrame = if (useBroadcast) broadcast(df) else df
+    var ranks = deg.select(col("dnode").as("node"), col("outdeg"), lit(r0).as("r"))
     for (i <- 1 to Iters) {
-      val contrib = small(ranks)
-        .join(eDeg, col("node") === col("src"))
-        .select(col("dst"), expr("r DIV outdeg").as("cb")) // integer div: Spark DIV == DuckDB //
+      val contrib = edgeTab
+        .join(small(ranks), col("src") === col("node"))
+        .select(col("dst"), lit(null).cast("long").as("odeg"),
+          expr("r DIV outdeg").as("cb")) // integer div: Spark DIV == DuckDB //
+        .unionByName(deg.select(col("dnode").as("dst"),
+          col("outdeg").as("odeg"), lit(0L).as("cb")))
         .groupBy(col("dst"))
-        .agg(sum(col("cb")).as("s"))
-      // every node keeps receiving (bipartite trade graph: in-edges
-      // mirror out-edges, so the left join is belt-and-braces for
-      // generality, not needed by this graph's shape)
-      ranks = nodes
-        .join(small(contrib), col("node") === col("dst"), "left")
-        .select(col("node"),
-          expr(s"$teleport + ((85 * coalesce(s, 0)) DIV 100)").as("r"))
-      ranks = graft.Checkpoints.cutLazy(ranks)
+        .agg(sum(col("cb")).as("s"), max(col("odeg")).as("outdeg"))
+      ranks = graft.Checkpoints.cutLazy(
+        contrib.select(col("dst").as("node"), col("outdeg"),
+          expr(s"$teleport + ((85 * s) DIV 100)").as("r")))
     }
     ranks
       .select(expr(
@@ -608,7 +617,7 @@ object Graph {
   }
 
   /** 4 full h/a rounds: each round costs two joins + two aggregations
-    * + two 1-row rescale broadcasts (structurally 4× a pagerank
+    * + two node-sized window rescales (structurally 4× a pagerank
     * round), and the top-20 ranking on this graph is already stable
     * after round 2 — 8 rounds measured ~2× the wall-clock for an
     * identical panel. */
@@ -630,17 +639,31 @@ object Graph {
     * side via the bounded `graft_topk` aggregate — never a
     * corpus-wide sort. */
   def hits: Q = (sp, d) => {
+    // same dimension-broadcast edge build as pagerank: the slim orders
+    // projection ships to the lineitem scan when it fits, so the build
+    // shuffles only the distinct-pair aggregation, never the full
+    // lineitem side
+    val ordKeys = Tables.orders(sp, d).select(col("o_orderkey"), col("o_custkey"))
+    val ordSide =
+      if (ordKeys.count() <= OrdersBroadcastMax) broadcast(ordKeys) else ordKeys
     val pairs = cut(Tables.lineitem(sp, d)
-      .join(Tables.orders(sp, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(ordSide, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("hub"), col("l_suppkey").as("auth"))
       .distinct())
     val nHubs = pairs.select(col("hub")).distinct().count()
-    def rescale(df: DataFrame, node: String): DataFrame = {
-      val tot = df.agg(sum(col("raw")).as("t"))
-      df.crossJoin(broadcast(tot))
-        .select(col(node).as("node"),
-          expr(s"cast(cast(raw as decimal(38,0)) * ${Base}L div t as bigint)").as("r"))
-    }
+    // L1 rescale via a GLOBAL WINDOW over the node-sized raw-score
+    // aggregate — `sum(raw) OVER ()` — instead of the former 1-row
+    // total crossJoin(broadcast(...)): the window reads the frame
+    // once in place (one single-partition pass over |side| rows, the
+    // same data movement the broadcast build paid), so each round
+    // drops two blocking broadcast exchanges and the raw aggregate is
+    // no longer read twice. The frame is aggregate output — exactly
+    // the bounded-barrier class the global-window plan lint admits —
+    // and the shape now matches the SQL oracle's own `sum(raw) OVER ()`.
+    def rescale(df: DataFrame, node: String): DataFrame =
+      df.select(col(node).as("node"),
+        expr(s"cast(cast(raw as decimal(38,0)) * ${Base}L div (sum(raw) over ()) as bigint)").as("r"))
     // score tables are node-sized and edge-partitioning is static: when
     // a SIDE'S node count fits a broadcast (each counted exactly — hub
     // and authority cardinalities are independent; nothing ties them
@@ -654,12 +677,10 @@ object Graph {
       .select(col("hub").as("node"), lit(Base / nHubs).as("r"))
     var a: DataFrame = null
     for (_ <- 1 to HitsIters) {
-      // cutLazy() each RAW aggregate before rescaling: the rescale reads
-      // it twice (once for the 1-row total broadcast, once in the main
-      // plan) — the first read materializes the checkpoint blocks, the
-      // second hits them, and without the cut both reads re-derive the
-      // whole chain back to the previous checkpoint, compounding per
-      // round (measured ~2× wall-clock at 4 rounds)
+      // cutLazy() each RAW aggregate: the window rescale reads it once,
+      // but the cut still holds every round's Catalyst plan flat (the
+      // next round plans against a LogicalRDD instead of the whole
+      // prior-round chain) at zero eager-job cost
       val aRaw = graft.Checkpoints.cutLazy(
         pairs.join(small(h, nHubs), col("hub") === col("node"))
           .groupBy(col("auth")).agg(sum(col("r")).as("raw")))
