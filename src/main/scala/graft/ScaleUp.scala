@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   *
   * Dims (region, nation) stay fixed, as in TPC-H scaling. Usage:
   *   runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/graft_sf1 10
+  *
+  * Optional 4th arg `dense-docs` writes ONLY a documents table whose
+  * replicas stay ABOVE the near-dup thresholds (a token spliced every
+  * 20th word keeps cross-replica Jaccard ≈ 0.8): every document gains
+  * r−1 near-copies, so candidate-pair volume grows ∝ r²·N — the
+  * elevated-duplicate-density regime the pair budget exists for
+  * (standard mode's every-5th-word splice drops replicas BELOW the
+  * thresholds, so density stays flat as the corpus scales). Used by
+  * tools/scale_gate.sh's density-stressed leg.
   */
 object ScaleUp {
 
@@ -30,6 +39,7 @@ object ScaleUp {
     val src = args(0)
     val dst = args(1)
     val reps = args(2).toInt
+    val denseDocs = args.length > 3 && args(3) == "dense-docs"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Engine.session(master = s"local[$cpus]", shufflePartitions = cpus)
 
@@ -47,6 +57,22 @@ object ScaleUp {
       }.reduce(_ unionByName _)
       scaled.write.mode("overwrite").parquet(s"$dst/$table.parquet")
       println(s"[scaleup] $table x$reps written")
+    }
+
+    if (denseDocs) {
+      replicate("documents", Seq("doc_id"), (df, rep) =>
+        if (rep == 0) df
+        else df
+          // splice only every 20TH word: ~3/20 of the 3-shingles
+          // change, cross-replica Jaccard stays ≈ 0.8 — ABOVE the 0.5
+          // near-dup thresholds, so the replicas are genuine near-dups
+          // and pair volume grows quadratically in the replica count
+          .withColumn("text", expr(
+            s"""array_join(transform(split(text, ' '), (t, i) ->
+                CASE WHEN i % 20 = 0 THEN 'r$rep' || t ELSE t END), ' ')"""))
+          .withColumn("n_chars", length(col("text"))))
+      spark.stop()
+      return
     }
 
     Seq("region", "nation").foreach { t =>

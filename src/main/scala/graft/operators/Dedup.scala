@@ -128,60 +128,90 @@ object Dedup {
     * shared-shingle pairs — 33.6M at sf1 → 257.4M at sf3 on the
     * synthetic replicas), so any entry that scores every candidate is
     * unbounded in duplicate density no matter how the pairs are found.
-    * The fix is a deterministic content-hash pair SAMPLE with a volume-
-    * adaptive rate: measure the exact candidate volume V from bucket
-    * sizes (one cheap aggregate — Σ C(n,2), never materializing a
-    * pair), derive keep_ppm = min(1e6, ceil(1e6·PairBudget/V)), and
-    * keep a pair iff md5("da:db") lands under keep_ppm on the ppm
-    * grid. Scored volume is then ≤ ~PairBudget at ANY corpus size or
-    * duplicate density, while V ≤ PairBudget (both driver gate scales,
-    * measured 14–15k occurrences) keeps the rate at 100% — results
-    * byte-identical to the unsampled semantics. The rule hashes pair
-    * CONTENT, so the oracle replays the sample exactly, and every
-    * consumer publishes the rate as a `sample_ppm` column (1000000 =
-    * exhaustive) so a reader can tell a census from an estimate. */
+    * The fix is a deterministic content-hash DOC sample with a volume-
+    * adaptive rate, applied BEFORE pair generation: measure the exact
+    * candidate volume V from bucket sizes (one cheap aggregate —
+    * Σ C(n,2), never materializing a pair), derive the doc rate
+    * q = min(1, ⌈1e6·√(PairBudget/V)⌉/1e6), and keep a doc iff
+    * md5("dk:"+id) lands under q on the ppm grid. A pair survives iff
+    * BOTH endpoints survive (rate q²), so EXPECTED GENERATED
+    * occurrences — not merely scored ones — are ≈ PairBudget at any
+    * corpus size or duplicate density; surviving pairs keep exact
+    * intersection counts because whole docs are dropped, never
+    * individual doc–shingle rows. (The r14 form sampled PAIRS with a
+    * per-pair hash: correct results, but the filter itself had to
+    * enumerate all V occurrences to test them — the r15
+    * density-stressed decade measured e(dense10→dense30) = 1.4–1.7 on
+    * exactly that with the budget fully engaged. Doc sampling moves
+    * the cut ahead of the explosion.) While V ≤ PairBudget (both
+    * driver gate scales) the rate saturates at 100% — results
+    * byte-identical to the unsampled semantics. The rule hashes doc
+    * CONTENT ids, so the oracle replays the sample exactly, and every
+    * consumer publishes the effective pair rate as a `sample_ppm`
+    * column (1000000 = exhaustive) so a reader can tell a census from
+    * an estimate. */
   val PairBudget = 2000000L
 
-  /** Deterministic per-pair keep statistic on the parts-per-million
+  /** Deterministic per-DOC keep statistic on the parts-per-million
     * grid: md5 is bit-identical in every engine and the 15-hex-digit
     * prefix is a uniform 60-bit integer, so `% 1e6` is an unbiased ppm
-    * coordinate the DuckDB oracle reproduces exactly. */
-  private def pairPpm(da: Column, db: Column): Column =
-    conv(substring(md5(concat(da.cast("string"), lit(":"), db.cast("string"))), 1, 15), 16, 10)
+    * coordinate the DuckDB oracle reproduces exactly.
+    *
+    * The budget samples DOCS, not pairs — the load-bearing difference
+    * (r15): a per-pair predicate must still ENUMERATE every candidate
+    * occurrence to test it, so its cost grows with the candidate
+    * volume V no matter how few pairs survive — the r15
+    * density-stressed decade measured e(dense10→dense30) = 1.4–1.7 on
+    * exactly that with the budget fully engaged. Sampling docs at rate
+    * q = √(budget/V) BEFORE pair generation keeps pair survival at q²
+    * (both endpoints must survive) ⇒ expected generated occurrences
+    * ≈ budget at ANY density, while the filter itself costs one hash
+    * per doc occurrence — linear. Surviving pairs keep EXACT
+    * intersection counts: whole docs are dropped, never individual
+    * doc–shingle rows. */
+  private def docPpm(d: Column): Column =
+    conv(substring(md5(concat(lit("dk:"), d.cast("string"))), 1, 15), 16, 10)
       .cast("long") % lit(1000000L)
 
-  def pairPpmSql(da: String, db: String): String =
-    s"('0x' || substr(md5($da || ':' || $db), 1, 15))::BIGINT % 1000000"
+  def docPpmSql(d: String): String =
+    s"('0x' || substr(md5('dk:' || CAST($d AS VARCHAR)), 1, 15))::BIGINT % 1000000"
 
-  /** 1-row (v) → 1-row (keep_ppm): ceil(1e6·budget/v) clamped to
-    * [1, 1e6]; v ≤ budget saturates at 1e6 (exhaustive — and exactly
-    * what both gate SFs hit, so their hashes are unchanged). */
-  private def keepPpmFromVolume(vol: DataFrame): DataFrame =
+  /** 1-row (v) → 1-row (doc_keep_ppm, sample_ppm): the doc rate is
+    * ceil(1e6·√(budget/v)) clamped to [1, 1e6] — v ≤ budget saturates
+    * at 1e6 (exhaustive — exactly what both gate SFs hit, so their
+    * hashes are unchanged) — and `sample_ppm` publishes the EFFECTIVE
+    * pair rate dq²/1e6 (= 1e6 when exhaustive) so a reader can still
+    * tell a census from an estimate. √ over an IEEE double division is
+    * correctly rounded in both engines, so the grid point is
+    * engine-exact. */
+  private def docCutFromVolume(vol: DataFrame): DataFrame =
     vol.select(
       when(col("v") <= PairBudget, lit(1000000L))
-        .otherwise(expr(s"(${1000000L * PairBudget} + v - 1) div v"))
-        .as("keep_ppm"))
+        .otherwise(least(lit(1000000L),
+          expr(s"cast(ceil(1000000 * sqrt(cast($PairBudget as double) / v)) as bigint)")))
+        .as("doc_keep_ppm"))
+      .withColumn("sample_ppm", expr("doc_keep_ppm * doc_keep_ppm div 1000000"))
 
-  def keepPpmSqlCase(v: String): String =
-    s"CAST(CASE WHEN $v <= $PairBudget THEN 1000000 ELSE (${1000000L * PairBudget} + $v - 1) // $v END AS BIGINT)"
+  /** The cut CTE body over a 1-row volume CTE exposing column `v`. */
+  def docCutSql(volCte: String): String =
+    s"""SELECT doc_keep_ppm, doc_keep_ppm * doc_keep_ppm // 1000000 AS sample_ppm FROM (
+          SELECT CAST(CASE WHEN v <= $PairBudget THEN 1000000
+                 ELSE least(1000000, CAST(ceil(1000000 * sqrt(CAST($PairBudget AS DOUBLE) / v)) AS BIGINT))
+                 END AS BIGINT) AS doc_keep_ppm FROM $volCte)"""
 
-  /** The keep predicate with the SATURATED case short-circuited: when
-    * `keep_ppm` = 1e6 the filter is provably a no-op (`pairPpm` lives
-    * on [0, 1e6)), yet evaluating it still costs one md5 per candidate
-    * occurrence — and BOTH driver gate SFs sit below budget, so at
-    * gate scale every md5 was pure overhead (the r14 sf0.1 readings of
-    * the five budget consumers ran ~2× their r13 values on exactly
-    * this). `Or` codegen evaluates the cheap equality first and skips
-    * the md5 RHS when exhaustive; above budget the RHS runs and the
-    * semantics are bit-identical to the unshortened predicate. */
-  private def keepPair(da: Column, db: Column): Column =
-    (col("keep_ppm") === 1000000L) || (pairPpm(da, db) < col("keep_ppm"))
+  /** Bucket doc-list under the doc sample, SATURATED case
+    * short-circuited: when `doc_keep_ppm` = 1e6 the filter is provably
+    * a no-op and the array passes through untouched (no per-element
+    * hash — the r14 lesson: both gate SFs sit below budget, so any
+    * always-on per-element work is pure gate-scale overhead). */
+  private def sampledDocs(ds: Column): Column =
+    when(col("doc_keep_ppm") === 1000000L, ds)
+      .otherwise(filter(ds, d => docPpm(d) < col("doc_keep_ppm")))
 
-  /** SQL mirror of [[keepPair]] — same short-circuit shape (semantics
-    * identical either way; the OR keeps the two engines' predicates
-    * textually parallel). */
-  def keepPairSql(da: String, db: String): String =
-    s"((SELECT keep_ppm FROM cut) = 1000000 OR ${pairPpmSql(da, db)} < (SELECT keep_ppm FROM cut))"
+  /** Row-level doc-sample predicate for SQL mirrors (and Spark
+    * row-form consumers): saturated-case Or short-circuit first. */
+  def docKeepSql(d: String): String =
+    s"((SELECT doc_keep_ppm FROM cut) = 1000000 OR ${docPpmSql(d)} < (SELECT doc_keep_ppm FROM cut))"
 
   /** Shared-shingle pair intersections: (da < db, |A∩B|, |A|, |B|) —
     * the base both overlap measures (Jaccard, containment) rank from.
@@ -215,13 +245,17 @@ object Dedup {
     val nsh = graft.Checkpoints.cutLazy(
       e.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")))
     val vol = bySh.agg(coalesce(sum(expr("size(ds) * (size(ds) - 1) div 2")), lit(0L)).as("v"))
-    val cut = keepPpmFromVolume(vol)
+    val cut = docCutFromVolume(vol)
+    // doc sample applied to the bucket ARRAYS in place (no second
+    // shuffle): pairCombos then only ever generates pairs among
+    // surviving docs, so generation cost — not just scoring cost — is
+    // capped at ~PairBudget occurrences at any density
     bySh
-      .select(explode(graft.functions.TextUdfs.pairCombos(col("ds"))).as("p"))
       .crossJoin(broadcast(cut))
-      .filter(keepPair(col("p._1"), col("p._2")))
+      .select(explode(graft.functions.TextUdfs.pairCombos(sampledDocs(col("ds")))).as("p"),
+        col("sample_ppm"))
       .groupBy(col("p._1").as("da"), col("p._2").as("db"))
-      .agg(count(lit(1)).as("inter"), max(col("keep_ppm")).as("sample_ppm"))
+      .agg(count(lit(1)).as("inter"), max(col("sample_ppm")).as("sample_ppm"))
       .join(nsh.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
       .join(nsh.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
   }
@@ -237,12 +271,12 @@ object Dedup {
         e AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS sh FROM sets),
         df AS (SELECT sh, count(*) AS n FROM e GROUP BY sh HAVING count(*) BETWEEN 2 AND 500),
         vol AS (SELECT coalesce(sum(n * (n - 1) // 2), 0) AS v FROM df),
-        cut AS (SELECT ${keepPpmSqlCase("v")} AS keep_ppm FROM vol),
-        ec AS (SELECT e.doc_id, e.sh FROM e JOIN df USING (sh)),
+        cut AS (${docCutSql("vol")}),
+        ec AS (SELECT e.doc_id, e.sh FROM e JOIN df USING (sh)
+               WHERE ${docKeepSql("e.doc_id")}),
         inter AS (
           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
           FROM ec a JOIN ec b ON a.sh = b.sh AND a.doc_id < b.doc_id
-           AND ${keepPairSql("a.doc_id", "b.doc_id")}
           GROUP BY 1, 2)"""
 
   /** The pair-budget mechanism's own audit row — what a 100 TB dedup
@@ -251,11 +285,13 @@ object Dedup {
     * measured candidate volume, the cutoff the volume produced, and
     * the occurrences/pairs that actually got scored under it. The
     * oracle hash certifies the mechanism end-to-end: at gate scale
-    * `keep_ppm` = 1e6 forces `n_scored_occurrences == candidate_volume`
-    * (exhaustive ⇒ nothing dropped — an equality the DuckDB replay
-    * must reproduce exactly), and above budget it certifies the
-    * deterministic sample. Costs one volume aggregate plus the sampled
-    * pair stream — the same bounded work as any budget consumer. */
+    * `sample_ppm` = 1e6 forces `n_scored_occurrences ==
+    * candidate_volume` (exhaustive ⇒ nothing dropped — an equality the
+    * DuckDB replay must reproduce exactly), and above budget it
+    * certifies the deterministic doc sample (occurrences concentrate
+    * near sample_ppm·V/1e6). Costs one volume aggregate plus the
+    * sampled pair stream — the same bounded work as any budget
+    * consumer. */
   def pairBudgetAudit: Q = (s, d) => {
     val sets = shingleSets(s, d)
     val e = sets.select(col("doc_id"), explode(col("shingles")).as("raw"))
@@ -265,29 +301,28 @@ object Dedup {
       e.groupBy(col("sh")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
         .filter(size(col("ds")).between(2, 500)))
     val vol = bySh.agg(coalesce(sum(expr("size(ds) * (size(ds) - 1) div 2")), lit(0L)).as("v"))
-    val cut = keepPpmFromVolume(vol)
+    val cut = docCutFromVolume(vol)
     val scored = bySh
-      .select(explode(graft.functions.TextUdfs.pairCombos(col("ds"))).as("p"))
       .crossJoin(broadcast(cut))
-      .filter(keepPair(col("p._1"), col("p._2")))
+      .select(explode(graft.functions.TextUdfs.pairCombos(sampledDocs(col("ds")))).as("p"))
       .agg(count(lit(1)).as("n_scored_occurrences"),
         countDistinct(col("p._1"), col("p._2")).as("n_scored_pairs"))
     vol.select(col("v").as("candidate_volume"))
       .crossJoin(broadcast(cut))
       .crossJoin(broadcast(scored))
-      .select(col("candidate_volume"), col("keep_ppm"),
+      .select(col("candidate_volume"), col("doc_keep_ppm"), col("sample_ppm"),
         col("n_scored_pairs"), col("n_scored_occurrences"),
-        (col("keep_ppm") === 1000000L).as("exhaustive"))
+        (col("sample_ppm") === 1000000L).as("exhaustive"))
   }
 
   val pairBudgetAuditSql: String =
     s"""WITH $pairCtesSql,
         scored AS (
           SELECT coalesce(sum(i), 0) AS occ, count(*) AS prs FROM inter)
-        SELECT CAST(v AS BIGINT) AS candidate_volume, c.keep_ppm,
+        SELECT CAST(v AS BIGINT) AS candidate_volume, c.doc_keep_ppm, c.sample_ppm,
                CAST(prs AS BIGINT) AS n_scored_pairs,
                CAST(occ AS BIGINT) AS n_scored_occurrences,
-               c.keep_ppm = 1000000 AS exhaustive
+               c.sample_ppm = 1000000 AS exhaustive
         FROM vol CROSS JOIN cut c CROSS JOIN scored"""
 
   /** Corpus fractions the saturation curve evaluates (percent). */
@@ -381,7 +416,7 @@ object Dedup {
         SELECT da AS doc_a, db AS doc_b,
                floor((i * 1.0 / sa.n_sh) * 10000) / 10000.0 AS containment_a_in_b,
                floor((i * 1.0 / sb.n_sh) * 10000) / 10000.0 AS containment_b_in_a,
-               c.keep_ppm AS sample_ppm
+               c.sample_ppm AS sample_ppm
         FROM inter JOIN sets sa ON da = sa.doc_id JOIN sets sb ON db = sb.doc_id
              CROSS JOIN cut c
         WHERE greatest(floor((i * 1.0 / sa.n_sh) * 10000) / 10000.0,
@@ -392,7 +427,7 @@ object Dedup {
     s"""WITH $pairCtesSql
         SELECT da AS doc_a, db AS doc_b,
                floor((i * 1.0 / (sa.n_sh + sb.n_sh - i)) * 10000) / 10000.0 AS jaccard,
-               c.keep_ppm AS sample_ppm
+               c.sample_ppm AS sample_ppm
         FROM inter JOIN sets sa ON da = sa.doc_id JOIN sets sb ON db = sb.doc_id
              CROSS JOIN cut c
         WHERE floor((i * 1.0 / (sa.n_sh + sb.n_sh - i)) * 10000) / 10000.0 >= 0.5
@@ -1097,15 +1132,20 @@ object Dedup {
     * candidate scoring across three band configs. Tuning needs the
     * recall/precision CURVE, not every pair, so all four pair
     * universes (truth + the three configs) now share ONE volume-
-    * adaptive [[PairBudget]] cutoff, derived from the LARGEST measured
-    * universe and applied as the identical per-pair content-hash
-    * predicate everywhere. One shared rule means a sampled candidate
-    * set is compared against the identically-sampled truth set —
-    * recall and precision stay unbiased estimates of the exhaustive
-    * ledger (which both gate SFs still compute exactly: their volumes
-    * sit far under budget, `sample_ppm` = 1e6). The keep rule rides
-    * the band equi-join condition, so above-budget pairs are dropped
-    * during the streaming probe, never materialized. */
+    * adaptive [[PairBudget]] DOC sample, derived from the LARGEST
+    * measured universe and applied as the identical content-hash doc
+    * predicate everywhere — BEFORE pair generation (truth: the bucket
+    * arrays are filtered in place; configs: the band lists are
+    * row-filtered ahead of the self-join), so generation cost itself
+    * is capped, not just scoring (the r15 density-stressed decade
+    * measured e = 1.7 on the per-pair-predicate form with the budget
+    * fully engaged — enumerating V occurrences to test a per-pair
+    * hash IS the superlinear term). One shared doc sample means a
+    * sampled candidate set is compared against the identically-
+    * sampled truth set — recall and precision stay unbiased estimates
+    * of the exhaustive ledger (which both gate SFs still compute
+    * exactly: their volumes sit far under budget,
+    * `sample_ppm` = 1e6). */
   def lshTuning: Q = (s, d) => {
     val sets = shingleSets(s, d)
     val sig = graft.Checkpoints.cutLazy(sigTable(sets))
@@ -1127,12 +1167,11 @@ object Dedup {
       bls(r).groupBy(col("band_idx"), col("bh")).agg(count(lit(1)).as("n"))
         .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("v"))
     }
-    val cstar = keepPpmFromVolume(
+    val cstar = docCutFromVolume(
       (volTruth +: volConfigs).reduce(_ unionByName _).agg(max(col("v")).as("v")))
     val truth = graft.Checkpoints.cutLazy(
-      bySh.select(explode(graft.functions.TextUdfs.pairCombos(col("ds"))).as("p"))
-        .crossJoin(broadcast(cstar))
-        .filter(keepPair(col("p._1"), col("p._2")))
+      bySh.crossJoin(broadcast(cstar))
+        .select(explode(graft.functions.TextUdfs.pairCombos(sampledDocs(col("ds")))).as("p"))
         .groupBy(col("p._1").as("da"), col("p._2").as("db"))
         .agg(count(lit(1)).as("inter"))
         .join(nsh.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
@@ -1141,14 +1180,17 @@ object Dedup {
           (col("na") + col("nb") - col("inter"))) >= 0.5)
         .select(col("da"), col("db")))
     val perConfig = TuneRows.map { r =>
-      val bl = bls(r)
+      // band rows of sampled docs only: the self-join then generates
+      // ~q² of each band bucket's pairs — never materializing (or even
+      // enumerating) the unsampled volume
+      val bl = bls(r).crossJoin(broadcast(cstar))
+        .filter(col("doc_keep_ppm") === 1000000L ||
+          docPpm(col("doc_id")) < col("doc_keep_ppm"))
       val cand = graft.Checkpoints.cutLazy(
         bl.select(col("doc_id").as("da"), col("band_idx").as("bi"), col("bh").as("ba"))
-          .crossJoin(broadcast(cstar))
           .join(bl.select(col("doc_id").as("db"), col("band_idx"), col("bh")),
             col("bi") === col("band_idx") && col("ba") === col("bh") &&
-              col("da") < col("db") &&
-              keepPair(col("da"), col("db")))
+              col("da") < col("db"))
           .select("da", "db").distinct())
       cand.agg(count(lit(1)).as("n_candidates"))
         .crossJoin(broadcast(
@@ -1158,7 +1200,7 @@ object Dedup {
         .crossJoin(broadcast(cstar))
         .select(lit(NumHashes / r).as("bands"), lit(r).as("rows_per_band"),
           col("n_candidates"), col("n_caught"), col("n_truth"),
-          col("keep_ppm").as("sample_ppm"))
+          col("sample_ppm"))
     }
     perConfig.reduce(_ unionByName _)
       .withColumn("recall",
@@ -1198,18 +1240,19 @@ object Dedup {
       TuneRows.map(r => s"SELECT v FROM vol_$r")).mkString(" UNION ALL ")
     val candCtes = TuneRows.map { r =>
       val bands = NumHashes / r
-      s"""cand_$r AS (
+      s"""blf_$r AS (SELECT doc_id, band_idx, bh FROM bl_$r
+                     WHERE ${docKeepSql("doc_id")}),
+          cand_$r AS (
             SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-            FROM bl_$r a JOIN bl_$r b ON a.band_idx = b.band_idx AND a.bh = b.bh
-              AND a.doc_id < b.doc_id
-              AND ${keepPairSql("a.doc_id", "b.doc_id")}),
+            FROM blf_$r a JOIN blf_$r b ON a.band_idx = b.band_idx AND a.bh = b.bh
+              AND a.doc_id < b.doc_id),
           st_$r AS (
             SELECT CAST($bands AS INT) AS bands, CAST($r AS INT) AS rows_per_band,
                    (SELECT count(*) FROM cand_$r) AS n_candidates,
                    (SELECT count(*) FROM cand_$r c SEMI JOIN truth t
                       ON c.da = t.da AND c.db = t.db) AS n_caught,
                    (SELECT count(*) FROM truth) AS n_truth,
-                   (SELECT keep_ppm FROM cut) AS sample_ppm)"""
+                   (SELECT sample_ppm FROM cut) AS sample_ppm)"""
     }.mkString(",\n")
     val union = TuneRows.map(r => s"SELECT * FROM st_$r").mkString(" UNION ALL ")
     s"""WITH sets AS (
@@ -1223,12 +1266,12 @@ object Dedup {
         vol_truth AS (SELECT coalesce(sum(n * (n - 1) // 2), 0) AS v FROM dfx),
         $bandCtes,
         vmax AS (SELECT max(v) AS v FROM ($volUnion) u),
-        cut AS (SELECT ${keepPpmSqlCase("v")} AS keep_ppm FROM vmax),
-        ec AS (SELECT esh.doc_id, esh.sh FROM esh JOIN dfx USING (sh)),
+        cut AS (${docCutSql("vmax")}),
+        ec AS (SELECT esh.doc_id, esh.sh FROM esh JOIN dfx USING (sh)
+               WHERE ${docKeepSql("esh.doc_id")}),
         interx AS (
           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
           FROM ec a JOIN ec b ON a.sh = b.sh AND a.doc_id < b.doc_id
-           AND ${keepPairSql("a.doc_id", "b.doc_id")}
           GROUP BY 1, 2),
         truth AS (
           SELECT da, db
@@ -1425,9 +1468,9 @@ object Dedup {
                CAST(sum(exact_x1e4) // count(*) AS BIGINT) AS mean_exact_x1e4,
                min(exact_x1e4) AS min_exact_x1e4,
                max(exact_x1e4) AS max_exact_x1e4,
-               c.keep_ppm AS sample_ppm
+               c.sample_ppm AS sample_ppm
         FROM pj CROSS JOIN cut c
-        GROUP BY n_match, c.keep_ppm ORDER BY n_match"""
+        GROUP BY n_match, c.sample_ppm ORDER BY n_match"""
   }
 
   val entries: Seq[(String, Q, Option[String])] = Seq(

@@ -20,13 +20,16 @@ import org.apache.spark.sql.streaming.OutputMode
 class Round14Spec extends SparkTestBase {
 
   test("pair budget: exhaustive at gate scale and self-consistent across consumers") {
+    // r15 schema: (volume, doc_keep_ppm, sample_ppm, pairs, occ, exhaustive)
     val audit = SparkEntry.queries("dedup_pair_budget_audit")(spark, sf).head()
     val volume = audit.getLong(0)
-    val keepPpm = audit.getLong(1)
-    val occ = audit.getLong(3)
-    assert(keepPpm == 1000000L, s"gate scale must be exhaustive, got $keepPpm")
+    val docPpm = audit.getLong(1)
+    val samplePpm = audit.getLong(2)
+    val occ = audit.getLong(4)
+    assert(docPpm == 1000000L, s"gate scale must be doc-exhaustive, got $docPpm")
+    assert(samplePpm == 1000000L, s"gate scale must be exhaustive, got $samplePpm")
     assert(occ == volume, s"exhaustive ⇒ occurrences ($occ) == volume ($volume)")
-    assert(audit.getBoolean(4))
+    assert(audit.getBoolean(5))
     // every budget consumer publishes the SAME rate
     for (name <- Seq("dedup_ngram_jaccard", "dedup_containment",
       "dedup_minhash_calibration", "dedup_lsh_tuning")) {

@@ -62,3 +62,70 @@ if [ -n "$BAD" ]; then
   exit 1
 fi
 echo "scale gate OK"
+
+# ---- density-stressed leg (r14 verdict item 2): the pair budget exists
+# for corpora with ELEVATED duplicate density, but the standard decades
+# perturb replicas below the near-dup thresholds, so density stays flat
+# and the budget saturates late. This leg scales DOCUMENTS ONLY with
+# near-dup replicas (cross-replica Jaccard ~0.8 -> pair volume ~ r^2*N),
+# benches the budget family at dense-10x / dense-30x, fits e(1->3), and
+# proves the audit entry oracle-green with the budget ENGAGED
+# (sample_ppm < 1e6). Same adjudication contract as the main gate.
+DENSE_ENTRIES="dedup_ngram_jaccard dedup_containment dedup_minhash_calibration dedup_lsh_tuning dedup_pair_budget_audit"
+for D in 10 30; do
+  if [ ! -d "/tmp/graft_dense$D/documents.parquet" ]; then
+    sbt -batch "runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/graft_dense$D $D dense-docs"
+  fi
+done
+SPARK_GRAFT_SF_DIR=/tmp/graft_dense10 SPARK_GRAFT_BENCH_OUT=/tmp/graft_bench_dense1.json \
+  sbt -batch "runMain graft.Bench $DENSE_ENTRIES"
+cp /tmp/graft_bench_dense1.json "BENCH_DENSE1_r${RND}.json"
+SPARK_GRAFT_SF_DIR=/tmp/graft_dense30 SPARK_GRAFT_BENCH_OUT=/tmp/graft_bench_dense3.json \
+  sbt -batch "runMain graft.Bench $DENSE_ENTRIES"
+cp /tmp/graft_bench_dense3.json "BENCH_DENSE3_r${RND}.json"
+
+# audit entry must be oracle-green ON THE DENSE DIR with the budget engaged
+rm -rf /tmp/graft_dense_verify
+sbt -batch "runMain graft.Verify /tmp/graft_dense10 /tmp/graft_dense_verify dedup_pair_budget_audit"
+python3 - "$RND" <<'EOF'
+import json, math, re, sys, glob
+import duckdb
+rnd = sys.argv[1]
+b1 = json.load(open(f"BENCH_DENSE1_r{rnd}.json"))["queries"]
+b3 = json.load(open(f"BENCH_DENSE3_r{rnd}.json"))["queries"]
+survey = open("SURVEY.md").read()
+bad = []
+lines = []
+for n in sorted(b1):
+    t1, t3 = b1.get(n, -1), b3.get(n, -1)
+    if t1 <= 0 or t3 <= 0:
+        bad.append(f"{n}(missing)")
+        continue
+    e = math.log(t3 / t1) / math.log(3)
+    flag = " <-- super-linear dense tail" if e > 1.3 else ""
+    lines.append(f"{n:32s} dense10={t1:8.2f}s dense30={t3:8.2f}s e(1-3)={e:5.2f}{flag}")
+    if e > 1.3 and not re.search(rf"ADJUDICATED r{re.escape(rnd)}: {re.escape(n)}\b", survey):
+        bad.append(f"{n}(e={e:.2f})")
+txt = "\n".join(lines)
+print(txt)
+open(f"SCALE_FIT_DENSE_r{rnd}.txt", "w").write(txt + "\n")
+# audit row: budget must actually be engaged, and the Spark dump must
+# match the DuckDB replay on the dense dir
+files = glob.glob("/tmp/graft_dense_verify/dedup_pair_budget_audit/*.parquet")
+oracle = json.load(open("/tmp/graft_dense_verify/oracle_sql.json"))
+con = duckdb.connect()
+con.execute("CREATE VIEW documents AS SELECT * FROM '/tmp/graft_dense10/documents.parquet/*.parquet'")
+got = con.execute(f"SELECT * FROM read_parquet({files!r}) ORDER BY 1").df()
+exp = con.execute(oracle["dedup_pair_budget_audit"]).df()
+exp = exp.reindex(sorted(exp.columns), axis=1); got = got.reindex(sorted(got.columns), axis=1)
+row = got.iloc[0]
+print(f"audit: volume={row['candidate_volume']} keep_ppm={row['keep_ppm']} "
+      f"scored={row['n_scored_occurrences']} exhaustive={row['exhaustive']}")
+if not got.equals(exp.astype(got.dtypes.to_dict())):
+    bad.append("pair_budget_audit(oracle-mismatch)")
+if bool(row["exhaustive"]):
+    bad.append("pair_budget_audit(budget-not-engaged)")
+if bad:
+    print("DENSE GATE FAIL: " + " ".join(bad)); sys.exit(1)
+print("dense gate OK")
+EOF
