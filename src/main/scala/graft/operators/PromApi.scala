@@ -391,7 +391,122 @@ object PromApi {
               || string_agg(el, ',' ORDER BY el) || '],"droppedTargets":[]}}' AS body
        FROM els"""
 
+  // ------------------------------------------- api/v1 metadata
+
+  /** `api/v1/metadata` — per-metric metadata over the engine's OWN
+    * exposition surface (the reference's remote-write stream,
+    * prometheus.go:38-76, plus the RDS events counter): one entry per
+    * distinct metric name, `{"type":...,"help":...,"unit":""}` in the
+    * published metadata-struct field order, map keys alphabetical (Go
+    * `encoding/json` map-marshal order). Names are DERIVED from the
+    * two metric streams, never hardcoded — a metric added to the
+    * converter shows up here by construction — and the TYPE follows
+    * the exporter naming convention the reference's own families obey
+    * (`_total`/`_count` suffix ⇒ counter, everything else gauge),
+    * except `rds_service_events`, whose type (CounterVec) and help
+    * string are pinned to the reference's own declaration
+    * (collector/cmd/events-collector/events-collector.go:22-28).
+    * Analysis-plane cost: two metric-family-bounded distincts. */
+  private val RdsEventsHelp =
+    "This metric indicates on whats happening on various aws services, e.g RDS"
+
+  def metadataJson: Q = (s, d) => {
+    val names = Scrapers.remoteWrite(s, d).select(col("metric_name"))
+      .unionByName(s.range(1).select(lit("rds_service_events").as("metric_name")))
+      .distinct()
+    names
+      .withColumn("mtype",
+        when(col("metric_name") === "rds_service_events" ||
+          col("metric_name").endsWith("_total") ||
+          col("metric_name").endsWith("_count"), "counter").otherwise("gauge"))
+      .withColumn("mhelp",
+        when(col("metric_name") === "rds_service_events", RdsEventsHelp)
+          .otherwise(concat(lit("database-collector metric "), col("metric_name"))))
+      .agg(concat(lit("{\"status\":\"success\",\"data\":{"),
+        array_join(sort_array(collect_list(concat(
+          lit("\""), col("metric_name"), lit("\":[{\"type\":\""), col("mtype"),
+          lit("\",\"help\":\""), col("mhelp"),
+          lit("\",\"unit\":\"\"}]")))), ","),
+        lit("}}")).as("body"))
+  }
+
+  val metadataJsonSql: String =
+    s"""WITH names AS (
+         SELECT DISTINCT metric_name FROM (
+           SELECT 'db_orders_total' AS metric_name
+           UNION ALL SELECT 'db_orders_price_sum'
+           UNION ALL SELECT 'db_orders_price_avg'
+           UNION ALL SELECT 'rds_service_events') t),
+       m AS (
+         SELECT metric_name,
+                CASE WHEN metric_name = 'rds_service_events'
+                       OR metric_name LIKE '%_total' OR metric_name LIKE '%_count'
+                     THEN 'counter' ELSE 'gauge' END AS mtype,
+                CASE WHEN metric_name = 'rds_service_events'
+                     THEN '$RdsEventsHelp'
+                     ELSE 'database-collector metric ' || metric_name END AS mhelp
+         FROM names)
+       SELECT '{"status":"success","data":{'
+              || string_agg('"' || metric_name || '":[{"type":"' || mtype
+                   || '","help":"' || mhelp
+                   || '","unit":""}]', ',' ORDER BY metric_name)
+              || '}}' AS body
+       FROM m"""
+
+  // ------------------------------------- api/v1/status/buildinfo
+
+  /** `api/v1/status/buildinfo` — the published PrometheusVersion
+    * envelope (field order version < revision < branch < buildUser <
+    * buildDate < goVersion, the Go struct order). Two fields are
+    * COMPUTED so the oracle certifies real work, not a string
+    * constant: `revision` fingerprints the deployment's metric surface
+    * (md5 prefix of the sorted metadata names — a content revision,
+    * the role the git SHA plays in a real build), and `buildDate`
+    * renders the corpus's newest event timestamp in Prometheus's
+    * yyyymmdd-HH:mm:ss build-date layout. Version strings are the
+    * public Prometheus 2.53 / go1.22 fixture pair. */
+  def buildinfoJson: Q = (s, d) => {
+    val rev = Scrapers.remoteWrite(s, d).select(col("metric_name"))
+      .unionByName(s.range(1).select(lit("rds_service_events").as("metric_name")))
+      .distinct()
+      .agg(substring(md5(array_join(sort_array(collect_list(col("metric_name"))), ",")), 1, 7)
+        .as("revision"))
+    val bdate = PromQlFns.instantVector(s, d)
+      .agg(date_format(timestamp_seconds(max(col("sample_sec"))), "yyyyMMdd-HH:mm:ss")
+        .as("build_date"))
+    rev.crossJoin(broadcast(bdate))
+      .select(concat(
+        lit("{\"status\":\"success\",\"data\":{\"version\":\"2.53.0\",\"revision\":\""),
+        col("revision"),
+        lit("\",\"branch\":\"HEAD\",\"buildUser\":\"root@graft\",\"buildDate\":\""),
+        col("build_date"),
+        lit("\",\"goVersion\":\"go1.22.0\"}}")).as("body"))
+  }
+
+  lazy val buildinfoJsonSql: String =
+    s"""WITH ${PromQlFns.instantVectorSql},
+        names AS (
+          SELECT DISTINCT metric_name FROM (
+            SELECT 'db_orders_total' AS metric_name
+            UNION ALL SELECT 'db_orders_price_sum'
+            UNION ALL SELECT 'db_orders_price_avg'
+            UNION ALL SELECT 'rds_service_events') t),
+        rev AS (
+          SELECT substr(md5(string_agg(metric_name, ',' ORDER BY metric_name)), 1, 7)
+            AS revision FROM names),
+        bd AS (
+          SELECT strftime(epoch_ms(max(sample_sec) * 1000), '%Y%m%d-%H:%M:%S')
+            AS build_date FROM iv)
+        SELECT '{"status":"success","data":{"version":"2.53.0","revision":"'
+               || revision
+               || '","branch":"HEAD","buildUser":"root@graft","buildDate":"'
+               || build_date
+               || '","goVersion":"go1.22.0"}}' AS body
+        FROM rev CROSS JOIN bd"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("prom_api_metadata_json", metadataJson, Some(metadataJsonSql)),
+    ("prom_api_buildinfo_json", buildinfoJson, Some(buildinfoJsonSql)),
     ("prom_api_query_exemplars_json", queryExemplarsJson, Some(queryExemplarsJsonSql)),
     ("prom_api_targets_json", targetsJson, Some(targetsJsonSql)),
     ("prom_api_query_json", queryJson, Some(queryJsonSql)),

@@ -248,7 +248,8 @@ class PlanSweepSpec extends SparkTestBase {
     "text_bigram_lm_kn",   // 1-row bigram-type-count (nbb) broadcast
     "prom_federate",       // 1-row scrape-horizon broadcast
     "mix_dsir",            // 1-row model totals + selection threshold broadcasts
-    "split_dedup_aware")   // 1-row cross-split pair-count broadcast
+    "split_dedup_aware",   // 1-row cross-split pair-count broadcast
+    "prom_api_buildinfo_json") // 1-row revision x 1-row build-date broadcast
 
   // entries allowed a partitionless window over a NON-aggregate input,
   // each with its one-line justification — everything else must derive
