@@ -249,8 +249,62 @@ object Cluster {
        FROM weighted GROUP BY source ORDER BY source"""
   }
 
+  /** BUCKET-components clustering — the linear-time scale path the
+    * big LLM dedup pipelines actually run (union-find over LSH band
+    * buckets, no pairwise verification; the RefinedWeb/SlimPajama
+    * formulation): every ≥2-doc band bucket contributes STAR edges
+    * (member → bucket-min doc) instead of C(n,2) pairs, so edge count
+    * is Σ bucket sizes — linear in banded occurrences at ANY duplicate
+    * density — where `dedup_cluster`'s verified-pair graph grows ∝ r²
+    * in the per-doc replica count. The result is a deterministic
+    * COARSENING of `dedup_cluster` (every verified pair shares a band
+    * bucket, so verified components never split across bucket
+    * components — Round15Spec proves the refinement on the corpus);
+    * the trade is precision: an unverified bucket collision can merge
+    * two dissimilar docs, the documented reason the verified entry
+    * exists. Same min-label components loop ([[ccLabels]]), same
+    * output shape, so a pipeline can swap the two entries by name. */
+  def clusterBuckets: Q = (s, d) => {
+    val bl = Dedup.bandList(Dedup.shingleSets(s, d))
+    val stars = cut(bl
+      .groupBy(col("band_idx"), col("bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr("slice(ds, 2, size(ds) - 1)")).as("doc_a"),
+        expr("ds[0]").as("doc_b")))
+    ccLabels(stars)
+      .select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val clusterBucketsSql: String =
+    s"""WITH RECURSIVE sets AS (
+          SELECT doc_id, shingles FROM (
+            SELECT doc_id, ${Dedup.shinglesSqlExpr} AS shingles FROM documents)
+          WHERE len(shingles) > 0),
+        e AS (SELECT doc_id, md5(unnest(shingles)) AS h FROM sets),
+        sig AS (SELECT doc_id, ${Dedup.sigSqlExprs} FROM e GROUP BY doc_id),
+        banded AS (SELECT doc_id, ${Dedup.bandSqlExprs} FROM sig),
+        bl AS (${Dedup.blSqlSelects}),
+        buckets AS (
+          SELECT band_idx, bh, min(doc_id) AS rep, count(*) AS n
+          FROM bl GROUP BY band_idx, bh HAVING count(*) >= 2),
+        stars AS (
+          SELECT b.doc_id AS u, k.rep AS v
+          FROM bl b JOIN buckets k USING (band_idx, bh)
+          WHERE b.doc_id <> k.rep),
+        bi AS (SELECT u, v FROM stars UNION ALL SELECT v, u FROM stars),
+        walk(u, v) AS (
+          SELECT u, v FROM bi
+          UNION
+          SELECT w.u, b.v FROM walk w JOIN bi b ON w.v = b.u)
+        SELECT doc_id, min(reach) AS cluster_id FROM (
+          SELECT u AS doc_id, least(u, v) AS reach FROM walk) t
+        GROUP BY doc_id ORDER BY doc_id"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("dedup_cluster", dedupCluster, Some(dedupClusterSql)),
+    ("dedup_cluster_buckets", clusterBuckets, Some(clusterBucketsSql)),
     ("split_dedup_aware", splitDedupAware, Some(splitDedupAwareSql)),
     ("dedup_soft_weight", softWeight, Some(softWeightSql)))
 }

@@ -47,7 +47,7 @@ object Dedup {
     * shingle lambda inlined into the predicate, and every `toks[i]`
     * reference then re-runs the regex tokenizer per element — a 40×
     * slowdown measured at sf0.1. Same predicate, same rows. */
-  private def shingleSets(s: SparkSession, d: String): DataFrame =
+  private[operators] def shingleSets(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), expr(toksExpr).as("toks"))
       .filter(size(col("toks")) >= 3) // ⇔ n_sh > 0, but cheap to push down
@@ -469,7 +469,7 @@ object Dedup {
     banded.selectExpr("doc_id", s"stack($bands, $stackArgs) as (band_idx, bh)")
   }
 
-  private def bandList(sets: DataFrame): DataFrame =
+  private[operators] def bandList(sets: DataFrame): DataFrame =
     bandListFor(sigTable(sets), BandSize)
 
   def minhashLsh: Q = (s, d) => {
@@ -490,18 +490,25 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** SQL fragments of the one-permutation signature → band-list chain
+    * (CTE names `e`/`sig`/`banded`), shared by every oracle that
+    * rebuilds the banded index. */
+  private[operators] val sigSqlExprs: String = (0 until NumHashes)
+    .map { i =>
+      val slot = Integer.toHexString(i)
+      s"coalesce(min(CASE WHEN substr(h, 1, 1) = '$slot' THEN h END), 'e$slot') AS s$i"
+    }.mkString(", ")
+  private[operators] val bandSqlExprs: String = (0 until NumBands)
+    .map(b => s"md5(${(b * BandSize until (b + 1) * BandSize).map(i => s"s$i").mkString(" || ")}) AS band$b")
+    .mkString(", ")
+  private[operators] val blSqlSelects: String = (0 until NumBands)
+    .map(b => s"SELECT doc_id, '$b' AS band_idx, band$b AS bh FROM banded")
+    .mkString(" UNION ALL ")
+
   val minhashLshSql: String = {
-    val sigExprs = (0 until NumHashes)
-      .map { i =>
-        val slot = Integer.toHexString(i)
-        s"coalesce(min(CASE WHEN substr(h, 1, 1) = '$slot' THEN h END), 'e$slot') AS s$i"
-      }.mkString(", ")
-    val bandExprs = (0 until NumBands)
-      .map(b => s"md5(${(b * BandSize until (b + 1) * BandSize).map(i => s"s$i").mkString(" || ")}) AS band$b")
-      .mkString(", ")
-    val blSelects = (0 until NumBands)
-      .map(b => s"SELECT doc_id, '$b' AS band_idx, band$b AS bh FROM banded")
-      .mkString(" UNION ALL ")
+    val sigExprs = sigSqlExprs
+    val bandExprs = bandSqlExprs
+    val blSelects = blSqlSelects
     s"""WITH sets AS (
           SELECT doc_id, shingles, len(shingles) AS n_sh FROM (
             SELECT doc_id, $shinglesSqlExpr AS shingles FROM documents)

@@ -79,6 +79,28 @@ class Round15Spec extends SparkTestBase {
     assert(body.contains("\"data\":[\""))
   }
 
+  test("bucket clustering coarsens verified-pair clustering (no component splits)") {
+    import org.apache.spark.sql.functions._
+    // every verified near-dup pair shares a band bucket by construction,
+    // so the bucket components may MERGE verified components but can
+    // never split one: both endpoints of every verified pair must land
+    // in the same bucket cluster
+    val bc = SparkEntry.queries("dedup_cluster_buckets")(spark, sf)
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      .select(col("doc_a"), col("doc_b"))
+    val split = pairs
+      .join(bc.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca")), "doc_a")
+      .join(bc.select(col("doc_id").as("doc_b"), col("cluster_id").as("cb")), "doc_b")
+      .filter(col("ca") =!= col("cb"))
+      .count()
+    assert(split == 0L, s"$split verified pairs split across bucket clusters")
+    // and it is a genuine coarsening target: every verified-cluster doc
+    // appears in the bucket clustering too
+    val vc = SparkEntry.queries("dedup_cluster")(spark, sf)
+    val missing = vc.select("doc_id").exceptAll(bc.select("doc_id")).count()
+    assert(missing == 0L, s"$missing verified-cluster docs missing from bucket clusters")
+  }
+
   test("doc-sample budget: gate scale exhaustive, sample_ppm = doc rate squared") {
     val audit = SparkEntry.queries("dedup_pair_budget_audit")(spark, sf).head()
     val docPpm = audit.getLong(1)
