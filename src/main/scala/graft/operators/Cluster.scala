@@ -285,15 +285,15 @@ object Cluster {
         e AS (SELECT doc_id, md5(unnest(shingles)) AS h FROM sets),
         sig AS (SELECT doc_id, ${Dedup.sigSqlExprs} FROM e GROUP BY doc_id),
         banded AS (SELECT doc_id, ${Dedup.bandSqlExprs} FROM sig),
-        bl AS (${Dedup.blSqlSelects}),
+        bl AS MATERIALIZED (${Dedup.blSqlSelects}),
         buckets AS (
           SELECT band_idx, bh, min(doc_id) AS rep, count(*) AS n
           FROM bl GROUP BY band_idx, bh HAVING count(*) >= 2),
-        stars AS (
+        stars AS MATERIALIZED (
           SELECT b.doc_id AS u, k.rep AS v
           FROM bl b JOIN buckets k USING (band_idx, bh)
           WHERE b.doc_id <> k.rep),
-        bi AS (SELECT u, v FROM stars UNION ALL SELECT v, u FROM stars),
+        bi AS MATERIALIZED (SELECT u, v FROM stars UNION ALL SELECT v, u FROM stars),
         walk(u, v) AS (
           SELECT u, v FROM bi
           UNION

@@ -263,16 +263,22 @@ object Dedup {
   /** The pair-stage CTE chain every budget-sampled SQL mirror shares:
     * sets → hashed occurrences → df-capped buckets → measured volume →
     * keep_ppm cutoff → sampled (da, db, i) intersections. */
+  /** MATERIALIZED on every multiply-referenced expensive CTE: DuckDB
+    * inlines CTEs PER REFERENCE, so without the hint each scalar
+    * `(SELECT … FROM cut)` re-derives the whole tokenize→signature
+    * chain (the r15 doc-sample cut made dedup_lsh_tuning's mirror
+    * 402 s on exactly this). The keyword is DuckDB-only SQL — these
+    * strings never reach Spark's parser. */
   private def pairCtesSql: String =
-    s"""sets AS (
+    s"""sets AS MATERIALIZED (
           SELECT doc_id, shingles, len(shingles) AS n_sh FROM (
             SELECT doc_id, $shinglesSqlExpr AS shingles FROM documents)
           WHERE len(shingles) > 0),
-        e AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS sh FROM sets),
-        df AS (SELECT sh, count(*) AS n FROM e GROUP BY sh HAVING count(*) BETWEEN 2 AND 500),
+        e AS MATERIALIZED (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS sh FROM sets),
+        df AS MATERIALIZED (SELECT sh, count(*) AS n FROM e GROUP BY sh HAVING count(*) BETWEEN 2 AND 500),
         vol AS (SELECT coalesce(sum(n * (n - 1) // 2), 0) AS v FROM df),
-        cut AS (${docCutSql("vol")}),
-        ec AS (SELECT e.doc_id, e.sh FROM e JOIN df USING (sh)
+        cut AS MATERIALIZED (${docCutSql("vol")}),
+        ec AS MATERIALIZED (SELECT e.doc_id, e.sh FROM e JOIN df USING (sh)
                WHERE ${docKeepSql("e.doc_id")}),
         inter AS (
           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
@@ -1239,7 +1245,7 @@ object Dedup {
         .map(b => s"SELECT doc_id, '$b' AS band_idx, band$b AS bh FROM banded_$r")
         .mkString(" UNION ALL ")
       s"""banded_$r AS (SELECT doc_id, $bandExprs FROM sig),
-          bl_$r AS ($blSelects),
+          bl_$r AS MATERIALIZED ($blSelects),
           vol_$r AS (SELECT coalesce(sum(n * (n - 1) // 2), 0) AS v FROM (
             SELECT count(*) AS n FROM bl_$r GROUP BY band_idx, bh) x)"""
     }.mkString(",\n")
@@ -1247,9 +1253,9 @@ object Dedup {
       TuneRows.map(r => s"SELECT v FROM vol_$r")).mkString(" UNION ALL ")
     val candCtes = TuneRows.map { r =>
       val bands = NumHashes / r
-      s"""blf_$r AS (SELECT doc_id, band_idx, bh FROM bl_$r
+      s"""blf_$r AS MATERIALIZED (SELECT doc_id, band_idx, bh FROM bl_$r
                      WHERE ${docKeepSql("doc_id")}),
-          cand_$r AS (
+          cand_$r AS MATERIALIZED (
             SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
             FROM blf_$r a JOIN blf_$r b ON a.band_idx = b.band_idx AND a.bh = b.bh
               AND a.doc_id < b.doc_id),
@@ -1262,25 +1268,25 @@ object Dedup {
                    (SELECT sample_ppm FROM cut) AS sample_ppm)"""
     }.mkString(",\n")
     val union = TuneRows.map(r => s"SELECT * FROM st_$r").mkString(" UNION ALL ")
-    s"""WITH sets AS (
+    s"""WITH sets AS MATERIALIZED (
           SELECT doc_id, shingles, len(shingles) AS n_sh FROM (
             SELECT doc_id, $shinglesSqlExpr AS shingles FROM documents)
           WHERE len(shingles) > 0),
         e AS (SELECT doc_id, md5(unnest(shingles)) AS h FROM sets),
-        sig AS (SELECT doc_id, $sigExprs FROM e GROUP BY doc_id),
-        esh AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS sh FROM sets),
-        dfx AS (SELECT sh, count(*) AS n FROM esh GROUP BY sh HAVING count(*) BETWEEN 2 AND 500),
+        sig AS MATERIALIZED (SELECT doc_id, $sigExprs FROM e GROUP BY doc_id),
+        esh AS MATERIALIZED (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS sh FROM sets),
+        dfx AS MATERIALIZED (SELECT sh, count(*) AS n FROM esh GROUP BY sh HAVING count(*) BETWEEN 2 AND 500),
         vol_truth AS (SELECT coalesce(sum(n * (n - 1) // 2), 0) AS v FROM dfx),
         $bandCtes,
         vmax AS (SELECT max(v) AS v FROM ($volUnion) u),
-        cut AS (${docCutSql("vmax")}),
-        ec AS (SELECT esh.doc_id, esh.sh FROM esh JOIN dfx USING (sh)
+        cut AS MATERIALIZED (${docCutSql("vmax")}),
+        ec AS MATERIALIZED (SELECT esh.doc_id, esh.sh FROM esh JOIN dfx USING (sh)
                WHERE ${docKeepSql("esh.doc_id")}),
         interx AS (
           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
           FROM ec a JOIN ec b ON a.sh = b.sh AND a.doc_id < b.doc_id
           GROUP BY 1, 2),
-        truth AS (
+        truth AS MATERIALIZED (
           SELECT da, db
           FROM interx JOIN sets sa ON da = sa.doc_id JOIN sets sb ON db = sb.doc_id
           WHERE floor((i * 1.0 / (sa.n_sh + sb.n_sh - i)) * 10000) / 10000.0 >= 0.5),
