@@ -234,16 +234,28 @@ object Dedup {
     * re-joining `sets`, which would re-run the regex tokenizer over
     * the full corpus once per join side (tokenize is the dominant
     * linear cost of this family). */
-  private def pairIntersections(s: SparkSession, d: String): DataFrame = {
-    val sets = shingleSets(s, d)
+  private def pairIntersections(s: SparkSession, d: String): DataFrame =
+    pairIntersectionsFrom(graft.Checkpoints.cutLazy(shingleSets(s, d)))
+
+  /** Same pipeline over an ALREADY LINEAGE-CUT `sets` frame, so an
+    * entry that needs both the pair stream and another sets-derived
+    * branch (signatures, band lists) tokenizes the corpus ONCE — the
+    * r15 piecewise profile put one tokenize pass at ~0.5 s of the
+    * 2.7 s dedup_ngram_jaccard steady state, and the regex pass is the
+    * dominant linear CPU cost at any scale (guide §2.4: share the
+    * materialization instead of re-running the pass). Set sizes come
+    * straight off the cut frame's `n_sh` column (`size(shingles)` —
+    * identical to the old exploded `count(*)` per doc because
+    * `shingles` is list_distinct) instead of a second full
+    * explode+groupBy pass over the corpus. */
+  private def pairIntersectionsFrom(sets: DataFrame): DataFrame = {
     val e = sets.select(col("doc_id"), explode(col("shingles")).as("raw"))
       .select(col("doc_id"),
         conv(substring(md5(col("raw")), 1, 15), 16, 10).cast("long").as("sh"))
     val bySh = graft.Checkpoints.cutLazy(
       e.groupBy(col("sh")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
         .filter(size(col("ds")).between(2, 500)))
-    val nsh = graft.Checkpoints.cutLazy(
-      e.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")))
+    val nsh = sets.select(col("doc_id"), col("n_sh"))
     val vol = bySh.agg(coalesce(sum(expr("size(ds) * (size(ds) - 1) div 2")), lit(0L)).as("v"))
     val cut = docCutFromVolume(vol)
     // doc sample applied to the bucket ARRAYS in place (no second
@@ -479,7 +491,9 @@ object Dedup {
     bandListFor(sigTable(sets), BandSize)
 
   def minhashLsh: Q = (s, d) => {
-    val sets = shingleSets(s, d)
+    // sets is referenced three times (signature build + both verify
+    // joins): cut it once so the tokenizer runs one pass, not three
+    val sets = graft.Checkpoints.cutLazy(shingleSets(s, d))
     val bl = bandList(sets)
     val cand = bl.select(col("doc_id").as("da"), col("band_idx"), col("bh"))
       .join(bl.select(col("doc_id").as("db"), col("band_idx"), col("bh")),
@@ -554,7 +568,9 @@ object Dedup {
     * index + probe in SQL, so the hash match certifies the
     * incremental semantics ≡ full recompute restricted to delta. */
   def incremental: Q = (s, d) => {
-    val sets = shingleSets(s, d)
+    // four references (band list + two verify joins + delta filter):
+    // one cut = one tokenize pass
+    val sets = graft.Checkpoints.cutLazy(shingleSets(s, d))
     val side = Tables.documents(s, d).select(col("doc_id"),
       substring(md5(col("text")), 1, 1).isin(IncDeltaHex: _*).as("is_delta"))
     val bl = bandList(sets).join(side, Seq("doc_id"))
@@ -879,11 +895,16 @@ object Dedup {
     * pipelines into one plan (shared shingle scan, fused by Catalyst).
     * Integer counts, one floored division. */
   def lshRecall: Q = (s, d) => {
-    val truth = ngramJaccard(s, d)
+    // one cut sets frame feeds the exact-Jaccard truth pipeline AND
+    // the LSH candidate chain: one tokenize pass instead of three+
+    val sets = graft.Checkpoints.cutLazy(shingleSets(s, d))
+    val truth = pairIntersectionsFrom(sets)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        trunc4(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
       .withColumn("band_lo",
         when(col("jaccard") >= 0.9, 0.9).when(col("jaccard") >= 0.7, 0.7).otherwise(0.5))
     // the LSH candidate stage, pre-verification (copy of minhashLsh's front half)
-    val sets = shingleSets(s, d)
     val e = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
       .select(col("doc_id"), md5(col("sh")).as("h"))
     val sigCols = (0 until NumHashes).map { i =>
@@ -1160,7 +1181,12 @@ object Dedup {
     * exactly: their volumes sit far under budget,
     * `sample_ppm` = 1e6). */
   def lshTuning: Q = (s, d) => {
-    val sets = shingleSets(s, d)
+    // ONE lineage-cut sets frame feeds the signature branch, the
+    // bucket branch, and the set-size lookup: one tokenize pass
+    // instead of three (the regex pass is ~0.5 s/pass at sf0.1 and the
+    // dominant linear CPU cost at scale). Set sizes come off the cut
+    // frame's n_sh column, dropping the old exploded count(*) pass.
+    val sets = graft.Checkpoints.cutLazy(shingleSets(s, d))
     val sig = graft.Checkpoints.cutLazy(sigTable(sets))
     val e = sets.select(col("doc_id"), explode(col("shingles")).as("raw"))
       .select(col("doc_id"),
@@ -1168,20 +1194,24 @@ object Dedup {
     val bySh = graft.Checkpoints.cutLazy(
       e.groupBy(col("sh")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
         .filter(size(col("ds")).between(2, 500)))
-    // set sizes from the exploded hash table (rows-per-doc == |set|,
-    // shingles are distinct) — not a `sets` re-join, which would
-    // re-tokenize the corpus once per join side
-    val nsh = graft.Checkpoints.cutLazy(
-      e.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")))
-    val bls = TuneRows.map(r => r -> graft.Checkpoints.cutLazy(bandListFor(sig, r))).toMap
+    val nsh = sets.select(col("doc_id"), col("n_sh"))
+    // the three band configs ride ONE unpivoted frame (cfg = rows per
+    // band): one lineage cut, one volume aggregate, one filtered
+    // self-join keyed (cfg, band_idx, bh) instead of the whole chain
+    // ×3 — same pairs per config (a pair can only form inside one
+    // cfg), a third of the jobs (guide §2.4: share the exchange)
+    val bl = graft.Checkpoints.cutLazy(
+      TuneRows.map(r => bandListFor(sig, r).withColumn("cfg", lit(r)))
+        .reduce(_ unionByName _))
     val volTruth = bySh
       .agg(coalesce(sum(expr("size(ds) * (size(ds) - 1) div 2")), lit(0L)).as("v"))
-    val volConfigs = TuneRows.map { r =>
-      bls(r).groupBy(col("band_idx"), col("bh")).agg(count(lit(1)).as("n"))
-        .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("v"))
-    }
+    val volConfigs = bl.groupBy(col("cfg"), col("band_idx"), col("bh"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("cfg"))
+      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("v"))
+      .select(col("v"))
     val cstar = docCutFromVolume(
-      (volTruth +: volConfigs).reduce(_ unionByName _).agg(max(col("v")).as("v")))
+      volTruth.unionByName(volConfigs).agg(max(col("v")).as("v")))
     val truth = graft.Checkpoints.cutLazy(
       bySh.crossJoin(broadcast(cstar))
         .select(explode(graft.functions.TextUdfs.pairCombos(sampledDocs(col("ds")))).as("p"))
@@ -1192,30 +1222,38 @@ object Dedup {
         .filter(trunc4(col("inter") * lit(1.0) /
           (col("na") + col("nb") - col("inter"))) >= 0.5)
         .select(col("da"), col("db")))
-    val perConfig = TuneRows.map { r =>
-      // band rows of sampled docs only: the self-join then generates
-      // ~q² of each band bucket's pairs — never materializing (or even
-      // enumerating) the unsampled volume
-      val bl = bls(r).crossJoin(broadcast(cstar))
-        .filter(col("doc_keep_ppm") === 1000000L ||
-          docPpm(col("doc_id")) < col("doc_keep_ppm"))
-      val cand = graft.Checkpoints.cutLazy(
-        bl.select(col("doc_id").as("da"), col("band_idx").as("bi"), col("bh").as("ba"))
-          .join(bl.select(col("doc_id").as("db"), col("band_idx"), col("bh")),
-            col("bi") === col("band_idx") && col("ba") === col("bh") &&
-              col("da") < col("db"))
-          .select("da", "db").distinct())
-      cand.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(broadcast(
-          cand.join(truth, Seq("da", "db"), "left_semi")
-            .agg(count(lit(1)).as("n_caught"))))
-        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
-        .crossJoin(broadcast(cstar))
-        .select(lit(NumHashes / r).as("bands"), lit(r).as("rows_per_band"),
-          col("n_candidates"), col("n_caught"), col("n_truth"),
-          col("sample_ppm"))
-    }
-    perConfig.reduce(_ unionByName _)
+    // band rows of sampled docs only: the self-join then generates
+    // ~q² of each band bucket's pairs — never materializing (or even
+    // enumerating) the unsampled volume
+    val blf = bl.crossJoin(broadcast(cstar))
+      .filter(col("doc_keep_ppm") === 1000000L ||
+        docPpm(col("doc_id")) < col("doc_keep_ppm"))
+    val cand = graft.Checkpoints.cutLazy(
+      blf.select(col("cfg").as("cf"), col("doc_id").as("da"),
+          col("band_idx").as("bi"), col("bh").as("ba"))
+        .join(blf.select(col("cfg"), col("doc_id").as("db"), col("band_idx"), col("bh")),
+          col("cf") === col("cfg") && col("bi") === col("band_idx") &&
+            col("ba") === col("bh") && col("da") < col("db"))
+        .select("cf", "da", "db").distinct())
+    val nCand = cand.groupBy(col("cf")).agg(count(lit(1)).as("n_candidates"))
+    val nCaught = cand.join(truth, Seq("da", "db"), "left_semi")
+      .groupBy(col("cf")).agg(count(lit(1)).as("n_caught"))
+    // literal config spine: a config whose candidate set is EMPTY must
+    // still emit its row (count 0), exactly like the old per-config
+    // global aggregates did
+    val cfgs = TuneRows
+      .map(r => s.range(1).select(
+        lit(NumHashes / r).as("bands"), lit(r).as("rows_per_band")))
+      .reduce(_ unionByName _)
+    cfgs
+      .join(nCand.withColumnRenamed("cf", "rows_per_band"), Seq("rows_per_band"), "left")
+      .join(nCaught.withColumnRenamed("cf", "rows_per_band"), Seq("rows_per_band"), "left")
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .crossJoin(broadcast(cstar))
+      .select(col("bands"), col("rows_per_band"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_caught"), lit(0L)).as("n_caught"),
+        col("n_truth"), col("sample_ppm"))
       .withColumn("recall",
         when(col("n_truth") > 0,
           floor(col("n_caught").cast("double") / col("n_truth").cast("double") * 1e4) / 1e4)
@@ -1432,10 +1470,12 @@ object Dedup {
     * content-hash rule makes that sample replayable (and exhaustive,
     * `sample_ppm` = 1e6, at both gate SFs). */
   def minhashCalibration: Q = (s, d) => {
-    val sets = shingleSets(s, d)
+    // one lineage-cut sets frame feeds BOTH the signature branch and
+    // the pair stream: one tokenize pass instead of three
+    val sets = graft.Checkpoints.cutLazy(shingleSets(s, d))
     val sig = sigTable(sets).select(col("doc_id"),
       array((0 until NumHashes).map(i => col(s"s$i")): _*).as("sig"))
-    pairIntersections(s, d)
+    pairIntersectionsFrom(sets)
       .join(sig.select(col("doc_id").as("da"), col("sig").as("sig_a")), "da")
       .join(sig.select(col("doc_id").as("db"), col("sig").as("sig_b")), "db")
       .withColumn("n_match",
