@@ -22,27 +22,20 @@ object ProfileScratch {
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/documents.parquet").count()
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    time("tokenize only") {
-      docs.select(col("doc_id"), expr(graft.operators.TextAnalysis.toksExpr).as("toks"))
+    time("floor: range sum") { spark.range(1000000).selectExpr("sum(id)") }
+    time("floor: lineitem agg") {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")))
     }
-    time("tokenize+shingle") {
-      docs.select(col("doc_id"), expr(graft.operators.TextAnalysis.toksExpr).as("toks"))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), graft.functions.TextUdfs.shingle3(col("toks")).as("sh"))
+    time("floor: lineitem agg again") {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")))
     }
-    time("tok+shingle+explode+md5") {
-      docs.select(col("doc_id"), expr(graft.operators.TextAnalysis.toksExpr).as("toks"))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), explode(graft.functions.TextUdfs.shingle3(col("toks"))).as("raw"))
-        .select(col("doc_id"), conv(substring(md5(col("raw")), 1, 15), 16, 10).cast("long").as("sh"))
+    time("ann: edge build (gsEdges)") {
+      graft.operators.Similarity.gsEdges(spark, sfDir)
     }
-    time("...+groupBy(sh) buckets") {
-      docs.select(col("doc_id"), expr(graft.operators.TextAnalysis.toksExpr).as("toks"))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), explode(graft.functions.TextUdfs.shingle3(col("toks"))).as("raw"))
-        .select(col("doc_id"), conv(substring(md5(col("raw")), 1, 15), 16, 10).cast("long").as("sh"))
-        .groupBy(col("sh")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")).between(2, 500))
+    time("ann: edge build rep2") {
+      graft.operators.Similarity.gsEdges(spark, sfDir)
     }
     // full entries for reference, twice each (JIT)
     for (n <- args; rep <- 1 to 2)

@@ -52,7 +52,10 @@ object Affinity {
       .agg(count(lit(1)).as("basket_size"))
       .filter(col("basket_size") <= MaxBasket)
       .select(col("l_orderkey"))
-    val kept = items.join(small, Seq("l_orderkey"))
+    // kept is referenced four times below (order count, item counts,
+    // both sides of the pair self-join); cut it once so the
+    // distinct+basket-cap chain runs one pass, not four
+    val kept = graft.Checkpoints.cutLazy(items.join(small, Seq("l_orderkey")))
     val nOrders = kept.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     val itemCnt = kept.groupBy(col("l_partkey")).agg(count(lit(1)).as("item_cnt"))

