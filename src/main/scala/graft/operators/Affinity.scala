@@ -501,12 +501,17 @@ object Affinity {
     * single-partition sort of the pair aggregate; the rank column is
     * a window over the ≤ k surviving rows only. */
   def nodeSimilarity: Q = (s, d) => {
-    val visits = Tables.events(s, d)
+    // visits is referenced twice (degree filter + kept) and kept three
+    // times (page counts + both sides of the co-visitation self-join):
+    // one cut each = one scan+distinct and one capped-join pass, shared
+    // by every consumer — including the graph_* entries built on the
+    // pageEdges graph this entry derives
+    val visits = graft.Checkpoints.cutLazy(Tables.events(s, d)
       .select(col("user_id"), get_json_object(col("props"), "$.k").cast("int").as("page"))
-      .distinct()
+      .distinct())
     val degs = visits.groupBy(col("user_id")).agg(count(lit(1)).as("n_pages"))
       .filter(col("n_pages") <= MaxUserPages).select(col("user_id"))
-    val kept = visits.join(degs, Seq("user_id"))
+    val kept = graft.Checkpoints.cutLazy(visits.join(degs, Seq("user_id")))
     val pageCnt = kept.groupBy(col("page")).agg(count(lit(1)).as("n_users"))
     val co = kept.select(col("user_id"), col("page").as("page_a"))
       .join(kept.select(col("user_id"), col("page").as("page_b")), Seq("user_id"))
