@@ -297,6 +297,8 @@ object Affinity {
   def rfmMigration: Q = (s, d) => {
     val CutDate = "1998-01-01"
     def tiers(o: DataFrame): DataFrame = {
+      // NOT cut (r15 A/B: 1.18x): the per-period aggregate is small and
+      // cheap to re-derive; a lineage cut costs more than the recompute
       val cust = o.groupBy(col("o_custkey"))
         .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("m_cents"))
       val bounds = cust.agg(
@@ -1153,11 +1155,13 @@ object Affinity {
     * side's filter pushes into its scan. The oracle runs the plain
     * LEFT JOIN, so the hash match proves rewrite ≡ naive join. */
   def nullSkewJoin: Q = (s, d) => {
-    val fact = Tables.events(s, d)
+    // fact feeds both the matched branch and the null branch: one cut
+    // = one events scan + json extraction, not two
+    val fact = graft.Checkpoints.cutLazy(Tables.events(s, d)
       .select(col("event_id"),
         when(get_json_object(col("props"), "$.k").cast("int") < 50,
           get_json_object(col("props"), "$.k").cast("int")).as("k_null"),
-        floor(col("value") * 100).cast("long").as("cents"))
+        floor(col("value") * 100).cast("long").as("cents")))
     val dim = Tables.events(s, d)
       .select(get_json_object(col("props"), "$.k").cast("int").as("page")).distinct()
       .filter(col("page") < 50)

@@ -673,6 +673,9 @@ object Dedup {
         expr(s"transform(array_distinct($toksExpr), t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))")
           .as("hs"))
       .select(col("doc_id"), graft.functions.TextUdfs.packSimhash(col("hs")).as("sig"))
+      // both sides of the band self-join derive from sig: one cut =
+      // one tokenize+pack pass, not two
+      .transform(graft.Checkpoints.cutLazy)
     // 4×16-bit integer bands; hamming via bit_count(xor) — all codegen'd
     // integer ops, no strings anywhere in the candidate path.
     val bandCols = (0 until 4).map(b =>
@@ -1113,6 +1116,9 @@ object Dedup {
       .filter(col("pos") <= col("n_grams") - WinnowW) // full windows only
       .select(col("doc_id"), col("n_grams"), col("wmin"))
       .distinct()
+      // referenced twice (fingerprint counts + the join back): one cut
+      // = one tokenize+window pass, not two
+      .transform(graft.Checkpoints.cutLazy)
     val byFp = sel.groupBy(col("wmin")).agg(count(lit(1)).as("n_docs"))
     sel.join(byFp, Seq("wmin"))
       .groupBy(col("doc_id"), col("n_grams"))
@@ -1350,14 +1356,17 @@ object Dedup {
     * The per-pair intersection rides the same compiled combo kernel
     * as the doc-level Jaccard family. */
   def sourceOverlap: Q = (s, d) => {
-    val sh = Tables.documents(s, d)
+    // NOT cut (r15 A/B: 1.14x): the second reference is a cheap
+    // per-source count over the distinct pass — re-deriving it beats
+    // persisting the corpus-sized distinct frame
+    val sh = (Tables.documents(s, d)
       .select(col("source"), expr(toksExpr).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("source"),
         explode(graft.functions.TextUdfs.shingle3(col("toks"))).as("raw"))
       .select(col("source"),
         conv(substring(md5(col("raw")), 1, 15), 16, 10).cast("long").as("sh"))
-      .distinct()
+      .distinct())
     val perSource = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.groupBy(col("sh"))
       .agg(sort_array(collect_set(col("source"))).as("srcs"))

@@ -233,6 +233,9 @@ object Graph {
         .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst")).agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
         .select(col("dst").as("node"), (-col("m.nl")).as("lab"))
+      // EAGER on purpose (r15 A/B: lazy measured 1.08x): the converged
+      // labels are read by up to three downstream branches (modularity),
+      // and a lazy cut lets those branches race-compute the same blocks
       if (i % 2 == 0 || i == LpaRounds) labels = cut(labels)
     }
     labels
@@ -420,11 +423,17 @@ object Graph {
   def kcore: Q = (sp, d) => {
     var e = cut(pageEdges(sp, d))
     for (i <- 1 to KCoreRounds) {
-      val bad = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") < KCoreK).select(col("src").as("bad"))
+      // bad feeds BOTH anti-joins: a lazy cut computes the degree
+      // aggregate once per round, not twice; the per-2-round edge cut
+      // is lazy too — the loop has no convergence read, so nothing
+      // needs an eager blocking job (materialization rides the final
+      // action; plans stay flat either way)
+      val bad = graft.Checkpoints.cutLazy(
+        e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") < KCoreK).select(col("src").as("bad")))
       e = e.join(bad, col("src") === col("bad"), "left_anti")
         .join(bad, col("dst") === col("bad"), "left_anti")
-      if (i % 2 == 0 || i == KCoreRounds) e = cut(e)
+      if (i % 2 == 0 || i == KCoreRounds) e = graft.Checkpoints.cutLazy(e)
     }
     e.groupBy(col("src").as("page")).agg(count(lit(1)).as("core_degree"))
       .orderBy(col("page"))

@@ -510,6 +510,8 @@ object Reshape {
     * exact BIGINT — so raw and winsorized means are each one floored
     * division. */
   def winsorizedMean: Q = (s, d) => {
+    // NOT cut (r15 A/B: 1.06x): the three references are cheap
+    // re-aggregations of a small frame; a lineage cut costs more
     val g = Tables.lineitem(s, d)
       .select(col("l_returnflag"),
         floor(col("l_extendedprice") * 100).cast("long").as("cents"))

@@ -1173,9 +1173,12 @@ object Similarity {
     val oldCdf = codebookMemo.getOrElseUpdate((d, "ivf_old"),
       centroidDf(s, trainCentroids(all.filter(col("vec_id") % 2 === 0))))
     val newCdf = ivfCentroidDf(s, d, all)
-    val j = assign(all, oldCdf).select(col("vec_id"), col("cell").as("cell_old"))
-      .join(assign(all, newCdf).select(col("vec_id"), col("cell").as("cell_new")),
-        Seq("vec_id"))
+    // referenced by both marginal aggregates below: one cut = the two
+    // corpus×centroid assignment passes run once, not twice
+    val j = graft.Checkpoints.cutLazy(
+      assign(all, oldCdf).select(col("vec_id"), col("cell").as("cell_old"))
+        .join(assign(all, newCdf).select(col("vec_id"), col("cell").as("cell_new")),
+          Seq("vec_id")))
     val po = j.groupBy(col("cell_old").as("cell"))
       .agg(count(lit(1)).as("n_old"),
         count(when(col("cell_new") === col("cell_old"), 1)).as("n_stay"))
@@ -1595,24 +1598,34 @@ object Similarity {
       bruteForceTopK(s, d).select(col("query_id"),
         col("neighbor_id").as("vec_id")))
     val nCorpus = all.agg(count(lit(1)).as("n_corpus"))
-    val per = IvfTuneProbes.map { p =>
-      val cand = corpus.join(probes.filter(col("prank") <= p), Seq("cell"))
+    // the probe configs are NESTED (a pair is a candidate at probe p
+    // iff its best probe rank ≤ p), so ONE candidate pass with
+    // min(prank) per pair + conditional counts replaces the old
+    // per-config join+distinct+three-broadcast chain ×4 — identical
+    // counts, a quarter of the jobs (guide §2.4)
+    val candm = graft.Checkpoints.cutLazy(
+      corpus.join(probes, Seq("cell"))
         .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id")).distinct()
-      cand.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(broadcast(cand.join(truth, Seq("query_id", "vec_id"), "left_semi")
-          .agg(count(lit(1)).as("n_caught"))))
-        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
-        .crossJoin(broadcast(nCorpus))
-        .select(lit(p).as("nprobe"), col("n_candidates"), col("n_caught"),
-          col("n_truth"),
-          (floor(col("n_caught").cast("double") / col("n_truth").cast("double") * 1e4)
-            / 1e4).as("coverage"),
-          (floor(col("n_candidates").cast("double")
-            / (lit(NumQueries) * (col("n_corpus") - 1)).cast("double") * 1e4) / 1e4)
-            .as("scan_share"))
-    }
-    per.reduce(_ unionByName _).orderBy(col("nprobe"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(min(col("prank")).as("mp")))
+    def perProbe(df: DataFrame, name: String): DataFrame = df.agg(
+      IvfTuneProbes.map(p => count(when(col("mp") <= p, 1)).as(s"${name}_$p")).head,
+      IvfTuneProbes.map(p => count(when(col("mp") <= p, 1)).as(s"${name}_$p")).tail: _*)
+    val counts = perProbe(candm, "nc")
+    val caught = perProbe(candm.join(truth, Seq("query_id", "vec_id"), "left_semi"), "ng")
+    val stackArgs = IvfTuneProbes.map(p => s"$p, nc_$p, ng_$p").mkString(", ")
+    counts.crossJoin(broadcast(caught))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .crossJoin(broadcast(nCorpus))
+      .selectExpr(s"stack(${IvfTuneProbes.size}, $stackArgs) as (nprobe, n_candidates, n_caught)",
+        "n_truth", "n_corpus")
+      .select(col("nprobe"), col("n_candidates"), col("n_caught"), col("n_truth"),
+        (floor(col("n_caught").cast("double") / col("n_truth").cast("double") * 1e4)
+          / 1e4).as("coverage"),
+        (floor(col("n_candidates").cast("double")
+          / (lit(NumQueries) * (col("n_corpus") - 1)).cast("double") * 1e4) / 1e4)
+          .as("scan_share"))
+      .orderBy(col("nprobe"))
   }
 
   lazy val ivfTuningSql: String = {
